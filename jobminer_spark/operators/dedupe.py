@@ -1,0 +1,467 @@
+"""Deduplication operators — exact and near-duplicate detection.
+
+The reference's dedup surface is key-based: probe-before-insert on
+(JobID, Source) (database.py:116-123) and unique-constraint skip on
+(JobID, Source, SkillName) (database.py:192-201). The engine keeps
+those (anti-join upsert) and adds the content-based dedup family a
+large-scale training-data pipeline needs: exact text dedup, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale notes baked into each operator:
+  * exact dedup is a single hash-shuffle on the content hash;
+  * pairwise ops never go all-pairs: candidates come from an inverted
+    shingle index (Jaccard), LSH band buckets (MinHash), or
+    hyperplane-sign buckets (embeddings) — each bounds the join
+    fan-out so a 1000-executor run shuffles candidates, not O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Key-based upsert (reference rows 8/9/25): anti-join insert-only-misses
+# ---------------------------------------------------------------------------
+
+
+def upsert_new_keys(
+    incoming: DataFrame, existing: DataFrame, keys: list[str]
+) -> DataFrame:
+    """First-write-wins upsert: dedup the batch on the key, then keep
+    only rows whose key is absent from `existing` (left anti).
+    Idempotent by construction — running it twice inserts nothing new
+    (the reference's "checkpoint system", README.md:12, database.py
+    116-123). In-batch dropDuplicates happens BEFORE the anti-join to
+    match unique-constraint semantics under concurrency."""
+    return incoming.dropDuplicates(keys).join(existing, keys, "left_anti")
+
+
+@query(
+    "upsert_anti_join_counts",
+    oracle="""
+    WITH existing AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    incoming AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    inserted AS (
+      SELECT * FROM incoming
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM existing)
+    )
+    SELECT
+      (SELECT COUNT(*) FROM existing) AS n_existing,
+      (SELECT COUNT(*) FROM inserted) AS n_inserted,
+      (SELECT COUNT(*) FROM existing) + (SELECT COUNT(*) FROM inserted) AS n_final
+    """,
+)
+def upsert_anti_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 3 == 0)
+    incoming = o.filter(F.col("o_orderkey") % 2 == 0)
+    inserted = upsert_new_keys(incoming, existing, ["o_orderkey"])
+    return (
+        existing.agg(F.count(F.lit(1)).alias("n_existing"))
+        .crossJoin(inserted.agg(F.count(F.lit(1)).alias("n_inserted")))
+        .select(
+            "n_existing",
+            "n_inserted",
+            (F.col("n_existing") + F.col("n_inserted")).alias("n_final"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact content dedup: hash-groupBy on the text
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_text",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle keyed on the content hash; min(doc_id)
+    is the deterministic survivor. At 100 TB the groupBy key is the
+    128-bit hash, not the text — shuffle carries ~16 bytes/row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: inverted shingle index, no all-pairs
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams via array slicing —
+    pure built-ins, stays in whole-stage codegen."""
+    w = F.split(F.col("text"), " ")
+    return (
+        # single-row-group input would serialize shingle generation
+        docs.repartition("doc_id")
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.col("w")[i + j] for j in range(n)]
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_CTE = """
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM tok a
+      JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+      JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shingles x JOIN shingles y
+        ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+"""
+
+
+@query(
+    "ngram_jaccard_top_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_a, doc_b, n_inter,
+           sa.n_sh + sb.n_sh - n_inter AS n_union,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) DESC,
+             doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top near-dup pairs by word-trigram Jaccard. Candidates come from
+    the inverted shingle index (equi-join on shingle), so cost is
+    bounded by shared-shingle pairs, never |docs|². A production run
+    would additionally cap hot shingles (drop shingles with document
+    frequency above a threshold) — the classic skew guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
+    )
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")).alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup — DataFrame-native (shingle → K permuted min-
+# hashes → band buckets → candidate join). Rows-only check: xxhash64
+# has no DuckDB analog; determinism pinned by fixed permutation params.
+# ---------------------------------------------------------------------------
+
+_MH_K = 32     # signature length
+_MH_BANDS = 8  # 8 bands × 4 rows/band
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → K-component MinHash signature over word n-gram shingles.
+
+    K independent hash functions = xxhash64 seeded by component index
+    (hashing (i, shingle) together) — pure long min-aggregation, cheap
+    codegen, no bignum arithmetic. One shuffle (groupBy doc_id with
+    map-side partial mins); signature size is constant regardless of
+    document length — the property that makes this the 100 TB path
+    where pairwise Jaccard is not."""
+    sh = word_shingles(docs, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        for i in range(_MH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_candidate_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """LSH banding: equal band (4 consecutive signature components) →
+    candidate pair; jaccard_est = fraction of equal components.
+
+    The band self-join carries only narrow (doc_id, band_no, hash)
+    rows; full signatures rejoin ONLY for surviving candidate pairs,
+    so signature width never rides through the big shuffle."""
+    sig = minhash_signatures(docs, n)
+    rows_per_band = _MH_K // _MH_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band_no", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MH_K)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MH_K)],
+    )
+    eq_frac = (
+        sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(_MH_K)
+        )
+        / float(_MH_K)
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", eq_frac.alias("jaccard_est"))
+    )
+
+
+@query("minhash_lsh_neardup")  # rows-only: xxhash64 is engine-internal
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints — xxhash64 bit-vote signature, pure built-ins
+# ---------------------------------------------------------------------------
+
+
+@query("simhash_fingerprints")  # rows-only: xxhash64 has no DuckDB analog
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: each distinct token votes its
+    xxhash64 bits; signature bit b is 1 where the vote sum is positive.
+
+    Shape: explode (doc, token-hash) × 64 bit positions into narrow
+    (doc_id, bit, vote) rows, partial-aggregate map-side, then fold the
+    64 votes back into one long. The 64× row expansion stays narrow
+    (16 bytes/row) and combiner-friendly — far cheaper at scale than a
+    64-column aggregate, whose generated code explodes, and the final
+    fold is a tiny per-doc reduce. Near-dup = small Hamming distance,
+    findable by banding the signature."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    votes = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+            F.col("h"),
+        )
+        .select(
+            "doc_id",
+            "bit",
+            F.expr(
+                "CASE WHEN shiftright(h, bit) & 1 = 1 THEN 1 ELSE -1 END"
+            ).alias("vote"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    # fold: sum of 2^bit (bit 63 = sign bit → long min-value term)
+    term = F.expr(
+        "CASE WHEN v > 0 THEN "
+        "(CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+        "ELSE shiftleft(CAST(1 AS BIGINT), bit) END) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        votes.select("doc_id", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(F.sum("term").cast("long").alias("simhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: hyperplane-sign buckets, exact re-rank
+# ---------------------------------------------------------------------------
+
+# Shared cosine recipe (exact across engines): element products are
+# quantized to 1e-15 longs (floor(x*y*1e15) — identical IEEE ops in
+# both engines), summed exactly as integers (order-independent), and
+# only then divided back in double. This keeps the Spark side an
+# in-row zip_with/aggregate fold (no explode, no shuffle) while the
+# DuckDB oracle reproduces it bit-for-bit via unnest+SUM.
+
+_QUANT = 1_000_000_000_000_000  # 1e15; 64 dims of unit-ish floats fits long
+
+_VEC_NORMS_CTE = f"""
+    elems AS (
+      SELECT vec_id, CAST(v AS DOUBLE) AS val, ord FROM (
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS ord
+        FROM embeddings
+      )
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(floor(val * val * {_QUANT}.0) AS BIGINT)) AS DOUBLE)
+                  / {_QUANT}.0) AS nrm
+      FROM elems GROUP BY vec_id
+    )
+"""
+
+
+def _qdot(a, b):
+    """Quantized dot product accumulator: long-exact, order-free."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(float(_QUANT))
+        ),
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _norm_col(vec):
+    return F.sqrt(_qdot(vec, vec).cast("double") / F.lit(float(_QUANT)))
+
+
+def _dot_col(a, b):
+    return _qdot(a, b).cast("double") / F.lit(float(_QUANT))
+
+
+@query(
+    "embedding_neardup_bucketed",
+    oracle=f"""
+    WITH {_VEC_NORMS_CTE},
+    buckets AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    pair_dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(floor(ea.val * eb.val * 1000000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000000.0 AS dot
+      FROM buckets a
+      JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN elems ea ON ea.vec_id = a.vec_id
+      JOIN elems eb ON eb.vec_id = b.vec_id AND eb.ord = ea.ord
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           dot / (na.nrm * nb.nrm) AS cosine
+    FROM pair_dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    ORDER BY dot / (na.nrm * nb.nrm) DESC, vec_a, vec_b
+    LIMIT 50
+    """,
+)
+def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with sign-bucket blocking: vectors only pair
+    within their 4-bit hyperplane-sign bucket (16 buckets), so the
+    pair join is |bucket|² not |table|² — the same blocking idea
+    scales by raising the number of sign bits with data volume. Exact
+    cosine re-rank inside buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.when(F.col("embedding")[0] >= 0, 8).otherwise(0)
+            + F.when(F.col("embedding")[1] >= 0, 4).otherwise(0)
+            + F.when(F.col("embedding")[2] >= 0, 2).otherwise(0)
+            + F.when(F.col("embedding")[3] >= 0, 1).otherwise(0)
+        ).alias("bucket"),
+        _norm_col(F.col("embedding")).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (
+            _dot_col(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cosine"),
+    )
+    return pairs.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(50)

@@ -1,0 +1,236 @@
+"""Similarity search over embedding vectors (array<float> column).
+
+North-star extension (SURVEY.md §7 step 7): brute-force exact cosine
+top-k as the correctness baseline, plus an LSH/IVF-style bucketed
+variant as the scale path. Dot products and norms accumulate in
+DECIMAL(38,18) via zip_with + aggregate — exact and order-independent,
+so the DuckDB oracle reproduces them bit-for-bit; the final cosine is
+plain double arithmetic (identical IEEE ops in both engines).
+
+Scale: brute-force is O(|Q|·|N|) with the query side broadcast — right
+whenever |Q| is small or as the re-rank stage; the bucketed variant
+prunes candidates by hyperplane-sign agreement first (recall<1,
+documented), which is how the same plan survives a 100× corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from jobminer_spark.operators.dedupe import _dot_col, _norm_col
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+_VEC_NORMS_CTE = """
+    elems AS (
+      SELECT vec_id, CAST(v AS DOUBLE) AS val, ord FROM (
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS ord
+        FROM embeddings
+      )
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(floor(val * val * 1000000000000000.0) AS BIGINT)) AS DOUBLE)
+                  / 1000000000000000.0) AS nrm
+      FROM elems GROUP BY vec_id
+    )
+"""
+
+
+def cosine_topk(
+    queries_df: DataFrame, candidates_df: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side against the
+    candidate corpus; rank per query with a unique tiebreak."""
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm_col(F.col("embedding")).alias("q_nrm"),
+    )
+    c = candidates_df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm_col(F.col("embedding")).alias("c_nrm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_col(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+@query(
+    "ann_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH {_VEC_NORMS_CTE},
+    pair_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(floor(eq.val * ec.val * 1000000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000000.0 AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      JOIN elems eq ON eq.vec_id = q.vec_id
+      JOIN elems ec ON ec.vec_id = c.vec_id AND ec.ord = eq.ord
+      WHERE q.vec_id < 8
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             dot / (nq.nrm * nc.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id
+             ) AS rnk
+      FROM pair_dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
+
+
+@query(
+    "ann_ivf_sign_buckets",
+    oracle=f"""
+    WITH {_VEC_NORMS_CTE},
+    buckets AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    pair_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(floor(eq.val * ec.val * 1000000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000000.0 AS dot
+      FROM buckets q
+      JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      JOIN elems eq ON eq.vec_id = q.vec_id
+      JOIN elems ec ON ec.vec_id = c.vec_id AND ec.ord = eq.ord
+      WHERE q.vec_id < 8
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             dot / (nq.nrm * nc.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id
+             ) AS rnk
+      FROM pair_dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
+    """,
+)
+def ann_ivf_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: coarse partition = 3 hyperplane sign
+    bits (8 cells); queries only scan their own cell. Same
+    rank-with-tiebreak contract as the brute-force baseline, recall<1
+    by design (the oracle applies the identical pruning)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.col("embedding")[0] >= 0, 4).otherwise(0)
+        + F.when(F.col("embedding")[1] >= 0, 2).otherwise(0)
+        + F.when(F.col("embedding")[2] >= 0, 1).otherwise(0)
+    )
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        _norm_col(F.col("embedding")).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot_col(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+@query(
+    "embedding_label_centroid_norms",
+    oracle=f"""
+    WITH elems AS (
+      SELECT label, CAST(v AS DOUBLE) AS val, ord FROM (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS ord
+        FROM embeddings
+      )
+    ),
+    centroid AS (
+      SELECT label, ord,
+             CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+      FROM elems GROUP BY label, ord
+    )
+    SELECT label,
+           sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS centroid_norm,
+           COUNT(*) AS dim
+    FROM centroid GROUP BY label
+    """,
+)
+def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (posexplode → mean per dimension) — the
+    training step of a real IVF index, expressed as plain relational
+    ops so it shuffles once on (label, dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select("label", F.posexplode("embedding").alias("ord", "v")).select(
+        "label", "ord", F.col("v").cast("double").alias("val")
+    )
+    centroid = elems.groupBy("label", "ord").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return centroid.groupBy("label").agg(
+        F.sqrt(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)")).cast("double")
+        ).alias("centroid_norm"),
+        F.count(F.lit(1)).alias("dim"),
+    )

@@ -1,0 +1,361 @@
+"""Text-analysis operators over the documents table.
+
+The training-data-pipeline extensions (language-ID heuristic, quality
+scoring, token counting, document fingerprinting) plus the scalar
+string/regex projections the reference embeds (salary parsing,
+URL-id extraction, width truncation — SURVEY.md §2.2). All pure
+built-in Column expressions; every query is oracle-checked.
+
+Cross-engine notes:
+  * fingerprints use md5/sha256 (identical hex in Spark and DuckDB);
+  * ratio arithmetic keeps the exact same operation order in both
+    engines so the IEEE results are bitwise equal;
+  * the salary oracle does NOT re-implement the regex — it computes
+    the expected values independently from the generating expression,
+    which makes it a true differential test of the parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.functions.text import (
+    extract_job_id,
+    extract_years_of_experience,
+    salary_max_col,
+    salary_min_col,
+)
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex tokens
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_count_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      length(text) AS n_chars_measured,
+      len(regexp_extract_all(text, '[a-z0-9]+')) AS n_regex_tokens,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("n_regex_tokens"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: marker-token voting with deterministic argmax
+# ---------------------------------------------------------------------------
+
+# Tiny marker lists (a real system ships n-gram profiles; the operator
+# shape — per-language scores + deterministic argmax — is what scales).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "fast", "slow"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+}
+
+
+def _marker_count_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return (
+        "len(list_filter(string_split(lower(text), ' '), "
+        f"t -> list_contains([{toks}], t)))"
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_marker_count_sql("en")} AS s_en,
+             {_marker_count_sql("de")} AS s_de,
+             {_marker_count_sql("fr")} AS s_fr,
+             {_marker_count_sql("es")} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred,
+           s_en, s_de, s_fr, s_es
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def score(lang: str) -> F.Column:
+        markers = F.array(*[F.lit(t) for t in _LANG_MARKERS[lang]])
+        return F.size(
+            F.filter(toks, lambda t: F.array_contains(markers, t))
+        ).cast("long")
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("fr").alias("s_fr"),
+        score("es").alias("s_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") == 0)
+            & (F.col("s_de") == 0)
+            & (F.col("s_fr") == 0)
+            & (F.col("s_es") == 0),
+            "und",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id", "labeled_lang", pred.alias("lang_pred"),
+        "s_en", "s_de", "s_fr", "s_es",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / stopword ratio / distinct-token ratio
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_measured,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> list_contains([{", ".join(f"'{s}'" for s in _STOPWORDS)}], t)))
+               AS n_stop,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           least(CAST(n_chars_measured AS DOUBLE) / 500.0, 1.0) * 0.4
+             + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+             + CAST(n_distinct AS DOUBLE) / n_tokens * 0.3 AS quality_score
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    feat = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    len_score = F.least(F.col("n_chars_measured").cast("double") / 500.0, F.lit(1.0))
+    return feat.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (len_score * 0.4 + (F.lit(1.0) - stop_ratio) * 0.3 + distinct_ratio * 0.3)
+        .alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 / sha256 content hashes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(text)) AS md5_fp,
+           sha256(lower(text)) AS sha256_fp,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("md5_fp"),
+        F.sha2(F.lower(F.col("text")), 256).alias("sha256_fp"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference scalar projections, oracle-checked on synthesized columns
+# (the fixtures carry no salary text, so the queries construct it
+# deterministically from orders and the oracle derives the EXPECTED
+# values from the generating arithmetic — a true differential test)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salary_parse_differential",
+    oracle="""
+    WITH gen AS (
+      SELECT o_orderkey,
+             CAST(trunc(o_totalprice) AS BIGINT) AS base,
+             o_orderkey % 4 AS variant
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE variant
+             WHEN 0 THEN CAST(base AS INTEGER)
+             WHEN 1 THEN CAST(base AS INTEGER)
+             WHEN 2 THEN CAST(trunc((base % 200 + 0.25) * 160) AS INTEGER)
+             ELSE NULL
+           END AS salary_min,
+           CASE variant
+             WHEN 0 THEN CAST(base + 2000 AS INTEGER)
+             WHEN 1 THEN CAST(base AS INTEGER)
+             WHEN 2 THEN CAST(trunc((base % 200 + 50 + 0.75) * 160) AS INTEGER)
+             ELSE NULL
+           END AS salary_max
+    FROM gen
+    """,
+)
+def salary_parse_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructs salary_text in the reference's four shapes (range,
+    single value, hourly range with decimal commas, garbage) from
+    orders, then runs the engine's regex parser (functions/text.py,
+    mirroring pracuj_scraper.py:44-84). The oracle computes expected
+    numbers directly from the generating arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    base = F.floor(F.col("o_totalprice")).cast("bigint")
+    variant = F.col("o_orderkey") % 4
+    salary_text = (
+        F.when(variant == 0,
+               F.format_string("%d – %d zł", base, base + 2000))
+        .when(variant == 1, F.format_string("do %d zł miesięcznie", base))
+        .when(variant == 2,
+              F.format_string("%d,25-%d,75 zł/h", base % 200, base % 200 + 50))
+        .otherwise(F.lit("salary not disclosed"))
+    )
+    gen = o.select("o_orderkey", salary_text.alias("salary_text"))
+    return gen.select(
+        "o_orderkey",
+        salary_min_col(F.col("salary_text")).alias("salary_min"),
+        salary_max_col(F.col("salary_text")).alias("salary_max"),
+    )
+
+
+@query(
+    "job_id_url_extraction",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_extract(
+             'https://www.pracuj.pl/praca/data-engineer,oferta,' || o_orderkey,
+             ',oferta,(\\d+)', 1) AS job_id
+    FROM orders
+    """,
+)
+def job_id_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → job_id regex projection (reference pracuj_scraper.py:
+    297-298). The hash fallback path (non-matching URLs) is covered by
+    unit tests — Python hash() is process-salted in the reference, so
+    the engine's deterministic xxhash64 fallback has no SQL oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://www.pracuj.pl/praca/data-engineer,oferta,"),
+        F.col("o_orderkey").cast("string"),
+    )
+    return o.select("o_orderkey", extract_job_id(url).alias("job_id"))
+
+
+@query(
+    "years_of_experience_extraction",
+    oracle="""
+    WITH gen AS (
+      SELECT o_orderkey,
+             'requires ' || CAST(o_orderkey % 8 AS VARCHAR) || ' years experience'
+               AS bullet
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 8 BETWEEN 1 AND 5
+                THEN CAST(o_orderkey % 8 AS INTEGER) END AS years_of_experience
+    FROM gen
+    """,
+)
+def years_of_experience_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First word-bounded 1-5 integer (reference pracuj_scraper.py:
+    231-243); expected values derived arithmetically in the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    bullet = F.concat(
+        F.lit("requires "),
+        (F.col("o_orderkey") % 8).cast("string"),
+        F.lit(" years experience"),
+    )
+    return o.select(
+        "o_orderkey",
+        extract_years_of_experience(bullet).alias("years_of_experience"),
+    )
+
+
+@query(
+    "truncate_to_ddl_widths",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 12) AS name_w12,
+           substr(c_mktsegment, 1, 5) AS segment_w5,
+           length(substr(c_name, 1, 12)) AS name_len
+    FROM customer
+    """,
+)
+def truncate_to_ddl_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width-cap projection before the sink (reference _truncate,
+    database.py:11-15)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 12).alias("name_w12"),
+        F.substring("c_mktsegment", 1, 5).alias("segment_w5"),
+        F.length(F.substring("c_name", 1, 12)).cast("long").alias("name_len"),
+    )

@@ -1,0 +1,57 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every operator module registers its named queries (Spark side) and the
+matching DuckDB oracle SQL here via the ``@query`` decorator.
+``__spark_entry__.py`` simply re-exports these dicts.
+
+Contract (BASELINE.md §B): each queries() callable takes
+``(spark, sf_dir)`` and returns a DataFrame whose column names match the
+oracle SQL's output column names exactly (the driver sorts columns by
+name before value-hashing).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_OPERATOR_MODULES = [
+    "jobminer_spark.operators.relational",
+    "jobminer_spark.operators.skills",
+    "jobminer_spark.operators.dedupe",
+    "jobminer_spark.operators.similarity",
+    "jobminer_spark.operators.textanalysis",
+    "jobminer_spark.operators.events",
+    "jobminer_spark.operators.multimodal",
+]
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle`` is the DuckDB-equivalent SQL.
+
+    ``oracle=None`` marks a genuinely non-SQL-expressible operator — the
+    driver then records a weaker rows-only check for it.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_operators() -> None:
+    """Import every operator module so their @query decorators run."""
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)

@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for the target execution profile.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+configs below are chosen so the same code scales to a multi-executor
+cluster: AQE handles runtime re-planning and skew, shuffle partitions
+follow core count locally (a cluster deployment overrides via
+``spark.sql.shuffle.partitions``), Arrow is on for every pandas-UDF
+boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "jobminer_spark") -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Shuffle width: match local parallelism; AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic timestamp semantics vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas-UDF / toPandas boundaries.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

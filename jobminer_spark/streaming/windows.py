@@ -1,0 +1,107 @@
+"""Structured Streaming surface: the batch window operators in
+operators/events.py, run for real under readStream + watermark.
+
+The reference's streaming model is a daily idempotent micro-batch
+(function.json:6, SURVEY.md §2.7 rows 38-42); the Spark upgrade is
+watermarked event-time windows with exactly-once-effect sinks. These
+run the SAME aggregations as the oracle-checked batch queries —
+Structured Streaming's incrementalization is the only difference —
+and are exercised by tests with trigger(availableNow=True) + a memory
+sink (the fixture parquet acts as a bounded file source).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jobminer_spark.schemas import EVENTS
+
+
+def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-stream source (schema must be explicit
+    for streaming reads). The file stores TIMESTAMP(NANOS), which Spark
+    reads as long nanos under the legacy conf — truncate to
+    microsecond timestamps, matching the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in EVENTS.fields
+        ]
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        # file-stream sources need a directory; glob down to the one file
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_counts_stream(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling windows: late data beyond 10 minutes is
+    dropped and window state is bounded — the knob that keeps state
+    finite on an unbounded stream."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows_stream(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain a bounded stream with availableNow into an in-memory table
+    and return it as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(
+        tumbling_counts_stream(streaming_events_source(spark, sf_dir)), spark
+    )
+
+
+def run_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(
+        session_windows_stream(streaming_events_source(spark, sf_dir)), spark
+    )

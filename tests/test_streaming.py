@@ -1,0 +1,34 @@
+"""Structured Streaming ≡ batch: the watermarked streaming windows
+must produce exactly the batch window aggregation (fixture data is
+bounded and in-order, so the watermark drops nothing)."""
+
+from __future__ import annotations
+
+from jobminer_spark import QUERIES, load_all_operators
+from jobminer_spark.streaming import (
+    run_streaming_session_windows,
+    run_streaming_tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+load_all_operators()
+
+
+def _as_dict(rows, keycols):
+    return {tuple(getattr(r, c) for c in keycols): r for r in rows}
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    stream_rows = run_streaming_tumbling_counts(spark, SF_DIR).collect()
+    batch_rows = QUERIES["tumbling_window_hourly"](spark, SF_DIR).collect()
+    s = _as_dict(stream_rows, ("window_start", "event_type"))
+    b = _as_dict(batch_rows, ("window_start", "event_type"))
+    assert set(s) == set(b)
+    for k in s:
+        assert s[k].n_events == b[k].n_events
+        assert abs(s[k].total_value - b[k].total_value) < 1e-9
+
+
+def test_streaming_session_windows_run(spark):
+    rows = run_streaming_session_windows(spark, SF_DIR).collect()
+    assert len(rows) > 0
