@@ -1,0 +1,235 @@
+"""Scrape-pipeline-shaped operators the earlier modules don't cover:
+the cascading extraction gate, the lookup join with empty default, the
+page-count estimator, and the HTML badge parse UDF — each mapped from
+a specific reference behavior (file:line cited per operator).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jobminer_spark.data.skill_dictionary import values_df
+from jobminer_spark.operators.relational import dsum
+from jobminer_spark.operators.skills import (
+    _DICT_CTE,
+    _TOKENS_CTE,
+    resolved_dictionary,
+    tokenize,
+)
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+
+@query(
+    "cascade_extraction_gate",
+    oracle=f"""
+    WITH {_DICT_CTE},
+    {_TOKENS_CTE},
+    tiers AS (
+      SELECT t.doc_id,
+             COUNT(CASE WHEN d.term IS NOT NULL THEN 1 END) AS n_dict,
+             COUNT(CASE WHEN length(t.token) >= 6 THEN 1 END) AS n_long
+      FROM tokens t
+      LEFT JOIN resolved_dict d ON t.token = d.term
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN n_dict >= 2 THEN 'dedicated'
+                WHEN n_long >= 2 THEN 'fallback'
+                ELSE 'full_scan' END AS tier,
+           CASE WHEN n_dict >= 2 THEN n_dict
+                WHEN n_long >= 2 THEN n_long
+                ELSE n_dict + n_long END AS n_extracted
+    FROM tiers
+    """,
+)
+def cascade_extraction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's skill-count gate (pracuj_scraper.py:158-178):
+    if the dedicated section yields < 2 skills, fall back to bullet
+    text; if still < 2, scan the whole page. Set-at-a-time: compute
+    each tier's yield per document, pick by the same cascade."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs)
+    dim = resolved_dictionary(spark)
+    tiers = (
+        toks.join(F.broadcast(dim), toks.token == dim.term, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("term").isNotNull(), 1)).alias("n_dict"),
+            F.count(F.when(F.length("token") >= 6, 1)).alias("n_long"),
+        )
+    )
+    tier = (
+        F.when(F.col("n_dict") >= 2, "dedicated")
+        .when(F.col("n_long") >= 2, "fallback")
+        .otherwise("full_scan")
+    )
+    n = (
+        F.when(F.col("n_dict") >= 2, F.col("n_dict"))
+        .when(F.col("n_long") >= 2, F.col("n_long"))
+        .otherwise(F.col("n_dict") + F.col("n_long"))
+    )
+    return tiers.select("doc_id", tier.alias("tier"), n.alias("n_extracted"))
+
+
+@query(
+    "lookup_join_empty_default",
+    oracle=f"""
+    WITH {_DICT_CTE},
+    {_TOKENS_CTE},
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_skills
+      FROM tokens t JOIN resolved_dict d ON t.token = d.term
+      GROUP BY t.doc_id
+    )
+    SELECT doc.doc_id, COALESCE(h.n_skills, 0) AS n_skills
+    FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+    """,
+)
+def lookup_join_empty_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skills_dict.get(job_id, []) (scraper.py:64) — LEFT join with an
+    empty default so jobs with no mined skills still flow through."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs)
+    dim = resolved_dictionary(spark)
+    hits = (
+        toks.join(F.broadcast(dim), toks.token == dim.term)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return docs.join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_skills")
+    )
+
+
+@query(
+    "page_count_estimator",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_listings,
+           CAST(ceil(COUNT(*) / 60.0) AS BIGINT) AS n_pages
+    FROM documents
+    GROUP BY source
+    """,
+)
+def page_count_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ceil(total/60) pagination estimate (pracuj_scraper.py:270,
+    EXPECTED_PER_PAGE=60) per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_listings"),
+        F.ceil(F.count(F.lit(1)) / 60.0).alias("n_pages"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML badge parse — the reference's one genuine UDF surface
+# ---------------------------------------------------------------------------
+
+_BADGE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("location", T.StringType()),
+    T.StructField("operating_mode", T.StringType()),
+])
+
+_TITLE_RE = re.compile(r'<h1 data-test="text-positionName">([^<]*)</h1>')
+_BADGE_RE = re.compile(r'<div data-test="offer-badge-([a-z]+)">([^<]*)</div>')
+
+
+def _parse_badges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched HTML → struct projection (reference
+    _extract_badge_info + title extraction, pracuj_scraper.py:86-150,
+    324-325 — CSS selects with 'Unknown Title' default). bs4 is not in
+    this container; the data-test attribute contract is regex-stable,
+    and the batch-in/batch-out shape is identical to a bs4-backed
+    implementation."""
+    for pdf in batches:
+        titles, locations, modes = [], [], []
+        for html in pdf["html"]:
+            m = _TITLE_RE.search(html)
+            titles.append(m.group(1) if m and m.group(1) else "Unknown Title")
+            badges = dict(_BADGE_RE.findall(html))
+            locations.append(badges.get("location", ""))
+            modes.append(badges.get("mode", ""))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "title": titles,
+                "location": locations,
+                "operating_mode": modes,
+            }
+        )
+
+
+@query(
+    "html_badge_parse_udf",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'Unknown Title'
+                ELSE 'Engineer ' || CAST(doc_id AS VARCHAR) END AS title,
+           'City' || CAST(doc_id % 7 AS VARCHAR) AS location,
+           CASE WHEN doc_id % 2 = 0 THEN 'Remote' ELSE 'Hybrid' END
+             AS operating_mode
+    FROM documents
+    """,
+)
+def html_badge_parse_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesizes detail-page HTML from fixture columns, parses it back
+    through the Arrow mapInPandas UDF; the oracle computes the expected
+    struct directly from the generating expressions — a differential
+    test of the parse UDF plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    title_frag = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("Engineer "), F.col("doc_id").cast("string"))
+    )
+    html = F.concat(
+        F.lit('<html><h1 data-test="text-positionName">'),
+        title_frag,
+        F.lit('</h1><div data-test="offer-badge-location">City'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('</div><div data-test="offer-badge-mode">'),
+        F.when(F.col("doc_id") % 2 == 0, "Remote").otherwise("Hybrid"),
+        F.lit("</div></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html")).repartition(8, "doc_id")
+    return pages.mapInPandas(_parse_badges, schema=_BADGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Listing-page flatten: one page row → N listing-link rows (row 36)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "listing_page_flatten",
+    oracle="""
+    WITH pages AS (
+      SELECT source, (doc_id // 60) AS page_no, doc_id
+      FROM documents
+    )
+    SELECT source, page_no, COUNT(*) AS n_links,
+           MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+    FROM pages GROUP BY source, page_no
+    """,
+)
+def listing_page_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The listing-page → ~60 link rows flatten (pracuj_scraper.py:
+    278-301) inverted as its grouping contract: page assignment is
+    id div 60, the per-page count/extent is the flatten's checksum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.expr("doc_id div 60").alias("page_no"), "doc_id")
+        .groupBy("source", "page_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+    )

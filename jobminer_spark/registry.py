@@ -24,12 +24,14 @@ ORACLES: dict[str, str] = {}
 
 _OPERATOR_MODULES = [
     "jobminer_spark.operators.relational",
+    "jobminer_spark.operators.tpch",
     "jobminer_spark.operators.skills",
     "jobminer_spark.operators.dedupe",
     "jobminer_spark.operators.similarity",
     "jobminer_spark.operators.textanalysis",
     "jobminer_spark.operators.events",
     "jobminer_spark.operators.multimodal",
+    "jobminer_spark.operators.scrapeshape",
 ]
 
 
