@@ -38,6 +38,10 @@ HEADLINE = [
     "tumbling_window_hourly",
     "session_window_5m_gap",
     "multimodal_decode_features",
+    "q18_large_volume_orders",
+    "tfidf_top_similar_pairs",
+    "html_badge_parse_udf",
+    "salted_aggregation_equivalence",
 ]
 
 

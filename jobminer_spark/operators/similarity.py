@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from jobminer_spark.operators.dedupe import _dot_col, _norm_col
-from jobminer_spark.registry import query
+from jobminer_spark.registry import ORACLES, query
 from jobminer_spark.sources import load_table
 
 _VEC_NORMS_CTE = """
@@ -233,4 +233,52 @@ def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)")).cast("double")
         ).alias("centroid_norm"),
         F.count(F.lit(1)).alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall audit: how much does IVF pruning lose vs exact brute force?
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_ivf_recall_vs_bruteforce",
+    oracle=f"""
+    WITH brute AS ({{brute}}),
+    ivf AS ({{ivf}})
+    SELECT b.query_id,
+           COUNT(*) AS k_brute,
+           COUNT(i.neighbor_id) AS k_overlap,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+    FROM brute b
+    LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """.format(
+        brute=ORACLES["ann_cosine_topk_bruteforce"],
+        ivf=ORACLES["ann_ivf_sign_buckets"],
+    ),
+)
+def ann_ivf_recall_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-index quality audit as a first-class query: per-query
+    recall of the sign-bucket IVF against exact brute force. The
+    measurement itself is distributed (join of the two result sets) —
+    at production scale this runs on a sampled query set to monitor
+    index drift."""
+    brute = ann_cosine_topk_bruteforce(spark, sf_dir).alias("b")
+    ivf = ann_ivf_sign_buckets(spark, sf_dir).alias("i")
+    return (
+        brute.join(
+            ivf,
+            (F.col("b.query_id") == F.col("i.query_id"))
+            & (F.col("b.neighbor_id") == F.col("i.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k_brute"),
+            F.count(F.col("i.neighbor_id")).alias("k_overlap"),
+            (
+                F.count(F.col("i.neighbor_id")).cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
     )

@@ -359,3 +359,118 @@ def truncate_to_ddl_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_mktsegment", 1, 5).alias("segment_w5"),
         F.length(F.substring("c_name", 1, 12)).cast("long").alias("name_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF document similarity (reciprocal-df weighting)
+# ---------------------------------------------------------------------------
+# Weight = (term_count / doc_len) * (1 / doc_freq): every factor is a
+# single IEEE division computed identically in both engines (ln() is
+# deliberately avoided — libm implementations differ in the last ulp
+# across engines). Pair dot products accumulate quantized longs, the
+# same portable-exact recipe as the cosine operators.
+
+
+@query(
+    "tfidf_top_similar_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lower(tok) AS token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, token
+    ),
+    doclen AS (SELECT doc_id, SUM(cnt) AS len FROM tf GROUP BY doc_id),
+    df AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+    w AS (
+      SELECT t.doc_id, t.token,
+             (CAST(t.cnt AS DOUBLE) / l.len) * (1.0 / d.dfreq) AS wt
+      FROM tf t JOIN doclen l ON t.doc_id = l.doc_id
+                JOIN df d ON t.token = d.token
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(floor(wt * wt * 1000000000000000.0) AS BIGINT)) AS DOUBLE)
+                  / 1000000000000000.0) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(floor(a.wt * b.wt * 1000000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000000.0 AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
+      WHERE a.doc_id < 50
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY dot / (na.nrm * nb.nrm) DESC, doc_a, doc_b
+    LIMIT 25
+    """,
+)
+def tfidf_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine via the inverted token index, for a bounded
+    query subset (doc_id < 50) against the whole corpus. The subset
+    bound is load-bearing: this fixture's vocabulary is ~31 tokens, so
+    every token is a hot token and an unbounded token self-join IS the
+    all-pairs blowup (measured: bench timeout at sf0.1). Real corpora
+    add a document-frequency cap; here df damping plus the query bound
+    keeps the join at |subset|·|corpus| worst case."""
+    QUANT = 1_000_000_000_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower("tok").alias("token"))
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = (
+        tf.join(doclen, "doc_id")
+        .join(dfreq, "token")
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("cnt").cast("double") / F.col("len"))
+                * (F.lit(1.0) / F.col("dfreq"))
+            ).alias("wt"),
+        )
+    )
+    qprod = lambda x, y: F.floor(x * y * F.lit(float(QUANT))).cast("long")
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(qprod(F.col("wt"), F.col("wt"))).cast("double") / F.lit(float(QUANT))).alias("nrm")
+    )
+    a = w.filter(F.col("doc_id") < 50).alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            (F.sum(qprod(F.col("a.wt"), F.col("b.wt"))).cast("double") / F.lit(float(QUANT))).alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )

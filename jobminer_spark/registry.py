@@ -32,6 +32,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.events",
     "jobminer_spark.operators.multimodal",
     "jobminer_spark.operators.scrapeshape",
+    "jobminer_spark.operators.skew",
 ]
 
 
