@@ -42,6 +42,9 @@ HEADLINE = [
     "tfidf_top_similar_pairs",
     "html_badge_parse_udf",
     "salted_aggregation_equivalence",
+    "q7_nation_volume_shipping",
+    "q13_customer_order_histogram",
+    "asof_join_last_click_before_purchase",
 ]
 
 

@@ -33,6 +33,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.multimodal",
     "jobminer_spark.operators.scrapeshape",
     "jobminer_spark.operators.skew",
+    "jobminer_spark.operators.temporal",
 ]
 
 
