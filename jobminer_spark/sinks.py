@@ -54,3 +54,32 @@ def write_jdbc_jobs(
         .mode("append")
         .save()
     )
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "append"
+) -> None:
+    """Hive-style partitioned layout: the coarse keys a 100 TB reader
+    will filter on (date, source) become directories, so partition
+    pruning skips whole subtrees before any footer is read."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by join key at WRITE
+    time so later equi-joins/aggregations on `bucket_cols` between
+    same-bucketed tables run with NO shuffle exchange (verified by
+    tests/test_plans.py::test_bucketed_join_has_no_shuffle). This is
+    the pre-shuffle-once, join-many-times pattern for fact tables that
+    are joined on the same key repeatedly."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -1,0 +1,60 @@
+"""Declared-schema file sources: clean rows parse, malformed rows land
+in quarantine instead of failing the job, JSON props extract typed."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from jobminer_spark.sources.files import (
+    bad_rows,
+    good_rows,
+    parse_json_column,
+    read_csv,
+    read_jsonl,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def test_csv_declared_schema_and_quarantine(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,score\n1,alpha,1.5\n2,beta,2.5\nnot_a_number,gamma,x\n")
+    df = read_csv(spark, str(p), _SCHEMA)
+    good = good_rows(df).collect()
+    bad = bad_rows(df).collect()
+    assert {(r["id"], r["name"], r["score"]) for r in good} == {
+        (1, "alpha", 1.5),
+        (2, "beta", 2.5),
+    }
+    assert len(bad) == 1 and "gamma" in bad[0]["raw"]
+
+
+def test_jsonl_declared_schema_and_quarantine(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "alpha", "score": 1.5}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "beta", "score": 2.5}\n'
+    )
+    df = read_jsonl(spark, str(p), _SCHEMA)
+    assert good_rows(df).count() == 2
+    assert bad_rows(df).count() == 1
+
+
+def test_parse_json_column_typed(spark):
+    props_schema = T.StructType(
+        [T.StructField("device", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    df = spark.range(1).selectExpr(
+        "id", """'{"device": "mobile", "n": 3}' AS props"""
+    )
+    out = parse_json_column(df, "props", props_schema).select(
+        "props.device", "props.n"
+    ).collect()[0]
+    assert (out["device"], out["n"]) == ("mobile", 3)

@@ -63,3 +63,69 @@ def test_semi_anti_join_shapes(spark):
 def test_exact_dedup_partial_aggregates(spark):
     plan = _plan(spark, "dedup_exact_text")
     assert plan.count("HashAggregate") >= 2  # map-side combine on the hash key
+
+
+def test_q7_dimension_broadcasts(spark):
+    plan = _plan(spark, "q7_nation_volume_shipping")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q9_part_filter_prunes_dimension_before_fact_join(spark):
+    plan = _plan(spark, "q9_product_profit_by_nation_year")
+    assert "BroadcastHashJoin" in plan
+    # the LIKE predicate must sit on the part dimension scan side,
+    # not be evaluated post-join on the fact stream
+    assert "widget" in plan
+
+
+def test_q11_threshold_is_broadcast_side(spark):
+    plan = _plan(spark, "q11_important_part_values")
+    # the 1-row global threshold must be the broadcast (build) side of
+    # the cross join; the per-part aggregate streams (AQE additionally
+    # reuses the shared aggregate exchange at runtime)
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _plan(spark, "asof_join_last_click_before_purchase")
+    # union + window = exactly one hashpartitioning exchange (user_id);
+    # a range-join formulation would add a second, data-squared one
+    assert plan.count("hashpartitioning(") == 1
+    assert "user_id" in plan.split("hashpartitioning(", 1)[1][:40]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_band_join_broadcasts_band_dim(spark):
+    plan = _plan(spark, "range_band_join_event_values")
+    # non-equi join against the VALUES dim must broadcast the dim,
+    # never shuffle or collect the event stream
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key join with
+    ZERO exchanges — the write-once-shuffle-never pattern for repeated
+    fact-fact joins at scale."""
+    from jobminer_spark.sinks import write_bucketed_table
+    from jobminer_spark.sources import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed_table(o, "bt_orders", ["o_orderkey"], n_buckets=8,
+                         sort_cols=["o_orderkey"])
+    write_bucketed_table(l, "bt_lineitem", ["l_orderkey"], n_buckets=8,
+                         sort_cols=["l_orderkey"])
+    try:
+        bo = spark.table("bt_orders")
+        bl = spark.table("bt_lineitem")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+            "o_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = physical_plan(joined)
+        assert "hashpartitioning(" not in plan
+        assert joined.count() == l.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
