@@ -45,6 +45,7 @@ HEADLINE = [
     "q7_nation_volume_shipping",
     "q13_customer_order_histogram",
     "asof_join_last_click_before_purchase",
+    "neardup_connected_components",
 ]
 
 

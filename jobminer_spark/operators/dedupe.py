@@ -465,3 +465,118 @@ def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return pairs.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs → connected components → one
+# canonical id per cluster. This is the production dedup shape (keep
+# one doc per component), beyond the pairwise queries above.
+# ---------------------------------------------------------------------------
+
+_CC_EDGES_CTE = f"""
+    {_SHINGLES_CTE},
+    edges AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    )
+"""
+
+
+@query(
+    "neardup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_CC_EDGES_CTE},
+    reach(src, dst) AS (
+      SELECT src, dst FROM bidir
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+    )
+    SELECT doc_id, MIN(m) AS component
+    FROM (
+      SELECT src AS doc_id, dst AS m FROM reach
+      UNION ALL
+      SELECT DISTINCT src, src FROM bidir
+    )
+    GROUP BY doc_id
+    """,
+)
+def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over trigram-Jaccard >= 0.8 candidate
+    pairs: every near-dup doc labeled with its cluster's minimum
+    doc_id (the canonical survivor).
+
+    Min-label propagation, all DataFrame ops: each round pushes the
+    current label across edges and takes the per-node min; converges
+    in O(graph diameter) rounds (driver checks a changed-count
+    action). Per-round `localCheckpoint` cuts the lineage so round N
+    doesn't replay rounds 1..N-1. Near-dup graphs are overwhelmingly
+    tiny cliques, so diameter — and the round count — stays small at
+    any corpus size; a 100 TB corpus would swap the loop body for the
+    large-star/small-star variant of the same primitive, not a
+    different algorithm. The oracle computes the same fixpoint as a
+    recursive-CTE transitive closure (tractable at oracle scale
+    only).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    edges = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+            >= 0.8
+        )
+        .select("doc_a", "doc_b")
+    )
+    bidir = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = bidir.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    for _ in range(20):  # >= graph diameter; fixture converges in ~2
+        prop = bidir.join(
+            labels, bidir.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "component")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

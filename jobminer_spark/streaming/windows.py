@@ -80,14 +80,17 @@ def session_windows_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a bounded stream with availableNow into an in-memory table
-    and return it as a batch DataFrame."""
+    and return it as a batch DataFrame. Aggregating streams drain in
+    `complete` mode; non-aggregating ones (dedup) require `append`."""
     name = f"mem_{uuid.uuid4().hex[:10]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -104,4 +107,23 @@ def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 def run_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         session_windows_stream(streaming_events_source(spark, sf_dir)), spark
+    )
+
+
+def dedup_within_watermark_stream(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Streaming first-write-wins dedup on the natural key — the
+    reference's probe-before-insert (`database.py:116-123`) as a
+    stream: `dropDuplicatesWithinWatermark` keeps one row per key and
+    BOUNDS the dedup state by the watermark delay, so state size
+    tracks the late-data window, not the full key history. The batch
+    equivalent is the oracle-checked `first_write_wins_dedup`."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup_within_watermark_stream(streaming_events_source(spark, sf_dir))
+    return _run_to_memory(
+        out.select("event_id", "user_id", "event_type"), spark, output_mode="append"
     )

@@ -32,3 +32,24 @@ def test_streaming_tumbling_matches_batch(spark):
 def test_streaming_session_windows_run(spark):
     rows = run_streaming_session_windows(spark, SF_DIR).collect()
     assert len(rows) > 0
+
+
+def test_streaming_dedup_within_watermark_one_row_per_key(spark):
+    """State-bounded streaming dedup: at most one row per
+    (user_id, event_type); every key from the batch table appears."""
+    from jobminer_spark.sources import load_table
+    from jobminer_spark.streaming.windows import (
+        run_streaming_dedup_within_watermark,
+    )
+    from tests.conftest import SF_DIR
+
+    got = run_streaming_dedup_within_watermark(spark, SF_DIR)
+    per_key = got.groupBy("user_id", "event_type").count().collect()
+    assert per_key and all(r["count"] == 1 for r in per_key)
+    batch_keys = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(per_key) == batch_keys
