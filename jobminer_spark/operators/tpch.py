@@ -717,3 +717,36 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / F.lit(7.0)).alias("avg_yearly")
         )
     )
+
+
+@query(
+    "q2_cheapest_part_per_type",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_type, p_partkey, p_name, p_retailprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_type
+               ORDER BY p_retailprice, p_partkey
+             ) AS rn
+      FROM part
+    )
+    SELECT p_type, p_partkey, p_name, p_retailprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q2_cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group (TPC-H q2's min-cost-supplier shape, on the
+    fixture's part table): ROW_NUMBER over a (type, price) window with
+    a deterministic p_partkey tiebreak, keep rank 1. One shuffle on
+    the group key; at scale this beats the groupBy-min + self-join
+    formulation (one pass, no re-join) and AQE handles hot types."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    return (
+        p.select(
+            "p_type", "p_partkey", "p_name", "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
