@@ -540,3 +540,45 @@ def distinct_counts_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "variance_stats_by_event_type",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(sx AS DOUBLE) / n AS mean_value,
+           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+             / (n - 1) AS var_value
+    FROM s
+    """,
+)
+def variance_stats_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance per group WITHOUT the engines' stddev builtins:
+    both accumulate order-dependent floating sums, so two engines (or
+    two partitionings of the same engine) disagree in the last ulps.
+    Instead: exact decimal SUM(x) and SUM(x*x) — order-independent,
+    map-side combinable — then one identical double-arithmetic
+    finish. This is also the 100 TB-correct shape: a re-partitioning
+    or AQE re-plan can never change the answer."""
+    e = load_table(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(38,6)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    n = F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        (sx / n).alias("mean_value"),
+        ((sxx - sx * sx / n) / (n - F.lit(1))).alias("var_value"),
+    )

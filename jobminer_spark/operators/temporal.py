@@ -174,3 +174,53 @@ def range_band_join_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("total_value"),
         )
     )
+
+
+@query(
+    "interval_join_clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts,
+           CAST(c.ts AS VARCHAR) AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+    """,
+)
+def interval_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL clicks in the hour before each purchase (vs the as-of
+    join's latest-only): an equi key (user_id) plus a bounded time
+    range. The equi component keeps this a hash/sort-merge join on
+    user_id with the range as a post-join residual — never a
+    cross join — and the bounded interval is what makes the
+    STREAMING twin's state finite (streaming/windows.py
+    interval_join_stream, watermark + time-bound state cleanup)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.col("p_ts").cast("string").alias("purchase_ts"),
+            F.col("c_ts").cast("string").alias("click_ts"),
+        )
+    )

@@ -127,3 +127,43 @@ def run_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Da
     return _run_to_memory(
         out.select("event_id", "user_id", "event_type"), spark, output_mode="append"
     )
+
+
+def interval_join_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Stream-stream interval join: clicks within the hour before each
+    purchase. Both sides carry watermarks and the join condition
+    bounds click-time relative to purchase-time, so Spark can expire
+    buffered state once the watermark passes the interval — finite
+    state at unbounded input, the property a naive stream join lacks.
+    Same semantics as the batch oracle query
+    `interval_join_clicks_before_purchase`."""
+    p = purchases.withWatermark("p_ts", "2 hours")
+    c = clicks.withWatermark("c_ts", "2 hours")
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("p_ts").cast("string").alias("purchase_ts"),
+        F.col("c_ts").cast("string").alias("click_ts"),
+    )
+
+
+def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = streaming_events_source(spark, sf_dir)
+    p = src.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    # second independent stream over the same files (stream-stream join
+    # requires two sources, not one reused plan)
+    src2 = streaming_events_source(spark, sf_dir)
+    c = src2.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return _run_to_memory(interval_join_stream(p, c), spark, output_mode="append")

@@ -53,3 +53,19 @@ def test_streaming_dedup_within_watermark_one_row_per_key(spark):
         .count()
     )
     assert len(per_key) == batch_keys
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """Stream-stream interval join under watermarks produces exactly
+    the batch join's result on the bounded fixture."""
+    from jobminer_spark.operators.temporal import (
+        interval_join_clicks_before_purchase,
+    )
+    from jobminer_spark.streaming.windows import run_streaming_interval_join
+    from tests.conftest import SF_DIR
+
+    batch = {
+        tuple(r) for r in interval_join_clicks_before_purchase(spark, SF_DIR).collect()
+    }
+    stream = {tuple(r) for r in run_streaming_interval_join(spark, SF_DIR).collect()}
+    assert stream == batch and len(batch) > 0
