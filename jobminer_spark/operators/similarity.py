@@ -282,3 +282,140 @@ def ann_ivf_recall_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means over embeddings: one oracle-checked assignment step + a
+# rows-only Lloyd loop (iterative algorithms are the non-SQL surface).
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_QUANT = 1_000_000_000_000.0  # 1e12 per-element quantization
+
+
+def _qdist(a, b):
+    """Quantized squared L2 distance between two float arrays: each
+    element difference is computed in double (identical IEEE op on
+    both engines), squared, floor-quantized to a long, then summed
+    exactly — order-independent and cross-engine deterministic."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(_KM_QUANT)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+@query(
+    "kmeans_assign_fixed_centroids",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+    ),
+    c AS (SELECT vec_id AS cid, i, x AS cx FROM v WHERE vec_id < {_KM_K}),
+    d AS (
+      SELECT v.vec_id, c.cid,
+             SUM(CAST(floor((v.x - c.cx) * (v.x - c.cx) * {_KM_QUANT}) AS BIGINT))
+               AS qdist
+      FROM v JOIN c ON v.i = c.i
+      GROUP BY v.vec_id, c.cid
+    ),
+    ranked AS (
+      SELECT vec_id, cid, qdist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdist, cid) AS rn
+      FROM d
+    )
+    SELECT vec_id, cid AS centroid_id, qdist FROM ranked WHERE rn = 1
+    """,
+)
+def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step with the first K vectors as fixed
+    centroids: every vector → nearest centroid by quantized squared
+    L2. Centroids broadcast (K rows), so the fact side never
+    shuffles for the distance computation; the deterministic
+    (qdist, cid) tiebreak makes ties stable across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    d = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", _qdist(F.col("embedding"), F.col("cvec")).alias("qdist")
+    )
+    w = W.partitionBy("vec_id").orderBy("qdist", "cid")
+    return (
+        d.select("vec_id", "cid", "qdist", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("centroid_id"), "qdist")
+    )
+
+
+@query("kmeans_lloyd_clusters", oracle=None)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations of k-means (rows-only check: iterative
+    refinement is genuinely non-SQL-expressible). Per iteration:
+    broadcast the K current centroids, assign every vector (no
+    shuffle of the fact side), then recompute centroids as exact
+    per-dimension decimal means (posexplode → groupBy (cluster, dim)
+    — one narrow shuffle whose width is K×dims, independent of the
+    corpus size). localCheckpoint between iterations cuts lineage.
+    Returns (vec_id, cluster, n_members of its cluster)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    assign = None
+    for _ in range(3):
+        d = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            _qdist(F.col("embedding"), F.col("cvec")).alias("qdist"),
+        )
+        w = W.partitionBy("vec_id").orderBy("qdist", "cid")
+        assign = (
+            d.select("vec_id", "embedding", "cid", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+        )
+        cents = (
+            assign.select(
+                "cluster", F.posexplode("embedding").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mx")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mx"))
+                ).alias("pairs")
+            )
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform(F.col("pairs"), lambda p: p["mx"].cast("float")).alias(
+                    "cvec"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return assign.select("vec_id", "cluster").join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "n_members"
+    )

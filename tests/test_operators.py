@@ -71,7 +71,11 @@ def test_every_query_has_callable_and_runs_smoke(spark):
     assert len(QUERIES) >= 25
     non_oracle = set(QUERIES) - set(ORACLES)
     # only genuinely non-SQL-expressible ops may skip the oracle
-    assert non_oracle <= {"minhash_lsh_neardup", "simhash_fingerprints"}
+    assert non_oracle <= {
+        "minhash_lsh_neardup",
+        "simhash_fingerprints",
+        "kmeans_lloyd_clusters",
+    }
 
 
 def test_entry_returns_rows(spark):
