@@ -46,6 +46,8 @@ HEADLINE = [
     "q13_customer_order_histogram",
     "asof_join_last_click_before_purchase",
     "neardup_connected_components",
+    "interval_join_clicks_before_purchase",
+    "kmeans_assign_fixed_centroids",
 ]
 
 
