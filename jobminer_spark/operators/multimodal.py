@@ -123,3 +123,39 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = with_binary_payload(docs).repartition(8, "doc_id")
     decoded = b.mapInPandas(_decode_batches, schema=_DECODED_SCHEMA)
     return decoded.select("doc_id", "width", "height", "n_frames", "payload_bytes")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 240 + 16 AS INTEGER) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, n_frames,
+           CAST(unnest(range(0, n_frames, 8)) AS INTEGER) AS frame_no
+    FROM vids
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads: every 8th frame index per
+    video becomes its own row (the unit a decode UDF would then
+    process). The 1→N expansion is `explode(sequence(...))` — pure
+    JVM, no Python — and the per-frame decode itself would slot in as
+    the same mapInPandas stub as `multimodal_decode_features`. Frame
+    counts derive deterministically from payload size (stub: no codec
+    in this container) so the fan-out is oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    vids = with_binary_payload(docs).filter(F.col("media_type") == "video/mp4")
+    n_frames = (F.octet_length("payload") % 240 + 16).cast("int")
+    return (
+        vids.select("doc_id", n_frames.alias("n_frames"))
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(8))
+            ).alias("frame_no"),
+        )
+    )

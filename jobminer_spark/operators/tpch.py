@@ -750,3 +750,48 @@ def q2_cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "q20_suppliers_of_excess_red_parts",
+    oracle="""
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+    WHERE qty > 90
+    """,
+)
+def q20_suppliers_of_excess_red_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join chain (TPC-H q20 shape, partsupp availability replaced
+    by shipped quantity): parts filtered by prefix → fact aggregated
+    per (supplier, part) → suppliers whose shipped quantity exceeds a
+    threshold for ANY such part. The part filter is a broadcast
+    left-semi BEFORE the aggregation, so the groupBy only sees
+    qualifying rows."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty"))
+        .filter(F.col("qty") > 90)
+    )
+    return (
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
