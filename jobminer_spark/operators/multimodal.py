@@ -159,3 +159,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_no"),
         )
     )
+
+
+_RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("src_width", T.IntegerType()),
+    T.StructField("src_height", T.IntegerType()),
+    T.StructField("dst_width", T.IntegerType()),
+    T.StructField("dst_height", T.IntegerType()),
+    T.StructField("scale_num", T.LongType()),
+])
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB RESIZER — a production build calls PIL.Image.resize per
+    Arrow batch; the container has no PIL, so the geometry (aspect-
+    preserving fit into 64×64, integer arithmetic) is computed
+    deterministically from the stub source dimensions. The Spark-side
+    contract — Arrow batch in/out, typed schema, per-partition
+    execution — is what's actually exercised."""
+    for pdf in batches:
+        size = pdf["payload"].map(len)
+        sw = (size % 640 + 1).astype("int64")
+        sh = (size * 3 % 480 + 1).astype("int64")
+        # aspect-preserving: scale = min(64/sw, 64/sh), in integer
+        # arithmetic: dst = dim * 64 // max(sw, sh)
+        m = pd.concat([sw, sh], axis=1).max(axis=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_width": sw.astype("int32"),
+                "src_height": sh.astype("int32"),
+                "dst_width": (sw * 64 // m).astype("int32"),
+                "dst_height": (sh * 64 // m).astype("int32"),
+                "scale_num": m,
+            }
+        )
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1 AS sw,
+             octet_length(encode(text)) * 3 % 480 + 1 AS sh
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(sw AS INTEGER) AS src_width,
+           CAST(sh AS INTEGER) AS src_height,
+           CAST(sw * 64 // GREATEST(sw, sh) AS INTEGER) AS dst_width,
+           CAST(sh * 64 // GREATEST(sw, sh) AS INTEGER) AS dst_height,
+           GREATEST(sw, sh) AS scale_num
+    FROM sized
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through mapInPandas (aspect-preserving fit into
+    64×64): integer-exact geometry on both engines so the distributed
+    UDF plumbing is value-checkable; the pixel work is stubbed (no
+    PIL in this container), clearly marked in `_resize_batches`."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = (
+        with_binary_payload(docs)
+        .filter(F.col("media_type") == "image/png")
+        .repartition(8, "doc_id")
+    )
+    return imgs.mapInPandas(_resize_batches, schema=_RESIZED_SCHEMA)
