@@ -103,11 +103,32 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+# Hot-shingle guard: a shingle appearing in more than SHINGLE_MAX_DF
+# documents is dropped from every inverted-index pair join. One
+# stop-phrase shingle with document frequency d contributes d(d-1)/2
+# candidate pairs — the classic dedup scale-killer — so the cap bounds
+# per-shingle join fan-out at SHINGLE_MAX_DF² regardless of corpus
+# size, while near-dup semantics at sensible thresholds are unchanged
+# (a shingle shared by >100 documents carries no dedup signal). The
+# fixture's max shingle df is 7 (sf0.01) / 25 (sf0.1), so the default
+# cap drops nothing there; tests/test_operators.py pins the bounding
+# behavior on an adversarial repeated-shingle corpus.
+SHINGLE_MAX_DF = 100
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, max_df: int | None = None
+) -> DataFrame:
     """(doc_id, shingle) distinct word n-grams via array slicing —
-    pure built-ins, stays in whole-stage codegen."""
+    pure built-ins, stays in whole-stage codegen.
+
+    With ``max_df`` set, shingles with document frequency above the cap
+    are removed via a broadcast anti-join (the hot set is tiny by
+    definition — few distinct shingles can each appear in >max_df
+    docs), so the guard adds one cheap aggregation, not a shuffle of
+    the corpus."""
     w = F.split(F.col("text"), " ")
-    return (
+    sh = (
         # single-row-group input would serialize shingle generation
         docs.repartition("doc_id")
         .select("doc_id", w.alias("w"))
@@ -125,20 +146,40 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         )
         .distinct()
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
 
 
-_SHINGLES_CTE = """
+def _shingles_cte(max_df: int) -> str:
+    """DuckDB CTE mirroring word_shingles(max_df=...): same trigram
+    construction, same hot-shingle document-frequency cap."""
+    return f"""
     tok AS (
       SELECT doc_id,
              unnest(string_split(text, ' ')) AS tok,
              generate_subscripts(string_split(text, ' '), 1) AS ord
       FROM documents
     ),
-    shingles AS (
+    shingles_all AS (
       SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
       FROM tok a
       JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
       JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+    ),
+    hot AS (
+      SELECT shingle FROM shingles_all
+      GROUP BY shingle HAVING COUNT(*) > {max_df}
+    ),
+    shingles AS (
+      SELECT * FROM shingles_all
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
     inter AS (
@@ -148,6 +189,9 @@ _SHINGLES_CTE = """
       GROUP BY x.doc_id, y.doc_id
     )
 """
+
+
+_SHINGLES_CTE = _shingles_cte(SHINGLE_MAX_DF)
 
 
 @query(
@@ -168,11 +212,12 @@ _SHINGLES_CTE = """
 def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top near-dup pairs by word-trigram Jaccard. Candidates come from
     the inverted shingle index (equi-join on shingle), so cost is
-    bounded by shared-shingle pairs, never |docs|². A production run
-    would additionally cap hot shingles (drop shingles with document
-    frequency above a threshold) — the classic skew guard."""
+    bounded by shared-shingle pairs, never |docs|²; the SHINGLE_MAX_DF
+    document-frequency cap additionally bounds any one shingle's
+    fan-out — the classic skew guard, applied identically in the
+    oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, 3)
+    sh = word_shingles(docs, 3, max_df=SHINGLE_MAX_DF)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -228,8 +273,11 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     codegen, no bignum arithmetic. One shuffle (groupBy doc_id with
     map-side partial mins); signature size is constant regardless of
     document length — the property that makes this the 100 TB path
-    where pairwise Jaccard is not."""
-    sh = word_shingles(docs, n)
+    where pairwise Jaccard is not. The hot-shingle cap is applied
+    before hashing: an every-document shingle contributes the same
+    minimum everywhere (pure noise in the signature), and dropping it
+    keeps the LSH band join's fan-out bounded too."""
+    sh = word_shingles(docs, n, max_df=SHINGLE_MAX_DF)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
         for i in range(_MH_K)
@@ -525,7 +573,7 @@ def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     only).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, 3)
+    sh = word_shingles(docs, 3, max_df=SHINGLE_MAX_DF)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -371,9 +371,25 @@ def truncate_to_ddl_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same portable-exact recipe as the cosine operators.
 
 
-@query(
-    "tfidf_top_similar_pairs",
-    oracle="""
+# Token document-frequency cap, as a corpus fraction: tokens appearing
+# in more than TFIDF_MAX_DF_FRAC of documents are dropped from the
+# inverted index before the pair join (their reciprocal-df weight is
+# negligible AND they are exactly the tokens that make the index join
+# quadratic). The fixture's vocabulary is degenerate — 31 tokens, each
+# with df ≈ 0.8·corpus — so the default 0.9 cap binds nothing there
+# (any lower cap would empty the result on this data); the adversarial
+# bounding test lives in tests/test_operators.py, and the query-subset
+# bound below handles the fixture's all-hot vocabulary.
+TFIDF_MAX_DF_FRAC = 0.9
+
+# Query-subset bound: which doc_ids act as the "query side" of the
+# similarity search. A fixture default, not an operator constant —
+# parameterized so the API isn't fixture-shaped.
+TFIDF_QUERY_MAX_DOC_ID = 50
+
+
+def _tfidf_oracle(query_max_doc_id: int, max_df_frac: float) -> str:
+    return f"""
     WITH tok AS (
       SELECT doc_id, lower(tok) AS token FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -384,7 +400,10 @@ def truncate_to_ddl_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok GROUP BY doc_id, token
     ),
     doclen AS (SELECT doc_id, SUM(cnt) AS len FROM tf GROUP BY doc_id),
-    df AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+    df AS (
+      SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token
+      HAVING COUNT(*) <= {max_df_frac} * (SELECT COUNT(*) FROM documents)
+    ),
     w AS (
       SELECT t.doc_id, t.token,
              (CAST(t.cnt AS DOUBLE) / l.len) * (1.0 / d.dfreq) AS wt
@@ -402,7 +421,7 @@ def truncate_to_ddl_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(floor(a.wt * b.wt * 1000000000000000.0) AS BIGINT)) AS DOUBLE)
                / 1000000000000000.0 AS dot
       FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
-      WHERE a.doc_id < 50
+      WHERE a.doc_id < {query_max_doc_id}
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -412,16 +431,27 @@ def truncate_to_ddl_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN norms nb ON nb.doc_id = doc_b
     ORDER BY dot / (na.nrm * nb.nrm) DESC, doc_a, doc_b
     LIMIT 25
-    """,
+    """
+
+
+@query(
+    "tfidf_top_similar_pairs",
+    oracle=_tfidf_oracle(TFIDF_QUERY_MAX_DOC_ID, TFIDF_MAX_DF_FRAC),
 )
-def tfidf_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tfidf_top_similar_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    query_max_doc_id: int = TFIDF_QUERY_MAX_DOC_ID,
+    max_df_frac: float = TFIDF_MAX_DF_FRAC,
+) -> DataFrame:
     """Sparse TF-IDF cosine via the inverted token index, for a bounded
-    query subset (doc_id < 50) against the whole corpus. The subset
-    bound is load-bearing: this fixture's vocabulary is ~31 tokens, so
-    every token is a hot token and an unbounded token self-join IS the
-    all-pairs blowup (measured: bench timeout at sf0.1). Real corpora
-    add a document-frequency cap; here df damping plus the query bound
-    keeps the join at |subset|·|corpus| worst case."""
+    query subset (doc_id < query_max_doc_id) against the whole corpus.
+    Two scale guards, both parameterized: the token df cap drops
+    stop-tokens from the index before the pair join (see
+    TFIDF_MAX_DF_FRAC note), and the query-subset bound keeps the join
+    at |subset|·|corpus| worst case — which is load-bearing on this
+    fixture, whose 31-token vocabulary makes every token hot
+    (measured: bench timeout at sf0.1 without it)."""
     QUANT = 1_000_000_000_000_000
     docs = load_table(spark, sf_dir, "documents")
     tok = (
@@ -432,7 +462,15 @@ def tfidf_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        # 1-row corpus count: broadcast nested-loop join, no shuffle
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("dfreq") <= F.lit(max_df_frac) * F.col("n_docs"))
+        .select("token", "dfreq")
+    )
     w = (
         tf.join(doclen, "doc_id")
         .join(dfreq, "token")
@@ -449,7 +487,7 @@ def tfidf_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(qprod(F.col("wt"), F.col("wt"))).cast("double") / F.lit(float(QUANT))).alias("nrm")
     )
-    a = w.filter(F.col("doc_id") < 50).alias("a")
+    a = w.filter(F.col("doc_id") < query_max_doc_id).alias("a")
     b = w.alias("b")
     dots = (
         a.join(

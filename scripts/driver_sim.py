@@ -1,0 +1,131 @@
+"""Local simulation of the driver's correctness gate, with timing.
+
+Runs every registered query at sf0.01 (driver's SF) in REGISTRATION
+order, compares against the DuckDB oracle exactly like
+tests/test_oracle_parity.py, and prints per-query wall-clock so we can
+see whether the whole suite fits a plausible driver time budget
+(CORRECTNESS_r01 stopped at exactly 50 entries — hypothesis: budget).
+
+Usage: python scripts/driver_sim.py [sf_dir] [only_prefix...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from jobminer_spark import ORACLES, QUERIES, load_all_operators  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+FIXTURE_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def key(row):
+        out = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                out.append(f"f:{v!r}")
+            elif v is None:
+                out.append("null")
+            else:
+                out.append(f"{type(v).__name__}:{v}")
+        return tuple(out)
+
+    return sorted(key(r) for r in rows)
+
+
+def _values_match(a, b):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if ra == rb:
+            continue
+        for va, vb in zip(ra, rb):
+            if va == vb:
+                continue
+            if va.startswith("f:") and vb.startswith("f:"):
+                fa, fb = float(va[2:]), float(vb[2:])
+                if math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-12):
+                    continue
+            return False
+    return True
+
+
+def main() -> None:
+    load_all_operators()
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    t_start = time.monotonic()
+    results = {}
+    fails = []
+    for name, fn in QUERIES.items():
+        if ONLY and not any(name.startswith(p) for p in ONLY):
+            continue
+        t0 = time.monotonic()
+        status = "ok"
+        try:
+            sdf = fn(spark, SF_DIR)
+            cols = sdf.columns
+            rows = [tuple(r) for r in sdf.collect()]
+            t_spark = time.monotonic() - t0
+            if name in ORACLES:
+                res = con.execute(ORACLES[name])
+                dcols = [c[0] for c in res.description]
+                drows = res.fetchall()
+                if sorted(cols) != sorted(dcols):
+                    status = f"SCHEMA {cols} vs {dcols}"
+                elif len(rows) != len(drows):
+                    status = f"ROWS {len(rows)} vs {len(drows)}"
+                elif not _values_match(_canon(rows, cols), _canon(drows, dcols)):
+                    status = "HASH"
+            else:
+                status = "rows_only"
+        except Exception as e:  # noqa: BLE001
+            status = f"ERR {type(e).__name__}: {e}"[:200]
+            t_spark = time.monotonic() - t0
+        dt = time.monotonic() - t0
+        results[name] = round(dt, 2)
+        if status not in ("ok", "rows_only"):
+            fails.append((name, status))
+        print(f"{dt:7.2f}s  cum {time.monotonic()-t_start:7.1f}s  {name}  {status}",
+              flush=True)
+
+    total = time.monotonic() - t_start
+    print(json.dumps({"total_s": round(total, 1), "n": len(results)}))
+    slow = sorted(results.items(), key=lambda kv: -kv[1])[:12]
+    print("slowest:", json.dumps(dict(slow)))
+    if fails:
+        print("FAILURES:")
+        for n, s in fails:
+            print(f"  {n}: {s}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,58 @@ def test_simhash_deterministic(spark):
     assert len(a) > 0
 
 
+def test_hot_shingle_df_cap_bounds_candidate_pairs(spark):
+    """Adversarial repeated-shingle corpus: every doc shares one
+    stop-phrase trigram. Uncapped, the inverted-index self-join
+    generates all C(n,2) candidate pairs off that single shingle (the
+    quadratic dedup scale-killer); with the df cap the hot shingle is
+    dropped and the candidate count collapses to the true near-dup
+    pairs (here: zero — every tail is unique)."""
+    from jobminer_spark.operators.dedupe import word_shingles
+
+    n = 40
+    docs = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.format_string("lorem ipsum dolor u%d t%d e%d", "id", "id", "id").alias(
+            "text"
+        ),
+    )
+
+    def candidate_pairs(sh):
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    uncapped = candidate_pairs(word_shingles(docs, 3))
+    capped = candidate_pairs(word_shingles(docs, 3, max_df=10))
+    assert uncapped == n * (n - 1) // 2  # quadratic blowup, one shingle
+    assert capped == 0
+
+    # cap leaves the per-doc shingle sets intact apart from the hot one
+    kept = word_shingles(docs, 3, max_df=10).groupBy("doc_id").count()
+    assert kept.filter(F.col("count") != 3).count() == 0  # 4 shingles - 1 hot
+
+
+def test_tfidf_token_df_cap_binds(spark):
+    """With an aggressive cap the all-hot fixture vocabulary empties
+    the index (every token df ≈ 0.8·corpus) — proving the cap is live
+    in the registered query's plan, not dead code."""
+    from jobminer_spark.operators.textanalysis import tfidf_top_similar_pairs
+
+    out = tfidf_top_similar_pairs(spark, SF_DIR, max_df_frac=0.01)
+    assert out.count() == 0
+    # default cap (0.9) keeps the fixture result non-empty
+    assert tfidf_top_similar_pairs(spark, SF_DIR).count() > 0
+
+
 def test_minhash_rows_only(spark):
     q = QUERIES["minhash_lsh_neardup"]
     df = q(spark, SF_DIR)
