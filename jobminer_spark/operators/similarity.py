@@ -77,9 +77,15 @@ def cosine_topk(
     )
 
 
-@query(
-    "ann_cosine_topk_bruteforce",
-    oracle=f"""
+# Fixture defaults for the ANN queries' query-subset size and k —
+# parameters of the registered queries, not operator constants, so the
+# API isn't fixture-shaped (the operators take any query DataFrame).
+ANN_N_QUERIES = 8
+ANN_TOP_K = 5
+
+
+def _brute_oracle(n_queries: int, k: int) -> str:
+    return f"""
     WITH {_VEC_NORMS_CTE},
     pair_dots AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -89,7 +95,7 @@ def cosine_topk(
       JOIN embeddings c ON c.vec_id <> q.vec_id
       JOIN elems eq ON eq.vec_id = q.vec_id
       JOIN elems ec ON ec.vec_id = c.vec_id AND ec.ord = eq.ord
-      WHERE q.vec_id < 8
+      WHERE q.vec_id < {n_queries}
       GROUP BY q.vec_id, c.vec_id
     ),
     scored AS (
@@ -103,17 +109,26 @@ def cosine_topk(
       JOIN norms nq ON nq.vec_id = query_id
       JOIN norms nc ON nc.vec_id = neighbor_id
     )
-    SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
-    """,
-)
-def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
+    SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= {k}
+    """
 
 
 @query(
-    "ann_ivf_sign_buckets",
-    oracle=f"""
+    "ann_cosine_topk_bruteforce",
+    oracle=_brute_oracle(ANN_N_QUERIES, ANN_TOP_K),
+)
+def ann_cosine_topk_bruteforce(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = ANN_N_QUERIES,
+    k: int = ANN_TOP_K,
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < n_queries), emb, k=k)
+
+
+def _ivf_oracle(n_queries: int, k: int) -> str:
+    return f"""
     WITH {_VEC_NORMS_CTE},
     buckets AS (
       SELECT vec_id,
@@ -130,7 +145,7 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
       JOIN elems eq ON eq.vec_id = q.vec_id
       JOIN elems ec ON ec.vec_id = c.vec_id AND ec.ord = eq.ord
-      WHERE q.vec_id < 8
+      WHERE q.vec_id < {n_queries}
       GROUP BY q.vec_id, c.vec_id
     ),
     scored AS (
@@ -144,10 +159,20 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN norms nq ON nq.vec_id = query_id
       JOIN norms nc ON nc.vec_id = neighbor_id
     )
-    SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
-    """,
+    SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= {k}
+    """
+
+
+@query(
+    "ann_ivf_sign_buckets",
+    oracle=_ivf_oracle(ANN_N_QUERIES, ANN_TOP_K),
 )
-def ann_ivf_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_sign_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = ANN_N_QUERIES,
+    k: int = ANN_TOP_K,
+) -> DataFrame:
     """IVF-style approximate top-k: coarse partition = 3 hyperplane sign
     bits (8 cells); queries only scan their own cell. Same
     rank-with-tiebreak contract as the brute-force baseline, recall<1
@@ -164,7 +189,7 @@ def ann_ivf_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         _norm_col(F.col("embedding")).alias("nrm"),
     )
-    q = e.filter(F.col("vec_id") < 8).select(
+    q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
@@ -188,7 +213,7 @@ def ann_ivf_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
 
