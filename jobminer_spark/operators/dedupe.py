@@ -18,6 +18,7 @@ Scale notes baked into each operator:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from jobminer_spark.registry import query
@@ -29,15 +30,33 @@ from jobminer_spark.sources import load_table
 
 
 def upsert_new_keys(
-    incoming: DataFrame, existing: DataFrame, keys: list[str]
+    incoming: DataFrame,
+    existing: DataFrame,
+    keys: list[str],
+    order_by: list[str] | None = None,
 ) -> DataFrame:
     """First-write-wins upsert: dedup the batch on the key, then keep
     only rows whose key is absent from `existing` (left anti).
     Idempotent by construction — running it twice inserts nothing new
     (the reference's "checkpoint system", README.md:12, database.py
-    116-123). In-batch dropDuplicates happens BEFORE the anti-join to
-    match unique-constraint semantics under concurrency."""
-    return incoming.dropDuplicates(keys).join(existing, keys, "left_anti")
+    116-123). In-batch dedup happens BEFORE the anti-join to match
+    unique-constraint semantics under concurrency.
+
+    With ``order_by`` the in-batch survivor is the FIRST row per key in
+    that ordering (true first-write-wins, deterministic under retry).
+    Without it, `dropDuplicates` keeps an ARBITRARY row — fine when
+    in-batch duplicates are exact copies (the reference's case: one
+    listing scraped twice in a run), wrong if they can differ."""
+    if order_by:
+        w = W.partitionBy(*keys).orderBy(*order_by)
+        incoming = (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        incoming = incoming.dropDuplicates(keys)
+    return incoming.join(existing, keys, "left_anti")
 
 
 @query(
@@ -68,6 +87,121 @@ def upsert_anti_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inserted",
             (F.col("n_existing") + F.col("n_inserted")).alias("n_final"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE-style status-transition upsert (reference row 40 upgrade path)
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    expire_col: str | None = None,
+    expire_value: str | None = None,
+) -> DataFrame:
+    """MERGE: matched keys take `update_cols` from `incoming` (other
+    columns keep `existing`'s values); keys only in `incoming` insert
+    whole rows; keys only in `existing` survive unchanged — unless
+    `expire_col`/`expire_value` is given, in which case their
+    `expire_col` is set to `expire_value` (the status transition the
+    reference never implements: `ListingStatus` stays Active forever,
+    /root/reference/JobScraper/models.py:22).
+
+    Physical plan: ONE full-outer shuffle join on the keys + a CASE
+    per column — not the 3-join (inner ∪ left-anti ∪ right-anti)
+    textbook shape, which would shuffle both sides three times. At
+    100 TB this is the minimal-movement MERGE; on a real lakehouse
+    table the same semantics compile to Delta/Iceberg ``MERGE INTO``.
+
+    Both inputs must share a schema and have unique, non-null keys
+    (callers dedup first — `upsert_new_keys` semantics).
+    """
+    assert set(existing.columns) == set(incoming.columns), "schema mismatch"
+    e = existing.withColumn("_e", F.lit(True)).alias("e")
+    i = incoming.withColumn("_i", F.lit(True)).alias("i")
+    cond = None
+    for k in keys:
+        c = F.col(f"e.{k}") == F.col(f"i.{k}")
+        cond = c if cond is None else (cond & c)
+    has_e = F.col("e._e").isNotNull()
+    has_i = F.col("i._i").isNotNull()
+
+    def out(c: str) -> F.Column:
+        if c in keys:
+            return F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}")).alias(c)
+        if c in update_cols:
+            if c == expire_col and expire_value is not None:
+                return (
+                    F.when(has_i, F.col(f"i.{c}"))
+                    .otherwise(F.lit(expire_value))
+                    .alias(c)
+                )
+            return F.when(has_i & has_e, F.col(f"i.{c}")).otherwise(
+                F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}"))
+            ).alias(c)
+        return F.when(has_e, F.col(f"e.{c}")).otherwise(F.col(f"i.{c}")).alias(c)
+
+    return e.join(i, cond, "full_outer").select(*[out(c) for c in existing.columns])
+
+
+@query(
+    "merge_status_transition",
+    oracle="""
+    WITH existing AS (
+      SELECT o_orderkey,
+             o_orderstatus AS listing_status,
+             CAST(o_orderdate AS VARCHAR) AS scrape_date,
+             CAST(o_totalprice AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderkey % 3 = 0),
+    incoming AS (
+      SELECT o_orderkey,
+             'Active' AS listing_status,
+             '1998-12-01' AS scrape_date,
+             CAST(o_totalprice AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT e.o_orderkey,
+           CASE WHEN i.o_orderkey IS NOT NULL THEN i.listing_status
+                ELSE 'Expired' END AS listing_status,
+           CASE WHEN i.o_orderkey IS NOT NULL THEN i.scrape_date
+                ELSE e.scrape_date END AS scrape_date,
+           e.total_price
+    FROM existing e LEFT JOIN incoming i USING (o_orderkey)
+    UNION ALL
+    SELECT i.o_orderkey, i.listing_status, i.scrape_date, i.total_price
+    FROM incoming i ANTI JOIN existing e USING (o_orderkey)
+    """,
+)
+def merge_status_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference row 40's documented upgrade: a re-scrape MERGE where
+    listings seen today refresh status+scrape_date, unseen listings
+    transition to Expired, and new listings insert. Simulated on
+    `orders`: existing = keys %3==0 (original status/date), incoming =
+    keys %2==0 re-scraped Active on 1998-12-01."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("listing_status"),
+        F.col("o_orderdate").cast("string").alias("scrape_date"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+    existing = base.filter(F.col("o_orderkey") % 3 == 0)
+    incoming = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("Active").alias("listing_status"),
+        F.lit("1998-12-01").alias("scrape_date"),
+        "total_price",
+    )
+    return merge_upsert(
+        existing,
+        incoming,
+        keys=["o_orderkey"],
+        update_cols=["listing_status", "scrape_date"],
+        expire_col="listing_status",
+        expire_value="Expired",
     )
 
 
@@ -123,10 +257,13 @@ def word_shingles(
     pure built-ins, stays in whole-stage codegen.
 
     With ``max_df`` set, shingles with document frequency above the cap
-    are removed via a broadcast anti-join (the hot set is tiny by
-    definition — few distinct shingles can each appear in >max_df
-    docs), so the guard adds one cheap aggregation, not a shuffle of
-    the corpus."""
+    are removed via an anti-join. The hot set is usually tiny (few
+    distinct shingles can each appear in >max_df docs) but is NOT
+    formally bounded — an adversarial corpus can hold up to
+    |occurrences|/max_df distinct hot shingles — so the join carries no
+    explicit broadcast hint: AQE picks broadcast when the measured hot
+    set is small and falls back to a shuffle anti-join when it isn't,
+    instead of blowing the driver's broadcast limit."""
     w = F.split(F.col("text"), " ")
     sh = (
         # single-row-group input would serialize shingle generation
@@ -153,7 +290,7 @@ def word_shingles(
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(hot, "shingle", "left_anti")
     return sh
 
 
@@ -400,53 +537,150 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audits for the engine-internal (rows-only) fingerprints: pin MinHash
+# and SimHash against SQL-expressible exact computations, the
+# ann_ivf_recall_vs_bruteforce pattern. The oracle computes the exact
+# side and the INVARIANT the approximate side must satisfy; a sketch
+# regression (changed seeds, broken banding, bit-fold bug) flips the
+# counts and the row goes red.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_MIN_J = 0.8   # fixture near-dups are ≥0.8 (next cluster <0.4)
+_MH_EST_ERR_BOUND = 0.35  # ≈5σ for a 32-component signature
+
+
+def _exact_jaccard_pairs(docs: DataFrame, min_j: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with exact word-trigram
+    Jaccard ≥ min_j — inverted-index candidates, never all-pairs."""
+    sh = word_shingles(docs, 3, max_df=SHINGLE_MAX_DF)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_j)
+    )
+
+
+@query(
+    "minhash_estimation_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    exact_pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+            >= {_NEARDUP_MIN_J})
+    SELECT COUNT(*) AS n_true_pairs,
+           COUNT(*) AS n_detected,
+           CAST(0 AS BIGINT) AS n_missed,
+           CAST(0 AS BIGINT) AS n_est_err_gt_bound
+    FROM exact_pairs
+    """,
+)
+def minhash_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash quality audit: every exact near-dup pair (trigram
+    Jaccard ≥ 0.8, oracle-computable) must appear among the LSH
+    candidates (8 bands × 4 rows detect j=0.8 with p≈0.985; with the
+    engine's fixed seeds detection is deterministic and pinned here),
+    and its 32-component estimate must sit within ±0.35 of exact.
+    The oracle independently counts the exact pairs and asserts
+    full detection / zero out-of-bound estimates."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _exact_jaccard_pairs(docs, _NEARDUP_MIN_J)
+    cand = minhash_candidate_pairs(docs)
+    joined = exact.join(cand, ["doc_a", "doc_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("jaccard_est").alias("n_detected"),
+        (F.count(F.lit(1)) - F.count("jaccard_est")).alias("n_missed"),
+        F.count(
+            F.when(
+                F.abs(F.col("jaccard_est") - F.col("jaccard"))
+                > _MH_EST_ERR_BOUND,
+                1,
+            )
+        ).alias("n_est_err_gt_bound"),
+    )
+
+
+@query(
+    "simhash_exactdup_audit",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(text) AS h, COUNT(*) AS n
+      FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1)
+    SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_hamming_zero,
+           CAST(0 AS BIGINT) AS max_hamming
+    FROM groups
+    """,
+)
+def simhash_exactdup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash quality audit: byte-identical documents (oracle-
+    computable via md5 groups) must get bit-identical signatures —
+    pairwise Hamming distance 0. Catches any nondeterminism or
+    bit-fold regression in the signature pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash_fingerprints(spark, sf_dir)
+    keyed = docs.select(F.md5("text").alias("h"), "doc_id")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.count(F.when(ham == 0, 1)).alias("n_hamming_zero"),
+            F.coalesce(F.max(ham).cast("long"), F.lit(0).cast("long")).alias(
+                "max_hamming"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: hyperplane-sign buckets, exact re-rank
 # ---------------------------------------------------------------------------
 
-# Shared cosine recipe (exact across engines): element products are
-# quantized to 1e-15 longs (floor(x*y*1e15) — identical IEEE ops in
-# both engines), summed exactly as integers (order-independent), and
-# only then divided back in double. This keeps the Spark side an
-# in-row zip_with/aggregate fold (no explode, no shuffle) while the
-# DuckDB oracle reproduces it bit-for-bit via unnest+SUM.
-
-_QUANT = 1_000_000_000_000_000  # 1e15; 64 dims of unit-ish floats fits long
-
-_VEC_NORMS_CTE = f"""
-    elems AS (
-      SELECT vec_id, CAST(v AS DOUBLE) AS val, ord FROM (
-        SELECT vec_id, unnest(embedding) AS v,
-               generate_subscripts(embedding, 1) AS ord
-        FROM embeddings
-      )
-    ),
-    norms AS (
-      SELECT vec_id,
-             sqrt(CAST(SUM(CAST(floor(val * val * {_QUANT}.0) AS BIGINT)) AS DOUBLE)
-                  / {_QUANT}.0) AS nrm
-      FROM elems GROUP BY vec_id
-    )
-"""
-
-
-def _qdot(a, b):
-    """Quantized dot product accumulator: long-exact, order-free."""
-    prods = F.zip_with(
-        a,
-        b,
-        lambda x, y: F.floor(
-            x.cast("double") * y.cast("double") * F.lit(float(_QUANT))
-        ),
-    )
-    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-
-def _norm_col(vec):
-    return F.sqrt(_qdot(vec, vec).cast("double") / F.lit(float(_QUANT)))
-
-
-def _dot_col(a, b):
-    return _qdot(a, b).cast("double") / F.lit(float(_QUANT))
+# Shared cosine recipe lives in operators/common.py (registration-free,
+# shared with similarity.py); aliased here for the module's oracles.
+from jobminer_spark.operators.common import (  # noqa: E402
+    QUANT as _QUANT,
+    VEC_NORMS_CTE as _VEC_NORMS_CTE,
+    dot_col as _dot_col,
+    norm_col as _norm_col,
+    qdot as _qdot,
+)
 
 
 @query(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.relational import dsum, ts_str
+from jobminer_spark.operators.common import dsum, ts_str
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 

@@ -30,18 +30,9 @@ from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
 
-def dsum(expr: Column) -> Column:
-    """Order-independent sum of a double expression: exact decimal
-    accumulation, double result."""
-    return F.sum(expr.cast("decimal(38,6)")).cast("double")
-
-
-def davg(expr: Column) -> Column:
-    return dsum(expr) / F.count(F.lit(1))
-
-
-def ts_str(col: Column) -> Column:
-    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+# Shared helpers live in operators/common.py (registration-free);
+# re-exported here for backward compatibility.
+from jobminer_spark.operators.common import davg, dsum, ts_str  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -14,9 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from jobminer_spark.data.skill_dictionary import values_df
-from jobminer_spark.operators.relational import dsum
-from jobminer_spark.operators.skills import (
+from jobminer_spark.operators.skills_core import (
     _DICT_CTE,
     _TOKENS_CTE,
     resolved_dictionary,
@@ -125,6 +123,160 @@ def page_count_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_listings"),
         F.ceil(F.count(F.lit(1)) / 60.0).alias("n_pages"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Offer-link filter + absolutize (§2 row 21, pracuj_scraper.py:290-295)
+# ---------------------------------------------------------------------------
+
+_BASE_URL = "https://www.example.test"
+
+
+@query(
+    "offer_link_filter",
+    oracle=f"""
+    WITH links AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN
+                    'https://pracodawcy.example.test/company,profile,'
+                      || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 3 = 0 THEN
+                    '/praca/data-analyst,oferta,' || CAST(doc_id AS VARCHAR)
+                  ELSE
+                    '{_BASE_URL}/praca/data-analyst,oferta,'
+                      || CAST(doc_id AS VARCHAR) END AS href
+      FROM documents),
+    kept AS (
+      SELECT doc_id,
+             CASE WHEN href LIKE '/%' THEN '{_BASE_URL}' || href
+                  ELSE href END AS url
+      FROM links
+      WHERE NOT contains(href, 'pracodawcy.example.test/company'))
+    SELECT doc_id, url, regexp_extract(url, ',oferta,(\\d+)', 1) AS job_id
+    FROM kept
+    """,
+)
+def offer_link_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference row 21 (pracuj_scraper.py:290-295): drop company-
+    profile links, absolutize relative hrefs against the base URL,
+    extract the offer id. Hrefs are synthesized deterministically from
+    doc_id (company / relative / absolute mix); the oracle replays the
+    same generation, making this a differential test of the
+    filter+projection. Pure built-in string ops — no UDF, stays in
+    whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    href = (
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit("https://pracodawcy.example.test/company,profile,"), sid
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/praca/data-analyst,oferta,"), sid),
+        )
+        .otherwise(F.concat(F.lit(f"{_BASE_URL}/praca/data-analyst,oferta,"), sid))
+    )
+    links = docs.select("doc_id", href.alias("href"))
+    kept = links.filter(
+        ~F.col("href").contains("pracodawcy.example.test/company")
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("href").startswith("/"), F.concat(F.lit(_BASE_URL), F.col("href"))
+        )
+        .otherwise(F.col("href"))
+        .alias("url"),
+    )
+    return kept.withColumn(
+        "job_id", F.regexp_extract("url", r",oferta,(\d+)", 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Under-filled-page retry (§2 row 5, pracuj_scraper.py:372-386)
+# ---------------------------------------------------------------------------
+
+# The reference retries a listings fetch up to 3× until the page yields
+# at least ceil(0.8 * EXPECTED_PER_PAGE) = 48 listings.
+_PAGE_RETRY_MAX = 3
+_PAGE_ACCEPT_MIN = 48  # ceil(0.8 * 60)
+
+
+@query(
+    "underfilled_page_retry",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id,
+             doc_id // 60 AS page_no,
+             CASE WHEN doc_id % 3 = 0 THEN 1 + ((doc_id // 60) % 4)
+                  ELSE 1 END AS appears_from
+      FROM documents),
+    counts AS (
+      SELECT page_no, a.attempt,
+             COUNT(CASE WHEN a.attempt >= appears_from THEN 1 END) AS n
+      FROM pages, (SELECT unnest([1, 2, 3]) AS attempt) a
+      GROUP BY page_no, a.attempt),
+    acc AS (
+      SELECT page_no,
+             MIN(CASE WHEN n >= {_PAGE_ACCEPT_MIN} THEN attempt END) AS acc_att
+      FROM counts GROUP BY page_no)
+    SELECT c.page_no,
+           c.n AS n_listings,
+           c.attempt AS n_attempts,
+           acc_att IS NOT NULL AS accepted
+    FROM counts c JOIN acc USING (page_no)
+    WHERE c.attempt = COALESCE(acc_att, {_PAGE_RETRY_MAX})
+    """,
+)
+def underfilled_page_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference row 5 (pracuj_scraper.py:372-386): re-fetch a listing
+    page up to 3× until it yields ≥ ceil(0.8·60)=48 listings; give up
+    (keeping the last count) after 3 tries. Re-fetch outcomes are
+    simulated deterministically: a doc becomes visible from attempt
+    `appears_from` on (1 for most; docs with id%3==0 appear from
+    1+(page%4), so pages cycle pass@1 / pass@2 / pass@3 / never).
+    Set-at-a-time: count per (page, attempt), pick the first accepting
+    attempt per page — no driver-side retry loop, one shuffle on
+    (page_no, attempt) then one on page_no."""
+    docs = load_table(spark, sf_dir, "documents")
+    page_no = F.expr("doc_id div 60")
+    appears = F.when(
+        F.col("doc_id") % 3 == 0, 1 + F.pmod(page_no, F.lit(4))
+    ).otherwise(F.lit(1))
+    attempts = (
+        docs.select(page_no.alias("page_no"), appears.alias("appears_from"))
+        .select(
+            "page_no",
+            "appears_from",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_PAGE_RETRY_MAX))
+            ).alias("attempt"),
+        )
+    )
+    counts = attempts.groupBy("page_no", "attempt").agg(
+        F.count(F.when(F.col("attempt") >= F.col("appears_from"), 1)).alias("n")
+    )
+    acc = counts.groupBy("page_no").agg(
+        F.min(
+            F.when(F.col("n") >= _PAGE_ACCEPT_MIN, F.col("attempt"))
+        ).alias("acc_att")
+    )
+    return (
+        counts.join(acc, "page_no")
+        .filter(
+            F.col("attempt")
+            == F.coalesce(F.col("acc_att"), F.lit(_PAGE_RETRY_MAX))
+        )
+        .select(
+            "page_no",
+            F.col("n").alias("n_listings"),
+            F.col("attempt").alias("n_attempts"),
+            F.col("acc_att").isNotNull().alias("accepted"),
+        )
     )
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.dedupe import _dot_col, _norm_col
+from jobminer_spark.operators.common import dot_col as _dot_col, norm_col as _norm_col
 from jobminer_spark.registry import ORACLES, query
 from jobminer_spark.sources import load_table
 

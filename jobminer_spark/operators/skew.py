@@ -27,7 +27,15 @@ def salted_sum_count(
 ) -> DataFrame:
     """Two-stage skew-resistant aggregate: returns keys + sum_value +
     n_rows. Decimal accumulation keeps the two-stage sum bit-equal to
-    a one-stage sum regardless of how rows land in salt buckets."""
+    a one-stage sum regardless of how rows land in salt buckets.
+
+    The salt seeds `monotonically_increasing_id()`, which is NOT stable
+    under task retry — a re-executed task may land rows in different
+    salt buckets. Safe here because every salt bucket feeds the same
+    algebraic (sum/count) merge: bucket assignment changes the plan's
+    intermediate partials, never the final answer. Do NOT reuse this
+    salt for non-algebraic aggregates (e.g. first/collect_list) where
+    bucket placement would leak into results."""
     salt = (F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()) % n_salts).alias("_salt")
     partial = (
         df.select(*keys, value.cast("decimal(38,6)").alias("_v"), salt)

@@ -22,9 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from jobminer_spark.data.skill_dictionary import values_df
-from jobminer_spark.operators.relational import dsum
+from jobminer_spark.operators.common import dsum
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -43,13 +44,21 @@ def asof_join(
 
     `value_cols` are the right-side columns to carry (default: all
     except the key and timestamp); they land prefixed `asof_`.
+
+    All value columns are carried as ONE struct through a single
+    `last(..., ignorenulls=True)`: the struct wrapping a right row is
+    never NULL even when individual fields are, so the output always
+    reflects exactly one right-side row — per-column carries would let
+    a NULL field fall through to an *older* right row, stitching
+    columns from different matches.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (on, ts)]
+    asof_type = StructType([right.schema[c] for c in value_cols])
     r = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_asof"),
         *[
             F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
             for c in left.columns
@@ -60,10 +69,7 @@ def asof_join(
         F.col(on),
         F.col(ts),
         F.lit(1).alias("_side"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(asof_type).alias("_asof"),
         *[F.col(c) for c in left.columns if c not in (on, ts)],
     )
     w = (
@@ -71,18 +77,14 @@ def asof_join(
         .orderBy(ts, "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = r.unionByName(l).select(
-        "*",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in value_cols
-        ],
+    carried = r.unionByName(l).withColumn(
+        "_carry", F.last("_asof", ignorenulls=True).over(w)
     )
     return carried.filter(F.col("_side") == 1).select(
         on,
         ts,
         *[F.col(c) for c in left.columns if c not in (on, ts)],
-        *[F.col(f"_carry_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col(f"_carry.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.relational import dsum
+from jobminer_spark.operators.common import dsum
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 

@@ -64,29 +64,34 @@ def read_jsonl(
     )
 
 
-def good_rows(df: DataFrame) -> DataFrame:
+def good_rows(df: DataFrame, materialize: bool = True) -> DataFrame:
     """Rows that parsed clean, with the bookkeeping column dropped.
 
-    Cached for the same reason as `bad_rows`: a downstream query that
-    prunes every data column (e.g. a bare count) would reference only
-    the corrupt-record column, which Spark rejects on a raw scan.
+    `materialize=True` caches `df` (see `bad_rows` for why); the CALLER
+    owns the cache lifetime and should `df.unpersist()` once both
+    splits are consumed. Pass `materialize=False` if the frame is
+    already persisted/checkpointed upstream.
     """
     if CORRUPT_COL not in df.columns:
         return df
-    df.cache()
+    if materialize:
+        df.cache()
     return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
-def bad_rows(df: DataFrame) -> DataFrame:
+def bad_rows(df: DataFrame, materialize: bool = True) -> DataFrame:
     """The quarantine stream: raw text of every row that failed the
     declared schema, for a dead-letter sink.
 
     Spark refuses a scan that references ONLY the corrupt-record
-    column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the frame is cached
-    first — which is also the right production shape: parse once,
-    materialize, then split good/quarantine from the same pass.
+    column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the frame must be
+    cached first — also the right production shape: parse once,
+    materialize, then split good/quarantine from the same pass. The
+    CALLER owns the cache lifetime (`df.unpersist()` when done);
+    pass `materialize=False` if it is already persisted upstream.
     """
-    df.cache()
+    if materialize:
+        df.cache()
     return df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw")
     )

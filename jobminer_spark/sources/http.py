@@ -97,7 +97,9 @@ def fetch_url_frame(
             out = {"url": [], "status": [], "body": [], "n_attempts": []}
             for url in pdf["url"]:
                 status, body, attempts = -1, "", 0
-                for attempt in range(pol.max_retries + 1):
+                # reference base_scraper.py:56 `while retries < max_retries`:
+                # max_retries bounds TOTAL attempts, not re-attempts
+                for attempt in range(pol.max_retries):
                     attempts = attempt + 1
                     try:
                         pol.sleep(rng.uniform(*pol.politeness))

@@ -19,6 +19,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,6 +66,23 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _read_sink_or_empty(
+    spark: SparkSession, sink_path: str, template: DataFrame
+) -> DataFrame:
+    """Read the sink, treating ONLY sink-absent (AnalysisException:
+    path does not exist) as empty. Any other read failure — corrupt
+    footer, permission error, transient FS fault — must raise so the
+    micro-batch fails and the checkpoint retries it; swallowing it
+    would re-append the whole batch and silently break the
+    exactly-once-effect guarantee."""
+    try:
+        return spark.read.parquet(sink_path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "does not exist" in str(exc):
+            return spark.createDataFrame([], template.schema)
+        raise
+
+
 def foreach_batch_upsert(
     stream_df: DataFrame,
     spark: SparkSession,
@@ -78,12 +96,54 @@ def foreach_batch_upsert(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_spark = batch_df.sparkSession
-        try:
-            existing = batch_spark.read.parquet(sink_path).select(*keys)
-        except Exception:  # first batch: sink doesn't exist yet
-            existing = batch_spark.createDataFrame([], batch_df.select(*keys).schema)
-        fresh = upsert_new_keys(batch_df, existing, keys)
+        existing = _read_sink_or_empty(batch_spark, sink_path, batch_df.select(*keys))
+        fresh = upsert_new_keys(batch_df, existing.select(*keys), keys)
         fresh.write.mode("append").parquet(sink_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_merge(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    sink_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    update_cols: list[str],
+    expire_col: str | None = None,
+    expire_value: str | None = None,
+):
+    """Streaming twin of ``operators.dedupe.merge_upsert``: each
+    micro-batch MERGEs into the parquet sink (matched keys update
+    `update_cols`, misses insert, optionally unseen keys expire).
+    Idempotent under replay: re-merging an already-applied batch is a
+    no-op, so checkpoint-driven re-delivery cannot double-apply.
+
+    Plain parquet has no transactional MERGE, so the merged result is
+    materialized (cache+count) before overwriting the sink — correct
+    single-writer semantics at test scale; on a lakehouse table the
+    same batch function body becomes ``MERGE INTO`` (Delta/Iceberg)
+    with no rewrite."""
+    from jobminer_spark.operators.dedupe import merge_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_spark = batch_df.sparkSession
+        existing = _read_sink_or_empty(batch_spark, sink_path, batch_df)
+        merged = merge_upsert(
+            existing,
+            batch_df.dropDuplicates(keys),
+            keys,
+            update_cols,
+            expire_col=expire_col,
+            expire_value=expire_value,
+        ).localCheckpoint(eager=True)  # truncate lineage: the plan must
+        # never re-read sink_path after the overwrite below starts
+        merged.write.mode("overwrite").parquet(sink_path)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -34,7 +34,7 @@ FIXTURE_TABLES = (
 def _canon(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
 
-    def key(row):
+    def enc(row):
         out = []
         for i in order:
             v = row[i]
@@ -46,7 +46,16 @@ def _canon(rows, columns):
                 out.append(f"{type(v).__name__}:{v}")
         return tuple(out)
 
-    return sorted(key(r) for r in rows)
+    def sort_key(t):
+        # Quantize floats in the SORT key only, so two rows whose floats
+        # differ within tolerance (0.3 vs 0.30000000000000004) land at the
+        # same position; _values_match still compares exact via isclose.
+        return tuple(
+            f"f:{round(float(x[2:]), 9):.9e}" if x.startswith("f:") else x
+            for x in t
+        )
+
+    return sorted((enc(r) for r in rows), key=sort_key)
 
 
 def _values_match(a, b):
@@ -113,8 +122,11 @@ def main() -> None:
         results[name] = round(dt, 2)
         if status not in ("ok", "rows_only"):
             fails.append((name, status))
-        print(f"{dt:7.2f}s  cum {time.monotonic()-t_start:7.1f}s  {name}  {status}",
-              flush=True)
+        print(
+            f"{dt:7.2f}s (spark {t_spark:5.2f}s)  "
+            f"cum {time.monotonic()-t_start:7.1f}s  {name}  {status}",
+            flush=True,
+        )
 
     total = time.monotonic() - t_start
     print(json.dumps({"total_s": round(total, 1), "n": len(results)}))

@@ -71,4 +71,5 @@ def test_fetch_gives_up_after_max_retries_and_marks_429(spark):
         policy=RetryPolicy(max_retries=2, sleep=waits.append),
         parallelism=1,
     ).collect()
-    assert all(r.status == 429 and r.n_attempts == 3 for r in out)
+    # max_retries bounds TOTAL attempts (reference base_scraper.py:56)
+    assert all(r.status == 429 and r.n_attempts == 2 for r in out)

@@ -34,6 +34,18 @@ def test_upsert_in_batch_duplicates(spark):
     assert out.count() == 10
 
 
+def test_upsert_order_by_picks_first_write(spark):
+    """With order_by, the in-batch survivor is deterministic: the
+    earliest row per key in that ordering wins."""
+    batch = spark.createDataFrame(
+        [(1, "2024-01-02", "late"), (1, "2024-01-01", "early"), (2, "2024-01-05", "only")],
+        "k long, ts string, v string",
+    )
+    out = upsert_new_keys(batch, batch.limit(0), ["k"], order_by=["ts"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "early", 2: "only"}
+
+
 def test_explode_groupby_roundtrip(spark):
     """collect_set ∘ explode == array_distinct (SURVEY.md §5 property)."""
     docs = load_table(spark, SF_DIR, "documents").limit(50)

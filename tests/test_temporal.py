@@ -40,6 +40,28 @@ def test_asof_join_edges(spark):
     assert out == {7: 100, 8: 101, 9: None, 10: None}
 
 
+def test_asof_join_null_field_does_not_mix_right_rows(spark):
+    """A NULL in one carried column of the matched right row must NOT
+    fall through to an older right row's value: the output is exactly
+    the latest right row, NULL fields included."""
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100, "old"),
+            (1, _ts("2024-01-01T12:00:00"), None, "new"),
+        ],
+        "user_id long, ts timestamp, rv long, tag string",
+    )
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T13:00:00"), 7)],
+        "user_id long, ts timestamp, lv long",
+    )
+    rows = asof_join(left, right, on="user_id").collect()
+    assert len(rows) == 1
+    # rv must be NULL (from the 12:00 row), not 100 from the 10:00 row
+    assert rows[0]["asof_rv"] is None
+    assert rows[0]["asof_tag"] == "new"
+
+
 def test_asof_join_does_not_leak_across_keys(spark):
     right = spark.createDataFrame(
         [(1, _ts("2024-01-01T00:00:00"), 1)], "user_id long, ts timestamp, rv long"
