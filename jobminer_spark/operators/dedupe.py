@@ -862,3 +862,121 @@ def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Large-star / small-star connected components: the O(log² n)-round
+# variant of the same primitive (Kiveris et al., "Connected Components
+# in MapReduce and Beyond", SoCC'14 — public algorithm). Min-label
+# propagation above runs O(component diameter) rounds, which an
+# adversarial chain of pairwise-similar documents can blow up; the
+# star contractions converge logarithmically regardless of diameter.
+# ---------------------------------------------------------------------------
+
+
+def _neardup_edges(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate edges with trigram Jaccard >= 0.8 —
+    the shared edge builder for both CC variants."""
+    return _exact_jaccard_pairs(docs, 0.8).select("doc_a", "doc_b")
+
+
+def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contractions. `edges` is (src, dst) in either orientation; returns
+    (doc_id, component) with component = the component's min node id.
+
+    Each round is two window-aggregate passes (one shuffle each):
+
+    * large-star — per node u, every LARGER neighbor v re-links to
+      m = min(N(u) ∪ {u});
+    * small-star — edges oriented big→small; per node u, every smaller
+      neighbor AND u itself re-link to m.
+
+    Both preserve connectivity and monotonically contract toward star
+    graphs rooted at component minima; rounds needed are O(log² n) in
+    the worst case (vs O(diameter) for label propagation), making this
+    the 100 TB path for adversarial component shapes. Per-round
+    `localCheckpoint` cuts lineage exactly like the propagation loop.
+    Only nodes that appear in `edges` are labeled (same contract as
+    the propagation variant)."""
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_e = e.count()
+    for _ in range(max_rounds):
+        # large-star over the undirected neighborhoods
+        nbrs = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        wu = W.partitionBy("u")
+        large = (
+            nbrs.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the big→small-oriented large-star output
+        small_base = large.withColumn(
+            "m", F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
+        )
+        new_e = (
+            small_base.select(F.col("v").alias("n"), "m")
+            .unionByName(small_base.select(F.col("u").alias("n"), "m"))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # equal cardinality + one-sided containment ⇒ set equality
+        # (counts come nearly free off the checkpointed blocks)
+        n_new = new_e.count()
+        converged = (
+            n_new == n_e and new_e.exceptAll(e).limit(1).count() == 0
+        )
+        e, n_e = new_e, n_new
+        if converged:
+            break
+    # fixpoint is a star forest: u→min edges, plus the roots themselves
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("doc_id"), F.col("v").alias("component"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+@query(
+    "neardup_cc_star",
+    oracle=f"""
+    WITH RECURSIVE {_CC_EDGES_CTE},
+    reach(src, dst) AS (
+      SELECT src, dst FROM bidir
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+    )
+    SELECT doc_id, MIN(m) AS component
+    FROM (
+      SELECT src AS doc_id, dst AS m FROM reach
+      UNION ALL
+      SELECT DISTINCT src, src FROM bidir
+    )
+    GROUP BY doc_id
+    """,
+)
+def neardup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as neardup_connected_components (same
+    edges, same recursive-CTE oracle), computed with the star
+    contractions — proving the logarithmic-round variant produces the
+    identical fixpoint on the fixture graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _neardup_edges(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components_star(edges)

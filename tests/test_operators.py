@@ -62,6 +62,33 @@ def test_explode_groupby_roundtrip(spark):
     ).count() == 0
 
 
+def test_cc_star_handles_long_path_graph(spark):
+    """A 64-node path is the adversarial case for label propagation
+    (round count = diameter); the star contractions must still collapse
+    it to one component rooted at node 0 within the logarithmic round
+    budget."""
+    from jobminer_spark.operators.dedupe import connected_components_star
+
+    n = 64
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels = connected_components_star(edges)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+
+
+def test_cc_star_multiple_components(spark):
+    """Two disjoint cliques + one isolated edge keep distinct minima."""
+    from jobminer_spark.operators.dedupe import connected_components_star
+
+    e = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r.doc_id: r.component for r in connected_components_star(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_simhash_deterministic(spark):
     q = QUERIES["simhash_fingerprints"]
     a = {r.doc_id: r.simhash for r in q(spark, SF_DIR).collect()}
