@@ -1,0 +1,246 @@
+"""Training-data curation operators: deterministic train/val/test
+splits, context-window sequence packing, and the staged quality funnel
+with per-source quotas — the operations that turn a raw 100 TB crawl
+into a training set, all pure built-in columns (no UDFs).
+
+The reference has no equivalent (it is a single-site scraper); these
+extend the engine along SURVEY.md §6's training-pipeline axis. Every
+randomness-like decision is a deterministic content/key hash (md5-based
+so the DuckDB oracle reproduces it bit-for-bit): re-running curation on
+a grown corpus keeps every previously-assigned split/bucket stable —
+the property that makes incremental dataset builds reproducible, which
+seeded `rand()` cannot give across differently-partitioned runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic hash bucket: md5 hex -> first 8 nibbles -> int -> % 100.
+# Identical recipe on both engines (Spark conv(hex,16,10); DuckDB
+# CAST('0x'||hex AS BIGINT)), uniform enough for split assignment, and
+# embarrassingly parallel — no shuffle, no state, stable under retry.
+# ---------------------------------------------------------------------------
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from any key column."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def _bucket_sql(key_sql: str, n_buckets: int = 100) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(CAST({key_sql} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {n_buckets}"
+    )
+
+
+_TRAIN_PCT, _VAL_PCT = 80, 10  # remaining 10% = test
+
+
+def split_assignment(key: Column) -> Column:
+    """'train' / 'val' / 'test' from the deterministic hash bucket."""
+    b = hash_bucket(key)
+    return (
+        F.when(b < _TRAIN_PCT, "train")
+        .when(b < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source, n_chars,
+             CASE WHEN {_bucket_sql('doc_id')} < {_TRAIN_PCT} THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT source, split, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM assigned GROUP BY source, split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from the key hash, reported
+    per (source, split) — the stratification report a dataset build
+    publishes. Assignment is per-row with no shuffle; only the tiny
+    report aggregates. Any doc keeps its split forever, on any cluster
+    layout, at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "n_chars", split_assignment(F.col("doc_id")).alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: fill fixed token-budget bins in key order.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "sequence_packing_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_PACK_BUDGET} AS BIGINT) AS bin_id
+      FROM toks)
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents fill ~512-token bins in
+    doc_id order within each source (bin = exclusive-prefix-sum of
+    token counts div budget — streaming first-fit; a bin may overflow
+    by at most one document, which training-side truncation absorbs).
+
+    One window pass partitioned by source: sources pack in parallel
+    and no global order is imposed — the 100 TB shape (a global
+    ORDER BY would serialize the corpus through one task; per-source,
+    or per-(source, shard) for jumbo sources, keeps every partition
+    independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    prefix = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(prefix), F.lit(0)) / _PACK_BUDGET
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: staged filters + per-source quota, with survival
+# counts per stage (the report every dataset build publishes).
+# ---------------------------------------------------------------------------
+
+_MIN_CHARS = 50
+_MIN_TOKENS, _MAX_TOKENS = 10, 1000
+_KEEP_LANG = "en"
+_SOURCE_QUOTA = 10
+
+
+@query(
+    "curation_funnel",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    flags AS (
+      SELECT *,
+             (n_chars >= {_MIN_CHARS}) AS p1,
+             (n_chars >= {_MIN_CHARS}
+              AND n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}) AS p2,
+             (n_chars >= {_MIN_CHARS}
+              AND n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+              AND lang = '{_KEEP_LANG}') AS p3
+      FROM toks),
+    quota AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM flags WHERE p3)
+      WHERE rk <= {_SOURCE_QUOTA})
+    SELECT * FROM (
+      SELECT 0 AS stage_no, 'total' AS stage, COUNT(*) AS n_docs FROM flags
+      UNION ALL
+      SELECT 1, 'min_length', COUNT(*) FROM flags WHERE p1
+      UNION ALL
+      SELECT 2, 'token_range', COUNT(*) FROM flags WHERE p2
+      UNION ALL
+      SELECT 3, 'language', COUNT(*) FROM flags WHERE p3
+      UNION ALL
+      SELECT 4, 'source_quota', COUNT(*) FROM quota)
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival counts through the curation cascade: length floor →
+    token-count band → language keep-list → per-source quota (top
+    docs by length, deterministic tiebreak). Stages 1-3 are one scan
+    with conditional aggregation (no per-stage passes); the quota
+    stage is one window over the stage-3 survivors only — at 100 TB
+    the row_number partitions by source, so no global sort and the
+    heavily-filtered input keeps the window cheap."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    p1 = F.col("n_chars") >= _MIN_CHARS
+    p2 = p1 & F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS)
+    p3 = p2 & (F.col("lang") == _KEEP_LANG)
+    flags = toks.select("doc_id", "source", "n_chars", p1.alias("p1"), p2.alias("p2"), p3.alias("p3"))
+    stage_counts = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("p1"), 1)).alias("n1"),
+        F.count(F.when(F.col("p2"), 1)).alias("n2"),
+        F.count(F.when(F.col("p3"), 1)).alias("n3"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    n4 = (
+        flags.filter(F.col("p3"))
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= _SOURCE_QUOTA)
+        .agg(F.count(F.lit(1)).alias("n4"))
+    )
+    names = ["total", "min_length", "token_range", "language", "source_quota"]
+    wide = stage_counts.crossJoin(F.broadcast(n4))  # 1x1 scalar join
+    rows = [
+        wide.select(
+            F.lit(i).alias("stage_no"),
+            F.lit(names[i]).alias("stage"),
+            F.col(f"n{i}").alias("n_docs"),
+        )
+        for i in range(5)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

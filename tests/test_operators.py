@@ -89,6 +89,61 @@ def test_cc_star_multiple_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_split_assignment_rowwise_stable(spark):
+    """Split assignment depends only on the key, never on the corpus:
+    the same doc_id gets the same split in a subset as in the full
+    table (the incremental-rebuild reproducibility property), and the
+    realized proportions sit near 80/10/10."""
+    from jobminer_spark.operators.curation import split_assignment
+
+    docs = load_table(spark, SF_DIR, "documents")
+    full = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", split_assignment(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+    subset = {
+        r.doc_id: r.s
+        for r in docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", split_assignment(F.col("doc_id")).alias("s"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in subset.items())
+    n = len(full)
+    train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.70 <= train <= 0.90
+
+
+def test_sequence_packing_overflow_bounded(spark):
+    """Streaming first-fit bins never exceed budget + one document:
+    bin_tokens < 512 + max single-doc tokens; no doc is lost."""
+    from jobminer_spark.operators.curation import (
+        _PACK_BUDGET,
+        sequence_packing_bins,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    max_doc = (
+        docs.select(F.size(F.split("text", " ")).alias("t"))
+        .agg(F.max("t"))
+        .first()[0]
+    )
+    bins = sequence_packing_bins(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in bins) == n_docs
+    assert all(r.bin_tokens < _PACK_BUDGET + max_doc for r in bins)
+
+
+def test_curation_funnel_monotone(spark):
+    from jobminer_spark.operators.curation import _SOURCE_QUOTA, curation_funnel
+
+    rows = {r.stage_no: r.n_docs for r in curation_funnel(spark, SF_DIR).collect()}
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3] >= rows[4]
+    n_sources = load_table(spark, SF_DIR, "documents").select("source").distinct().count()
+    assert rows[4] <= n_sources * _SOURCE_QUOTA
+
+
 def test_simhash_deterministic(spark):
     q = QUERIES["simhash_fingerprints"]
     a = {r.doc_id: r.simhash for r in q(spark, SF_DIR).collect()}
