@@ -795,3 +795,73 @@ def q20_suppliers_of_excess_red_parts(spark: SparkSession, sf_dir: str) -> DataF
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (suppliers who kept orders waiting): the
+    EXISTS / NOT EXISTS self-join pair, adapted to the fixture's
+    columns — with no l_receiptdate/l_commitdate, "late" is
+    l_shipdate > o_orderdate + 60 days.
+
+    Spark-first: instead of two correlated subqueries (two more passes
+    over lineitem), ONE per-order aggregate computes both predicates —
+    countDistinct(supplier) > 1 covers the EXISTS, and
+    countDistinct(supplier WHERE late) == 1 covers the NOT EXISTS
+    (the candidate row itself is late, so "exactly one late supplier"
+    means "no OTHER late supplier"). The order-level aggregate and the
+    candidate rows join on l_orderkey — one shuffle each, with the
+    supplier dimension broadcast at the end."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    tagged = l.select("l_orderkey", "l_suppkey", late.alias("late"))
+    per_order = tagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    cand = (
+        tagged.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -1,0 +1,386 @@
+"""Training-data preparation operators beyond curation.py's
+split/pack/funnel: benchmark decontamination, context-window chunking,
+per-source mixture sampling, quality-weighted upsampling, PII
+redaction, and sketch-accuracy audits (HLL distinct, approx
+quantiles).
+
+The reference is a single-site scraper with none of these
+(SURVEY.md §6's training-pipeline axis); each operator here is the
+Spark-first shape a 100 TB dataset build needs:
+
+- **decontamination** is the inverted-index join from dedupe.py
+  specialized to an asymmetric pair (huge train corpus × small
+  benchmark set): shingle both sides, equi-join on the shingle, never
+  an all-pairs compare. The benchmark side is the small one by
+  construction, so AQE broadcasts it when it fits.
+- **chunking** / **upsampling** are per-row explode(sequence) fan-outs
+  — embarrassingly parallel, no shuffle before the (tiny) report agg.
+- **mixture sampling** reuses curation.py's deterministic md5 bucket
+  so a doc's keep/drop decision is stable across runs, partitionings,
+  and corpus growth — seeded rand() cannot give that.
+- **sketch audits** pin the engine's approximate aggregates
+  (approx_count_distinct, percentile_approx) against exact
+  computations, the same bounded-error pattern as
+  similarity.py's ann_ivf_recall_vs_bruteforce.
+
+All randomness-free, all pure built-in columns (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.data.skill_dictionary import values_df
+from jobminer_spark.operators.curation import _bucket_sql, hash_bucket
+from jobminer_spark.operators.dedupe import word_shingles
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram collision between the training
+# corpus and a held-out benchmark set.
+# ---------------------------------------------------------------------------
+
+_BENCH_MOD = 13  # docs with doc_id % 13 == 0 stand in for the benchmark
+_DECON_N = 8  # 8-gram collisions; production decontamination uses 8-13
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - {_DECON_N - 1}),
+                      i -> array_to_string(t[i:i+{_DECON_N - 1}], ' '))) AS shingle
+        FROM toks WHERE len(t) >= {_DECON_N})),
+    bench AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT t.doc_id AS train_doc_id,
+           COUNT(DISTINCT b.doc_id) AS n_bench_docs,
+           COUNT(DISTINCT t.shingle) AS n_shingles_hit
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    ORDER BY n_shingles_hit DESC, train_doc_id
+    LIMIT 50
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing an 8-gram with the benchmark set — the
+    eval-leak scan every dataset build runs before training. The plan
+    is an equi-join on the shingle (inverted index), so cost scales
+    with collisions, not |train| × |bench|; the benchmark side is tiny
+    relative to the corpus (here ~8% of docs; in production a fixed
+    eval suite), so no df cap is applied — decontamination cannot
+    afford false negatives on hot shingles — and AQE broadcasts the
+    bench side when it fits."""
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), _DECON_N)
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        train.join(bench, "shingle")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(
+            F.countDistinct("bench_doc_id").alias("n_bench_docs"),
+            F.countDistinct("shingle").alias("n_shingles_hit"),
+        )
+        .orderBy(F.col("n_shingles_hit").desc(), "train_doc_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: overlapping token windows per document.
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+_CHUNK_SAMPLE_MOD = 20  # sampled docs keep the differential compact
+
+
+@query(
+    "document_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id % {_CHUNK_SAMPLE_MOD} = 0)
+    SELECT doc_id,
+           s // {_STRIDE} AS chunk_no,
+           len(toks[s+1:s+{_CHUNK}]) AS n_tokens,
+           md5(array_to_string(toks[s+1:s+{_CHUNK}], ' ')) AS chunk_md5
+    FROM t, unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS u(s)
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping 64-token windows with a
+    48-token stride (the standard context-window prep for training).
+    Chunk starts come from explode(sequence(0, n-1, stride)) and the
+    chunk itself is an in-row array slice — per-row fan-out with zero
+    shuffle, so the operator scales with corpus size, not document
+    count × document length². The md5 per chunk makes the differential
+    prove byte-identical chunk content, not just counts."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _CHUNK_SAMPLE_MOD == 0
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    exploded = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK)
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / _STRIDE).cast("long").alias("chunk_no"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture sampling: per-source keep rates via the stable hash.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES_BP = [10000, 5000, 2500, 1000]  # basis points, cycled over sources
+_MIX = [(f"src{i}", _MIX_RATES_BP[i % 4]) for i in range(20)]
+
+
+@query(
+    "source_mixture_sampling",
+    oracle=f"""
+    WITH rates(source, rate_bp) AS (VALUES
+      {", ".join(f"('{s}', {r})" for s, r in _MIX)}),
+    keep AS (
+      SELECT d.source, rate_bp, n_chars,
+             ({_bucket_sql("doc_id", 10000)}) < rate_bp AS kept
+      FROM documents d JOIN rates USING (source))
+    SELECT source, rate_bp,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (kept) AS n_kept,
+           COALESCE(SUM(n_chars) FILTER (kept), 0) AS kept_chars
+    FROM keep GROUP BY source, rate_bp
+    """,
+)
+def source_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample each source to its mixture weight (the web/wiki/code
+    re-weighting step of a dataset build). Keep/drop is the
+    deterministic md5 bucket vs the source's rate in basis points —
+    per-row, shuffle-free, stable across runs and corpus growth, and
+    exactly reproducible by the oracle (sampleBy/rand() is none of
+    those). The rate table is a VALUES LocalRelation broadcast to the
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = values_df(spark, _MIX, ["source", "rate_bp"])
+    kept = F.col("_bucket") < F.col("rate_bp")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("_bucket", hash_bucket(F.col("doc_id"), 10000))
+        .groupBy("source", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted upsampling: repeat high-quality docs N times.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_weighted_upsample",
+    oracle="""
+    WITH weighted AS (
+      SELECT source, doc_id,
+             1 + 2 * CAST(n_chars >= 400 AS INT)
+               + CAST(lang = 'en' AS INT) AS weight
+      FROM documents),
+    emitted AS (
+      SELECT source, doc_id, weight
+      FROM weighted, unnest(generate_series(1, weight)) AS u(copy_no))
+    SELECT source, weight,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_rows
+    FROM emitted GROUP BY source, weight
+    """,
+)
+def quality_weighted_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch construction by quality tier: long docs count double, and
+    English adds one more repeat (weights 1-4). The repeat is
+    explode(sequence(1, weight)) — a per-row fan-out bounded by the
+    max weight, no shuffle until the report aggregate. At 100 TB the
+    emitted stream feeds the packer directly; weights bound output
+    inflation to a known factor."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.lit(1)
+        + 2 * (F.col("n_chars") >= 400).cast("int")
+        + (F.col("lang") == "en").cast("int")
+    )
+    emitted = docs.select(
+        "source", "doc_id", weight.alias("weight")
+    ).withColumn("copy_no", F.explode(F.sequence(F.lit(1), F.col("weight"))))
+    return emitted.groupBy("source", "weight").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: regex scrub with per-row proof of identical output.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+      FROM documents WHERE doc_id % 20 = 0),
+    red AS (
+      SELECT doc_id, s,
+             regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM synth)
+    SELECT doc_id,
+           len(regexp_extract_all(s, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(s, '{_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(redacted, '{_EMAIL_RE}'))
+             + len(regexp_extract_all(redacted, '{_PHONE_RE}')) AS n_residual,
+           md5(redacted) AS redacted_md5
+    FROM red
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails and phone numbers from document text. The fixture
+    corpus contains no PII, so each sampled doc gets one synthetic
+    email + phone appended (identically in both engines) before
+    redaction — guaranteeing every row actually exercises the
+    replacement. Counts come from regexp_count, the scrub from nested
+    regexp_replace (both JVM-side, codegen'd; the patterns avoid
+    constructs where Java regex and RE2 diverge), and the md5 of the
+    redacted text proves byte-identical output, with n_residual == 0
+    as the no-PII-left audit."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("s"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("s"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    red = synth.select("doc_id", "s", redacted.alias("redacted"))
+    return red.select(
+        "doc_id",
+        F.regexp_count(F.col("s"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("s"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        (
+            F.regexp_count(F.col("redacted"), F.lit(_EMAIL_RE))
+            + F.regexp_count(F.col("redacted"), F.lit(_PHONE_RE))
+        )
+        .cast("long")
+        .alias("n_residual"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-accuracy audits: approximate aggregates vs exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hll_distinct_audit",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT event_id) AS exact_events,
+           TRUE AS users_within_bound,
+           TRUE AS events_within_bound
+    FROM events
+    """,
+)
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, default rsd=0.05) vs the
+    exact distinct count, asserted within 3x the configured relative
+    error — the monitoring query that lets 100 TB pipelines use the
+    one-pass, mergeable, fixed-memory sketch for cardinality dashboards
+    while pinning its accuracy in CI. The oracle states the exact
+    counts and expects both bound flags TRUE (the sketch value itself
+    is engine-internal, same protocol as the MinHash audit)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+    )
+    def within(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.15
+        )
+    return agg.select(
+        "exact_users",
+        "exact_events",
+        within("approx_users", "exact_users").alias("users_within_bound"),
+        within("approx_events", "exact_events").alias("events_within_bound"),
+    )
+
+
+_QUANTILES = [0.5, 0.95, 0.99]
+
+
+@query(
+    "quantile_sketch_audit",
+    oracle="""
+    SELECT CAST(q AS DOUBLE) AS q, within_bound
+    FROM (VALUES (0.5, TRUE), (0.95, TRUE), (0.99, TRUE))
+      AS t(q, within_bound)
+    """,
+)
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch, accuracy=10000) vs
+    the exact interpolated percentile over event values, each quantile
+    asserted within 2% relative — the audit that justifies replacing
+    the exact percentile (full sort per group) with the mergeable
+    one-pass sketch in production rollups. Both aggregates run in the
+    same single scan."""
+    e = load_table(spark, sf_dir, "events")
+    qs = F.array(*[F.lit(q) for q in _QUANTILES])
+    agg = e.agg(
+        F.percentile_approx("value", qs, F.lit(10000)).alias("approx"),
+        F.percentile("value", qs).alias("exact"),
+    )
+    pairs = agg.select(
+        F.explode(F.arrays_zip(F.array(*[F.lit(q) for q in _QUANTILES]).alias("q"),
+                               F.col("approx").alias("a"),
+                               F.col("exact").alias("x"))).alias("z")
+    )
+    return pairs.select(
+        F.col("z.q").alias("q"),
+        (
+            F.abs(F.col("z.a") - F.col("z.x")) <= 0.02 * F.abs(F.col("z.x"))
+        ).alias("within_bound"),
+    )

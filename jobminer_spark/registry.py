@@ -37,6 +37,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.similarity",
     "jobminer_spark.operators.dedupe",
     "jobminer_spark.operators.curation",
+    "jobminer_spark.operators.trainprep",
     "jobminer_spark.operators.skills",
     "jobminer_spark.operators.relational",
     "jobminer_spark.operators.tpch",
