@@ -67,7 +67,7 @@ def split_assignment(key: Column) -> Column:
                   ELSE 'test' END AS split
       FROM documents)
     SELECT source, split, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY source, split
     """,
 )
@@ -111,7 +111,7 @@ _PACK_BUDGET = 512
       FROM toks)
     SELECT source, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY source, bin_id
     """,
 )

@@ -350,7 +350,8 @@ def _qdist(a, b):
     c AS (SELECT vec_id AS cid, i, x AS cx FROM v WHERE vec_id < {_KM_K}),
     d AS (
       SELECT v.vec_id, c.cid,
-             SUM(CAST(floor((v.x - c.cx) * (v.x - c.cx) * {_KM_QUANT}) AS BIGINT))
+             CAST(SUM(CAST(floor((v.x - c.cx) * (v.x - c.cx) * {_KM_QUANT})
+                           AS BIGINT)) AS BIGINT)
                AS qdist
       FROM v JOIN c ON v.i = c.i
       GROUP BY v.vec_id, c.cid

@@ -161,7 +161,7 @@ _MIX = [(f"src{i}", _MIX_RATES_BP[i % 4]) for i in range(20)]
     SELECT source, rate_bp,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (kept) AS n_kept,
-           COALESCE(SUM(n_chars) FILTER (kept), 0) AS kept_chars
+           CAST(COALESCE(SUM(n_chars) FILTER (kept), 0) AS BIGINT) AS kept_chars
     FROM keep GROUP BY source, rate_bp
     """,
 )
