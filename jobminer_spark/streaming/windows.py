@@ -12,6 +12,7 @@ sink (the fixture parquet acts as a bounded file source).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,24 +24,36 @@ from jobminer_spark.schemas import EVENTS
 
 def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-stream source (schema must be explicit
-    for streaming reads). The file stores TIMESTAMP(NANOS), which Spark
-    reads as long nanos under the legacy conf — truncate to
-    microsecond timestamps, matching the batch loader."""
+    for streaming reads).
+
+    The fixture's ts physical type has varied across generations
+    (TIMESTAMP(NANOS) vs timestamp[us]), so mirror the batch loader's
+    detection (sources/parquet.py:39-46) instead of hard-coding either:
+    probe the file with a batch read — if Spark surfaces ts as bigint
+    (nanos under the legacy conf), read long + truncate to micros;
+    otherwise read TimestampType directly. Keeps stream and batch
+    event-time identical by construction."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_is_nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
     raw_schema = T.StructType(
         [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            f
+            if f.name != "ts"
+            else T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType())
             for f in EVENTS.fields
         ]
     )
-    return (
+    df = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
         # file-stream sources need a directory; glob down to the one file
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:
