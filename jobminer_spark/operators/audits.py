@@ -1,0 +1,139 @@
+"""Driver-attestable audit queries pinning the engine's non-SQL
+surfaces to exact twins:
+
+* Structured Streaming windows vs their oracle-checked batch
+  equivalents (SURVEY.md §2 rows 38/42 — the streaming micro-batch
+  surface, previously covered by pytest only);
+* the iterative k-means Lloyd loop vs the SQL-expressible
+  fixed-centroid assignment objective.
+
+Pattern (proven by dedupe.minhash_estimation_audit): the Spark side
+computes the invariant end-to-end; the DuckDB oracle independently
+recomputes the exact parts and states the invariant's expected value
+as constants, so any regression flips the driver's CORRECTNESS row
+red rather than hiding in a rows-only check.
+
+Import discipline: only the query-free ``common`` module is imported
+at module level. The query-bearing modules (events, similarity) and
+the streaming package are imported inside the query bodies so this
+module's registrations stay exactly where ``registry._OPERATOR_MODULES``
+puts them in the driver's 50-entry attestation window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.operators.common import KM_K, KM_QUANT
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+
+@query(
+    "stream_batch_parity_tumbling",
+    oracle="""
+    SELECT COUNT(*) AS n_windows,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM (SELECT DISTINCT date_trunc('hour', ts), event_type FROM events)
+    """,
+)
+def stream_batch_parity_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the watermarked readStream tumbling aggregation
+    (streaming/windows.py) to completion with availableNow, full-outer
+    joins it against the oracle-checked batch twin
+    (events.tumbling_window_hourly), and reports the window count plus
+    the number of mismatching windows. Both sides use exact decimal
+    accumulation before the final double cast, so agreement is
+    bit-exact, not approximate; the oracle independently counts the
+    distinct (hour, event_type) windows and expects zero mismatches.
+    A timestamp-unit or watermark regression in the streaming source
+    yields disjoint window sets and turns this row red."""
+    from jobminer_spark.operators.events import tumbling_window_hourly
+    from jobminer_spark.streaming.windows import run_streaming_tumbling_counts
+
+    b = tumbling_window_hourly(spark, sf_dir).select(
+        "window_start",
+        "event_type",
+        F.col("n_events").alias("b_n"),
+        F.col("total_value").alias("b_tv"),
+    )
+    s = run_streaming_tumbling_counts(spark, sf_dir).select(
+        "window_start",
+        "event_type",
+        F.col("n_events").alias("s_n"),
+        F.col("total_value").alias("s_tv"),
+    )
+    j = b.join(s, ["window_start", "event_type"], "full_outer")
+    mismatch = (~F.col("b_n").eqNullSafe(F.col("s_n"))) | (
+        ~F.col("b_tv").eqNullSafe(F.col("s_tv"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.count(F.when(mismatch, 1)).alias("n_mismatch"),
+    )
+
+
+@query(
+    "kmeans_lloyd_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+    ),
+    c AS (SELECT vec_id AS cid, i, x AS cx FROM v WHERE vec_id < {KM_K}),
+    d AS (
+      SELECT v.vec_id, c.cid,
+             CAST(SUM(CAST(floor((v.x - c.cx) * (v.x - c.cx) * {KM_QUANT})
+                           AS BIGINT)) AS BIGINT) AS qdist
+      FROM v JOIN c ON v.i = c.i
+      GROUP BY v.vec_id, c.cid
+    ),
+    best AS (SELECT vec_id, MIN(qdist) AS best_q FROM d GROUP BY vec_id)
+    SELECT COUNT(*) AS n_vectors,
+           CAST(SUM(best_q) AS BIGINT) AS obj_round1,
+           CAST(0 AS BIGINT) AS n_objective_increases
+    FROM best
+    """,
+)
+def kmeans_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for the rows-only Lloyd loop (similarity.lloyd_rounds):
+
+    * ``obj_round1`` — the quantized k-means objective after the first
+      assignment (sum over vectors of quantized squared L2 to the
+      nearest seed centroid). This is SQL-expressible, and the oracle
+      recomputes it exactly, pinning the loop's assignment step
+      cross-engine (same pin as kmeans_assign_fixed_centroids, but on
+      the loop's own code path).
+    * ``n_objective_increases`` — Lloyd's method monotonically
+      non-increases the objective (assignment picks the nearest
+      centroid; the update step recomputes exact means); the audit
+      counts objective increases across the 3 rounds and the oracle
+      expects 0. Quantization does not break this: when the
+      assignment converges the recomputed centroids are identical, so
+      the objective is exactly equal, and when it changes the decrease
+      dwarfs the 1e-12 quantization step.
+    """
+    from jobminer_spark.operators.similarity import lloyd_rounds
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rounds = lloyd_rounds(emb, KM_K, 3)
+    objs = [
+        df.agg(
+            F.sum("qdist").alias(f"obj{i}"), F.count(F.lit(1)).alias(f"n{i}")
+        )
+        for i, df in enumerate(rounds)
+    ]
+    # three 1-row aggregates — the cross joins are trivial broadcasts
+    row = objs[0].crossJoin(objs[1]).crossJoin(objs[2])
+    inc = (
+        F.when(F.col("obj1") > F.col("obj0"), 1).otherwise(0)
+        + F.when(F.col("obj2") > F.col("obj1"), 1).otherwise(0)
+    ).cast("long")
+    return row.select(
+        F.col("n0").alias("n_vectors"),
+        F.col("obj0").alias("obj_round1"),
+        inc.alias("n_objective_increases"),
+    )

@@ -57,6 +57,112 @@ VEC_NORMS_CTE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic hash bucket: md5 hex -> first 8 nibbles -> int -> % n.
+# Identical recipe on both engines (Spark conv(hex,16,10); DuckDB
+# CAST('0x'||hex AS BIGINT)), uniform enough for split assignment, and
+# embarrassingly parallel — no shuffle, no state, stable under retry.
+# ---------------------------------------------------------------------------
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from any key column."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def bucket_sql(key_sql: str, n_buckets: int = 100) -> str:
+    """DuckDB twin of :func:`hash_bucket` for oracle strings."""
+    return (
+        f"CAST(concat('0x', substring(md5(CAST({key_sql} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {n_buckets}"
+    )
+
+
+def word_shingles(
+    docs,
+    n: int = 3,
+    max_df: int | None = None,
+    broadcast_hot: bool = True,
+):
+    """(doc_id, shingle) distinct word n-grams via array slicing —
+    pure built-ins, stays in whole-stage codegen.
+
+    With ``max_df`` set, shingles with document frequency above the cap
+    are removed via an anti-join against the hot set. The hot set is
+    bounded by |shingle occurrences| / max_df — with production caps
+    (max_df >= 100) that is <=1% of distinct shingles, small enough to
+    broadcast, and broadcasting matters: the groupBy already shuffles
+    the shingle set once, and a non-broadcast anti-join would shuffle
+    it a second time (measured ~15% slower end-to-end at sf0.1). An
+    over-limit hot set fails loudly (Spark's broadcast size error), not
+    silently wrong; for adversarial corpora where that bound is real,
+    pass ``broadcast_hot=False`` to take the shuffle anti-join
+    instead."""
+    w = F.split(F.col("text"), " ")
+    sh = (
+        # single-row-group input would serialize shingle generation
+        docs.repartition("doc_id")
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.col("w")[i + j] for j in range(n)]
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(
+            F.broadcast(hot) if broadcast_hot else hot, "shingle", "left_anti"
+        )
+    return sh
+
+
+# ---------------------------------------------------------------------------
+# K-means distance kernel (shared by similarity.py and audits.py):
+# quantized squared L2 so assignment and objective are cross-engine
+# deterministic integers.
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_QUANT = 1_000_000_000_000.0  # 1e12 per-element quantization
+
+
+def qdist_col(a, b) -> Column:
+    """Quantized squared L2 distance between two float arrays: each
+    element difference is computed in double (identical IEEE op on
+    both engines), squared, floor-quantized to a long, then summed
+    exactly — order-independent and cross-engine deterministic."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(KM_QUANT)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def qdot(a, b):
     """Quantized dot product accumulator: long-exact, order-free."""
     prods = F.zip_with(

@@ -18,30 +18,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from jobminer_spark.operators.common import bucket_sql as _bucket_sql, hash_bucket
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
-
-# ---------------------------------------------------------------------------
-# Deterministic hash bucket: md5 hex -> first 8 nibbles -> int -> % 100.
-# Identical recipe on both engines (Spark conv(hex,16,10); DuckDB
-# CAST('0x'||hex AS BIGINT)), uniform enough for split assignment, and
-# embarrassingly parallel — no shuffle, no state, stable under retry.
-# ---------------------------------------------------------------------------
-
-
-def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
-    """Deterministic [0, n_buckets) bucket from any key column."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
-
-
-def _bucket_sql(key_sql: str, n_buckets: int = 100) -> str:
-    return (
-        f"CAST(concat('0x', substring(md5(CAST({key_sql} AS VARCHAR)), 1, 8))"
-        f" AS BIGINT) % {n_buckets}"
-    )
 
 
 _TRAIN_PCT, _VAL_PCT = 80, 10  # remaining 10% = test

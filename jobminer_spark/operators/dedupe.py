@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from jobminer_spark.operators.common import word_shingles
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -250,56 +251,9 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_MAX_DF = 100
 
 
-def word_shingles(
-    docs: DataFrame,
-    n: int = 3,
-    max_df: int | None = None,
-    broadcast_hot: bool = True,
-) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams via array slicing —
-    pure built-ins, stays in whole-stage codegen.
-
-    With ``max_df`` set, shingles with document frequency above the cap
-    are removed via an anti-join against the hot set. The hot set is
-    bounded by |shingle occurrences| / max_df — with production caps
-    (max_df >= 100) that is <=1% of distinct shingles, small enough to
-    broadcast, and broadcasting matters: the groupBy already shuffles
-    the shingle set once, and a non-broadcast anti-join would shuffle
-    it a second time (measured ~15% slower end-to-end at sf0.1). An
-    over-limit hot set fails loudly (Spark's broadcast size error), not
-    silently wrong; for adversarial corpora where that bound is real,
-    pass ``broadcast_hot=False`` to take the shuffle anti-join
-    instead."""
-    w = F.split(F.col("text"), " ")
-    sh = (
-        # single-row-group input would serialize shingle generation
-        docs.repartition("doc_id")
-        .select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - n),
-                    lambda i: F.concat_ws(
-                        " ", *[F.col("w")[i + j] for j in range(n)]
-                    ),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
-        sh = sh.join(
-            F.broadcast(hot) if broadcast_hot else hot, "shingle", "left_anti"
-        )
-    return sh
+# word_shingles lives in operators/common.py (query-free module) so that
+# trainprep.py can import it without pulling this module's registrations
+# ahead of its own in the driver's 50-entry attestation window.
 
 
 def shingle_doc_lists(

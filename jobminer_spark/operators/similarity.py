@@ -314,28 +314,14 @@ def ann_ivf_recall_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only Lloyd loop (iterative algorithms are the non-SQL surface).
 # ---------------------------------------------------------------------------
 
-_KM_K = 8
-_KM_QUANT = 1_000_000_000_000.0  # 1e12 per-element quantization
-
-
-def _qdist(a, b):
-    """Quantized squared L2 distance between two float arrays: each
-    element difference is computed in double (identical IEEE op on
-    both engines), squared, floor-quantized to a long, then summed
-    exactly — order-independent and cross-engine deterministic."""
-    return F.aggregate(
-        F.zip_with(
-            a,
-            b,
-            lambda x, y: F.floor(
-                (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double"))
-                * F.lit(_KM_QUANT)
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+# distance kernel + constants shared with operators/audits.py; they
+# live in the query-free common module so the audit oracle strings can
+# reference them without importing this (query-bearing) module early
+from jobminer_spark.operators.common import (  # noqa: E402
+    KM_K as _KM_K,
+    KM_QUANT as _KM_QUANT,
+    qdist_col as _qdist,
+)
 
 
 @query(
@@ -386,24 +372,26 @@ def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("kmeans_lloyd_clusters", oracle=None)
-def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three Lloyd iterations of k-means (rows-only check: iterative
-    refinement is genuinely non-SQL-expressible). Per iteration:
-    broadcast the K current centroids, assign every vector (no
-    shuffle of the fact side), then recompute centroids as exact
-    per-dimension decimal means (posexplode → groupBy (cluster, dim)
-    — one narrow shuffle whose width is K×dims, independent of the
-    corpus size). localCheckpoint between iterations cuts lineage.
-    Returns (vec_id, cluster, n_members of its cluster)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def lloyd_rounds(emb: DataFrame, k: int = _KM_K, n_rounds: int = 3) -> list[DataFrame]:
+    """Run ``n_rounds`` Lloyd iterations and return the per-round
+    assignment DataFrames ``(vec_id, embedding, cluster, qdist)``.
+
+    Per iteration: broadcast the K current centroids, assign every
+    vector (no shuffle of the fact side), then recompute centroids as
+    exact per-dimension decimal means (posexplode → groupBy
+    (cluster, dim) — one narrow shuffle whose width is K×dims,
+    independent of the corpus size). localCheckpoint between
+    iterations cuts lineage. Seed centroids are the first K vectors.
+
+    Exposing every round (not just the last) lets audits.py pin the
+    quantized objective sequence against the SQL oracle."""
     cents = (
-        emb.filter(F.col("vec_id") < _KM_K)
+        emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
         .localCheckpoint(eager=True)
     )
-    assign = None
-    for _ in range(3):
+    assigns: list[DataFrame] = []
+    for r in range(n_rounds):
         d = emb.crossJoin(F.broadcast(cents)).select(
             "vec_id",
             "embedding",
@@ -412,10 +400,19 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w = W.partitionBy("vec_id").orderBy("qdist", "cid")
         assign = (
-            d.select("vec_id", "embedding", "cid", F.row_number().over(w).alias("rn"))
+            d.select(
+                "vec_id",
+                "embedding",
+                "cid",
+                "qdist",
+                F.row_number().over(w).alias("rn"),
+            )
             .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+            .select("vec_id", "embedding", F.col("cid").alias("cluster"), "qdist")
         )
+        assigns.append(assign)
+        if r == n_rounds - 1:
+            break  # the last round's centroid update would be dead work
         cents = (
             assign.select(
                 "cluster", F.posexplode("embedding").alias("dim", "x")
@@ -441,6 +438,18 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return assigns
+
+
+@query("kmeans_lloyd_clusters", oracle=None)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations of k-means (rows-only check: the
+    iterative refinement itself is non-SQL-expressible, but
+    audits.kmeans_lloyd_audit pins the round-1 objective to the SQL
+    oracle and asserts the objective never increases across rounds).
+    Returns (vec_id, cluster, n_members of its cluster)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = lloyd_rounds(emb, _KM_K, 3)[-1]
     sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
     return assign.select("vec_id", "cluster").join(F.broadcast(sizes), "cluster").select(
         "vec_id", "cluster", "n_members"

@@ -32,8 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jobminer_spark.data.skill_dictionary import values_df
-from jobminer_spark.operators.curation import _bucket_sql, hash_bucket
-from jobminer_spark.operators.dedupe import word_shingles
+# helpers come from the query-free common module so importing this
+# module does not register curation/dedupe queries ahead of its own
+# (driver attests the first 50 registrations in order)
+from jobminer_spark.operators.common import (
+    bucket_sql as _bucket_sql,
+    hash_bucket,
+    word_shingles,
+)
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 

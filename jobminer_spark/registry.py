@@ -23,11 +23,36 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # Registration order matters: the driver's CORRECTNESS artifact attests the
-# first 50 registered queries only.  Modules whose queries have never had a
-# driver-attested row (temporal..similarity) register first; the
-# relational/tpch/skills sets already have two green driver rounds each and
-# can safely sit past the 50-entry window.
+# first 50 registered queries only, in registration order.
+#
+# ROTATION PLAN (keeps the driver's hard signal fresh — every query
+# re-attests within a bounded number of rounds, and any module modified
+# in round N goes to the front of round N+1's window at the latest):
+#
+#   round 5 window (this order): audits(2, new r5) + trainprep(7, never
+#     attested) + skills(6, changed since its r2 attestation) + tpch(21,
+#     changed since r2; q21 never attested) + relational(first 14 of 17,
+#     changed since r2) = 50.  Spilled: relational's last 3
+#     (except_lapsed_customers, distinct_counts_per_status,
+#     variance_stats_by_event_type — r1/r2-attested, unchanged
+#     semantics) and everything r4-attested.
+#   round 6 window: relational tail(3) + modules modified in r5
+#     (scrapeshape, similarity) + temporal + events + multimodal + skew
+#     + textanalysis — then dedupe/curation/audits rotate back in r7.
+#   invariant: local parity (tests/test_oracle_parity.py) and
+#     scripts/driver_sim.py cover ALL queries every round regardless of
+#     window position; the committed DRIVERSIM_r{N}.txt is the evidence
+#     for queries outside the window.
+#
+# Helper modules (common, skills_core, data.skill_dictionary) are
+# registration-free by contract so cross-module imports never reorder
+# the window (see operators/common.py docstring).
 _OPERATOR_MODULES = [
+    "jobminer_spark.operators.audits",
+    "jobminer_spark.operators.trainprep",
+    "jobminer_spark.operators.skills",
+    "jobminer_spark.operators.tpch",
+    "jobminer_spark.operators.relational",
     "jobminer_spark.operators.temporal",
     "jobminer_spark.operators.events",
     "jobminer_spark.operators.multimodal",
@@ -37,10 +62,6 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.similarity",
     "jobminer_spark.operators.dedupe",
     "jobminer_spark.operators.curation",
-    "jobminer_spark.operators.trainprep",
-    "jobminer_spark.operators.skills",
-    "jobminer_spark.operators.relational",
-    "jobminer_spark.operators.tpch",
 ]
 
 
