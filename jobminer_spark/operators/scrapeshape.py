@@ -287,26 +287,47 @@ def underfilled_page_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BADGE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("title", T.StringType()),
+    T.StructField("company", T.StringType()),
     T.StructField("location", T.StringType()),
     T.StructField("operating_mode", T.StringType()),
 ])
 
 _TITLE_RE = re.compile(r'<h1 data-test="text-positionName">([^<]*)</h1>')
 _BADGE_RE = re.compile(r'<div data-test="offer-badge-([a-z]+)">([^<]*)</div>')
+_COMPANY_RE = re.compile(
+    r'<h2 data-test="text-employerName">(.*?)</h2>', re.DOTALL
+)
+# nested elements (with their content) and self-closing tags — removed
+# from the h2 inner HTML so only DIRECT text children remain
+_NESTED_EL_RE = re.compile(r"<[a-z][^>]*>.*?</[a-z][^>]*>|<[^>]+/>", re.DOTALL)
+
+
+def _company_direct_text(html: str) -> str:
+    """Company from the employerName h2, keeping only text nodes that
+    are DIRECT children of the h2 (reference pracuj_scraper.py:328-332:
+    ``c.find_all(text=True, recursive=False)`` — nested spans such as
+    'verified' ribbons are excluded), stripped; 'Unknown Company' when
+    the h2 is absent."""
+    m = _COMPANY_RE.search(html)
+    if not m:
+        return "Unknown Company"
+    return _NESTED_EL_RE.sub("", m.group(1)).strip()
 
 
 def _parse_badges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched HTML → struct projection (reference
-    _extract_badge_info + title extraction, pracuj_scraper.py:86-150,
-    324-325 — CSS selects with 'Unknown Title' default). bs4 is not in
-    this container; the data-test attribute contract is regex-stable,
-    and the batch-in/batch-out shape is identical to a bs4-backed
+    _extract_badge_info + title/company extraction, pracuj_scraper.py:
+    86-150, 324-332 — CSS selects with 'Unknown Title' /
+    'Unknown Company' defaults). bs4 is not in this container; the
+    data-test attribute contract is regex-stable, and the
+    batch-in/batch-out shape is identical to a bs4-backed
     implementation."""
     for pdf in batches:
-        titles, locations, modes = [], [], []
+        titles, companies, locations, modes = [], [], [], []
         for html in pdf["html"]:
             m = _TITLE_RE.search(html)
             titles.append(m.group(1) if m and m.group(1) else "Unknown Title")
+            companies.append(_company_direct_text(html))
             badges = dict(_BADGE_RE.findall(html))
             locations.append(badges.get("location", ""))
             modes.append(badges.get("mode", ""))
@@ -314,6 +335,7 @@ def _parse_badges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"],
                 "title": titles,
+                "company": companies,
                 "location": locations,
                 "operating_mode": modes,
             }
@@ -326,6 +348,8 @@ def _parse_badges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            CASE WHEN doc_id % 5 = 0 THEN 'Unknown Title'
                 ELSE 'Engineer ' || CAST(doc_id AS VARCHAR) END AS title,
+           CASE WHEN doc_id % 11 = 0 THEN 'Unknown Company'
+                ELSE 'Firma ' || CAST(doc_id % 97 AS VARCHAR) END AS company,
            'City' || CAST(doc_id % 7 AS VARCHAR) AS location,
            CASE WHEN doc_id % 2 = 0 THEN 'Remote' ELSE 'Hybrid' END
              AS operating_mode
@@ -336,15 +360,38 @@ def html_badge_parse_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesizes detail-page HTML from fixture columns, parses it back
     through the Arrow mapInPandas UDF; the oracle computes the expected
     struct directly from the generating expressions — a differential
-    test of the parse UDF plumbing."""
+    test of the parse UDF plumbing.
+
+    The company h2 exercises all three reference branches
+    (pracuj_scraper.py:328-332): absent h2 → 'Unknown Company'
+    (doc_id % 11 = 0); every third page embeds a nested 'verified'
+    span whose text must NOT leak into the direct-text join; plus
+    surrounding whitespace that the strip removes."""
     docs = load_table(spark, sf_dir, "documents")
     title_frag = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
         F.concat(F.lit("Engineer "), F.col("doc_id").cast("string"))
     )
+    firm = F.concat(F.lit("Firma "), (F.col("doc_id") % 97).cast("string"))
+    company_frag = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<h2 data-test="text-employerName"><span>verified</span> '),
+                firm,
+                F.lit(" </h2>"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit('<h2 data-test="text-employerName">'), firm, F.lit("</h2>"))
+        )
+    )
     html = F.concat(
         F.lit('<html><h1 data-test="text-positionName">'),
         title_frag,
-        F.lit('</h1><div data-test="offer-badge-location">City'),
+        F.lit("</h1>"),
+        company_frag,
+        F.lit('<div data-test="offer-badge-location">City'),
         (F.col("doc_id") % 7).cast("string"),
         F.lit('</div><div data-test="offer-badge-mode">'),
         F.when(F.col("doc_id") % 2 == 0, "Remote").otherwise("Hybrid"),

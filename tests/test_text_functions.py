@@ -94,3 +94,22 @@ def test_truncate_to_widths(spark):
     out = truncate_to_widths(df, {"title": 255, "source": 50}).collect()[0]
     assert len(out.title) == 255
     assert out.source == "short"
+
+
+def test_company_direct_text_branches():
+    """Reference pracuj_scraper.py:328-332: direct text children only,
+    'Unknown Company' when the h2 is absent."""
+    from jobminer_spark.operators.scrapeshape import _company_direct_text
+
+    h2 = '<h2 data-test="text-employerName">'
+    cases = [
+        ("<html><h1>t</h1></html>", "Unknown Company"),          # no h2
+        (f"{h2}Acme Corp</h2>", "Acme Corp"),                    # plain
+        (f"{h2}  Acme Corp \n</h2>", "Acme Corp"),               # strip
+        (f"{h2}<span>verified</span> Acme </h2>", "Acme"),       # nested excluded
+        (f"{h2}Acme<span> sp. z o.o.</span> Corp</h2>", "Acme Corp"),  # split direct text
+        (f"{h2}Acme<br/>Corp</h2>", "AcmeCorp"),                 # self-closing
+        (f"{h2}<span>only nested</span></h2>", ""),              # h2 present, no direct text
+    ]
+    for html, expected in cases:
+        assert _company_direct_text(html) == expected, html
