@@ -249,3 +249,57 @@ def test_pipeline_idempotent_rerun(spark):
         skills1.groupBy("job_id", "source", "skill_name").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_shingle_doc_lists_adversarial_cap_and_pair_parity(spark):
+    """The buffer-caveat corpus for shingle_doc_lists (dedupe.py): a
+    stop-phrase trigram shared by every doc (df = 40 >> max_df = 10)
+    must be dropped by the post-agg size filter, and the in-row pair
+    path (_jaccard_pair_counts) must agree exactly with a Python
+    brute force of the same capped-shingle semantics."""
+    from jobminer_spark.operators.dedupe import _jaccard_pair_counts, shingle_doc_lists
+
+    n, max_df = 40, 10
+    texts = {}
+    for i in range(n):
+        # hot phrase in every doc + per-doc unique tail + a trigram
+        # shared only within each consecutive pair (i//2)
+        texts[i] = (
+            f"hot hot hot u{i} u{i} u{i} "
+            f"pair{i // 2} pair{i // 2} pair{i // 2}"
+        )
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    # Python brute force: distinct overlapping word trigrams, df cap,
+    # then pairwise intersection / sizes
+    def trigrams(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: trigrams(t) for i, t in texts.items()}
+    df_count = {}
+    for s in sets.values():
+        for sh in s:
+            df_count[sh] = df_count.get(sh, 0) + 1
+    assert df_count["hot hot hot"] == n  # the adversarial shingle is real
+    capped = {
+        i: {sh for sh in s if df_count[sh] <= max_df} for i, s in sets.items()
+    }
+    expected = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            inter = len(capped[a] & capped[b])
+            if inter:
+                expected[(a, b)] = (inter, len(capped[a]), len(capped[b]))
+
+    # hot shingle present uncapped, dropped under the cap
+    uncapped_idx = {r.shingle for r in shingle_doc_lists(docs, 3).collect()}
+    capped_idx = {r.shingle for r in shingle_doc_lists(docs, 3, max_df).collect()}
+    assert "hot hot hot" in uncapped_idx
+    assert "hot hot hot" not in capped_idx
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_sh_a, r.n_sh_b)
+        for r in _jaccard_pair_counts(docs, 3, max_df).collect()
+    }
+    assert got == expected

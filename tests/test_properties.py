@@ -64,3 +64,64 @@ def test_salary_parser_range_orders_min_max(spark):
     for r, (lo, hi) in zip(rows, cases):
         # the reference takes group1/group2 literally (no reordering)
         assert r.mn == lo and r.mx == hi
+
+
+def test_asof_join_null_heavy_struct_carry(spark):
+    """temporal.asof_join carries the matched right row as ONE struct:
+    a match whose value fields are NULL must be taken as-is — a
+    per-column carry would let NULL fields fall through to an OLDER
+    right row, stitching columns from two different matches. Property
+    check against a Python brute force over null-heavy right rows."""
+    from jobminer_spark.operators.temporal import asof_join
+
+    rights, lefts = [], []
+    ex_counter = iter(range(10_000_000))
+
+    @_settings
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.integers(0, 50),
+                st.one_of(st.none(), st.integers(-5, 5)),
+                st.one_of(st.none(), st.sampled_from(["a", "b"])),
+            ),
+            max_size=12,
+        ),
+        st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=12),
+    )
+    def collect(r, le):
+        # namespace users per example so examples can't interact
+        ex = next(ex_counter)
+        seen = set()
+        for u, ts, vi, vs in r:
+            if (u, ts) not in seen:  # keep right ts unique per key
+                seen.add((u, ts))
+                rights.append((ex * 10 + u, ts, vi, vs))
+        for u, ts in le:
+            lefts.append((ex * 10 + u, ts, len(lefts)))
+
+    collect()
+    # deterministic null-fall-through trap on top of the generated mass:
+    # newest match has NULL fields; an older row has values
+    rights += [(9_999_999, 1, 7, "old"), (9_999_999, 2, None, None)]
+    lefts += [(9_999_999, 3, len(lefts))]
+    if not lefts:
+        return
+    rdf = spark.createDataFrame(
+        rights or [(0, 0, None, None)],
+        "user_id long, ts long, v_int long, v_str string",
+    )
+    ldf = spark.createDataFrame(lefts, "user_id long, ts long, left_id long")
+    out = {
+        r.left_id: (r.asof_v_int, r.asof_v_str)
+        for r in asof_join(ldf, rdf, on="user_id").collect()
+    }
+    assert len(out) == len(lefts)
+    for u, lts, left_id in lefts:
+        cands = [r for r in rights if r[0] == u and r[1] <= lts]
+        expect = (None, None)
+        if cands:
+            best = max(cands, key=lambda r: r[1])
+            expect = (best[2], best[3])
+        assert out[left_id] == expect, (u, lts, out[left_id], expect)
