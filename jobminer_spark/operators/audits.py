@@ -31,26 +31,45 @@ from jobminer_spark.sources import load_table
 
 
 @query(
-    "stream_batch_parity_tumbling",
+    "stream_batch_parity",
     oracle="""
-    SELECT COUNT(*) AS n_windows,
-           CAST(0 AS BIGINT) AS n_mismatch
-    FROM (SELECT DISTINCT date_trunc('hour', ts), event_type FROM events)
+    SELECT
+      (SELECT COUNT(*) FROM
+         (SELECT DISTINCT date_trunc('hour', ts), event_type FROM events))
+        AS n_windows,
+      CAST(0 AS BIGINT) AS n_window_mismatch,
+      (SELECT COUNT(*) FROM events p JOIN events c
+         ON p.user_id = c.user_id
+        AND p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts)
+        AS n_ij_rows,
+      CAST(0 AS BIGINT) AS n_ij_mismatch
     """,
 )
-def stream_batch_parity_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runs the watermarked readStream tumbling aggregation
-    (streaming/windows.py) to completion with availableNow, full-outer
-    joins it against the oracle-checked batch twin
-    (events.tumbling_window_hourly), and reports the window count plus
-    the number of mismatching windows. Both sides use exact decimal
-    accumulation before the final double cast, so agreement is
-    bit-exact, not approximate; the oracle independently counts the
-    distinct (hour, event_type) windows and expects zero mismatches.
-    A timestamp-unit or watermark regression in the streaming source
-    yields disjoint window sets and turns this row red."""
+def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the Structured Streaming surface for real (availableNow
+    over the file source) and full-outer joins each result against its
+    oracle-checked batch twin:
+
+    * watermarked tumbling aggregation vs events.tumbling_window_hourly
+      — bit-exact agreement (both sides accumulate in decimal before
+      the final double cast);
+    * the watermarked stream-stream interval join vs
+      temporal.interval_join_clicks_before_purchase — row-exact on
+      (purchase_id, click_id) with user and both timestamps compared.
+
+    The oracle independently counts the expected windows and interval
+    rows and expects zero mismatches, so a timestamp-unit, watermark,
+    or join-state regression in streaming/windows.py turns this
+    driver row red (SURVEY §2 rows 38/42, previously pytest-only)."""
     from jobminer_spark.operators.events import tumbling_window_hourly
-    from jobminer_spark.streaming.windows import run_streaming_tumbling_counts
+    from jobminer_spark.operators.temporal import (
+        interval_join_clicks_before_purchase,
+    )
+    from jobminer_spark.streaming.windows import (
+        run_streaming_interval_join,
+        run_streaming_tumbling_counts,
+    )
 
     b = tumbling_window_hourly(spark, sf_dir).select(
         "window_start",
@@ -64,14 +83,41 @@ def stream_batch_parity_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("s_n"),
         F.col("total_value").alias("s_tv"),
     )
-    j = b.join(s, ["window_start", "event_type"], "full_outer")
-    mismatch = (~F.col("b_n").eqNullSafe(F.col("s_n"))) | (
+    jw = b.join(s, ["window_start", "event_type"], "full_outer")
+    w_mismatch = (~F.col("b_n").eqNullSafe(F.col("s_n"))) | (
         ~F.col("b_tv").eqNullSafe(F.col("s_tv"))
     )
-    return j.agg(
+    windows = jw.agg(
         F.count(F.lit(1)).alias("n_windows"),
-        F.count(F.when(mismatch, 1)).alias("n_mismatch"),
+        F.count(F.when(w_mismatch, 1)).alias("n_window_mismatch"),
     )
+
+    bi = interval_join_clicks_before_purchase(spark, sf_dir).select(
+        "purchase_id",
+        "click_id",
+        F.col("user_id").alias("b_user"),
+        F.col("purchase_ts").alias("b_pts"),
+        F.col("click_ts").alias("b_cts"),
+    )
+    si = run_streaming_interval_join(spark, sf_dir).select(
+        "purchase_id",
+        "click_id",
+        F.col("user_id").alias("s_user"),
+        F.col("purchase_ts").alias("s_pts"),
+        F.col("click_ts").alias("s_cts"),
+    )
+    ji = bi.join(si, ["purchase_id", "click_id"], "full_outer")
+    i_mismatch = (
+        (~F.col("b_user").eqNullSafe(F.col("s_user")))
+        | (~F.col("b_pts").eqNullSafe(F.col("s_pts")))
+        | (~F.col("b_cts").eqNullSafe(F.col("s_cts")))
+    )
+    intervals = ji.agg(
+        F.count(F.lit(1)).alias("n_ij_rows"),
+        F.count(F.when(i_mismatch, 1)).alias("n_ij_mismatch"),
+    )
+    # two 1-row aggregates — trivial broadcast cross join
+    return windows.crossJoin(intervals)
 
 
 @query(
