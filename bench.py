@@ -58,24 +58,30 @@ def main() -> None:
     load_all_operators()
     spark = get_spark("jobminer-bench")
 
-    # warmup, excluded from timings: JVM + parquet footer caches, and
-    # the Python worker pool (one-time fork-per-core storm that a
+    # warmup, excluded from timings: JVM + parquet footer caches for
+    # EVERY fixture table (so the first query over each table doesn't
+    # absorb scan warmup — q1's r4 number was exactly that), and the
+    # Python worker pool (one-time fork-per-core storm that a
     # long-lived cluster amortizes; multimodal_decode_features is the
     # only headline query that needs workers at all)
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    from jobminer_spark.sources.parquet import FIXTURE_TABLES, load_table
+
+    for t in FIXTURE_TABLES:
+        load_table(spark, SF_DIR, t).count()
 
     def _ident(batches):
         yield from batches
 
     spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
 
-    # Two passes, report the per-query minimum: pass 1 pays one-time
-    # codegen/compile; pass 2 is steady state. The min also damps the
-    # heavy CPU-steal variance of this shared-host VM (measured ~25%
-    # of user time historically) — the number recorded is the
-    # engine's cost, not the noisy host's.
+    # Three passes, report the per-query minimum: pass 1 pays one-time
+    # codegen/compile; later passes are steady state. The min also
+    # damps the heavy CPU-steal variance of this shared-host VM
+    # (measured ~25% of user time historically, with multi-minute
+    # bursts that can double a whole pass) — the number recorded is
+    # the engine's cost, not the noisy host's.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
