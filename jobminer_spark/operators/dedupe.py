@@ -309,7 +309,16 @@ def _jaccard_pair_counts(
     shingle self-join — one full-data shuffle for the index, then only
     pair-sized and doc-sized aggregates. Identical semantics to the
     join-based path (same capped shingle set, same counts); measured
-    ~2× faster end-to-end at sf0.1."""
+    ~2× faster end-to-end at sf0.1.
+
+    The index feeds two branches (pair generation and per-doc sizes),
+    and Spark recomputes it per branch — measured at sf0.1 that
+    recompute BEATS cutting the plan with localCheckpoint (3.04 s vs
+    3.31 s min-of-3: the barrier serializes the branches and
+    round-trips disk, while the redundant compute hides in
+    otherwise-idle cores). On a saturated production cluster the
+    trade flips: persist the index (per-doc-sized, far smaller than
+    the corpus scan) or stage it to a table before fanning out."""
     idx = shingle_doc_lists(docs, n, max_df)
     sizes = (
         idx.select(F.explode("ds").alias("doc_id"))
@@ -450,7 +459,13 @@ def minhash_candidate_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
 
     The band self-join carries only narrow (doc_id, band_no, hash)
     rows; full signatures rejoin ONLY for surviving candidate pairs,
-    so signature width never rides through the big shuffle."""
+    so signature width never rides through the big shuffle. The
+    signature table feeds three branches (banding + both rejoin
+    sides) and is recomputed per branch — measured at sf0.1 a
+    localCheckpoint cut is a wash (3.29 s vs 3.35 s min-of-3: barrier
+    + disk round-trip ≈ redundant compute on idle cores), so the plan
+    stays barrier-free. On a saturated cluster persist the signature
+    table (constant width per doc) before fanning out."""
     sig = minhash_signatures(docs, n)
     rows_per_band = _MH_K // _MH_BANDS
     bands = F.array(

@@ -471,6 +471,12 @@ def tfidf_top_similar_pairs(
         .filter(F.col("dfreq") <= F.lit(max_df_frac) * F.col("n_docs"))
         .select("token", "dfreq")
     )
+    # the weight table feeds three branches (norms + both join sides)
+    # and is recomputed per branch: an interleaved A/B at sf0.1 shows
+    # a localCheckpoint cut is a wash (2.59 s vs 2.62 s min-of-3 —
+    # barrier + disk round-trip ≈ redundant compute on idle cores), so
+    # keep the simpler barrier-free plan. On a saturated cluster the
+    # trade flips: persist w (per-(doc,token)-sized) before fanning out.
     w = (
         tf.join(doclen, "doc_id")
         .join(dfreq, "token")
