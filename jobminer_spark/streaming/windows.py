@@ -78,6 +78,27 @@ def tumbling_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts_stream(events: DataFrame) -> DataFrame:
+    """Watermarked sliding windows (1 h length, 30 min slide) — every
+    event lands in exactly two windows; same aggregation as the
+    oracle-checked batch twin ``sliding_window_1h_30m``."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_windows_stream(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "10 minutes")
@@ -114,6 +135,12 @@ def _run_to_memory(
 def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         tumbling_counts_stream(streaming_events_source(spark, sf_dir)), spark
+    )
+
+
+def run_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(
+        sliding_counts_stream(streaming_events_source(spark, sf_dir)), spark
     )
 
 

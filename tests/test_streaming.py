@@ -29,6 +29,19 @@ def test_streaming_tumbling_matches_batch(spark):
         assert abs(s[k].total_value - b[k].total_value) < 1e-9
 
 
+def test_streaming_sliding_matches_batch(spark):
+    from jobminer_spark.streaming import run_streaming_sliding_counts
+
+    stream_rows = run_streaming_sliding_counts(spark, SF_DIR).collect()
+    batch_rows = QUERIES["sliding_window_1h_30m"](spark, SF_DIR).collect()
+    s = _as_dict(stream_rows, ("window_start",))
+    b = _as_dict(batch_rows, ("window_start",))
+    assert set(s) == set(b)
+    for k in s:
+        assert s[k].n_events == b[k].n_events
+        assert abs(s[k].total_value - b[k].total_value) < 1e-9
+
+
 def test_streaming_session_windows_run(spark):
     rows = run_streaming_session_windows(spark, SF_DIR).collect()
     assert len(rows) > 0
