@@ -891,6 +891,119 @@ def _neardup_edges(docs: DataFrame) -> DataFrame:
     return _exact_jaccard_pairs(docs, 0.8).select("doc_a", "doc_b")
 
 
+def jaccard_edges_prefix(
+    docs: DataFrame,
+    min_j: float,
+    n: int = 3,
+    max_df: int | None = SHINGLE_MAX_DF,
+) -> DataFrame:
+    """(doc_a, doc_b) pairs with word-n-gram Jaccard >= min_j via
+    AllPairs-style prefix filtering (Bayardo/Ma/Srikant, "Scaling Up
+    All Pairs Similarity Search", WWW'07 — public algorithm).
+
+    Lossless pruning: order every doc's shingle set by global document
+    frequency ascending (rare first, tiebreak on the shingle string —
+    any shared TOTAL order works), and index only each doc's first
+    ``|S| - ceil(min_j*|S|) + 1`` shingles. Two docs with
+    J(A,B) >= min_j MUST collide inside these prefixes (J >= t implies
+    |A∩B| >= t*|A|, so A's elements beyond its prefix cannot cover the
+    required intersection alone) — so candidates sharing no prefix
+    shingle are safely skipped. Survivors are verified exactly with an
+    in-row ``array_intersect`` over the full sorted sets.
+
+    Scale shape vs the plain inverted index: at t=0.8 only ~20% of
+    each doc's shingles are indexed, so the candidate-generating
+    shuffle carries ~1/5 of the volume and the rare-first order makes
+    surviving candidate lists short; verification is per-candidate
+    in-row work with no further shuffle. Same result set as
+    _exact_jaccard_pairs (pinned by oracle).
+
+    Honest measurement: at fixture scale the PLAIN path wins (sf0.1
+    min-of-3: 2.43 s vs 2.70 s) — documents are short and the doc-set
+    build costs more than the pruning saves. This variant is the
+    100 TB shape, where the 5× smaller candidate shuffle and bounded
+    verify lists dominate; the CC edge builder deliberately keeps the
+    plain path at test scale."""
+    idx = shingle_doc_lists(docs, n, max_df)
+    flat = idx.select(
+        "shingle", F.size("ds").alias("df"), F.explode("ds").alias("doc_id")
+    )
+    doc_sets = (
+        flat.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ss"))
+        .select(
+            "doc_id",
+            F.transform("ss", lambda s: s["shingle"]).alias("shingles"),
+            F.size("ss").alias("n_sh"),
+        )
+    )
+    pref_len = (
+        F.col("n_sh") - F.ceil(F.lit(min_j) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    prefixes = doc_sets.select(
+        "doc_id", F.explode(F.slice("shingles", F.lit(1), pref_len)).alias("shingle")
+    )
+    # per-prefix-shingle doc lists (|list| <= max_df by construction,
+    # since prefixes are subsets of the capped index) -> in-row pairs
+    plists = prefixes.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
+    ds = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        plists.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = doc_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= min_j)
+        .select("doc_a", "doc_b")
+    )
+
+
+@query(
+    "neardup_edges_prefix_filter",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    """,
+)
+def neardup_edges_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-filtered similarity join, oracle-pinned to the exact
+    inverted-index edge set (the oracle computes the SAME >= 0.8 edges
+    from the full capped index, so any over- or under-pruning by the
+    prefix bound turns this row red)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_edges_prefix(docs, 0.8)
+
+
 def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contractions. `edges` is (src, dst) in either orientation; returns
