@@ -223,3 +223,70 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+_CHUNK_W = 16  # tokens per dedup chunk
+
+
+@query(
+    "repeated_chunk_dedup",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idxs AS (
+      SELECT doc_id, w,
+             unnest(range(0, CAST(ceil(len(w) / {_CHUNK_W}.0) AS BIGINT))) AS i
+      FROM words WHERE len(w) >= 1
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               w[(i * {_CHUNK_W} + 1):(i * {_CHUNK_W} + {_CHUNK_W})], ' '
+             )) AS chunk_hash
+      FROM idxs
+    )
+    SELECT chunk_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM chunks GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, chunk_hash LIMIT 50
+    """,
+)
+def repeated_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the boilerplate/template detector a
+    crawl-curation pipeline runs before document-level dedup: split
+    each doc into fixed 16-token chunks, md5-fingerprint each chunk,
+    and surface chunks repeated across >= 2 distinct documents (top 50
+    by spread, hash tiebreak for a deterministic cut).
+
+    Scale shape: chunking is in-row (sequence + slice, no explode of
+    words), then ONE shuffle on the 16-byte chunk hash; the distinct-
+    doc count uses the same exchange. Repeated-chunk output is
+    corpus-bounded by the spread threshold, never |docs|-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_chunks = F.ceil(F.size("w") / F.lit(float(_CHUNK_W))).cast("long")
+    chunks = (
+        docs.repartition("doc_id")
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("w"), i * _CHUNK_W + 1, _CHUNK_W)
+                    ),
+                )
+            ).alias("chunk"),
+        )
+    )
+    rep = (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return rep.orderBy(F.col("n_docs").desc(), "chunk_hash").limit(50)
