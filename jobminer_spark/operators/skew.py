@@ -68,3 +68,72 @@ def salted_aggregation_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
     exactly the hot-key shape salting exists for)."""
     l = load_table(spark, sf_dir, "lineitem")
     return salted_sum_count(l, ["l_returnflag"], F.col("l_extendedprice"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Hot-key join salting: replicate each dim row across ``n_salts``
+    salt values and spread fact rows uniformly over them, so one hot
+    join key fans across n_salts tasks instead of one straggler.
+
+    This is the LAST-resort shape: a genuinely small dim should
+    broadcast (no shuffle at all), and AQE's skew-join splits oversized
+    partitions at runtime; explicit salting is for a large-large join
+    with a known hot key where neither applies. The fact-side salt
+    seeds ``monotonically_increasing_id()`` (not retry-stable) — safe
+    for equi-join replication because every salt copy of a dim row is
+    identical, so bucket placement never leaks into results."""
+    salt = (
+        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts))
+    ).alias("_salt")
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return f.join(d.hint("merge"), [key, "_salt"]).drop("_salt")
+
+
+@query(
+    "salted_join_equivalence",
+    oracle="""
+    WITH dim AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS avg_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN l.l_extendedprice > d.avg_price THEN 1 END)
+             AS n_above_avg
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join vs the oracle's plain join — hash-equal results
+    prove the rewrite changes the plan, not the answer. l_returnflag
+    (3 values over the whole fact table) is exactly the hot-key shape;
+    the dim side carries each flag's average price and the merge hint
+    forces the shuffle join that salting exists to fix (in production
+    a 3-row dim would broadcast — see the docstring's hierarchy:
+    broadcast first, AQE skew-join second, explicit salt last)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    dim = l.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    joined = salted_join(
+        l.select("l_returnflag", "l_extendedprice"), dim, "l_returnflag"
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(F.col("l_extendedprice") > F.col("avg_price"), 1)
+        ).alias("n_above_avg"),
+    )
