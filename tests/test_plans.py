@@ -129,3 +129,33 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_salted_join_takes_shuffle_not_broadcast(spark):
+    """The salted join demo must actually exercise the shuffle join it
+    exists to fix (the merge hint defeats auto-broadcast of the tiny
+    dim) and spread rows by the salted key."""
+    plan = _plan(spark, "salted_join_equivalence")
+    assert "SortMergeJoin" in plan
+    assert "_salt" in plan
+
+
+def test_ann_ivf_kmeans_broadcasts_small_sides(spark):
+    """Centroid table (K rows) and probe table (n_queries*nprobe rows)
+    must broadcast; the corpus must never cartesian-join."""
+    plan = _plan(spark, "ann_ivf_kmeans_topk")
+    assert "BroadcastHashJoin" in plan     # probes join on cell
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_edges_no_cartesian(spark):
+    """Prefix-filtered similarity join: candidates come from the
+    prefix index, never a cross join of the corpus."""
+    plan = _plan(spark, "neardup_edges_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repeated_chunk_dedup_partial_aggregates(spark):
+    plan = _plan(spark, "repeated_chunk_dedup")
+    assert plan.count("HashAggregate") >= 2  # map-side combine on chunk hash
