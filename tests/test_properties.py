@@ -125,3 +125,38 @@ def test_asof_join_null_heavy_struct_carry(spark):
             best = max(cands, key=lambda r: r[1])
             expect = (best[2], best[3])
         assert out[left_id] == expect, (u, lts, out[left_id], expect)
+
+
+def test_salted_join_equivalent_to_plain_join(spark):
+    """salted_join must be a pure plan rewrite: on arbitrary skewed
+    inputs its row multiset equals the plain equi-join's."""
+    from collections import Counter
+
+    from jobminer_spark.operators.skew import salted_join
+
+    rows = []
+
+    @_settings
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["hot", "a", "b", "c"]), st.integers(-9, 9)),
+            max_size=25,
+        )
+    )
+    def collect(batch):
+        rows.extend(batch)
+
+    collect()
+    if not rows:
+        return
+    fact = spark.createDataFrame(rows, "k string, v long")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("a", 2), ("b", 3)], "k string, attr long"
+    )  # 'c' intentionally unmatched
+    got = Counter(
+        (r.k, r.v, r.attr)
+        for r in salted_join(fact, dim, "k", n_salts=4).collect()
+    )
+    want = Counter((k, v, a) for k, v in rows for kk, a in
+                   [("hot", 1), ("a", 2), ("b", 3)] if kk == k)
+    assert got == want
