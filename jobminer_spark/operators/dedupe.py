@@ -1104,3 +1104,55 @@ def neardup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components_star(edges)
+
+
+@query(
+    "neardup_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_CC_EDGES_CTE},
+    reach(src, dst) AS (
+      SELECT src, dst FROM bidir
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT doc_id, MIN(m) AS component
+      FROM (
+        SELECT src AS doc_id, dst AS m FROM reach
+        UNION ALL
+        SELECT DISTINCT src, src FROM bidir
+      )
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component, doc_id AS survivor_doc_id, n_members
+    FROM ranked WHERE rk = 1
+    """,
+)
+def neardup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT step: one canonical survivor
+    per near-dup component — keep-the-longest (n_chars, doc_id
+    tiebreak), the standard heuristic for near-dup clusters where the
+    longest variant usually subsumes the others.
+
+    Composition of the oracle-checked pieces: CC labels from the
+    propagation loop, then ONE aggregation per component
+    (max_by over a lexicographic struct — no second shuffle beyond the
+    component key; integer comparisons, so survivor choice is
+    tiebreak-deterministic cross-engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = neardup_connected_components(spark, sf_dir)
+    j = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return j.groupBy("component").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("nd")),
+        ).alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
