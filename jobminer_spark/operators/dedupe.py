@@ -1156,3 +1156,86 @@ def neardup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("survivor_doc_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def simhash_band_candidates(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup pairs by SimHash: split the
+    64-bit signature into 4 x 16-bit bands; pairs agreeing on ANY band
+    are candidates (pigeonhole: hamming <= 3 guarantees at least one
+    of 4 bands is untouched, so detection at the threshold is total),
+    then the exact popcount of the XOR filters to max_hamming.
+
+    Scale shape mirrors MinHash LSH: the band self-join carries narrow
+    (band_no, band_value, doc_id) rows, signatures rejoin only for
+    surviving candidates, and candidate volume is bounded by band
+    collisions — never all-pairs."""
+    bands = F.array(
+        *[
+            (F.shiftrightunsigned(F.col("simhash"), 16 * b) % 65536).alias(f"b{b}")
+            for b in range(4)
+        ]
+    )
+    banded = sims.select(
+        "doc_id", F.posexplode(bands).alias("band_no", "band_value")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_value") == F.col("b.band_value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@query("simhash_band_neighbors", oracle=None)  # rows-only: xxhash64 signature
+def simhash_band_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = simhash_fingerprints(spark, sf_dir)
+    return simhash_band_candidates(sims)
+
+
+@query(
+    "simhash_band_recall_audit",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(text) AS h, COUNT(*) AS n
+      FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1)
+    SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_exact_pairs,
+           CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_detected,
+           CAST(0 AS BIGINT) AS n_missed
+    FROM groups
+    """,
+)
+def simhash_band_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall pin for the banded neighbor search: byte-identical
+    documents have Hamming distance 0, which the 4-band pigeonhole
+    bound must detect with certainty. The oracle independently counts
+    the exact-duplicate pairs (md5 groups) and expects every one of
+    them among the band candidates — a banding or bit-split regression
+    drops detection and turns this row red."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(F.md5("text").alias("h"), "doc_id")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    exact = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cand = simhash_band_neighbors(spark, sf_dir).select("doc_a", "doc_b", "hamming")
+    joined = exact.join(cand, ["doc_a", "doc_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.count("hamming").alias("n_detected"),
+        (F.count(F.lit(1)) - F.count("hamming")).alias("n_missed"),
+    )
