@@ -36,9 +36,11 @@ ORACLES: dict[str, str] = {}
 #     (except_lapsed_customers, distinct_counts_per_status,
 #     variance_stats_by_event_type — r1/r2-attested, unchanged
 #     semantics) and everything r4-attested.
-#   round 6 window: relational tail(3) + modules modified in r5
-#     (scrapeshape, similarity) + temporal + events + multimodal + skew
-#     + textanalysis — then dedupe/curation/audits rotate back in r7.
+#   round 6 window: relational tail(3) first, then the modules modified
+#     in r5 (scrapeshape, similarity, dedupe, skew, curation,
+#     textanalysis) by last-attested age, then temporal/events/
+#     multimodal; whatever exceeds 50 rolls to r7 along with
+#     re-attesting audits/trainprep/skills/tpch.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

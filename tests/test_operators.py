@@ -303,3 +303,26 @@ def test_shingle_doc_lists_adversarial_cap_and_pair_parity(spark):
         for r in _jaccard_pair_counts(docs, 3, max_df).collect()
     }
     assert got == expected
+
+
+def test_simhash_band_detection_boundary(spark):
+    """Pigeonhole recall bound for the banded neighbor search: <= 3
+    flipped bits always leave one of the 4 bands intact (detected);
+    4 flips spread one-per-band defeat banding (documented recall
+    boundary — candidates only, not a correctness bug)."""
+    from jobminer_spark.operators.dedupe import simhash_band_candidates
+
+    base = 0x0123456789ABCDEF
+    three_in_one_band = base ^ 0b0111  # 3 flips, all inside band 0
+    one_per_band = base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))
+    sims = spark.createDataFrame(
+        [(1, base), (2, three_in_one_band), (3, one_per_band)],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_band_candidates(sims, max_hamming=64).collect()
+    }
+    assert got.get((1, 2)) == 3          # detected: bands 1-3 intact
+    assert (1, 3) not in got             # all 4 bands touched -> missed
+    assert got.get((2, 3), 0) >= 0       # whatever bands 2,3 share is fine
