@@ -220,6 +220,7 @@ def test_every_query_has_callable_and_runs_smoke(spark):
     assert non_oracle <= {
         "minhash_lsh_neardup",
         "simhash_fingerprints",
+        "simhash_band_neighbors",
         "kmeans_lloyd_clusters",
     }
 
