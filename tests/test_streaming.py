@@ -82,3 +82,41 @@ def test_streaming_interval_join_matches_batch(spark):
     }
     stream = {tuple(r) for r in run_streaming_interval_join(spark, SF_DIR).collect()}
     assert stream == batch and len(batch) > 0
+
+
+def test_streaming_source_nanos_fixture_compat(spark, tmp_path):
+    """The TIMESTAMP(NANOS) compat branch of streaming_events_source
+    (older fixture generations) must land event-time in the right
+    epoch and agree with the batch loader on the same file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobminer_spark.sources import load_table
+    from jobminer_spark.streaming.windows import streaming_events_source
+
+    base_ns = 1_700_000_000_000_000_000  # 2023-11-14 UTC
+    n = 6
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base_ns + i * 600_000_000_000 for i in range(n)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([i % 2 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([float(i) for i in range(n)]),
+            "props": pa.array(['{"k": 1}'] * n),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"), store_schema=False)
+
+    batch = load_table(spark, str(tmp_path), "events").select("event_id", "ts")
+    src = streaming_events_source(spark, str(tmp_path)).select("event_id", "ts")
+    from jobminer_spark.streaming.windows import _run_to_memory
+
+    stream = _run_to_memory(src, spark, output_mode="append")
+    b = {r.event_id: r.ts for r in batch.collect()}
+    s = {r.event_id: r.ts for r in stream.collect()}
+    assert s == b and len(s) == n
+    assert all(t.year == 2023 for t in s.values())
