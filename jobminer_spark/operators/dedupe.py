@@ -343,7 +343,11 @@ def _jaccard_pair_counts(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
-    return inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # No broadcast hint: `sizes` has one row PER DOCUMENT, so forcing
+    # a broadcast is an OOM at corpus scale. Let AQE pick — it
+    # broadcasts when the measured size is small and shuffles on the
+    # post-aggregation doc-id keys when it isn't.
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def _shingles_cte(max_df: int) -> str:
@@ -937,8 +941,15 @@ def jaccard_edges_prefix(
             F.size("ss").alias("n_sh"),
         )
     )
+    # Conservative ceil: if the double product min_j*n_sh lands an
+    # epsilon ABOVE an integer (e.g. 0.7*10 = 7.000000000000001),
+    # plain ceil is one too large and the prefix one too SHORT —
+    # losing edges exactly at the threshold. Subtracting 1e-9 first
+    # can only lengthen the prefix (never below the lossless bound).
     pref_len = (
-        F.col("n_sh") - F.ceil(F.lit(min_j) * F.col("n_sh")) + F.lit(1)
+        F.col("n_sh")
+        - F.ceil(F.lit(min_j) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
     ).cast("int")
     prefixes = doc_sets.select(
         "doc_id", F.explode(F.slice("shingles", F.lit(1), pref_len)).alias("shingle")
@@ -1169,9 +1180,17 @@ def simhash_band_candidates(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     (band_no, band_value, doc_id) rows, signatures rejoin only for
     surviving candidates, and candidate volume is bounded by band
     collisions — never all-pairs."""
+    # Mask (not %) extracts each 16-bit band: Spark's % keeps the
+    # dividend's sign, so for band 0 (identity shift) a negative
+    # simhash would land in (-65536, 0] while a positive signature
+    # with identical low 16 bits lands in [0, 65536) — silently
+    # missing pairs whose only untouched band is band 0 and whose
+    # sign bits differ. bitwiseAND is sign-agnostic.
     bands = F.array(
         *[
-            (F.shiftrightunsigned(F.col("simhash"), 16 * b) % 65536).alias(f"b{b}")
+            (F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))).alias(
+                f"b{b}"
+            )
             for b in range(4)
         ]
     )

@@ -297,9 +297,31 @@ _BADGE_RE = re.compile(r'<div data-test="offer-badge-([a-z]+)">([^<]*)</div>')
 _COMPANY_RE = re.compile(
     r'<h2 data-test="text-employerName">(.*?)</h2>', re.DOTALL
 )
-# nested elements (with their content) and self-closing tags — removed
-# from the h2 inner HTML so only DIRECT text children remain
-_NESTED_EL_RE = re.compile(r"<[a-z][^>]*>.*?</[a-z][^>]*>|<[^>]+/>", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _direct_text(inner_html: str) -> str:
+    """Text nodes that are DIRECT children of the enclosing element:
+    walk the tags tracking nesting depth and keep only the text at
+    depth 0. Handles multi-level nesting (<span>a<b>x</b></span>)
+    exactly like bs4's ``find_all(text=True, recursive=False)`` —
+    a non-greedy <tag>.*?</tag> regex pairs each opening tag with the
+    FIRST closing tag and leaves dangling fragments on nested input."""
+    depth = 0
+    out = []
+    pos = 0
+    for m in _TAG_RE.finditer(inner_html):
+        if depth == 0:
+            out.append(inner_html[pos : m.start()])
+        tag = m.group(0)
+        if tag.startswith("</"):
+            depth = max(0, depth - 1)
+        elif not tag.endswith("/>"):
+            depth += 1
+        pos = m.end()
+    if depth == 0:
+        out.append(inner_html[pos:])
+    return "".join(out).strip()
 
 
 def _company_direct_text(html: str) -> str:
@@ -311,7 +333,7 @@ def _company_direct_text(html: str) -> str:
     m = _COMPANY_RE.search(html)
     if not m:
         return "Unknown Company"
-    return _NESTED_EL_RE.sub("", m.group(1)).strip()
+    return _direct_text(m.group(1))
 
 
 def _parse_badges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -306,6 +306,31 @@ def test_shingle_doc_lists_adversarial_cap_and_pair_parity(spark):
     assert got == expected
 
 
+def test_prefix_bound_float_ceil_boundary(spark):
+    """The prefix length must use a CONSERVATIVE ceil: for
+    min_j = 3/17 and n_sh = 85 the double product is
+    15.000000000000002, so plain ceil gives 16 (exact: 15) and the
+    prefix is one shingle too short. Adversarial pair: A ⊂ B with
+    |A| = 15, |B| = 85, J = 15/85 = 3/17 exactly, and the 15 common
+    shingles sorted LAST in B's rare-first order (df=2 > df=1) — the
+    unfixed prefix misses the edge."""
+    from jobminer_spark.operators.dedupe import jaccard_edges_prefix
+
+    t = 3 / 17
+    # B: 87 distinct words -> 85 distinct word-trigrams.
+    b_words = [f"w{i:03d}" for i in range(87)]
+    # A: B's last 17 words -> A's 15 trigrams are exactly B's last 15.
+    a_words = b_words[-17:]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))], "doc_id long, text string"
+    )
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_edges_prefix(docs, t, n=3, max_df=None).collect()
+    }
+    assert (1, 2) in edges
+
+
 def test_simhash_band_detection_boundary(spark):
     """Pigeonhole recall bound for the banded neighbor search: <= 3
     flipped bits always leave one of the 4 bands intact (detected);
@@ -327,3 +352,38 @@ def test_simhash_band_detection_boundary(spark):
     assert got.get((1, 2)) == 3          # detected: bands 1-3 intact
     assert (1, 3) not in got             # all 4 bands touched -> missed
     assert got.get((2, 3), 0) >= 0       # whatever bands 2,3 share is fine
+
+
+def test_simhash_band_negative_signature(spark):
+    """Band values must be sign-agnostic: a pair whose only untouched
+    band is band 0 and whose sign bits (bit 63) differ must still be
+    candidates. With `%` instead of a mask, the negative signature's
+    band-0 residue lands in (-65536, 0] and the pair is silently
+    missed (the hamming<=3 recall guarantee breaks)."""
+    from jobminer_spark.operators.dedupe import simhash_band_candidates
+
+    base = 0x0123456789ABCDEF
+    # flip bits 16, 32, 63: bands 1, 2, 3 each touched, band 0 intact;
+    # bit 63 makes the partner negative as a signed long.
+    partner = base ^ (1 << 16) ^ (1 << 32) ^ (1 << 63)
+    partner_signed = partner - (1 << 64) if partner >= (1 << 63) else partner
+    assert partner_signed < 0
+    sims = spark.createDataFrame(
+        [(1, base), (2, partner_signed)], "doc_id long, simhash long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_band_candidates(sims, max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 3  # band 0 intact despite sign flip
+
+    # control: same shape but flipping bit 48 (stays positive) is found
+    partner_pos = base ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)
+    sims2 = spark.createDataFrame(
+        [(1, base), (2, partner_pos)], "doc_id long, simhash long"
+    )
+    got2 = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_band_candidates(sims2, max_hamming=3).collect()
+    }
+    assert got2.get((1, 2)) == 3

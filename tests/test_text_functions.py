@@ -110,6 +110,12 @@ def test_company_direct_text_branches():
         (f"{h2}Acme<span> sp. z o.o.</span> Corp</h2>", "Acme Corp"),  # split direct text
         (f"{h2}Acme<br/>Corp</h2>", "AcmeCorp"),                 # self-closing
         (f"{h2}<span>only nested</span></h2>", ""),              # h2 present, no direct text
+        # multi-level nesting: a non-greedy <tag>.*?</tag> regex pairs
+        # <span> with the FIRST closing tag and leaves '</span>'
+        # dangling in the output — the depth tokenizer must not
+        (f"{h2}<span>a<b>x</b></span>Acme</h2>", "Acme"),
+        (f"{h2}<span><span>x</span>y</span>Acme</h2>", "Acme"),  # y is depth-1, excluded
+        (f"{h2}A<div><span>v</span><br/>w</div>B</h2>", "AB"),   # mixed nested + self-closing
     ]
     for html, expected in cases:
         assert _company_direct_text(html) == expected, html
