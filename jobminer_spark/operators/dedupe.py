@@ -717,6 +717,45 @@ from jobminer_spark.operators.common import (  # noqa: E402
 )
 
 
+def embedding_sign_pairs(emb: DataFrame, bits: int = 4) -> DataFrame:
+    """(vec_a, vec_b, cosine) candidate pairs under hyperplane-sign
+    blocking: vectors only pair within their ``bits``-bit sign bucket
+    (2^bits buckets), so the pair join is Σ|bucket|² not |table|².
+
+    ``bits`` is the LIVE scale knob (not prose): candidate volume
+    drops ~2× per extra bit (each hyperplane roughly halves every
+    bucket), at the cost of missing near-dups that straddle more sign
+    boundaries — raise it with corpus volume the way LSH adds bands.
+    Exact cosine re-rank inside buckets either way."""
+    bucket = sum(
+        (
+            F.when(F.col("embedding")[i] >= 0, 1 << (bits - 1 - i)).otherwise(0)
+            for i in range(bits)
+        ),
+        start=F.lit(0),
+    )
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        _norm_col(F.col("embedding")).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (
+            _dot_col(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cosine"),
+    )
+
+
 @query(
     "embedding_neardup_bucketed",
     oracle=f"""
@@ -749,37 +788,11 @@ from jobminer_spark.operators.common import (  # noqa: E402
     """,
 )
 def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup with sign-bucket blocking: vectors only pair
-    within their 4-bit hyperplane-sign bucket (16 buckets), so the
-    pair join is |bucket|² not |table|² — the same blocking idea
-    scales by raising the number of sign bits with data volume. Exact
-    cosine re-rank inside buckets."""
+    """Embedding near-dup at the default bits=4 (16 buckets), matching
+    the oracle's 4-bit bucket CTE; see embedding_sign_pairs for the
+    bits-vs-volume knob."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        "embedding",
-        (
-            F.when(F.col("embedding")[0] >= 0, 8).otherwise(0)
-            + F.when(F.col("embedding")[1] >= 0, 4).otherwise(0)
-            + F.when(F.col("embedding")[2] >= 0, 2).otherwise(0)
-            + F.when(F.col("embedding")[3] >= 0, 1).otherwise(0)
-        ).alias("bucket"),
-        _norm_col(F.col("embedding")).alias("nrm"),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        (
-            _dot_col(F.col("a.embedding"), F.col("b.embedding"))
-            / (F.col("a.nrm") * F.col("b.nrm"))
-        ).alias("cosine"),
-    )
+    pairs = embedding_sign_pairs(emb, bits=4)
     return pairs.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(50)
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 FIXTURE_TABLES = (
@@ -27,19 +28,41 @@ FIXTURE_TABLES = (
 )
 
 
+_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """True when this events.parquet stores ts as TIMESTAMP(NANOS)
+    (the fixture's physical ts type has varied across generations).
+    Footer-only probe via pyarrow — no Spark job, no session conf
+    mutation — cached per file path (fixture files are immutable for
+    a session's lifetime)."""
+    if path not in _TS_NANOS_CACHE:
+        _TS_NANOS_CACHE[path] = (
+            str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+        )
+    return _TS_NANOS_CACHE[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. No schema inference: parquet footers carry
     the authoritative schema (FIXTURE_SCHEMAS documents it).
 
-    events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark 4
-    rejects outright; we read it as long nanos (legacy conf, set at
-    runtime so it works under ANY session incl. the driver's) and
-    truncate to microsecond TimestampType — exactly what DuckDB does
-    when it scans the same file, so oracle comparisons line up."""
-    if name == "events":
+    When events.ts is TIMESTAMP(NANOS) in the parquet footer — which
+    Spark 4 rejects outright — we read it as long nanos (legacy conf,
+    set at runtime so it works under ANY session incl. the driver's)
+    and truncate to microsecond TimestampType — exactly what DuckDB
+    does when it scans the same file, so oracle comparisons line up.
+    The conf is only touched when the footer really is nanos (pyarrow
+    probe), so micros-generation fixtures leave session state alone."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ts_is_nanos = name == "events" and events_ts_is_nanos(path)
+    if ts_is_nanos:
+        # Needed at scan time (and for the plan's lifetime): the parquet
+        # reader consults the footer on execution, not just at planning.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    df = spark.read.parquet(path)
+    if ts_is_nanos:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

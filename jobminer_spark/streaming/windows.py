@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jobminer_spark.schemas import EVENTS
+from jobminer_spark.sources.parquet import events_ts_is_nanos
 
 
 def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,14 +29,18 @@ def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture's ts physical type has varied across generations
     (TIMESTAMP(NANOS) vs timestamp[us]), so mirror the batch loader's
-    detection (sources/parquet.py:39-46) instead of hard-coding either:
-    probe the file with a batch read — if Spark surfaces ts as bigint
-    (nanos under the legacy conf), read long + truncate to micros;
-    otherwise read TimestampType directly. Keeps stream and batch
-    event-time identical by construction."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    detection instead of hard-coding either: a pyarrow footer probe
+    (sources.parquet.events_ts_is_nanos — no Spark job, cached per
+    path). When nanos, read long + truncate to micros; otherwise read
+    TimestampType directly. Keeps stream and batch event-time
+    identical by construction. The legacy nanosAsLong conf is set
+    ONLY when the footer really is nanos — it must then stay set for
+    the stream's lifetime (the scan consults it per micro-batch), but
+    a micros fixture leaves session state completely untouched."""
     path = os.path.join(sf_dir, "events.parquet")
-    ts_is_nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    ts_is_nanos = events_ts_is_nanos(path)
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = T.StructType(
         [
             f

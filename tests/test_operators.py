@@ -331,6 +331,26 @@ def test_prefix_bound_float_ceil_boundary(spark):
     assert (1, 2) in edges
 
 
+def test_embedding_sign_bits_knob_shrinks_candidates(spark):
+    """The sign-bucket blocking knob must be live: more hyperplane
+    bits → strictly finer buckets → fewer candidate pairs (every
+    bits=6 bucket is a subset of a bits=4 bucket, so the candidate
+    set at 6 bits is a subset of the one at 4 bits)."""
+    from jobminer_spark.operators.dedupe import embedding_sign_pairs
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    p4 = {
+        (r.vec_a, r.vec_b) for r in embedding_sign_pairs(emb, bits=4).collect()
+    }
+    p6 = {
+        (r.vec_a, r.vec_b) for r in embedding_sign_pairs(emb, bits=6).collect()
+    }
+    assert p6 < p4  # strict subset: finer blocking prunes candidates
+    assert len(p6) > 0
+
+
 def test_simhash_band_detection_boundary(spark):
     """Pigeonhole recall bound for the banded neighbor search: <= 3
     flipped bits always leave one of the 4 bands intact (detected);

@@ -120,3 +120,31 @@ def test_streaming_source_nanos_fixture_compat(spark, tmp_path):
     s = {r.event_id: r.ts for r in stream.collect()}
     assert s == b and len(s) == n
     assert all(t.year == 2023 for t in s.values())
+
+
+def test_streaming_source_conf_hygiene_and_probe_cache(spark):
+    """A micros-generation fixture must leave session state untouched:
+    the nanos probe is a pyarrow footer read (no legacy conf set, no
+    Spark job) and is cached per path so repeated source constructions
+    don't re-probe."""
+    import os
+    from unittest import mock
+
+    from jobminer_spark.sources import parquet as pq_src
+    from jobminer_spark.streaming.windows import streaming_events_source
+    from tests.conftest import SF_DIR
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    path = os.path.join(SF_DIR, "events.parquet")
+    pq_src._TS_NANOS_CACHE.pop(path, None)
+
+    with mock.patch.object(
+        pq_src.pq, "read_schema", wraps=pq_src.pq.read_schema
+    ) as probe:
+        streaming_events_source(spark, SF_DIR)
+        streaming_events_source(spark, SF_DIR)
+        assert probe.call_count == 1  # second call served from cache
+
+    # the sf fixtures are timestamp[us]: the legacy conf must not be set
+    assert spark.conf.get(key, None) is None
