@@ -121,6 +121,66 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sink_parity",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM
+         (SELECT DISTINCT user_id, event_type FROM events)) AS n_sink_keys,
+      CAST(0 AS BIGINT) AS n_duplicates,
+      CAST(0 AS BIGINT) AS n_missing
+    """,
+)
+def stream_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-EFFECT audit for the foreachBatch upsert sink
+    (streaming/stateful.py): run the stream into a parquet sink TWICE
+    — the second run with a FRESH checkpoint, i.e. a full re-delivery
+    of every micro-batch, the worst replay a crashed driver can
+    produce — and report the sink's key population. The anti-join
+    probe-before-insert (the reference's database.py:116-123 made
+    idempotent) must leave exactly one row per (user_id, event_type):
+    the oracle independently counts the distinct keys and expects
+    zero duplicates and zero missing keys, so a broken anti-join,
+    a swallowed sink-read error, or append-duplication under replay
+    turns this driver row red (SURVEY §2 rows 39/40's streaming half,
+    previously pytest-only)."""
+    import os
+    import shutil
+    import tempfile
+
+    from jobminer_spark.streaming.stateful import foreach_batch_upsert
+    from jobminer_spark.streaming.windows import streaming_events_source
+
+    keys = ["user_id", "event_type"]
+    work = tempfile.mkdtemp(prefix="stream_sink_parity_")
+    try:
+        sink = os.path.join(work, "sink")
+        # run 1: normal drain; run 2: fresh checkpoint => every batch
+        # re-delivered against the already-populated sink
+        for ckpt in ("ck_run1", "ck_run2"):
+            q = foreach_batch_upsert(
+                streaming_events_source(spark, sf_dir).select("event_id", *keys),
+                spark,
+                sink,
+                os.path.join(work, ckpt),
+                keys,
+            )
+            q.awaitTermination()
+        sink_df = spark.read.parquet(sink)
+        # bounded driver-side scalars (three O(1) aggregate results)
+        n_rows = sink_df.count()
+        n_sink_keys = sink_df.select(*keys).distinct().count()
+        batch_keys = load_table(spark, sf_dir, "events").select(*keys).distinct()
+        n_missing = batch_keys.join(sink_df, keys, "left_anti").count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_sink_keys).cast("long").alias("n_sink_keys"),
+        F.lit(n_rows - n_sink_keys).cast("long").alias("n_duplicates"),
+        F.lit(n_missing).cast("long").alias("n_missing"),
+    )
+
+
+@query(
     "kmeans_lloyd_audit",
     oracle=f"""
     WITH v AS (

@@ -855,6 +855,20 @@ def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     edges = _neardup_edges(docs)
+    return connected_components_propagation(edges)
+
+
+def connected_components_propagation(
+    edges: DataFrame,
+    max_rounds: int = 20,
+    rounds_out: list[int] | None = None,
+) -> DataFrame:
+    """Min-label propagation over (doc_a, doc_b) edges; returns
+    (doc_id, component). O(diameter) rounds — the clique-shaped
+    near-dup default; see connected_components_star for the
+    adversarial-diameter variant. ``rounds_out``, when given, receives
+    the number of executed rounds (the scale claim is testable, not
+    prose — see test_cc_adversarial_chain_round_counts)."""
     bidir = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -870,7 +884,8 @@ def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = bidir.groupBy(F.col("src").alias("doc_id")).agg(
         F.min(F.least(F.col("src"), F.col("dst"))).alias("component")
     )
-    for _ in range(20):  # >= graph diameter; fixture converges in ~2
+    n_rounds = 0
+    for _ in range(max_rounds):  # >= graph diameter; fixture converges in ~2
         prop = bidir.join(
             labels, bidir.src == labels.doc_id
         ).select(F.col("dst").alias("doc_id"), "component")
@@ -887,8 +902,11 @@ def neardup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         labels = new_labels
+        n_rounds += 1
         if changed == 0:
             break
+    if rounds_out is not None:
+        rounds_out.append(n_rounds)
     return labels
 
 
@@ -1028,7 +1046,11 @@ def neardup_edges_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_edges_prefix(docs, 0.8)
 
 
-def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+def connected_components_star(
+    edges: DataFrame,
+    max_rounds: int = 30,
+    rounds_out: list[int] | None = None,
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contractions. `edges` is (src, dst) in either orientation; returns
     (doc_id, component) with component = the component's min node id.
@@ -1056,6 +1078,7 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFra
         .localCheckpoint(eager=True)
     )
     n_e = e.count()
+    n_rounds = 0
     for _ in range(max_rounds):
         # large-star over the undirected neighborhoods
         nbrs = e.select("u", "v").unionByName(
@@ -1087,8 +1110,11 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFra
             n_new == n_e and new_e.exceptAll(e).limit(1).count() == 0
         )
         e, n_e = new_e, n_new
+        n_rounds += 1
         if converged:
             break
+    if rounds_out is not None:
+        rounds_out.append(n_rounds)
     # fixpoint is a star forest: u→min edges, plus the roots themselves
     return (
         e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))

@@ -301,6 +301,13 @@ def ann_ivf_kmeans_topk(
     cents = emb.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
+    return _ivf_probe_topk(emb, cents, n_queries, k, nprobe)
+
+
+def _centroid_ranks(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Every vector ranked against every centroid by quantized L2
+    (rn=1 is the cell assignment; rn<=nprobe are a query's probe
+    cells). Centroids broadcast — the corpus never shuffles."""
     d = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -308,7 +315,17 @@ def ann_ivf_kmeans_topk(
         _qdist(F.col("embedding"), F.col("cvec")).alias("qdist"),
     )
     w_cell = W.partitionBy("vec_id").orderBy("qdist", "cid")
-    ranked = d.withColumn("rn", F.row_number().over(w_cell))
+    return d.withColumn("rn", F.row_number().over(w_cell))
+
+
+def _ivf_probe_topk(
+    emb: DataFrame, cents: DataFrame, n_queries: int, k: int, nprobe: int
+) -> DataFrame:
+    """IVF-flat search against an arbitrary centroid table: assign
+    cells, probe each query's nprobe nearest cells, exact cosine
+    re-rank inside — shared by the seed-centroid and trained-centroid
+    index variants."""
+    ranked = _centroid_ranks(emb, cents)
     cells = ranked.filter(F.col("rn") == 1).select(
         "vec_id",
         "embedding",
@@ -501,6 +518,53 @@ def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _update_centroids(assign: DataFrame) -> DataFrame:
+    """Lloyd centroid update: per-cluster per-dimension mean, exact
+    decimal accumulation (order-independent), result cast back to
+    float — one narrow shuffle of width K×dims, independent of the
+    corpus size. Empty clusters simply vanish from the output (same
+    on the SQL-oracle side)."""
+    return (
+        assign.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mx")
+        )
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("pairs"))
+        .select(
+            F.col("cluster").alias("cid"),
+            F.transform(F.col("pairs"), lambda p: p["mx"].cast("float")).alias(
+                "cvec"
+            ),
+        )
+    )
+
+
+def lloyd_centroids(emb: DataFrame, k: int = _KM_K, n_updates: int = 1) -> DataFrame:
+    """Train a coarse quantizer: seed with the first K vectors, run
+    ``n_updates`` Lloyd assignment+mean rounds, return the trained
+    (cid, cvec) centroid table — persisted (localCheckpoint) so the
+    downstream IVF probes a materialized index instead of re-deriving
+    the training lineage per query."""
+    cents = (
+        emb.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_updates):
+        assign = (
+            _centroid_ranks(emb, cents)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+        )
+        cents = _update_centroids(assign).localCheckpoint(eager=True)
+    return cents
+
+
 def lloyd_rounds(emb: DataFrame, k: int = _KM_K, n_rounds: int = 3) -> list[DataFrame]:
     """Run ``n_rounds`` Lloyd iterations and return the per-round
     assignment DataFrames ``(vec_id, embedding, cluster, qdist)``.
@@ -542,31 +606,7 @@ def lloyd_rounds(emb: DataFrame, k: int = _KM_K, n_rounds: int = 3) -> list[Data
         assigns.append(assign)
         if r == n_rounds - 1:
             break  # the last round's centroid update would be dead work
-        cents = (
-            assign.select(
-                "cluster", F.posexplode("embedding").alias("dim", "x")
-            )
-            .groupBy("cluster", "dim")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mx")
-            )
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "mx"))
-                ).alias("pairs")
-            )
-            .select(
-                F.col("cluster").alias("cid"),
-                F.transform(F.col("pairs"), lambda p: p["mx"].cast("float")).alias(
-                    "cvec"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
+        cents = _update_centroids(assign).localCheckpoint(eager=True)
     return assigns
 
 
@@ -582,4 +622,155 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
     return assign.select("vec_id", "cluster").join(F.broadcast(sizes), "cluster").select(
         "vec_id", "cluster", "n_members"
+    )
+
+
+def _trained_cells_cte() -> str:
+    """DuckDB CTEs recomputing lloyd_centroids(n_updates=1): seed with
+    the first K vectors, one quantized-L2 assignment, one exact
+    decimal-mean update (double result cast through REAL to mirror the
+    Spark side's float centroid storage)."""
+    from jobminer_spark.operators.common import KM_K, KM_QUANT
+
+    return f"""
+    seed AS (SELECT vec_id AS cid, ord, val AS cx FROM elems WHERE vec_id < {KM_K}),
+    d0 AS (
+      SELECT e.vec_id, s.cid,
+             CAST(SUM(CAST(floor((e.val - s.cx) * (e.val - s.cx) * {KM_QUANT})
+                           AS BIGINT)) AS BIGINT) AS qdist
+      FROM elems e JOIN seed s ON s.ord = e.ord
+      GROUP BY e.vec_id, s.cid
+    ),
+    a0 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdist, cid) AS rn
+        FROM d0) WHERE rn = 1
+    ),
+    trained AS (
+      SELECT a0.cluster AS cid, e.ord,
+             CAST(CAST(CAST(SUM(CAST(e.val AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*) AS REAL) AS DOUBLE) AS cx
+      FROM a0 JOIN elems e ON e.vec_id = a0.vec_id
+      GROUP BY a0.cluster, e.ord
+    )
+    """
+
+
+def _ivf_trained_oracle(n_queries: int, k: int, nprobe: int) -> str:
+    from jobminer_spark.operators.common import KM_QUANT
+
+    return f"""
+    WITH {_VEC_NORMS_CTE},
+    {_trained_cells_cte()},
+    d AS (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM(CAST(floor((e.val - c.cx) * (e.val - c.cx) * {KM_QUANT})
+                           AS BIGINT)) AS BIGINT) AS qdist
+      FROM elems e JOIN trained c ON c.ord = e.ord
+      GROUP BY e.vec_id, c.cid
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdist, cid) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdist, cid) AS rn
+        FROM d WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+    ),
+    pair_dots AS (
+      SELECT p.query_id, cl.vec_id AS neighbor_id,
+             CAST(SUM(CAST(floor(eq.val * ec.val * 1000000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000000.0 AS dot
+      FROM probes p
+      JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+      JOIN elems eq ON eq.vec_id = p.query_id
+      JOIN elems ec ON ec.vec_id = cl.vec_id AND ec.ord = eq.ord
+      GROUP BY p.query_id, cl.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             dot / (nq.nrm * nc.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id
+             ) AS rnk
+      FROM pair_dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= {k}
+    """
+
+
+@query(
+    "ann_ivf_trained_topk",
+    oracle=_ivf_trained_oracle(ANN_N_QUERIES, ANN_TOP_K, ANN_NPROBE),
+)
+def ann_ivf_trained_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = ANN_N_QUERIES,
+    k: int = ANN_TOP_K,
+    nprobe: int = ANN_NPROBE,
+) -> DataFrame:
+    """Production-shaped IVF: the coarse quantizer is TRAINED (one
+    Lloyd assignment+mean round seeded from the first K vectors —
+    lloyd_centroids — persisted, then probed) instead of the raw seed
+    vectors ann_ivf_kmeans_topk quantizes against. The oracle
+    recomputes the same trained cells in SQL, so a drift in the
+    training step (mean accumulation, float rounding, tie order) or
+    in the probe/re-rank turns the driver row red. Index build is
+    O(rounds) narrow K×dims shuffles; search cost is identical to the
+    seed-centroid variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = lloyd_centroids(emb.select("vec_id", "embedding"), _KM_K, n_updates=1)
+    return _ivf_probe_topk(emb, cents, n_queries, k, nprobe)
+
+
+@query(
+    "ann_ivf_trained_recall",
+    oracle=f"""
+    WITH brute AS ({{brute}}),
+    ivf AS ({{ivf}})
+    SELECT b.query_id,
+           COUNT(*) AS k_brute,
+           COUNT(i.neighbor_id) AS k_overlap,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+    FROM brute b
+    LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """.format(
+        brute=_brute_oracle(ANN_N_QUERIES, ANN_TOP_K),
+        ivf=_ivf_trained_oracle(ANN_N_QUERIES, ANN_TOP_K, ANN_NPROBE),
+    ),
+)
+def ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the TRAINED index vs exact brute force at the same
+    nprobe — the measurement that justifies training the quantizer:
+    better-centered cells put more true neighbors inside the probed
+    fraction. Same distributed join-and-count shape as
+    ann_ivf_recall_vs_bruteforce."""
+    brute = ann_cosine_topk_bruteforce(spark, sf_dir).alias("b")
+    ivf = ann_ivf_trained_topk(spark, sf_dir).alias("i")
+    return (
+        brute.join(
+            ivf,
+            (F.col("b.query_id") == F.col("i.query_id"))
+            & (F.col("b.neighbor_id") == F.col("i.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k_brute"),
+            F.count(F.col("i.neighbor_id")).alias("k_overlap"),
+            (
+                F.count(F.col("i.neighbor_id")).cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
     )

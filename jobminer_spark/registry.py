@@ -74,12 +74,16 @@ _OPERATOR_MODULES = [
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
-# module's position (r6: relational's r5-spilled tail). The rest of
-# relational follows at its module position, i.e. rolls past slot 50.
+# module's position (r6: relational's r5-spilled tail, plus the new
+# stream_sink_parity audit so the exactly-once sink path gets a hard
+# driver row THIS round — temporal's last entry spills to r7 to make
+# room; it is r4-attested and unchanged). The rest of each module
+# follows at its module position, i.e. rolls past slot 50.
 _WINDOW_FRONT = [
     "except_lapsed_customers",
     "distinct_counts_per_status",
     "variance_stats_by_event_type",
+    "stream_sink_parity",
 ]
 
 

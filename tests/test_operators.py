@@ -331,6 +331,46 @@ def test_prefix_bound_float_ceil_boundary(spark):
     assert (1, 2) in edges
 
 
+def test_cc_adversarial_chain_round_counts(spark):
+    """Executable version of SCALING.md's connected-components claim:
+    on an adversarial 256-node chain (diameter 255), the
+    large-star/small-star variant converges within the ⌈log₂n⌉²
+    round bound and labels every node correctly, while min-label
+    propagation is still unconverged after 20 rounds (it moves the
+    min label one hop per round — O(diameter), fine for clique-shaped
+    near-dup graphs, wrong tool for chains)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from jobminer_spark.operators.dedupe import (
+        connected_components_propagation,
+        connected_components_star,
+    )
+
+    n = 256
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+
+    star_rounds: list[int] = []
+    star = connected_components_star(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        rounds_out=star_rounds,
+    )
+    labels = {r.doc_id: r.component for r in star.collect()}
+    assert labels == {i: 0 for i in range(n)}  # one component, min id 0
+    assert star_rounds[0] <= math.ceil(math.log2(n)) ** 2  # = 64; ~6 in practice
+
+    prop_rounds: list[int] = []
+    prop = connected_components_propagation(
+        edges, max_rounds=20, rounds_out=prop_rounds
+    )
+    partial = {r.doc_id: r.component for r in prop.collect()}
+    assert prop_rounds[0] == 20  # hit the cap: O(diameter) on a chain...
+    assert any(c != 0 for c in partial.values())  # ...and still unconverged
+
+
 def test_embedding_sign_bits_knob_shrinks_candidates(spark):
     """The sign-bucket blocking knob must be live: more hyperplane
     bits → strictly finer buckets → fewer candidate pairs (every
