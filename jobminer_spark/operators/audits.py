@@ -23,9 +23,15 @@ puts them in the driver's 50-entry attestation window.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.common import KM_K, KM_QUANT
+from jobminer_spark.operators.common import (
+    KM_K,
+    KM_QUANT,
+    VEC_NORMS_CTE,
+    trained_cells_cte,
+)
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -181,27 +187,93 @@ def stream_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_parity",
+    oracle="""
+    SELECT
+      (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+      CAST(0 AS BIGINT) AS n_count_mismatch,
+      CAST(0 AS BIGINT) AS n_value_mismatch
+    """,
+)
+def stream_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the applyInPandasWithState surface (the custom stateful
+    operator path — arbitrary per-key Python state across
+    micro-batches) to the batch aggregation it must equal on a bounded
+    stream: run streaming/stateful.running_user_totals for real, take
+    each user's final state, and full-outer-join it against the plain
+    groupBy totals. Counts are compared exactly; sums within 1e-6
+    (the state accumulates in Python floats, whose addition order
+    differs from Spark's aggregate — equality beyond tolerance is not
+    guaranteed by IEEE, the tolerance is the honest contract). The
+    oracle counts the distinct users independently and expects zero
+    mismatches, so a lost state row, double-counted batch, or
+    dropped user turns this driver row red (last remaining
+    pytest-only streaming surface from SURVEY §2 row 42)."""
+    import uuid
+
+    from jobminer_spark.streaming.stateful import running_user_totals
+    from jobminer_spark.streaming.windows import streaming_events_source
+
+    name = f"stateful_{uuid.uuid4().hex[:10]}"
+    stream = running_user_totals(streaming_events_source(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per touched key per micro-batch; the
+    # row with the highest running count is the key's final state
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").alias("s_n"),
+            F.col("total_value").alias("s_tv"),
+        )
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("b_n"), F.sum("value").alias("b_tv"))
+    )
+    j = batch.join(final, "user_id", "full_outer")
+    count_mismatch = ~F.col("b_n").eqNullSafe(F.col("s_n"))
+    value_mismatch = (
+        F.col("b_tv").isNull()
+        | F.col("s_tv").isNull()
+        | (F.abs(F.col("b_tv") - F.col("s_tv")) > 1e-6)
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(count_mismatch, 1)).alias("n_count_mismatch"),
+        F.count(F.when(value_mismatch, 1)).alias("n_value_mismatch"),
+    )
+
+
+@query(
     "kmeans_lloyd_audit",
     oracle=f"""
-    WITH v AS (
-      SELECT vec_id, i, CAST(x AS DOUBLE) AS x FROM (
-        SELECT vec_id, unnest(embedding) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
-    ),
-    c AS (SELECT vec_id AS cid, i, x AS cx FROM v WHERE vec_id < {KM_K}),
-    d AS (
-      SELECT v.vec_id, c.cid,
-             CAST(SUM(CAST(floor((v.x - c.cx) * (v.x - c.cx) * {KM_QUANT})
+    WITH {VEC_NORMS_CTE},
+    {trained_cells_cte()},
+    best1 AS (SELECT vec_id, MIN(qdist) AS best_q FROM d0 GROUP BY vec_id),
+    d2 AS (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM(CAST(floor((e.val - c.cx) * (e.val - c.cx) * {KM_QUANT})
                            AS BIGINT)) AS BIGINT) AS qdist
-      FROM v JOIN c ON v.i = c.i
-      GROUP BY v.vec_id, c.cid
+      FROM elems e JOIN trained c ON c.ord = e.ord
+      GROUP BY e.vec_id, c.cid
     ),
-    best AS (SELECT vec_id, MIN(qdist) AS best_q FROM d GROUP BY vec_id)
-    SELECT COUNT(*) AS n_vectors,
-           CAST(SUM(best_q) AS BIGINT) AS obj_round1,
+    best2 AS (SELECT vec_id, MIN(qdist) AS best_q FROM d2 GROUP BY vec_id)
+    SELECT (SELECT COUNT(*) FROM best1) AS n_vectors,
+           (SELECT CAST(SUM(best_q) AS BIGINT) FROM best1) AS obj_round1,
+           (SELECT CAST(SUM(best_q) AS BIGINT) FROM best2) AS obj_round2,
            CAST(0 AS BIGINT) AS n_objective_increases
-    FROM best
     """,
 )
 def kmeans_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,6 +285,11 @@ def kmeans_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       recomputes it exactly, pinning the loop's assignment step
       cross-engine (same pin as kmeans_assign_fixed_centroids, but on
       the loop's own code path).
+    * ``obj_round2`` — the objective after the first CENTROID UPDATE
+      (assignment against the decimal-mean trained centroids): the
+      oracle recomputes the trained cells via common.trained_cells_cte
+      (the same CTE that pins ann_ivf_trained_topk), so the update
+      step itself — not just monotonicity — is exact hard signal.
     * ``n_objective_increases`` — Lloyd's method monotonically
       non-increases the objective (assignment picks the nearest
       centroid; the update step recomputes exact means); the audit
@@ -241,5 +318,6 @@ def kmeans_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(
         F.col("n0").alias("n_vectors"),
         F.col("obj0").alias("obj_round1"),
+        F.col("obj1").alias("obj_round2"),
         inc.alias("n_objective_increases"),
     )

@@ -143,6 +143,40 @@ KM_K = 8
 KM_QUANT = 1_000_000_000_000.0  # 1e12 per-element quantization
 
 
+def trained_cells_cte() -> str:
+    """DuckDB CTEs recomputing similarity.lloyd_centroids(n_updates=1):
+    ``seed`` (first K vectors), ``d0`` (round-1 quantized distances),
+    ``a0`` (round-1 assignment), ``trained`` (exact decimal-mean
+    centroids, double result cast through REAL to mirror the Spark
+    side's float centroid storage). Requires the ``elems`` CTE from
+    VEC_NORMS_CTE in scope. Lives in this query-free module so
+    audits.py can embed it in an oracle string at decoration time
+    without importing the query-bearing similarity module early."""
+    return f"""
+    seed AS (SELECT vec_id AS cid, ord, val AS cx FROM elems WHERE vec_id < {KM_K}),
+    d0 AS (
+      SELECT e.vec_id, s.cid,
+             CAST(SUM(CAST(floor((e.val - s.cx) * (e.val - s.cx) * {KM_QUANT})
+                           AS BIGINT)) AS BIGINT) AS qdist
+      FROM elems e JOIN seed s ON s.ord = e.ord
+      GROUP BY e.vec_id, s.cid
+    ),
+    a0 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdist, cid) AS rn
+        FROM d0) WHERE rn = 1
+    ),
+    trained AS (
+      SELECT a0.cluster AS cid, e.ord,
+             CAST(CAST(CAST(SUM(CAST(e.val AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*) AS REAL) AS DOUBLE) AS cx
+      FROM a0 JOIN elems e ON e.vec_id = a0.vec_id
+      GROUP BY a0.cluster, e.ord
+    )
+    """
+
+
 def qdist_col(a, b) -> Column:
     """Quantized squared L2 distance between two float arrays: each
     element difference is computed in double (identical IEEE op on

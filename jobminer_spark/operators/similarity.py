@@ -625,40 +625,8 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _trained_cells_cte() -> str:
-    """DuckDB CTEs recomputing lloyd_centroids(n_updates=1): seed with
-    the first K vectors, one quantized-L2 assignment, one exact
-    decimal-mean update (double result cast through REAL to mirror the
-    Spark side's float centroid storage)."""
-    from jobminer_spark.operators.common import KM_K, KM_QUANT
-
-    return f"""
-    seed AS (SELECT vec_id AS cid, ord, val AS cx FROM elems WHERE vec_id < {KM_K}),
-    d0 AS (
-      SELECT e.vec_id, s.cid,
-             CAST(SUM(CAST(floor((e.val - s.cx) * (e.val - s.cx) * {KM_QUANT})
-                           AS BIGINT)) AS BIGINT) AS qdist
-      FROM elems e JOIN seed s ON s.ord = e.ord
-      GROUP BY e.vec_id, s.cid
-    ),
-    a0 AS (
-      SELECT vec_id, cid AS cluster FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdist, cid) AS rn
-        FROM d0) WHERE rn = 1
-    ),
-    trained AS (
-      SELECT a0.cluster AS cid, e.ord,
-             CAST(CAST(CAST(SUM(CAST(e.val AS DECIMAL(38,12))) AS DOUBLE)
-                       / COUNT(*) AS REAL) AS DOUBLE) AS cx
-      FROM a0 JOIN elems e ON e.vec_id = a0.vec_id
-      GROUP BY a0.cluster, e.ord
-    )
-    """
-
-
 def _ivf_trained_oracle(n_queries: int, k: int, nprobe: int) -> str:
-    from jobminer_spark.operators.common import KM_QUANT
+    from jobminer_spark.operators.common import KM_QUANT, trained_cells_cte as _trained_cells_cte
 
     return f"""
     WITH {_VEC_NORMS_CTE},

@@ -32,16 +32,18 @@ ORACLES: dict[str, str] = {}
 #   round 5 window: audits(2) + trainprep(7) + skills(6) + tpch(21) +
 #     relational(first 14 of 17) = 50 — executed as planned, 50/50
 #     green (CORRECTNESS_r05.json).
-#   round 6 window (THIS round, the order below): relational tail(3,
-#     spilled from r5: except_lapsed_customers,
-#     distinct_counts_per_status, variance_stats_by_event_type — via
-#     _WINDOW_FRONT) + the modules modified in r5 — scrapeshape(7,
-#     incl. the changed html_badge_parse_udf company column),
-#     similarity(7, incl. never-attested ann_ivf_kmeans_topk +
-#     kmeans_lloyd_clusters), dedupe(15, incl. the 6 never-attested
-#     r5 queries), skew(2, incl. salted_join_equivalence), curation(4,
-#     incl. repeated_chunk_dedup), textanalysis(9) — + temporal(3)
-#     = exactly 50.  Spilled to r7: events/multimodal (r4-attested,
+#   round 6 window (THIS round, the order below): _WINDOW_FRONT —
+#     relational's r5-spilled tail (except_lapsed_customers,
+#     distinct_counts_per_status, variance_stats_by_event_type) plus
+#     the new stream_sink_parity audit — then the modules modified in
+#     r5: scrapeshape(7, incl. the changed html_badge_parse_udf
+#     company column), similarity(9, incl. never-attested
+#     ann_ivf_kmeans_topk + kmeans_lloyd_clusters and the new
+#     ann_ivf_trained_topk / ann_ivf_trained_recall), dedupe(15,
+#     incl. the 6 never-attested r5 queries), skew(2, incl.
+#     salted_join_equivalence), curation(4, incl.
+#     repeated_chunk_dedup), textanalysis(9) = exactly 50.
+#     Spilled to r7: temporal/events/multimodal (r4-attested,
 #     unchanged) and re-attesting audits/trainprep/skills/tpch/
 #     relational-head.
 #   invariant: local parity (tests/test_oracle_parity.py) and
@@ -71,6 +73,9 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.skills",
     "jobminer_spark.operators.tpch",
     "jobminer_spark.operators.relational",
+    # new in r6 — registered past the window by design; the rotation
+    # invariant pulls r6-modified modules to the front of r7's window
+    "jobminer_spark.operators.embedlsh",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
