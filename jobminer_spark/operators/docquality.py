@@ -1,0 +1,105 @@
+"""Repetition-based document quality filtering.
+
+The Gopher/MassiveText curation rules (Rae et al. 2021, §A1.1 — public
+paper) filter documents by the fraction of content inside repeated
+n-grams: template/boilerplate text and generation loops repeat
+locally, and the filter needs no model, just counting. The fixture
+documents are single-line word streams, so the unit here is the word
+2-gram:
+
+* ``dup_gram_frac`` — fraction of 2-gram occurrences whose 2-gram
+  appears more than once in the SAME document;
+* ``top_gram_frac`` — occurrences of the document's most frequent
+  2-gram over all its 2-gram occurrences.
+
+Both are exact integer-count ratios (same IEEE division in both
+engines — no float accumulation), so the whole filter is
+oracle-checkable row by row.
+
+Scale shape: 2-grams are generated in-row from the token array (no
+explode-then-self-join), the count is one shuffle on (doc_id, gram)
+with map-side combine, and the per-doc rollup shuffles only (doc_id)
+keyed count rows — no cross-document work anywhere, so the operator
+is embarrassingly parallel over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+DUP_FRAC_MAX = 0.12  # ~p90 of the fixture distribution; Gopher-style knob
+TOP_FRAC_MAX = 0.06
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ),
+    grams AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS g
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    ),
+    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / SUM(c) AS dup_gram_frac,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_gram_frac
+      FROM gc GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, dup_gram_frac, top_gram_frac,
+           CAST(CASE WHEN dup_gram_frac > {DUP_FRAC_MAX}
+                       OR top_gram_frac > {TOP_FRAC_MAX}
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM per
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 2-gram repetition profile + Gopher-style flag.
+    Documents shorter than 2 tokens produce no grams and no row (same
+    contract as the SQL oracle's inner gram join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = (
+        docs.repartition("doc_id")  # single-row-group fixture parquet
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1]),
+                )
+            ).alias("g"),
+        )
+    )
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("dup_gram_frac"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_gram_frac"),
+    )
+    flagged = (
+        (F.col("dup_gram_frac") > DUP_FRAC_MAX)
+        | (F.col("top_gram_frac") > TOP_FRAC_MAX)
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "dup_gram_frac",
+        "top_gram_frac",
+        F.when(flagged, 1).otherwise(0).cast("long").alias("flagged"),
+    )

@@ -76,6 +76,7 @@ _OPERATOR_MODULES = [
     # new in r6 — registered past the window by design; the rotation
     # invariant pulls r6-modified modules to the front of r7's window
     "jobminer_spark.operators.embedlsh",
+    "jobminer_spark.operators.docquality",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -159,3 +159,22 @@ def test_prefix_filter_edges_no_cartesian(spark):
 def test_repeated_chunk_dedup_partial_aggregates(spark):
     plan = _plan(spark, "repeated_chunk_dedup")
     assert plan.count("HashAggregate") >= 2  # map-side combine on chunk hash
+
+
+def test_ann_ivf_trained_broadcasts_small_sides(spark):
+    """The trained-centroid IVF must keep the same physical shape as
+    the seed-centroid variant: centroids/probes broadcast, corpus
+    never cartesian-joined — training the quantizer must not change
+    the search plan."""
+    plan = _plan(spark, "ann_ivf_trained_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hyperplane_lsh_signature_in_row(spark):
+    """The LSH signature is literal-plane in-row arithmetic: no join
+    of any plane table, no cartesian — the only joins are the band
+    self-join and the re-rank rejoins (all hash joins)."""
+    plan = _plan(spark, "embedding_hyperplane_lsh_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
