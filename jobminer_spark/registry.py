@@ -46,6 +46,15 @@ ORACLES: dict[str, str] = {}
 #     Spilled to r7: temporal/events/multimodal (r4-attested,
 #     unchanged) and re-attesting audits/trainprep/skills/tpch/
 #     relational-head.
+#   round 7 window (plan): the modules modified or created in r6 that
+#     sit OUTSIDE r6's window go first — audits(4: stream_batch_parity
+#     gained session-window columns, new stream_sink_parity +
+#     stream_stateful_parity, kmeans_lloyd_audit gained obj_round2),
+#     embedlsh(1), docquality(1) — then temporal/events/multimodal
+#     (r4-attested), then re-attesting trainprep/skills/tpch/
+#     relational-head by age. (The r6-modified scrapeshape/similarity/
+#     dedupe/skew/curation/textanalysis attest IN r6's window — the
+#     driver runs on round-end HEAD — so they carry no r7 debt.)
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

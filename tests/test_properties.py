@@ -160,3 +160,47 @@ def test_salted_join_equivalent_to_plain_join(spark):
     want = Counter((k, v, a) for k, v in rows for kk, a in
                    [("hot", 1), ("a", 2), ("b", 3)] if kk == k)
     assert got == want
+
+
+def test_hyperplane_lsh_identical_vectors_always_collide(spark):
+    """LSH soundness floor: byte-identical vectors have identical
+    signatures, so every duplicated vector pair MUST appear among the
+    band candidates (the analogue of the SimHash exact-dup recall
+    guarantee); and a vector's negation flips every signature bit, so
+    (v, -v) — the maximally distant pair — must share NO band."""
+    from jobminer_spark.operators.embedlsh import hyperplane_band_pairs
+
+    base = [0.25 * ((d % 7) - 3) + 0.01 for d in range(64)]
+    neg = [-x for x in base]
+    other = [0.1 * ((d % 5) - 2) - 0.02 for d in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, neg), (4, other)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_a, r.vec_b) for r in hyperplane_band_pairs(emb).collect()
+    }
+    assert (1, 2) in got          # identical vectors collide on ALL bands
+    assert (1, 3) not in got      # negation flips every bit: zero shared bands
+    assert (2, 3) not in got
+
+
+def test_registry_window_invariants():
+    """The attestation-window machinery must stay well-formed: every
+    _WINDOW_FRONT name resolves, the reorder is a permutation (no
+    query lost or duplicated), oracles stay aligned with queries, and
+    the front names actually lead the window."""
+    from jobminer_spark import registry
+    from jobminer_spark.registry import ORACLES, QUERIES, load_all_operators
+
+    load_all_operators()
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    for i, n in enumerate(registry._WINDOW_FRONT):
+        assert names[i] == n
+    assert set(ORACLES) <= set(QUERIES)
+    # every query's registering module is ranked (nothing falls to the
+    # unranked tail, where its window position would be accidental)
+    ranked = set(registry._OPERATOR_MODULES)
+    for n in names:
+        assert registry._QUERY_MODULE[n] in ranked, n
