@@ -1,0 +1,116 @@
+"""Incremental ingestion dedup: admit a new batch against a kept corpus.
+
+A recurring training-data pipeline rarely re-dedups the whole corpus;
+each ingest round asks "which INCOMING documents survive against what
+we already kept?" — the asymmetric version of the near-dup pipeline
+(the reference's probe-before-insert, database.py:116-123, lifted from
+key equality to content similarity). Semantics here:
+
+* build trigram-Jaccard >= 0.8 near-dup components over the union
+  (dedupe._neardup_edges + min-label propagation — the same
+  oracle-pinned primitives);
+* a component containing ANY existing document admits NO incoming
+  members (they are all transitive near-dups of kept content);
+* an incoming-only component admits exactly its minimum doc_id
+  (first-write-wins within the batch);
+* isolated incoming documents admit themselves.
+
+The existing/incoming split is simulated on the fixture as
+doc_id % 3 == 0 (existing), everything else incoming — the operator
+itself takes any boolean split.
+
+Scale shape: identical to the batch near-dup pipeline (one inverted-
+index shuffle for edges, O(diameter) narrow label rounds, one rollup
+per component) — the asymmetry is a column predicate, not a new join,
+so incremental admission costs no more than the full dedup whose
+components it reuses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Safe at module level: registry._apply_window_order makes the window
+# order explicit after load, so this import cannot perturb attestation
+# slots even if this module is imported first.
+from jobminer_spark.operators.dedupe import (
+    _CC_EDGES_CTE,
+    _neardup_edges,
+    connected_components_propagation,
+)
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+
+def admit_incoming(
+    docs: DataFrame, is_existing: F.Column
+) -> DataFrame:
+    """(doc_id, n_members) for every ADMITTED incoming document under
+    the component rules in the module docstring. ``docs`` needs
+    (doc_id, text); ``is_existing`` is any boolean column over it."""
+    edges = _neardup_edges(docs)
+    comps = connected_components_propagation(edges)
+    labeled = (
+        docs.select("doc_id", is_existing.alias("is_existing"))
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_existing",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    per = labeled.groupBy("component").agg(
+        F.max(F.when(F.col("is_existing"), 1).otherwise(0)).alias("has_existing"),
+        F.min(F.when(~F.col("is_existing"), F.col("doc_id"))).alias("min_incoming"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return per.filter(
+        (F.col("has_existing") == 0) & F.col("min_incoming").isNotNull()
+    ).select(F.col("min_incoming").alias("doc_id"), "n_members")
+
+
+@query(
+    "incremental_neardup_admission",
+    oracle=f"""
+    WITH RECURSIVE {_CC_EDGES_CTE},
+    reach(src, dst) AS (
+      SELECT src, dst FROM bidir
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT doc_id, MIN(m) AS component
+      FROM (
+        SELECT src AS doc_id, dst AS m FROM reach
+        UNION ALL
+        SELECT DISTINCT src, src FROM bidir
+      )
+      GROUP BY doc_id
+    ),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             (d.doc_id % 3 = 0) AS is_existing
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    per AS (
+      SELECT component,
+             MAX(CASE WHEN is_existing THEN 1 ELSE 0 END) AS has_existing,
+             MIN(CASE WHEN NOT is_existing THEN doc_id END) AS min_incoming,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM labeled GROUP BY component
+    )
+    SELECT min_incoming AS doc_id, n_members
+    FROM per
+    WHERE has_existing = 0 AND min_incoming IS NOT NULL
+    """,
+)
+def incremental_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission decision for the simulated ingest batch: the oracle
+    recomputes the same components via the recursive-CTE transitive
+    closure and applies the same component rules, so any drift in the
+    edge set, the propagation fixpoint, or the admission filter turns
+    the row red."""
+    docs = load_table(spark, sf_dir, "documents")
+    return admit_incoming(docs, F.col("doc_id") % 3 == 0)

@@ -86,6 +86,7 @@ _OPERATOR_MODULES = [
     # invariant pulls r6-modified modules to the front of r7's window
     "jobminer_spark.operators.embedlsh",
     "jobminer_spark.operators.docquality",
+    "jobminer_spark.operators.increment",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -331,6 +331,33 @@ def test_prefix_bound_float_ceil_boundary(spark):
     assert (1, 2) in edges
 
 
+def test_incremental_admission_component_rules(spark):
+    """The three admission rules on a constructed split: an incoming
+    near-dup of EXISTING content is rejected (even transitively), an
+    incoming-only near-dup group admits its min doc_id, an isolated
+    incoming doc admits itself."""
+    import pyspark.sql.functions as F
+
+    from jobminer_spark.operators.increment import admit_incoming
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    t3 = "red green blue yellow purple orange pink black"
+    rows = [
+        (3, t1),   # existing (id % 3 == 0)
+        (10, t1),  # incoming, dup of existing -> rejected
+        (11, t2),  # incoming, dup group with 13 -> admitted (min)
+        (13, t2),  # incoming, dup of 11 -> rejected
+        (14, t3),  # incoming, isolated -> admitted
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_members
+        for r in admit_incoming(docs, F.col("doc_id") % 3 == 0).collect()
+    }
+    assert got == {11: 2, 14: 1}
+
+
 def test_cc_adversarial_chain_round_counts(spark):
     """Executable version of SCALING.md's connected-components claim:
     on an adversarial 256-node chain (diameter 255), the
