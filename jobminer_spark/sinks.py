@@ -30,6 +30,14 @@ def write_parquet(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "append") -> None:
+    """ORC sink (native Spark writer) — same columnar pushdown/pruning
+    behavior as parquet for consumers that standardize on ORC. Avro is
+    deliberately absent: spark-avro is an external jar not available
+    in this environment (documented in OPERATORS.md)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_jdbc_jobs(
     df: DataFrame,
     url: str,

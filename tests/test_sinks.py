@@ -31,6 +31,30 @@ def test_partitioned_parquet_roundtrip(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_orc_roundtrip_with_predicate_pushdown(spark):
+    """ORC sink/source round-trip: values survive bit-exactly and a
+    filter over the read-back table reaches the ORC scan as a pushed
+    filter (same columnar contract as parquet)."""
+    tmp = tempfile.mkdtemp(prefix="orc_")
+    try:
+        from jobminer_spark.plans import physical_plan
+        from jobminer_spark.sinks import write_orc
+
+        o = load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        write_orc(o, f"{tmp}/orders", mode="overwrite")
+        back = spark.read.orc(f"{tmp}/orders")
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, o.collect()))
+        filtered = back.filter(F.col("o_orderkey") == 7)
+        plan = physical_plan(filtered)
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert pushed and "o_orderkey" in pushed[0]
+        assert filtered.count() == o.filter(F.col("o_orderkey") == 7).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_sink_projection_truncates_to_ddl_widths(spark):
     df = spark.range(1).select(
         F.lit("j" * 300).alias("job_id"),
