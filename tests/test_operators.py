@@ -331,6 +331,28 @@ def test_prefix_bound_float_ceil_boundary(spark):
     assert (1, 2) in edges
 
 
+def test_trained_ivf_zero_updates_equals_seed_variant(spark):
+    """lloyd_centroids(n_updates=0) is exactly the seed table, so the
+    trained-IVF search must reproduce the seed-centroid IVF's results
+    — ties the two variants to one shared probe/re-rank contract."""
+    from jobminer_spark.operators.similarity import (
+        _KM_K,
+        _ivf_probe_topk,
+        ann_ivf_kmeans_topk,
+        lloyd_centroids,
+    )
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = lloyd_centroids(emb.select("vec_id", "embedding"), _KM_K, n_updates=0)
+    via_trained = {
+        tuple(r) for r in _ivf_probe_topk(emb, cents, 8, 5, 2).collect()
+    }
+    via_seed = {tuple(r) for r in ann_ivf_kmeans_topk(spark, SF_DIR).collect()}
+    assert via_trained == via_seed and len(via_seed) > 0
+
+
 def test_incremental_admission_component_rules(spark):
     """The three admission rules on a constructed split: an incoming
     near-dup of EXISTING content is rejected (even transitively), an
