@@ -45,8 +45,15 @@ from jobminer_spark.operators.common import (
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
-N_PLANES = 16
-BAND_BITS = 4  # 16 bits -> 4 bands of 4
+# 32 planes in 4 bands of 8 bits: for random vectors a band collides
+# at ~(1/2)^8 so candidates are ~1.5% of all-pairs (measured 1.0% at
+# sf0.1 for 2 bands of 8; 4 bands ≈ 2×), while a true near-dup at
+# cosine 0.97 (bit-agreement p = 1 - θ/π ≈ 0.92) is caught by
+# >= 1 of 4 bands with probability 1-(1-0.92^8)^4 ≈ 0.95. The earlier
+# 4-bit-band default blocked only ~23% — fine at fixture scale, far
+# too permissive at corpus scale.
+N_PLANES = 32
+BAND_BITS = 8  # 32 bits -> 4 bands of 8
 
 
 def _plane_sign(j: int, d: int) -> int:
