@@ -862,13 +862,18 @@ def connected_components_propagation(
     edges: DataFrame,
     max_rounds: int = 20,
     rounds_out: list[int] | None = None,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Min-label propagation over (doc_a, doc_b) edges; returns
     (doc_id, component). O(diameter) rounds — the clique-shaped
     near-dup default; see connected_components_star for the
     adversarial-diameter variant. ``rounds_out``, when given, receives
     the number of executed rounds (the scale claim is testable, not
-    prose — see test_cc_adversarial_chain_round_counts)."""
+    prose — see test_cc_adversarial_chain_round_counts). With
+    ``require_converged`` the cap is a hard contract: hitting
+    max_rounds without a zero-change round raises instead of silently
+    returning partial labels — callers that make keep/drop decisions
+    from the labels must not act on an unconverged fixpoint."""
     bidir = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -885,6 +890,7 @@ def connected_components_propagation(
         F.min(F.least(F.col("src"), F.col("dst"))).alias("component")
     )
     n_rounds = 0
+    converged = False
     for _ in range(max_rounds):  # >= graph diameter; fixture converges in ~2
         prop = bidir.join(
             labels, bidir.src == labels.doc_id
@@ -904,9 +910,16 @@ def connected_components_propagation(
         labels = new_labels
         n_rounds += 1
         if changed == 0:
+            converged = True
             break
     if rounds_out is not None:
         rounds_out.append(n_rounds)
+    if require_converged and not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds the cap); raise max_rounds or use "
+            "connected_components_star"
+        )
     return labels
 
 
@@ -1050,6 +1063,7 @@ def connected_components_star(
     edges: DataFrame,
     max_rounds: int = 30,
     rounds_out: list[int] | None = None,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contractions. `edges` is (src, dst) in either orientation; returns
@@ -1079,6 +1093,7 @@ def connected_components_star(
     )
     n_e = e.count()
     n_rounds = 0
+    done = False
     for _ in range(max_rounds):
         # large-star over the undirected neighborhoods
         nbrs = e.select("u", "v").unionByName(
@@ -1112,9 +1127,15 @@ def connected_components_star(
         e, n_e = new_e, n_new
         n_rounds += 1
         if converged:
+            done = True
             break
     if rounds_out is not None:
         rounds_out.append(n_rounds)
+    if require_converged and not done:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds; "
+            "raise max_rounds (bound is O(log² n))"
+        )
     # fixpoint is a star forest: u→min edges, plus the roots themselves
     return (
         e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))

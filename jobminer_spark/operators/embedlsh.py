@@ -69,14 +69,31 @@ def hyperplane_band_pairs(
     emb: DataFrame,
     n_planes: int = N_PLANES,
     band_bits: int = BAND_BITS,
-    dims: int = 64,
+    dims: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b) candidate pairs colliding on >= 1 signature band.
 
     The ±1 planes enter the plan as literal arrays (they are pure
     constants — nothing to broadcast or join), each bit is an in-row
     zip_with/aggregate fold over the quantized vector, and the only
-    shuffle is the narrow band self-join."""
+    shuffle is the narrow band self-join.
+
+    ``dims`` defaults to the corpus's actual embedding length (one
+    bounded first() probe). A vector whose length differs from dims
+    produces a NULL projection; the bit expression deliberately lets
+    that null PROPAGATE to the band value (`.when(<0, 0)` with no
+    otherwise), so mismatched vectors match no band and are excluded
+    from candidates. Defaulting nulls to bit 0 instead would give
+    every mismatched vector the all-zero signature and degrade the
+    band self-join toward |table|² — the blowup LSH exists to
+    prevent."""
+    if dims is None:
+        first = emb.select(F.size("embedding").alias("d")).first()
+        if first is None:
+            return emb.select(
+                F.col("vec_id").alias("vec_a"), F.col("vec_id").alias("vec_b")
+            ).limit(0)
+        dims = first["d"]
     planes = plane_matrix(n_planes, dims)
     qv = F.transform(
         F.col("embedding"),
@@ -91,7 +108,9 @@ def hyperplane_band_pairs(
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+        # no .otherwise: a null projection (length-mismatched vector)
+        # stays null through the band sum and joins nothing
+        bits.append(F.when(proj >= 0, F.lit(1)).when(proj < 0, F.lit(0)))
     n_bands = n_planes // band_bits
     band_vals = F.array(
         *[

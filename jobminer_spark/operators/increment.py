@@ -7,8 +7,8 @@ we already kept?" — the asymmetric version of the near-dup pipeline
 key equality to content similarity). Semantics here:
 
 * build trigram-Jaccard >= 0.8 near-dup components over the union
-  (dedupe._neardup_edges + min-label propagation — the same
-  oracle-pinned primitives);
+  (dedupe._neardup_edges + star contraction with a hard convergence
+  check — the same oracle-pinned primitives);
 * a component containing ANY existing document admits NO incoming
   members (they are all transitive near-dups of kept content);
 * an incoming-only component admits exactly its minimum doc_id
@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from jobminer_spark.operators.dedupe import (
     _CC_EDGES_CTE,
     _neardup_edges,
-    connected_components_propagation,
+    connected_components_star,
 )
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
@@ -48,9 +48,22 @@ def admit_incoming(
 ) -> DataFrame:
     """(doc_id, n_members) for every ADMITTED incoming document under
     the component rules in the module docstring. ``docs`` needs
-    (doc_id, text); ``is_existing`` is any boolean column over it."""
+    (doc_id, text); ``is_existing`` is any boolean column over it.
+
+    Components come from the star-contraction variant with a HARD
+    convergence requirement: admission is a keep/drop decision, and
+    acting on an unconverged label set would admit transitive
+    near-dups of existing content (a near-dup chain longer than the
+    round cap would split). Star converges in O(log² n) rounds
+    regardless of chain length, so the cap is never the binding
+    constraint in practice — and if it ever is, this raises instead
+    of silently over-admitting."""
     edges = _neardup_edges(docs)
-    comps = connected_components_propagation(edges)
+    comps = connected_components_star(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        max_rounds=60,
+        require_converged=True,
+    )
     labeled = (
         docs.select("doc_id", is_existing.alias("is_existing"))
         .join(comps, "doc_id", "left")

@@ -298,6 +298,13 @@ _COMPANY_RE = re.compile(
     r'<h2 data-test="text-employerName">(.*?)</h2>', re.DOTALL
 )
 _TAG_RE = re.compile(r"<[^>]+>")
+# HTML void elements never take a closing tag, so a bare `<br>` (no
+# XHTML slash) must NOT increase nesting depth — treating it as an
+# opening tag would silently swallow all following direct text.
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+_TAG_NAME_RE = re.compile(r"<\s*([a-zA-Z][a-zA-Z0-9]*)")
 
 
 def _direct_text(inner_html: str) -> str:
@@ -306,7 +313,10 @@ def _direct_text(inner_html: str) -> str:
     depth 0. Handles multi-level nesting (<span>a<b>x</b></span>)
     exactly like bs4's ``find_all(text=True, recursive=False)`` —
     a non-greedy <tag>.*?</tag> regex pairs each opening tag with the
-    FIRST closing tag and leaves dangling fragments on nested input."""
+    FIRST closing tag and leaves dangling fragments on nested input.
+    Void elements (plain-HTML <br>, <img>, ...), XHTML self-closing
+    tags, and comments/declarations (<!-- -->, <!DOCTYPE>) do not
+    change depth — bs4 treats them all as childless."""
     depth = 0
     out = []
     pos = 0
@@ -316,8 +326,10 @@ def _direct_text(inner_html: str) -> str:
         tag = m.group(0)
         if tag.startswith("</"):
             depth = max(0, depth - 1)
-        elif not tag.endswith("/>"):
-            depth += 1
+        elif not tag.endswith("/>") and not tag.startswith("<!"):
+            name = _TAG_NAME_RE.match(tag)
+            if name is None or name.group(1).lower() not in _VOID_TAGS:
+                depth += 1
         pos = m.end()
     if depth == 0:
         out.append(inner_html[pos:])

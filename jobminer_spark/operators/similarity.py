@@ -585,21 +585,8 @@ def lloyd_rounds(emb: DataFrame, k: int = _KM_K, n_rounds: int = 3) -> list[Data
     )
     assigns: list[DataFrame] = []
     for r in range(n_rounds):
-        d = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            _qdist(F.col("embedding"), F.col("cvec")).alias("qdist"),
-        )
-        w = W.partitionBy("vec_id").orderBy("qdist", "cid")
         assign = (
-            d.select(
-                "vec_id",
-                "embedding",
-                "cid",
-                "qdist",
-                F.row_number().over(w).alias("rn"),
-            )
+            _centroid_ranks(emb, cents)
             .filter(F.col("rn") == 1)
             .select("vec_id", "embedding", F.col("cid").alias("cluster"), "qdist")
         )

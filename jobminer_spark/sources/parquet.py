@@ -31,16 +31,46 @@ FIXTURE_TABLES = (
 _TS_NANOS_CACHE: dict[str, bool] = {}
 
 
-def events_ts_is_nanos(path: str) -> bool:
-    """True when this events.parquet stores ts as TIMESTAMP(NANOS)
+def events_ts_is_nanos(path: str, spark: SparkSession | None = None) -> bool:
+    """True when this events parquet stores ts as TIMESTAMP(NANOS)
     (the fixture's physical ts type has varied across generations).
     Footer-only probe via pyarrow — no Spark job, no session conf
-    mutation — cached per file path (fixture files are immutable for
-    a session's lifetime)."""
+    mutation — cached per path (fixture files are immutable for a
+    session's lifetime). Handles both a single file and a local
+    part-file directory (ParquetDataset); for layouts pyarrow cannot
+    open (e.g. a remote filesystem path), falls back to a Spark batch
+    probe with the legacy conf set only for the probe's duration and
+    restored afterward."""
     if path not in _TS_NANOS_CACHE:
-        _TS_NANOS_CACHE[path] = (
-            str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
-        )
+        try:
+            schema = pq.read_schema(path)
+        except Exception:
+            try:
+                schema = pq.ParquetDataset(path).schema
+            except Exception:
+                schema = None
+        if schema is not None:
+            _TS_NANOS_CACHE[path] = (
+                str(schema.field("ts").type) == "timestamp[ns]"
+            )
+        else:
+            if spark is None:
+                raise ValueError(
+                    f"cannot probe parquet footer at {path!r} with pyarrow "
+                    "and no SparkSession was provided for the fallback probe"
+                )
+            key = "spark.sql.legacy.parquet.nanosAsLong"
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "true")
+            try:
+                _TS_NANOS_CACHE[path] = (
+                    dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+                )
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
     return _TS_NANOS_CACHE[path]
 
 
@@ -56,7 +86,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The conf is only touched when the footer really is nanos (pyarrow
     probe), so micros-generation fixtures leave session state alone."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ts_is_nanos = name == "events" and events_ts_is_nanos(path)
+    ts_is_nanos = name == "events" and events_ts_is_nanos(path, spark)
     if ts_is_nanos:
         # Needed at scan time (and for the plan's lifetime): the parquet
         # reader consults the footer on execution, not just at planning.

@@ -38,7 +38,7 @@ def streaming_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream's lifetime (the scan consults it per micro-batch), but
     a micros fixture leaves session state completely untouched."""
     path = os.path.join(sf_dir, "events.parquet")
-    ts_is_nanos = events_ts_is_nanos(path)
+    ts_is_nanos = events_ts_is_nanos(path, spark)
     if ts_is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = T.StructType(

@@ -185,6 +185,49 @@ def test_hyperplane_lsh_identical_vectors_always_collide(spark):
     assert (2, 3) not in got
 
 
+def test_hyperplane_lsh_mismatched_dims_join_nothing(spark):
+    """A vector whose length differs from the corpus dims must fall
+    out of candidate generation (null band values join nothing) — NOT
+    collapse to an all-zero signature that degrades the band
+    self-join toward all-pairs."""
+    from jobminer_spark.operators.embedlsh import hyperplane_band_pairs
+
+    base = [0.25 * ((d % 7) - 3) + 0.01 for d in range(64)]
+    short = base[:32]
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, short), (4, short)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.vec_a, r.vec_b) for r in hyperplane_band_pairs(emb).collect()}
+    assert (1, 2) in got                     # well-formed dups still collide
+    assert all(3 not in p and 4 not in p for p in got)  # mismatched join nothing
+
+
+def test_nanos_probe_handles_partfile_directory(spark, tmp_path):
+    """events written as a Spark part-file DIRECTORY (not a single
+    file) must still probe: pyarrow's single-file read_schema fails
+    there and the ParquetDataset fallback takes over."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobminer_spark.sources import parquet as pq_src
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000, 1_700_000_600_000_000_000],
+                           pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, str(d / "part-00000.parquet"), store_schema=False)
+    pq.write_table(table, str(d / "part-00001.parquet"), store_schema=False)
+    path = str(d)
+    pq_src._TS_NANOS_CACHE.pop(path, None)
+    assert pq_src.events_ts_is_nanos(path, spark) is True
+
+
 def test_registry_window_invariants():
     """The attestation-window machinery must stay well-formed: every
     _WINDOW_FRONT name resolves, the reorder is a permutation (no

@@ -116,6 +116,12 @@ def test_company_direct_text_branches():
         (f"{h2}<span>a<b>x</b></span>Acme</h2>", "Acme"),
         (f"{h2}<span><span>x</span>y</span>Acme</h2>", "Acme"),  # y is depth-1, excluded
         (f"{h2}A<div><span>v</span><br/>w</div>B</h2>", "AB"),   # mixed nested + self-closing
+        # plain-HTML void tags (no XHTML slash) must not open depth —
+        # an opening-tag treatment would swallow everything after <br>
+        (f"{h2}Acme<br>Corp</h2>", "AcmeCorp"),
+        (f"{h2}Acme <img src=x> Corp</h2>", "Acme  Corp"),
+        (f"{h2}Acme<!-- verified badge -->Corp</h2>", "AcmeCorp"),
+        (f"{h2}A<div>x<br>y</div>B</h2>", "AB"),                 # void inside nested stays excluded
     ]
     for html, expected in cases:
         assert _company_direct_text(html) == expected, html
