@@ -888,7 +888,18 @@ def connected_components_propagation(
     # iterates for longer paths.
     labels = bidir.groupBy(F.col("src").alias("doc_id")).agg(
         F.min(F.least(F.col("src"), F.col("dst"))).alias("component")
-    )
+    ).localCheckpoint(eager=True)
+
+    # Convergence via the label-sum invariant: a round only ever
+    # LOWERS labels (per-node min over neighbors), so the decimal sum
+    # strictly decreases until the fixpoint and equality <=> no label
+    # changed. One bounded aggregate per round instead of the
+    # join+filter+count diff (one fewer shuffle per round on the hot
+    # iterative path).
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     n_rounds = 0
     converged = False
     for _ in range(max_rounds):  # >= graph diameter; fixture converges in ~2
@@ -901,17 +912,13 @@ def connected_components_propagation(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
         n_rounds += 1
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if rounds_out is not None:
         rounds_out.append(n_rounds)
     if require_converged and not converged:
