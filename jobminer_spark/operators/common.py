@@ -143,6 +143,14 @@ KM_K = 8
 KM_QUANT = 1_000_000_000_000.0  # 1e12 per-element quantization
 
 
+# Gopher-style repetition-filter thresholds (~p90 of the fixture
+# distribution). Live here (query-free module) so docquality's filter
+# and trainprep's composite funnel share them in oracle strings
+# without cross-importing query-bearing modules at decoration time.
+DUP_FRAC_MAX = 0.12
+TOP_FRAC_MAX = 0.06
+
+
 def trained_cells_cte() -> str:
     """DuckDB CTEs recomputing similarity.lloyd_centroids(n_updates=1):
     ``seed`` (first K vectors), ``d0`` (round-1 quantized distances),

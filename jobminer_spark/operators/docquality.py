@@ -28,11 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jobminer_spark.operators.common import DUP_FRAC_MAX, TOP_FRAC_MAX
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
-
-DUP_FRAC_MAX = 0.12  # ~p90 of the fixture distribution; Gopher-style knob
-TOP_FRAC_MAX = 0.06
 
 
 @query(

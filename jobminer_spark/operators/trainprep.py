@@ -29,6 +29,7 @@ All randomness-free, all pure built-in columns (no UDFs).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from jobminer_spark.data.skill_dictionary import values_df
@@ -36,6 +37,8 @@ from jobminer_spark.data.skill_dictionary import values_df
 # module does not register curation/dedupe queries ahead of its own
 # (driver attests the first 50 registrations in order)
 from jobminer_spark.operators.common import (
+    DUP_FRAC_MAX,
+    TOP_FRAC_MAX,
     bucket_sql as _bucket_sql,
     hash_bucket,
     word_shingles,
@@ -389,4 +392,110 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("z.a") - F.col("z.x")) <= 0.02 * F.abs(F.col("z.x"))
         ).alias("within_bound"),
+    )
+
+
+@query(
+    "pretraining_prep_funnel",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ),
+    grams AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS g
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    ),
+    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    rep AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / SUM(c) AS dup_gram_frac,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_gram_frac
+      FROM gc GROUP BY doc_id
+    ),
+    s1 AS (
+      SELECT d.doc_id, d.source, d.lang, d.text
+      FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+      WHERE r.doc_id IS NULL
+         OR (r.dup_gram_frac <= {DUP_FRAC_MAX}
+             AND r.top_gram_frac <= {TOP_FRAC_MAX})
+    ),
+    s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+    s3 AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM s2) WHERE rn = 1
+    )
+    SELECT i.source,
+           i.n_input,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_after_repetition,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_after_lang,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_after_dedup
+    FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_input
+          FROM documents GROUP BY source) i
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM s1 GROUP BY source) a
+      ON a.source = i.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM s2 GROUP BY source) b
+      ON b.source = i.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM s3 GROUP BY source) c
+      ON c.source = i.source
+    """,
+)
+def pretraining_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end per-source survival report for the curation gates a
+    pretraining prep run chains in practice: Gopher-style repetition
+    filter (docquality.doc_repetition_stats; documents with no 2-grams
+    pass — no evidence of repetition) → language keep-list →
+    first-write-wins exact dedup on the content hash. Composes the
+    individually-oracled operators into ONE funnel whose stage counts
+    the oracle recomputes independently, so an integration regression
+    (join key drift, gate order, null handling between stages) turns
+    this row red even while each stage's own query stays green.
+
+    Scale shape: each gate is per-document or one hash-shuffle; the
+    funnel adds NO new shuffle beyond its stages (counts are per-source
+    aggregates of narrow survivor frames)."""
+    from jobminer_spark.operators.docquality import doc_repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = doc_repetition_stats(spark, sf_dir).select(
+        "doc_id", "dup_gram_frac", "top_gram_frac"
+    )
+    s1 = (
+        docs.join(rep, "doc_id", "left")
+        .filter(
+            F.col("dup_gram_frac").isNull()
+            | (
+                (F.col("dup_gram_frac") <= DUP_FRAC_MAX)
+                & (F.col("top_gram_frac") <= TOP_FRAC_MAX)
+            )
+        )
+        .select("doc_id", "source", "lang", "text")
+    )
+    s2 = s1.filter(F.col("lang") == "en")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    s3 = (
+        s2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
+
+    def per_source(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        per_source(docs, "n_input")
+        .join(per_source(s1, "r1"), "source", "left")
+        .join(per_source(s2, "r2"), "source", "left")
+        .join(per_source(s3, "r3"), "source", "left")
+    )
+    return out.select(
+        "source",
+        "n_input",
+        F.coalesce("r1", F.lit(0)).alias("n_after_repetition"),
+        F.coalesce("r2", F.lit(0)).alias("n_after_lang"),
+        F.coalesce("r3", F.lit(0)).alias("n_after_dedup"),
     )
