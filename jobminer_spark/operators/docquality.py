@@ -101,3 +101,57 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_gram_frac",
         F.when(flagged, 1).otherwise(0).cast("long").alias("flagged"),
     )
+
+
+@query(
+    "word_rarity_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY w),
+    scored AS (
+      SELECT t.doc_id, v.cf
+      FROM tok t JOIN vocab v ON v.w = t.w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(cf) AS DOUBLE) / COUNT(*) AS mean_corpus_freq,
+           CAST(SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_frac
+    FROM scored GROUP BY doc_id
+    """,
+)
+def word_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level lexical quality signal, the cross-document
+    complement to the intra-document repetition filter: per document,
+    the mean CORPUS frequency of its tokens and the fraction of its
+    tokens that are corpus hapaxes (frequency 1). Noise documents —
+    OCR garbage, random identifiers, encoding damage — skew toward
+    hapax-heavy/low-frequency vocabularies; boilerplate skews the
+    other way. Exact integer-count ratios, so the oracle matches
+    bit-for-bit (no log/perplexity transcendentals whose rounding
+    could diverge across engines).
+
+    Scale shape: one (word) shuffle to build the corpus vocabulary,
+    one join of token occurrences against it (AQE broadcasts the
+    vocab when it fits — vocabulary grows sublinearly in corpus
+    size), one (doc_id) rollup. The vocab join key is the word
+    itself; a pathological hot token is bounded by the per-doc token
+    count, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    scored = tok.join(vocab, "w")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("cf").cast("double") / F.count(F.lit(1))).alias("mean_corpus_freq"),
+        (
+            F.sum(F.when(F.col("cf") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_frac"),
+    )
