@@ -49,14 +49,7 @@ from jobminer_spark.sources import load_table
         AND p.event_type = 'purchase' AND c.event_type = 'click'
         AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts)
         AS n_ij_rows,
-      CAST(0 AS BIGINT) AS n_ij_mismatch,
-      (SELECT COALESCE(SUM(CASE WHEN prev_ts IS NULL
-                                  OR ts - prev_ts >= INTERVAL 5 MINUTE
-                                THEN 1 ELSE 0 END), 0)
-       FROM (SELECT ts, LAG(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS prev_ts
-             FROM events)) AS n_sessions,
-      CAST(0 AS BIGINT) AS n_session_mismatch
+      CAST(0 AS BIGINT) AS n_ij_mismatch
     """,
 )
 def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,27 +62,21 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
       the final double cast);
     * the watermarked stream-stream interval join vs
       temporal.interval_join_clicks_before_purchase — row-exact on
-      (purchase_id, click_id) with user and both timestamps compared;
-    * watermarked SESSION windows (the merging-state surface — session
-      windows coalesce as events arrive, the hardest incremental
-      state) vs events.session_window_5m_gap — row-exact on
-      (user_id, session_start) with per-session event counts compared.
+      (purchase_id, click_id) with user and both timestamps compared.
 
-    The oracle independently counts the expected windows, interval
-    rows, and sessions (gaps-and-islands) and expects zero mismatches,
-    so a timestamp-unit, watermark, join-state, or session-merge
-    regression in streaming/windows.py turns this driver row red
-    (SURVEY §2 rows 38/42, previously pytest-only)."""
-    from jobminer_spark.operators.events import (
-        session_window_5m_gap,
-        tumbling_window_hourly,
-    )
+    Session windows get their own row (stream_session_parity) so a
+    failure pinpoints the surface and each audit stays lean.
+
+    The oracle independently counts the expected windows and interval
+    rows and expects zero mismatches, so a timestamp-unit, watermark,
+    or join-state regression in streaming/windows.py turns this
+    driver row red (SURVEY §2 rows 38/42, previously pytest-only)."""
+    from jobminer_spark.operators.events import tumbling_window_hourly
     from jobminer_spark.operators.temporal import (
         interval_join_clicks_before_purchase,
     )
     from jobminer_spark.streaming.windows import (
         run_streaming_interval_join,
-        run_streaming_session_windows,
         run_streaming_tumbling_counts,
     )
 
@@ -138,6 +125,34 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ij_rows"),
         F.count(F.when(i_mismatch, 1)).alias("n_ij_mismatch"),
     )
+    # two 1-row aggregates — trivial broadcast cross join
+    return windows.crossJoin(intervals)
+
+
+@query(
+    "stream_session_parity",
+    oracle="""
+    SELECT
+      (SELECT COALESCE(SUM(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts >= INTERVAL 5 MINUTE
+                                THEN 1 ELSE 0 END), 0)
+       FROM (SELECT ts, LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_ts
+             FROM events)) AS n_sessions,
+      CAST(0 AS BIGINT) AS n_session_mismatch
+    """,
+)
+def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION windows (the merging-state surface —
+    session windows coalesce as events arrive, the hardest
+    incremental state) replayed for real and diffed row-exactly
+    against events.session_window_5m_gap on (user_id, session_start)
+    with per-session event counts compared. The oracle counts the
+    expected sessions independently via the gaps-and-islands rewrite
+    and expects zero mismatches, so a session-merge or gap-boundary
+    regression turns this driver row red."""
+    from jobminer_spark.operators.events import session_window_5m_gap
+    from jobminer_spark.streaming.windows import run_streaming_session_windows
 
     bs = session_window_5m_gap(spark, sf_dir).select(
         "user_id", "session_start", F.col("n_events").alias("b_sn")
@@ -147,12 +162,10 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     js = bs.join(ss, ["user_id", "session_start"], "full_outer")
     s_mismatch = ~F.col("b_sn").eqNullSafe(F.col("s_sn"))
-    sessions = js.agg(
+    return js.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.count(F.when(s_mismatch, 1)).alias("n_session_mismatch"),
     )
-    # three 1-row aggregates — trivial broadcast cross joins
-    return windows.crossJoin(intervals).crossJoin(sessions)
 
 
 @query(
