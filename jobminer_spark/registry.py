@@ -47,14 +47,16 @@ ORACLES: dict[str, str] = {}
 #     unchanged) and re-attesting audits/trainprep/skills/tpch/
 #     relational-head.
 #   round 7 window (plan): the modules modified or created in r6 that
-#     sit OUTSIDE r6's window go first — audits(4: stream_batch_parity
-#     gained session-window columns, new stream_sink_parity +
-#     stream_stateful_parity, kmeans_lloyd_audit gained obj_round2),
-#     embedlsh(1), docquality(1) — then temporal/events/multimodal
-#     (r4-attested), then re-attesting trainprep/skills/tpch/
-#     relational-head by age. (The r6-modified scrapeshape/similarity/
-#     dedupe/skew/curation/textanalysis attest IN r6's window — the
-#     driver runs on round-end HEAD — so they carry no r7 debt.)
+#     sit OUTSIDE r6's window go first — audits(5: new
+#     stream_sink_parity + stream_stateful_parity +
+#     stream_session_parity, kmeans_lloyd_audit gained obj_round2),
+#     embedlsh(1), docquality(2), increment(1), trainprep(8: gained
+#     pretraining_prep_funnel) — then temporal/events/multimodal
+#     (r4-attested), then re-attesting skills/tpch/relational-head by
+#     age; the remainder rolls to r8. (The r6-modified scrapeshape/
+#     similarity/dedupe/skew/curation/textanalysis attest IN r6's
+#     window — the driver runs on round-end HEAD — so they carry no
+#     r7 debt.)
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
