@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 # slots even if this module is imported first.
 from jobminer_spark.operators.dedupe import (
     _CC_EDGES_CTE,
+    _SHINGLES_CTE,
     _neardup_edges,
     connected_components_star,
 )
@@ -127,3 +128,59 @@ def incremental_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame
     the row red."""
     docs = load_table(spark, sf_dir, "documents")
     return admit_incoming(docs, F.col("doc_id") % 3 == 0)
+
+
+_CONTAIN_T = 0.9
+
+
+@query(
+    "contained_document_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    both_dirs AS (
+      SELECT doc_a AS contained_doc, doc_b AS container_doc,
+             CAST(n_inter AS DOUBLE) / sa.n_sh AS containment
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      UNION ALL
+      SELECT doc_b, doc_a,
+             CAST(n_inter AS DOUBLE) / sb.n_sh AS containment
+      FROM inter
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT contained_doc, container_doc, containment
+    FROM both_dirs
+    WHERE containment >= {_CONTAIN_T}
+    """,
+)
+def contained_document_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (the case symmetric Jaccard
+    misses): a small document quoted or reposted inside a much larger
+    one has |A∩B|/|A| ≈ 1 while J(A,B) = |A∩B|/|A∪B| stays low, so a
+    Jaccard threshold never fires. Containment = shared trigrams over
+    the CONTAINED side's trigram count, both directions emitted, at
+    the 0.9 threshold (Lee et al. 2022 treat containment separately
+    from symmetric near-dup for exactly this reason — public paper).
+
+    Plan: pure reuse of the inverted-index pair counts — the inter/
+    sizes frames are the same one-shuffle machinery as
+    ngram_jaccard_top_pairs; containment adds only the per-direction
+    ratio projection, no new shuffle."""
+    from jobminer_spark.operators.dedupe import (
+        SHINGLE_MAX_DF,
+        _jaccard_pair_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pc = _jaccard_pair_counts(docs, 3, max_df=SHINGLE_MAX_DF)
+    a_in_b = pc.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        (F.col("n_inter").cast("double") / F.col("n_sh_a")).alias("containment"),
+    )
+    b_in_a = pc.select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        (F.col("n_inter").cast("double") / F.col("n_sh_b")).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= _CONTAIN_T)
