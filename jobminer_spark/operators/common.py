@@ -151,6 +151,34 @@ DUP_FRAC_MAX = 0.12
 TOP_FRAC_MAX = 0.06
 
 
+def repetition_cte() -> str:
+    """DuckDB CTEs computing per-document word-2-gram repetition
+    stats, ending in ``rep`` (doc_id, n_grams, dup_gram_frac,
+    top_gram_frac). Shared by docquality's filter oracle and
+    trainprep's funnel oracle so the gram definition cannot silently
+    drift between the operator and the pipeline that composes it."""
+    return """
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ),
+    grams AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS g
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    ),
+    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    rep AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / SUM(c) AS dup_gram_frac,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_gram_frac
+      FROM gc GROUP BY doc_id
+    )
+    """
+
+
 def trained_cells_cte() -> str:
     """DuckDB CTEs recomputing similarity.lloyd_centroids(n_updates=1):
     ``seed`` (first K vectors), ``d0`` (round-1 quantized distances),

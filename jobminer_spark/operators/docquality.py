@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.common import DUP_FRAC_MAX, TOP_FRAC_MAX
+from jobminer_spark.operators.common import (
+    DUP_FRAC_MAX,
+    TOP_FRAC_MAX,
+    repetition_cte,
+)
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -36,29 +40,12 @@ from jobminer_spark.sources import load_table
 @query(
     "doc_repetition_stats",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-             generate_subscripts(string_split(text, ' '), 1) AS ord
-      FROM documents
-    ),
-    grams AS (
-      SELECT a.doc_id, a.w || ' ' || b.w AS g
-      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-    ),
-    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
-    per AS (
-      SELECT doc_id,
-             CAST(SUM(c) AS BIGINT) AS n_grams,
-             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
-               / SUM(c) AS dup_gram_frac,
-             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_gram_frac
-      FROM gc GROUP BY doc_id
-    )
+    WITH {repetition_cte()}
     SELECT doc_id, n_grams, dup_gram_frac, top_gram_frac,
            CAST(CASE WHEN dup_gram_frac > {DUP_FRAC_MAX}
                        OR top_gram_frac > {TOP_FRAC_MAX}
                      THEN 1 ELSE 0 END AS BIGINT) AS flagged
-    FROM per
+    FROM rep
     """,
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

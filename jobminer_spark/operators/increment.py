@@ -160,7 +160,13 @@ def contained_document_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard threshold never fires. Containment = shared trigrams over
     the CONTAINED side's trigram count, both directions emitted, at
     the 0.9 threshold (Lee et al. 2022 treat containment separately
-    from symmetric near-dup for exactly this reason — public paper).
+    from symmetric near-dup for exactly this reason — public paper)."""
+    return containment_pairs(load_table(spark, sf_dir, "documents"), _CONTAIN_T)
+
+
+def containment_pairs(docs: DataFrame, t: float = _CONTAIN_T) -> DataFrame:
+    """(contained_doc, container_doc, containment) for every ordered
+    pair with trigram containment >= t.
 
     Plan: pure reuse of the inverted-index pair counts — the inter/
     sizes frames are the same one-shuffle machinery as
@@ -171,7 +177,6 @@ def contained_document_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _jaccard_pair_counts,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     pc = _jaccard_pair_counts(docs, 3, max_df=SHINGLE_MAX_DF)
     a_in_b = pc.select(
         F.col("doc_a").alias("contained_doc"),
@@ -183,4 +188,4 @@ def contained_document_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("container_doc"),
         (F.col("n_inter").cast("double") / F.col("n_sh_b")).alias("containment"),
     )
-    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= _CONTAIN_T)
+    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= t)

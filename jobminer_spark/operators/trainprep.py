@@ -41,6 +41,7 @@ from jobminer_spark.operators.common import (
     TOP_FRAC_MAX,
     bucket_sql as _bucket_sql,
     hash_bucket,
+    repetition_cte,
     word_shingles,
 )
 from jobminer_spark.registry import query
@@ -398,23 +399,7 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pretraining_prep_funnel",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-             generate_subscripts(string_split(text, ' '), 1) AS ord
-      FROM documents
-    ),
-    grams AS (
-      SELECT a.doc_id, a.w || ' ' || b.w AS g
-      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-    ),
-    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
-    rep AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
-               / SUM(c) AS dup_gram_frac,
-             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_gram_frac
-      FROM gc GROUP BY doc_id
-    ),
+    WITH {repetition_cte()},
     s1 AS (
       SELECT d.doc_id, d.source, d.lang, d.text
       FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
@@ -455,47 +440,36 @@ def pretraining_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (join key drift, gate order, null handling between stages) turns
     this row red even while each stage's own query stays green.
 
-    Scale shape: each gate is per-document or one hash-shuffle; the
-    funnel adds NO new shuffle beyond its stages (counts are per-source
-    aggregates of narrow survivor frames)."""
+    Scale shape: ONE pass — stage membership is computed as boolean
+    flags on a single frame (curation_funnel's one-scan pattern), so
+    the expensive repetition aggregation runs once, not once per
+    stage branch; the only additions are the md5 dedup window and the
+    final per-source conditional counts."""
     from jobminer_spark.operators.docquality import doc_repetition_stats
 
     docs = load_table(spark, sf_dir, "documents")
     rep = doc_repetition_stats(spark, sf_dir).select(
         "doc_id", "dup_gram_frac", "top_gram_frac"
     )
-    s1 = (
+    p_rep = F.col("dup_gram_frac").isNull() | (
+        (F.col("dup_gram_frac") <= DUP_FRAC_MAX)
+        & (F.col("top_gram_frac") <= TOP_FRAC_MAX)
+    )
+    flags = (
         docs.join(rep, "doc_id", "left")
-        .filter(
-            F.col("dup_gram_frac").isNull()
-            | (
-                (F.col("dup_gram_frac") <= DUP_FRAC_MAX)
-                & (F.col("top_gram_frac") <= TOP_FRAC_MAX)
-            )
-        )
-        .select("doc_id", "source", "lang", "text")
+        .select("doc_id", "source", "lang", "text", p_rep.alias("p_rep"))
+        .withColumn("p_lang", F.col("p_rep") & (F.col("lang") == "en"))
     )
-    s2 = s1.filter(F.col("lang") == "en")
-    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    s3 = (
-        s2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "source")
+    # rank each md5(text) group with survivors first: rn==1 is the
+    # group's min-doc SURVIVOR iff the group has one, so the dedup
+    # flag needs no separate filtered frame
+    w = W.partitionBy(F.md5("text")).orderBy(F.col("p_lang").desc(), "doc_id")
+    flags = flags.withColumn(
+        "p_dedup", F.col("p_lang") & (F.row_number().over(w) == 1)
     )
-
-    def per_source(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
-
-    out = (
-        per_source(docs, "n_input")
-        .join(per_source(s1, "r1"), "source", "left")
-        .join(per_source(s2, "r2"), "source", "left")
-        .join(per_source(s3, "r3"), "source", "left")
-    )
-    return out.select(
-        "source",
-        "n_input",
-        F.coalesce("r1", F.lit(0)).alias("n_after_repetition"),
-        F.coalesce("r2", F.lit(0)).alias("n_after_lang"),
-        F.coalesce("r3", F.lit(0)).alias("n_after_dedup"),
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(F.col("p_rep"), 1)).alias("n_after_repetition"),
+        F.count(F.when(F.col("p_lang"), 1)).alias("n_after_lang"),
+        F.count(F.when(F.col("p_dedup"), 1)).alias("n_after_dedup"),
     )

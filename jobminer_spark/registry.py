@@ -47,10 +47,11 @@ ORACLES: dict[str, str] = {}
 #     unchanged) and re-attesting audits/trainprep/skills/tpch/
 #     relational-head.
 #   round 7 window (plan): the modules modified or created in r6 that
-#     sit OUTSIDE r6's window go first — audits(5: new
-#     stream_sink_parity + stream_stateful_parity +
+#     sit OUTSIDE r6's window go first — audits(5: stream_batch_parity
+#     re-shaped, new stream_sink_parity + stream_stateful_parity +
 #     stream_session_parity, kmeans_lloyd_audit gained obj_round2),
-#     embedlsh(1), docquality(2), increment(1), trainprep(8: gained
+#     embedlsh(1), docquality(2), increment(2: admission +
+#     contained_document_pairs), trainprep(8: gained
 #     pretraining_prep_funnel) — then temporal/events/multimodal
 #     (r4-attested), then re-attesting skills/tpch/relational-head by
 #     age; the remainder rolls to r8. (The r6-modified scrapeshape/

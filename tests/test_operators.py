@@ -332,14 +332,13 @@ def test_prefix_bound_float_ceil_boundary(spark):
 
 
 def test_containment_catches_what_jaccard_misses(spark):
-    """A small doc fully quoted inside a much larger one: containment
-    fires (|A∩B|/|A| = 1) while symmetric Jaccard stays far below the
-    0.8 near-dup threshold — the case the asymmetric detector exists
-    for."""
-    import pyspark.sql.functions as F
-
+    """A small doc fully quoted inside a much larger one: the
+    containment operator emits exactly (contained=1, container=2,
+    containment=1.0) — direction and threshold included — while
+    symmetric Jaccard stays far below the 0.8 near-dup threshold.
+    The case the asymmetric detector exists for."""
     from jobminer_spark.operators.dedupe import jaccard_edges_prefix
-    from jobminer_spark.operators.increment import _CONTAIN_T
+    from jobminer_spark.operators.increment import containment_pairs
 
     quoted = " ".join(f"q{i}" for i in range(10))       # 8 trigrams
     container = quoted + " " + " ".join(f"c{i}" for i in range(60))
@@ -349,15 +348,15 @@ def test_containment_catches_what_jaccard_misses(spark):
     # symmetric Jaccard ~ 8/68 << 0.8: no near-dup edge
     assert jaccard_edges_prefix(docs, 0.8, n=3, max_df=None).count() == 0
 
-    from jobminer_spark.operators.dedupe import (
-        SHINGLE_MAX_DF,
-        _jaccard_pair_counts,
-    )
+    got = [
+        (r.contained_doc, r.container_doc, r.containment)
+        for r in containment_pairs(docs).collect()
+    ]
+    # only the small-in-large direction fires, at exactly 1.0
+    assert got == [(1, 2, 1.0)]
 
-    pc = _jaccard_pair_counts(docs, 3, max_df=SHINGLE_MAX_DF)
-    row = pc.collect()[0]
-    contain = row.n_inter / min(row.n_sh_a, row.n_sh_b)
-    assert contain >= _CONTAIN_T  # the asymmetric ratio fires
+
+def test_trained_ivf_zero_updates_equals_seed_variant(spark):
     """lloyd_centroids(n_updates=0) is exactly the seed table, so the
     trained-IVF search must reproduce the seed-centroid IVF's results
     — ties the two variants to one shared probe/re-rank contract."""
