@@ -32,32 +32,28 @@ ORACLES: dict[str, str] = {}
 #   round 5 window: audits(2) + trainprep(7) + skills(6) + tpch(21) +
 #     relational(first 14 of 17) = 50 — executed as planned, 50/50
 #     green (CORRECTNESS_r05.json).
-#   round 6 window (THIS round, the order below): _WINDOW_FRONT —
-#     relational's r5-spilled tail (except_lapsed_customers,
-#     distinct_counts_per_status, variance_stats_by_event_type) plus
-#     the new stream_sink_parity audit — then the modules modified in
-#     r5: scrapeshape(7, incl. the changed html_badge_parse_udf
-#     company column), similarity(9, incl. never-attested
-#     ann_ivf_kmeans_topk + kmeans_lloyd_clusters and the new
-#     ann_ivf_trained_topk / ann_ivf_trained_recall), dedupe(15,
-#     incl. the 6 never-attested r5 queries), skew(2, incl.
-#     salted_join_equivalence), curation(4, incl.
-#     repeated_chunk_dedup), textanalysis(9) = exactly 50.
-#     Spilled to r7: temporal/events/multimodal (r4-attested,
-#     unchanged) and re-attesting audits/trainprep/skills/tpch/
-#     relational-head.
-#   round 7 window (plan): the modules modified or created in r6 that
-#     sit OUTSIDE r6's window go first — audits(5: stream_batch_parity
-#     re-shaped, new stream_sink_parity + stream_stateful_parity +
+#   round 6 window: relational's r5-spilled tail + new
+#     stream_sink_parity, then scrapeshape(7)/similarity(9)/
+#     dedupe(15)/skew(2)/curation(4)/textanalysis(9) = 50 — executed
+#     as planned, 46 hash-green + the 4 declared rows-only
+#     (CORRECTNESS_r06.json).
+#   round 7 window (THIS round, the _OPERATOR_MODULES order below):
+#     the modules modified or created in r6 that sat outside r6's
+#     window go first — audits(5: stream_batch_parity re-shaped, new
+#     stream_sink_parity + stream_stateful_parity +
 #     stream_session_parity, kmeans_lloyd_audit gained obj_round2),
-#     embedlsh(1), docquality(2), increment(2: admission +
-#     contained_document_pairs), trainprep(8: gained
-#     pretraining_prep_funnel) — then temporal/events/multimodal
-#     (r4-attested), then re-attesting skills/tpch/relational-head by
-#     age; the remainder rolls to r8. (The r6-modified scrapeshape/
-#     similarity/dedupe/skew/curation/textanalysis attest IN r6's
-#     window — the driver runs on round-end HEAD — so they carry no
-#     r7 debt.)
+#     embedlsh(2: +hyperplane_lsh_recall_audit new r7),
+#     docquality(2), increment(4: admission + contained_document_pairs
+#     + incremental_admission_probe + neardup_survivors_with_containment
+#     new r7), trainprep(8: gained pretraining_prep_funnel) = 21 —
+#     then temporal(3)/events(6)/multimodal(4) (r4-attested) = 34,
+#     skills(6) = 40, tpch head (first 10 of 21) = exactly 50.
+#     Spilled to r8: tpch tail(11), relational(17), and the
+#     r6-attested scrapeshape/similarity/dedupe/skew/curation/
+#     textanalysis.
+#   round 8 window (plan): any module modified in r7 goes first, then
+#     tpch tail(11) + relational(17) (r5/r6-attested, oldest debt),
+#     then scrapeshape/similarity by age; remainder rolls to r9.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -71,39 +67,34 @@ ORACLES: dict[str, str] = {}
 # load_all_operators) so an incidental import cascade can never
 # silently rotate the window.
 _OPERATOR_MODULES = [
+    # r7 front: modules modified/created in r6 outside r6's window,
+    # plus this round's new queries (registered inside these modules)
+    "jobminer_spark.operators.audits",
+    "jobminer_spark.operators.embedlsh",
+    "jobminer_spark.operators.docquality",
+    "jobminer_spark.operators.increment",
+    "jobminer_spark.operators.trainprep",
+    # r4-attested, unchanged since — next-oldest debt
+    "jobminer_spark.operators.temporal",
+    "jobminer_spark.operators.events",
+    "jobminer_spark.operators.multimodal",
+    # re-attestation by age; tpch head fills the window to 50
+    "jobminer_spark.operators.skills",
+    "jobminer_spark.operators.tpch",
+    "jobminer_spark.operators.relational",
+    # r6-attested in r6's window — rolls to r8
     "jobminer_spark.operators.scrapeshape",
     "jobminer_spark.operators.similarity",
     "jobminer_spark.operators.dedupe",
     "jobminer_spark.operators.skew",
     "jobminer_spark.operators.curation",
     "jobminer_spark.operators.textanalysis",
-    "jobminer_spark.operators.temporal",
-    "jobminer_spark.operators.events",
-    "jobminer_spark.operators.multimodal",
-    "jobminer_spark.operators.audits",
-    "jobminer_spark.operators.trainprep",
-    "jobminer_spark.operators.skills",
-    "jobminer_spark.operators.tpch",
-    "jobminer_spark.operators.relational",
-    # new in r6 — registered past the window by design; the rotation
-    # invariant pulls r6-modified modules to the front of r7's window
-    "jobminer_spark.operators.embedlsh",
-    "jobminer_spark.operators.docquality",
-    "jobminer_spark.operators.increment",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
-# module's position (r6: relational's r5-spilled tail, plus the new
-# stream_sink_parity audit so the exactly-once sink path gets a hard
-# driver row THIS round — temporal's last entry spills to r7 to make
-# room; it is r4-attested and unchanged). The rest of each module
-# follows at its module position, i.e. rolls past slot 50.
-_WINDOW_FRONT = [
-    "except_lapsed_customers",
-    "distinct_counts_per_status",
-    "variance_stats_by_event_type",
-    "stream_sink_parity",
-]
+# module's position. Empty in r7: the module order above IS the
+# written plan (the mechanism stays for future rounds).
+_WINDOW_FRONT: list[str] = []
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
