@@ -54,9 +54,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as the SQL oracle's inner gram join)."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
+    # No repartition: the operator is per-document, so parallelism
+    # comes from the input splits themselves (plentiful at corpus
+    # scale); a keyed shuffle here would be a full-corpus Exchange
+    # bolted onto embarrassingly-parallel work, and even on the
+    # single-row-group fixture the shuffle costs more than it buys.
     grams = (
-        docs.repartition("doc_id")  # single-row-group fixture parquet
-        .select("doc_id", w.alias("w"))
+        docs.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= 2)
         .select(
             "doc_id",
@@ -128,10 +132,9 @@ def word_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself; a pathological hot token is bounded by the per-doc token
     count, not the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.repartition("doc_id")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    )
+    # Per-row tokenize straight off the scan (see doc_repetition_stats
+    # for why there is deliberately no repartition here).
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
     scored = tok.join(vocab, "w")
     return scored.groupBy("doc_id").agg(

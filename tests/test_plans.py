@@ -178,3 +178,23 @@ def test_hyperplane_lsh_signature_in_row(spark):
     plan = _plan(spark, "embedding_hyperplane_lsh_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_repetition_stats_no_shuffle_before_partial_agg(spark):
+    """The repetition profile is per-document: parallelism must come
+    from the input splits, not a bolted-on keyed repartition (a
+    full-corpus Exchange in front of embarrassingly-parallel work).
+    The first Exchange above the scan must sit AFTER the gram count's
+    map-side partial HashAggregate."""
+    plan = _plan(spark, "doc_repetition_stats")
+    assert "REPARTITION_BY_COL" not in plan
+    tree = plan.split("== Physical Plan ==", 1)[1].split("\n\n", 1)[0]
+    bottom_up = list(reversed(tree.splitlines()))
+    first_agg = next(i for i, l in enumerate(bottom_up) if "HashAggregate" in l)
+    first_exchange = next(i for i, l in enumerate(bottom_up) if "Exchange" in l)
+    assert first_agg < first_exchange
+
+
+def test_word_rarity_no_explicit_repartition(spark):
+    plan = _plan(spark, "word_rarity_score")
+    assert "REPARTITION_BY_COL" not in plan
