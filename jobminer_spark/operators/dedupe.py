@@ -897,7 +897,27 @@ def connected_components_propagation(
     # join+filter+count diff (one fewer shuffle per round on the hot
     # iterative path).
     def _label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+        row = df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        # A NULL sum over a NON-empty frame can only mean decimal(38,0)
+        # overflow under non-ANSI arithmetic: two NULL rounds would
+        # compare None == None and declare convergence spuriously —
+        # silently satisfying even require_converged=True, which
+        # keep/drop admission relies on. 38 digits hold the sum of 1e19
+        # max-bigint labels, so this is unreachable for any real
+        # corpus; raise rather than guess. An EMPTY frame (no edges at
+        # all) sums to an honest 0 — the label keyset is fixed across
+        # rounds, so 0 == 0 correctly reports the trivial fixpoint.
+        if row["s"] is None:
+            if row["n"] == 0:
+                return 0
+            raise ArithmeticError(
+                "label-sum convergence check overflowed decimal(38,0); "
+                "use connected_components_star for this graph"
+            )
+        return row["s"]
 
     prev_sum = _label_sum(labels)
     n_rounds = 0

@@ -139,7 +139,23 @@ def hyperplane_band_pairs(
     "embedding_hyperplane_lsh_topk",
     oracle=f"""
     WITH {VEC_NORMS_CTE},
-    qv AS (SELECT vec_id, ord, CAST(floor(val * {QUANT}.0) AS BIGINT) AS q FROM elems),
+    -- dims guard mirroring the Spark side's null-propagation contract:
+    -- a vector whose length differs from the corpus dims (taken from
+    -- one probe row there, the min vec_id here — identical whenever
+    -- dims are uniform) gets NO signature; without this, SUM over
+    -- whichever ords exist would happily sign a mismatched vector and
+    -- the two engines would diverge exactly on the case the Spark
+    -- docstring highlights.
+    ref_dims AS (
+      SELECT COUNT(*) AS d FROM elems
+      WHERE vec_id = (SELECT MIN(vec_id) FROM elems)
+    ),
+    qv AS (
+      SELECT vec_id, ord, CAST(floor(val * {QUANT}.0) AS BIGINT) AS q
+      FROM elems
+      WHERE vec_id IN (SELECT vec_id FROM elems GROUP BY vec_id
+                       HAVING COUNT(*) = (SELECT d FROM ref_dims))
+    ),
     planes AS (
       SELECT j, ord,
              CASE WHEN CAST(concat('0x', substring(

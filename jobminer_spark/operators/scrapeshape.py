@@ -297,7 +297,18 @@ _BADGE_RE = re.compile(r'<div data-test="offer-badge-([a-z]+)">([^<]*)</div>')
 _COMPANY_RE = re.compile(
     r'<h2 data-test="text-employerName">(.*?)</h2>', re.DOTALL
 )
-_TAG_RE = re.compile(r"<[^>]+>")
+# Comments/CDATA first (their bodies may contain '>': <!-- a > b -->),
+# then declarations, then ordinary tags with quoted attribute values
+# tolerated (title="a>b" must not split the tag mid-token — a naive
+# <[^>]+> stops at the first '>' and leaks the remainder into the
+# extracted direct text, diverging from the bs4 behavior this mirrors).
+_TAG_RE = re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<![^>]*>"
+    r"|<(?:[^>\"']|\"[^\"]*\"|'[^']*')+>",
+    re.DOTALL,
+)
 # HTML void elements never take a closing tag, so a bare `<br>` (no
 # XHTML slash) must NOT increase nesting depth — treating it as an
 # opening tag would silently swallow all following direct text.

@@ -50,9 +50,21 @@ def events_ts_is_nanos(path: str, spark: SparkSession | None = None) -> bool:
             except Exception:
                 schema = None
         if schema is not None:
-            _TS_NANOS_CACHE[path] = (
-                str(schema.field("ts").type) == "timestamp[ns]"
-            )
+            # Proper type inspection, not stringified comparison: a
+            # tz-aware nanos column renders as "timestamp[ns, tz=UTC]"
+            # and a string match would misclassify it as micros, after
+            # which the Spark 4 read fails outright instead of taking
+            # the nanos-as-long path. A footer without a ts column is
+            # simply not nanos (no KeyError).
+            import pyarrow as pa
+
+            if schema.get_field_index("ts") < 0:
+                _TS_NANOS_CACHE[path] = False
+            else:
+                t = schema.field("ts").type
+                _TS_NANOS_CACHE[path] = (
+                    pa.types.is_timestamp(t) and t.unit == "ns"
+                )
         else:
             if spark is None:
                 raise ValueError(

@@ -247,3 +247,27 @@ def test_registry_window_invariants():
     ranked = set(registry._OPERATOR_MODULES)
     for n in names:
         assert registry._QUERY_MODULE[n] in ranked, n
+
+
+def test_nanos_probe_tz_aware_and_missing_column(tmp_path):
+    """Type-inspection probe: a tz-AWARE nanos footer renders as
+    'timestamp[ns, tz=UTC]' — a stringified comparison would
+    misclassify it as micros, after which the Spark 4 read fails
+    outright. A footer without a ts column is simply not nanos."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobminer_spark.sources import parquet as pq_src
+
+    tz = tmp_path / "events_tz.parquet"
+    pq.write_table(
+        pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns", tz="UTC"))}),
+        str(tz),
+    )
+    pq_src._TS_NANOS_CACHE.pop(str(tz), None)
+    assert pq_src.events_ts_is_nanos(str(tz)) is True
+
+    nots = tmp_path / "no_ts.parquet"
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), str(nots))
+    pq_src._TS_NANOS_CACHE.pop(str(nots), None)
+    assert pq_src.events_ts_is_nanos(str(nots)) is False

@@ -125,3 +125,23 @@ def test_company_direct_text_branches():
     ]
     for html, expected in cases:
         assert _company_direct_text(html) == expected, html
+
+
+def test_direct_text_comment_and_quoted_gt():
+    """Tokenizer hardening: a comment body containing '>' and a quoted
+    attribute value containing '>' must be consumed as ONE token — a
+    naive <[^>]+> splits mid-token and leaks the remainder into the
+    extracted direct text (diverging from bs4)."""
+    from jobminer_spark.operators.scrapeshape import _company_direct_text
+
+    h2 = '<h2 data-test="text-employerName">'
+    cases = [
+        (f"{h2}Acme<!-- a > b -->Corp</h2>", "AcmeCorp"),
+        (f"{h2}Acme<!-- -> --> Corp</h2>", "Acme Corp"),
+        (f'{h2}Acme<span title="a>b">x</span>Corp</h2>', "AcmeCorp"),
+        (f"{h2}Acme<img alt='>'>Corp</h2>", "AcmeCorp"),
+        (f"{h2}<![CDATA[ x > y ]]>Acme</h2>", "Acme"),
+        (f"{h2}<!DOCTYPE html>Acme</h2>", "Acme"),
+    ]
+    for html, expected in cases:
+        assert _company_direct_text(html) == expected, html
