@@ -135,6 +135,51 @@ def hyperplane_band_pairs(
     )
 
 
+# -- shared DuckDB CTE builders: one definition of the plane matrix,
+#    bit fold, and banding used by BOTH oracles below, so the gram
+#    definitions cannot drift between the top-k query and the recall
+#    audit (same discipline as common.repetition_cte).
+
+_PLANES_CTE = f"""
+    planes AS (
+      SELECT j, ord,
+             CASE WHEN CAST(concat('0x', substring(
+                      md5(CAST(j AS VARCHAR) || '_' || CAST(ord - 1 AS VARCHAR)),
+                      1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT DISTINCT ord FROM elems)
+      CROSS JOIN generate_series(0, {N_PLANES - 1}) t(j)
+    )"""
+
+
+def _bands_cte(qv_rel: str, out: str) -> str:
+    """bits + ``out`` band CTEs over a quantized relation
+    ``qv_rel(vec_id, ord, q)`` — signature recipe identical to the
+    Spark side's in-row fold."""
+    return f"""
+    {out}_bits AS (
+      SELECT q.vec_id, p.j,
+             CASE WHEN SUM(q.q * p.s) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM {qv_rel} q JOIN planes p ON p.ord = q.ord
+      GROUP BY q.vec_id, p.j
+    ),
+    {out} AS (
+      SELECT vec_id, j // {BAND_BITS} AS band_no,
+             CAST(SUM(bit * (1 << (j % {BAND_BITS}))) AS BIGINT) AS band_value
+      FROM {out}_bits GROUP BY vec_id, j // {BAND_BITS}
+    )"""
+
+
+def _cand_cte(bands_rel: str) -> str:
+    return f"""
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM {bands_rel} a JOIN {bands_rel} b
+        ON a.band_no = b.band_no AND a.band_value = b.band_value
+       AND a.vec_id < b.vec_id
+    )"""
+
+
 @query(
     "embedding_hyperplane_lsh_topk",
     oracle=f"""
@@ -156,32 +201,9 @@ def hyperplane_band_pairs(
       WHERE vec_id IN (SELECT vec_id FROM elems GROUP BY vec_id
                        HAVING COUNT(*) = (SELECT d FROM ref_dims))
     ),
-    planes AS (
-      SELECT j, ord,
-             CASE WHEN CAST(concat('0x', substring(
-                      md5(CAST(j AS VARCHAR) || '_' || CAST(ord - 1 AS VARCHAR)),
-                      1, 8)) AS BIGINT) % 2 = 0
-                  THEN 1 ELSE -1 END AS s
-      FROM (SELECT DISTINCT ord FROM elems)
-      CROSS JOIN generate_series(0, {N_PLANES - 1}) t(j)
-    ),
-    bits AS (
-      SELECT qv.vec_id, p.j,
-             CASE WHEN SUM(qv.q * p.s) >= 0 THEN 1 ELSE 0 END AS bit
-      FROM qv JOIN planes p ON p.ord = qv.ord
-      GROUP BY qv.vec_id, p.j
-    ),
-    bands AS (
-      SELECT vec_id, j // {BAND_BITS} AS band_no,
-             CAST(SUM(bit * (1 << (j % {BAND_BITS}))) AS BIGINT) AS band_value
-      FROM bits GROUP BY vec_id, j // {BAND_BITS}
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM bands a JOIN bands b
-        ON a.band_no = b.band_no AND a.band_value = b.band_value
-       AND a.vec_id < b.vec_id
-    ),
+    {_PLANES_CTE},
+    {_bands_cte("qv", "bands")},
+    {_cand_cte("bands")},
     pair_dots AS (
       SELECT c.vec_a, c.vec_b,
              CAST(SUM(CAST(floor(ea.val * eb.val * {QUANT}.0) AS BIGINT)) AS DOUBLE)
@@ -233,3 +255,162 @@ def embedding_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Recall audit: the module docstring's 32-plane/8-bit-band sizing claim
+# ("a cosine-0.97 near-dup pair is caught by >= 1 of 4 bands with
+# probability ~0.95") as an executable, oracle-pinned check. The fixture
+# embeddings carry NO high-cosine pairs (measured max ~0.51), so the
+# audit PLANTS them: for every subset vector a deterministic twin with
+# each element scaled by (1 ± EPS), the sign from md5 parity — the same
+# engine-free recipe as the planes — which lands the planted pair at
+# cosine ≈ 1/sqrt(1+EPS²) ≈ 0.98. Everything (twins, signatures, band
+# collisions, exact cosine) is exact quantized arithmetic, so recall is
+# a deterministic number both engines must agree on bit-for-bit.
+# ---------------------------------------------------------------------------
+
+RECALL_EPS = 0.2          # twin element scale ±20% -> planted cos ~0.98
+RECALL_SUBSET_MOD = 10    # audit probes every 10th vector (bounded)
+RECALL_MIN_COS = 0.97     # "true pair" threshold the claim speaks to
+_TWIN_OFFSET = 10_000_000
+
+
+def _perturb_factor(base_id, i):
+    """(1 ± EPS) multiplier for element i of base vector ``base_id`` —
+    md5-parity sign, reproducible in DuckDB (see the oracle's pert
+    CTE) and plain Python."""
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("p_"),
+                        base_id.cast("string"),
+                        F.lit("_"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    return F.when(parity == 0, F.lit(1.0 + RECALL_EPS)).otherwise(
+        F.lit(1.0 - RECALL_EPS)
+    )
+
+
+def planted_twins(emb: DataFrame) -> DataFrame:
+    """(base_id, vec_id, embedding) — one deterministic perturbed twin
+    per subset vector. In-row transform only: zero shuffles."""
+    base = emb.filter(F.col("vec_id") % RECALL_SUBSET_MOD == 0)
+    # Two projections on purpose: Spark 4's lateral column alias
+    # resolution would bind a `vec_id` reference inside the transform
+    # lambda to the SHADOWING `vec_id + offset` alias of the same
+    # select list — silently hashing the twin's id instead of the
+    # base's. Renaming to base_id first removes the shadow.
+    return base.select(F.col("vec_id").alias("base_id"), "embedding").select(
+        "base_id",
+        (F.col("base_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double") * _perturb_factor(F.col("base_id"), i),
+        ).alias("embedding"),
+    )
+
+
+@query(
+    "hyperplane_lsh_recall_audit",
+    oracle=f"""
+    WITH {VEC_NORMS_CTE},
+    sub AS (SELECT vec_id, ord, val FROM elems
+            WHERE vec_id % {RECALL_SUBSET_MOD} = 0),
+    pert AS (
+      SELECT s.vec_id + {_TWIN_OFFSET} AS vec_id, s.ord,
+             s.val * (CASE WHEN CAST(concat('0x', substring(
+                        md5('p_' || CAST(s.vec_id AS VARCHAR) || '_'
+                            || CAST(s.ord - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 2 = 0
+                      THEN 1.0 + {RECALL_EPS} ELSE 1.0 - {RECALL_EPS} END)
+               AS val
+      FROM sub s
+    ),
+    allel AS (SELECT * FROM sub UNION ALL SELECT * FROM pert),
+    qv AS (SELECT vec_id, ord, CAST(floor(val * {QUANT}.0) AS BIGINT) AS q
+           FROM allel),
+    {_PLANES_CTE},
+    {_bands_cte("qv", "bands")},
+    {_cand_cte("bands")},
+    pnorms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(floor(val * val * {QUANT}.0) AS BIGINT)) AS DOUBLE)
+                  / {QUANT}.0) AS nrm
+      FROM pert GROUP BY vec_id
+    ),
+    tp AS (
+      SELECT s.vec_id AS vec_a, p.vec_id AS vec_b
+      FROM sub s
+      JOIN pert p ON p.vec_id = s.vec_id + {_TWIN_OFFSET} AND p.ord = s.ord
+      GROUP BY s.vec_id, p.vec_id
+      HAVING CAST(SUM(CAST(floor(s.val * p.val * {QUANT}.0) AS BIGINT)) AS DOUBLE)
+               / {QUANT}.0
+             / ((SELECT nrm FROM norms n WHERE n.vec_id = s.vec_id)
+                * (SELECT nrm FROM pnorms q WHERE q.vec_id = p.vec_id))
+             >= {RECALL_MIN_COS}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(COUNT(c.vec_a) AS BIGINT) AS n_detected,
+           CAST(COUNT(*) - COUNT(c.vec_a) AS BIGINT) AS n_missed,
+           CAST(COUNT(c.vec_a) AS DOUBLE) / COUNT(*) AS recall
+    FROM tp LEFT JOIN cand c ON c.vec_a = tp.vec_a AND c.vec_b = tp.vec_b
+    """,
+)
+def hyperplane_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded candidates against exact cosine >=
+    {RECALL_MIN_COS} planted pairs (subset vector vs its perturbed
+    twin). The oracle independently replants the twins, recomputes the
+    signatures/bands/collisions and the exact quantized cosines, so a
+    plane, banding, quantization, or candidate-join regression turns
+    this driver row red; tests/test_operators.py additionally asserts
+    a hard recall floor, making the sizing claim executable."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % RECALL_SUBSET_MOD == 0)
+    twins = planted_twins(emb)
+    union = base.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(twins.select("vec_id", "embedding"))
+    cand = hyperplane_band_pairs(union).withColumn("hit", F.lit(1))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        _norm_col(F.col("embedding")).alias("nrm_a"),
+    )
+    b = twins.select(
+        F.col("base_id").alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        _norm_col(F.col("embedding")).alias("nrm_b"),
+    )
+    tp = (
+        a.join(b, "vec_a")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot_col(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RECALL_MIN_COS)
+    )
+    j = tp.join(cand, ["vec_a", "vec_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("hit").alias("n_detected"),
+        (F.count(F.lit(1)) - F.count("hit")).alias("n_missed"),
+        (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )

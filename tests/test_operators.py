@@ -521,3 +521,17 @@ def test_simhash_band_negative_signature(spark):
         for r in simhash_band_candidates(sims2, max_hamming=3).collect()
     }
     assert got2.get((1, 2)) == 3
+
+
+def test_hyperplane_lsh_recall_floor(spark):
+    """The 32-plane/8-bit-band sizing claim (a cosine >= 0.97 pair is
+    caught by >= 1 of 4 bands w.p. ~0.95) as a hard floor on planted
+    twins — deterministic planes + deterministic perturbation make the
+    measured recall a fixed number, so this cannot flake."""
+    from jobminer_spark.operators.embedlsh import hyperplane_lsh_recall_audit
+    from tests.conftest import SF_DIR
+
+    row = hyperplane_lsh_recall_audit(spark, SF_DIR).collect()[0]
+    assert row.n_true_pairs > 0
+    assert row.recall >= 0.9
+    assert row.n_detected + row.n_missed == row.n_true_pairs
