@@ -38,6 +38,7 @@ from jobminer_spark.operators.dedupe import (
     _CC_EDGES_CTE,
     _SHINGLES_CTE,
     _neardup_edges,
+    connected_components_propagation,
     connected_components_star,
 )
 from jobminer_spark.registry import query
@@ -189,3 +190,104 @@ def containment_pairs(docs: DataFrame, t: float = _CONTAIN_T) -> DataFrame:
         (F.col("n_inter").cast("double") / F.col("n_sh_b")).alias("containment"),
     )
     return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= t)
+
+
+# ---------------------------------------------------------------------------
+# Containment-aware survivor selection: the containment edges finally
+# CONSUMED, not just emitted — a doc quoted inside a larger one joins
+# the container's component and the keep-the-longest canonical pick
+# drops it (the container wins by n_chars construction: a container
+# has strictly more trigrams than what it contains).
+# ---------------------------------------------------------------------------
+
+_CC_CONTAIN_EDGES_CTE = f"""
+    {_SHINGLES_CTE},
+    jedges AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    cedges AS (
+      SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+      WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= {_CONTAIN_T}
+      UNION
+      SELECT doc_a, doc_b FROM inter JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / sb.n_sh >= {_CONTAIN_T}
+    ),
+    alledges AS (SELECT * FROM jedges UNION SELECT * FROM cedges),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM alledges
+      UNION
+      SELECT doc_b, doc_a FROM alledges
+    )
+"""
+
+
+def survivors_with_containment(docs: DataFrame, t: float = _CONTAIN_T) -> DataFrame:
+    """(component, survivor_doc_id, n_members) with the component
+    graph = (Jaccard >= 0.8 near-dup edges) ∪ (containment >= t
+    edges). Survivor = keep-the-longest (n_chars desc, doc_id asc) —
+    the standard near-dup pick, which for a containment edge is
+    exactly the container.
+
+    Plan: containment edges are a projection over the SAME
+    inverted-index pair counts the Jaccard edges come from (one
+    full-data shuffle total — Spark recomputes the branch, see
+    _jaccard_pair_counts' buffer note), then one CC propagation and
+    one max_by rollup per component. No new shuffle class vs the
+    plain survivor pipeline."""
+    jac = _neardup_edges(docs)
+    cont = containment_pairs(docs, t).select(
+        F.col("contained_doc").alias("doc_a"),
+        F.col("container_doc").alias("doc_b"),
+    )
+    edges = jac.unionByName(cont)
+    comps = connected_components_propagation(edges)
+    j = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return j.groupBy("component").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("nd")),
+        ).alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@query(
+    "neardup_survivors_with_containment",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CONTAIN_EDGES_CTE},
+    reach(src, dst) AS (
+      SELECT src, dst FROM bidir
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT doc_id, MIN(m) AS component
+      FROM (
+        SELECT src AS doc_id, dst AS m FROM reach
+        UNION ALL
+        SELECT DISTINCT src, src FROM bidir
+      )
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component, doc_id AS survivor_doc_id, n_members
+    FROM ranked WHERE rk = 1
+    """,
+)
+def neardup_survivors_with_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor pipeline extended with containment edges: the
+    oracle's recursive-CTE fixpoint runs over the UNION edge set
+    (Jaccard ∪ containment, both recomputed independently from the
+    shingle index), so a drift in either edge family, the union, the
+    propagation, or the survivor pick turns this row red."""
+    docs = load_table(spark, sf_dir, "documents")
+    return survivors_with_containment(docs)

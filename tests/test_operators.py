@@ -535,3 +535,27 @@ def test_hyperplane_lsh_recall_floor(spark):
     assert row.n_true_pairs > 0
     assert row.recall >= 0.9
     assert row.n_detected + row.n_missed == row.n_true_pairs
+
+
+def test_containment_survivor_drops_quoted_doc(spark):
+    """The quoted-inside-container pair (no symmetric Jaccard edge —
+    see test_containment_catches_what_jaccard_misses) must become ONE
+    component whose keep-the-longest survivor is the container,
+    dropping the contained doc — the edge is finally consumed, not
+    just emitted."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.increment import survivors_with_containment
+
+    quoted = " ".join(f"q{i}" for i in range(10))
+    container = quoted + " " + " ".join(f"c{i}" for i in range(60))
+    third = " ".join(f"z{i}" for i in range(20))  # unrelated isolate
+    docs = spark.createDataFrame(
+        [(1, quoted), (2, container), (3, third)], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text"))
+    rows = {
+        r.component: (r.survivor_doc_id, r.n_members)
+        for r in survivors_with_containment(docs).collect()
+    }
+    # docs 1+2 fuse via the containment edge; survivor is the container
+    assert rows == {1: (2, 2)}
