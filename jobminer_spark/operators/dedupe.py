@@ -299,6 +299,31 @@ def shingle_doc_lists(
     return idx
 
 
+def pair_counts_from_doclists(idx: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter) from an inverted index of per-shingle
+    SORTED doc-id arrays ``idx(..., ds)``: C(df,2) pair structs are
+    generated IN-ROW from each list (bounded by the df cap upstream),
+    then one aggregation counts shared shingles per pair — no
+    self-join of the posting lists. Shared by the batch dedup path and
+    the incremental-admission probe (increment.py)."""
+    ds = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        idx.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
 def _jaccard_pair_counts(
     docs: DataFrame, n: int = 3, max_df: int | None = None
 ) -> DataFrame:
@@ -325,22 +350,7 @@ def _jaccard_pair_counts(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    ds = F.col("ds")
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    inter = (
-        idx.filter(F.size("ds") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = pair_counts_from_doclists(idx)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
     # No broadcast hint: `sizes` has one row PER DOCUMENT, so forcing

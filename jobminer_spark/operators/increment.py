@@ -19,11 +19,17 @@ The existing/incoming split is simulated on the fixture as
 doc_id % 3 == 0 (existing), everything else incoming — the operator
 itself takes any boolean split.
 
-Scale shape: identical to the batch near-dup pipeline (one inverted-
-index shuffle for edges, O(diameter) narrow label rounds, one rollup
-per component) — the asymmetry is a column predicate, not a new join,
-so incremental admission costs no more than the full dedup whose
-components it reuses.
+Two execution paths, pinned to the same oracle:
+
+* ``admit_incoming`` — the full-recompute reference semantics (edges
+  over the union; cost of one full dedup per call);
+* ``admit_incoming_incremental`` — the 100 TB shape: the kept corpus
+  pays one indexing pass (``build_corpus_shingle_index``), then each
+  ingest batch probes the persisted index at O(batch + touched
+  postings) cost — per-ingest cost proportional to the BATCH, not the
+  corpus. Equality with the full recompute holds by construction
+  (union-df cap semantics, see the section comment below) and is
+  enforced by the shared oracle + the cap-transition test.
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ from pyspark.sql import functions as F
 from jobminer_spark.operators.dedupe import (
     _CC_EDGES_CTE,
     _SHINGLES_CTE,
+    SHINGLE_MAX_DF,
     _neardup_edges,
     connected_components_propagation,
     connected_components_star,
@@ -85,9 +92,10 @@ def admit_incoming(
     ).select(F.col("min_incoming").alias("doc_id"), "n_members")
 
 
-@query(
-    "incremental_neardup_admission",
-    oracle=f"""
+# Shared by incremental_neardup_admission AND the index-probe variant
+# below: the two Spark paths must produce the identical answer, so
+# they are pinned to the identical full-recompute oracle.
+_ADMISSION_ORACLE = f"""
     WITH RECURSIVE {_CC_EDGES_CTE},
     reach(src, dst) AS (
       SELECT src, dst FROM bidir
@@ -119,8 +127,10 @@ def admit_incoming(
     SELECT min_incoming AS doc_id, n_members
     FROM per
     WHERE has_existing = 0 AND min_incoming IS NOT NULL
-    """,
-)
+    """
+
+
+@query("incremental_neardup_admission", oracle=_ADMISSION_ORACLE)
 def incremental_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Admission decision for the simulated ingest batch: the oracle
     recomputes the same components via the recursive-CTE transitive
@@ -291,3 +301,235 @@ def neardup_survivors_with_containment(spark: SparkSession, sf_dir: str) -> Data
     propagation, or the survivor pick turns this row red."""
     docs = load_table(spark, sf_dir, "documents")
     return survivors_with_containment(docs)
+
+
+# ---------------------------------------------------------------------------
+# ACTUALLY-incremental admission: a persisted corpus shingle index,
+# probed per ingest batch. admit_incoming above re-runs
+# _neardup_edges over existing ∪ incoming — cost of a full-corpus
+# dedup per batch, the wrong shape at 100 TB (a 0.1% daily batch
+# would pay 100% corpus cost daily). Here the corpus pays its
+# indexing cost ONCE (build_corpus_shingle_index) and each ingest
+# batch costs O(batch + touched postings):
+#
+#   edges(batch)   = in-row pair gen over the BATCH's posting lists
+#   taint(batch)   = batch shingles ⋈ corpus postings -> J >= 0.8
+#   admission      = CC over batch edges; components/isolates with any
+#                    taint edge admit nothing, the rest admit min id
+#
+# The df cap is applied on the UNION document frequency
+# (df_corpus + df_batch), reproducing the full recompute's shingle
+# survivorship exactly — including "transition" shingles the batch
+# pushes over the cap, whose corpus postings are subtracted from the
+# stored per-doc sizes. Equality with the full recompute is therefore
+# by construction, and the probe query below is pinned to the SAME
+# oracle as the full-recompute query.
+# ---------------------------------------------------------------------------
+
+
+def build_corpus_shingle_index(
+    docs: DataFrame, path: str, n: int = 3, max_df: int = SHINGLE_MAX_DF
+) -> None:
+    """Write the kept corpus's inverted shingle index under ``path``:
+
+    * ``vocab``     — (shingle, df) for the FULL vocabulary (needed to
+      compute union df for batch shingles, even over-cap ones);
+    * ``postings``  — (shingle, doc_id) for df <= max_df only (an
+      over-cap shingle is dead forever: df only grows);
+    * ``doc_sizes`` — (doc_id, n_sh) per corpus doc over surviving
+      shingles (the Jaccard denominator baseline).
+
+    One full-corpus shuffle (the df aggregation) — the once-per-corpus
+    cost the per-batch probe amortizes away. Vocabulary grows
+    sublinearly in corpus size; postings are df-capped."""
+    import os
+
+    from jobminer_spark.operators.common import word_shingles
+
+    sh = word_shingles(docs, n)  # distinct (doc_id, shingle), uncapped
+    vocab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+    spark = docs.sparkSession
+    vocab_r = spark.read.parquet(os.path.join(path, "vocab"))
+    live = vocab_r.filter(F.col("df") <= max_df).select("shingle")
+    postings = sh.join(live, "shingle")
+    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    postings_r = spark.read.parquet(os.path.join(path, "postings"))
+    (
+        postings_r.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "doc_sizes"))
+    )
+
+
+def admit_incoming_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    n: int = 3,
+    max_df: int = SHINGLE_MAX_DF,
+    min_j: float = 0.8,
+) -> DataFrame:
+    """(doc_id, n_members) admitted from ``batch`` against the
+    persisted corpus index — same contract and same answer as
+    admit_incoming over the union, at per-batch cost.
+
+    Scale shape: the corpus side enters ONLY through index scans
+    (vocab join keyed on the batch's shingles — AQE broadcasts the
+    batch side when small; postings join restricted to surviving
+    batch shingles, each bounded by the df cap). No corpus text is
+    re-shingled; no corpus-sized shuffle exists in the plan
+    (tests/test_plans.py asserts the scan set)."""
+    import os
+
+    from jobminer_spark.operators.common import word_shingles
+    from jobminer_spark.operators.dedupe import pair_counts_from_doclists
+
+    vocab = spark.read.parquet(os.path.join(index_path, "vocab"))
+    postings = spark.read.parquet(os.path.join(index_path, "postings"))
+    doc_sizes = spark.read.parquet(os.path.join(index_path, "doc_sizes"))
+
+    bsh = word_shingles(batch, n)  # distinct (doc_id, shingle)
+    bdf = bsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_batch"))
+    udf = (
+        bdf.join(vocab.withColumnRenamed("df", "df_corpus"), "shingle", "left")
+        .select(
+            "shingle",
+            F.coalesce("df_corpus", F.lit(0)).alias("df_corpus"),
+            (F.coalesce("df_corpus", F.lit(0)) + F.col("df_batch")).alias(
+                "df_union"
+            ),
+        )
+    )
+    surviving = udf.filter(F.col("df_union") <= max_df).select("shingle")
+    # shingles the BATCH pushes over the cap: their corpus postings no
+    # longer count toward any corpus doc's surviving-shingle size
+    transitions = udf.filter(
+        (F.col("df_corpus") <= max_df) & (F.col("df_union") > max_df)
+    ).select("shingle")
+
+    bsh_live = bsh.join(surviving, "shingle")
+    b_sizes = bsh_live.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dead_counts = (
+        postings.join(transitions, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dead"))
+    )
+    e_sizes = doc_sizes.join(dead_counts, "doc_id", "left").select(
+        "doc_id",
+        (F.col("n_sh") - F.coalesce("n_dead", F.lit(0))).alias("n_sh"),
+    )
+
+    # cross edges (taint): batch postings ⋈ corpus postings on the
+    # surviving shingles — only the batch's shingles touch the index
+    cross = (
+        bsh_live.select(F.col("doc_id").alias("doc_i"), "shingle")
+        .join(
+            postings.select("shingle", F.col("doc_id").alias("doc_e")),
+            "shingle",
+        )
+        .groupBy("doc_i", "doc_e")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    tainted_docs = (
+        cross.join(
+            b_sizes.select(
+                F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_sh_i")
+            ),
+            "doc_i",
+        )
+        .join(
+            e_sizes.select(
+                F.col("doc_id").alias("doc_e"), F.col("n_sh").alias("n_sh_e")
+            ),
+            "doc_e",
+        )
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("n_sh_i") + F.col("n_sh_e") - F.col("n_inter"))
+            >= min_j
+        )
+        .select(F.col("doc_i").alias("doc_id"))
+        .distinct()
+    )
+
+    # batch-internal edges: the same in-row pair generation as the
+    # full path, over batch posting lists only
+    bidx = bsh_live.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
+    bpairs = pair_counts_from_doclists(bidx)
+    sa = b_sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = b_sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    bedges = (
+        bpairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+            >= min_j
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    comps = connected_components_star(
+        bedges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        max_rounds=60,
+        require_converged=True,
+    )
+    labeled = (
+        batch.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+        .join(tainted_docs.withColumn("tainted", F.lit(1)), "doc_id", "left")
+    )
+    per = labeled.groupBy("component").agg(
+        F.max(F.coalesce("tainted", F.lit(0))).alias("has_taint"),
+        F.min("doc_id").alias("min_incoming"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return per.filter(F.col("has_taint") == 0).select(
+        F.col("min_incoming").alias("doc_id"), "n_members"
+    )
+
+
+_PROBE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _probe_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per session) the corpus index for the
+    simulated existing split. Lives in a temp dir for the session's
+    lifetime — the read-back plans reference the files lazily, so
+    eager deletion would break the driver's later collect."""
+    if sf_dir not in _PROBE_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="corpus_shingle_index_")
+        existing = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 0
+        )
+        build_corpus_shingle_index(existing, path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _PROBE_INDEX_CACHE[sf_dir] = path
+    return _PROBE_INDEX_CACHE[sf_dir]
+
+
+@query("incremental_admission_probe", oracle=_ADMISSION_ORACLE)
+def incremental_admission_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-probe admission path on the same fixture split as
+    incremental_neardup_admission, pinned to the IDENTICAL
+    full-recompute oracle: the per-batch path must reproduce the
+    full-union answer bit-for-bit (union-df cap semantics included),
+    so any drift between the incremental machinery and the batch
+    pipeline turns this driver row red."""
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 != 0
+    )
+    return admit_incoming_incremental(
+        spark, batch, _probe_index_for(spark, sf_dir)
+    )

@@ -559,3 +559,48 @@ def test_containment_survivor_drops_quoted_doc(spark):
     }
     # docs 1+2 fuse via the containment edge; survivor is the container
     assert rows == {1: (2, 2)}
+
+
+def test_incremental_probe_matches_full_on_cap_transition(spark, tmp_path):
+    """The hardest equality case for the index probe: a shingle whose
+    document frequency crosses the cap only once the batch lands. 99
+    corpus docs + 2 batch docs share trigram 'S1 S2 S3' (union df 101
+    > 100): the full recompute kills it, dropping the batch pair's
+    Jaccard from 8/10 to 7/9 < 0.8 — so BOTH batch docs must admit
+    individually. A probe that froze df at index-build time (99) would
+    keep the shingle, see an edge, and admit only one. Plus a taint
+    case (batch doc near-dup of a corpus doc: admit nothing) and an
+    isolate (admit itself)."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.increment import (
+        admit_incoming,
+        admit_incoming_incremental,
+        build_corpus_shingle_index,
+    )
+
+    s_run = " ".join(f"S{i}" for i in range(1, 11))   # S1..S10
+    q_run = " ".join(f"Q{i}" for i in range(1, 11))
+    corpus_rows = [(1000 + i, f"u{i} S1 S2 S3 v{i}") for i in range(99)]
+    corpus_rows.append((2000, f"{q_run} z"))
+    batch_rows = [
+        (1, f"{s_run} x"),      # near-dup pair (A, B) via S-run ONLY if
+        (2, f"{s_run} y"),      # 'S1 S2 S3' survives — it must not
+        (3, f"{q_run} w"),      # tainted: J = 0.8 vs corpus doc 2000
+        (4, "d1 d2 d3 d4"),     # isolate
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "idx")
+    build_corpus_shingle_index(corpus, idx)
+    inc = {
+        (r.doc_id, r.n_members)
+        for r in admit_incoming_incremental(spark, batch, idx).collect()
+    }
+    union = corpus.unionByName(batch)
+    full = {
+        (r.doc_id, r.n_members)
+        for r in admit_incoming(union, F.col("doc_id") >= 1000).collect()
+    }
+    assert inc == full == {(1, 1), (2, 1), (4, 1)}

@@ -198,3 +198,32 @@ def test_doc_repetition_stats_no_shuffle_before_partial_agg(spark):
 def test_word_rarity_no_explicit_repartition(spark):
     plan = _plan(spark, "word_rarity_score")
     assert "REPARTITION_BY_COL" not in plan
+
+
+def test_incremental_probe_scans_index_not_corpus(spark, tmp_path):
+    """The per-batch admission probe must reach the corpus ONLY
+    through the persisted index scans (vocab/postings/doc_sizes) —
+    re-shingling corpus text per ingest would make every batch cost a
+    full-corpus dedup, the exact shape the index exists to remove."""
+    from jobminer_spark.operators.increment import (
+        admit_incoming_incremental,
+        build_corpus_shingle_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100 + i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_corpus_shingle_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "p q r s u")], "doc_id long, text string"
+    )
+    plan = physical_plan(admit_incoming_incremental(spark, batch, idx))
+    for part in ("vocab", "postings", "doc_sizes"):
+        assert part in plan  # the index parquet is what gets scanned
+    # and no parquet scan carries a text column (batch is in-memory)
+    import re as _re
+
+    for m in _re.finditer(r"ReadSchema: (\S+)", plan):
+        assert "text" not in m.group(1)
