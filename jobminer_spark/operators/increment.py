@@ -533,3 +533,226 @@ def incremental_admission_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admit_incoming_incremental(
         spark, batch, _probe_index_for(spark, sf_dir)
     )
+
+
+def update_corpus_shingle_index(
+    spark: SparkSession,
+    index_path: str,
+    admitted: DataFrame,
+    out_path: str,
+    n: int = 3,
+    max_df: int = SHINGLE_MAX_DF,
+) -> None:
+    """Functional index maintenance: write to ``out_path`` the index
+    the corpus WOULD have if rebuilt over (indexed corpus ∪ admitted)
+    — closing the incremental loop (probe, admit, then keep the index
+    current without re-shingling the corpus).
+
+    Per-table update shape:
+
+    * ``vocab``     — full-outer df merge (vocab is sublinear in corpus
+      size; the merge shuffles vocab-sized rows, not the corpus);
+    * ``postings``  — old postings MINUS postings of shingles the
+      batch pushes over the cap (broadcast anti-join against the tiny
+      transition set — a scan+filter, no corpus shuffle; with a
+      shingle-bucketed layout only buckets containing batch shingles
+      need rewriting), PLUS the admitted docs' postings on shingles
+      whose merged df survives the cap;
+    * ``doc_sizes`` — old sizes minus per-doc dead-transition counts,
+      plus admitted docs' sizes.
+
+    Equality with a from-scratch rebuild is exact (same union-df cap
+    semantics as the probe) and enforced by
+    test_index_update_matches_rebuild, including the cap-transition
+    case."""
+    import os
+
+    from jobminer_spark.operators.common import word_shingles
+
+    vocab = spark.read.parquet(os.path.join(index_path, "vocab"))
+    postings = spark.read.parquet(os.path.join(index_path, "postings"))
+    doc_sizes = spark.read.parquet(os.path.join(index_path, "doc_sizes"))
+
+    ash = word_shingles(admitted, n)  # distinct (doc_id, shingle)
+    adf = ash.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_batch"))
+
+    merged = (
+        vocab.withColumnRenamed("df", "df_corpus")
+        .join(adf, "shingle", "full_outer")
+        .select(
+            "shingle",
+            F.coalesce("df_corpus", F.lit(0)).alias("df_corpus"),
+            (
+                F.coalesce("df_corpus", F.lit(0)) + F.coalesce("df_batch", F.lit(0))
+            ).alias("df"),
+        )
+    )
+    merged.select("shingle", "df").write.mode("overwrite").parquet(
+        os.path.join(out_path, "vocab")
+    )
+    merged_r = spark.read.parquet(os.path.join(out_path, "vocab"))
+
+    transitions = (
+        merged.filter(
+            (F.col("df_corpus") <= max_df) & (F.col("df") > max_df)
+        ).select("shingle")
+    )
+    surviving = merged_r.filter(F.col("df") <= max_df).select("shingle")
+    new_postings = postings.join(
+        F.broadcast(transitions), "shingle", "left_anti"
+    ).unionByName(ash.join(surviving, "shingle").select("shingle", "doc_id"))
+    new_postings.write.mode("overwrite").parquet(os.path.join(out_path, "postings"))
+
+    dead_counts = (
+        postings.join(F.broadcast(transitions), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dead"))
+    )
+    a_sizes = (
+        ash.join(surviving, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    new_sizes = (
+        doc_sizes.join(dead_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_sh") - F.coalesce("n_dead", F.lit(0))).alias("n_sh"),
+        )
+        .filter(F.col("n_sh") > 0)
+        .unionByName(a_sizes)
+    )
+    new_sizes.write.mode("overwrite").parquet(os.path.join(out_path, "doc_sizes"))
+
+
+_INDEX_UPDATE_CACHE: dict[tuple[str, str], tuple[int, int, int, int]] = {}
+
+
+def _index_update_scalars(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, int]:
+    """(n_vocab, n_postings, n_docs, n_mismatch) after probing the
+    corpus index, admitting the fixture batch, updating the index,
+    and diffing it table-by-table against a from-scratch rebuild.
+    Cached per (session, fixture) — the pipeline is deterministic over
+    the immutable fixture (same discipline as the streaming-audit
+    drains)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _INDEX_UPDATE_CACHE:
+        return _INDEX_UPDATE_CACHE[cache_key]
+
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    old_idx = _probe_index_for(spark, sf_dir)
+    admitted_ids = admit_incoming_incremental(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), old_idx
+    ).select("doc_id")
+    admitted_docs = docs.join(admitted_ids, "doc_id")
+
+    work = tempfile.mkdtemp(prefix="index_update_audit_")
+    try:
+        upd = os.path.join(work, "upd")
+        ref = os.path.join(work, "ref")
+        update_corpus_shingle_index(spark, old_idx, admitted_docs, upd)
+        build_corpus_shingle_index(existing.unionByName(admitted_docs), ref)
+        n_mismatch = 0
+        counts = {}
+        for table in ("vocab", "postings", "doc_sizes"):
+            a = spark.read.parquet(os.path.join(upd, table))
+            b = spark.read.parquet(os.path.join(ref, table))
+            n_mismatch += a.exceptAll(b).count() + b.exceptAll(a).count()
+            counts[table] = a.count()
+        result = (
+            counts["vocab"],
+            counts["postings"],
+            counts["doc_sizes"],
+            n_mismatch,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    _INDEX_UPDATE_CACHE[cache_key] = result
+    return result
+
+
+@query(
+    "incremental_index_update_audit",
+    oracle=f"""
+    WITH RECURSIVE {_CC_EDGES_CTE},
+    reach(src, dst) AS (
+      SELECT src, dst FROM bidir
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT doc_id, MIN(m) AS component
+      FROM (
+        SELECT src AS doc_id, dst AS m FROM reach
+        UNION ALL
+        SELECT DISTINCT src, src FROM bidir
+      )
+      GROUP BY doc_id
+    ),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             (d.doc_id % 3 = 0) AS is_existing
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    per AS (
+      SELECT component,
+             MAX(CASE WHEN is_existing THEN 1 ELSE 0 END) AS has_existing,
+             MIN(CASE WHEN NOT is_existing THEN doc_id END) AS min_incoming
+      FROM labeled GROUP BY component
+    ),
+    admitted AS (
+      SELECT min_incoming AS doc_id FROM per
+      WHERE has_existing = 0 AND min_incoming IS NOT NULL
+    ),
+    kept AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN admitted a ON a.doc_id = d.doc_id
+    ),
+    ktok AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM kept
+    ),
+    ksh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM ktok a
+      JOIN ktok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+      JOIN ktok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+    ),
+    kvocab AS MATERIALIZED (SELECT shingle, COUNT(*) AS df FROM ksh GROUP BY shingle),
+    kpost AS MATERIALIZED (
+      SELECT s.shingle, s.doc_id FROM ksh s
+      JOIN kvocab v USING (shingle) WHERE v.df <= {SHINGLE_MAX_DF}
+    ),
+    ksizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kpost GROUP BY doc_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM kvocab) AS n_vocab,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM kpost) AS n_postings,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ksizes) AS n_docs,
+           CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+def incremental_index_update_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the full incremental loop — probe the
+    corpus index, admit the batch, UPDATE the index, diff against a
+    from-scratch rebuild. The oracle independently recomputes the
+    admission fixpoint and the post-ingest corpus's vocabulary /
+    capped postings / doc-size counts, and expects zero update-vs-
+    rebuild mismatches — so a drift in admission, the df merge, the
+    transition pruning, or the size corrections turns this driver row
+    red."""
+    n_vocab, n_postings, n_docs, n_mismatch = _index_update_scalars(spark, sf_dir)
+    return spark.range(1).select(
+        F.lit(n_vocab).cast("long").alias("n_vocab"),
+        F.lit(n_postings).cast("long").alias("n_postings"),
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(n_mismatch).cast("long").alias("n_mismatch"),
+    )

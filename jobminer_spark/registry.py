@@ -43,12 +43,14 @@ ORACLES: dict[str, str] = {}
 #     stream_sink_parity + stream_stateful_parity +
 #     stream_session_parity, kmeans_lloyd_audit gained obj_round2),
 #     embedlsh(2: +hyperplane_lsh_recall_audit new r7),
-#     docquality(2), increment(4: admission + contained_document_pairs
-#     + incremental_admission_probe + neardup_survivors_with_containment
-#     new r7), trainprep(8: gained pretraining_prep_funnel) = 21 —
-#     then temporal(3)/events(6)/multimodal(4) (r4-attested) = 34,
-#     skills(6) = 40, tpch head (first 10 of 21) = exactly 50.
-#     Spilled to r8: tpch tail(11), relational(17), and the
+#     docquality(2), increment(5: admission + contained_document_pairs
+#     + the r7-new incremental_admission_probe,
+#     neardup_survivors_with_containment, and
+#     incremental_index_update_audit), trainprep(8: gained
+#     pretraining_prep_funnel) = 22 — then
+#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 35,
+#     skills(6) = 41, tpch head (first 9 of 21) = exactly 50.
+#     Spilled to r8: tpch tail(12), relational(17), and the
 #     r6-attested scrapeshape/similarity/dedupe/skew/curation/
 #     textanalysis.
 #   round 8 window (plan): any module modified in r7 goes first, then

@@ -604,3 +604,37 @@ def test_incremental_probe_matches_full_on_cap_transition(spark, tmp_path):
         for r in admit_incoming(union, F.col("doc_id") >= 1000).collect()
     }
     assert inc == full == {(1, 1), (2, 1), (4, 1)}
+
+
+def test_index_update_matches_rebuild(spark, tmp_path):
+    """Functional index maintenance: update(index(corpus), admitted)
+    must equal build(corpus ∪ admitted) on all three tables — with a
+    shingle whose df crosses the cap ONLY via the admitted batch, so
+    the transition pruning (postings drop + doc_sizes correction) is
+    exercised, not just the happy path."""
+    from jobminer_spark.operators.increment import (
+        build_corpus_shingle_index,
+        update_corpus_shingle_index,
+    )
+
+    corpus_rows = [(1000 + i, f"u{i} S1 S2 S3 v{i}") for i in range(99)]
+    corpus_rows.append((2000, "only unique words here w1 w2"))
+    admitted_rows = [
+        (1, "S1 S2 S3 a b c"),     # pushes 'S1 S2 S3' to df 101 > 100
+        (2, "S1 S2 S3 d e f"),
+        (3, "fresh new content entirely here"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    admitted = spark.createDataFrame(admitted_rows, "doc_id long, text string")
+
+    old = str(tmp_path / "old")
+    upd = str(tmp_path / "upd")
+    ref = str(tmp_path / "ref")
+    build_corpus_shingle_index(corpus, old)
+    update_corpus_shingle_index(spark, old, admitted, upd)
+    build_corpus_shingle_index(corpus.unionByName(admitted), ref)
+
+    for table in ("vocab", "postings", "doc_sizes"):
+        a = spark.read.parquet(f"{upd}/{table}")
+        b = spark.read.parquet(f"{ref}/{table}")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, table
