@@ -323,13 +323,15 @@ def planted_twins(emb: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "hyperplane_lsh_recall_audit",
-    oracle=f"""
-    WITH {VEC_NORMS_CTE},
+def planted_twins_cte() -> str:
+    """``sub`` + ``pert`` CTEs over ``elems`` (VEC_NORMS_CTE must be in
+    scope) — the SQL twin of :func:`planted_twins`, shared by this
+    module's recall audit and semdedup's cluster-dedup oracle so the
+    planting recipe cannot drift between them."""
+    return f"""
     sub AS (SELECT vec_id, ord, val FROM elems
             WHERE vec_id % {RECALL_SUBSET_MOD} = 0),
-    pert AS (
+    pert AS MATERIALIZED (
       SELECT s.vec_id + {_TWIN_OFFSET} AS vec_id, s.ord,
              s.val * (CASE WHEN CAST(concat('0x', substring(
                         md5('p_' || CAST(s.vec_id AS VARCHAR) || '_'
@@ -338,7 +340,17 @@ def planted_twins(emb: DataFrame) -> DataFrame:
                       THEN 1.0 + {RECALL_EPS} ELSE 1.0 - {RECALL_EPS} END)
                AS val
       FROM sub s
-    ),
+    )"""
+
+
+TWIN_OFFSET = _TWIN_OFFSET  # public alias for cross-module consumers
+
+
+@query(
+    "hyperplane_lsh_recall_audit",
+    oracle=f"""
+    WITH {VEC_NORMS_CTE},
+    {planted_twins_cte()},
     allel AS (SELECT * FROM sub UNION ALL SELECT * FROM pert),
     qv AS (SELECT vec_id, ord, CAST(floor(val * {QUANT}.0) AS BIGINT) AS q
            FROM allel),

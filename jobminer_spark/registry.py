@@ -46,11 +46,11 @@ ORACLES: dict[str, str] = {}
 #     docquality(2), increment(5: admission + contained_document_pairs
 #     + the r7-new incremental_admission_probe,
 #     neardup_survivors_with_containment, and
-#     incremental_index_update_audit), trainprep(8: gained
-#     pretraining_prep_funnel) = 22 — then
-#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 35,
-#     skills(6) = 41, tpch head (first 9 of 21) = exactly 50.
-#     Spilled to r8: tpch tail(12), relational(17), and the
+#     incremental_index_update_audit), semdedup(1, new r7),
+#     trainprep(8: gained pretraining_prep_funnel) = 23 — then
+#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 36,
+#     skills(6) = 42, tpch head (first 8 of 21) = exactly 50.
+#     Spilled to r8: tpch tail(13), relational(17), and the
 #     r6-attested scrapeshape/similarity/dedupe/skew/curation/
 #     textanalysis.
 #   round 8 window (plan): any module modified in r7 goes first, then
@@ -75,6 +75,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.embedlsh",
     "jobminer_spark.operators.docquality",
     "jobminer_spark.operators.increment",
+    "jobminer_spark.operators.semdedup",
     "jobminer_spark.operators.trainprep",
     # r4-attested, unchanged since — next-oldest debt
     "jobminer_spark.operators.temporal",

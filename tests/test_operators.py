@@ -638,3 +638,26 @@ def test_index_update_matches_rebuild(spark, tmp_path):
         a = spark.read.parquet(f"{upd}/{table}")
         b = spark.read.parquet(f"{ref}/{table}")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, table
+
+
+def test_semantic_dedup_drops_planted_twins(spark):
+    """Every original survives (fixture max cosine ~0.51 << 0.97);
+    every planted twin that lands in its base's cluster is dropped by
+    the priority rule (base id < twin id, cosine ~0.98). Nearly all
+    twins share their base's cluster at EPS=0.2, so the drop count
+    must be close to the plant count."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.embedlsh import TWIN_OFFSET, planted_twins
+    from jobminer_spark.operators.semdedup import semantic_dedup_survivors
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n_orig = emb.count()
+    n_twins = planted_twins(emb).count()
+    surv = semantic_dedup_survivors(spark, SF_DIR)
+    n_surv_orig = surv.filter(F.col("vec_id") < TWIN_OFFSET).count()
+    n_surv_twin = surv.filter(F.col("vec_id") >= TWIN_OFFSET).count()
+    assert n_surv_orig == n_orig                 # no original dropped
+    assert n_surv_twin <= n_twins * 0.2          # twins overwhelmingly dropped

@@ -227,3 +227,12 @@ def test_incremental_probe_scans_index_not_corpus(spark, tmp_path):
 
     for m in _re.finditer(r"ReadSchema: (\S+)", plan):
         assert "text" not in m.group(1)
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
+    """Assignment must broadcast the K centroids (corpus side never
+    shuffles for distances) and the pair join must be a hash join on
+    the cluster key — never a corpus cartesian."""
+    plan = _plan(spark, "semantic_dedup_survivors")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
