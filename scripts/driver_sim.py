@@ -6,7 +6,7 @@ tests/test_oracle_parity.py, and prints per-query wall-clock so we can
 see whether the whole suite fits a plausible driver time budget
 (CORRECTNESS_r01 stopped at exactly 50 entries — hypothesis: budget).
 
-Usage: python scripts/driver_sim.py [sf_dir] [only_prefix...]
+Usage: python scripts/driver_sim.py [--min3] [sf_dir] [only_prefix...]
 """
 
 from __future__ import annotations
@@ -23,8 +23,10 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from jobminer_spark import ORACLES, QUERIES, load_all_operators  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+MIN3 = "--min3" in sys.argv
+_args = [a for a in sys.argv[1:] if a != "--min3"]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 FIXTURE_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -132,6 +134,25 @@ def main() -> None:
     print(json.dumps({"total_s": round(total, 1), "n": len(results)}))
     slow = sorted(results.items(), key=lambda kv: -kv[1])[:12]
     print("slowest:", json.dumps(dict(slow)))
+    if MIN3:
+        # Stable numbers for the slowest rows: re-run each twice more
+        # and report min-of-3 (the first-pass number above includes
+        # codegen + any cold caches; audits with process-level result
+        # caches show their WARM cost here — that is the honest number
+        # for window-runtime budgeting, since the driver window pays
+        # the cold cost exactly once wherever the query sits).
+        stable = {}
+        for name, first in slow[:5]:
+            best = first
+            for _ in range(2):
+                t0 = time.monotonic()
+                try:
+                    QUERIES[name](spark, SF_DIR).collect()
+                    best = min(best, time.monotonic() - t0)
+                except Exception:  # noqa: BLE001
+                    break
+            stable[name] = round(best, 2)
+        print("slowest_min3:", json.dumps(stable))
     if fails:
         print("FAILURES:")
         for n, s in fails:
