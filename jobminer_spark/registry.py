@@ -47,10 +47,11 @@ ORACLES: dict[str, str] = {}
 #     + the r7-new incremental_admission_probe,
 #     neardup_survivors_with_containment, and
 #     incremental_index_update_audit), semdedup(1, new r7),
-#     trainprep(8: gained pretraining_prep_funnel) = 23 — then
-#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 36,
-#     skills(6) = 42, tpch head (first 8 of 21) = exactly 50.
-#     Spilled to r8: tpch tail(13), relational(17), and the
+#     pq(2, new r7: ann_pq_adc_topk + ann_pq_recall_vs_bruteforce),
+#     trainprep(8: gained pretraining_prep_funnel) = 25 — then
+#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 38,
+#     skills(6) = 44, tpch head (first 6 of 21) = exactly 50.
+#     Spilled to r8: tpch tail(15), relational(17), and the
 #     r6-attested scrapeshape/similarity/dedupe/skew/curation/
 #     textanalysis.
 #   round 8 window (plan): any module modified in r7 goes first, then
@@ -76,6 +77,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.docquality",
     "jobminer_spark.operators.increment",
     "jobminer_spark.operators.semdedup",
+    "jobminer_spark.operators.pq",
     "jobminer_spark.operators.trainprep",
     # r4-attested, unchanged since — next-oldest debt
     "jobminer_spark.operators.temporal",

@@ -661,3 +661,32 @@ def test_semantic_dedup_drops_planted_twins(spark):
     n_surv_twin = surv.filter(F.col("vec_id") >= TWIN_OFFSET).count()
     assert n_surv_orig == n_orig                 # no original dropped
     assert n_surv_twin <= n_twins * 0.2          # twins overwhelmingly dropped
+
+
+def test_pq_encoding_shape_and_guard(spark):
+    """Every vector gets exactly M codes in [0, PQ_K); non-divisible
+    dims fail loudly instead of silently mis-slicing subspaces."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.pq import PQ_K, PQ_M, pq_adc_topk, pq_codes
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cw = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    codes = pq_codes(emb, cw)
+    n_vec = emb.count()
+    assert codes.count() == n_vec * PQ_M
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= PQ_K)).count()
+    assert bad == 0
+    # a codeword's own best code in every subspace is itself (distance 0)
+    self_codes = codes.filter(F.col("vec_id") < PQ_K)
+    assert self_codes.filter(F.col("code") != F.col("vec_id")).count() == 0
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_adc_topk(
+            emb.select("vec_id", F.slice("embedding", 1, 63).alias("embedding"))
+        )

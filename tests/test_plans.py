@@ -236,3 +236,12 @@ def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
     plan = _plan(spark, "semantic_dedup_survivors")
     assert "CartesianProduct" not in plan
     assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_broadcasts_tables_no_corpus_cartesian(spark):
+    """The codeword frame and ADC tables must broadcast; the corpus's
+    only wide operations are the code aggregation and the bounded
+    query-partitioned selections — never a corpus×corpus cartesian."""
+    plan = _plan(spark, "ann_pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
