@@ -48,10 +48,11 @@ ORACLES: dict[str, str] = {}
 #     neardup_survivors_with_containment, and
 #     incremental_index_update_audit), semdedup(1, new r7),
 #     pq(2, new r7: ann_pq_adc_topk + ann_pq_recall_vs_bruteforce),
-#     trainprep(8: gained pretraining_prep_funnel) = 25 — then
-#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 38,
-#     skills(6) = 44, tpch head (first 6 of 21) = exactly 50.
-#     Spilled to r8: tpch tail(15), relational(17), and the
+#     bloom(1, new r7: bloom_prefilter_counts),
+#     trainprep(8: gained pretraining_prep_funnel) = 26 — then
+#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 39,
+#     skills(6) = 45, tpch head (first 5 of 21) = exactly 50.
+#     Spilled to r8: tpch tail(16), relational(17), and the
 #     r6-attested scrapeshape/similarity/dedupe/skew/curation/
 #     textanalysis.
 #   round 8 window (plan): any module modified in r7 goes first, then
@@ -78,6 +79,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.increment",
     "jobminer_spark.operators.semdedup",
     "jobminer_spark.operators.pq",
+    "jobminer_spark.operators.bloom",
     "jobminer_spark.operators.trainprep",
     # r4-attested, unchanged since — next-oldest debt
     "jobminer_spark.operators.temporal",

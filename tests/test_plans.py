@@ -245,3 +245,12 @@ def test_pq_adc_broadcasts_tables_no_corpus_cartesian(spark):
     plan = _plan(spark, "ann_pq_adc_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_broadcasts_bit_set(spark):
+    """The bit set (<= m rows by construction) must broadcast; probe
+    keys never shuffle against the full existing key set in the bloom
+    stage."""
+    plan = _plan(spark, "bloom_prefilter_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
