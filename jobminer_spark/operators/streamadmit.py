@@ -1,0 +1,277 @@
+"""Streaming incremental ingestion dedup: the full loop under
+Structured Streaming.
+
+Composes the per-batch pieces — index probe (increment.
+admit_incoming_incremental), admission, and functional index update
+(increment.update_corpus_shingle_index) — inside a foreachBatch sink:
+each micro-batch is admitted against the corpus AS OF ITS BATCH TIME,
+then the admitted documents join the corpus before the next batch is
+judged. This is the production shape of a continuously-ingesting
+training corpus (the reference's daily idempotent micro-batch,
+function.json:6 + database.py:116-123, upgraded to content-similarity
+admission with evolving state).
+
+Sequential semantics are NOT one-shot semantics, deliberately: a doc
+near-duplicate of an earlier batch's REJECTED doc is admitted (the
+rejected doc never joined the corpus), where a one-shot union dedup
+would reject both. The oracle below encodes exactly the sequential
+contract — phase 2's kept set is phase 1's kept set plus phase 1's
+admissions — so the driver row pins the evolution order, not just the
+per-batch math.
+
+Index versioning makes replay safe: processing batch b always reads
+index version b and writes version b+1, both pure functions of their
+inputs — a re-delivered batch rebuilds the identical next version.
+
+Scale shape: everything inherits the probe/update shapes
+(O(batch + touched postings) per micro-batch, corpus only via index
+scans); the stream itself carries document rows, and the admitted
+sink appends narrow (doc_id, n_members, batch_id) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.operators.dedupe import SHINGLE_MAX_DF
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+
+def run_streaming_admission(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_v0: str,
+    work_dir: str,
+) -> DataFrame:
+    """Drain a bounded (doc_id, text) stream with availableNow,
+    admitting each micro-batch against the current corpus index and
+    updating the index to the next version. Returns the admitted
+    frame (doc_id, n_members, batch_id) read back from the sink."""
+    import os
+
+    from jobminer_spark.operators.increment import (
+        admit_incoming_incremental,
+        update_corpus_shingle_index,
+    )
+
+    sink = os.path.join(work_dir, "admitted")
+    holder = {"idx": index_v0}
+
+    def process(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.select("doc_id", "text")
+        admitted = admit_incoming_incremental(spark, batch, holder["idx"])
+        admitted.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(sink)
+        admitted_docs = batch.join(
+            spark.read.parquet(sink)
+            .filter(F.col("batch_id") == batch_id)
+            .select("doc_id"),
+            "doc_id",
+        )
+        new_idx = os.path.join(work_dir, f"index_v{batch_id + 1}")
+        update_corpus_shingle_index(spark, holder["idx"], admitted_docs, new_idx)
+        holder["idx"] = new_idx
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work_dir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+def _phase_cte(p: str, kept_sql: str, batch_sql: str) -> str:
+    """One sequential-admission phase as DuckDB CTEs: near-dup edges
+    over kept ∪ batch, transitive closure, component admission rules —
+    the SQL twin of one admit_incoming_incremental call against an
+    index of ``kept_sql``. MATERIALIZED throughout (several CTEs are
+    multiply referenced; inlining re-evaluates them combinatorially)."""
+    return f"""
+    {p}_docs AS MATERIALIZED (
+      SELECT doc_id, text, TRUE AS is_existing FROM ({kept_sql})
+      UNION ALL
+      SELECT doc_id, text, FALSE FROM ({batch_sql})
+    ),
+    {p}_tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM {p}_docs
+    ),
+    {p}_sha AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM {p}_tok a
+      JOIN {p}_tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+      JOIN {p}_tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+    ),
+    {p}_hot AS (
+      SELECT shingle FROM {p}_sha
+      GROUP BY shingle HAVING COUNT(*) > {SHINGLE_MAX_DF}
+    ),
+    {p}_sh AS MATERIALIZED (
+      SELECT * FROM {p}_sha
+      WHERE shingle NOT IN (SELECT shingle FROM {p}_hot)
+    ),
+    {p}_sizes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n_sh FROM {p}_sh GROUP BY doc_id
+    ),
+    {p}_inter AS MATERIALIZED (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM {p}_sh x
+      JOIN {p}_sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ),
+    {p}_edges AS (
+      SELECT doc_a, doc_b FROM {p}_inter
+      JOIN {p}_sizes sa ON sa.doc_id = doc_a
+      JOIN {p}_sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    {p}_bidir AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM {p}_edges
+      UNION
+      SELECT doc_b, doc_a FROM {p}_edges
+    ),
+    {p}_reach(src, dst) AS (
+      SELECT src, dst FROM {p}_bidir
+      UNION
+      SELECT r.src, e.dst FROM {p}_reach r JOIN {p}_bidir e ON r.dst = e.src
+    ),
+    {p}_comp AS MATERIALIZED (
+      SELECT doc_id, MIN(m) AS component FROM (
+        SELECT src AS doc_id, dst AS m FROM {p}_reach
+        UNION ALL
+        SELECT DISTINCT src, src FROM {p}_bidir)
+      GROUP BY doc_id
+    ),
+    {p}_labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             d.is_existing
+      FROM {p}_docs d LEFT JOIN {p}_comp c ON c.doc_id = d.doc_id
+    ),
+    {p}_per AS (
+      SELECT component,
+             MAX(CASE WHEN is_existing THEN 1 ELSE 0 END) AS has_existing,
+             MIN(CASE WHEN NOT is_existing THEN doc_id END) AS min_incoming,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM {p}_labeled GROUP BY component
+    ),
+    {p}_adm AS MATERIALIZED (
+      SELECT min_incoming AS doc_id, n_members FROM {p}_per
+      WHERE has_existing = 0 AND min_incoming IS NOT NULL
+    )"""
+
+
+_KEPT1 = "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0"
+_BATCH1 = (
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 2 = 1"
+)
+_KEPT2 = f"""{_KEPT1}
+      UNION ALL
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN p1_adm a ON a.doc_id = d.doc_id"""
+_BATCH2 = (
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 2 = 0"
+)
+
+
+@query(
+    "stream_admission_parity",
+    oracle=f"""
+    WITH RECURSIVE {_phase_cte("p1", _KEPT1, _BATCH1)},
+    {_phase_cte("p2", _KEPT2, _BATCH2)}
+    SELECT CAST(2 AS BIGINT) AS n_batches,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM p1_adm) AS n_admitted_b1,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM p2_adm) AS n_admitted_b2,
+      (SELECT CAST(COALESCE(SUM(n_members), 0) AS BIGINT) FROM p1_adm)
+        AS members_b1,
+      (SELECT CAST(COALESCE(SUM(n_members), 0) AS BIGINT) FROM p2_adm)
+        AS members_b2
+    """,
+)
+def stream_admission_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequential admission, end to end, for real: the
+    incoming split lands as TWO files (forced one-file micro-batches),
+    the foreachBatch sink admits each against the index version of its
+    batch time and writes the next version; the oracle independently
+    replays the sequential contract — phase 2's kept corpus includes
+    phase 1's admissions — so a wrong batch split, a skipped index
+    update, an out-of-order drain, or any drift in the per-batch
+    admission math turns this driver row red."""
+    n_batches, a1, a2, m1, m2 = _stream_admission_scalars(spark, sf_dir)
+    return spark.range(1).select(
+        F.lit(n_batches).cast("long").alias("n_batches"),
+        F.lit(a1).cast("long").alias("n_admitted_b1"),
+        F.lit(a2).cast("long").alias("n_admitted_b2"),
+        F.lit(m1).cast("long").alias("members_b1"),
+        F.lit(m2).cast("long").alias("members_b2"),
+    )
+
+
+_STREAM_ADMIT_CACHE: dict[tuple[str, str], tuple[int, int, int, int, int]] = {}
+
+
+def _stream_admission_scalars(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int, int, int, int]:
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _STREAM_ADMIT_CACHE:
+        return _STREAM_ADMIT_CACHE[cache_key]
+
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from jobminer_spark.operators.increment import build_corpus_shingle_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 2 == 1))
+    b2 = docs.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 2 == 0))
+
+    work = tempfile.mkdtemp(prefix="stream_admission_")
+    try:
+        # two single-file drops with staggered mtimes: the file stream
+        # source orders by timestamp, maxFilesPerTrigger=1 makes each
+        # its own micro-batch
+        stream_dir = os.path.join(work, "incoming")
+        os.makedirs(stream_dir)
+        for i, b in ((0, b1), (1, b2)):
+            tmp = os.path.join(work, f"w{i}")
+            b.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{i:02d}_batch.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+
+        index_v0 = os.path.join(work, "index_v0")
+        build_corpus_shingle_index(existing, index_v0)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        admitted = run_streaming_admission(spark, stream, index_v0, work)
+        per = {
+            r["batch_id"]: (r["n"], r["m"])
+            for r in admitted.groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_members").alias("m"),
+            )
+            .collect()
+        }
+        n_batches = len(per)
+        a1, m1 = per.get(0, (0, 0))
+        a2, m2 = per.get(1, (0, 0))
+        result = (n_batches, a1, a2, int(m1), int(m2))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    _STREAM_ADMIT_CACHE[cache_key] = result
+    return result

@@ -148,3 +148,59 @@ def test_streaming_source_conf_hygiene_and_probe_cache(spark):
 
     # the sf fixtures are timestamp[us]: the legacy conf must not be set
     assert spark.conf.get(key, None) is None
+
+
+def test_streaming_admission_sequential_not_oneshot(spark, tmp_path):
+    """The defining case of the sequential contract: B is a near-dup
+    of A, A is a near-dup of existing E, but B is NOT a near-dup of E.
+    Batch-by-batch: A is rejected (tainted by E) and never joins the
+    corpus, so B — judged against {E} only — is admitted. A one-shot
+    union dedup chains E-A-B into one tainted component and admits
+    NOTHING. Both behaviors asserted so the divergence is pinned, not
+    accidental."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.increment import (
+        admit_incoming,
+        build_corpus_shingle_index,
+    )
+    from jobminer_spark.operators.streamadmit import run_streaming_admission
+
+    s = " ".join(f"S{i}" for i in range(1, 11))           # S1..S10
+    e_text = f"{s} x"
+    a_text = f"{s} y"                                      # J(A,E)=8/10
+    b_text = " ".join(f"S{i}" for i in range(2, 11)) + " y w"  # J(B,A)=8/10, J(B,E)=7/11
+    existing = spark.createDataFrame([(1000, e_text)], "doc_id long, text string")
+    a = spark.createDataFrame([(1, a_text)], "doc_id long, text string")
+    b = spark.createDataFrame([(2, b_text)], "doc_id long, text string")
+
+    work = str(tmp_path / "work")
+    stream_dir = os.path.join(work, "incoming")
+    os.makedirs(stream_dir)
+    for i, batch in ((0, a), (1, b)):
+        tmp = os.path.join(work, f"w{i}")
+        batch.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"{i:02d}_batch.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    index_v0 = os.path.join(work, "index_v0")
+    build_corpus_shingle_index(existing, index_v0)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    admitted = run_streaming_admission(spark, stream, index_v0, work)
+    rows = {(r.doc_id, r.batch_id) for r in admitted.collect()}
+    assert rows == {(2, 1)}  # only B, in batch 1
+
+    oneshot = admit_incoming(
+        existing.unionByName(a).unionByName(b), F.col("doc_id") >= 1000
+    )
+    assert oneshot.count() == 0
