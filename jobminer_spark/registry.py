@@ -50,10 +50,12 @@ ORACLES: dict[str, str] = {}
 #     pq(2, new r7: ann_pq_adc_topk + ann_pq_recall_vs_bruteforce),
 #     bloom(1, new r7: bloom_prefilter_counts),
 #     streamadmit(1, new r7: stream_admission_parity),
-#     trainprep(8: gained pretraining_prep_funnel) = 27 — then
-#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 40,
-#     skills(6) = 46, tpch head (first 4 of 21) = exactly 50.
-#     Spilled to r8: tpch tail(17), relational(17), and the
+#     winnow(2, new r7: winnowing_fingerprint_stats +
+#     winnowing_candidate_pairs),
+#     trainprep(8: gained pretraining_prep_funnel) = 29 — then
+#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 42,
+#     skills(6) = 48, tpch head (first 2 of 21) = exactly 50.
+#     Spilled to r8: tpch tail(19), relational(17), and the
 #     r6-attested scrapeshape/similarity/dedupe/skew/curation/
 #     textanalysis.
 #   round 8 window (plan): any module modified in r7 goes first, then
@@ -82,6 +84,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.pq",
     "jobminer_spark.operators.bloom",
     "jobminer_spark.operators.streamadmit",
+    "jobminer_spark.operators.winnow",
     "jobminer_spark.operators.trainprep",
     # r4-attested, unchanged since — next-oldest debt
     "jobminer_spark.operators.temporal",

@@ -690,3 +690,31 @@ def test_pq_encoding_shape_and_guard(spark):
         pq_adc_topk(
             emb.select("vec_id", F.slice("embedding", 1, 63).alias("embedding"))
         )
+
+
+def test_winnowing_guarantee_on_shared_run(spark):
+    """The paper's detection guarantee, executable: two documents
+    sharing a run of >= k + w - 1 = 8 consecutive tokens (in otherwise
+    disjoint text) MUST share at least one fingerprint — every window
+    fully inside the shared run selects the same minimum in both.
+    Checked at several run positions; fully-disjoint documents must
+    never pair (no hash collisions across disjoint vocabularies at
+    60-bit hashes and this corpus size)."""
+    from jobminer_spark.operators.winnow import winnow_candidate_pairs
+
+    run8 = " ".join(f"R{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 a4 a5 {run8} a6 a7 a8 a9 a10"),   # run mid-doc
+            (2, f"{run8} b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),   # run at head
+            (3, f"c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 {run8}"),   # run at tail
+            (4, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"),   # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_candidate_pairs(docs, min_shared=1).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs  # guaranteed detections
+    assert not any(4 in p for p in pairs)     # disjoint doc pairs nothing
