@@ -145,3 +145,97 @@ def word_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("hapax_frac"),
     )
+
+
+_MULTI_NS = (2, 3, 4)
+
+
+def _gram_cte_n(n: int) -> str:
+    """DuckDB CTEs for word n-gram occurrence counts at one n."""
+    joins = " ".join(
+        f"JOIN tok{n} t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.ord = t0.ord + {j}"
+        for j in range(1, n)
+    )
+    concat = " || ' ' || ".join(f"t{j}.tok" for j in range(n))
+    return f"""
+    tok{n} AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ),
+    grams{n} AS (
+      SELECT t0.doc_id, {concat} AS g
+      FROM tok{n} t0 {joins}
+    ),
+    gc{n} AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams{n} GROUP BY doc_id, g
+    ),
+    rep{n} AS (
+      SELECT doc_id, CAST({n} AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+               AS dup_gram_frac,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_gram_frac
+      FROM gc{n} GROUP BY doc_id
+    )"""
+
+
+@query(
+    "doc_repetition_profile_multi_n",
+    oracle=f"""
+    WITH {",".join(_gram_cte_n(n) for n in _MULTI_NS)}
+    {" UNION ALL ".join(f"SELECT * FROM rep{n}" for n in _MULTI_NS)}
+    """,
+)
+def doc_repetition_profile_multi_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition profile (Rae et al. 2021, §A1.1
+    filters on duplicate n-gram fractions for SEVERAL n, not just
+    2-grams): per document and per n in {2,3,4}, the duplicate-gram
+    and top-gram occupancy fractions. A template document repeats
+    SHORT grams heavily; a copy-paste loop also repeats long ones —
+    the n-profile separates the two failure shapes.
+
+    Plan: ONE scan — the token array is split once per row, each n's
+    grams come from a single-level slice/concat transform (nested
+    lambda folds are deliberately avoided: Catalyst re-inlines them,
+    see winnow.py's measurement), the three gram streams stack into
+    one explode, and counting is one (doc_id, n, gram) shuffle with
+    map-side combine + one (doc_id, n) rollup. Documents shorter than
+    n tokens contribute no row at that n (same contract as the
+    oracle's inner joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+
+    def grams_for(n: int):
+        return F.when(
+            F.size(F.col("w")) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("w")) - n),
+                lambda i: F.struct(
+                    F.lit(n).cast("long").alias("n"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("w"), (i + 1).cast("int"), n)
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:bigint,g:string>>"))
+
+    stacked = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.concat(*[grams_for(n) for n in _MULTI_NS])
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    )
+    gc = stacked.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    return gc.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("n_grams"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("dup_gram_frac"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_gram_frac"),
+    )

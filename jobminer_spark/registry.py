@@ -43,7 +43,8 @@ ORACLES: dict[str, str] = {}
 #     stream_sink_parity + stream_stateful_parity +
 #     stream_session_parity, kmeans_lloyd_audit gained obj_round2),
 #     embedlsh(2: +hyperplane_lsh_recall_audit new r7),
-#     docquality(2), increment(5: admission + contained_document_pairs
+#     docquality(3: +doc_repetition_profile_multi_n new r7),
+#     increment(5: admission + contained_document_pairs
 #     + the r7-new incremental_admission_probe,
 #     neardup_survivors_with_containment, and
 #     incremental_index_update_audit), semdedup(1, new r7),
@@ -52,10 +53,10 @@ ORACLES: dict[str, str] = {}
 #     streamadmit(1, new r7: stream_admission_parity),
 #     winnow(2, new r7: winnowing_fingerprint_stats +
 #     winnowing_candidate_pairs),
-#     trainprep(8: gained pretraining_prep_funnel) = 29 — then
-#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 42,
-#     skills(6) = 48, tpch head (first 2 of 21) = exactly 50.
-#     Spilled to r8: tpch tail(19), relational(17), and the
+#     trainprep(8: gained pretraining_prep_funnel) = 30 — then
+#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 43,
+#     skills(6) = 49, tpch head (first 1 of 21) = exactly 50.
+#     Spilled to r8: tpch tail(20), relational(17), and the
 #     r6-attested scrapeshape/similarity/dedupe/skew/curation/
 #     textanalysis.
 #   round 8 window (plan): any module modified in r7 goes first, then
