@@ -473,3 +473,93 @@ def pretraining_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("p_lang"), 1)).alias("n_after_lang"),
         F.count(F.when(F.col("p_dedup"), 1)).alias("n_after_dedup"),
     )
+
+
+_TEMP_Q = 1_000_000  # sqrt quantization for exact cross-engine sums
+
+
+@query(
+    "temperature_mixture_rebalance",
+    oracle=f"""
+    WITH per AS MATERIALIZED (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(floor(sqrt(CAST(SUM(n_chars) AS DOUBLE)) * {_TEMP_Q})
+                  AS BIGINT) AS wq
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(wq) AS BIGINT) AS wq_sum,
+             CAST(SUM(n_docs) AS BIGINT) AS n_total
+      FROM per
+    ),
+    rated AS MATERIALIZED (
+      SELECT p.source, p.n_docs, p.total_chars,
+             CAST(p.wq AS DOUBLE) / t.wq_sum AS share,
+             CAST(least(10000, floor(
+               10000.0 * (CAST(p.wq AS DOUBLE) / t.wq_sum)
+                 * t.n_total / p.n_docs)) AS BIGINT) AS rate_bp
+      FROM per p CROSS JOIN tot t
+    )
+    SELECT r.source, r.n_docs, r.total_chars, r.share, r.rate_bp,
+           CAST(COUNT(CASE WHEN {_bucket_sql("d.doc_id", 10000)} < r.rate_bp
+                           THEN 1 END) AS BIGINT) AS n_kept
+    FROM rated r JOIN documents d ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.total_chars, r.share, r.rate_bp
+    """,
+)
+def temperature_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weights COMPUTED from corpus statistics instead of a
+    hand-written rate table (the complement of source_mixture_sampling):
+    temperature sampling at tau = 0.5 — source weight ∝ sqrt(source
+    chars), the standard flattening that keeps big sources dominant but
+    lifts the tail (multilingual/data-mixture practice, e.g. the
+    sampling-temperature scheme of the mBERT/XLM-R line — public).
+
+    Determinism: sqrt is IEEE-correctly-rounded (identical in both
+    engines), then floor-quantized to a long; the weight SUM is exact
+    integer arithmetic, so shares and basis-point rates are identical
+    doubles cross-engine, and the keep decision reuses the stable md5
+    bucket. rate_bp makes expected kept counts proportional to the
+    temperature share (capped at 100%).
+
+    Plan: one (source) aggregate (narrow — one row per source), a
+    1-row total broadcast-cross-joined back, and one pass over the
+    corpus for the kept counts — no corpus-sized shuffle beyond the
+    per-source aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.floor(
+            F.sqrt(F.sum("n_chars").cast("double")) * F.lit(_TEMP_Q)
+        ).cast("long").alias("wq"),
+    )
+    tot = per.agg(
+        F.sum("wq").alias("wq_sum"), F.sum("n_docs").alias("n_total")
+    )
+    rated = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        (F.col("wq").cast("double") / F.col("wq_sum")).alias("share"),
+        F.least(
+            F.lit(10000),
+            F.floor(
+                F.lit(10000.0)
+                * (F.col("wq").cast("double") / F.col("wq_sum"))
+                * F.col("n_total")
+                / F.col("n_docs")
+            ),
+        ).cast("long").alias("rate_bp"),
+    )
+    kept = (
+        docs.select("source", hash_bucket(F.col("doc_id"), 10000).alias("_b"))
+        .join(F.broadcast(rated.select("source", "rate_bp")), "source")
+        .groupBy("source")
+        .agg(F.count(F.when(F.col("_b") < F.col("rate_bp"), 1)).alias("n_kept"))
+    )
+    return rated.join(kept, "source").select(
+        "source", "n_docs", "total_chars", "share", "rate_bp", "n_kept"
+    )

@@ -53,12 +53,12 @@ ORACLES: dict[str, str] = {}
 #     streamadmit(1, new r7: stream_admission_parity),
 #     winnow(2, new r7: winnowing_fingerprint_stats +
 #     winnowing_candidate_pairs),
-#     trainprep(8: gained pretraining_prep_funnel) = 30 — then
-#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 43,
-#     skills(6) = 49, tpch head (first 1 of 21) = exactly 50.
-#     Spilled to r8: tpch tail(20), relational(17), and the
-#     r6-attested scrapeshape/similarity/dedupe/skew/curation/
-#     textanalysis.
+#     trainprep(9: gained pretraining_prep_funnel in r6 and
+#     temperature_mixture_rebalance in r7) = 31 — then
+#     temporal(3)/events(6)/multimodal(4) (r4-attested) = 44,
+#     skills(6) = exactly 50. Spilled to r8: tpch(21),
+#     relational(17), and the r6-attested scrapeshape/similarity/
+#     dedupe/skew/curation/textanalysis.
 #   round 8 window (plan): any module modified in r7 goes first, then
 #     tpch tail(11) + relational(17) (r5/r6-attested, oldest debt),
 #     then scrapeshape/similarity by age; remainder rolls to r9.
