@@ -59,9 +59,10 @@ ORACLES: dict[str, str] = {}
 #     skills(6) = exactly 50. Spilled to r8: tpch(21),
 #     relational(17), and the r6-attested scrapeshape/similarity/
 #     dedupe/skew/curation/textanalysis.
-#   round 8 window (plan): any module modified in r7 goes first, then
-#     tpch tail(11) + relational(17) (r5/r6-attested, oldest debt),
-#     then scrapeshape/similarity by age; remainder rolls to r9.
+#   round 8 window (plan): the r7-new past-window modules first
+#     (embquality, datasheet — plus anything else modified in r7's
+#     tail), then tpch(21) + relational(17) (r5/r6-attested, oldest
+#     debt); remainder rolls to r9.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -102,6 +103,11 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.skew",
     "jobminer_spark.operators.curation",
     "jobminer_spark.operators.textanalysis",
+    # new in r7 AFTER the window froze — registered past slot 50 by
+    # design (the r6 pattern): driversim + local parity cover them
+    # this round; the rotation invariant pulls them to r8's front
+    "jobminer_spark.operators.embquality",
+    "jobminer_spark.operators.datasheet",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
