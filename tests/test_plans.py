@@ -254,3 +254,30 @@ def test_bloom_probe_broadcasts_bit_set(spark):
     plan = _plan(spark, "bloom_prefilter_counts")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_selection_single_doc_window(spark):
+    """Fingerprint selection = one (doc_id) window pass; the pair
+    stage adds the inverted-index shuffle — no cartesian anywhere."""
+    plan = _plan(spark, "winnowing_candidate_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_datasheet_single_expand_aggregation(spark):
+    """Grouping sets = ONE Expand + one partial/final aggregation pair
+    over one scan — not three unioned scans."""
+    plan = _plan(spark, "corpus_datasheet")
+    tree = plan.split("== Physical Plan ==", 1)[1].split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Expand" in tree
+    assert tree.count("HashAggregate") >= 2
+
+
+def test_norm_outliers_broadcasts_moments(spark):
+    """The 1-row moment aggregate must broadcast back over the corpus
+    (BroadcastNestedLoopJoin on a single-row build side), never a
+    corpus-sized shuffle join."""
+    plan = _plan(spark, "embedding_norm_outliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
