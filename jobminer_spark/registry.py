@@ -60,7 +60,7 @@ ORACLES: dict[str, str] = {}
 #     relational(17), and the r6-attested scrapeshape/similarity/
 #     dedupe/skew/curation/textanalysis.
 #   round 8 window (plan): the r7-new past-window modules first
-#     (embquality, datasheet, udtfs — plus anything else modified in r7's
+#     (embquality, datasheet, udtfs, spans — plus anything else modified in r7's
 #     tail), then tpch(21) + relational(17) (r5/r6-attested, oldest
 #     debt); remainder rolls to r9.
 #   invariant: local parity (tests/test_oracle_parity.py) and
@@ -109,6 +109,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.embquality",
     "jobminer_spark.operators.datasheet",
     "jobminer_spark.operators.udtfs",
+    "jobminer_spark.operators.spans",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -718,3 +718,32 @@ def test_winnowing_guarantee_on_shared_run(spark):
     }
     assert {(1, 2), (1, 3), (2, 3)} <= pairs  # guaranteed detections
     assert not any(4 in p for p in pairs)     # disjoint doc pairs nothing
+
+
+def test_shared_spans_maximal_runs(spark):
+    """Span semantics pinned on a constructed pair: two SEPARATE
+    shared runs (10 and 8 tokens) in different positions must come
+    back as exactly two maximal spans with exact start offsets and
+    lengths — no merging across the gap, no off-by-one in the
+    chain-length -> token-length accounting, and a doc pair sharing
+    only 7 tokens (< L = 8) must produce nothing."""
+    from jobminer_spark.operators.spans import shared_spans
+
+    r10 = " ".join(f"R{i}" for i in range(10))
+    s8 = " ".join(f"S{i}" for i in range(8))
+    q7 = " ".join(f"Q{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {r10} a3 a4 {s8} a5"),
+            (2, f"b1 {r10} b2 b3 b4 {s8} b5 b6"),
+            (3, f"c1 c2 c3 {q7} c4 c5 c6"),
+            (4, f"d1 d2 d3 {q7} d4 d5 d6"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in shared_spans(docs).collect()
+    }
+    # doc1: r10 at tokens 2..11, s8 at 14..21; doc2: r10 at 1..10, s8 at 14..21
+    assert rows == {(1, 2, 2, 1, 10), (1, 2, 14, 14, 8)}
