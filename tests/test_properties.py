@@ -271,3 +271,86 @@ def test_nanos_probe_tz_aware_and_missing_column(tmp_path):
     pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), str(nots))
     pq_src._TS_NANOS_CACHE.pop(str(nots), None)
     assert pq_src.events_ts_is_nanos(str(nots)) is False
+
+
+def test_bloom_never_false_negative_property(spark):
+    """∀ random key sets: every TRUE member of the built set passes
+    the bloom probe — the no-false-negative guarantee must hold for
+    arbitrary keys, not just the fixture split (false positives are
+    allowed and expected at saturation)."""
+    from hypothesis import given, settings, strategies as st
+
+    from jobminer_spark.operators.bloom import bloom_build, bloom_probe
+
+    batches: list[list[str]] = []
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abcdefghij0123456789|", min_size=1, max_size=24),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        )
+    )
+    def collect(keys):
+        batches.append(keys)
+
+    collect()
+    # one Spark pass per generated set is too slow; tag and union
+    rows = [
+        (i, k) for i, keys in enumerate(batches) for k in keys
+    ]
+    df = spark.createDataFrame(rows, "set_id int, key string")
+    for set_id in {r[0] for r in rows[:: max(1, len(rows) // 8)]}:
+        keys = df.filter(df.set_id == set_id).select("key")
+        bits = bloom_build(keys)
+        probed = bloom_probe(keys, bits)  # probe the members themselves
+        assert probed.filter(probed.bloom_pass != 1).count() == 0
+
+
+def test_winnowing_guarantee_property(spark):
+    """∀ random docs with a planted shared run of >= k + w - 1 tokens
+    at arbitrary positions: the candidate-pair stage detects every
+    planted pair (the SIGMOD'03 guarantee over generated inputs, not
+    just the hand-built fixture)."""
+    from hypothesis import given, settings, strategies as st
+
+    from jobminer_spark.operators.winnow import WIN_K, WIN_W, winnow_candidate_pairs
+
+    run_len = WIN_K + WIN_W - 1
+    cases: list[tuple[int, int, int, int]] = []
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(0, 12),  # prefix length doc A
+        st.integers(0, 12),  # suffix length doc A
+        st.integers(0, 12),  # prefix length doc B
+        st.integers(0, 12),  # suffix length doc B
+    )
+    def collect(pa, sa, pb, sb):
+        cases.append((pa, sa, pb, sb))
+
+    collect()
+    docs = []
+    for idx, (pa, sa, pb, sb) in enumerate(cases):
+        run = " ".join(f"run{idx}_{i}" for i in range(run_len))
+        a = " ".join(
+            [f"a{idx}_{i}" for i in range(pa)]
+            + [run]
+            + [f"x{idx}_{i}" for i in range(sa)]
+        )
+        b = " ".join(
+            [f"b{idx}_{i}" for i in range(pb)]
+            + [run]
+            + [f"y{idx}_{i}" for i in range(sb)]
+        )
+        docs.append((2 * idx, a))
+        docs.append((2 * idx + 1, b))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_candidate_pairs(df, min_shared=1).collect()
+    }
+    for idx in range(len(cases)):
+        assert (2 * idx, 2 * idx + 1) in pairs, f"case {idx} missed"
