@@ -125,3 +125,139 @@ def exact_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain, or a cap drift turns this driver row red."""
     docs = load_table(spark, sf_dir, "documents")
     return shared_spans(docs)
+
+
+SPAN_COVER_T = 0.5  # drop a doc when half its tokens are shared
+
+
+def span_coverage(docs: DataFrame, min_len: int = SPAN_L) -> DataFrame:
+    """(doc_id, n_tokens, covered_tokens, coverage) per document:
+    covered = size of the UNION of this doc's shared-span intervals
+    against LOWER-id partners only (the keep-first priority rule, same
+    stance as semdedup) — overlapping spans must not double count, so
+    intervals are merged with the classic running-max-end island pass
+    (one more (doc_id) window, no new join class)."""
+    from pyspark.sql import Window as W
+
+    sp = shared_spans(docs, min_len)
+    # shared_spans emits doc_a < doc_b, so doc_b is ALWAYS the
+    # higher-id side — its intervals vs the (lower-id) partner are
+    # exactly the ones the keep-first rule counts
+    mine = sp.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+    )
+    wl = W.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(wl.rowsBetween(W.unboundedPreceding, -1))
+    isl = (
+        mine.withColumn(
+            "new_isl",
+            F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("new_isl").over(wl.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "isl")
+        .agg((F.max("e") - F.min("s") + 1).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("cov").cast("long").alias("covered_tokens"))
+    )
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return toks.join(isl, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "covered_tokens",
+        (F.col("covered_tokens").cast("double") / F.col("n_tokens")).alias(
+            "coverage"
+        ),
+    )
+
+
+@query(
+    "span_coverage_dedup",
+    oracle=f"""
+    WITH tokd AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= {SPAN_L}
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos,
+             CAST(concat('0x', substring(md5(
+               array_to_string(toks[i : i + {SPAN_L} - 1], ' ')
+             ), 1, 15)) AS BIGINT) AS h
+      FROM tokd, LATERAL unnest(generate_series(1, len(toks) - {SPAN_L} + 1)) t(i)
+    ),
+    hot AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > {SHINGLE_MAX_DF}),
+    live AS MATERIALIZED (
+      SELECT * FROM grams WHERE h NOT IN (SELECT h FROM hot)
+    ),
+    m AS MATERIALIZED (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
+      FROM live x JOIN live y ON x.h = y.h AND x.doc_id < y.doc_id
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS isl
+      FROM m
+    ),
+    spans AS MATERIALIZED (
+      SELECT doc_a, doc_b,
+             MIN(pa) AS start_a, MIN(pb) AS start_b,
+             COUNT(*) + {SPAN_L} - 1 AS span_tokens
+      FROM islands GROUP BY doc_a, doc_b, pa - pb, isl
+    ),
+    mine AS MATERIALIZED (
+      -- spans always have doc_a < doc_b: doc_b is the higher-id side
+      SELECT doc_b AS doc_id, start_b AS s,
+             start_b + span_tokens - 1 AS e
+      FROM spans
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM mine
+    ),
+    numbered AS (
+      SELECT doc_id, s, e,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS isl
+      FROM flagged
+    ),
+    per_isl AS (
+      SELECT doc_id, isl, MAX(e) - MIN(s) + 1 AS cov
+      FROM numbered GROUP BY doc_id, isl
+    ),
+    covered AS (
+      SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS covered_tokens
+      FROM per_isl GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           c.covered_tokens,
+           CAST(c.covered_tokens AS DOUBLE)
+             / len(string_split(d.text, ' ')) AS coverage
+    FROM documents d JOIN covered c ON c.doc_id = d.doc_id
+    WHERE CAST(c.covered_tokens AS DOUBLE)
+            / len(string_split(d.text, ' ')) >= {SPAN_COVER_T}
+    """,
+)
+def span_coverage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents to DROP because >= half their tokens sit inside spans
+    shared with lower-id documents — the document-level decision of
+    ExactSubstr dedup (Lee et al. remove the repeated substrings
+    themselves; at pretraining scale the common policy is doc-level
+    removal above a coverage threshold — divergence documented). The
+    oracle replays grams → matches → maximal spans → interval union →
+    threshold, so a double-counted overlap or a priority-direction
+    mistake turns this driver row red."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_coverage(docs).filter(F.col("coverage") >= SPAN_COVER_T)

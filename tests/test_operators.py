@@ -747,3 +747,26 @@ def test_shared_spans_maximal_runs(spark):
     }
     # doc1: r10 at tokens 2..11, s8 at 14..21; doc2: r10 at 1..10, s8 at 14..21
     assert rows == {(1, 2, 2, 1, 10), (1, 2, 14, 14, 8)}
+
+
+def test_span_coverage_merges_overlaps(spark):
+    """Interval-union correctness: two OVERLAPPING shared runs in the
+    higher-id doc must count their union once (not the double-counted
+    sum), and a doc sharing nothing is absent."""
+    from jobminer_spark.operators.spans import span_coverage
+
+    # doc 2 shares tokens 0..9 with doc 0 and tokens 5..14 with doc 1:
+    # union = 0..14 = 15 covered of 20 -> 0.75 (sum would say 20)
+    r = [f"C{i}" for i in range(15)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(r[0:10]) + " z1 z2 z3 z4"),
+            (1, " ".join(r[5:15]) + " w1 w2 w3 w4"),
+            (2, " ".join(r) + " v1 v2 v3 v4 v5"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r_.doc_id: (r_.n_tokens, r_.covered_tokens) for r_ in span_coverage(docs).collect()}
+    assert got[2] == (20, 15)
+    assert 3 not in got
