@@ -7,11 +7,16 @@ vector-norm z-score: flag vectors whose squared norm sits more than
 Z_CUT standard deviations from the corpus mean (the embedding-side
 analogue of the length/character gates in curation.py).
 
-Determinism: the squared norm is the exact quantized long of
-common.qdot; its corpus mean and variance are computed with EXACT
-decimal sums (sum of x and of x² — x² up to ~4e33 needs 128-bit
-accumulation, decimal(38,0) here, HUGEINT in the oracle), so mean,
-std, and every z decision are identical doubles cross-engine.
+Determinism AND overflow headroom: the squared norm is the exact
+quantized long of common.qdot (~6.4e16 for 64 unit-ish dims), then
+integer-divided by MOM_DIV = 1e9 before the moment sums — the
+coarser mq ≈ norm²·1e6 keeps z exact to ~1e-6 relative (identical in
+both engines) while bounding mq² at ~4e15, so the decimal(38,0) /
+HUGEINT second-moment sum holds ~1e22 vectors — no corpus can
+overflow it. Summing raw n2q² instead (~4e33/term) would turn NULL
+under non-ANSI arithmetic at a few tens of thousands of vectors and
+silently report zero outliers — the exact silent-overflow trap
+dedupe._label_sum guards against.
 
 Scale shape: one map-side-combinable aggregation for the two moments
 (a 2-long-row result, broadcast back), then one in-row z computation
@@ -28,22 +33,27 @@ from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
 Z_CUT = 2.0
+MOM_DIV = 1_000_000_000  # n2q -> mq: moment-sum headroom, see docstring
 
 
 def norm_outliers(emb: DataFrame, z_cut: float = Z_CUT) -> DataFrame:
     """(vec_id, norm, z) for vectors with |z| > z_cut on the squared
     norm. ``emb`` is (vec_id, embedding)."""
-    q = emb.select("vec_id", qdot(F.col("embedding"), F.col("embedding")).alias("n2q"))
+    q = emb.select(
+        "vec_id",
+        qdot(F.col("embedding"), F.col("embedding")).alias("n2q"),
+    ).withColumn("mq", F.expr(f"n2q div {MOM_DIV}"))
     mom = q.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("n2q").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("mq").cast("decimal(38,0)")).alias("s1"),
         F.sum(
-            (F.col("n2q").cast("decimal(38,0)") * F.col("n2q").cast("decimal(38,0)"))
+            (F.col("mq").cast("decimal(38,0)") * F.col("mq").cast("decimal(38,0)"))
         ).alias("s2"),
     )
     scored = q.crossJoin(F.broadcast(mom)).select(
         "vec_id",
         "n2q",
+        "mq",
         (F.col("s1").cast("double") / F.col("n")).alias("mean"),
         F.sqrt(
             F.col("s2").cast("double") / F.col("n")
@@ -51,7 +61,7 @@ def norm_outliers(emb: DataFrame, z_cut: float = Z_CUT) -> DataFrame:
             * (F.col("s1").cast("double") / F.col("n"))
         ).alias("std"),
     )
-    z = (F.col("n2q").cast("double") - F.col("mean")) / F.col("std")
+    z = (F.col("mq").cast("double") - F.col("mean")) / F.col("std")
     return (
         scored.select(
             "vec_id",
@@ -74,19 +84,20 @@ def norm_outliers(emb: DataFrame, z_cut: float = Z_CUT) -> DataFrame:
           SELECT vec_id, unnest(embedding) AS v FROM embeddings))
       GROUP BY vec_id
     ),
+    qm AS (SELECT vec_id, n2q, n2q // {MOM_DIV} AS mq FROM q),
     mom AS (
       SELECT COUNT(*) AS n,
-             SUM(CAST(n2q AS HUGEINT)) AS s1,
-             SUM(CAST(n2q AS HUGEINT) * CAST(n2q AS HUGEINT)) AS s2
-      FROM q
+             SUM(CAST(mq AS HUGEINT)) AS s1,
+             SUM(CAST(mq AS HUGEINT) * CAST(mq AS HUGEINT)) AS s2
+      FROM qm
     )
     SELECT vec_id,
            sqrt(CAST(n2q AS DOUBLE) / {QUANT}.0) AS norm,
-           (CAST(n2q AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+           (CAST(mq AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
              / sqrt(CAST(s2 AS DOUBLE) / n
                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
-    FROM q CROSS JOIN mom
-    WHERE abs((CAST(n2q AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+    FROM qm CROSS JOIN mom
+    WHERE abs((CAST(mq AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
               / sqrt(CAST(s2 AS DOUBLE) / n
                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
           > {Z_CUT}

@@ -253,7 +253,17 @@ def survivors_with_containment(docs: DataFrame, t: float = _CONTAIN_T) -> DataFr
         F.col("container_doc").alias("doc_b"),
     )
     edges = jac.unionByName(cont)
-    comps = connected_components_propagation(edges)
+    # Star contraction with a HARD convergence requirement, not the
+    # propagation default: survivor selection is a keep/drop decision,
+    # and containment edges specifically build CHAIN-shaped components
+    # (d1 ⊂ d2 ⊂ d3 — successive revisions), the diameter shape that
+    # blows past propagation's round cap and would silently split one
+    # component into several kept "survivors".
+    comps = connected_components_star(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        max_rounds=60,
+        require_converged=True,
+    )
     j = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
     return j.groupBy("component").agg(
         F.max_by(
@@ -346,7 +356,11 @@ def build_corpus_shingle_index(
 
     from jobminer_spark.operators.common import word_shingles
 
-    sh = word_shingles(docs, n)  # distinct (doc_id, shingle), uncapped
+    # Materialize the shingle frame ONCE: it feeds both the vocab
+    # aggregation and the postings write, and a lazy recompute would
+    # re-shingle (and re-shuffle) the whole corpus a second time —
+    # exactly the cost this once-per-corpus build exists to amortize.
+    sh = word_shingles(docs, n).localCheckpoint(eager=True)
     vocab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
     spark = docs.sparkSession
@@ -573,7 +587,9 @@ def update_corpus_shingle_index(
     postings = spark.read.parquet(os.path.join(index_path, "postings"))
     doc_sizes = spark.read.parquet(os.path.join(index_path, "doc_sizes"))
 
-    ash = word_shingles(admitted, n)  # distinct (doc_id, shingle)
+    # materialized once: feeds the df merge, the postings add, AND the
+    # admitted doc sizes — a lazy plan would re-shingle the batch 3×
+    ash = word_shingles(admitted, n).localCheckpoint(eager=True)
     adf = ash.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_batch"))
 
     merged = (
@@ -592,10 +608,13 @@ def update_corpus_shingle_index(
     )
     merged_r = spark.read.parquet(os.path.join(out_path, "vocab"))
 
+    # transition set from the WRITTEN vocab (merged_r) joined back to
+    # the old vocab — not from the lazy `merged` plan, which would
+    # re-execute the full-outer df merge a second time
     transitions = (
-        merged.filter(
-            (F.col("df_corpus") <= max_df) & (F.col("df") > max_df)
-        ).select("shingle")
+        vocab.filter(F.col("df") <= max_df)
+        .select("shingle")
+        .join(merged_r.filter(F.col("df") > max_df).select("shingle"), "shingle")
     )
     surviving = merged_r.filter(F.col("df") <= max_df).select("shingle")
     new_postings = postings.join(

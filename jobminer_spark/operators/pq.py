@@ -128,9 +128,13 @@ def pq_adc_topk(
     ``shortlist``, top ``k`` emitted — the same output contract as
     the brute-force and IVF variants so recall audits compose."""
     first = emb.select(F.size("embedding").alias("d")).first()
-    d_sub = first["d"] // m
+    if first is None:  # empty corpus: empty typed result, no crash
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk long"
+        )
     if first["d"] % m != 0:
         raise ValueError(f"dims {first['d']} not divisible by M={m}")
+    d_sub = first["d"] // m
     cw = emb.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )

@@ -44,6 +44,36 @@ from jobminer_spark.sources import load_table
 
 SPAN_L = 8  # minimum shared token run
 
+# Shared oracle CTE chain (tokens -> grams -> df cap -> matches ->
+# diagonal islands) used by BOTH queries below so the span definition
+# and the coverage decision built on it cannot drift (same discipline
+# as embedlsh._bands_cte).
+_SPAN_CTES = f"""    tokd AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= {SPAN_L}
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos,
+             CAST(concat('0x', substring(md5(
+               array_to_string(toks[i : i + {SPAN_L} - 1], ' ')
+             ), 1, 15)) AS BIGINT) AS h
+      FROM tokd, LATERAL unnest(generate_series(1, len(toks) - {SPAN_L} + 1)) t(i)
+    ),
+    hot AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > {SHINGLE_MAX_DF}),
+    live AS MATERIALIZED (
+      SELECT * FROM grams WHERE h NOT IN (SELECT h FROM hot)
+    ),
+    m AS MATERIALIZED (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
+      FROM live x JOIN live y ON x.h = y.h AND x.doc_id < y.doc_id
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS isl
+      FROM m
+    )"""
+
 
 def shared_spans(
     docs: DataFrame, min_len: int = SPAN_L, max_df: int = SHINGLE_MAX_DF
@@ -85,31 +115,7 @@ def shared_spans(
 @query(
     "exact_shared_spans",
     oracle=f"""
-    WITH tokd AS MATERIALIZED (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      WHERE len(string_split(text, ' ')) >= {SPAN_L}
-    ),
-    grams AS MATERIALIZED (
-      SELECT doc_id, i - 1 AS pos,
-             CAST(concat('0x', substring(md5(
-               array_to_string(toks[i : i + {SPAN_L} - 1], ' ')
-             ), 1, 15)) AS BIGINT) AS h
-      FROM tokd, LATERAL unnest(generate_series(1, len(toks) - {SPAN_L} + 1)) t(i)
-    ),
-    hot AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > {SHINGLE_MAX_DF}),
-    live AS MATERIALIZED (
-      SELECT * FROM grams WHERE h NOT IN (SELECT h FROM hot)
-    ),
-    m AS MATERIALIZED (
-      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
-      FROM live x JOIN live y ON x.h = y.h AND x.doc_id < y.doc_id
-    ),
-    islands AS (
-      SELECT doc_a, doc_b, pa, pb,
-             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
-                                     ORDER BY pa) AS isl
-      FROM m
-    )
+    WITH {_SPAN_CTES}
     SELECT doc_a, doc_b,
            CAST(MIN(pa) AS BIGINT) AS start_a,
            CAST(MIN(pb) AS BIGINT) AS start_b,
@@ -180,31 +186,7 @@ def span_coverage(docs: DataFrame, min_len: int = SPAN_L) -> DataFrame:
 @query(
     "span_coverage_dedup",
     oracle=f"""
-    WITH tokd AS MATERIALIZED (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      WHERE len(string_split(text, ' ')) >= {SPAN_L}
-    ),
-    grams AS MATERIALIZED (
-      SELECT doc_id, i - 1 AS pos,
-             CAST(concat('0x', substring(md5(
-               array_to_string(toks[i : i + {SPAN_L} - 1], ' ')
-             ), 1, 15)) AS BIGINT) AS h
-      FROM tokd, LATERAL unnest(generate_series(1, len(toks) - {SPAN_L} + 1)) t(i)
-    ),
-    hot AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > {SHINGLE_MAX_DF}),
-    live AS MATERIALIZED (
-      SELECT * FROM grams WHERE h NOT IN (SELECT h FROM hot)
-    ),
-    m AS MATERIALIZED (
-      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
-      FROM live x JOIN live y ON x.h = y.h AND x.doc_id < y.doc_id
-    ),
-    islands AS (
-      SELECT doc_a, doc_b, pa, pb,
-             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
-                                     ORDER BY pa) AS isl
-      FROM m
-    ),
+    WITH {_SPAN_CTES},
     spans AS MATERIALIZED (
       SELECT doc_a, doc_b,
              MIN(pa) AS start_a, MIN(pb) AS start_b,

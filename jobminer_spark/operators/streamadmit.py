@@ -50,6 +50,7 @@ def run_streaming_admission(
     updating the index to the next version. Returns the admitted
     frame (doc_id, n_members, batch_id) read back from the sink."""
     import os
+    import shutil
 
     from jobminer_spark.operators.increment import (
         admit_incoming_incremental,
@@ -57,23 +58,36 @@ def run_streaming_admission(
     )
 
     sink = os.path.join(work_dir, "admitted")
-    holder = {"idx": index_v0}
+    if index_v0 != os.path.join(work_dir, "index_v0"):
+        # normalize so every version lives at work_dir/index_v{n}
+        shutil.copytree(index_v0, os.path.join(work_dir, "index_v0"))
 
     def process(bdf: DataFrame, batch_id: int) -> None:
+        # Replay safety is STRUCTURAL, not stateful: batch b always
+        # reads index version b and writes version b+1 and its own
+        # sink partition — all derived from batch_id, never from
+        # in-process state — and both writes OVERWRITE their target,
+        # so a re-delivered batch (crash between sink append and
+        # index update, or a driver restart resuming mid-stream)
+        # rebuilds byte-identical outputs instead of duplicating
+        # rows or reading a stale index.
+        read_idx = os.path.join(work_dir, f"index_v{batch_id}")
         batch = bdf.select("doc_id", "text")
-        admitted = admit_incoming_incremental(spark, batch, holder["idx"])
-        admitted.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).parquet(sink)
+        admitted = admit_incoming_incremental(spark, batch, read_idx)
+        # the hive-style partition dir CARRIES batch_id (a data column
+        # with the same name would collide at partition discovery)
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
         admitted_docs = batch.join(
-            spark.read.parquet(sink)
-            .filter(F.col("batch_id") == batch_id)
+            spark.read.parquet(os.path.join(sink, f"batch_id={batch_id}"))
             .select("doc_id"),
             "doc_id",
         )
         new_idx = os.path.join(work_dir, f"index_v{batch_id + 1}")
-        update_corpus_shingle_index(spark, holder["idx"], admitted_docs, new_idx)
-        holder["idx"] = new_idx
+        if os.path.exists(new_idx):  # partial output from a crash
+            shutil.rmtree(new_idx)
+        update_corpus_shingle_index(spark, read_idx, admitted_docs, new_idx)
 
     q = (
         stream_df.writeStream.foreachBatch(process)
@@ -82,7 +96,8 @@ def run_streaming_admission(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    # hive-style partition dirs: recover batch_id from the path
+    return spark.read.option("basePath", sink).parquet(sink)
 
 
 def _phase_cte(p: str, kept_sql: str, batch_sql: str) -> str:

@@ -92,7 +92,8 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.temporal",
     "jobminer_spark.operators.events",
     "jobminer_spark.operators.multimodal",
-    # re-attestation by age; tpch head fills the window to 50
+    # re-attestation by age; skills' last entry closes the window at
+    # exactly 50 (tpch + relational spill whole to r8 — see the plan)
     "jobminer_spark.operators.skills",
     "jobminer_spark.operators.tpch",
     "jobminer_spark.operators.relational",
