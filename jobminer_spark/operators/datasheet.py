@@ -60,3 +60,47 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+SAMPLE_K = 5  # eval-sample size per source
+
+
+@query(
+    "stratified_sample_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {SAMPLE_K}
+    """,
+)
+def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source deterministic sample (held-out eval sets,
+    human-review drawers): rank within each source by the md5 of the
+    key — a fixed pseudo-random order both engines reproduce — and
+    keep the first k. Unlike the rate-based mixture samplers this is
+    population-dependent by definition (exact-k needs the ranking),
+    so it is NOT subset-stable; the rate-based md5-bucket samplers
+    remain the incremental-rebuild path (trainprep docstrings).
+
+    Scale shape: the classic top-k-per-group window — one (source)
+    shuffle, parallel across sources; per-source sort cost is bounded
+    by the largest source (the same accepted shape as
+    topk_customers_per_nation)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
