@@ -111,6 +111,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.datasheet",
     "jobminer_spark.operators.udtfs",
     "jobminer_spark.operators.spans",
+    "jobminer_spark.operators.layout",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
