@@ -158,10 +158,13 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ["the", "a", "of", "and", "to"]
 
 
-@query(
-    "text_quality_score",
-    oracle=f"""
-    WITH feat AS (
+def quality_cte() -> str:
+    """DuckDB CTEs ``feat`` + ``qual(doc_id, stopword_ratio,
+    distinct_ratio, quality_score)`` — shared with the calibration
+    gate (operators/calibrate.py) so the score formula cannot
+    drift."""
+    return f"""
+    feat AS (
       SELECT doc_id,
              length(text) AS n_chars_measured,
              len(string_split(text, ' ')) AS n_tokens,
@@ -170,18 +173,21 @@ _STOPWORDS = ["the", "a", "of", "and", "to"]
                AS n_stop,
              len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
       FROM documents
-    )
-    SELECT doc_id,
-           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
-           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
-           least(CAST(n_chars_measured AS DOUBLE) / 500.0, 1.0) * 0.4
-             + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
-             + CAST(n_distinct AS DOUBLE) / n_tokens * 0.3 AS quality_score
-    FROM feat
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    ),
+    qual AS (
+      SELECT doc_id,
+             CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+             CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+             least(CAST(n_chars_measured AS DOUBLE) / 500.0, 1.0) * 0.4
+               + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+               + CAST(n_distinct AS DOUBLE) / n_tokens * 0.3 AS quality_score
+      FROM feat
+    )"""
+
+
+def quality_scores(docs) -> "DataFrame":
+    """(doc_id, stopword_ratio, distinct_ratio, quality_score) — the
+    Spark twin of quality_cte()."""
     toks = F.split(F.lower(F.col("text")), " ")
     stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     feat = docs.select(
@@ -201,6 +207,18 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (len_score * 0.4 + (F.lit(1.0) - stop_ratio) * 0.3 + distinct_ratio * 0.3)
         .alias("quality_score"),
     )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH {quality_cte()}
+    SELECT doc_id, stopword_ratio, distinct_ratio, quality_score
+    FROM qual
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

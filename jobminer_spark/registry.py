@@ -112,6 +112,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.udtfs",
     "jobminer_spark.operators.spans",
     "jobminer_spark.operators.layout",
+    "jobminer_spark.operators.calibrate",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
