@@ -770,3 +770,53 @@ def test_span_coverage_merges_overlaps(spark):
     got = {r_.doc_id: (r_.n_tokens, r_.covered_tokens) for r_ in span_coverage(docs).collect()}
     assert got[2] == (20, 15)
     assert 3 not in got
+
+
+def test_calibration_drops_equal_fraction_per_source(spark):
+    """The calibration property that motivates the operator: every
+    source loses (approximately, up to rank granularity) the SAME
+    bottom fraction, regardless of its raw score range."""
+    from jobminer_spark.operators.calibrate import CAL_KEEP, quality_calibrated_gate
+    from tests.conftest import SF_DIR
+
+    rows = quality_calibrated_gate(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    for r in rows:
+        dropped_frac = 1 - r.n_kept / r.n_docs
+        # percent_rank >= 0.2 keeps ranks 0.2..1.0: drop ~20% ± one rank
+        assert abs(dropped_frac - CAL_KEEP) <= 1.0 / r.n_docs + 1e-9
+    # the implied raw thresholds genuinely differ across sources
+    thresholds = {round(r.source_threshold, 6) for r in rows}
+    assert len(thresholds) > 1
+
+
+def test_zorder_beats_linear_on_secondary_probe(spark):
+    """The layout claim as an inequality, not prose: the Z-order
+    layout must touch strictly fewer buckets than the linear layout
+    for the secondary-column probe (where linear touches ALL)."""
+    from jobminer_spark.operators.layout import zorder_pruning_stats
+    from tests.conftest import SF_DIR
+
+    r = zorder_pruning_stats(spark, SF_DIR).collect()[0]
+    assert r.yonly_linear == r.n_buckets          # linear can't prune y
+    assert r.yonly_zorder < r.yonly_linear / 2    # z-order prunes hard
+    assert r.box_zorder <= r.box_linear            # and never loses the box
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    """Exactly k rows per source, ranks 1..k, and a repeated run is
+    byte-identical (no rand())."""
+    from jobminer_spark.operators.datasheet import (
+        SAMPLE_K,
+        stratified_sample_per_source,
+    )
+    from tests.conftest import SF_DIR
+
+    a = {(r.source, r.doc_id, r.rk) for r in stratified_sample_per_source(spark, SF_DIR).collect()}
+    b = {(r.source, r.doc_id, r.rk) for r in stratified_sample_per_source(spark, SF_DIR).collect()}
+    assert a == b
+    per = {}
+    for s, _, rk in a:
+        per.setdefault(s, []).append(rk)
+    for s, rks in per.items():
+        assert sorted(rks) == list(range(1, SAMPLE_K + 1)), s
