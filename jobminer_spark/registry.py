@@ -60,9 +60,11 @@ ORACLES: dict[str, str] = {}
 #     relational(17), and the r6-attested scrapeshape/similarity/
 #     dedupe/skew/curation/textanalysis.
 #   round 8 window (plan): the r7-new past-window modules first
-#     (embquality, datasheet, udtfs, spans — plus anything else modified in r7's
-#     tail), then tpch(21) + relational(17) (r5/r6-attested, oldest
-#     debt); remainder rolls to r9.
+#     (embquality 1, datasheet 2, udtfs 1, spans 2, layout 1,
+#     calibrate 1 — plus textanalysis, whose quality formula was
+#     refactored into the shared quality_cte in r7), then tpch(21) +
+#     relational(17) (r5/r6-attested, oldest debt); remainder rolls
+#     to r9.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
