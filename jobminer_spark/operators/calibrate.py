@@ -63,7 +63,8 @@ def quality_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak change, or a cross-source leak in the window partition
     turns this driver row red."""
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_scores(docs).join(docs.select("doc_id", "source"), "doc_id")
+    # source passes through the scoring scan — no second scan/rejoin
+    q = quality_scores(docs, extra_cols=("source",))
     w = W.partitionBy("source").orderBy("quality_score", "doc_id")
     cal = q.withColumn("calibrated", F.percent_rank().over(w))
     kept = F.col("calibrated") >= CAL_KEEP

@@ -128,16 +128,19 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1)).over(W.partitionBy())
     base = ev.select(
         "event_id",
-        # `div`, not `/`: double division then cast truncates in Spark
-        # but CAST(double) ROUNDS in DuckDB — integer division is the
-        # only portable floor here
+        # Two portability rules: (a) `div`, not `/` — double division
+        # then cast truncates in Spark but CAST(double) ROUNDS in
+        # DuckDB; (b) cast row_number to LONG BEFORE multiplying —
+        # Spark's row_number is int, and int * 4096 overflows above
+        # 2^31/4096 = 524k rows (ANSI: ArithmeticException; non-ANSI:
+        # silent wrap), while DuckDB's ROW_NUMBER is already BIGINT.
         (
-            ((F.row_number().over(W.orderBy("user_id", "event_id")) - 1)
-             * (1 << Z_BITS)).cast("long")
+            (F.row_number().over(W.orderBy("user_id", "event_id")) - 1)
+            .cast("long") * (1 << Z_BITS)
         ).alias("xr"),
         (
-            ((F.row_number().over(W.orderBy("value", "event_id")) - 1)
-             * (1 << Z_BITS)).cast("long")
+            (F.row_number().over(W.orderBy("value", "event_id")) - 1)
+            .cast("long") * (1 << Z_BITS)
         ).alias("yr"),
         n.cast("long").alias("n_rows"),
     )
@@ -152,8 +155,8 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucket_stats(order_col: str) -> DataFrame:
         b = F.expr(
-            f"((row_number() over (order by {order_col}, event_id) - 1)"
-            f" * {N_BUCKETS}) div count(*) over ()"
+            f"(cast(row_number() over (order by {order_col}, event_id) - 1"
+            f" as bigint) * {N_BUCKETS}) div count(*) over ()"
         )
         return (
             coded.select("xq", "yq", b.alias("b"))
@@ -166,21 +169,20 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def hits(stats: DataFrame, with_x: bool) -> F.Column:
-        cond = (F.col("yhi") >= BOX_LO) & (F.col("ylo") <= BOX_HI)
-        if with_x:
-            cond = cond & (F.col("xhi") >= BOX_LO) & (F.col("xlo") <= BOX_HI)
-        return stats.filter(cond).agg(
-            F.count(F.lit(1)).cast("long").alias("c")
+    def probe_counts(stats: DataFrame, suffix: str) -> DataFrame:
+        # both probes in ONE aggregation pass per layout — no reliance
+        # on exchange reuse deduplicating the global-sort subtree
+        y_cond = (F.col("yhi") >= BOX_LO) & (F.col("ylo") <= BOX_HI)
+        box_cond = (
+            y_cond & (F.col("xhi") >= BOX_LO) & (F.col("xlo") <= BOX_HI)
+        )
+        return stats.agg(
+            F.count(F.when(box_cond, 1)).cast("long").alias(f"box_{suffix}"),
+            F.count(F.when(y_cond, 1)).cast("long").alias(f"yonly_{suffix}"),
         )
 
-    lin = bucket_stats("xq")
-    zrd = bucket_stats("zval")
-    row = (
-        hits(lin, True).withColumnRenamed("c", "box_linear")
-        .crossJoin(hits(zrd, True).withColumnRenamed("c", "box_zorder"))
-        .crossJoin(hits(lin, False).withColumnRenamed("c", "yonly_linear"))
-        .crossJoin(hits(zrd, False).withColumnRenamed("c", "yonly_zorder"))
+    row = probe_counts(bucket_stats("xq"), "linear").crossJoin(
+        probe_counts(bucket_stats("zval"), "zorder")
     )
     return row.select(
         F.lit(N_BUCKETS).cast("long").alias("n_buckets"),

@@ -185,13 +185,16 @@ def quality_cte() -> str:
     )"""
 
 
-def quality_scores(docs) -> "DataFrame":
-    """(doc_id, stopword_ratio, distinct_ratio, quality_score) — the
-    Spark twin of quality_cte()."""
+def quality_scores(docs, extra_cols: tuple[str, ...] = ()) -> "DataFrame":
+    """(doc_id, stopword_ratio, distinct_ratio, quality_score [,
+    *extra_cols]) — the Spark twin of quality_cte(). ``extra_cols``
+    pass through from the SAME scan so consumers that need e.g. the
+    source column don't pay a second documents scan + rejoin."""
     toks = F.split(F.lower(F.col("text")), " ")
     stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     feat = docs.select(
         "doc_id",
+        *extra_cols,
         F.length("text").alias("n_chars_measured"),
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("n_stop"),
@@ -202,6 +205,7 @@ def quality_scores(docs) -> "DataFrame":
     len_score = F.least(F.col("n_chars_measured").cast("double") / 500.0, F.lit(1.0))
     return feat.select(
         "doc_id",
+        *extra_cols,
         stop_ratio.alias("stopword_ratio"),
         distinct_ratio.alias("distinct_ratio"),
         (len_score * 0.4 + (F.lit(1.0) - stop_ratio) * 0.3 + distinct_ratio * 0.3)

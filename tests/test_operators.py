@@ -820,3 +820,23 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
         per.setdefault(s, []).append(rk)
     for s, rks in per.items():
         assert sorted(rks) == list(range(1, SAMPLE_K + 1)), s
+
+
+def test_zorder_ranks_survive_int_overflow_scale(spark, tmp_path):
+    """row_number is INT in Spark: rank * 4096 overflows 2^31 above
+    524k rows unless the cast to long happens BEFORE the multiply
+    (ANSI: ArithmeticException; non-ANSI: silent wrap diverging from
+    DuckDB's BIGINT). 600k synthetic events must run clean."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.layout import zorder_pruning_stats
+
+    ev = spark.range(600_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 997).alias("user_id"),
+        ((F.col("id") * 37) % 7919).cast("double").alias("value"),
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    row = zorder_pruning_stats(spark, str(tmp_path)).collect()[0]
+    assert row.n_buckets == 64
+    assert 0 < row.yonly_zorder < row.yonly_linear
