@@ -59,8 +59,12 @@ def run_streaming_admission(
 
     sink = os.path.join(work_dir, "admitted")
     if index_v0 != os.path.join(work_dir, "index_v0"):
-        # normalize so every version lives at work_dir/index_v{n}
-        shutil.copytree(index_v0, os.path.join(work_dir, "index_v0"))
+        # normalize so every version lives at work_dir/index_v{n};
+        # dirs_exist_ok keeps a re-run with the same work_dir (the
+        # documented replay scenario) from crashing on the copy
+        shutil.copytree(
+            index_v0, os.path.join(work_dir, "index_v0"), dirs_exist_ok=True
+        )
 
     def process(bdf: DataFrame, batch_id: int) -> None:
         # Replay safety is STRUCTURAL, not stateful: batch b always

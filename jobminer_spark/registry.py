@@ -59,12 +59,23 @@ ORACLES: dict[str, str] = {}
 #     skills(6) = exactly 50. Spilled to r8: tpch(21),
 #     relational(17), and the r6-attested scrapeshape/similarity/
 #     dedupe/skew/curation/textanalysis.
-#   round 8 window (plan): the r7-new past-window modules first
-#     (embquality 1, datasheet 2, udtfs 1, spans 2, layout 1,
-#     calibrate 1 — plus textanalysis, whose quality formula was
-#     refactored into the shared quality_cte in r7), then tpch(21) +
-#     relational(17) (r5/r6-attested, oldest debt); remainder rolls
-#     to r9.
+#   round 8 window (THIS round, the _OPERATOR_MODULES order below,
+#     amended per VERDICT r7 item 1c): stream_session_parity — r7's
+#     one red driver row, now with forensic columns — is pulled to
+#     slot 1 via _WINDOW_FRONT; then the rest of audits(5:
+#     stream_batch_parity gained the sliding-window columns in r8),
+#     then the r7-new past-window modules (embquality 1, datasheet 2,
+#     udtfs 1, spans 2, layout 1 — de-scale-trapped in r8,
+#     calibrate 1), textanalysis(9 — its quality formula was
+#     refactored into the shared quality_cte in r7), tpch(21) = 43,
+#     and relational's first 7 (q1, q3, q5, q6, semi, anti, topk)
+#     close the window at exactly 50.
+#   round 9 window (plan): modules modified/created in r8 outside the
+#     r8 window first (pq — gained ann_pq_trained_recall in r8 — and
+#     any other r8-new registrations), then relational's r8-spilled
+#     tail (10), then the r6-attested scrapeshape(7)/similarity(9)/
+#     dedupe(15)/skew(2)/curation(4) — the oldest remaining debt after
+#     this window re-attests tpch+textanalysis; remainder rolls to r10.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -78,49 +89,49 @@ ORACLES: dict[str, str] = {}
 # load_all_operators) so an incidental import cascade can never
 # silently rotate the window.
 _OPERATOR_MODULES = [
-    # r7 front: modules modified/created in r6 outside r6's window,
-    # plus this round's new queries (registered inside these modules)
+    # r8 front: the red-row module, then r7-new modules registered
+    # past r7's slot 50 (the rotation invariant pulls them here)
     "jobminer_spark.operators.audits",
-    "jobminer_spark.operators.embedlsh",
-    "jobminer_spark.operators.docquality",
-    "jobminer_spark.operators.increment",
-    "jobminer_spark.operators.semdedup",
-    "jobminer_spark.operators.pq",
-    "jobminer_spark.operators.bloom",
-    "jobminer_spark.operators.streamadmit",
-    "jobminer_spark.operators.winnow",
-    "jobminer_spark.operators.trainprep",
-    # r4-attested, unchanged since — next-oldest debt
-    "jobminer_spark.operators.temporal",
-    "jobminer_spark.operators.events",
-    "jobminer_spark.operators.multimodal",
-    # re-attestation by age; skills' last entry closes the window at
-    # exactly 50 (tpch + relational spill whole to r8 — see the plan)
-    "jobminer_spark.operators.skills",
-    "jobminer_spark.operators.tpch",
-    "jobminer_spark.operators.relational",
-    # r6-attested in r6's window — rolls to r8
-    "jobminer_spark.operators.scrapeshape",
-    "jobminer_spark.operators.similarity",
-    "jobminer_spark.operators.dedupe",
-    "jobminer_spark.operators.skew",
-    "jobminer_spark.operators.curation",
-    "jobminer_spark.operators.textanalysis",
-    # new in r7 AFTER the window froze — registered past slot 50 by
-    # design (the r6 pattern): driversim + local parity cover them
-    # this round; the rotation invariant pulls them to r8's front
     "jobminer_spark.operators.embquality",
     "jobminer_spark.operators.datasheet",
     "jobminer_spark.operators.udtfs",
     "jobminer_spark.operators.spans",
     "jobminer_spark.operators.layout",
     "jobminer_spark.operators.calibrate",
+    # modified in r7 (quality formula refactor) — re-attest
+    "jobminer_spark.operators.textanalysis",
+    # oldest attestation debt (r5/r6): tpch whole, relational's first
+    # 7 close the window at 50; its tail spills to r9
+    "jobminer_spark.operators.tpch",
+    "jobminer_spark.operators.relational",
+    # r7-attested in r7's window — rolls onward
+    "jobminer_spark.operators.embedlsh",
+    "jobminer_spark.operators.docquality",
+    "jobminer_spark.operators.increment",
+    "jobminer_spark.operators.semdedup",
+    # pq gains ann_pq_trained_recall in r8 (past-window; r9 front)
+    "jobminer_spark.operators.pq",
+    "jobminer_spark.operators.bloom",
+    "jobminer_spark.operators.streamadmit",
+    "jobminer_spark.operators.winnow",
+    "jobminer_spark.operators.trainprep",
+    "jobminer_spark.operators.temporal",
+    "jobminer_spark.operators.events",
+    "jobminer_spark.operators.multimodal",
+    "jobminer_spark.operators.skills",
+    # r6-attested — next-oldest debt after relational's tail (r9 plan)
+    "jobminer_spark.operators.scrapeshape",
+    "jobminer_spark.operators.similarity",
+    "jobminer_spark.operators.dedupe",
+    "jobminer_spark.operators.skew",
+    "jobminer_spark.operators.curation",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
-# module's position. Empty in r7: the module order above IS the
-# written plan (the mechanism stays for future rounds).
-_WINDOW_FRONT: list[str] = []
+# module's position. r8: the r7 red driver row leads the window so its
+# re-attestation (with the new forensic columns) cannot be crowded out
+# (VERDICT r7 item 1c).
+_WINDOW_FRONT: list[str] = ["stream_session_parity"]
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -115,7 +115,8 @@ def test_streaming_source_nanos_fixture_compat(spark, tmp_path):
     src = streaming_events_source(spark, str(tmp_path)).select("event_id", "ts")
     from jobminer_spark.streaming.windows import _run_to_memory
 
-    stream = _run_to_memory(src, spark, output_mode="append")
+    stream, n_batches = _run_to_memory(src, spark, output_mode="append")
+    assert n_batches == 1
     b = {r.event_id: r.ts for r in batch.collect()}
     s = {r.event_id: r.ts for r in stream.collect()}
     assert s == b and len(s) == n
