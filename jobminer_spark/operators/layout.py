@@ -11,25 +11,33 @@ spreads locality across BOTH columns, so two-dimensional and
 secondary-column predicates prune too.
 
 ``zorder_pruning_stats`` quantifies it: rows are rank-normalized on
-(user_id, value), laid out once sorted by the x-rank and once by the
-Morton code, split into equal row buckets (stand-ins for row groups),
-and two probes are evaluated against each layout's per-bucket min/max
-stats — a 2-D box probe and a y-only range probe. The output counts
-the buckets a stats-pruning reader would still have to touch. The
-expected shape (visible in the fixture numbers): the linear layout
+(user_id, value), laid out once sorted by the primary key and once by
+the Morton code, split into equal row buckets (stand-ins for row
+groups), and two probes are evaluated against each layout's per-bucket
+min/max stats — a 2-D box probe and a y-only range probe. The output
+counts the buckets a stats-pruning reader would still have to touch.
+The expected shape (visible in the fixture numbers): the linear layout
 touches ~1/8 of buckets for the box but ALL buckets for the y-only
 probe; Z-order touches few buckets for both.
 
-Determinism: ranks come from row_number with unique tiebreaks,
-quantized to 12-bit levels with integer arithmetic; the Morton code
-is exact bit interleaving; bucket assignment is integer division —
-every number is identical cross-engine, so the pruning counts
-hash-pin against the oracle.
+Determinism: ranks are exact global ranks over total orders (unique
+event_id tiebreak), quantized to 12-bit levels with integer
+arithmetic; the Morton code is exact bit interleaving; bucket
+assignment is integer division — every number is identical
+cross-engine, so the pruning counts hash-pin against the oracle.
 
-Scale shape: two rank windows (global sorts — exactly what a layout
-rewrite pays in production), one bucket aggregation per layout, and
-O(n_buckets) probe arithmetic. This is an OFFLINE layout job by
-construction; the payoff table is what it buys every subsequent scan.
+Scale shape (r7 verdict item 4 — the previous version ranked via
+unpartitioned `row_number` windows, a single-task serial sort): each
+rank is now a DISTRIBUTED range sort — `repartitionByRange` on the
+total order, `row_number` WITHIN each range partition, plus broadcast
+cumulative partition offsets (the offset table is one row per shuffle
+partition, joined broadcast). That is exactly how a production layout
+rewrite ranks at corpus scale: no single-partition window anywhere in
+the plan, and the only global structures are O(n_partitions) offset
+rows and O(n_buckets) stats rows. Three rank passes total — the
+linear-layout bucket reuses the x-rank pass (bucketing by the
+pre-quantization rank is the same total order), so only (user_id),
+(value), and (zval) are each sorted once.
 """
 
 from __future__ import annotations
@@ -69,27 +77,63 @@ def _morton_sql(x: str, y: str, bits: int = Z_BITS) -> str:
     )
 
 
+def distributed_rank(df: DataFrame, sort_cols: list[str], out: str) -> DataFrame:
+    """Exact 0-based global rank over a TOTAL order (``sort_cols``
+    must end in a unique tiebreak), computed without a global sort on
+    one task: range-repartition on the sort key (range partition i
+    holds keys strictly below partition i+1's, so per-partition ranks
+    compose), rank within each partition, then add each partition's
+    cumulative row offset via a broadcast join. The offset table is
+    one row per shuffle partition — its triangular self-join is
+    O(P²) on P≈dozens of rows, never touching the fact table. Rank
+    exactness does not depend on WHERE the sampled range boundaries
+    land, only on ranges being ordered and the order being total."""
+    # Materialize the range-partitioned frame once: the offset count,
+    # the rank pass, and any DOWNSTREAM rank's range-sampling pass all
+    # re-read it, and without the lineage cut each would recompute the
+    # whole upstream (range partitioning itself already runs a
+    # separate sampling job over its input). Same discipline as the
+    # Lloyd loop's per-round checkpoint.
+    parted = (
+        df.repartitionByRange(*[F.col(c) for c in sort_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left"
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).cast("long").alias("_off"))
+    )
+    local = F.row_number().over(W.partitionBy("_pid").orderBy(*sort_cols))
+    return (
+        parted.withColumn("_lrn", local.cast("long"))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.col("_off") + F.col("_lrn") - F.lit(1))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 @query(
     "zorder_pruning_stats",
     oracle=f"""
     WITH base AS MATERIALIZED (
-      SELECT event_id, user_id, value,
+      SELECT event_id,
              ((ROW_NUMBER() OVER (ORDER BY user_id, event_id) - 1)
                    * {1 << Z_BITS}) // COUNT(*) OVER () AS xq,
              ((ROW_NUMBER() OVER (ORDER BY value, event_id) - 1)
-                   * {1 << Z_BITS}) // COUNT(*) OVER () AS yq
+                   * {1 << Z_BITS}) // COUNT(*) OVER () AS yq,
+             ((ROW_NUMBER() OVER (ORDER BY user_id, event_id) - 1)
+                   * {N_BUCKETS}) // COUNT(*) OVER () AS bl
       FROM events
     ),
     coded AS MATERIALIZED (
-      SELECT xq, yq, {_morton_sql("xq", "yq")} AS zval,
+      SELECT xq, yq, bl, {_morton_sql("xq", "yq")} AS zval,
              event_id
       FROM base
-    ),
-    lin AS (
-      SELECT xq, yq,
-             ((ROW_NUMBER() OVER (ORDER BY xq, event_id) - 1)
-                   * {N_BUCKETS}) // COUNT(*) OVER () AS b
-      FROM coded
     ),
     zrd AS (
       SELECT xq, yq,
@@ -98,8 +142,9 @@ def _morton_sql(x: str, y: str, bits: int = Z_BITS) -> str:
       FROM coded
     ),
     lin_stats AS (
-      SELECT b, MIN(xq) AS xlo, MAX(xq) AS xhi, MIN(yq) AS ylo, MAX(yq) AS yhi
-      FROM lin GROUP BY b
+      SELECT bl AS b, MIN(xq) AS xlo, MAX(xq) AS xhi,
+             MIN(yq) AS ylo, MAX(yq) AS yhi
+      FROM coded GROUP BY bl
     ),
     z_stats AS (
       SELECT b, MIN(xq) AS xlo, MAX(xq) AS xhi, MIN(yq) AS ylo, MAX(yq) AS yhi
@@ -123,55 +168,43 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Buckets a min-max-pruning reader must touch under the linear
     vs Z-order layout, for a 2-D box probe and a secondary-column
     range probe — the oracle recomputes the identical ranks, Morton
-    codes, bucket stats, and intersection tests."""
+    codes, bucket stats, and intersection tests. The linear layout's
+    bucket comes from the SAME (user_id, event_id) rank pass as the
+    x-quantile (bucketing the pre-quantization rank orders identically
+    to bucketing (xq, rank)), so the whole measurement costs three
+    distributed range sorts: user_id, value, and the Morton code."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    n = F.count(F.lit(1)).over(W.partitionBy())
-    base = ev.select(
+    n_row = ev.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    ranked = distributed_rank(ev, ["user_id", "event_id"], "xr0")
+    ranked = distributed_rank(ranked, ["value", "event_id"], "yr0")
+    base = ranked.crossJoin(F.broadcast(n_row)).select(
         "event_id",
-        # Two portability rules: (a) `div`, not `/` — double division
-        # then cast truncates in Spark but CAST(double) ROUNDS in
-        # DuckDB; (b) cast row_number to LONG BEFORE multiplying —
-        # Spark's row_number is int, and int * 4096 overflows above
-        # 2^31/4096 = 524k rows (ANSI: ArithmeticException; non-ANSI:
-        # silent wrap), while DuckDB's ROW_NUMBER is already BIGINT.
-        (
-            (F.row_number().over(W.orderBy("user_id", "event_id")) - 1)
-            .cast("long") * (1 << Z_BITS)
-        ).alias("xr"),
-        (
-            (F.row_number().over(W.orderBy("value", "event_id")) - 1)
-            .cast("long") * (1 << Z_BITS)
-        ).alias("yr"),
-        n.cast("long").alias("n_rows"),
-    )
-    base = base.select(
-        "event_id",
-        F.expr("xr div n_rows").alias("xq"),
-        F.expr("yr div n_rows").alias("yq"),
+        F.expr(f"(xr0 * {1 << Z_BITS}) div n_rows").alias("xq"),
+        F.expr(f"(yr0 * {1 << Z_BITS}) div n_rows").alias("yq"),
+        F.expr(f"(xr0 * {N_BUCKETS}) div n_rows").alias("bl"),
     )
     coded = base.select(
-        "event_id", "xq", "yq", _morton(F.col("xq"), F.col("yq")).alias("zval")
+        "event_id",
+        "xq",
+        "yq",
+        "bl",
+        _morton(F.col("xq"), F.col("yq")).alias("zval"),
+    )
+    zranked = distributed_rank(coded, ["zval", "event_id"], "zr0")
+    zbucketed = zranked.crossJoin(F.broadcast(n_row)).select(
+        "xq", "yq", F.expr(f"(zr0 * {N_BUCKETS}) div n_rows").alias("b")
     )
 
-    def bucket_stats(order_col: str) -> DataFrame:
-        b = F.expr(
-            f"(cast(row_number() over (order by {order_col}, event_id) - 1"
-            f" as bigint) * {N_BUCKETS}) div count(*) over ()"
-        )
-        return (
-            coded.select("xq", "yq", b.alias("b"))
-            .groupBy("b")
-            .agg(
-                F.min("xq").alias("xlo"),
-                F.max("xq").alias("xhi"),
-                F.min("yq").alias("ylo"),
-                F.max("yq").alias("yhi"),
-            )
+    def bucket_stats(df: DataFrame, bucket_col: str) -> DataFrame:
+        return df.groupBy(F.col(bucket_col).alias("b")).agg(
+            F.min("xq").alias("xlo"),
+            F.max("xq").alias("xhi"),
+            F.min("yq").alias("ylo"),
+            F.max("yq").alias("yhi"),
         )
 
     def probe_counts(stats: DataFrame, suffix: str) -> DataFrame:
-        # both probes in ONE aggregation pass per layout — no reliance
-        # on exchange reuse deduplicating the global-sort subtree
+        # both probes in ONE aggregation pass per layout
         y_cond = (F.col("yhi") >= BOX_LO) & (F.col("ylo") <= BOX_HI)
         box_cond = (
             y_cond & (F.col("xhi") >= BOX_LO) & (F.col("xlo") <= BOX_HI)
@@ -181,8 +214,8 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(y_cond, 1)).cast("long").alias(f"yonly_{suffix}"),
         )
 
-    row = probe_counts(bucket_stats("xq"), "linear").crossJoin(
-        probe_counts(bucket_stats("zval"), "zorder")
+    row = probe_counts(bucket_stats(coded, "bl"), "linear").crossJoin(
+        probe_counts(bucket_stats(zbucketed, "b"), "zorder")
     )
     return row.select(
         F.lit(N_BUCKETS).cast("long").alias("n_buckets"),
