@@ -40,6 +40,13 @@ def ts_str(col: Column) -> Column:
 
 QUANT = 1_000_000_000_000_000  # 1e15; 64 dims of unit-ish floats fits long
 
+# Fixture embedding dimensionality. Any oracle that hardcodes a
+# subspace slicing (PQ) derives it from THIS constant, and the Spark
+# side asserts the probed width equals it — so a fixture dim change
+# fails loudly instead of surfacing as a silent parity red
+# (r7 ADVICE item 3).
+EMB_DIMS = 64
+
 VEC_NORMS_CTE = f"""
     elems AS (
       SELECT vec_id, CAST(v AS DOUBLE) AS val, ord FROM (

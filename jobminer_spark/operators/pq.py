@@ -13,22 +13,35 @@ bytes per vector (64× smaller than raw), the shortlist is re-ranked
 exactly, and recall is tuned by the shortlist size the way IVF tunes
 nprobe.
 
-Determinism contract: the codebook is the first PQ_K vectors'
-subvectors (the same seed recipe as kmeans_assign_fixed_centroids —
-codebook TRAINING is orthogonal to the PQ mechanics and the trained
-path is already exercised by ann_ivf_trained_*); every distance is the
-quantized integer L2 of common.qdist_col, with (qdist, cid) /
-(adist, neighbor_id) / (cosine desc, neighbor_id) tiebreaks, so
-encoding, ADC ranking, and the re-rank are bit-identical cross-engine.
+Two codebooks, one kernel: the SEED codebook is the first PQ_K
+vectors' subvectors (the deterministic seed recipe shared with
+kmeans_assign_fixed_centroids), and the TRAINED codebook is one Lloyd
+assignment+mean round per subspace on top of that seed — all M
+subspaces trained in a single batched plan (``pq_train_codebooks``),
+the per-subspace analogue of similarity.lloyd_centroids.
+``ann_pq_trained_recall`` measures both against exact brute force in
+one row set, so "training helps" is a driver-attested number, not a
+claim.
 
-Scale shape: the codeword frame (PQ_K rows) and the per-query ADC
-tables (n_queries × M × PQ_K rows) broadcast; encoding is one narrow
-argmin aggregation per vector (16 candidate rows in, M codes out);
-the ADC scan never shuffles raw vectors — only (vec_id, s, code)
-rows join the broadcast table. The final per-query top-R selection
-uses a query-partitioned window like the brute-force re-rank: bounded
-by the SAMPLED query side (at production scale, per-partition partial
-top-R before the global window — same note as cosine_topk).
+Determinism contract: every distance is the quantized integer L2 of
+common.qdist_col restricted to a subspace slice; trained centroids are
+exact decimal(38,12) means cast through float (the proven
+trained_cells_cte recipe); tiebreaks are (qd, cid) / (adist,
+neighbor_id) / (cosine desc, neighbor_id) — so encoding, training,
+ADC ranking, and the re-rank are bit-identical cross-engine. The
+oracle's subspace width derives from common.EMB_DIMS and the
+registered queries assert the probed width equals it, so a fixture
+dimensionality change fails loudly instead of as a silent parity red.
+
+Scale shape: codebooks (M×PQ_K rows) and the per-query ADC tables
+(n_queries × M × PQ_K rows) broadcast; encoding is one narrow argmin
+aggregation per (vector, subspace); training adds one shuffle of
+width M×PQ_K×d_sub (independent of corpus size) per Lloyd round; the
+ADC scan never shuffles raw vectors — only (vec_id, s, code) rows
+join the broadcast table. The final per-query top-R selection uses a
+query-partitioned window like the brute-force re-rank: bounded by the
+SAMPLED query side (at production scale, per-partition partial top-R
+before the global window — same note as cosine_topk).
 """
 
 from __future__ import annotations
@@ -37,7 +50,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.common import KM_QUANT, QUANT, dot_col, norm_col
+from jobminer_spark.operators.common import (
+    EMB_DIMS,
+    KM_QUANT,
+    QUANT,
+    dot_col,
+    norm_col,
+)
 from jobminer_spark.operators.similarity import (
     ANN_N_QUERIES,
     ANN_TOP_K,
@@ -48,6 +67,7 @@ from jobminer_spark.sources import load_table
 
 PQ_M = 4          # subspaces
 PQ_K = 16         # codewords per subspace (codes fit a nibble)
+PQ_D_SUB = EMB_DIMS // PQ_M   # oracle + Spark agree via EMB_DIMS
 PQ_SHORTLIST = 4 * ANN_TOP_K  # ADC shortlist re-ranked exactly
 
 
@@ -74,46 +94,162 @@ def _qdist_sub(a, b) -> F.Column:
     )
 
 
+def _probe_d_sub(emb: DataFrame, m: int) -> int | None:
+    """Actual subspace width from the data; None for an empty corpus,
+    loud failure when the width does not divide into m subspaces."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return None
+    if first["d"] % m != 0:
+        raise ValueError(f"dims {first['d']} not divisible by M={m}")
+    return first["d"] // m
+
+
+def _fixture_d_sub(emb: DataFrame) -> int:
+    """Guard for the REGISTERED queries only: their DuckDB oracles pin
+    the subspace slicing to EMB_DIMS // PQ_M, so a fixture whose
+    dimensionality drifted must raise here, not hash-mismatch there."""
+    d_sub = _probe_d_sub(emb, PQ_M)
+    if d_sub is not None and d_sub != PQ_D_SUB:
+        raise ValueError(
+            f"fixture embeddings are {d_sub * PQ_M} dims; the pinned "
+            f"oracles assume EMB_DIMS={EMB_DIMS}"
+        )
+    return PQ_D_SUB if d_sub is None else d_sub
+
+
+def _subvec_frame(emb: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """(vec_id, s, sub): the corpus exploded into subspace slices —
+    an in-row posexplode, no shuffle."""
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_sub(F.col("embedding"), s, d_sub) for s in range(m)])
+        ).alias("s", "sub"),
+    )
+
+
+def per_subspace_codebook(cw: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """(s, cid, cvec): full-dim codeword rows (cid, cvec) sliced into
+    the per-subspace form every kernel below consumes."""
+    return cw.select(
+        "cid",
+        F.posexplode(
+            F.array(*[_sub(F.col("cvec"), s, d_sub) for s in range(m)])
+        ).alias("s", "csub"),
+    ).select("s", "cid", F.col("csub").alias("cvec"))
+
+
+def seed_codebook(
+    emb: DataFrame, m: int = PQ_M, d_sub: int = PQ_D_SUB, k: int = PQ_K
+) -> DataFrame:
+    """The deterministic seed: subvectors of the first k corpus
+    vectors (same seed recipe as the kmeans/IVF family)."""
+    cw = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return per_subspace_codebook(cw, m, d_sub)
+
+
+def _cb_dists(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, s, cid, qd): quantized L2 of every subvector to every
+    codeword of its subspace. cb broadcast (M×K rows); one narrow
+    fan-out of K candidate rows per (vector, subspace)."""
+    return subs.join(F.broadcast(cb), "s").select(
+        "vec_id",
+        "s",
+        "cid",
+        _qdist_sub(F.col("sub"), F.col("cvec")).alias("qd"),
+    )
+
+
+def _argmin_codes(dists: DataFrame) -> DataFrame:
+    """(vec_id, s, code): nearest codeword per subspace, (qd, cid)
+    tiebreak — one partial-aggregating shuffle on (vec_id, s)."""
+    return dists.groupBy("vec_id", "s").agg(
+        F.min_by("cid", F.struct(F.col("qd").alias("q"), F.col("cid").alias("c"))).alias(
+            "code"
+        )
+    )
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    d_sub: int = PQ_D_SUB,
+    k: int = PQ_K,
+    n_updates: int = 1,
+) -> DataFrame:
+    """(s, cid, cvec): ``n_updates`` Lloyd assignment+mean rounds per
+    subspace, all M subspaces batched in one plan. Assignment is the
+    broadcast argmin above (no corpus shuffle beyond the (vec_id, s)
+    partial agg); the centroid update is one shuffle of width
+    M×K×d_sub — independent of corpus size, exactly the
+    _update_centroids recipe (decimal-exact mean, float storage).
+    Empty cells vanish from the codebook (same on the oracle side).
+    localCheckpoint between rounds cuts lineage like lloyd_centroids."""
+    subs = _subvec_frame(emb, m, d_sub)
+    cb = seed_codebook(emb, m, d_sub, k).localCheckpoint(eager=True)
+    for _ in range(n_updates):
+        assign = (
+            subs.join(F.broadcast(cb), "s")
+            .select(
+                "vec_id",
+                "s",
+                "sub",
+                "cid",
+                _qdist_sub(F.col("sub"), F.col("cvec")).alias("qd"),
+            )
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min_by(
+                    "cid", F.struct(F.col("qd").alias("q"), F.col("cid").alias("c"))
+                ).alias("cluster"),
+                # every row of the group carries the SAME subvector
+                # (the join only fanned out codeword candidates), so
+                # first() is deterministic by value
+                F.first("sub").alias("sub"),
+            )
+        )
+        cb = (
+            assign.select("s", "cluster", F.posexplode("sub").alias("dim", "x"))
+            .groupBy("s", "cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mx")
+            )
+            .groupBy("s", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("pairs"))
+            .select(
+                "s",
+                F.col("cluster").alias("cid"),
+                F.transform(F.col("pairs"), lambda p: p["mx"].cast("float")).alias(
+                    "cvec"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
 def pq_codes(
     emb: DataFrame, cw: DataFrame, m: int = PQ_M, d_sub: int | None = None
 ) -> DataFrame:
-    """(vec_id, s, code): per-subspace nearest-codeword encoding.
-    ``cw`` is (cid, cvec); broadcast. One argmin aggregation per
-    vector — the corpus never shuffles raw vectors past this point."""
+    """(vec_id, s, code): per-subspace nearest-codeword encoding
+    against a FULL-DIM codeword frame (cid, cvec) — kept as the
+    public API shape; internally slices cw per subspace and runs the
+    shared argmin kernel. The corpus never shuffles raw vectors past
+    this point."""
     if d_sub is None:
-        first = emb.select(F.size("embedding").alias("d")).first()
-        if first is None:
+        d_sub = _probe_d_sub(emb, m)
+        if d_sub is None:
             return emb.select(
                 F.col("vec_id"), F.lit(0).alias("s"), F.lit(0).alias("code")
             ).limit(0)
-        if first["d"] % m != 0:
-            raise ValueError(f"dims {first['d']} not divisible by M={m}")
-        d_sub = first["d"] // m
-    pairs = emb.crossJoin(F.broadcast(cw))
-    per_sub = pairs.select(
-        "vec_id",
-        "cid",
-        *[
-            _qdist_sub(
-                _sub(F.col("embedding"), s, d_sub), _sub(F.col("cvec"), s, d_sub)
-            ).alias(f"qd{s}")
-            for s in range(m)
-        ],
-    )
-    agg = per_sub.groupBy("vec_id").agg(
-        *[
-            F.min_by(
-                "cid", F.struct(F.col(f"qd{s}").alias("q"), F.col("cid").alias("c"))
-            ).alias(f"code{s}")
-            for s in range(m)
-        ]
-    )
-    return agg.select(
-        "vec_id",
-        F.posexplode(F.array(*[F.col(f"code{s}") for s in range(m)])).alias(
-            "s", "code"
-        ),
-    )
+    cb = per_subspace_codebook(cw, m, d_sub)
+    return _argmin_codes(_cb_dists(_subvec_frame(emb, m, d_sub), cb))
 
 
 def pq_adc_topk(
@@ -122,45 +258,27 @@ def pq_adc_topk(
     k: int = ANN_TOP_K,
     shortlist: int = PQ_SHORTLIST,
     m: int = PQ_M,
+    cb: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rnk): ADC shortlist by summed
     per-subspace table lookups, exact cosine re-rank of the top
     ``shortlist``, top ``k`` emitted — the same output contract as
-    the brute-force and IVF variants so recall audits compose."""
-    first = emb.select(F.size("embedding").alias("d")).first()
-    if first is None:  # empty corpus: empty typed result, no crash
+    the brute-force and IVF variants so recall audits compose.
+    ``cb`` is a per-subspace (s, cid, cvec) codebook; default = the
+    deterministic seed codebook."""
+    d_sub = _probe_d_sub(emb, m)
+    if d_sub is None:  # empty corpus: empty typed result, no crash
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk long"
         )
-    if first["d"] % m != 0:
-        raise ValueError(f"dims {first['d']} not divisible by M={m}")
-    d_sub = first["d"] // m
-    cw = emb.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
-    codes = pq_codes(emb, cw, m, d_sub)
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    qtab = (
-        queries.crossJoin(F.broadcast(cw))
-        .select(
-            "query_id",
-            "cid",
-            *[
-                _qdist_sub(
-                    _sub(F.col("q_emb"), s, d_sub), _sub(F.col("cvec"), s, d_sub)
-                ).alias(f"qd{s}")
-                for s in range(m)
-            ],
-        )
-        .select(
-            "query_id",
-            "cid",
-            F.posexplode(F.array(*[F.col(f"qd{s}") for s in range(m)])).alias(
-                "s", "qd"
-            ),
-        )
+    if cb is None:
+        cb = seed_codebook(emb, m, d_sub)
+    # one distance pass feeds BOTH the corpus encoding and the query
+    # ADC tables (the oracle's encd CTE plays the same double role)
+    dists = _cb_dists(_subvec_frame(emb, m, d_sub), cb)
+    codes = _argmin_codes(dists)
+    qtab = dists.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "s", "cid", "qd"
     )
     approx = (
         codes.join(
@@ -208,10 +326,12 @@ def pq_adc_topk(
     )
 
 
-def _pq_ctes(n_queries: int, shortlist: int, d_sub: int = 16) -> str:
+def _pq_ctes(n_queries: int, shortlist: int, d_sub: int = PQ_D_SUB) -> str:
     """Shared oracle CTEs: codebook, per-subspace encoding, ADC table,
     approximate ranking, shortlist, exact re-rank dots — the SQL twin
-    of pq_codes + pq_adc_topk (requires _VEC_NORMS_CTE in scope)."""
+    of the seed-codebook pq_adc_topk (requires _VEC_NORMS_CTE in
+    scope). ``d_sub`` defaults to the EMB_DIMS-derived constant the
+    Spark side asserts against."""
     return f"""
     cw AS (SELECT vec_id AS cid, ord, val FROM elems WHERE vec_id < {PQ_K}),
     vsub AS (SELECT vec_id, (ord - 1) // {d_sub} AS s, ord, val FROM elems),
@@ -272,30 +392,81 @@ def _pq_ctes(n_queries: int, shortlist: int, d_sub: int = 16) -> str:
     )"""
 
 
-@query(
-    "ann_pq_adc_topk",
-    oracle=f"""
-    WITH {_VEC_NORMS_CTE},
-    {_pq_ctes(ANN_N_QUERIES, PQ_SHORTLIST)}
-    SELECT query_id, neighbor_id, cosine, rnk FROM pqtop
-    """,
-)
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC top-k over the fixture embeddings — the oracle
-    re-encodes the corpus, rebuilds the ADC tables, re-ranks the
-    shortlist and the final cosine order, so any drift in subspace
-    slicing, codeword assignment, table lookup, or either tiebreak
-    turns this driver row red. Output contract matches the other ANN
-    variants (query_id, neighbor_id, cosine, rnk)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return pq_adc_topk(emb)
+def _pq_trained_ctes(n_queries: int, shortlist: int) -> str:
+    """Trained-codebook twin: one Lloyd mean round over the seed
+    assignment (= ``enc`` from _pq_ctes, which must be in scope along
+    with ``vsub``/``elems``/``norms``), then encode/ADC/re-rank
+    against the trained codebook — the SQL twin of
+    pq_train_codebooks(n_updates=1) + pq_adc_topk(cb=trained).
+    Centroid means use the proven trained_cells_cte cast chain
+    (DECIMAL(38,12) sum → DOUBLE → /count → REAL → DOUBLE), matching
+    the Spark side's float centroid storage bit-for-bit."""
+    return f"""
+    tr_cb AS MATERIALIZED (
+      SELECT a.s, a.code AS cid, v.ord,
+             CAST(CAST(CAST(SUM(CAST(v.val AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*) AS REAL) AS DOUBLE) AS cval
+      FROM enc a JOIN vsub v ON v.vec_id = a.vec_id AND v.s = a.s
+      GROUP BY a.s, a.code, v.ord
+    ),
+    tr_encd AS (
+      SELECT v.vec_id, v.s, c.cid,
+             SUM(CAST(floor((v.val - c.cval) * (v.val - c.cval) * {KM_QUANT})
+                      AS BIGINT)) AS qd
+      FROM vsub v JOIN tr_cb c ON c.ord = v.ord
+      GROUP BY v.vec_id, v.s, c.cid
+    ),
+    tr_enc AS MATERIALIZED (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY qd, cid) AS rn
+        FROM tr_encd)
+      WHERE rn = 1
+    ),
+    tr_qtab AS MATERIALIZED (
+      SELECT vec_id AS query_id, s, cid, qd FROM tr_encd
+      WHERE vec_id < {n_queries}
+    ),
+    tr_approx AS (
+      SELECT t.query_id, e.vec_id AS neighbor_id, SUM(t.qd) AS adist
+      FROM tr_enc e JOIN tr_qtab t ON t.s = e.s AND t.cid = e.code
+      WHERE e.vec_id <> t.query_id
+      GROUP BY t.query_id, e.vec_id
+    ),
+    tr_short AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS rn
+        FROM tr_approx)
+      WHERE rn <= {shortlist}
+    ),
+    tr_dots AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(SUM(CAST(floor(eq.val * ec.val * {QUANT}.0) AS BIGINT)) AS DOUBLE)
+               / {QUANT}.0 AS dot
+      FROM tr_short s
+      JOIN elems eq ON eq.vec_id = s.query_id
+      JOIN elems ec ON ec.vec_id = s.neighbor_id AND ec.ord = eq.ord
+      GROUP BY s.query_id, s.neighbor_id
+    ),
+    tr_top AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT d.query_id, d.neighbor_id,
+               d.dot / (nq.nrm * nc.nrm) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY d.query_id
+                 ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.neighbor_id
+               ) AS BIGINT) AS rnk
+        FROM tr_dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id)
+      WHERE rnk <= {ANN_TOP_K}
+    )"""
 
 
-@query(
-    "ann_pq_recall_vs_bruteforce",
-    oracle=f"""
-    WITH {_VEC_NORMS_CTE},
-    {_pq_ctes(ANN_N_QUERIES, PQ_SHORTLIST)},
+_BRUTE_TOP_CTES = f"""
     b_dots AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              CAST(SUM(CAST(floor(eq.val * ec.val * {QUANT}.0) AS BIGINT)) AS DOUBLE)
@@ -318,7 +489,35 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN norms nq ON nq.vec_id = query_id
         JOIN norms nc ON nc.vec_id = neighbor_id)
       WHERE rnk <= {ANN_TOP_K}
-    )
+    )"""
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_VEC_NORMS_CTE},
+    {_pq_ctes(ANN_N_QUERIES, PQ_SHORTLIST)}
+    SELECT query_id, neighbor_id, cosine, rnk FROM pqtop
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k over the fixture embeddings — the oracle
+    re-encodes the corpus, rebuilds the ADC tables, re-ranks the
+    shortlist and the final cosine order, so any drift in subspace
+    slicing, codeword assignment, table lookup, or either tiebreak
+    turns this driver row red. Output contract matches the other ANN
+    variants (query_id, neighbor_id, cosine, rnk)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _fixture_d_sub(emb)
+    return pq_adc_topk(emb)
+
+
+@query(
+    "ann_pq_recall_vs_bruteforce",
+    oracle=f"""
+    WITH {_VEC_NORMS_CTE},
+    {_pq_ctes(ANN_N_QUERIES, PQ_SHORTLIST)},
+    {_BRUTE_TOP_CTES}
     SELECT b.query_id,
            CAST(COUNT(*) AS BIGINT) AS k_brute,
            CAST(COUNT(p.neighbor_id) AS BIGINT) AS k_overlap,
@@ -330,13 +529,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_pq_recall_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall of the PQ/ADC index against exact brute force
-    — the index-drift monitor for the code-compressed path, same
-    measurement contract as ann_ivf_recall_vs_bruteforce."""
+    """Per-query recall of the seed-codebook PQ/ADC index against
+    exact brute force — the index-drift monitor for the
+    code-compressed path, same measurement contract as
+    ann_ivf_recall_vs_bruteforce."""
     from jobminer_spark.operators.similarity import ann_cosine_topk_bruteforce
 
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _fixture_d_sub(emb)
     brute = ann_cosine_topk_bruteforce(spark, sf_dir).alias("b")
-    pq = ann_pq_adc_topk(spark, sf_dir).alias("p")
+    pq = pq_adc_topk(emb).alias("p")
     return (
         brute.join(
             pq,
@@ -351,5 +553,70 @@ def ann_pq_recall_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.count(F.col("p.neighbor_id")).cast("double") / F.count(F.lit(1))
             ).alias("recall"),
+        )
+    )
+
+
+@query(
+    "ann_pq_trained_recall",
+    oracle=f"""
+    WITH {_VEC_NORMS_CTE},
+    {_pq_ctes(ANN_N_QUERIES, PQ_SHORTLIST)},
+    {_pq_trained_ctes(ANN_N_QUERIES, PQ_SHORTLIST)},
+    {_BRUTE_TOP_CTES}
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_brute,
+           CAST(COUNT(ps.neighbor_id) AS BIGINT) AS overlap_seed,
+           CAST(COUNT(pt.neighbor_id) AS BIGINT) AS overlap_trained,
+           CAST(COUNT(ps.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_seed,
+           CAST(COUNT(pt.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_trained
+    FROM btop b
+    LEFT JOIN pqtop ps
+      ON ps.query_id = b.query_id AND ps.neighbor_id = b.neighbor_id
+    LEFT JOIN tr_top pt
+      ON pt.query_id = b.query_id AND pt.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed vs TRAINED codebook recall against exact brute force, one
+    row per query — the "codebook training helps" claim as a
+    driver-attested number (r7 verdict item 5). The oracle re-runs the
+    whole per-subspace Lloyd round (assignment = the seed encoding,
+    update = exact decimal means), re-encodes, and re-ranks both
+    variants, so a drift anywhere in training or search turns this
+    red. Verified on the fixture: sum(overlap_trained) >
+    sum(overlap_seed) on the same shortlist size."""
+    from jobminer_spark.operators.similarity import ann_cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _fixture_d_sub(emb)
+    brute = ann_cosine_topk_bruteforce(spark, sf_dir).alias("b")
+    seed_top = pq_adc_topk(emb).alias("ps")
+    trained_top = pq_adc_topk(emb, cb=pq_train_codebooks(emb)).alias("pt")
+    return (
+        brute.join(
+            seed_top,
+            (F.col("b.query_id") == F.col("ps.query_id"))
+            & (F.col("b.neighbor_id") == F.col("ps.neighbor_id")),
+            "left",
+        )
+        .join(
+            trained_top,
+            (F.col("b.query_id") == F.col("pt.query_id"))
+            & (F.col("b.neighbor_id") == F.col("pt.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k_brute"),
+            F.count(F.col("ps.neighbor_id")).alias("overlap_seed"),
+            F.count(F.col("pt.neighbor_id")).alias("overlap_trained"),
+            (
+                F.count(F.col("ps.neighbor_id")).cast("double") / F.count(F.lit(1))
+            ).alias("recall_seed"),
+            (
+                F.count(F.col("pt.neighbor_id")).cast("double") / F.count(F.lit(1))
+            ).alias("recall_trained"),
         )
     )

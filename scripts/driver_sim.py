@@ -7,12 +7,25 @@ see whether the whole suite fits a plausible driver time budget
 (CORRECTNESS_r01 stopped at exactly 50 entries — hypothesis: budget).
 
 Usage: python scripts/driver_sim.py [--min3] [sf_dir] [only_prefix...]
+
+Environment (r7 verdict item 2 — the r7 escape came from the one
+configuration the old hardcoded local[8] sim never ran, the driver's
+local[32]):
+  SPARK_GRAFT_MASTER   Spark master (default local[32], the driver's)
+  SPARK_GRAFT_SHUFFLE  shuffle partitions (default 32, matching the
+                       driver's documented smoke config; set to
+                       "default" to leave Spark's own 200)
+The effective master/shuffle config and the input fixture forensics
+(file listing + per-table row counts, r7 verdict item 8) are printed
+in the header so a committed sweep is diffable against any future
+cross-environment mismatch.
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -79,18 +92,24 @@ def _values_match(a, b):
 
 def main() -> None:
     load_all_operators()
-    spark = (
-        SparkSession.builder.master("local[8]")
+    master = os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
+    builder = (
+        SparkSession.builder.master(master)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if shuffle != "default":
+        builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
+    print(f"config: master={master} shuffle={shuffle} sf_dir={SF_DIR}", flush=True)
     for t in FIXTURE_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        path = f"{SF_DIR}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        st = os.stat(path)
+        (n_rows,) = con.execute(f"SELECT COUNT(*) FROM {t}").fetchone()
+        print(f"fixture: {path} bytes={st.st_size} rows={n_rows}", flush=True)
 
     t_start = time.monotonic()
     results = {}

@@ -692,6 +692,45 @@ def test_pq_encoding_shape_and_guard(spark):
         )
 
 
+def test_pq_trained_codebook_shape_and_distortion(spark):
+    """One Lloyd assignment+mean round per subspace must not increase
+    the total quantized encoding distortion (per-subspace k-means
+    objective monotonicity), and the trained codebook keeps the
+    (s, cid) key unique with d_sub-wide codewords covering all M
+    subspaces."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.pq import (
+        PQ_D_SUB,
+        PQ_M,
+        _cb_dists,
+        _subvec_frame,
+        pq_train_codebooks,
+        seed_codebook,
+    )
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    subs = _subvec_frame(emb, PQ_M, PQ_D_SUB).localCheckpoint(eager=True)
+
+    def objective(cb) -> int:
+        return (
+            _cb_dists(subs, cb)
+            .groupBy("vec_id", "s")
+            .agg(F.min("qd").alias("d"))
+            .agg(F.sum("d").alias("obj"))
+            .first()["obj"]
+        )
+
+    trained = pq_train_codebooks(emb)
+    rows = trained.select("s", "cid", F.size("cvec").alias("w")).collect()
+    assert all(r["w"] == PQ_D_SUB for r in rows)
+    assert len({(r["s"], r["cid"]) for r in rows}) == len(rows)
+    assert {r["s"] for r in rows} == set(range(PQ_M))
+    assert objective(trained) <= objective(seed_codebook(emb))
+
+
 def test_winnowing_guarantee_on_shared_run(spark):
     """The paper's detection guarantee, executable: two documents
     sharing a run of >= k + w - 1 = 8 consecutive tokens (in otherwise
