@@ -290,3 +290,113 @@ def repeated_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
     )
     return rep.orderBy(F.col("n_docs").desc(), "chunk_hash").limit(50)
+
+
+# Spread threshold for chunk REMOVAL: a chunk appearing in >= this
+# many distinct documents is treated as boilerplate (C4/Gopher keep
+# the analogous "line appears in multiple documents" rule; with the
+# fixture's 16-token chunks, 2 is the only spread that exists).
+_BOILER_MIN_DOCS = 2
+
+
+@query(
+    "boilerplate_chunk_removal",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idxs AS (
+      SELECT doc_id, w,
+             unnest(range(0, CAST(ceil(len(w) / {_CHUNK_W}.0) AS BIGINT))) AS i
+      FROM words WHERE len(w) >= 1
+    ),
+    chunks AS (
+      SELECT doc_id, i,
+             array_to_string(
+               w[(i * {_CHUNK_W} + 1):(i * {_CHUNK_W} + {_CHUNK_W})], ' '
+             ) AS chunk
+      FROM idxs
+    ),
+    spread AS (
+      SELECT md5(chunk) AS chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY md5(chunk)
+    ),
+    kept AS (
+      SELECT c.doc_id, c.i, c.chunk
+      FROM chunks c JOIN spread s ON s.chunk_hash = md5(c.chunk)
+      WHERE s.n_docs < {_BOILER_MIN_DOCS}
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY i) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(ceil(len(w.w) / {_CHUNK_W}.0) AS BIGINT) AS n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           CAST(length(COALESCE(r.cleaned, '')) AS BIGINT) AS clean_chars,
+           md5(COALESCE(r.cleaned, '')) AS clean_hash
+    FROM words w LEFT JOIN rebuilt r ON r.doc_id = w.doc_id
+    WHERE len(w.w) >= 1
+    """,
+)
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL stage on top of repeated_chunk_dedup's detection —
+    the C4-style "drop content shared across documents" rule: chunks
+    whose hash appears in >= _BOILER_MIN_DOCS distinct documents are
+    dropped, and each document's text is REBUILT from its surviving
+    chunks in original order. Output per document: chunk counts before
+    and after, plus the rebuilt text's length and md5 (the hash stands
+    in for shipping the full text through the parity harness — any
+    reconstruction drift, including chunk order, flips it).
+
+    Scale shape: chunking is in-row; spread counting is ONE shuffle on
+    the 16-byte chunk hash; the anti-join back to chunks reuses the
+    same key (AQE picks broadcast when the boilerplate set is small —
+    it is spread-threshold-bounded, never corpus-sized); the rebuild
+    is one shuffle on doc_id. No step is pairwise or corpus²."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_chunks = F.ceil(F.size("w") / F.lit(float(_CHUNK_W))).cast("long")
+    base = (
+        docs.repartition("doc_id")
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 1)
+        .select("doc_id", "w", n_chunks.alias("n_chunks"))
+    )
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), i * _CHUNK_W + 1, _CHUNK_W)
+                ),
+            )
+        ).alias("i", "chunk"),
+    )
+    boiler = (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select("chunk_hash")
+    )
+    kept = chunks.join(
+        boiler, F.md5(chunks.chunk) == boiler.chunk_hash, "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "chunk"))),
+                lambda p: p["chunk"],
+            ),
+        ).alias("cleaned"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.length(F.coalesce("cleaned", F.lit(""))).cast("long").alias("clean_chars"),
+        F.md5(F.coalesce("cleaned", F.lit(""))).alias("clean_hash"),
+    )

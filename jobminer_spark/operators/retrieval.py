@@ -1,0 +1,193 @@
+"""BM25-family full-text retrieval over the documents corpus —
+the query-side counterpart of the TF-IDF similarity operators
+(Robertson/Zaragoza, "The Probabilistic Relevance Framework: BM25 and
+Beyond", 2009 — public paper).
+
+``bm25_topk_per_query`` scores a fixed panel of keyword queries
+against every document and returns the top-k per query. The scoring
+keeps BM25's distinctive term-frequency saturation exactly:
+
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+with k1 = 1.2, b = 0.75 — and uses the RATIONAL Robertson/Sparck-
+Jones idf argument (N − df + 0.5)/(df + 0.5) WITHOUT the ln wrapper.
+ln is deliberately avoided repo-wide (libm implementations differ in
+the last ulp across engines — see the TF-IDF module note); the
+rational weight is monotone in df exactly like true idf, so per-term
+ORDERING is identical, and the cross-term mixture is a documented
+engine policy, not an accident. Per-term scores are floor-quantized
+to 1e-9 longs and summed exactly, so the final ranking (and the
+driver's value hash) is bit-identical cross-engine.
+
+Scale shape: the corpus is filtered to the QUERY VOCABULARY before
+any shuffle (a broadcast semi join against the handful of distinct
+query terms — at 100 TB this is the inverted-index probe: only the
+postings of queried terms move). One (doc_id, token) partial-agg
+shuffle builds tf; df and the corpus stats (avgdl, N) are tiny
+broadcast aggregates; the final top-k is a query-partitioned window
+over the scored postings, bounded by the query panel size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from jobminer_spark.data.skill_dictionary import values_df
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# 1e9 quantization: rational idf ≤ N ≈ corpus size, saturation ≤
+# k1+1, so per-term scores stay far under long overflow at any SF.
+_BM25_QUANT = 1_000_000_000
+
+# Fixed query panel (fixture vocabulary; 'dup' is the one rare term —
+# df 25/500 vs ~390/500 for everything else — so query 2 exercises
+# the idf contrast the other two can't).
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark join filter"),
+    (1, "window agg batch"),
+    (2, "dup key merge"),
+]
+
+
+def _query_terms_rows() -> list[tuple[int, str]]:
+    return [(qid, t) for qid, text in BM25_QUERIES for t in text.split(" ")]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """(query_id, doc_id, score, rnk): top-k BM25 documents per query.
+    ``docs`` has (doc_id, text); ``qterms`` has (query_id, term) and
+    must be broadcast-sized (it is the query panel, not data)."""
+    words = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 1)
+        .select("doc_id", "w", F.size("w").cast("long").alias("dl"))
+    )
+    stats = words.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+    )
+    vocab = qterms.select(F.col("term").alias("token")).distinct()
+    tok = words.select(
+        "doc_id", "dl", F.explode("w").alias("token")
+    ).join(F.broadcast(vocab), "token")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        # constant within the (doc_id) group — carried to avoid a
+        # second corpus join for document length
+        F.first("dl").alias("dl"),
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("dfd"))
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    # expression tree mirrored token-for-token in the oracle SQL so
+    # every IEEE double op happens in the same order on both engines
+    qs = F.floor(
+        ((F.col("nd") - F.col("dfd") + F.lit(0.5)) / (F.col("dfd") + F.lit(0.5)))
+        * (
+            (tf_d * F.lit(BM25_K1 + 1.0))
+            / (
+                tf_d
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * (dl_d / F.col("avgdl"))
+                )
+            )
+        )
+        * F.lit(float(_BM25_QUANT))
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(qterms), tf.token == qterms.term)
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", qs.alias("qs"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("qs").alias("qscore"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("qscore").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("qscore").cast("double") / F.lit(float(_BM25_QUANT))).alias(
+                "score"
+            ),
+            "rnk",
+        )
+    )
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in _query_terms_rows())
+    return f"""
+    WITH qt(query_id, term) AS (VALUES {vals}),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM words WHERE len(w) >= 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(COUNT(*) AS DOUBLE) AS nd
+      FROM dl
+    ),
+    tok AS (
+      SELECT doc_id, unnest(w) AS token FROM words WHERE len(w) >= 1
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN (SELECT DISTINCT term FROM qt)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfd FROM tf GROUP BY token),
+    term_scores AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(floor(
+               ((s.nd - d.dfd + 0.5) / (d.dfd + 0.5))
+               * ((CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0})
+                  / (CAST(t.tf AS DOUBLE)
+                     + {BM25_K1} * ({1.0 - BM25_B}
+                                    + {BM25_B} * (CAST(l.dl AS DOUBLE) / s.avgdl))))
+               * {float(_BM25_QUANT)}) AS BIGINT) AS qs
+      FROM tf t
+      JOIN qt q ON q.term = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      JOIN df d ON d.token = t.token
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT query_id, doc_id, SUM(qs) AS qscore
+      FROM term_scores GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(qscore AS DOUBLE) / {float(_BM25_QUANT)} AS score, rnk
+    FROM (
+      SELECT query_id, doc_id, qscore,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY qscore DESC, doc_id
+             ) AS BIGINT) AS rnk
+      FROM agg)
+    WHERE rnk <= {BM25_TOP_K}
+    """
+
+
+@query("bm25_topk_per_query", oracle=_bm25_oracle())
+def bm25_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 documents for the fixed three-query panel — the
+    oracle recomputes tokenization, corpus stats, tf saturation, the
+    rational idf, the 1e-9 quantization, and both tiebreaks, so any
+    drift in the scoring pipeline turns this driver row red."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = values_df(spark, _query_terms_rows(), ["query_id", "term"])
+    return bm25_topk(docs, qterms)

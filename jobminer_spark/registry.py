@@ -125,6 +125,10 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.dedupe",
     "jobminer_spark.operators.skew",
     "jobminer_spark.operators.curation",
+    # r8-new modules (registered past the r8 window by design; the
+    # rotation invariant fronts them in r9 alongside pq)
+    "jobminer_spark.operators.retrieval",
+    "jobminer_spark.operators.sketches",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -879,3 +879,76 @@ def test_zorder_ranks_survive_int_overflow_scale(spark, tmp_path):
     row = zorder_pruning_stats(spark, str(tmp_path)).collect()[0]
     assert row.n_buckets == 64
     assert 0 < row.yonly_zorder < row.yonly_linear
+
+
+def test_bm25_rare_term_and_rank_contract(spark):
+    """Query 2 contains the corpus's one rare term ('dup', df 25/500
+    vs ~390/500): its rational idf dwarfs the common terms', so every
+    top-ranked document for that query must actually contain 'dup'.
+    All queries return a contiguous 1..k rank per query."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.retrieval import (
+        BM25_TOP_K,
+        bm25_topk_per_query,
+    )
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    top = bm25_topk_per_query(spark, SF_DIR)
+    rows = top.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert set(per_q) == {0, 1, 2}
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, BM25_TOP_K + 1))
+    docs = load_table(spark, SF_DIR, "documents")
+    dup_docs = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.array_contains(F.split("text", " "), "dup")
+        ).select("doc_id").collect()
+    }
+    q2_top = [r["doc_id"] for r in rows if r["query_id"] == 2]
+    assert set(q2_top) <= dup_docs
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min hard guarantee: est >= exact for EVERY key, and
+    the total overcount is bounded by d passes over the stream."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.sketches import cms_frequency_audit
+    from tests.conftest import SF_DIR
+
+    audit = cms_frequency_audit(spark, SF_DIR)
+    assert audit.filter(F.col("overcount") < 0).count() == 0
+    assert audit.filter(F.col("est_n") < F.col("exact_n")).count() == 0
+
+
+def test_boilerplate_removal_reconstruction(spark):
+    """Documents with no boilerplate chunks must reconstruct to their
+    EXACT original text (chunk-split then ordered-rejoin is lossless
+    on single-space token streams); trimmed documents must come out
+    strictly shorter. Both directions exist in the fixture."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.curation import boilerplate_chunk_removal
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    out = boilerplate_chunk_removal(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.md5("text").alias("orig_hash"),
+        F.length("text").cast("long").alias("orig_chars"),
+    )
+    j = out.join(docs, "doc_id")
+    intact = j.filter(F.col("n_kept") == F.col("n_chunks"))
+    trimmed = j.filter(F.col("n_kept") < F.col("n_chunks"))
+    assert intact.count() > 0 and trimmed.count() > 0
+    assert intact.filter(F.col("clean_hash") != F.col("orig_hash")).count() == 0
+    assert trimmed.filter(
+        F.col("clean_chars") >= F.col("orig_chars")
+    ).count() == 0

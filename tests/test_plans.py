@@ -281,3 +281,29 @@ def test_norm_outliers_broadcasts_moments(spark):
     plan = _plan(spark, "embedding_norm_outliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_all_joins_broadcast_vocab_filter_first(spark):
+    """BM25's corpus side must only ever join BROADCAST relations
+    (query vocabulary, df, corpus stats) — document length is carried
+    through the tf aggregation, so no corpus-x-corpus join exists."""
+    plan = _plan(spark, "bm25_topk_per_query")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_grid_is_bounded_and_broadcast_probed(spark):
+    """The count-min grid aggregates map-side (partial + final
+    HashAggregate) and the probe side joins it broadcast — the grid
+    is <= d x w rows by construction, never corpus-sized."""
+    from jobminer_spark.operators.sketches import CMS_D, CMS_W, cms_grid
+    from jobminer_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    plan = _plan(spark, "cms_frequency_audit")
+    assert "BroadcastHashJoin" in plan
+    tokens = load_table(spark, SF_DIR, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    assert cms_grid(tokens).count() <= CMS_D * CMS_W
