@@ -59,12 +59,10 @@ def _query_terms_rows() -> list[tuple[int, str]]:
     return [(qid, t) for qid, text in BM25_QUERIES for t in text.split(" ")]
 
 
-def bm25_topk(
-    docs: DataFrame,
-    qterms: DataFrame,
-    k: int = BM25_TOP_K,
-) -> DataFrame:
-    """(query_id, doc_id, score, rnk): top-k BM25 documents per query.
+def _bm25_agg(docs: DataFrame, qterms: DataFrame) -> DataFrame:
+    """(query_id, doc_id, qscore, n_terms, tot_tf): one aggregate
+    feeding every ranker — the quantized BM25 score plus the
+    term-coverage stats the RRF fusion's second ranker uses.
     ``docs`` has (doc_id, text); ``qterms`` has (query_id, term) and
     must be broadcast-sized (it is the query panel, not data)."""
     words = (
@@ -106,14 +104,28 @@ def bm25_topk(
         )
         * F.lit(float(_BM25_QUANT))
     ).cast("long")
-    scored = (
+    return (
         tf.join(F.broadcast(qterms), tf.token == qterms.term)
         .join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(stats))
-        .select("query_id", "doc_id", qs.alias("qs"))
+        .select("query_id", "doc_id", "token", "tf", qs.alias("qs"))
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("qs").alias("qscore"))
+        .agg(
+            F.sum("qs").alias("qscore"),
+            F.countDistinct("token").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("tot_tf"),
+        )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """(query_id, doc_id, score, rnk): top-k BM25 documents per
+    query."""
+    scored = _bm25_agg(docs, qterms)
     w = W.partitionBy("query_id").orderBy(F.col("qscore").desc(), "doc_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -129,10 +141,58 @@ def bm25_topk(
     )
 
 
-def _bm25_oracle() -> str:
+# Reciprocal-rank-fusion smoothing constant (Cormack/Clarke/Büttcher,
+# "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+# Learning Methods", SIGIR 2009 — public paper; 60 is the paper's k).
+RRF_K = 60
+
+
+def rrf_fusion_topk(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """(query_id, doc_id, rrf, rank_bm25, rank_cover, rnk): hybrid
+    retrieval by reciprocal-rank fusion of TWO full rankings over the
+    same candidate set (docs matching >= 1 query term):
+
+      ranker A — BM25 (qscore desc, doc_id)
+      ranker B — term coverage (distinct terms desc, total tf desc,
+                 doc_id): the boolean-ish ranker BM25 is usually
+                 fused with when no second signal exists
+
+    rrf = 1/(K + rank_A) + 1/(K + rank_B), each addend one IEEE
+    division and the sum a fixed two-term expression — rational
+    arithmetic throughout, so the fused ordering is bit-identical
+    cross-engine (the reason RRF needs no quantization step)."""
+    scored = _bm25_agg(docs, qterms)
+    wa = W.partitionBy("query_id").orderBy(F.col("qscore").desc(), "doc_id")
+    wb = W.partitionBy("query_id").orderBy(
+        F.col("n_terms").desc(), F.col("tot_tf").desc(), "doc_id"
+    )
+    ranked = scored.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(wa).cast("long").alias("rank_bm25"),
+        F.row_number().over(wb).cast("long").alias("rank_cover"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_bm25").cast("double"))
+    ) + (F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_cover").cast("double")))
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        ranked.withColumn("rrf", rrf)
+        .withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "rrf", "rank_bm25", "rank_cover", "rnk")
+    )
+
+
+def _bm25_cte_body() -> str:
+    """Shared oracle CTE chain through ``agg`` (query_id, doc_id,
+    qscore, n_terms, tot_tf) — the SQL twin of _bm25_agg."""
     vals = ", ".join(f"({qid}, '{t}')" for qid, t in _query_terms_rows())
-    return f"""
-    WITH qt(query_id, term) AS (VALUES {vals}),
+    return f"""qt(query_id, term) AS (VALUES {vals}),
     words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     dl AS (
       SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM words WHERE len(w) >= 1
@@ -152,7 +212,7 @@ def _bm25_oracle() -> str:
     ),
     df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfd FROM tf GROUP BY token),
     term_scores AS (
-      SELECT q.query_id, t.doc_id,
+      SELECT q.query_id, t.doc_id, t.token, t.tf,
              CAST(floor(
                ((s.nd - d.dfd + 0.5) / (d.dfd + 0.5))
                * ((CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0})
@@ -167,9 +227,16 @@ def _bm25_oracle() -> str:
       CROSS JOIN stats s
     ),
     agg AS (
-      SELECT query_id, doc_id, SUM(qs) AS qscore
+      SELECT query_id, doc_id, SUM(qs) AS qscore,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_terms,
+             CAST(SUM(tf) AS BIGINT) AS tot_tf
       FROM term_scores GROUP BY query_id, doc_id
-    )
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_cte_body()}
     SELECT query_id, doc_id,
            CAST(qscore AS DOUBLE) / {float(_BM25_QUANT)} AS score, rnk
     FROM (
@@ -178,6 +245,37 @@ def _bm25_oracle() -> str:
                PARTITION BY query_id ORDER BY qscore DESC, doc_id
              ) AS BIGINT) AS rnk
       FROM agg)
+    WHERE rnk <= {BM25_TOP_K}
+    """
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH {_bm25_cte_body()},
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY qscore DESC, doc_id
+             ) AS BIGINT) AS rank_bm25,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY n_terms DESC, tot_tf DESC, doc_id
+             ) AS BIGINT) AS rank_cover
+      FROM agg
+    ),
+    fused AS (
+      SELECT query_id, doc_id, rank_bm25, rank_cover,
+             (1.0 / ({float(RRF_K)} + CAST(rank_bm25 AS DOUBLE)))
+             + (1.0 / ({float(RRF_K)} + CAST(rank_cover AS DOUBLE))) AS rrf
+      FROM ranked
+    )
+    SELECT query_id, doc_id, rrf, rank_bm25, rank_cover, rnk
+    FROM (
+      SELECT query_id, doc_id, rrf, rank_bm25, rank_cover,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id
+             ) AS BIGINT) AS rnk
+      FROM fused)
     WHERE rnk <= {BM25_TOP_K}
     """
 
@@ -191,3 +289,15 @@ def bm25_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     qterms = values_df(spark, _query_terms_rows(), ["query_id", "term"])
     return bm25_topk(docs, qterms)
+
+
+@query("rrf_fusion_topk_per_query", oracle=_rrf_oracle())
+def rrf_fusion_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
+    with a term-coverage ranking over the same candidates, top-10 per
+    panel query — the oracle recomputes both full rankings and the
+    fused order, so a drift in either ranker's tiebreak chain or the
+    fusion arithmetic turns this driver row red."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = values_df(spark, _query_terms_rows(), ["query_id", "term"])
+    return rrf_fusion_topk(docs, qterms)

@@ -952,3 +952,31 @@ def test_boilerplate_removal_reconstruction(spark):
     assert trimmed.filter(
         F.col("clean_chars") >= F.col("orig_chars")
     ).count() == 0
+
+
+def test_rrf_fusion_consistency(spark):
+    """The fused score must equal 1/(K+rank_A) + 1/(K+rank_B) row by
+    row, ranks are contiguous per query, and a document both rankers
+    put first is the fused winner."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.retrieval import (
+        BM25_TOP_K,
+        RRF_K,
+        rrf_fusion_topk_per_query,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = rrf_fusion_topk_per_query(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        expect = 1.0 / (RRF_K + r["rank_bm25"]) + 1.0 / (RRF_K + r["rank_cover"])
+        assert r["rrf"] == expect
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q_rows in per_q.values():
+        assert sorted(r["rnk"] for r in q_rows) == list(
+            range(1, BM25_TOP_K + 1)
+        )
+        for r in q_rows:
+            if r["rank_bm25"] == 1 and r["rank_cover"] == 1:
+                assert r["rnk"] == 1

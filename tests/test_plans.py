@@ -287,10 +287,11 @@ def test_bm25_all_joins_broadcast_vocab_filter_first(spark):
     """BM25's corpus side must only ever join BROADCAST relations
     (query vocabulary, df, corpus stats) — document length is carried
     through the tf aggregation, so no corpus-x-corpus join exists."""
-    plan = _plan(spark, "bm25_topk_per_query")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    for name in ("bm25_topk_per_query", "rrf_fusion_topk_per_query"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
 
 
 def test_cms_grid_is_bounded_and_broadcast_probed(spark):
