@@ -129,6 +129,7 @@ _OPERATOR_MODULES = [
     # rotation invariant fronts them in r9 alongside pq)
     "jobminer_spark.operators.retrieval",
     "jobminer_spark.operators.sketches",
+    "jobminer_spark.operators.graphrank",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

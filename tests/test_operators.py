@@ -980,3 +980,21 @@ def test_rrf_fusion_consistency(spark):
         for r in q_rows:
             if r["rank_bm25"] == 1 and r["rank_cover"] == 1:
                 assert r["rnk"] == 1
+
+
+def test_pagerank_integer_invariants(spark):
+    """Fixed-point PageRank on a constructed graph: symmetric
+    positions score identically, a star center dominates its leaves,
+    and total mass never exceeds the fixed-point scale (each floor
+    only leaks mass, never creates it)."""
+    from jobminer_spark.operators.graphrank import PR_SCALE, pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.pr_q for r in pagerank_integer(edges).collect()}
+    assert got[1] == got[2] == got[3] == got[4]
+    assert got[10] == got[11] == got[12]
+    assert got[0] > got[1]
+    assert sum(got.values()) <= PR_SCALE
