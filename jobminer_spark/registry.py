@@ -71,11 +71,14 @@ ORACLES: dict[str, str] = {}
 #     and relational's first 7 (q1, q3, q5, q6, semi, anti, topk)
 #     close the window at exactly 50.
 #   round 9 window (plan): modules modified/created in r8 outside the
-#     r8 window first (pq — gained ann_pq_trained_recall in r8 — and
-#     any other r8-new registrations), then relational's r8-spilled
-#     tail (10), then the r6-attested scrapeshape(7)/similarity(9)/
-#     dedupe(15)/skew(2)/curation(4) — the oldest remaining debt after
-#     this window re-attests tpch+textanalysis; remainder rolls to r10.
+#     r8 window first — pq (refactored onto the per-subspace kernel +
+#     new ann_pq_trained_recall: 3), retrieval (bm25_topk_per_query +
+#     rrf_fusion_topk_per_query: 2), sketches (cms_frequency_audit: 1),
+#     graphrank (pagerank_neardup_graph: 1), curation (gained
+#     boilerplate_chunk_removal: 5) = 12 — then relational's
+#     r8-spilled tail (10) = 22, then the r6-attested scrapeshape(7)/
+#     similarity(9)/dedupe(first 12 of 15) close the window at exactly
+#     50; dedupe's last 3 + skew(2) roll to r10.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

@@ -354,3 +354,142 @@ def test_winnowing_guarantee_property(spark):
     }
     for idx in range(len(cases)):
         assert (2 * idx, 2 * idx + 1) in pairs, f"case {idx} missed"
+
+
+def test_cms_overestimate_property(spark):
+    """∀ random multisets: the count-min estimate is >= the exact
+    count for EVERY key (the sketch's hard guarantee over generated
+    streams, not just the fixture vocabulary)."""
+    from hypothesis import given, settings, strategies as st
+
+    from jobminer_spark.operators.sketches import cms_estimate, cms_grid
+
+    batches: list[list[tuple[str, int]]] = []
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abcxyz", min_size=1, max_size=6),
+                st.integers(min_value=1, max_value=30),
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def collect(pairs):
+        batches.append(pairs)
+
+    collect()
+    for pairs in batches[:: max(1, len(batches) // 4)]:
+        counts: dict[str, int] = {}
+        for w, c in pairs:
+            counts[w] = counts.get(w, 0) + c
+        rows = [(w,) for w, c in counts.items() for _ in range(c)]
+        tokens = spark.createDataFrame(rows, "token string")
+        grid = cms_grid(tokens)
+        probes = spark.createDataFrame([(w,) for w in counts], "token string")
+        est = {r.token: r.est_n for r in cms_estimate(probes, grid).collect()}
+        for w, c in counts.items():
+            assert est[w] >= c
+
+
+def test_bm25_matches_python_reference_property(spark):
+    """∀ random tiny corpora + a random query: the Spark BM25 scores
+    equal a direct Python reimplementation of the documented formula
+    (same literals, same IEEE op order, same 1e-9 floor-quantization)
+    — a third engine agreeing with the Spark/DuckDB pair."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from jobminer_spark.data.skill_dictionary import values_df
+    from jobminer_spark.operators.retrieval import (
+        _BM25_QUANT,
+        BM25_B,
+        BM25_K1,
+        bm25_topk,
+    )
+
+    word = st.sampled_from(["red", "blue", "green", "bolt", "nut", "gear"])
+    corpora: list[tuple[list[str], list[str]]] = []
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.lists(word, min_size=1, max_size=12).map(" ".join),
+            min_size=1,
+            max_size=8,
+        ),
+        st.lists(word, min_size=1, max_size=3, unique=True),
+    )
+    def collect(texts, terms):
+        corpora.append((texts, terms))
+
+    collect()
+    for texts, terms in corpora[:: max(1, len(corpora) // 4)]:
+        docs = values_df(
+            spark, list(enumerate(texts)), ["doc_id", "text"]
+        )
+        qterms = values_df(spark, [(0, t) for t in terms], ["query_id", "term"])
+        got = {
+            r.doc_id: round(r.score * _BM25_QUANT)
+            for r in bm25_topk(docs, qterms, k=100).collect()
+        }
+        # Python reference with the identical arithmetic
+        ws = {d: t.split(" ") for d, t in enumerate(texts)}
+        n = len(ws)
+        dls = {d: len(w) for d, w in ws.items()}
+        avgdl = sum(dls.values()) / n
+        expect: dict[int, int] = {}
+        for d, w in ws.items():
+            s = 0
+            for t in terms:
+                f = w.count(t)
+                if f == 0:
+                    continue
+                dfv = float(sum(1 for w2 in ws.values() if t in w2))
+                idf = (float(n) - dfv + 0.5) / (dfv + 0.5)
+                sat = (float(f) * (BM25_K1 + 1.0)) / (
+                    float(f)
+                    + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (float(dls[d]) / avgdl))
+                )
+                s += math.floor(idf * sat * float(_BM25_QUANT))
+            if s:
+                expect[d] = s
+        assert got == expect
+
+
+def test_pagerank_permutation_equivariance_property(spark):
+    """∀ random graphs: relabeling every node through an injective map
+    permutes the PageRank scores identically — the scores depend only
+    on structure, never on label order (no hidden tiebreak)."""
+    from hypothesis import given, settings, strategies as st
+
+    from jobminer_spark.operators.graphrank import pagerank_integer
+
+    graphs: list[list[tuple[int, int]]] = []
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+                lambda e: e[0] != e[1]
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def collect(edges):
+        graphs.append(edges)
+
+    collect()
+    perm = lambda x: (7 * x + 3) % 97  # injective on [0, 12]
+    for edges in graphs[:: max(1, len(graphs) // 3)]:
+        base = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        mapped = spark.createDataFrame(
+            [(perm(a), perm(b)) for a, b in edges], "doc_a long, doc_b long"
+        )
+        got = {r.doc_id: r.pr_q for r in pagerank_integer(base).collect()}
+        got_m = {r.doc_id: r.pr_q for r in pagerank_integer(mapped).collect()}
+        assert got_m == {perm(d): r for d, r in got.items()}
