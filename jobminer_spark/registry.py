@@ -75,10 +75,11 @@ ORACLES: dict[str, str] = {}
 #     new ann_pq_trained_recall: 3), retrieval (bm25_topk_per_query +
 #     rrf_fusion_topk_per_query: 2), sketches (cms_frequency_audit: 1),
 #     graphrank (pagerank_neardup_graph: 1), curation (gained
-#     boilerplate_chunk_removal: 5) = 12 — then relational's
-#     r8-spilled tail (10) = 22, then the r6-attested scrapeshape(7)/
-#     similarity(9)/dedupe(first 12 of 15) close the window at exactly
-#     50; dedupe's last 3 + skew(2) roll to r10.
+#     boilerplate_chunk_removal: 5), bpe (bpe_train_merges +
+#     bpe_encode_compression: 2) = 14 — then relational's r8-spilled
+#     tail (10) = 24, then the r6-attested scrapeshape(7)/
+#     similarity(9)/dedupe(first 10 of 15) close the window at exactly
+#     50; dedupe's last 5 + skew(2) roll to r10.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -133,6 +134,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.retrieval",
     "jobminer_spark.operators.sketches",
     "jobminer_spark.operators.graphrank",
+    "jobminer_spark.operators.bpe",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -493,3 +493,66 @@ def test_pagerank_permutation_equivariance_property(spark):
         got = {r.doc_id: r.pr_q for r in pagerank_integer(base).collect()}
         got_m = {r.doc_id: r.pr_q for r in pagerank_integer(mapped).collect()}
         assert got_m == {perm(d): r for d, r in got.items()}
+
+
+def test_bpe_matches_python_reference_property(spark):
+    """∀ random tiny type tables: the Spark BPE trainer learns the
+    IDENTICAL merge sequence (pair, count, order) as a direct Python
+    implementation of classic BPE (overlap-inclusive counting,
+    (count DESC, pair ASC) tiebreak, greedy left-to-right merge) —
+    a third engine agreeing with the Spark/DuckDB pair."""
+    from hypothesis import given, settings, strategies as st
+
+    from jobminer_spark.data.skill_dictionary import values_df
+    from jobminer_spark.operators.bpe import _initial_seqs, bpe_train
+
+    def bpe_py(freqs, rounds):
+        seqs = {w: [*w, "</w>"] for w in freqs}
+        merges = []
+        for k in range(1, rounds + 1):
+            counts = {}
+            for w, f in freqs.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((k, l, r, l + r, c))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    tables: list[list[tuple[str, int]]] = []
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abcde", min_size=1, max_size=7),
+                st.integers(min_value=1, max_value=40),
+            ),
+            min_size=1,
+            max_size=10,
+            unique_by=lambda p: p[0],
+        )
+    )
+    def collect(pairs):
+        tables.append(pairs)
+
+    collect()
+    for pairs in tables[:: max(1, len(tables) // 3)]:
+        types = values_df(spark, pairs, ["word", "freq"])
+        got = bpe_train(types, n_rounds=5)
+        expect = bpe_py(dict(pairs), rounds=5)
+        assert got == expect
