@@ -998,3 +998,33 @@ def test_pagerank_integer_invariants(spark):
     assert got[10] == got[11] == got[12]
     assert got[0] > got[1]
     assert sum(got.values()) <= PR_SCALE
+
+
+def test_funnel_strict_order_edge_semantics(spark):
+    """The funnel must chain STRICTLY after: a click before (or tied
+    with) the first view doesn't advance, a purchase before the first
+    qualifying click doesn't either, and the 6h span gate is measured
+    from the FIRST view."""
+    from jobminer_spark.operators.journeys import funnel_counts
+
+    h = 3_600_000_000  # one hour in micros
+    rows = [
+        # u1: clean full funnel inside the span
+        (1, "view", 0), (1, "click", h), (1, "purchase", 2 * h),
+        # u2: click precedes the first view -> stops at view stage
+        (2, "click", 0), (2, "view", h),
+        # u3: click ties the first view exactly -> not strictly after
+        (3, "view", h), (3, "click", h),
+        # u4: purchase lands before the qualifying click -> stops at click
+        (4, "view", 0), (4, "click", 2 * h), (4, "purchase", h),
+        # u5: full funnel but the purchase is 7h after the first view
+        (5, "view", 0), (5, "click", h), (5, "purchase", 7 * h),
+        # u6: never views
+        (6, "purchase", 0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, tus long")
+    row = funnel_counts(ev).first()
+    assert row["n_view"] == 5        # u1-u5
+    assert row["n_click"] == 3       # u1, u4, u5
+    assert row["n_purchase"] == 2    # u1, u5
+    assert row["n_purchase_within_6h"] == 1  # u1 only
