@@ -1028,3 +1028,33 @@ def test_funnel_strict_order_edge_semantics(spark):
     assert row["n_click"] == 3       # u1, u4, u5
     assert row["n_purchase"] == 2    # u1, u5
     assert row["n_purchase_within_6h"] == 1  # u1 only
+
+
+def test_int8_quantizer_range_and_recall_floor(spark):
+    """Max-abs int8 codes stay in [-127, 127] with at least one dim
+    hitting the rail per vector (the scale anchor); the audit's
+    average recall on the fixture stays high — the whole point of
+    byte storage vs PQ's 64x code compression."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.intquant import (
+        INT8_MAX,
+        embedding_int8_recall_audit,
+        int8_codes,
+    )
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    codes = int8_codes(emb)
+    out_of_range = codes.filter(
+        F.exists("q", lambda v: (v > INT8_MAX) | (v < -INT8_MAX))
+    ).count()
+    assert out_of_range == 0
+    no_rail = codes.filter(
+        ~F.exists("q", lambda v: (v == INT8_MAX) | (v == -INT8_MAX))
+    ).count()
+    assert no_rail == 0
+    audit = embedding_int8_recall_audit(spark, SF_DIR)
+    mean_recall = audit.agg(F.avg("recall")).first()[0]
+    assert mean_recall >= 0.8
