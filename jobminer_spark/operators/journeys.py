@@ -23,6 +23,7 @@ difference, and bucket is integer-exact and the rows hash-pin.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from jobminer_spark.registry import query
@@ -143,4 +144,87 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w") - F.col("c")).alias("k"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_PATH_GAP_US = 300 * 1_000_000  # 5-minute inactivity gap, same as the
+                                # session-window family
+
+
+@query(
+    "session_path_topk",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+    ),
+    flg AS (
+      SELECT user_id, event_id, tus, event_type,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w > {_PATH_GAP_US}
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, tus, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flg
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY COUNT(*) DESC, path LIMIT 20
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 20 most common within-session event-type
+    sequences (sessions split on a 5-minute inactivity gap via
+    lag + running-sum — the batch twin of the session-window family).
+    The ordered path string is built from an in-row sort of the
+    session's (tus, event_id, type) triples, so the sequence — and
+    therefore the hash — is total-ordered and parallelism-proof.
+    Scale shape: one (user_id) window pass (lag and the running sum
+    share the sort), one (user, session) aggregation, one bounded
+    top-20."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_type",
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > _PATH_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("tus", "event_id", F.col("event_type").alias("t"))
+                    )
+                ),
+                lambda p: p["t"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
     )

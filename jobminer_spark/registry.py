@@ -76,10 +76,11 @@ ORACLES: dict[str, str] = {}
 #     rrf_fusion_topk_per_query: 2), sketches (cms_frequency_audit: 1),
 #     graphrank (pagerank_neardup_graph: 1), curation (gained
 #     boilerplate_chunk_removal: 5), bpe (bpe_train_merges +
-#     bpe_encode_compression: 2), journeys (funnel + cohort: 2), intquant (int8 recall: 1) = 17 —
-#     then relational's r8-spilled tail (10) = 27, then the
-#     r6-attested scrapeshape(7)/similarity(9)/dedupe(first 7 of 15)
-#     close the window at exactly 50; dedupe's last 8 + skew(2) roll
+#     bpe_encode_compression: 2), journeys (funnel + cohort + session paths: 3), intquant
+#     (int8 recall: 1), scd (scd2 history: 1) = 19 —
+#     then relational's r8-spilled tail (10) = 29, then the
+#     r6-attested scrapeshape(7)/similarity(9)/dedupe(first 5 of 15)
+#     close the window at exactly 50; dedupe's last 10 + skew(2) roll
 #     to r10.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
@@ -138,6 +139,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.bpe",
     "jobminer_spark.operators.journeys",
     "jobminer_spark.operators.intquant",
+    "jobminer_spark.operators.scd",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -1058,3 +1058,27 @@ def test_int8_quantizer_range_and_recall_floor(spark):
     audit = embedding_int8_recall_audit(spark, SF_DIR)
     mean_recall = audit.agg(F.avg("recall")).first()[0]
     assert mean_recall >= 0.8
+
+
+def test_scd2_intervals_tile_and_collapse(spark):
+    """SCD2 invariants on the fixture: per user, intervals are
+    disjoint and contiguous (each valid_to equals the next
+    valid_from), exactly one current row per user, and no two
+    CONSECUTIVE rows carry the same value (runs collapsed)."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.scd import scd2_user_attribute_history
+    from tests.conftest import SF_DIR
+
+    rows = scd2_user_attribute_history(spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in user_rows if r["is_current"] == 1) == 1
+        assert user_rows[-1]["valid_to"] is None
+        for a, b in zip(user_rows, user_rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr_value"] != b["attr_value"]

@@ -308,3 +308,11 @@ def test_cms_grid_is_bounded_and_broadcast_probed(spark):
         F.explode(F.split("text", " ")).alias("token")
     )
     assert cms_grid(tokens).count() <= CMS_D * CMS_W
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    """Change-detection (lag) and interval-close (lead) share one
+    (user_id) partitioning and order — exactly one exchange and one
+    sort in the whole plan."""
+    plan = _plan(spark, "scd2_user_attribute_history")
+    assert plan.count("Exchange hashpartitioning") <= 1
