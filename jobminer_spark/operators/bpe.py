@@ -124,6 +124,11 @@ def _bpe_blocks(n_rounds: int) -> str:
     reference: exponentially many base scans), pair counting
     (overlap-inclusive), the tiebroken argmax, and the literal greedy
     REPLACE fed by scalar subqueries."""
+    # Exhaustion safety: when the corpus fully merges before n_rounds,
+    # t{k} is empty — its scalar subqueries COALESCE to a chr(1)
+    # sentinel that occurs in no sequence, so the remaining rounds are
+    # exact no-ops (matching bpe_train's early break) instead of
+    # NULL-poisoning every later s{k}.
     blocks = [
         f"""types AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -155,8 +160,11 @@ def _bpe_blocks(n_rounds: int) -> str:
     ),
     s{k} AS MATERIALIZED (
       SELECT word, freq,
-             REPLACE(s, (SELECT ' ' || l || '  ' || r || ' ' FROM t{k}),
-                        (SELECT ' ' || l || r || ' ' FROM t{k})) AS s
+             REPLACE(s,
+                     COALESCE((SELECT ' ' || l || '  ' || r || ' ' FROM t{k}),
+                              chr(1)),
+                     COALESCE((SELECT ' ' || l || r || ' ' FROM t{k}),
+                              chr(1))) AS s
       FROM s{k - 1}
     )""")
     return "WITH " + ",\n    ".join(blocks)
@@ -240,6 +248,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a drift anywhere in the iteration turns this driver row red."""
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(_word_types(docs))
+    if not merges:  # empty/degenerate corpus: empty typed result,
+        # matching the oracle's zero union rows (values_df cannot
+        # render an empty VALUES list)
+        return spark.createDataFrame(
+            [], "round long, l string, r string, merged string, cnt long"
+        )
     return values_df(spark, merges, ["round", "l", "r", "merged", "cnt"]).select(
         F.col("round").cast("long"),
         "l",

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from jobminer_spark.operators.pq import _BRUTE_TOP_CTES
 from jobminer_spark.operators.similarity import ANN_N_QUERIES, ANN_TOP_K, _VEC_NORMS_CTE
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
@@ -141,29 +142,7 @@ _INT8_CTES = f"""
     oracle=f"""
     WITH {_VEC_NORMS_CTE},
     {_INT8_CTES},
-    b_dots AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             CAST(SUM(CAST(floor(eq.val * ec.val * 1000000000000000.0) AS BIGINT)) AS DOUBLE)
-               / 1000000000000000.0 AS dot
-      FROM embeddings q
-      JOIN embeddings c ON c.vec_id <> q.vec_id
-      JOIN elems eq ON eq.vec_id = q.vec_id
-      JOIN elems ec ON ec.vec_id = c.vec_id AND ec.ord = eq.ord
-      WHERE q.vec_id < {ANN_N_QUERIES}
-      GROUP BY q.vec_id, c.vec_id
-    ),
-    btop AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY query_id
-                 ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id
-               ) AS rnk
-        FROM b_dots
-        JOIN norms nq ON nq.vec_id = query_id
-        JOIN norms nc ON nc.vec_id = neighbor_id)
-      WHERE rnk <= {ANN_TOP_K}
-    )
+    {_BRUTE_TOP_CTES}
     SELECT b.query_id,
            CAST(COUNT(*) AS BIGINT) AS k_brute,
            CAST(COUNT(p.neighbor_id) AS BIGINT) AS k_overlap,

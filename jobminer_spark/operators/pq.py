@@ -259,14 +259,17 @@ def pq_adc_topk(
     shortlist: int = PQ_SHORTLIST,
     m: int = PQ_M,
     cb: DataFrame | None = None,
+    d_sub: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rnk): ADC shortlist by summed
     per-subspace table lookups, exact cosine re-rank of the top
     ``shortlist``, top ``k`` emitted — the same output contract as
     the brute-force and IVF variants so recall audits compose.
     ``cb`` is a per-subspace (s, cid, cvec) codebook; default = the
-    deterministic seed codebook."""
-    d_sub = _probe_d_sub(emb, m)
+    deterministic seed codebook. Pass ``d_sub`` when already probed
+    (each probe is a driver-side Spark job)."""
+    if d_sub is None:
+        d_sub = _probe_d_sub(emb, m)
     if d_sub is None:  # empty corpus: empty typed result, no crash
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk long"
@@ -508,8 +511,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns this driver row red. Output contract matches the other ANN
     variants (query_id, neighbor_id, cosine, rnk)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _fixture_d_sub(emb)
-    return pq_adc_topk(emb)
+    d_sub = _fixture_d_sub(emb)
+    return pq_adc_topk(emb, d_sub=d_sub)
 
 
 @query(
@@ -536,9 +539,9 @@ def ann_pq_recall_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobminer_spark.operators.similarity import ann_cosine_topk_bruteforce
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _fixture_d_sub(emb)
+    d_sub = _fixture_d_sub(emb)
     brute = ann_cosine_topk_bruteforce(spark, sf_dir).alias("b")
-    pq = pq_adc_topk(emb).alias("p")
+    pq = pq_adc_topk(emb, d_sub=d_sub).alias("p")
     return (
         brute.join(
             pq,
@@ -590,10 +593,12 @@ def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobminer_spark.operators.similarity import ann_cosine_topk_bruteforce
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _fixture_d_sub(emb)
+    d_sub = _fixture_d_sub(emb)
     brute = ann_cosine_topk_bruteforce(spark, sf_dir).alias("b")
-    seed_top = pq_adc_topk(emb).alias("ps")
-    trained_top = pq_adc_topk(emb, cb=pq_train_codebooks(emb)).alias("pt")
+    seed_top = pq_adc_topk(emb, d_sub=d_sub).alias("ps")
+    trained_top = pq_adc_topk(
+        emb, cb=pq_train_codebooks(emb, d_sub=d_sub), d_sub=d_sub
+    ).alias("pt")
     return (
         brute.join(
             seed_top,

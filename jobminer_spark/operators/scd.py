@@ -8,6 +8,12 @@ the user's current attribute value and emits one row per VALUE RUN:
 consecutive events carrying the same value collapse (SCD2 records
 changes, not observations), ``valid_from`` is the first event of the
 run, ``valid_to`` is the start of the next run (NULL while current).
+A missing attribute is a VALUE (a NULL run): change detection is
+null-safe on both engines (``IS DISTINCT FROM`` / ``eqNullSafe``)
+with an explicit first-row flag, so transitions to/from/within
+missing values segment exactly like any other — a plain ``<>``
+comparison would silently drop transitions to NULL and duplicate
+every run after one.
 
 Scale shape: two window passes over the SAME (user_id, ts, event_id)
 partitioning-and-order — Catalyst reuses one sort/exchange for both
@@ -28,6 +34,31 @@ from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
 
+def scd2_history(ev: DataFrame) -> DataFrame:
+    """The SCD2 kernel over a (user_id, event_id, tus, k) change
+    frame: null-safe run segmentation + interval stitching."""
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    runs = ev.withColumn(
+        "is_change",
+        F.when(
+            (F.row_number().over(w) == 1)
+            | ~F.lag("k").over(w).eqNullSafe(F.col("k")),
+            1,
+        ).otherwise(0),
+    ).filter(F.col("is_change") == 1)
+    w2 = W.partitionBy("user_id").orderBy("tus", "event_id")
+    return runs.select(
+        "user_id",
+        F.col("k").alias("attr_value"),
+        F.col("tus").alias("valid_from"),
+        F.lead("tus").over(w2).alias("valid_to"),
+        F.when(F.lead("tus").over(w2).isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
 @query(
     "scd2_user_attribute_history",
     oracle="""
@@ -38,7 +69,8 @@ from jobminer_spark.sources import load_table
     ),
     flagged AS (
       SELECT user_id, event_id, tus, k,
-             CASE WHEN LAG(k) OVER w IS NULL OR LAG(k) OVER w <> k
+             CASE WHEN ROW_NUMBER() OVER w = 1
+                    OR (LAG(k) OVER w IS DISTINCT FROM k)
                   THEN 1 ELSE 0 END AS is_change
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
@@ -57,28 +89,12 @@ def scd2_user_attribute_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned (user_id, attr_value, valid_from, valid_to,
     is_current) intervals from the events change stream — the oracle
     recomputes run segmentation and interval stitching with the same
-    total order, so a drift in either window pass turns this red."""
+    total order and null-safe comparison, so a drift in either window
+    pass turns this red."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
-    w = W.partitionBy("user_id").orderBy("tus", "event_id")
-    runs = ev.withColumn(
-        "is_change",
-        F.when(
-            F.lag("k").over(w).isNull() | (F.lag("k").over(w) != F.col("k")), 1
-        ).otherwise(0),
-    ).filter(F.col("is_change") == 1)
-    w2 = W.partitionBy("user_id").orderBy("tus", "event_id")
-    return runs.select(
-        "user_id",
-        F.col("k").alias("attr_value"),
-        F.col("tus").alias("valid_from"),
-        F.lead("tus").over(w2).alias("valid_to"),
-        F.when(F.lead("tus").over(w2).isNull(), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("is_current"),
-    )
+    return scd2_history(ev)

@@ -1082,3 +1082,71 @@ def test_scd2_intervals_tile_and_collapse(spark):
         for a, b in zip(user_rows, user_rows[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["attr_value"] != b["attr_value"]
+
+
+def test_scd2_null_runs_segment_null_safely(spark):
+    """A missing attribute is a VALUE: transitions to NULL are
+    recorded, consecutive NULL observations collapse into one run,
+    and a NULL-first history still starts a run."""
+    from jobminer_spark.operators.scd import scd2_history
+
+    rows = [
+        (1, 1, 10, 5),
+        (1, 2, 20, None),
+        (1, 3, 30, None),
+        (1, 4, 40, 5),
+        (2, 5, 10, None),
+        (2, 6, 20, 7),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, tus long, k long"
+    )
+    out = scd2_history(ev).collect()
+    u1 = sorted((r for r in out if r.user_id == 1), key=lambda r: r.valid_from)
+    assert [(r.attr_value, r.valid_from, r.valid_to) for r in u1] == [
+        (5, 10, 20),
+        (None, 20, 40),
+        (5, 40, None),
+    ]
+    u2 = sorted((r for r in out if r.user_id == 2), key=lambda r: r.valid_from)
+    assert [(r.attr_value, r.valid_from, r.valid_to) for r in u2] == [
+        (None, 10, 20),
+        (7, 20, None),
+    ]
+
+
+def test_bpe_exhaustion_parity_on_degenerate_corpus(spark, tmp_path):
+    """A corpus that fully merges before BPE_ROUNDS must stay
+    oracle-green: the empty later rounds are exact no-ops on both
+    sides (chr(1)-sentinel REPLACE in the oracle, early break in
+    Spark), not NULL poison — and the merge table simply has fewer
+    rows."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from jobminer_spark import ORACLES, QUERIES
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": ["ab ab ab"],
+                "lang": ["en"],
+                "source": ["s"],
+                "n_chars": pa.array([8], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name in ("bpe_train_merges", "bpe_encode_compression"):
+        sdf = QUERIES[name](spark, str(tmp_path))
+        srows = {tuple(r) for r in sdf.collect()}
+        orows = {tuple(r) for r in con.execute(ORACLES[name]).fetchall()}
+        assert srows == orows, name
+        assert None not in {v for row in srows for v in row}
