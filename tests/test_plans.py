@@ -312,7 +312,20 @@ def test_cms_grid_is_bounded_and_broadcast_probed(spark):
 
 def test_scd2_single_exchange_for_both_windows(spark):
     """Change-detection (lag) and interval-close (lead) share one
-    (user_id) partitioning and order — exactly one exchange and one
-    sort in the whole plan."""
+    (user_id) partitioning and order — exactly one exchange in the
+    whole plan (formatted mode: exchanges are numbered nodes, and
+    each hash exchange carries one hashpartitioning argument)."""
+    import re
+
     plan = _plan(spark, "scd2_user_attribute_history")
-    assert plan.count("Exchange hashpartitioning") <= 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_session_paths_two_exchanges(spark):
+    """The (user, session) path aggregation reuses the sessionization
+    window's user_id partitioning (subset-key satisfaction), so the
+    whole query is two hash exchanges: the user window and the final
+    per-path count."""
+    plan = _plan(spark, "session_path_topk")
+    assert plan.count("hashpartitioning(") == 2
