@@ -79,10 +79,12 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(_events_us(spark, sf_dir))
 
 
-def funnel_counts(ev: DataFrame, span_us: int = FUNNEL_SPAN_US) -> DataFrame:
-    """The funnel kernel over a (user_id, event_type, tus) frame —
-    strictly-after chaining (equal timestamps do NOT advance a
-    stage), earliest-qualifying anchors."""
+def funnel_stages(ev: DataFrame) -> DataFrame:
+    """(user_id, t1, t2, t3): per-user stage anchors over a
+    (user_id, event_type, tus) frame — strictly-after chaining (equal
+    timestamps do NOT advance a stage), earliest-qualifying anchors;
+    t2/t3 NULL for users whose journey stops earlier. Anchored on
+    users with at least one view."""
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -93,24 +95,28 @@ def funnel_counts(ev: DataFrame, span_us: int = FUNNEL_SPAN_US) -> DataFrame:
         .join(v, "user_id")
         .filter(F.col("tus") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("tus").alias("t2"), F.min("t1").alias("t1"))
+        .agg(F.min("tus").alias("t2"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .filter(F.col("tus") > F.col("t2"))
         .groupBy("user_id")
-        .agg(F.min("tus").alias("t3"), F.min("t1").alias("t1"))
+        .agg(F.min("tus").alias("t3"))
     )
-    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
-    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
-    np_ = p.agg(
-        F.count(F.lit(1)).alias("n_purchase"),
+    return v.join(c, "user_id", "left").join(p, "user_id", "left")
+
+
+def funnel_counts(ev: DataFrame, span_us: int = FUNNEL_SPAN_US) -> DataFrame:
+    """Stage counts + span-gated completions from the stage frame."""
+    return funnel_stages(ev).agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
         F.count(
             F.when(F.col("t3") - F.col("t1") <= span_us, 1)
         ).alias("n_purchase_within_6h"),
     )
-    return nv.crossJoin(nc).crossJoin(np_)  # 1×1 scalar joins
 
 
 @query(

@@ -77,10 +77,11 @@ ORACLES: dict[str, str] = {}
 #     graphrank (pagerank_neardup_graph: 1), curation (gained
 #     boilerplate_chunk_removal: 5), bpe (bpe_train_merges +
 #     bpe_encode_compression: 2), journeys (funnel + cohort + session paths: 3), intquant
-#     (int8 recall: 1), scd (scd2 history: 1) = 19 —
-#     then relational's r8-spilled tail (10) = 29, then the
-#     r6-attested scrapeshape(7)/similarity(9)/dedupe(first 5 of 15)
-#     close the window at exactly 50; dedupe's last 10 + skew(2) roll
+#     (int8 recall: 1), scd (scd2 history: 1), streamfunnel
+#     (stream_funnel_parity: 1) = 20 —
+#     then relational's r8-spilled tail (10) = 30, then the
+#     r6-attested scrapeshape(7)/similarity(9)/dedupe(first 4 of 15)
+#     close the window at exactly 50; dedupe's last 11 + skew(2) roll
 #     to r10.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
@@ -140,6 +141,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.journeys",
     "jobminer_spark.operators.intquant",
     "jobminer_spark.operators.scd",
+    "jobminer_spark.operators.streamfunnel",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

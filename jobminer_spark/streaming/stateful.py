@@ -151,3 +151,63 @@ def foreach_batch_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+FUNNEL_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("t1", T.LongType()),
+    T.StructField("t2", T.LongType()),
+    T.StructField("t3", T.LongType()),
+])
+
+
+def _update_funnel_state(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user strict-order funnel state machine (view -> later
+    click -> later purchase), advanced per micro-batch. Events inside
+    a batch are processed in (tus, event_id) order, so on an
+    in-order stream the machine lands on exactly the batch kernel's
+    earliest-qualifying anchors; -1 encodes "stage not reached" (the
+    wrapper converts to NULL)."""
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    frames = list(batches)
+    if frames:
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            ["tus", "event_id"]
+        )
+        for tus, et in zip(pdf["tus"], pdf["event_type"]):
+            tus = int(tus)
+            if et == "view":
+                if t1 < 0:
+                    t1 = tus
+            elif et == "click":
+                if t1 >= 0 and t2 < 0 and tus > t1:
+                    t2 = tus
+            elif et == "purchase":
+                if t2 >= 0 and t3 < 0 and tus > t2:
+                    t3 = tus
+    state.update((t1, t2, t3))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "t1": [t1], "t2": [t2], "t3": [t3]}
+    )
+
+
+def streaming_funnel_states(events: DataFrame) -> DataFrame:
+    """Custom stateful sequence matching over a stream: per-user
+    funnel anchors that survive across micro-batches — the
+    MATCH_RECOGNIZE-shaped semantics Spark's built-in streaming
+    aggregates can't express. ``events`` carries (user_id, event_id,
+    tus, event_type); -1 sentinels are converted to NULLs so the
+    output schema matches the batch funnel_stages contract."""
+    raw = events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel_state,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return raw

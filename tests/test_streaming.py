@@ -205,3 +205,39 @@ def test_streaming_admission_sequential_not_oneshot(spark, tmp_path):
         existing.unionByName(a).unionByName(b), F.col("doc_id") >= 1000
     )
     assert oneshot.count() == 0
+
+
+def test_funnel_state_machine_survives_micro_batches():
+    """The per-user funnel state machine must chain across
+    micro-batches: a view+click in batch 1 and the purchase in batch
+    2 complete the funnel, and a pre-view click in a later batch can
+    never rewrite an anchored stage."""
+    import pandas as pd
+
+    from jobminer_spark.streaming.stateful import _update_funnel_state
+
+    class _State:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    s = _State()
+    b1 = pd.DataFrame(
+        {"tus": [10, 20], "event_id": [1, 2], "event_type": ["view", "click"]}
+    )
+    list(_update_funnel_state((7,), iter([b1]), s))
+    assert s.get == (10, 20, -1)
+    b2 = pd.DataFrame(
+        {"tus": [25, 30], "event_id": [3, 4], "event_type": ["click", "purchase"]}
+    )
+    out = list(_update_funnel_state((7,), iter([b2]), s))[0]
+    assert (out.t1[0], out.t2[0], out.t3[0]) == (10, 20, 30)
+    assert s.get == (10, 20, 30)
