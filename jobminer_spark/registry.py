@@ -77,11 +77,11 @@ ORACLES: dict[str, str] = {}
 #     graphrank (pagerank_neardup_graph: 1), curation (gained
 #     boilerplate_chunk_removal: 5), bpe (bpe_train_merges +
 #     bpe_encode_compression: 2), journeys (funnel + cohort + session paths: 3), intquant
-#     (int8 recall: 1), scd (scd2 history: 1), streamfunnel
-#     (stream_funnel_parity: 1) = 20 —
-#     then relational's r8-spilled tail (10) = 30, then the
-#     r6-attested scrapeshape(7)/similarity(9)/dedupe(first 4 of 15)
-#     close the window at exactly 50; dedupe's last 11 + skew(2) roll
+#     (int8 recall: 1), scd (scd2 history + incremental audit: 2),
+#     streamfunnel (stream_funnel_parity: 1) = 21 —
+#     then relational's r8-spilled tail (10) = 31, then the
+#     r6-attested scrapeshape(7)/similarity(9)/dedupe(first 3 of 15)
+#     close the window at exactly 50; dedupe's last 12 + skew(2) roll
 #     to r10.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of

@@ -1150,3 +1150,41 @@ def test_bpe_exhaustion_parity_on_degenerate_corpus(spark, tmp_path):
         orows = {tuple(r) for r in con.execute(ORACLES[name]).fetchall()}
         assert srows == orows, name
         assert None not in {v for row in srows for v in row}
+
+
+def test_scd2_incremental_equals_rebuild_edges(spark):
+    """Incremental SCD2 == full rebuild on every edge: a batch value
+    equal to the stored current value collapses into the stored run,
+    a changed value opens a new run and closes the stored one, a
+    brand-new user appears with a fresh history, and untouched users
+    pass through byte-identical."""
+    from jobminer_spark.operators.scd import scd2_history, scd2_incremental
+
+    base_rows = [
+        (1, 1, 10, 5), (1, 2, 20, 5),          # u1: one run of 5
+        (2, 3, 10, 7), (2, 4, 30, 8),          # u2: runs 7, 8
+        (4, 5, 10, 9),                          # u4: untouched
+    ]
+    batch_rows = [
+        (1, 6, 40, 5),   # same value -> collapses into stored run
+        (2, 7, 50, 9),   # change -> new run
+        (3, 8, 45, 1),   # new user
+    ]
+    schema = "user_id long, event_id long, tus long, k long"
+    base = spark.createDataFrame(base_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    stored = scd2_history(base, keep_event_id=True)
+    inc = {
+        tuple(r)
+        for r in scd2_incremental(stored, batch).collect()
+    }
+    full = {
+        tuple(r)
+        for r in scd2_history(
+            base.unionByName(batch), keep_event_id=True
+        ).collect()
+    }
+    assert inc == full
+    # the collapse really happened: u1 still has ONE run opening at 10
+    u1 = [r for r in inc if r[0] == 1]
+    assert len(u1) == 1 and u1[0][2] == 10
