@@ -65,6 +65,15 @@ def scd2_history(ev: DataFrame, keep_event_id: bool = False) -> DataFrame:
     )
 
 
+def _events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
 @query(
     "scd2_user_attribute_history",
     oracle="""
@@ -97,22 +106,7 @@ def scd2_user_attribute_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes run segmentation and interval stitching with the same
     total order and null-safe comparison, so a drift in either window
     pass turns this red."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-    )
-    return scd2_history(ev)
-
-
-def _events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-    )
+    return scd2_history(_events_frame(spark, sf_dir))
 
 
 # Incremental-maintenance batch boundary: 2024-01-25T00:00:00Z. Every
@@ -190,7 +184,11 @@ def scd2_incremental_update_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     batch = ev.filter(F.col("tus") >= SCD_CUTOFF_US)
     stored = scd2_history(base, keep_event_id=True).localCheckpoint(eager=True)
     incremental = scd2_incremental(stored, batch)
-    full = scd2_history(ev, keep_event_id=True)
+    # materialized once: both the comparison join and the n_runs_full
+    # aggregate read it (crossJoined aggregates are independent
+    # subtrees — without the cut the full-history window pass would
+    # run twice)
+    full = scd2_history(ev, keep_event_id=True).localCheckpoint(eager=True)
     i, f = incremental.alias("i"), full.alias("f")
     j = i.join(
         f,

@@ -36,7 +36,8 @@ from jobminer_spark.sources import load_table
       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
        WHERE event_type IN ('view', 'click', 'purchase'))
         AS n_funnel_users,
-      CAST(0 AS BIGINT) AS n_stage_mismatch
+      CAST(0 AS BIGINT) AS n_stage_mismatch,
+      CAST(1 AS BIGINT) AS n_micro_batches
     """,
 )
 def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +50,7 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobminer_spark.operators.journeys import funnel_stages
     from jobminer_spark.streaming.stateful import streaming_funnel_states
     from jobminer_spark.streaming.windows import (
-        _drained_once,
+        _drained_with_batches,
         streaming_events_source,
     )
 
@@ -66,7 +67,12 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return streaming_funnel_states(src)
 
-    drained = _drained_once(
+    # forensic pin (r7 escape discipline, as in stream_session_parity):
+    # the bounded fixture must drain in EXACTLY one data-carrying
+    # micro-batch — the state machine is the most order-sensitive
+    # operator in the parity suite, and a multi-batch drain is the one
+    # way environment-dependent file listing could reorder its input
+    drained, n_batches = _drained_with_batches(
         "funnel_states", spark, sf_dir, build, output_mode="update"
     )
     # update mode emits one row per touched user per micro-batch; the
@@ -101,4 +107,5 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.count(F.lit(1)).alias("n_funnel_users"),
         F.count(F.when(mismatch, 1)).alias("n_stage_mismatch"),
+        F.lit(n_batches).cast("long").alias("n_micro_batches"),
     )

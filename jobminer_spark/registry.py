@@ -70,7 +70,11 @@ ORACLES: dict[str, str] = {}
 #     refactored into the shared quality_cte in r7), tpch(21) = 43,
 #     and relational's first 7 (q1, q3, q5, q6, semi, anti, topk)
 #     close the window at exactly 50.
-#   round 9 window (plan): modules modified/created in r8 outside the
+#   round 9 window (PLAN — to be applied by reordering
+#     _OPERATOR_MODULES/_WINDOW_FRONT at the START of r9, exactly as
+#     r8 applied its own front; the list below intentionally still
+#     encodes the r8 order the driver attests at THIS round's end):
+#     modules modified/created in r8 outside the
 #     r8 window first — pq (refactored onto the per-subspace kernel +
 #     new ann_pq_trained_recall: 3), retrieval (bm25_topk_per_query +
 #     rrf_fusion_topk_per_query: 2), sketches (cms_frequency_audit: 1),
