@@ -82,10 +82,10 @@ ORACLES: dict[str, str] = {}
 #     boilerplate_chunk_removal: 5), bpe (bpe_train_merges +
 #     bpe_encode_compression: 2), journeys (funnel + cohort + session paths: 3), intquant
 #     (int8 recall: 1), scd (scd2 history + incremental audit: 2),
-#     streamfunnel (stream_funnel_parity: 1) = 21 —
-#     then relational's r8-spilled tail (10) = 31, then the
-#     r6-attested scrapeshape(7)/similarity(9)/dedupe(first 3 of 15)
-#     close the window at exactly 50; dedupe's last 12 + skew(2) roll
+#     streamfunnel (stream_funnel_parity: 1), decay (ewma: 1) = 22 —
+#     then relational's r8-spilled tail (10) = 32, then the
+#     r6-attested scrapeshape(7)/similarity(9)/dedupe(first 2 of 15)
+#     close the window at exactly 50; dedupe's last 13 + skew(2) roll
 #     to r10.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
@@ -146,6 +146,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.intquant",
     "jobminer_spark.operators.scd",
     "jobminer_spark.operators.streamfunnel",
+    "jobminer_spark.operators.decay",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

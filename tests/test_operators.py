@@ -1188,3 +1188,32 @@ def test_scd2_incremental_equals_rebuild_edges(spark):
     # the collapse really happened: u1 still has ONE run opening at 10
     u1 = [r for r in inc if r[0] == 1]
     assert len(u1) == 1 and u1[0][2] == 10
+
+
+def test_ewma_bounded_by_input_range(spark):
+    """The halving fold can never leave the input range: every
+    user's EWMA lies within [min, max] of their quantized values
+    (each step is an integer average of two in-range numbers)."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.decay import _X_QUANT, ewma_user_value
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    out = ewma_user_value(spark, SF_DIR)
+    bounds = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            F.floor(F.col("value") * F.lit(float(_X_QUANT)))
+            .cast("long")
+            .alias("xq"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("xq").alias("mn"), F.max("xq").alias("mx"))
+    )
+    j = out.join(bounds, "user_id")
+    assert j.filter(
+        (F.col("ewma_q") < F.col("mn")) | (F.col("ewma_q") > F.col("mx"))
+    ).count() == 0
+    assert out.count() > 0
