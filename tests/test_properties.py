@@ -556,3 +556,153 @@ def test_bpe_matches_python_reference_property(spark):
         got = bpe_train(types, n_rounds=5)
         expect = bpe_py(dict(pairs), rounds=5)
         assert got == expect
+
+
+def test_scd2_matches_python_reference_property(spark):
+    """∀ random change histories (nulls included): the Spark SCD2
+    kernel equals a direct Python implementation of null-safe run
+    segmentation + interval stitching — a third engine agreeing with
+    the Spark/DuckDB pair."""
+    from hypothesis import given, settings, strategies as st
+
+    from jobminer_spark.operators.scd import scd2_history
+
+    histories: list[list[tuple[int, int | None]]] = []
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),  # user_id
+                st.one_of(st.none(), st.integers(0, 2)),  # k (few values)
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def collect(rows):
+        histories.append(rows)
+
+    collect()
+
+    def scd2_py(rows):
+        by_user: dict[int, list[tuple[int, int, int | None]]] = {}
+        for eid, (u, k) in enumerate(rows):
+            by_user.setdefault(u, []).append((eid * 10, eid, k))  # tus, id, k
+        out = set()
+        for u, evs in by_user.items():
+            evs.sort()
+            runs = []
+            prev = object()
+            for tus, eid, k in evs:
+                if k != prev:
+                    runs.append((tus, eid, k))
+                prev = k
+            for i, (tus, eid, k) in enumerate(runs):
+                nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+                out.add((u, k, tus, nxt, 1 if nxt is None else 0, eid))
+        return out
+
+    for rows in histories[:: max(1, len(histories) // 4)]:
+        ev = spark.createDataFrame(
+            [(u, eid, eid * 10, k) for eid, (u, k) in enumerate(rows)],
+            "user_id long, event_id long, tus long, k long",
+        )
+        got = {
+            tuple(r) for r in scd2_history(ev, keep_event_id=True).collect()
+        }
+        assert got == scd2_py(rows)
+
+
+def test_session_paths_match_python_reference_property(spark):
+    """∀ random per-user event streams: the session split + ordered
+    path strings equal a direct Python sessionizer (5-minute gap,
+    (tus, event_id) total order)."""
+    from hypothesis import given, settings, strategies as st
+
+    from jobminer_spark.operators.journeys import _PATH_GAP_US
+
+    cases: list[list[tuple[int, int]]] = []
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),                       # user
+                st.integers(0, 40),                      # minute offset
+            ),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def collect(rows):
+        cases.append(rows)
+
+    collect()
+    types = ["view", "click", "purchase"]
+    for rows in cases[:: max(1, len(cases) // 4)]:
+        evs = [
+            (u, eid, minute * 60_000_000, types[eid % 3])
+            for eid, (u, minute) in enumerate(rows)
+        ]
+        # Python sessionizer
+        by_user: dict[int, list] = {}
+        for u, eid, tus, et in evs:
+            by_user.setdefault(u, []).append((tus, eid, et))
+        expected: dict[str, int] = {}
+        for u, lst in by_user.items():
+            lst.sort()
+            sessions, cur, last = [], [], None
+            for tus, eid, et in lst:
+                if last is not None and tus - last > _PATH_GAP_US:
+                    sessions.append(cur)
+                    cur = []
+                cur.append(et)
+                last = tus
+            sessions.append(cur)
+            for sess in sessions:
+                p = ">".join(sess)
+                expected[p] = expected.get(p, 0) + 1
+        # Spark side: reuse the registered query's plan over a temp view
+        # by rebuilding the same pipeline on a constructed frame
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        ev = spark.createDataFrame(
+            evs, "user_id long, event_id long, tus long, event_type string"
+        )
+        w = W.partitionBy("user_id").orderBy("tus", "event_id")
+        flagged = ev.withColumn(
+            "ns",
+            F.when(
+                F.lag("tus").over(w).isNull()
+                | (F.col("tus") - F.lag("tus").over(w) > _PATH_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        sess = flagged.withColumn(
+            "sid",
+            F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        paths = sess.groupBy("user_id", "sid").agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "tus", "event_id", F.col("event_type").alias("t")
+                            )
+                        )
+                    ),
+                    lambda p: p["t"],
+                ),
+            ).alias("path")
+        )
+        got = {
+            r["path"]: r["n"]
+            for r in paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == expected
