@@ -58,3 +58,41 @@ def test_parse_json_column_typed(spark):
         "props.device", "props.n"
     ).collect()[0]
     assert (out["device"], out["n"]) == ("mobile", 3)
+
+
+def test_xml_feed_parse_and_quarantine(spark):
+    """Native from_xml surface: well-formed feed items extract typed
+    fields (attributes via the _ prefix, repeated elements as
+    arrays), malformed payloads land raw in the quarantine stream,
+    entity escapes decode, and a missing optional section yields an
+    empty array rather than NULL."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.sources.xml import (
+        bad_xml_rows,
+        good_xml_rows,
+        parse_xml_column,
+    )
+
+    rows = [
+        (1, "<job id=\"11\"><title>Data Engineer</title>"
+            "<company>Acme &amp; Co</company>"
+            "<salary min=\"100\" max=\"200\"/>"
+            "<skills><skill>python</skill><skill>spark</skill></skills></job>"),
+        (2, "<job id=\"12\"><title>Analyst</title><company>Beta</company>"
+            "<salary min=\"50\" max=\"90\"/></job>"),  # no skills section
+        (3, "<job id=\"13\"><title>Broken"),            # truncated
+        (4, "not xml at all"),
+    ]
+    df = parse_xml_column(
+        spark.createDataFrame(rows, "row_id long, xml string"), "xml"
+    ).cache()
+    good = {r["job_id"]: r for r in good_xml_rows(df).collect()}
+    bad = [r["raw"] for r in bad_xml_rows(df).collect()]
+    df.unpersist()
+    assert set(good) == {11, 12}
+    assert good[11]["company"] == "Acme & Co"          # entity decoded
+    assert good[11]["salary_min"] == 100 and good[11]["salary_max"] == 200
+    assert good[11]["skills"] == ["python", "spark"]
+    assert good[12]["skills"] == []                    # missing section
+    assert len(bad) == 2 and "not xml at all" in bad
