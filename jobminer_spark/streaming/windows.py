@@ -113,6 +113,9 @@ def sliding_counts_stream(events: DataFrame) -> DataFrame:
 
 
 def session_windows_stream(events: DataFrame) -> DataFrame:
+    """Production-shaped session windows: 10-minute watermark bounds
+    state on an unbounded stream (the claim pytest exercises). NOT
+    used by the parity audit — see session_windows_stream_parity."""
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy("user_id", F.session_window("ts", "5 minutes"))
@@ -121,6 +124,39 @@ def session_windows_stream(events: DataFrame) -> DataFrame:
             "user_id",
             F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
                 "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def session_windows_stream_parity(events: DataFrame) -> DataFrame:
+    """Parity-replay variant of session_windows_stream with every
+    environment-sensitive degree of freedom removed (VERDICT r8 item
+    1 — the r7/r8 driver-only hash mismatch):
+
+    - **Effectively infinite watermark** (3650 days): the audit's
+      subject is session-MERGE semantics, not state eviction, so
+      late-drop must be IMPOSSIBLE no matter how the driver's harness
+      micro-batches the bounded fixture. The 10-minute-watermark
+      variant above keeps the state-bounding claim under pytest.
+    - **Epoch-microsecond longs** for session_start (unix_micros),
+      not date_format strings — one fewer formatting/timezone surface,
+      per the repo's integer-determinism discipline.
+
+    With no late-drop possible and ``complete`` output mode, the
+    drained result is batch-equivalent REGARDLESS of how many
+    micro-batches the drain takes, so the parity audit no longer pins
+    (or even reports) the batch count in its oracle row — the count
+    stays available as forensic metadata via _drained_with_batches."""
+    return (
+        events.withWatermark("ts", "3650 days")
+        .groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                "session_start_us"
             ),
             "n_events",
         )
@@ -223,6 +259,18 @@ def run_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         spark,
         sf_dir,
         lambda: session_windows_stream(streaming_events_source(spark, sf_dir)),
+    )
+
+
+def run_streaming_session_windows_parity(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """Drained (sessions, n_data_micro_batches) for the parity audit."""
+    return _drained_with_batches(
+        "session_parity",
+        spark,
+        sf_dir,
+        lambda: session_windows_stream_parity(streaming_events_source(spark, sf_dir)),
     )
 
 

@@ -90,6 +90,39 @@ def _values_match(a, b):
     return True
 
 
+def _dump_session_forensics(spark, sf_dir: str) -> None:
+    """Write the stream-session parity ground truth to a committed
+    artifact: every (user_id, session_start_us, batch_n, stream_n)
+    row, sorted, plus the drain's micro-batch count. If a future
+    driver round goes red, its environment's rows can be diffed
+    line-by-line against this file."""
+    from jobminer_spark.operators.audits import session_parity_sides
+
+    out = os.environ.get(
+        "SPARK_GRAFT_SESSION_ARTIFACT", "/root/repo/SESSION_FORENSICS.txt"
+    )
+    bs, ss, n_batches = session_parity_sides(spark, sf_dir)
+    rows = (
+        bs.join(ss, ["user_id", "session_start_us"], "full_outer")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["user_id"], r["session_start_us"]))
+    n_div = sum(1 for r in rows if r["b_sn"] != r["s_sn"])
+    with open(out, "w") as f:
+        f.write(
+            f"# stream_session_parity forensics sf_dir={sf_dir} "
+            f"n_sessions={len(rows)} n_diverging={n_div} "
+            f"n_micro_batches={n_batches}\n"
+            "# user_id session_start_us batch_n stream_n\n"
+        )
+        for r in rows:
+            f.write(
+                f"{r['user_id']} {r['session_start_us']} "
+                f"{r['b_sn']} {r['s_sn']}\n"
+            )
+    print(f"session forensics -> {out} (n={len(rows)} diverging={n_div})")
+
+
 def main() -> None:
     load_all_operators()
     master = os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
@@ -151,6 +184,11 @@ def main() -> None:
 
     total = time.monotonic() - t_start
     print(json.dumps({"total_s": round(total, 1), "n": len(results)}))
+    if "stream_session_parity" in results:
+        # VERDICT r8 item 1c: commit the drained session rows + the
+        # forensic tuple so the NEXT red driver row can be diffed
+        # offline against this environment's ground truth.
+        _dump_session_forensics(spark, sf_dir=SF_DIR)
     slow = sorted(results.items(), key=lambda kv: -kv[1])[:12]
     print("slowest:", json.dumps(dict(slow)))
     if MIN3:

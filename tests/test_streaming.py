@@ -43,8 +43,27 @@ def test_streaming_sliding_matches_batch(spark):
 
 
 def test_streaming_session_windows_run(spark):
+    """The production 10-minute-watermark session stream (the
+    state-bounding claim): drains and matches the batch session count
+    on this bounded in-order fixture, where the watermark drops
+    nothing."""
     rows = run_streaming_session_windows(spark, SF_DIR).collect()
     assert len(rows) > 0
+    batch_n = QUERIES["session_window_5m_gap"](spark, SF_DIR).count()
+    assert len(rows) == batch_n
+
+
+def test_streaming_session_parity_sides_agree(spark):
+    """The parity replay (infinite watermark, epoch-long keys) must
+    agree with the batch session kernel row-exactly — the pytest twin
+    of the registered stream_session_parity driver row."""
+    from jobminer_spark.operators.audits import session_parity_sides
+
+    bs, ss, n_batches = session_parity_sides(spark, SF_DIR)
+    b = {(r.user_id, r.session_start_us): r.b_sn for r in bs.collect()}
+    s = {(r.user_id, r.session_start_us): r.s_sn for r in ss.collect()}
+    assert b == s
+    assert n_batches >= 1
 
 
 def test_streaming_dedup_within_watermark_one_row_per_key(spark):
