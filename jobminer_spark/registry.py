@@ -70,23 +70,25 @@ ORACLES: dict[str, str] = {}
 #     refactored into the shared quality_cte in r7), tpch(21) = 43,
 #     and relational's first 7 (q1, q3, q5, q6, semi, anti, topk)
 #     close the window at exactly 50.
-#   round 9 window (PLAN — to be applied by reordering
-#     _OPERATOR_MODULES/_WINDOW_FRONT at the START of r9, exactly as
-#     r8 applied its own front; the list below intentionally still
-#     encodes the r8 order the driver attests at THIS round's end):
-#     modules modified/created in r8 outside the
-#     r8 window first — pq (refactored onto the per-subspace kernel +
-#     new ann_pq_trained_recall: 3), retrieval (bm25_topk_per_query +
-#     rrf_fusion_topk_per_query: 2), sketches (cms_frequency_audit: 1),
-#     graphrank (pagerank_neardup_graph: 1), curation (gained
-#     boilerplate_chunk_removal: 5), bpe (bpe_train_merges +
-#     bpe_encode_compression: 2), journeys (funnel + cohort + session paths: 3), intquant
-#     (int8 recall: 1), scd (scd2 history + incremental audit: 2),
-#     streamfunnel (stream_funnel_parity: 1), decay (ewma: 1) = 22 —
-#     then relational's r8-spilled tail (10) = 32, then the
-#     r6-attested scrapeshape(7)/similarity(9)/dedupe(first 2 of 15)
-#     close the window at exactly 50; dedupe's last 13 + skew(2) roll
-#     to r10.
+#   round 9 window (THIS round — applied via the explicit 50-name
+#     _WINDOW_FRONT below, amended from the r8-written plan per
+#     VERDICT r8 item 1: stream_session_parity, the two-round red
+#     driver row now reworked onto an infinite-watermark epoch-long
+#     parity replay, takes slot 1, which spills dedupe's second
+#     query to r10): stream_session_parity(1), then the r8-new/
+#     modified modules — pq(3), retrieval(2), sketches(1),
+#     graphrank(1), curation(5), bpe(2), journeys(3), intquant(1),
+#     scd(2), streamfunnel(1), decay(1) = 23 — then relational's
+#     r8-spilled tail (10) = 33, then the r6-attested scrapeshape(7)
+#     + similarity(9) + dedupe's first query close the window at
+#     exactly 50. Spilled to r10: dedupe's last 14 + skew(2).
+#   round 10 window (PLAN — apply by rewriting _WINDOW_FRONT at the
+#     START of r10): r9-new modules first (xmlfeed, keygen, and any
+#     other modules registered past this round's slot 50), then
+#     dedupe's r9-spilled tail (14) + skew(2), then the r7-attested
+#     debt in _OPERATOR_MODULES order (embedlsh 2, docquality 3,
+#     increment 5, semdedup 1, bloom 1, streamadmit 1, winnow 2,
+#     trainprep 9, ...) until the window closes at exactly 50.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -150,10 +152,70 @@ _OPERATOR_MODULES = [
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
-# module's position. r8: the r7 red driver row leads the window so its
-# re-attestation (with the new forensic columns) cannot be crowded out
-# (VERDICT r7 item 1c).
-_WINDOW_FRONT: list[str] = ["stream_session_parity"]
+# module's position. r9: the ENTIRE 50-slot window is spelled out
+# explicitly (the r9 plan mixes module tails — relational's last 10,
+# dedupe's first 1 — which module-rank ordering alone cannot express),
+# so no import cascade, module reorder, or new registration can shift
+# what the driver attests. Queries beyond these 50 follow in
+# _OPERATOR_MODULES order.
+_WINDOW_FRONT: list[str] = [
+    # slot 1: the r7/r8 red driver row, reworked in r9 (VERDICT r8 item 1)
+    "stream_session_parity",
+    # r8-new/modified modules, first-ever driver rows (22)
+    "ann_pq_adc_topk",
+    "ann_pq_recall_vs_bruteforce",
+    "ann_pq_trained_recall",
+    "bm25_topk_per_query",
+    "rrf_fusion_topk_per_query",
+    "cms_frequency_audit",
+    "pagerank_neardup_graph",
+    "train_val_test_split",
+    "sequence_packing_bins",
+    "curation_funnel",
+    "repeated_chunk_dedup",
+    "boilerplate_chunk_removal",
+    "bpe_encode_compression",
+    "bpe_train_merges",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "session_path_topk",
+    "embedding_int8_recall_audit",
+    "scd2_user_attribute_history",
+    "scd2_incremental_update_audit",
+    "stream_funnel_parity",
+    "ewma_user_value",
+    # relational's r8-spilled tail (10)
+    "running_revenue_per_customer",
+    "surrogate_key_assignment",
+    "rollup_orders_status_priority",
+    "cube_lineitem_flags",
+    "pivot_quantity_by_linestatus",
+    "union_multi_source",
+    "intersect_repeat_customers",
+    "except_lapsed_customers",
+    "distinct_counts_per_status",
+    "variance_stats_by_event_type",
+    # r6-attested debt: scrapeshape (7)
+    "cascade_extraction_gate",
+    "lookup_join_empty_default",
+    "page_count_estimator",
+    "offer_link_filter",
+    "underfilled_page_retry",
+    "html_badge_parse_udf",
+    "listing_page_flatten",
+    # r6-attested debt: similarity (9)
+    "ann_cosine_topk_bruteforce",
+    "ann_ivf_sign_buckets",
+    "ann_ivf_kmeans_topk",
+    "embedding_label_centroid_norms",
+    "ann_ivf_recall_vs_bruteforce",
+    "kmeans_assign_fixed_centroids",
+    "kmeans_lloyd_clusters",
+    "ann_ivf_trained_topk",
+    "ann_ivf_trained_recall",
+    # slot 50: dedupe's first query; its tail spills to r10
+    "upsert_anti_join_counts",
+]
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
