@@ -149,6 +149,11 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.scd",
     "jobminer_spark.operators.streamfunnel",
     "jobminer_spark.operators.decay",
+    # r9-new modules (registered past the r9 window by design — the
+    # explicit _WINDOW_FRONT can't shift; the rotation plan fronts
+    # them in r10)
+    "jobminer_spark.operators.xmlfeed",
+    "jobminer_spark.operators.keygen",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -70,9 +70,10 @@ def _is_bad(parsed: Column) -> Column:
     return parsed.isNull() | parsed["_id"].isNull()
 
 
-def good_xml_rows(df: DataFrame, col: str = "xml") -> DataFrame:
+def good_xml_rows(df: DataFrame) -> DataFrame:
     """Rows whose payload parsed: the typed struct fields flattened,
-    raw text dropped."""
+    raw text dropped. (Takes no raw-column name on purpose — the good
+    split never touches the raw column; ``bad_xml_rows`` does.)"""
     return (
         df.filter(~_is_bad(F.col("parsed")))
         .select(

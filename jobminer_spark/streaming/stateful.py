@@ -201,8 +201,19 @@ def streaming_funnel_states(events: DataFrame) -> DataFrame:
     funnel anchors that survive across micro-batches — the
     MATCH_RECOGNIZE-shaped semantics Spark's built-in streaming
     aggregates can't express. ``events`` carries (user_id, event_id,
-    tus, event_type); -1 sentinels are converted to NULLs so the
-    output schema matches the batch funnel_stages contract."""
+    tus, event_type).
+
+    Contract notes:
+    * The OUTPUT carries raw ``-1`` sentinels for "stage not
+      reached"; callers wanting NULL semantics project them away
+      (the registered ``stream_funnel_parity`` does exactly that).
+    * Events are ordered (tus, event_id) only WITHIN a micro-batch;
+      state never rewinds, so a late event arriving in a later batch
+      with an earlier tus can anchor differently than the batch
+      kernel. Replays that claim batch parity must therefore drain
+      in-order input in a single micro-batch (the parity query pins
+      this); an unbounded production stream would add an event-time
+      guard/watermark upstream."""
     raw = events.groupBy("user_id").applyInPandasWithState(
         _update_funnel_state,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,

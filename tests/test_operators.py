@@ -702,7 +702,16 @@ def test_pq_trained_codebook_shape_and_distortion(spark):
     the total quantized encoding distortion (per-subspace k-means
     objective monotonicity), and the trained codebook keeps the
     (s, cid) key unique with d_sub-wide codewords covering all M
-    subspaces."""
+    subspaces.
+
+    NOTE (fixture-dependent invariant): the objective is measured on
+    floor-quantized integer distances; Lloyd's descent guarantee holds
+    for exact L2, and per-element floor could in principle flip a
+    near-tie on a different fixture. On THIS fixture the descent
+    margin dwarfs the <= 1-ulp-per-element quantization slack, so the
+    strict assertion is safe; if the fixture ever changes and this
+    trips with a tiny margin, allow one KM_QUANT ulp per element
+    rather than weakening the descent claim."""
     from pyspark.sql import functions as F
 
     from jobminer_spark.operators.pq import (
