@@ -154,6 +154,10 @@ _OPERATOR_MODULES = [
     # them in r10)
     "jobminer_spark.operators.xmlfeed",
     "jobminer_spark.operators.keygen",
+    "jobminer_spark.operators.timegrid",
+    "jobminer_spark.operators.markov",
+    "jobminer_spark.operators.wsample",
+    "jobminer_spark.operators.incroll",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
