@@ -158,6 +158,8 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.markov",
     "jobminer_spark.operators.wsample",
     "jobminer_spark.operators.incroll",
+    "jobminer_spark.operators.pydsaudit",
+    "jobminer_spark.operators.quantiles",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

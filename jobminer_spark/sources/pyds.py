@@ -1,0 +1,106 @@
+"""A first-class Spark 4 Python DataSource (DataSource V2 API) for a
+paginated feed — the Spark-idiomatic expression of the reference's
+page-loop scan (JobScraper pracuj_scraper.py:359-425 walks listing
+pages 1..N serially; SURVEY §2 rows 1/4/6).
+
+Instead of a driver-side requests loop, the feed's page space is
+declared as INPUT PARTITIONS: ``partitions()`` enumerates one
+partition per page, and the cluster reads pages in parallel, one
+executor task each — retry, locality, and speculative re-execution
+come from Spark's task machinery for free. This is the architecture
+a real HTTP-backed source would use at 1000 executors (the offline
+fetch contract lives in sources/http.py; this source demonstrates
+the V2 plumbing end-to-end with a deterministic in-process page
+generator standing in for the network).
+
+Rows are a pure closed-form function of the global item index, so an
+oracle can recompute every aggregate without the source — which is
+exactly how the registered ``python_datasource_scan_audit`` pins the
+partition-planning + reader path (operators/pydsaudit.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+FEED_FORMAT = "paginated_feed"
+FEED_SCHEMA = (
+    "item_id long, page long, title string, salary_min long, salary_max long"
+)
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int, start: int, end: int) -> None:
+        self.page = page
+        self.start = start
+        self.end = end
+
+
+def feed_row(i: int, page_size: int) -> tuple[int, int, str, int, int]:
+    """The deterministic item at global index i — closed-form, so the
+    DuckDB oracle can regenerate the feed from ``range()``."""
+    page = i // page_size
+    salary_min = (i * i) % 1000
+    return (i, page, f"job{i}", salary_min, salary_min + 500)
+
+
+class PaginatedFeedReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_items = int(options.get("n_items", "1000"))
+        self.page_size = int(options.get("page_size", "100"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """One input partition per feed page — the unit of parallel
+        fetch, exactly the reference's page loop turned sideways."""
+        out = []
+        page = 0
+        for start in range(0, self.n_items, self.page_size):
+            out.append(
+                _PagePartition(
+                    page, start, min(start + self.page_size, self.n_items)
+                )
+            )
+            page += 1
+        return out
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield feed_row(i, self.page_size)
+
+
+class PaginatedFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FEED_FORMAT
+
+    def schema(self) -> str:
+        return FEED_SCHEMA
+
+    def reader(self, schema) -> PaginatedFeedReader:
+        return PaginatedFeedReader(self.options)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register_feed_source(spark: SparkSession) -> None:
+    """Idempotent per-session registration of the format."""
+    app = spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(PaginatedFeedDataSource)
+        _REGISTERED.add(app)
+
+
+def read_paginated_feed(
+    spark: SparkSession, n_items: int, page_size: int
+):
+    register_feed_source(spark)
+    return (
+        spark.read.format(FEED_FORMAT)
+        .option("n_items", str(n_items))
+        .option("page_size", str(page_size))
+        .load()
+    )
