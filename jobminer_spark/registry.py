@@ -164,6 +164,11 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.incroll",
     "jobminer_spark.operators.pydsaudit",
     "jobminer_spark.operators.quantiles",
+    "jobminer_spark.operators.regress",
+    "jobminer_spark.operators.cooccur",
+    "jobminer_spark.operators.entityres",
+    "jobminer_spark.operators.graphstats",
+    "jobminer_spark.operators.streamdedup",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
