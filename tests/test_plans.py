@@ -329,3 +329,45 @@ def test_session_paths_two_exchanges(spark):
     per-path count."""
     plan = _plan(spark, "session_path_topk")
     assert plan.count("hashpartitioning(") == 2
+
+
+def test_er_blocking_no_cartesian_and_broadcast_kept_grams(spark):
+    """The ER candidate join must come from the gram inverted index
+    (hash join on gram), never an all-pairs product, and the df-capped
+    kept-gram set must broadcast (the word_shingles argument)."""
+    plan = _plan(spark, "er_blocked_match_resolution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cooccur_pairs_in_row_no_self_join(spark):
+    """Pair expansion is in-row from the per-doc set: the plan has no
+    sort-merge self-join of the hits relation; the dictionary and the
+    marginals broadcast."""
+    plan = _plan(spark, "skill_cooccurrence_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # map-side combine on the pair aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_triangle_join_on_endpoints_not_cartesian(spark):
+    """Both triangle joins must be key-equi joins on edge endpoints
+    (hash or sort-merge); the only nested-loop joins allowed are the
+    1-row scalar-assembly crossJoins of the audit row."""
+    plan = _plan(spark, "triangle_count_neardup")
+    assert "CartesianProduct" not in plan
+    n_equi = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_equi >= 2
+
+
+def test_regress_partial_agg_and_broadcast_dim(spark):
+    """The fact shuffle must partial-aggregate (cents sums combine
+    map-side) and the customer dimension must broadcast."""
+    plan = _plan(spark, "revenue_trend_slope_per_segment")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
