@@ -321,6 +321,52 @@ def run_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def enriched_segment_counts_stream(
+    events: DataFrame, customer_dim: DataFrame
+) -> DataFrame:
+    """STREAM-STATIC join: the unbounded event stream enriched against
+    a batch dimension (Spark re-resolves the static side per
+    micro-batch — the broadcast-dimension lookup every streaming
+    enrichment pipeline runs), then aggregated per market segment.
+    Exact decimal accumulation for the value sum, same as the batch
+    twin. No watermark: the aggregation drains in complete mode and
+    keys are segment-cardinality-bounded."""
+    return (
+        events.join(
+            F.broadcast(customer_dim),
+            events.user_id == customer_dim.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"), "n_events", "total_value"
+        )
+    )
+
+
+def run_streaming_static_join_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jobminer_spark.sources import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return _drained_once(
+        "static_join",
+        spark,
+        sf_dir,
+        lambda: enriched_segment_counts_stream(
+            streaming_events_source(spark, sf_dir), dim
+        ),
+    )
+
+
 def interval_join_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     """Stream-stream interval join: clicks within the hour before each
     purchase. Both sides carry watermarks and the join condition

@@ -62,37 +62,53 @@ def test_revenue_trend_slope_matches_python(spark):
     assert got == expect
 
 
-def test_cooccurrence_pairs_match_python(spark):
-    """Pair supports, marginals, and the integer-scaled lift
-    recomputed from scratch: tokenize, resolve the dictionary
-    first-match-wins, count co-containing docs."""
-    from jobminer_spark.data.skill_dictionary import dictionary_rows
-    from jobminer_spark.operators.cooccur import (
-        LIFT_SCALE,
-        MIN_SUPPORT,
-        skill_cooccurrence_pairs,
-    )
+def _python_baskets():
+    """Pure-Python twin of cooccur.doc_baskets: each doc's K rarest
+    distinct tokens (df asc, token asc)."""
+    from jobminer_spark.operators.cooccur import K_BASKET
 
-    terms = {t for t, _c, _r in dictionary_rows()}
     docs = _pdf("documents")
-    n_docs = len(docs)
-    doc_skills = {
-        r["doc_id"]: {
-            t for t in {w.lower() for w in r["text"].split(" ") if w} if t in terms
-        }
+    doc_toks = {
+        r["doc_id"]: {w.lower() for w in r["text"].split(" ") if w}
         for _, r in docs.iterrows()
     }
     df_count: collections.Counter = collections.Counter()
+    for toks in doc_toks.values():
+        for t in toks:
+            df_count[t] += 1
+    return (
+        {
+            d: set(
+                sorted(toks, key=lambda t: (df_count[t], t))[:K_BASKET]
+            )
+            for d, toks in doc_toks.items()
+        },
+        len(docs),
+    )
+
+
+def test_cooccurrence_pairs_match_python(spark):
+    """Pair supports, basket marginals, and the integer-scaled lift
+    recomputed from scratch: tokenize, pick each doc's K rarest
+    tokens, count co-containing baskets."""
+    from jobminer_spark.operators.cooccur import (
+        LIFT_SCALE,
+        MIN_SUPPORT,
+        token_cooccurrence_pairs,
+    )
+
+    baskets, n_docs = _python_baskets()
+    bdf: collections.Counter = collections.Counter()
     pair_count: collections.Counter = collections.Counter()
-    for sk in doc_skills.values():
+    for sk in baskets.values():
         for s in sk:
-            df_count[s] += 1
+            bdf[s] += 1
         for a, b in itertools.combinations(sorted(sk), 2):
             pair_count[(a, b)] += 1
     expect = {}
     for (a, b), n_ab in pair_count.items():
         if n_ab >= MIN_SUPPORT:
-            ca, cb = df_count[a], df_count[b]
+            ca, cb = bdf[a], bdf[b]
             expect[(a, b)] = (
                 n_ab,
                 ca,
@@ -108,9 +124,9 @@ def test_cooccurrence_pairs_match_python(spark):
             r["n_docs"],
             r["lift_q"],
         )
-        for r in skill_cooccurrence_pairs(spark, SF_DIR).collect()
+        for r in token_cooccurrence_pairs(spark, SF_DIR).collect()
     }
-    assert got == expect
+    assert got == expect and got  # non-vacuous on every fixture SF
     for (a, b), (n_ab, ca, cb, _n, _l) in got.items():
         assert a < b and n_ab <= min(ca, cb)
 
@@ -210,3 +226,109 @@ def test_degree_histogram_matches_python(spark):
         for r in degree_histogram_neardup(spark, SF_DIR).collect()
     }
     assert got == dict(hist)
+
+
+def test_trailing_zscore_outliers_match_python(spark):
+    """The integer cross-multiplied z-test recomputed with a plain
+    Python rolling window over (tus, event_id)-sorted events."""
+    import math
+
+    from jobminer_spark.operators.anomaly import (
+        BASELINE_ROWS,
+        MIN_BASELINE,
+        VAL_QUANT,
+        Z_THRESHOLD,
+        trailing_zscore_outliers,
+    )
+
+    ev = duckdb.sql(
+        f"SELECT event_id, event_type, epoch_us(ts) AS tus, value "
+        f"FROM read_parquet('{SF_DIR}/events.parquet') ORDER BY event_type, tus, event_id"
+    ).fetchall()
+    expect = set()
+    hist: dict[str, list[int]] = collections.defaultdict(list)
+    for event_id, et, _tus, value in ev:
+        xq = int(math.floor(value * VAL_QUANT))
+        h = hist[et][-BASELINE_ROWS:]
+        n, s, ss = len(h), sum(h), sum(v * v for v in h)
+        if n >= MIN_BASELINE and (n * xq - s) ** 2 > Z_THRESHOLD**2 * (
+            n * ss - s * s
+        ):
+            expect.add((event_id, et, xq, n))
+        hist[et].append(xq)
+    got = {
+        (r["event_id"], r["event_type"], r["xq"], r["n_baseline"])
+        for r in trailing_zscore_outliers(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_doc_surprisal_matches_python(spark):
+    from jobminer_spark.operators.surprisal import doc_surprisal_bits
+
+    docs = _pdf("documents")
+    n_docs = len(docs)
+    occs = {
+        r["doc_id"]: [w.lower() for w in r["text"].split(" ") if w]
+        for _, r in docs.iterrows()
+    }
+    df: collections.Counter = collections.Counter()
+    for toks in occs.values():
+        for t in set(toks):
+            df[t] += 1
+    expect = {
+        d: (
+            len(toks),
+            sum((n_docs // df[t]).bit_length() - 1 for t in toks),
+        )
+        for d, toks in occs.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_bits"])
+        for r in doc_surprisal_bits(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_association_link_prediction_matches_python(spark):
+    """Common-neighbor prediction on the positive-lift association
+    graph recomputed in Python end-to-end (baskets -> lift -> edges
+    -> wedges -> anti-join), and non-vacuous on the fixture."""
+    from jobminer_spark.operators.cooccur import (
+        LIFT_SCALE,
+        MIN_SUPPORT,
+        association_link_prediction,
+    )
+
+    baskets, n_docs = _python_baskets()
+    bdf: collections.Counter = collections.Counter()
+    pair_count: collections.Counter = collections.Counter()
+    for sk in baskets.values():
+        for s in sk:
+            bdf[s] += 1
+        for a, b in itertools.combinations(sorted(sk), 2):
+            pair_count[(a, b)] += 1
+    edges = {
+        (a, b)
+        for (a, b), n_ab in pair_count.items()
+        if n_ab >= MIN_SUPPORT
+        and (n_ab * n_docs * LIFT_SCALE) // (bdf[a] * bdf[b]) > LIFT_SCALE
+    }
+    nbrs: dict[str, set[str]] = collections.defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expect = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for c in nodes[i + 1 :]:
+            if (a, c) in edges:
+                continue
+            cn = len(nbrs[a] & nbrs[c])
+            if cn >= 2:
+                expect[(a, c)] = cn
+    got = {
+        (r["s1"], r["s2"]): r["n_common"]
+        for r in association_link_prediction(spark, SF_DIR).collect()
+    }
+    assert got == expect and got

@@ -345,7 +345,7 @@ def test_cooccur_pairs_in_row_no_self_join(spark):
     """Pair expansion is in-row from the per-doc set: the plan has no
     sort-merge self-join of the hits relation; the dictionary and the
     marginals broadcast."""
-    plan = _plan(spark, "skill_cooccurrence_pairs")
+    plan = _plan(spark, "token_cooccurrence_pairs")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
