@@ -332,3 +332,36 @@ def test_association_link_prediction_matches_python(spark):
         for r in association_link_prediction(spark, SF_DIR).collect()
     }
     assert got == expect and got
+
+
+def test_dq_constraint_audit_zero_on_healthy_fixture(spark):
+    """Every constraint holds on the generator's output — and the
+    checked-row count equals the table size for each check."""
+    from jobminer_spark.operators.dq import dq_constraint_audit
+    from jobminer_spark.sources import load_table
+
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    rows = {r["check_name"]: r for r in dq_constraint_audit(spark, SF_DIR).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r["n_checked"] == n_orders
+        assert r["n_violations"] == 0
+
+
+def test_dq_injection_fires_every_predicate(spark):
+    """Each injected fault class is detected with the exact count the
+    residue arithmetic predicts (the detector is alive, not
+    vacuously zero)."""
+    from jobminer_spark.operators.dq import dq_violation_injection_audit
+
+    keys = [r[0] for r in duckdb.sql(
+        f"SELECT o_orderkey FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()]
+    n7 = sum(1 for k in keys if k % 100 == 7)
+    n13 = sum(1 for k in keys if k % 100 == 13)
+    n21 = sum(1 for k in keys if k % 100 == 21)
+    row = dq_violation_injection_audit(spark, SF_DIR).collect()[0]
+    assert row["n_null_fk"] == n7 > 0
+    assert row["n_fk_violations"] == n7  # nulled FKs are the only orphans
+    assert row["n_negative"] == n13 > 0
+    assert row["n_bad_status"] == n21 > 0
