@@ -365,3 +365,59 @@ def test_dq_injection_fires_every_predicate(spark):
     assert row["n_fk_violations"] == n7  # nulled FKs are the only orphans
     assert row["n_negative"] == n13 > 0
     assert row["n_bad_status"] == n21 > 0
+
+
+def test_pca_power_iteration_matches_python_and_improves(spark):
+    """The integer fixed-point rounds recomputed exactly in Python
+    (floor quantization, truncating renormalization), PLUS the
+    semantic claims hash parity can't state: the Rayleigh quotient of
+    the iterates over the PSD Gram matrix is non-decreasing, and v2
+    is at least as aligned with numpy's dominant eigenvector as v1."""
+    import numpy as np
+
+    from jobminer_spark.operators.pca import CQ, XQ, pca_power_iteration_audit
+
+    X = np.array(
+        [e for e in _pdf("embeddings")["embedding"]], dtype=np.float64
+    )
+    xq = np.floor(X * XQ).astype(object)  # object -> exact python ints
+    d = X.shape[1]
+    C = [[int(sum(xq[v][i] * xq[v][j] for v in range(len(xq))))
+          for j in range(d)] for i in range(d)]
+
+    def tdiv(a: int, b: int) -> int:  # truncation toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    maxc = max(abs(C[i][j]) for i in range(d) for j in range(d))
+    den = max(maxc // CQ, 1)
+    Cn = [[tdiv(C[i][j], den) for j in range(d)] for i in range(d)]
+    raw1 = [sum(Cn[i][j] * CQ for j in range(d)) for i in range(d)]
+    m1 = max(max(abs(r) for r in raw1) // CQ, 1)
+    v1 = [tdiv(r, m1) for r in raw1]
+    raw2 = [sum(Cn[i][j] * v1[j] for j in range(d)) for i in range(d)]
+    m2 = max(max(abs(r) for r in raw2) // CQ, 1)
+    v2 = [tdiv(r, m2) for r in raw2]
+
+    got = {r["i"]: (r["v1"], r["v2"])
+           for r in pca_power_iteration_audit(spark, SF_DIR).collect()}
+    assert got == {i: (v1[i], v2[i]) for i in range(d)}
+
+    # semantic: Rayleigh non-decreasing and alignment improving
+    Cf = np.array([[float(Cn[i][j]) for j in range(d)] for i in range(d)])
+    w, vecs = np.linalg.eigh(Cf)
+    top = vecs[:, -1]
+
+    def rq(v):
+        v = np.array(v, dtype=np.float64)
+        return (v @ Cf @ v) / (v @ v)
+
+    ones = np.ones(d)
+    assert rq(v1) >= rq(ones) * (1 - 1e-9)
+    assert rq(v2) >= rq(v1) * (1 - 1e-9)
+
+    def cos(a, b):
+        a = np.array(a, dtype=np.float64)
+        return abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    assert cos(v2, top) >= cos(ones, top) - 1e-9
