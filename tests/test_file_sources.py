@@ -96,3 +96,27 @@ def test_xml_feed_parse_and_quarantine(spark):
     assert good[11]["skills"] == ["python", "spark"]
     assert good[12]["skills"] == []                    # missing section
     assert len(bad) == 2 and "not xml at all" in bad
+
+
+def test_pyds_stream_reader_offset_partitioning():
+    """Pure-Python contract of the streaming reader: any offset-range
+    split into micro-batches covers every item exactly once with
+    page-aligned partitions, and rows equal the closed-form feed."""
+    from jobminer_spark.sources.pyds import (
+        PaginatedFeedStreamReader,
+        feed_row,
+    )
+
+    r = PaginatedFeedStreamReader({"n_items": "250", "page_size": "100"})
+    assert r.initialOffset() == {"i": 0}
+    assert r.latestOffset() == {"i": 250}
+    # a multi-batch drain: 0..120, 120..250 (arbitrary split points)
+    seen = []
+    for s, e in [(0, 120), (120, 250)]:
+        for p in r.partitions({"i": s}, {"i": e}):
+            rows = list(r.read(p))
+            assert len(rows) == p.end - p.start
+            seen.extend(rows)
+    ids = [row[0] for row in seen]
+    assert ids == sorted(ids) and len(ids) == 250 == len(set(ids))
+    assert all(row == feed_row(row[0], 100) for row in seen)
