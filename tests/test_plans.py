@@ -371,3 +371,20 @@ def test_regress_partial_agg_and_broadcast_dim(spark):
     plan = _plan(spark, "revenue_trend_slope_per_segment")
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_partitioned_read_prunes_partitions(spark, tmp_path):
+    """The partition-key filter must become PartitionFilters on the
+    scan (directory-level pruning), not a post-scan Filter over all
+    partitions — the coarse skip layer maintenance.py audits by file
+    count."""
+    from jobminer_spark.operators.maintenance import _events_slim
+
+    d = str(tmp_path / "part_events")
+    _events_slim(spark, SF_DIR).repartition(1).write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(d)
+    pruned = spark.read.parquet(d).filter("event_type = 'purchase'")
+    plan = physical_plan(pruned)
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "event_type" in seg[1][:200]
