@@ -388,3 +388,38 @@ def test_partitioned_read_prunes_partitions(spark, tmp_path):
     plan = physical_plan(pruned)
     seg = plan.split("PartitionFilters", 1)
     assert len(seg) == 2 and "event_type" in seg[1][:200]
+
+
+def test_anomaly_single_keyed_exchange(spark):
+    """The trailing z-window must share ONE (event_type) exchange —
+    count/sum/sum-of-squares all ride the same sort."""
+    plan = _plan(spark, "trailing_zscore_outliers")
+    assert plan.count("hashpartitioning(") == 1
+    assert "event_type" in plan.split("hashpartitioning(", 1)[1][:60]
+
+
+def test_surprisal_no_cartesian_partial_agg(spark):
+    plan = _plan(spark, "doc_surprisal_bits")
+    assert "CartesianProduct" not in plan
+    # df agg and per-doc agg both partial-aggregate
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_pca_gram_partial_agg_no_cartesian(spark):
+    """The Gram aggregation must combine map-side onto the dims^2
+    key space; iteration joins are broadcast (dimension-sized) — the
+    corpus is never cartesian- or nested-loop-joined against itself."""
+    plan = _plan(spark, "pca_power_iteration_audit")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dq_fk_check_broadcasts_dimension(spark):
+    """The referential-integrity anti-join must broadcast the
+    dimension key set, never shuffle the fact table for it."""
+    plan = _plan(spark, "dq_constraint_audit")
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
