@@ -274,6 +274,43 @@ def run_streaming_session_windows_parity(
     )
 
 
+def dynamic_gap_sessions_stream_parity(events: DataFrame) -> DataFrame:
+    """The dynamic-gap session window (per-event gap expression —
+    operators/dyngap.py) run under readStream, parity-replay
+    discipline: infinite watermark (no late-drop under any batching),
+    epoch-long session starts. Pins that the EXPRESSION-gap merge
+    path behaves identically in the incremental state-store
+    implementation and the batch one."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        events.withWatermark("ts", "3650 days")
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def run_streaming_dynamic_gap_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _drained_once(
+        "dyngap_parity",
+        spark,
+        sf_dir,
+        lambda: dynamic_gap_sessions_stream_parity(
+            streaming_events_source(spark, sf_dir)
+        ),
+    )
+
+
 def dedup_within_watermark_stream(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """Streaming first-write-wins dedup on the natural key — the
     reference's probe-before-insert (`database.py:116-123`) as a
