@@ -43,7 +43,7 @@ _GAP_PURCHASE_US = 30 * 60 * 1_000_000
       FROM events
     ),
     marked AS (
-      SELECT user_id, tus,
+      SELECT user_id, event_id, tus,
              CASE WHEN MAX(tus + gap_us) OVER w IS NULL THEN 1
                   WHEN tus >= MAX(tus + gap_us) OVER w THEN 1
                   ELSE 0 END AS brk
@@ -54,9 +54,12 @@ _GAP_PURCHASE_US = 30 * 60 * 1_000_000
       )
     ),
     sess AS (
+      -- the running sum MUST keep the (tus, event_id) total order:
+      -- on a (user, tus) tie the break row's frame position would
+      -- otherwise be engine-dependent (unique-tiebreak discipline)
       SELECT user_id, tus,
              SUM(brk) OVER (
-               PARTITION BY user_id ORDER BY tus
+               PARTITION BY user_id ORDER BY tus, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS sid
       FROM marked

@@ -157,6 +157,10 @@ def _resolution(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, ...]:
 
     cg = grams(cust, "c_custkey", "c_name")
     dg = grams(dirty, "true_key", "dirty_name")
+    # NOTE: cands/resolved are localCheckpointed below — er_funnel_audit
+    # aggregates the funnel five independent times, and without a
+    # lineage cut each branch would replay the gram-index join +
+    # levenshtein verification from scratch.
     kept = (
         cg.groupBy("gram")
         .agg(F.countDistinct("key").alias("df"))
@@ -176,6 +180,7 @@ def _resolution(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, ...]:
             F.col("c.name").alias("cand_name"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     verified = cands.select(
         "dirty_id",
@@ -188,7 +193,7 @@ def _resolution(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, ...]:
         F.col("key").alias("matched_key"),
         "dist",
         F.row_number().over(w).alias("rk"),
-    )
+    ).localCheckpoint(eager=False)
     return dirty, cands, verified, resolved
 
 

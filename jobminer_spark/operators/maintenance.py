@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,9 +51,17 @@ def _events_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tmp(name: str) -> str:
+def _tmp(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Fixed path per (session, sf, stage): ``mode("overwrite")``
+    then REUSES the directory on every re-run, so repeated sweeps
+    leave at most one copy per live session instead of accumulating
+    a fresh uuid-suffixed directory per query execution (the r9
+    review's /tmp-leak finding). applicationId keeps concurrent
+    Spark sessions from racing on one path."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
     return os.path.join(
-        tempfile.gettempdir(), f"jm_maint_{name}_{uuid.uuid4().hex[:10]}"
+        tempfile.gettempdir(), f"jm_maint_{app}_{sf_tag}_{name}"
     )
 
 
@@ -82,7 +89,8 @@ def small_files_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row count + integer value checksum of the COMPACTED copy must
     equal the oracle's recomputation from the source table."""
     src = _events_slim(spark, sf_dir)
-    frag_dir, compact_dir = _tmp("frag"), _tmp("compact")
+    frag_dir = _tmp(spark, sf_dir, "frag")
+    compact_dir = _tmp(spark, sf_dir, "compact")
     src.repartition(_N_SMALL).write.mode("overwrite").parquet(frag_dir)
     frag = spark.read.parquet(frag_dir)
     frag.repartition(_N_COMPACT).write.mode("overwrite").parquet(compact_dir)
@@ -122,7 +130,7 @@ def partitioned_write_pruning_audit(
     plan-tested). The coarse skip layer that makes a 100 TB scan cost
     one partition."""
     src = _events_slim(spark, sf_dir)
-    part_dir = _tmp("part")
+    part_dir = _tmp(spark, sf_dir, "part")
     (
         src.repartition(1)
         .write.mode("overwrite")

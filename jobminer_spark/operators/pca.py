@@ -11,12 +11,16 @@ C = Xᵀ X accumulates as exact integer sums; C renormalizes to a
 fixed 1e6 scale by truncating division against its max-|entry|
 (Spark ``div`` == DuckDB ``//``, both truncate toward zero); each
 power round is an integer matrix-vector product followed by the same
-max-|component| renormalization. Every intermediate stays under
-~6.5e13 < int64 BY CONSTRUCTION (64 summands of 1e6×1e6 products),
-independent of corpus size — corpus growth lands in C's pre-scale
-magnitude, which the renormalization immediately removes. The two
-rounds are therefore bit-replayable by the oracle: no float, no
-sqrt, no convergence tolerance.
+max-|component| renormalization. Every POST-renormalization
+intermediate stays under ~6.5e13 < int64 BY CONSTRUCTION (64
+summands of 1e6×1e6 products), independent of corpus size. The ONE
+corpus-dependent accumulation is the raw Gram sum itself (~1e12 per
+unit-scale vector), which fits int64 to ~9e6 vectors; past that, the
+same plan swaps the cell sum to exact decimal(38) accumulation (the
+repo's dsum recipe — DuckDB already sums BIGINT into HUGEINT) before
+the renormalizing division, leaving the replayable fixed point
+untouched. The two rounds are bit-replayable by the oracle: no
+float, no sqrt, no convergence tolerance.
 
 Convergence semantics: two fixed rounds are the oracle-expressible
 prefix (exactly like PageRank's two rounds); production loops the

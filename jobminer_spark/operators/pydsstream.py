@@ -65,6 +65,7 @@ def python_stream_datasource_parity(
         sf_dir,
         lambda: read_paginated_feed_stream(spark, n_items, _PAGE_SIZE),
         output_mode="append",
+        params=f"n_items={n_items},page_size={_PAGE_SIZE}",
     ).select(
         "item_id",
         F.col("page").alias("s_page"),

@@ -58,12 +58,27 @@ def documents_as_xml_feed(docs: DataFrame) -> DataFrame:
             )
         )
     )
+    # XML-escape the interpolated source value (& first, then < >):
+    # from_xml entity-decodes on parse, so the oracle still sees the
+    # raw source — but WITHOUT this, a fixture regeneration emitting
+    # a metacharacter would silently push 'good' rows into quarantine
+    # and break parity. Escaping is injective, so COUNT(DISTINCT)
+    # over the decoded company is unaffected.
+    company = F.replace(
+        F.replace(
+            F.replace(F.col("source"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     well_formed = F.format_string(
         '<job id="%d"><title>%s</title><company>%s</company>'
         '<salary min="%d" max="%d"/><skills>%s</skills></job>',
         d,
         title,
-        F.col("source"),
+        company,
         mn,
         mn + 50,
         skills,

@@ -278,8 +278,20 @@ def _apply_window_order() -> None:
     _OPERATOR_MODULES. Mutates the dicts IN PLACE (other modules hold
     references to them). Registration order from raw decorator
     execution can be perturbed by an import cascade; this makes the
-    driver's first-50 window deterministic regardless."""
-    front = [n for n in _WINDOW_FRONT if n in QUERIES]
+    driver's first-50 window deterministic regardless.
+
+    Every _WINDOW_FRONT name MUST resolve: silently filtering a
+    missing name would let a typo or a future query rename slide the
+    next registration into slot 50 with zero red signal — the exact
+    failure mode the explicit list exists to prevent."""
+    missing = [n for n in _WINDOW_FRONT if n not in QUERIES]
+    if missing:
+        raise ValueError(
+            f"_WINDOW_FRONT names not registered: {missing} — fix the "
+            "list (or the rename) before the driver attests a shifted "
+            "window"
+        )
+    front = list(_WINDOW_FRONT)
     rank = {m: i for i, m in enumerate(_OPERATOR_MODULES)}
     rest = [n for n in QUERIES if n not in set(front)]
     # stable sort: per-module registration order preserved within a module

@@ -209,7 +209,7 @@ def _run_to_memory(
 # (new process or restarted JVM) always re-drains for real. Values are
 # (DataFrame, n_data_micro_batches) so the parity audits can expose
 # the drain's batch count as an oracle-pinned column.
-_DRAIN_CACHE: dict[tuple[str, str, str], tuple[DataFrame, int]] = {}
+_DRAIN_CACHE: dict[tuple[str, str, str, str], tuple[DataFrame, int]] = {}
 
 
 def _drained_once(
@@ -218,8 +218,11 @@ def _drained_once(
     sf_dir: str,
     build,
     output_mode: str = "complete",
+    params: str = "",
 ) -> DataFrame:
-    return _drained_with_batches(kind, spark, sf_dir, build, output_mode)[0]
+    return _drained_with_batches(
+        kind, spark, sf_dir, build, output_mode, params
+    )[0]
 
 
 def _drained_with_batches(
@@ -228,8 +231,14 @@ def _drained_with_batches(
     sf_dir: str,
     build,
     output_mode: str = "complete",
+    params: str = "",
 ) -> tuple[DataFrame, int]:
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    """``params`` must encode any build-closure option that changes
+    the drained result (feed size, page size, gap, delay): the cache
+    key cannot see inside the closure, and two same-kind drains with
+    different options would otherwise silently alias (r9 review
+    finding)."""
+    key = (spark.sparkContext.applicationId, sf_dir, kind, params)
     if key not in _DRAIN_CACHE:
         _DRAIN_CACHE[key] = _run_to_memory(build(), spark, output_mode)
     return _DRAIN_CACHE[key]
