@@ -139,8 +139,14 @@ def _derive_dirty(cust: DataFrame) -> DataFrame:
     )
 
 
-def _resolution(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, ...]:
-    """Shared ER funnel: returns (dirty, cands, verified, resolved)."""
+def _resolution(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> tuple[DataFrame, ...]:
+    """Shared ER funnel: returns (dirty, cands, verified, resolved).
+
+    ``checkpoint=False`` keeps the full lineage visible — the plan
+    tests assert on the un-truncated build (a localCheckpoint hides
+    the joins it cuts from the physical plan)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     dirty = _derive_dirty(cust)
 
@@ -180,8 +186,9 @@ def _resolution(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, ...]:
             F.col("c.name").alias("cand_name"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    if checkpoint:
+        cands = cands.localCheckpoint(eager=False)
     verified = cands.select(
         "dirty_id",
         F.col("cand_key").alias("key"),
@@ -193,7 +200,9 @@ def _resolution(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, ...]:
         F.col("key").alias("matched_key"),
         "dist",
         F.row_number().over(w).alias("rk"),
-    ).localCheckpoint(eager=False)
+    )
+    if checkpoint:
+        resolved = resolved.localCheckpoint(eager=False)
     return dirty, cands, verified, resolved
 
 
