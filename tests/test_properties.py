@@ -868,3 +868,51 @@ def test_trailing_zscore_generated_series_via_spark(spark, tmp_path):
         hist.append(xq)
     assert got == expect
     assert any(e == 51 for e, _n in got)  # the spike event fired
+
+
+def test_trailing_zscore_zero_variance_baseline(spark, tmp_path):
+    """Degenerate baseline: 40 identical values then a deviant — the
+    cross-multiplied test must fire (den = 0, num != 0 encodes an
+    infinite z), while another identical value (num = 0) must not."""
+    from jobminer_spark.operators.anomaly import trailing_zscore_outliers
+
+    M = 1_000_000
+    rows = [(i + 1, i * 60 * M, 1, "view", 250.0) for i in range(40)]
+    rows.append((41, 40 * 60 * M, 1, "view", 251.0))   # deviant: fires
+    rows.append((42, 41 * 60 * M, 1, "view", 250.0))   # conforming: silent
+    _write_events(spark, tmp_path, rows)
+    got = {r["event_id"] for r in
+           trailing_zscore_outliers(spark, str(tmp_path)).collect()}
+    assert 41 in got
+    assert 42 not in got  # its baseline regained variance but z is tiny
+
+
+def test_trailing_range_window_hour_boundary(spark, tmp_path):
+    """The RANGE frame is (t - 1h, t]: an event EXACTLY one hour old
+    is excluded, one microsecond younger is included, and same-instant
+    events are RANGE peers (each counts the other). Python twin over a
+    crafted fixture; both engines' inclusive-frame semantics collapse
+    to this via the HOUR_US - 1 preceding bound."""
+    from jobminer_spark.operators.timegrid import HOUR_US, trailing_1h_range_totals
+
+    M = 1_000_000
+    rows = [
+        # user 1: exact-hour pair — the old event is OUT of the frame
+        (1, 0, 1, "view", 1.0),
+        (2, HOUR_US, 1, "view", 1.0),
+        # user 2: one microsecond inside — both in frame
+        (3, 0, 2, "view", 1.0),
+        (4, HOUR_US - 1, 2, "view", 1.0),
+        # user 3: same-instant peers — each sees both
+        (5, 0, 3, "view", 1.0),
+        (6, 0, 3, "view", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_trailing"], r["max_trailing_n"])
+        for r in trailing_1h_range_totals(spark, str(tmp_path)).collect()
+    }
+    vq = 1_000_000  # floor(1.0 * 1e6)
+    # user1 trail sums: vq + vq (hour-old event excluded) = 2vq;
+    # user2: vq + 2vq = 3vq; user3 peers: 2vq + 2vq = 4vq → 9vq total
+    assert got == {"view": (6, 9 * vq, 2)}
