@@ -152,3 +152,59 @@ def partitioned_write_pruning_audit(
     return (
         n_parts.crossJoin(F.broadcast(files)).crossJoin(F.broadcast(content))
     )
+
+
+@query(
+    "schema_merge_read_audit",
+    oracle=f"""
+    SELECT
+      (SELECT COUNT(*) FROM events
+        WHERE event_type IN ('view', 'purchase')) AS n_rows,
+      CAST(5 AS BIGINT) AS n_cols_merged,
+      (SELECT COUNT(*) FROM events WHERE event_type = 'view')
+        AS n_null_extra,
+      (SELECT COUNT(*) FROM events WHERE event_type = 'purchase')
+        AS n_flagged,
+      (SELECT CAST(SUM(CAST(floor(value * {_VQ}) AS BIGINT)) AS BIGINT)
+       FROM events WHERE event_type IN ('view', 'purchase'))
+        AS vq_checksum
+    """,
+)
+def schema_merge_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on read: an early batch written with the v1
+    projection (event_id, user_id, vq) and a later batch with an
+    ADDED column (extra_flag) land in one dataset; the
+    ``mergeSchema`` read must unify to the widest schema, backfill
+    the old batch's missing column with NULLs, and lose no rows or
+    values — the drift case every long-lived lake table hits when a
+    producer adds a field. Pins: total rows, the merged column count
+    (4 data + the batch partition column), NULL-backfill cardinality,
+    the new column's population, and the value checksum — all
+    restated by the oracle from the source table."""
+    src = _events_slim(spark, sf_dir)
+    root = _tmp(spark, sf_dir, "evolve")
+    v1 = src.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "vq"
+    )
+    v2 = (
+        src.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "vq")
+        .withColumn("extra_flag", F.lit(1).cast("long"))
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(root)
+    )
+    n_cols = len(merged.columns)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_cols).cast("long").alias("n_cols_merged"),
+        F.count(F.when(F.col("extra_flag").isNull(), 1)).alias(
+            "n_null_extra"
+        ),
+        F.count(F.when(F.col("extra_flag") == 1, 1)).alias("n_flagged"),
+        F.sum("vq").alias("vq_checksum"),
+    )

@@ -83,19 +83,19 @@ ORACLES: dict[str, str] = {}
 #     + similarity(9) + dedupe's first query close the window at
 #     exactly 50. Spilled to r10: dedupe's last 14 + skew(2).
 #   round 10 window (PLAN — apply by rewriting _WINDOW_FRONT at the
-#     START of r10): the 32 r9-new queries first — xmlfeed(1),
+#     START of r10): the 33 r9-new queries first — xmlfeed(1),
 #     keygen(1), timegrid(2), markov(1), wsample(1), incroll(1),
 #     pydsaudit(1), quantiles(1), regress(1), cooccur(3),
 #     entityres(2), graphstats(2), streamdedup(1), anomaly(1),
 #     streamstatic(1), surprisal(1), dq(2), reshape(2), pca(1),
-#     pydsstream(1), maintenance(2), dyngap(2), httpaudit(1) = 32 —
+#     pydsstream(1), maintenance(3), dyngap(2), httpaudit(1) = 33 —
 #     then dedupe's r9-spilled tail (merge_status_transition + 13 =
-#     14) + skew(2) = 48, and embedlsh(2) closes the window at
-#     exactly 50.
-#     Spills to r11: docquality(3), increment(5), semdedup(1),
-#     bloom(1), streamadmit(1), winnow(2), trainprep(9), temporal(3),
-#     events(6), multimodal(4), skills(6), audits' other four,
-#     textanalysis(9), tpch(21).
+#     14) + skew(2) = 49, and embedlsh's first query closes the
+#     window at exactly 50.
+#     Spills to r11: embedlsh's 2nd, docquality(3), increment(5),
+#     semdedup(1), bloom(1), streamadmit(1), winnow(2), trainprep(9),
+#     temporal(3), events(6), multimodal(4), skills(6), audits'
+#     other four, textanalysis(9), tpch(21).
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
