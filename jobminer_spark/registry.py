@@ -12,6 +12,7 @@ name before value-hashing).
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 
@@ -261,11 +262,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Timezone-proofing (r9 judge reproduction): the driver's
+            # SparkSession timezone is NOT ours. Under any non-UTC
+            # session tz, `cast(TIMESTAMP_NTZ as timestamp)` is
+            # interpreted in the SESSION zone while a streaming read of
+            # the same NTZ parquet through an explicit TimestampType
+            # schema is NOT adjusted — the two sides of a stream/batch
+            # parity shift apart by the UTC offset (reproduced red
+            # under TZ=America/New_York; three queries flip). Every
+            # oracle is timezone-free DuckDB SQL (epoch_us over NTZ),
+            # so UTC is the single correct session zone for the whole
+            # registry. Pin it at query entry, before ANY plan is
+            # built — runtime-settable, same discipline as the
+            # nanosAsLong loader pin (sources/parquet.py).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = pinned
         _QUERY_MODULE[name] = fn.__module__
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return pinned
 
     return deco
 
