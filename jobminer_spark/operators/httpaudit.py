@@ -108,16 +108,21 @@ def http_fetch_retry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "status",
         "n_attempts",
+        # null-safe comparisons throughout (r9 ADVICE): `body != x`
+        # evaluates to NULL on a NULL body, and count(when(wrong, 1))
+        # treats NULL as not-wrong — a NULL-body regression in
+        # fetch_url_frame with correct status/attempts would slip
+        # through a plain `!=`.
         (
             F.when(
                 F.col("k") % 10 == 9,
-                (F.col("status") != 429)
-                | (F.col("n_attempts") != 3)
-                | (F.col("body") != ""),
+                ~F.col("status").eqNullSafe(429)
+                | ~F.col("n_attempts").eqNullSafe(3)
+                | ~F.col("body").eqNullSafe(""),
             ).otherwise(
-                (F.col("status") != 200)
-                | (F.col("n_attempts") != F.col("k") % 3 + 1)
-                | (F.col("body") != F.concat(F.lit("ok"), F.col("k")))
+                ~F.col("status").eqNullSafe(200)
+                | ~F.col("n_attempts").eqNullSafe(F.col("k") % 3 + 1)
+                | ~F.col("body").eqNullSafe(F.concat(F.lit("ok"), F.col("k")))
             )
         ).alias("wrong"),
     )

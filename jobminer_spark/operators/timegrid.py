@@ -50,11 +50,12 @@ def _events_tus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resample_hourly_forward_fill",
     oracle=f"""
     WITH ev AS (
-      SELECT user_id, epoch_us(ts) AS tus, value FROM events
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events
     ),
     obs AS (
       SELECT user_id, tus // {HOUR_US} AS hr,
-             arg_max(value, tus) AS obs_value
+             (MAX({{'tus': tus, 'eid': event_id, 'val': value}})).val
+               AS obs_value
       FROM ev GROUP BY user_id, tus // {HOUR_US}
     ),
     spans AS (
@@ -85,8 +86,10 @@ def resample_hourly_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour in the user's activity span (including hours with NO events)
     and carry the last observed value forward into the gaps. The
     hourly observation is the value of the user's latest event in
-    that hour (by tus — the fixture has no (user, tus) duplicates,
-    and ties would need a secondary key on both engines).
+    that hour, tie-broken by event_id via lexicographic struct MAX on
+    (tus, event_id, value) — identical ordering on both engines, so
+    the pin no longer rests on the fixture having no (user, tus)
+    duplicates (r9 ADVICE).
 
     Output is the per-user summary (grid size, observed-hour count,
     quantized checksum of every filled grid value), so the fill
@@ -95,7 +98,11 @@ def resample_hourly_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hr = F.expr(f"tus div {HOUR_US}")  # integer division, no float detour
     obs = (
         ev.groupBy("user_id", hr.alias("hr"))
-        .agg(F.max_by("value", "tus").alias("obs_value"))
+        .agg(
+            F.max(F.struct("tus", "event_id", "value"))["value"].alias(
+                "obs_value"
+            )
+        )
     )
     grid = (
         obs.groupBy("user_id")

@@ -33,9 +33,15 @@ _PRIO_SCALE = 1_000_000
 # under the BIGINT range (2^40 * 1e6 ~ 1.1e18 < 9.2e18), and `div`
 # keeps the whole priority computation in exact integer arithmetic —
 # a float division of a >2^53 numerator would NOT round-trip.
+# greatest(n_chars, 1) guards the degenerate zero-length document: a
+# plain division would yield NULL under Spark's div but a hard
+# division-by-zero error in DuckDB's // — the engines would fail
+# ASYMMETRICALLY on the same input (r9 ADVICE). The guard is applied
+# identically on both sides, so a zero-weight doc simply gets the
+# maximum-inclusion priority instead of poisoning the query.
 _PRIORITY_SQL = (
     "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10)"
-    f" AS BIGINT) * {_PRIO_SCALE}) div n_chars"
+    f" AS BIGINT) * {_PRIO_SCALE}) div greatest(n_chars, 1)"
 )
 
 
@@ -45,7 +51,7 @@ _PRIORITY_SQL = (
     WITH pri AS (
       SELECT doc_id, source, n_chars,
              (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))
-                   AS BIGINT) * {_PRIO_SCALE}) // n_chars AS priority
+                   AS BIGINT) * {_PRIO_SCALE}) // greatest(n_chars, 1) AS priority
       FROM documents
     )
     SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
