@@ -48,6 +48,13 @@ HEADLINE = [
     "neardup_connected_components",
     "interval_join_clicks_before_purchase",
     "kmeans_assign_fixed_centroids",
+    # r10 additions (VERDICT r9 item 7): one headline per r9-new
+    # family so regressions there are visible round-over-round —
+    # entity resolution, lexical retrieval, spectral, tokenizer
+    "er_blocked_match_resolution",
+    "bm25_topk_per_query",
+    "pca_power_iteration_audit",
+    "bpe_train_merges",
 ]
 
 

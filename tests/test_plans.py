@@ -430,3 +430,105 @@ def test_dq_fk_check_broadcasts_dimension(spark):
         "LeftAnti" in plan and "BroadcastHashJoin" in plan
     )
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Global-window audit (VERDICT r9 item 6): a Window with no partition
+# spec moves ALL its input to one partition — a scale-killer unless the
+# input relation's cardinality is bounded by design. This test walks
+# the optimized logical plan of EVERY registered query and asserts the
+# set of unpartitioned Window sites matches the whitelist below, each
+# entry carrying its cardinality bound. A new global window anywhere
+# in the registry fails here until it is either partitioned or
+# justified with a bound.
+# ---------------------------------------------------------------------------
+
+# query -> (n_global_windows, documented input-cardinality bound)
+_GLOBAL_WINDOW_WHITELIST = {
+    # rank over the qualifying basket-pair relation: vocabulary-
+    # bounded (df-capped pair space), dimension-sized at any corpus SF
+    "cooccurrence_lift_topk": 1,
+    # the DELIBERATE dimension-sized demo of global row_number keying;
+    # keygen.zip_with_index_keys is the documented shuffle-free scale
+    # path for fact-sized inputs (keygen.py:1-27)
+    "surrogate_key_assignment": 1,
+    # share-of-total over one row per skill category (dictionary-
+    # bounded: |categories| ~ 10)
+    "skill_category_share": 1,
+}
+
+# modules whose query builders EXECUTE jobs at build time (stream
+# drains, sink writes, temp-dir rewrites, iterative training): their
+# final plans are windows-over-drained-memory-tables or audit scalars,
+# already covered by their own plan/runtime tests — excluded here to
+# keep this sweep build-only and fast. Every excluded query's final
+# plan was enumerated once offline (r10): zero unpartitioned windows.
+_EXEC_AT_BUILD_PREFIXES = (
+    "stream_",
+    "small_files_",
+    "partitioned_write_",
+    "schema_merge_",
+    "http_fetch_",
+    "python_datasource_",
+    "python_stream_",
+    "incremental_index_update_audit",
+    "xml_feed_parse_audit",
+    "zorder_pruning_stats",
+    "bpe_",
+    "pca_power_iteration_audit",
+    "kmeans_",
+    "ann_ivf_trained",
+    "ann_pq_",
+    "incremental_",
+    "scd2_incremental_update_audit",
+    "er_funnel_audit",
+    "dq_violation_injection_audit",
+)
+
+
+def _walk_logical(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_logical(ch.apply(i))
+
+
+def test_no_unwhitelisted_global_windows(spark):
+    found: dict[str, int] = {}
+    for name, fn in QUERIES.items():
+        if any(name.startswith(p) for p in _EXEC_AT_BUILD_PREFIXES):
+            continue
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        n = sum(
+            1
+            for node in _walk_logical(plan)
+            if node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        )
+        if n:
+            found[name] = n
+    assert found == _GLOBAL_WINDOW_WHITELIST, (
+        f"unpartitioned Window set changed: {found} — every new global "
+        "window needs a cardinality-bound justification in the "
+        "whitelist (or a partition spec)"
+    )
+
+
+def test_global_window_inputs_are_dimension_sized(spark):
+    """Runtime check of the whitelist's bound claims at fixture scale:
+    each whitelisted global window's input relation is dimension-sized
+    (bounded by vocabulary/dictionary/dimension cardinality, NOT by
+    the corpus row count)."""
+    import pyspark.sql.functions as F
+
+    from jobminer_spark.sources import load_table
+
+    # skill_category_share: one row per dictionary category
+    shares = QUERIES["skill_category_share"](spark, SF_DIR)
+    assert shares.count() <= 32
+    # cooccurrence_lift_topk rank input: the qualifying pair relation
+    pairs = QUERIES["token_cooccurrence_pairs"](spark, SF_DIR)
+    assert pairs.count() <= 1000
+    # surrogate_key_assignment input: the customer dimension
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert QUERIES["surrogate_key_assignment"](spark, SF_DIR).count() <= n_cust
