@@ -1,0 +1,272 @@
+"""Minimal transactional lakehouse on plain parquet: manifest-committed
+snapshots with MERGE INTO semantics, file-level stats pruning,
+snapshot isolation, optimistic concurrency, and time travel.
+
+This is the Spark-native answer to the reference's probe-before-insert
++ status-lifecycle write path (JobScraper database.py:106-158,
+models.py:22 — "does this key exist? update its status : insert it"),
+which IS MERGE semantics on a versioned table. delta-spark/iceberg
+jars are not installable in this environment, so the transactional
+core is implemented directly on the only primitives a data lake
+actually guarantees:
+
+* **Immutable data files** — every write creates new parquet files;
+  nothing is modified in place.
+* **Atomic manifest commit** — a version is a JSON manifest listing
+  its data files (with per-file key min/max stats); publishing
+  version N+1 is a single exclusive-create of ``_manifests/vN+1.json``
+  (``open(..., "x")``) — the same putIfAbsent contract Delta's log
+  relies on; on object stores the equivalent is a conditional PUT.
+* **Copy-on-write MERGE** — only data files whose [min_key, max_key]
+  interval intersects the update key range are rewritten; untouched
+  files are carried by reference into the next manifest. At 100 TB
+  with range-clustered keys this is the difference between rewriting
+  gigabytes and rewriting everything.
+* **Snapshot isolation** — a reader resolves its manifest once; the
+  file list is immutable, so concurrent commits never change what it
+  reads. Time travel = resolving an older manifest.
+* **Optimistic concurrency** — a commit that loses the
+  exclusive-create race re-reads the new latest snapshot, re-applies
+  its merge, and retries (bounded), exactly the
+  read-check-rebase-retry loop of Delta's conflict protocol.
+
+Scale shape: the manifest is O(n_files) JSON read on the driver (the
+same cost Delta pays for its log checkpoint); per-file stats come
+from ONE Spark aggregation over the freshly written files' _metadata;
+the merge's fact-side work is bounded by the affected files, and the
+key-existence probe for inserts is an anti-join against the snapshot
+(broadcast when the update batch is small).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEY_BUCKET = 4096  # key-range clustering width for data files
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first."""
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, "_manifests", f"v{version}.json")
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def latest_version(table: str) -> int:
+    mdir = os.path.join(table, "_manifests")
+    versions = [
+        int(n[1:-5])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json")
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no manifests in {mdir}")
+    return max(versions)
+
+
+def _commit(table: str, manifest: dict) -> None:
+    """Atomically publish a manifest: exclusive create, so exactly one
+    writer wins a version number (putIfAbsent)."""
+    path = _manifest_path(table, manifest["version"])
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        with open(path, "x") as f:
+            with open(tmp) as t:
+                f.write(t.read())
+    except FileExistsError as e:
+        raise CommitConflict(path) from e
+    finally:
+        os.unlink(tmp)
+
+
+def _write_files(
+    spark: SparkSession, table: str, df: DataFrame, key_col: str, tag: str
+) -> list[dict]:
+    """Write ``df`` as range-clustered immutable data files under a
+    fresh subdirectory and return their manifest entries (path,
+    min/max key stats, row count). One file per key bucket: the
+    repartition on the bucket column puts each bucket in exactly one
+    task, and partitionBy splits that task's output one file per
+    bucket directory."""
+    sub = os.path.join(table, "data", f"{tag}-{uuid.uuid4().hex[:8]}")
+    (
+        df.withColumn("kb", F.expr(f"{key_col} div {KEY_BUCKET}"))
+        .repartition("kb")
+        .write.partitionBy("kb")
+        .parquet(sub)
+    )
+    stats = (
+        spark.read.parquet(sub)
+        .groupBy(F.col("_metadata.file_path").alias("fp"))
+        .agg(
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+    return [
+        {
+            "path": r["fp"].replace("file://", ""),
+            "min_key": r["min_key"],
+            "max_key": r["max_key"],
+            "n_rows": r["n_rows"],
+        }
+        for r in sorted(stats, key=lambda r: r["min_key"])
+    ]
+
+
+def create_table(
+    spark: SparkSession, table: str, df: DataFrame, key_col: str
+) -> int:
+    """Initialize a lakehouse table at version 1 from ``df``."""
+    os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
+    files = _write_files(spark, table, df, key_col, "base")
+    _commit(
+        table,
+        {"version": 1, "parent": None, "key_col": key_col, "files": files},
+    )
+    return 1
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot (latest by default; any retained
+    version for time travel). The file list is resolved ONCE from the
+    immutable manifest, so the returned frame is isolated from any
+    concurrent commit."""
+    v = latest_version(table) if version is None else version
+    m = _read_manifest(table, v)
+    paths = [f["path"] for f in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+def merge_into(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    matched_condition,
+    max_retries: int = 5,
+) -> dict:
+    """MERGE INTO with copy-on-write + optimistic concurrency:
+
+    * WHEN MATCHED AND ``matched_condition(old, new)`` THEN take the
+      update row (the status-transition / value-bump shapes of the
+      reference's lifecycle);
+    * WHEN MATCHED otherwise THEN keep the existing row (first-write
+      wins — the reference's duplicate-key skip);
+    * WHEN NOT MATCHED THEN insert.
+
+    Only files whose [min_key, max_key] intersects the update key
+    range are rewritten; inserts are written as their own files.
+    Returns commit stats {version, n_files_rewritten, n_files_carried,
+    n_insert_files, n_updates_applied, n_inserts}. On losing the
+    commit race, re-reads the new snapshot and re-applies (bounded
+    retries) — the standard rebase loop.
+    """
+    import bisect
+
+    # File pruning key: the update batch's DISTINCT key buckets, not
+    # its [min, max] interval — a daily batch that mixes low-key
+    # status transitions with high-key inserts would otherwise span
+    # the whole table and defeat copy-on-write (every file
+    # "intersects" the interval). The bucket list is bounded by the
+    # batch size and usually far smaller; it ships to the driver once
+    # per merge, the same O(n_files)-scale metadata the manifest read
+    # already pays.
+    kbs: list[int] | None = None
+
+    for _ in range(max_retries):
+        base_v = latest_version(table)
+        m = _read_manifest(table, base_v)
+        key = m["key_col"]
+        if kbs is None:  # batch-constant: computed once across rebases
+            kbs = sorted(
+                r["kb"]
+                for r in updates.select(
+                    F.expr(f"{key} div {KEY_BUCKET}").alias("kb")
+                )
+                .distinct()
+                .collect()
+            )
+
+        def _hit(f: dict) -> bool:
+            lo_kb = f["min_key"] // KEY_BUCKET
+            hi_kb = f["max_key"] // KEY_BUCKET
+            i = bisect.bisect_left(kbs, lo_kb)
+            return i < len(kbs) and kbs[i] <= hi_kb
+
+        affected = [f for f in m["files"] if _hit(f)]
+        carried = [f for f in m["files"] if not _hit(f)]
+
+        upd_cols = updates.columns
+        u = updates.select(
+            F.col(key).alias("__uk"),
+            *[F.col(c).alias(f"__u_{c}") for c in upd_cols if c != key],
+        )
+        new_files: list[dict] = []
+        n_updates_applied = 0
+        if affected:
+            old = spark.read.parquet(*[f["path"] for f in affected])
+            j = old.join(u, old[key] == u["__uk"], "left")
+            take_update = F.col("__uk").isNotNull() & matched_condition(j)
+            rewritten = j.select(
+                *[
+                    F.col(c)
+                    if c == key
+                    else F.when(take_update, F.col(f"__u_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in old.columns
+                ]
+            )
+            n_updates_applied = j.filter(take_update).count()
+            new_files = _write_files(spark, table, rewritten, key, "rw")
+
+        snapshot_keys = spark.read.parquet(
+            *[f["path"] for f in m["files"]]
+        ).select(key)
+        inserts = updates.join(snapshot_keys, key, "left_anti")
+        n_inserts = inserts.count()
+        insert_files: list[dict] = []
+        if n_inserts:
+            insert_files = _write_files(spark, table, inserts, key, "ins")
+
+        manifest = {
+            "version": base_v + 1,
+            "parent": base_v,
+            "key_col": key,
+            "files": carried + new_files + insert_files,
+        }
+        try:
+            _commit(table, manifest)
+        except CommitConflict:
+            continue  # rebase: re-read the new latest and re-apply
+        return {
+            "version": base_v + 1,
+            "n_files_rewritten": len(new_files),
+            "n_files_carried": len(carried),
+            "n_insert_files": len(insert_files),
+            "n_updates_applied": n_updates_applied,
+            "n_inserts": n_inserts,
+        }
+    raise CommitConflict(f"gave up after {max_retries} rebases on {table}")
+
+
+def drop_table(table: str) -> None:
+    shutil.rmtree(table, ignore_errors=True)

@@ -1,0 +1,303 @@
+"""Driver-attestable audits for the transactional lakehouse layer
+(jobminer_spark/lakehouse.py) — MERGE INTO, copy-on-write file
+pruning, snapshot-isolation time travel, and optimistic-concurrency
+conflict/rebase, each pinned to a DuckDB oracle that recomputes the
+expected post-merge state directly from the source table.
+
+Reference semantics anchor: the probe-before-insert + status
+lifecycle (JobScraper database.py:106-158, models.py:22) is MERGE —
+"key exists ⇒ conditional status transition, else insert". The
+scenario replayed here runs that lifecycle on a versioned table:
+
+  v1  CREATE from orders (o_orderkey, o_custkey, o_orderstatus,
+      price_q = floor(o_totalprice·100) integer cents)
+  v2  MERGE #1: keys < 512 whose status is 'O' transition to 'X'
+      (matched-with-condition), keys ≡ 0 (mod 97) re-keyed +1e8
+      insert as status 'N' (not-matched)
+  —   a COMMIT CONFLICT is then provoked on v2 (exclusive-create
+      loses) and must surface as CommitConflict
+  v3  MERGE #2: keys in [512, 1024) get price_q + 1 (matched-any)
+
+The whole scenario executes ONCE per (session, fixture) — the three
+registered queries read slices of the cached scalars, mirroring the
+stream_sink_parity caching discipline (operators/audits.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+_UPD_MAX = 512           # MERGE #1 key range: [0, 512) — bucket 0
+_BUMP_LO, _BUMP_HI = 512, 1024  # MERGE #2 key range — also bucket 0
+_INS_MOD = 97            # MERGE #1 insert sample: keys ≡ 0 (mod 97)
+_INS_OFFSET = 100_000_000  # re-key offset for inserted rows
+
+
+def _base_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("long")
+        .alias("price_q"),
+    )
+
+
+_SCENARIO_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
+    from jobminer_spark.lakehouse import (
+        CommitConflict,
+        _commit,
+        create_table,
+        latest_version,
+        merge_into,
+        read_snapshot,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _SCENARIO_CACHE:
+        return _SCENARIO_CACHE[cache_key]
+
+    # one fixed dir per (session, sf); dead sessions' dirs are swept
+    app = spark.sparkContext.applicationId
+    root = tempfile.gettempdir()
+    for d in os.listdir(root):
+        if d.startswith("jm_lake_") and f"jm_lake_{app}_" not in d:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    table = os.path.join(root, f"jm_lake_{app}_{sf_tag}")
+    shutil.rmtree(table, ignore_errors=True)
+
+    base = _base_frame(spark, sf_dir)
+    create_table(spark, table, base, "o_orderkey")
+    v1 = read_snapshot(spark, table, 1)
+    r1 = v1.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("price_q").alias("ck")
+    ).first()
+
+    # MERGE #1: conditional status transition + re-keyed inserts
+    transitions = base.filter(F.col("o_orderkey") < _UPD_MAX).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        "price_q",
+    )
+    inserts = base.filter(F.col("o_orderkey") % _INS_MOD == 0).select(
+        (F.col("o_orderkey") + _INS_OFFSET).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "price_q",
+    )
+    m1 = merge_into(
+        spark,
+        table,
+        transitions.unionByName(inserts),
+        lambda j: j["o_orderstatus"] == "O",
+    )
+    v2 = read_snapshot(spark, table, 2)
+    r2 = v2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_q").alias("ck"),
+        F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias("nx"),
+        F.count(F.when(F.col("o_orderstatus") == "N", 1)).alias("nn"),
+    ).first()
+
+    # provoke a commit conflict: a manifest prepared against v1 tries
+    # to publish version 2 AFTER merge #1 won it — the exclusive
+    # create must refuse (snapshot-isolation's write-side half)
+    n_conflicts = 0
+    try:
+        _commit(table, {"version": 2, "parent": 1, "key_col": "o_orderkey", "files": []})
+    except CommitConflict:
+        n_conflicts = 1
+
+    # MERGE #2: unconditional price bump on [512, 1024)
+    bump = (
+        read_snapshot(spark, table)
+        .filter(
+            (F.col("o_orderkey") >= _BUMP_LO) & (F.col("o_orderkey") < _BUMP_HI)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("price_q") + 1).alias("price_q"),
+        )
+    )
+    m2 = merge_into(spark, table, bump, lambda j: F.lit(True))
+    v3 = read_snapshot(spark, table, 3)
+    r3 = v3.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("price_q").alias("ck")
+    ).first()
+
+    # time travel: v1 re-read AFTER both merges must be byte-stable
+    tt = read_snapshot(spark, table, 1).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("price_q").alias("ck")
+    ).first()
+
+    result = {
+        "n_rows_v1": r1["n"],
+        "checksum_v1": r1["ck"],
+        "n_files_v1": None,  # filled below
+        "m1": m1,
+        "n_rows_v2": r2["n"],
+        "checksum_v2": r2["ck"],
+        "n_status_x": r2["nx"],
+        "n_status_n": r2["nn"],
+        "n_conflicts": n_conflicts,
+        "n_versions": latest_version(table),
+        "m2": m2,
+        "n_rows_v3": r3["n"],
+        "checksum_v3": r3["ck"],
+        "tt_n_rows": tt["n"],
+        "tt_checksum": tt["ck"],
+    }
+    from jobminer_spark.lakehouse import _read_manifest
+
+    result["n_files_v1"] = len(_read_manifest(table, 1)["files"])
+    _SCENARIO_CACHE[cache_key] = result
+    return result
+
+
+def _scalars_df(spark: SparkSession, cols: list[tuple[str, int]]) -> DataFrame:
+    return spark.range(1).select(
+        *[F.lit(v).cast("long").alias(n) for n, v in cols]
+    )
+
+
+@query(
+    "lakehouse_merge_parity",
+    oracle=f"""
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS n_rows_v1,
+      (SELECT COUNT(*) FROM orders)
+        + (SELECT COUNT(*) FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
+        AS n_rows_v2,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey < {_UPD_MAX} AND o_orderstatus = 'O')
+        AS n_updates_applied,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
+        AS n_inserts,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey < {_UPD_MAX} AND o_orderstatus = 'O')
+        AS n_status_x,
+      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+        AS checksum_v1,
+      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+        + (SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)), 0)
+           FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
+        AS checksum_v2
+    """,
+)
+def lakehouse_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO row-level semantics, pinned: the conditional status
+    transition must touch EXACTLY the matched-'O' rows under the key
+    cap, the not-matched sample must insert in full, and the integer
+    price checksum must shift by exactly the inserted rows' sum (the
+    transition leaves prices untouched). The oracle recomputes every
+    figure from the source table."""
+    s = _run_scenario(spark, sf_dir)
+    return _scalars_df(
+        spark,
+        [
+            ("n_rows_v1", s["n_rows_v1"]),
+            ("n_rows_v2", s["n_rows_v2"]),
+            ("n_updates_applied", s["m1"]["n_updates_applied"]),
+            ("n_inserts", s["m1"]["n_inserts"]),
+            ("n_status_x", s["n_status_x"]),
+            ("checksum_v1", s["checksum_v1"]),
+            ("checksum_v2", s["checksum_v2"]),
+        ],
+    )
+
+
+@query(
+    "lakehouse_pruning_travel_audit",
+    oracle=f"""
+    SELECT
+      (SELECT COUNT(DISTINCT o_orderkey // 4096) FROM orders) AS n_files_v1,
+      (SELECT COUNT(DISTINCT o_orderkey // 4096) FROM orders
+        WHERE o_orderkey < {_UPD_MAX}) AS n_files_rewritten,
+      (SELECT COUNT(DISTINCT o_orderkey // 4096) FROM orders)
+        - (SELECT COUNT(DISTINCT o_orderkey // 4096) FROM orders
+           WHERE o_orderkey < {_UPD_MAX}) AS n_files_carried,
+      (SELECT COUNT(DISTINCT (o_orderkey + {_INS_OFFSET}) // 4096)
+       FROM orders WHERE o_orderkey % {_INS_MOD} = 0) AS n_insert_files,
+      (SELECT COUNT(*) FROM orders) AS tt_n_rows,
+      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+        AS tt_checksum
+    """,
+)
+def lakehouse_pruning_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write file pruning + time travel, pinned: MERGE #1's
+    update keys live in key-bucket 0 only, so exactly the files
+    covering that bucket are rewritten and every other file is carried
+    by reference (the oracle counts the expected file populations from
+    the key distribution — one file per 4096-key bucket by
+    construction); the inserted rows land in their own files. After
+    BOTH merges, re-reading manifest v1 must return the original row
+    count and checksum — snapshot isolation as a committed artifact,
+    not a claim."""
+    s = _run_scenario(spark, sf_dir)
+    return _scalars_df(
+        spark,
+        [
+            ("n_files_v1", s["n_files_v1"]),
+            ("n_files_rewritten", s["m1"]["n_files_rewritten"]),
+            ("n_files_carried", s["m1"]["n_files_carried"]),
+            ("n_insert_files", s["m1"]["n_insert_files"]),
+            ("tt_n_rows", s["tt_n_rows"]),
+            ("tt_checksum", s["tt_checksum"]),
+        ],
+    )
+
+
+@query(
+    "lakehouse_concurrency_audit",
+    oracle=f"""
+    SELECT
+      CAST(1 AS BIGINT) AS n_conflicts,
+      CAST(3 AS BIGINT) AS n_versions,
+      (SELECT COUNT(*) FROM orders)
+        + (SELECT COUNT(*) FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
+        AS n_rows_v3,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey >= {_BUMP_LO} AND o_orderkey < {_BUMP_HI})
+        AS n_bump_applied,
+      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+        + (SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)), 0)
+           FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
+        + (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey >= {_BUMP_LO} AND o_orderkey < {_BUMP_HI})
+        AS checksum_v3
+    """,
+)
+def lakehouse_concurrency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency, pinned: a manifest prepared against v1
+    must FAIL to publish version 2 once MERGE #1 has won it (exactly
+    one CommitConflict), after which MERGE #2 lands as version 3 with
+    its price bump applied to exactly the [512, 1024) key range — the
+    final checksum is v1 + inserted prices + one cent per bumped row,
+    all recomputed independently by the oracle."""
+    s = _run_scenario(spark, sf_dir)
+    return _scalars_df(
+        spark,
+        [
+            ("n_conflicts", s["n_conflicts"]),
+            ("n_versions", s["n_versions"]),
+            ("n_rows_v3", s["n_rows_v3"]),
+            ("n_bump_applied", s["m2"]["n_updates_applied"]),
+            ("checksum_v3", s["checksum_v3"]),
+        ],
+    )

@@ -192,6 +192,10 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.maintenance",
     "jobminer_spark.operators.dyngap",
     "jobminer_spark.operators.httpaudit",
+    # r10-new modules (registered past the r10 window by design — the
+    # explicit _WINDOW_FRONT can't shift; the rotation plan fronts
+    # them in r11)
+    "jobminer_spark.operators.lakeaudit",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -483,6 +483,7 @@ _EXEC_AT_BUILD_PREFIXES = (
     "scd2_incremental_update_audit",
     "er_funnel_audit",
     "dq_violation_injection_audit",
+    "lakehouse_",
 )
 
 
