@@ -161,23 +161,35 @@ def merge_into(
     table: str,
     updates: DataFrame,
     matched_condition,
+    matched_delete=None,
+    insert_condition=None,
     max_retries: int = 5,
 ) -> dict:
-    """MERGE INTO with copy-on-write + optimistic concurrency:
+    """Full MERGE INTO with copy-on-write + optimistic concurrency:
 
-    * WHEN MATCHED AND ``matched_condition(old, new)`` THEN take the
-      update row (the status-transition / value-bump shapes of the
-      reference's lifecycle);
+    * WHEN MATCHED AND ``matched_delete(joined)`` THEN DELETE
+      (evaluated first, like SQL MERGE's clause ordering);
+    * WHEN MATCHED AND ``matched_condition(joined)`` THEN take the
+      update row's values (the status-transition / value-bump shapes
+      of the reference's lifecycle);
     * WHEN MATCHED otherwise THEN keep the existing row (first-write
       wins — the reference's duplicate-key skip);
-    * WHEN NOT MATCHED THEN insert.
+    * WHEN NOT MATCHED [AND ``insert_condition(updates)``] THEN
+      insert, projected to the table's columns.
 
-    Only files whose [min_key, max_key] intersects the update key
-    range are rewritten; inserts are written as their own files.
-    Returns commit stats {version, n_files_rewritten, n_files_carried,
-    n_insert_files, n_updates_applied, n_inserts}. On losing the
-    commit race, re-reads the new snapshot and re-applies (bounded
-    retries) — the standard rebase loop.
+    ``updates`` may carry extra columns beyond the table schema (e.g.
+    a CDC ``op`` column) — conditions can reference them through the
+    joined frame's ``__u_<col>`` names; only the table's columns are
+    ever written. Updates must be UNIQUE per key (pre-aggregate a CDC
+    batch to its latest change per key first) — a duplicate key would
+    fan out the matched row.
+
+    Only files whose key-bucket set intersects the update batch's
+    distinct buckets are rewritten; inserts are written as their own
+    files. Returns commit stats {version, n_files_rewritten,
+    n_files_carried, n_insert_files, n_updates_applied, n_deletes,
+    n_inserts}. On losing the commit race, re-reads the new snapshot
+    and re-applies (bounded retries) — the standard rebase loop.
     """
     import bisect
 
@@ -214,6 +226,7 @@ def merge_into(
         affected = [f for f in m["files"] if _hit(f)]
         carried = [f for f in m["files"] if not _hit(f)]
 
+        table_cols = m.get("columns")
         upd_cols = updates.columns
         u = updates.select(
             F.col(key).alias("__uk"),
@@ -221,27 +234,45 @@ def merge_into(
         )
         new_files: list[dict] = []
         n_updates_applied = 0
+        n_deletes = 0
         if affected:
             old = spark.read.parquet(*[f["path"] for f in affected])
+            if table_cols is None:
+                table_cols = old.columns
             j = old.join(u, old[key] == u["__uk"], "left")
-            take_update = F.col("__uk").isNotNull() & matched_condition(j)
-            rewritten = j.select(
+            matched = F.col("__uk").isNotNull()
+            take_delete = (
+                (matched & matched_delete(j)) if matched_delete else F.lit(False)
+            )
+            take_update = matched & ~take_delete & matched_condition(j)
+            rewritten = j.filter(~take_delete).select(
                 *[
                     F.col(c)
                     if c == key
                     else F.when(take_update, F.col(f"__u_{c}"))
                     .otherwise(F.col(c))
                     .alias(c)
-                    for c in old.columns
+                    for c in table_cols
                 ]
             )
-            n_updates_applied = j.filter(take_update).count()
+            counts = j.agg(
+                F.count(F.when(take_update, 1)).alias("nu"),
+                F.count(F.when(take_delete, 1)).alias("nd"),
+            ).first()
+            n_updates_applied, n_deletes = counts["nu"], counts["nd"]
             new_files = _write_files(spark, table, rewritten, key, "rw")
 
         snapshot_keys = spark.read.parquet(
             *[f["path"] for f in m["files"]]
         ).select(key)
-        inserts = updates.join(snapshot_keys, key, "left_anti")
+        cand = (
+            updates.filter(insert_condition(updates))
+            if insert_condition
+            else updates
+        )
+        inserts = cand.join(snapshot_keys, key, "left_anti")
+        if table_cols is not None:
+            inserts = inserts.select(*table_cols)
         n_inserts = inserts.count()
         insert_files: list[dict] = []
         if n_inserts:
@@ -251,6 +282,7 @@ def merge_into(
             "version": base_v + 1,
             "parent": base_v,
             "key_col": key,
+            "columns": table_cols,
             "files": carried + new_files + insert_files,
         }
         try:
@@ -263,6 +295,7 @@ def merge_into(
             "n_files_carried": len(carried),
             "n_insert_files": len(insert_files),
             "n_updates_applied": n_updates_applied,
+            "n_deletes": n_deletes,
             "n_inserts": n_inserts,
         }
     raise CommitConflict(f"gave up after {max_retries} rebases on {table}")
