@@ -138,7 +138,13 @@ def create_table(
     files = _write_files(spark, table, df, key_col, "base")
     _commit(
         table,
-        {"version": 1, "parent": None, "key_col": key_col, "files": files},
+        {
+            "version": 1,
+            "parent": None,
+            "key_col": key_col,
+            "columns": df.columns,
+            "files": files,
+        },
     )
     return 1
 

@@ -196,6 +196,7 @@ _OPERATOR_MODULES = [
     # explicit _WINDOW_FRONT can't shift; the rotation plan fronts
     # them in r11)
     "jobminer_spark.operators.lakeaudit",
+    "jobminer_spark.operators.cdc",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -484,6 +484,7 @@ _EXEC_AT_BUILD_PREFIXES = (
     "er_funnel_audit",
     "dq_violation_injection_audit",
     "lakehouse_",
+    "stream_cdc_",
 )
 
 
