@@ -307,5 +307,49 @@ def merge_into(
     raise CommitConflict(f"gave up after {max_retries} rebases on {table}")
 
 
+def vacuum(table: str, keep_last: int = 1) -> dict:
+    """Retention garbage collection: keep the newest ``keep_last``
+    manifests, delete older manifests and every data file no kept
+    manifest references. Time travel to vacuumed versions stops
+    working — that is the retention trade, stated rather than hidden.
+    Returns {n_manifests_removed, n_files_removed}. Safe relative to
+    the commit protocol: a concurrent reader of a KEPT version sees
+    immutable files; vacuuming a version a reader still holds is the
+    same operational hazard as Delta's VACUUM, mitigated by retention
+    depth."""
+    latest = latest_version(table)
+    keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    referenced = set()
+    for v in keep:
+        for f in _read_manifest(table, v)["files"]:
+            referenced.add(os.path.realpath(f["path"]))
+    mdir = os.path.join(table, "_manifests")
+    n_manifests_removed = 0
+    all_versions = sorted(
+        int(n[1:-5])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+    doomed_files = set()
+    for v in all_versions:
+        if v in keep:
+            continue
+        for f in _read_manifest(table, v)["files"]:
+            p = os.path.realpath(f["path"])
+            if p not in referenced:
+                doomed_files.add(p)
+        os.unlink(_manifest_path(table, v))
+        n_manifests_removed += 1
+    for p in doomed_files:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    return {
+        "n_manifests_removed": n_manifests_removed,
+        "n_files_removed": len(doomed_files),
+    }
+
+
 def drop_table(table: str) -> None:
     shutil.rmtree(table, ignore_errors=True)

@@ -263,6 +263,75 @@ def lakehouse_pruning_travel_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_VACUUM_CACHE: dict[tuple[str, str], dict] = {}
+
+
+@query(
+    "lakehouse_vacuum_audit",
+    oracle=f"""
+    SELECT
+      CAST(2 AS BIGINT) AS n_manifests_removed,
+      CAST(2 AS BIGINT) AS n_files_removed,
+      (SELECT COUNT(*) FROM orders)
+        + (SELECT COUNT(*) FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
+        AS n_rows_after,
+      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+        + (SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)), 0)
+           FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
+        + (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey >= {_BUMP_LO} AND o_orderkey < {_BUMP_HI})
+        AS checksum_after,
+      CAST(0 AS BIGINT) AS v1_still_readable
+    """,
+)
+def lakehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention GC, pinned: after the three-version scenario,
+    vacuum(keep_last=1) must remove exactly the two superseded
+    manifests and exactly the two orphaned data files (v1's bucket-0
+    file and v2's rewrite of it — every other file is still referenced
+    by v3), leave the latest snapshot byte-identical (row count and
+    checksum re-derived by the oracle), and make v1 time travel
+    CORRECTLY fail — retention's trade stated as a pinned bit, not
+    hidden. Runs strictly after the scenario's own reads (the cached
+    scalars were captured pre-vacuum)."""
+    from jobminer_spark.lakehouse import read_snapshot, vacuum
+
+    s = _run_scenario(spark, sf_dir)  # ensures table exists at v3
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key not in _VACUUM_CACHE:
+        app = spark.sparkContext.applicationId
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        table = os.path.join(tempfile.gettempdir(), f"jm_lake_{app}_{sf_tag}")
+        v = vacuum(table, keep_last=1)
+        after = read_snapshot(spark, table).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("price_q").alias("ck")
+        ).first()
+        try:
+            read_snapshot(spark, table, 1).count()
+            v1_readable = 1
+        except Exception:  # noqa: BLE001 — any failure = not readable
+            v1_readable = 0
+        _VACUUM_CACHE[cache_key] = {
+            "n_manifests_removed": v["n_manifests_removed"],
+            "n_files_removed": v["n_files_removed"],
+            "n_rows_after": after["n"],
+            "checksum_after": after["ck"],
+            "v1_still_readable": v1_readable,
+        }
+    c = _VACUUM_CACHE[cache_key]
+    del s  # scenario scalars unused here; the call pins ordering
+    return _scalars_df(
+        spark,
+        [
+            ("n_manifests_removed", c["n_manifests_removed"]),
+            ("n_files_removed", c["n_files_removed"]),
+            ("n_rows_after", c["n_rows_after"]),
+            ("checksum_after", c["checksum_after"]),
+            ("v1_still_readable", c["v1_still_readable"]),
+        ],
+    )
+
+
 @query(
     "lakehouse_concurrency_audit",
     oracle=f"""

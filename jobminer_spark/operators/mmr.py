@@ -1,0 +1,197 @@
+"""Maximal-marginal-relevance (MMR) diverse top-k selection — the
+standard diversify-the-retrieval re-rank (Carbonell & Goldstein '98):
+after an ANN/BM25 stage produces a relevance-ranked shortlist, pick k
+results greedily by ``λ·relevance − (1−λ)·max-similarity-to-already-
+picked``, trading redundancy for coverage. For an LLM-data pipeline
+this is the anti-near-dup sampler: the top-k most relevant AND
+mutually distinct documents/embeddings.
+
+Scale shape — the canonical two-stage re-rank: stage 1 (top-C
+shortlist by cosine) is a distributed ``orderBy().limit(C)`` partial
+top-k over the corpus, NO global window; stage 2 (the greedy loop)
+runs entirely on the C-row shortlist and its C² pairwise-similarity
+table — dimension-sized, corpus-independent, broadcast everywhere.
+The iteration count K is a constant, so the whole selection is a
+fixed-depth composition of bounded joins.
+
+Determinism: relevance and pairwise similarity use the repo's proven
+quantized-dot/sqrt-norm cosine recipe (identical IEEE op order to the
+ann_cosine oracles); the greedy argmax tie-breaks on vec_id; the
+oracle replays all K rounds as MATERIALIZED CTEs (the BPE/Lloyd
+replay discipline), so every pick, including its float score, is
+exact cross-engine signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.operators.common import VEC_NORMS_CTE, dot_col, norm_col
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+MMR_QUERY_VEC = 0   # query = embedding of vec_id 0
+MMR_SHORTLIST = 24  # stage-1 candidate pool (top-C by relevance)
+MMR_K = 8           # picks
+_QUANT_SQL = "1000000000000000.0"
+
+
+
+def _mmr_oracle() -> str:
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        rounds.append(f"""
+    sc{r} AS MATERIALIZED (
+      SELECT s.vec_id, s.rel,
+             0.5 * s.rel - 0.5 * MAX(sims.sim) AS score
+      FROM shortlist s
+      JOIN sims ON sims.a = s.vec_id
+               AND sims.b IN (SELECT vec_id FROM sel{r - 1})
+      WHERE s.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+      GROUP BY s.vec_id, s.rel),
+    p{r} AS MATERIALIZED (
+      SELECT CAST({r} AS BIGINT) AS pick_no, vec_id, score
+      FROM sc{r} ORDER BY score DESC, vec_id LIMIT 1),
+    sel{r} AS (SELECT vec_id FROM sel{r - 1}
+               UNION ALL SELECT vec_id FROM p{r})""")
+    picks_union = "\n      UNION ALL ".join(
+        f"SELECT pick_no, vec_id, score FROM p{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH {VEC_NORMS_CTE},
+    qdots AS (
+      SELECT c.vec_id,
+             CAST(SUM(CAST(floor(eq.val * ec.val * {_QUANT_SQL}) AS BIGINT)) AS DOUBLE)
+               / {_QUANT_SQL} AS dot
+      FROM embeddings c
+      JOIN elems ec ON ec.vec_id = c.vec_id
+      JOIN elems eq ON eq.vec_id = {MMR_QUERY_VEC} AND eq.ord = ec.ord
+      WHERE c.vec_id <> {MMR_QUERY_VEC}
+      GROUP BY c.vec_id
+    ),
+    shortlist AS MATERIALIZED (
+      SELECT q.vec_id, q.dot / (n0.nrm * nc.nrm) AS rel
+      FROM qdots q
+      JOIN norms n0 ON n0.vec_id = {MMR_QUERY_VEC}
+      JOIN norms nc ON nc.vec_id = q.vec_id
+      ORDER BY q.dot / (n0.nrm * nc.nrm) DESC, q.vec_id
+      LIMIT {MMR_SHORTLIST}
+    ),
+    sims AS MATERIALIZED (
+      SELECT sa.vec_id AS a, sb.vec_id AS b,
+             (SELECT CAST(SUM(CAST(floor(ea.val * eb.val * {_QUANT_SQL}) AS BIGINT)) AS DOUBLE)
+                / {_QUANT_SQL}
+              FROM elems ea JOIN elems eb
+                ON eb.vec_id = sb.vec_id AND eb.ord = ea.ord
+              WHERE ea.vec_id = sa.vec_id)
+               / (na.nrm * nb.nrm) AS sim
+      FROM shortlist sa
+      JOIN shortlist sb ON sb.vec_id <> sa.vec_id
+      JOIN norms na ON na.vec_id = sa.vec_id
+      JOIN norms nb ON nb.vec_id = sb.vec_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT CAST(1 AS BIGINT) AS pick_no, vec_id, rel AS score
+      FROM shortlist ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM p1),{",".join(rounds)}
+    SELECT pick_no, vec_id, score FROM ({picks_union})
+    """
+
+
+@query("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=8 MMR picks (λ=0.5) from the top-24 shortlist for the
+    vec_id-0 query, each pick's float score exact cross-engine. The
+    greedy loop runs on the broadcast shortlist only; the corpus is
+    touched once, by the stage-1 partial top-k."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb"),
+        norm_col(F.col("embedding")).alias("q_nrm"),
+    )
+    cand = emb.filter(F.col("vec_id") != MMR_QUERY_VEC)
+    shortlist = (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                dot_col(F.col("embedding"), F.col("q_emb"))
+                / (F.col("q_nrm") * norm_col(F.col("embedding")))
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_SHORTLIST)
+        .select("vec_id", "embedding", "rel")
+    )
+    # C² pairwise similarities — bounded, broadcast both sides
+    a = shortlist.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        norm_col(F.col("embedding")).alias("a_nrm"),
+    )
+    b = shortlist.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        norm_col(F.col("embedding")).alias("b_nrm"),
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                dot_col(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_nrm") * F.col("b_nrm"))
+            ).alias("sim"),
+        )
+    )
+    # the greedy loop nests each round's plan inside the next —
+    # checkpoint the (bounded: C and C² rows) stage-2 inputs once and
+    # each round's 1-row pick, or the composed lineage grows
+    # exponentially (the Lloyd-loop discipline, similarity.py)
+    sims = sims.localCheckpoint(eager=True)
+    rel = shortlist.select("vec_id", "rel").localCheckpoint(eager=True)
+
+    pick = (
+        rel.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("pick_no"),
+            "vec_id",
+            F.col("rel").alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = pick
+    selected = pick.select("vec_id")
+    for r in range(2, MMR_K + 1):
+        scored = (
+            rel.join(selected, "vec_id", "left_anti")
+            .join(
+                sims.join(
+                    selected.select(F.col("vec_id").alias("b")), "b"
+                ).select(F.col("a").alias("vec_id"), "sim"),
+                "vec_id",
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                "vec_id",
+                (
+                    F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
+                ).alias("score"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("pick_no"), "vec_id", "score")
+            .localCheckpoint(eager=True)
+        )
+        picks = picks.unionByName(pick)
+        selected = selected.unionByName(pick.select("vec_id"))
+    return picks

@@ -197,6 +197,7 @@ _OPERATOR_MODULES = [
     # them in r11)
     "jobminer_spark.operators.lakeaudit",
     "jobminer_spark.operators.cdc",
+    "jobminer_spark.operators.mmr",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
@@ -298,7 +299,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         _QUERY_MODULE[name] = fn.__module__
         if oracle is not None:
             ORACLES[name] = oracle
-        return pinned
+        # return the ORIGINAL so intra-module callers keep the full
+        # signature (optional kwargs like max_df_frac); every
+        # registry/driver path goes through the pinned wrapper above,
+        # and direct calls nested inside another registered query run
+        # under that outer query's pin
+        return fn
 
     return deco
 
