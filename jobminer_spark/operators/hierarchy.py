@@ -1,0 +1,140 @@
+"""Recursive hierarchy traversal — the WITH RECURSIVE capability
+class (org charts, bill-of-materials, category trees, referral
+chains) that a complete analytics engine must express even though
+Spark SQL has no recursive CTE: the logical recursion becomes a
+driver-coordinated iterate-until-fixpoint loop of bounded joins (the
+connected-components / Lloyd discipline), while the DuckDB oracle
+states the SAME computation as a genuine ``WITH RECURSIVE`` — the
+two engines' answers must agree row-for-row.
+
+The hierarchy is derived deterministically from the customer
+dimension: ``parent(k) = (k-1) div 4`` — a 4-ary tree rooted at key
+0, depth ⌈log₄ n⌉ (4 at sf0.001, 7 at sf0.1), so iteration counts
+stay logarithmic in the dimension size.
+
+Scale shape: each BFS round is one equi-join of the frontier against
+the edge table (shuffle on the parent key, frontier bounded by the
+widest tree level); the ancestor-closure loop materializes
+O(n · depth) narrow pairs — the standard closure cost, logarithmic
+rounds. For hierarchies deep enough that per-level rounds hurt
+(linked-list shaped), pointer doubling halves the remaining depth per
+round (the cc_star trick); the fixture tree is shallow, so plain BFS
+is the honest minimal plan. Per-round ``localCheckpoint`` cuts the
+iterative lineage exactly as the Lloyd and MMR loops do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+_FANOUT = 4
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key, parent) of the synthetic 4-ary tree over customer keys."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("key"))
+        .filter(F.col("key") >= 1)
+        .select("key", F.expr(f"(key - 1) div {_FANOUT}").alias("parent"))
+    )
+
+
+@query(
+    "hierarchy_node_depths",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS key, (c_custkey - 1) // {_FANOUT} AS parent
+      FROM customer WHERE c_custkey >= 1
+    ),
+    t AS (
+      SELECT CAST(0 AS BIGINT) AS key, CAST(0 AS BIGINT) AS depth
+      UNION ALL
+      SELECT e.key, t.depth + 1 FROM edges e JOIN t ON e.parent = t.key
+    )
+    SELECT key, depth FROM t
+    """,
+)
+def hierarchy_node_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth of every node from the root: BFS frontier expansion,
+    one join per level, terminating when the frontier empties —
+    Spark's spelling of the oracle's recursive CTE."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    frontier = spark.range(1).select(
+        F.lit(0).cast("long").alias("key"), F.lit(0).cast("long").alias("depth")
+    )
+    all_depths = frontier
+    while True:
+        nxt = (
+            edges.join(
+                frontier.select(F.col("key").alias("parent"), "depth"), "parent"
+            )
+            .select("key", (F.col("depth") + 1).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        all_depths = all_depths.unionByName(nxt)
+        frontier = nxt
+    return all_depths
+
+
+@query(
+    "hierarchy_subtree_rollup",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS key, (c_custkey - 1) // {_FANOUT} AS parent
+      FROM customer WHERE c_custkey >= 1
+    ),
+    pairs AS (
+      SELECT c_custkey AS node, c_custkey AS anc FROM customer
+      UNION ALL
+      SELECT p.node, e.parent FROM pairs p JOIN edges e ON e.key = p.anc
+    ),
+    bal AS (
+      SELECT c_custkey AS node,
+             CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_q
+      FROM customer
+    )
+    SELECT p.anc AS key,
+           COUNT(*) AS n_subtree,
+           CAST(SUM(b.bal_q) AS BIGINT) AS subtree_balance_q
+    FROM pairs p JOIN bal b ON b.node = p.node
+    GROUP BY p.anc
+    """,
+)
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node SUBTREE aggregate (descendant count incl. self, and
+    integer-cents balance sum) for every node in the tree: the
+    ancestor closure is built by walking each node's parent chain one
+    step per round — O(n·depth) narrow pairs, logarithmic rounds —
+    then one grouped aggregation on the ancestor key. Equals the
+    oracle's recursive-closure GROUP BY exactly."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_q"),
+    )
+    pairs = nodes.select("node", F.col("node").alias("anc"))
+    cur = pairs.localCheckpoint(eager=True)
+    while True:
+        cur = (
+            cur.join(edges.select(F.col("key").alias("anc"), "parent"), "anc")
+            .select("node", F.col("parent").alias("anc"))
+            .localCheckpoint(eager=True)
+        )
+        if cur.count() == 0:
+            break
+        pairs = pairs.unionByName(cur)
+    return (
+        pairs.join(nodes, "node")
+        .groupBy(F.col("anc").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_subtree"),
+            F.sum("bal_q").alias("subtree_balance_q"),
+        )
+    )

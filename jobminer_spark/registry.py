@@ -198,6 +198,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.lakeaudit",
     "jobminer_spark.operators.cdc",
     "jobminer_spark.operators.mmr",
+    "jobminer_spark.operators.hierarchy",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
