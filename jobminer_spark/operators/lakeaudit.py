@@ -146,6 +146,46 @@ def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
         F.count(F.lit(1)).alias("n"), F.sum("price_q").alias("ck")
     ).first()
 
+    # change data feed v1→v3, captured HERE (pre-vacuum: the vacuum
+    # audit deletes v1, so the diff must come from the scenario run,
+    # not a later read). Bounded: changed + inserted rows only.
+    old = read_snapshot(spark, table, 1).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("price_q").alias("old_price_q"),
+    )
+    new = read_snapshot(spark, table, 3).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("new_status"),
+        F.col("price_q").alias("new_price_q"),
+    )
+    feed = (
+        new.join(old, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.when(F.col("old_status").isNull(), "insert")
+            .when(F.col("old_status") != F.col("new_status"), "status")
+            .when(F.col("old_price_q") != F.col("new_price_q"), "price")
+            .alias("change_type"),
+            "old_status",
+            "new_status",
+            "old_price_q",
+            "new_price_q",
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+    change_rows = [
+        (
+            r["o_orderkey"],
+            r["change_type"],
+            r["old_status"],
+            r["new_status"],
+            r["old_price_q"],
+            r["new_price_q"],
+        )
+        for r in feed.collect()
+    ]
+
     result = {
         "n_rows_v1": r1["n"],
         "checksum_v1": r1["ck"],
@@ -162,6 +202,7 @@ def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
         "checksum_v3": r3["ck"],
         "tt_n_rows": tt["n"],
         "tt_checksum": tt["ck"],
+        "change_rows": change_rows,
     }
     from jobminer_spark.lakehouse import _read_manifest
 
@@ -261,6 +302,48 @@ def lakehouse_pruning_travel_audit(spark: SparkSession, sf_dir: str) -> DataFram
             ("tt_checksum", s["tt_checksum"]),
         ],
     )
+
+
+@query(
+    "lakehouse_change_feed",
+    oracle=f"""
+    SELECT o_orderkey, 'status' AS change_type,
+           o_orderstatus AS old_status, 'X' AS new_status,
+           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS old_price_q,
+           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS new_price_q
+    FROM orders
+    WHERE o_orderkey < {_UPD_MAX} AND o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, 'price',
+           o_orderstatus, o_orderstatus,
+           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT),
+           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) + 1
+    FROM orders
+    WHERE o_orderkey >= {_BUMP_LO} AND o_orderkey < {_BUMP_HI}
+    UNION ALL
+    SELECT o_orderkey + {_INS_OFFSET}, 'insert',
+           CAST(NULL AS VARCHAR), 'N',
+           CAST(NULL AS BIGINT),
+           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % {_INS_MOD} = 0
+    """,
+)
+def lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between table versions (the Delta CDF
+    analogue): the row-level diff of snapshot v1 → v3 — every status
+    transition, price bump, and insert with its before/after values —
+    read from the REAL versioned table (captured during the scenario,
+    before the vacuum audit retires v1) and pinned row-for-row against
+    the oracle's independent derivation from the source data. Feeds
+    downstream incremental consumers the same way cdc.py consumes a
+    change stream — the produce side of that contract."""
+    s = _run_scenario(spark, sf_dir)
+    schema = (
+        "o_orderkey long, change_type string, old_status string, "
+        "new_status string, old_price_q long, new_price_q long"
+    )
+    return spark.createDataFrame(s["change_rows"], schema)
 
 
 _VACUUM_CACHE: dict[tuple[str, str], dict] = {}
