@@ -534,3 +534,64 @@ def test_global_window_inputs_are_dimension_sized(spark):
     # surrogate_key_assignment input: the customer dimension
     n_cust = load_table(spark, SF_DIR, "customer").count()
     assert QUERIES["surrogate_key_assignment"](spark, SF_DIR).count() <= n_cust
+
+
+def test_cdc_apply_no_cartesian_partial_agg(spark):
+    """latest-per-key must partial-aggregate (struct MAX →
+    ObjectHashAggregate, map-side + final); the apply join is keyed
+    (full outer ⇒ sort-merge — Spark cannot broadcast full outer),
+    never cartesian."""
+    plan = _plan(spark, "cdc_apply_snapshot")
+    assert "CartesianProduct" not in plan
+    # struct MAX compiles to SortAggregate — still two phases
+    # (map-side partial + final), just sort-based rather than hashed
+    n_aggs = sum(plan.count(k) for k in
+                 ("SortAggregate", "ObjectHashAggregate", "HashAggregate"))
+    assert n_aggs >= 2
+    assert "FullOuter" in plan
+
+
+def test_hierarchy_rollup_broadcasts_edges(spark):
+    """The closure loop's per-round join against the (dimension-sized,
+    checkpointed) edge table must broadcast; the final rollup is a
+    partial-aggregated groupBy on the ancestor key."""
+    plan = _plan(spark, "hierarchy_subtree_rollup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_mmr_stage1_is_take_ordered_not_window(spark):
+    """The corpus-touching stage must compile to a distributed partial
+    top-k (TakeOrderedAndProject), NOT a global-window rank — the
+    shortlist cut is the only full-corpus pass MMR makes."""
+    plan = _plan(spark, "mmr_diverse_topk")
+    assert "CartesianProduct" not in plan
+    # the final plan is the union of checkpointed 1-row picks; the
+    # TakeOrdered shape is asserted on the stage-1 builder directly
+    from jobminer_spark.operators.mmr import MMR_QUERY_VEC
+    from jobminer_spark.operators.common import dot_col, norm_col
+    from jobminer_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb"),
+        norm_col(F.col("embedding")).alias("q_nrm"),
+    )
+    stage1 = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_col(F.col("embedding"), F.col("q_emb"))
+                / (F.col("q_nrm") * norm_col(F.col("embedding")))
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(24)
+    )
+    p1 = physical_plan(stage1)
+    assert "TakeOrderedAndProject" in p1
+    assert "Window" not in p1
