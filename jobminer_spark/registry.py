@@ -307,6 +307,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # built — runtime-settable, same discipline as the
             # nanosAsLong loader pin (sources/parquet.py).
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # ANSI semantics are likewise pinned (Spark 4's default,
+            # but the driver's session config is not ours): overflow/
+            # cast behavior changes silently under ansi=false, and
+            # every query was validated under ANSI — freeze it.
+            spark.conf.set("spark.sql.ansi.enabled", "true")
             return fn(spark, sf_dir)
 
         QUERIES[name] = pinned
