@@ -212,6 +212,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.cdc",
     "jobminer_spark.operators.mmr",
     "jobminer_spark.operators.hierarchy",
+    "jobminer_spark.operators.twap",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
