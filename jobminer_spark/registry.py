@@ -213,6 +213,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.mmr",
     "jobminer_spark.operators.hierarchy",
     "jobminer_spark.operators.twap",
+    "jobminer_spark.operators.sqlsurface",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
