@@ -1,0 +1,89 @@
+"""transformWithStateInPandas — Spark 4's arbitrary-stateful
+streaming API (the successor of applyInPandasWithState: explicit
+typed state handles, timers, TTL) — exercised for real on the events
+stream.
+
+The processor keeps one ValueState row per user: event count and the
+1e-3-quantized integer value sum. INTEGER accumulation is the point —
+the applyInPandasWithState twin (stateful.running_user_totals)
+accumulates Python floats and must be parity-checked under a
+tolerance, while this state is exact long arithmetic, so its final
+per-user rows hash-pin against the batch aggregation with zero
+tolerance machinery.
+
+Scale shape: state is two longs per key in the state store; each
+micro-batch touches only the keys present in the batch (per-key Arrow
+batches), and the update-mode output emits one row per touched key —
+the standard bounded-state streaming aggregate.
+
+ENVIRONMENT-BLOCKED in this container (diagnosed r10): the
+transformWithState Python worker speaks protobuf over the state
+server socket, and neither ``protobuf`` nor ``grpc`` is installed
+(``pip install`` unavailable offline) — the driver-side
+schema-validation worker crashes at bootstrap
+("TransformWithStateInPySpark driver worker exited unexpectedly")
+before user ``init()`` ever runs, reproduced on a minimal rate-source
+pipeline with RocksDBStateStoreProvider set. The operator is
+therefore NOT a registered driver query; ``tests/test_streaming.py``
+carries a protobuf-gated parity test that activates on any cluster
+with the dependency, and the applyInPandasWithState twin
+(stateful.running_user_totals + audits.stream_stateful_parity) keeps
+the arbitrary-stateful surface driver-attested meanwhile.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+VQ = 1000  # 1e-3 value quanta — exact in double, headroom-safe in long
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user (n_events, vq_sum) in exact integer ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("totals", "n LONG, vq LONG")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, vq = 0, 0
+        if self._state.exists():
+            prev = self._state.get()
+            n, vq = int(prev[0]), int(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            # floor(value·1000) per row, summed as Python ints — the
+            # same quantization recipe the batch side uses
+            vq += int(sum(math.floor(v * VQ) for v in pdf["value"]))
+        self._state.update((n, vq))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "vq_sum": [vq]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """The stream: per-user exact running totals via
+    transformWithStateInPandas in update mode."""
+    return (
+        events.selectExpr("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType="user_id LONG, n_events LONG, vq_sum LONG",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

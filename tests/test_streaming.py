@@ -260,3 +260,58 @@ def test_funnel_state_machine_survives_micro_batches():
     out = list(_update_funnel_state((7,), iter([b2]), s))[0]
     assert (out.t1[0], out.t2[0], out.t3[0]) == (10, 20, 30)
     assert s.get == (10, 20, 30)
+
+
+def test_transform_with_state_parity_when_protobuf_available(spark):
+    """transformWithStateInPandas (Spark 4's newest stateful API —
+    streaming/tws.py) pinned exactly against the batch aggregation.
+    The state-server protocol needs protobuf, which this container
+    lacks (pip unavailable offline; the worker crashes at bootstrap,
+    diagnosed r10) — the test activates automatically on any
+    environment that has it."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.sources import load_table
+    from jobminer_spark.streaming.tws import VQ, running_totals_tws
+    from jobminer_spark.streaming.windows import (
+        _drained_once,
+        streaming_events_source,
+    )
+    from tests.conftest import SF_DIR
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    drained = _drained_once(
+        "tws_totals",
+        spark,
+        SF_DIR,
+        lambda: running_totals_tws(streaming_events_source(spark, SF_DIR)),
+        output_mode="update",
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "vq_sum")
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum(F.floor(F.col("value") * VQ).cast("long")).alias("b_vq"),
+        )
+    )
+    j = batch.join(final, "user_id", "full_outer")
+    bad = j.filter(
+        ~F.col("b_n").eqNullSafe(F.col("n_events"))
+        | ~F.col("b_vq").eqNullSafe(F.col("vq_sum"))
+    ).count()
+    assert bad == 0
