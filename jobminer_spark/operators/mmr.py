@@ -149,49 +149,38 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    # the greedy loop nests each round's plan inside the next —
-    # checkpoint the (bounded: C and C² rows) stage-2 inputs once and
-    # each round's 1-row pick, or the composed lineage grows
-    # exponentially (the Lloyd-loop discipline, similarity.py)
-    sims = sims.localCheckpoint(eager=True)
-    rel = shortlist.select("vec_id", "rel").localCheckpoint(eager=True)
+    rel = shortlist.select("vec_id", "rel")
+    # Stage 2 runs ON THE DRIVER over the collected C-row/C²-row
+    # tables — bounded by the design constants, corpus-independent,
+    # exactly where a production re-ranker runs its greedy loop. The
+    # pure-DataFrame formulation was measured first: per-round
+    # checkpointed limit(1) picks cost ~30 tiny shuffle stages of
+    # scheduler overhead (26 s at sf0.1 vs ~3 s for the same corpus
+    # work here), and an un-checkpointed composition grows the plan
+    # exponentially. All FLOAT values are computed by Spark above and
+    # only compared/combined below with the identical IEEE double ops
+    # (0.5·rel − 0.5·max) the oracle's SQL performs, so the driver
+    # loop cannot introduce cross-engine drift.
+    rel_rows = {r["vec_id"]: r["rel"] for r in rel.collect()}
+    sim_rows: dict[int, dict[int, float]] = {}
+    for r in sims.collect():
+        sim_rows.setdefault(r["a"], {})[r["b"]] = r["sim"]
 
-    pick = (
-        rel.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).cast("long").alias("pick_no"),
-            "vec_id",
-            F.col("rel").alias("score"),
-        )
-        .localCheckpoint(eager=True)
+    first = min(rel_rows.items(), key=lambda kv: (-kv[1], kv[0]))
+    picks = [(1, first[0], first[1])]
+    selected = [first[0]]
+    for rnd in range(2, MMR_K + 1):
+        best: tuple | None = None
+        for vid, rv in rel_rows.items():
+            if vid in selected:
+                continue
+            maxsim = max(sim_rows[vid][s] for s in selected)
+            score = 0.5 * rv - 0.5 * maxsim
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, score)
+        picks.append((rnd, best[1], best[2]))
+        selected.append(best[1])
+    return spark.createDataFrame(
+        picks, "pick_no long, vec_id long, score double"
     )
-    picks = pick
-    selected = pick.select("vec_id")
-    for r in range(2, MMR_K + 1):
-        scored = (
-            rel.join(selected, "vec_id", "left_anti")
-            .join(
-                sims.join(
-                    selected.select(F.col("vec_id").alias("b")), "b"
-                ).select(F.col("a").alias("vec_id"), "sim"),
-                "vec_id",
-            )
-            .groupBy("vec_id", "rel")
-            .agg(F.max("sim").alias("maxsim"))
-            .select(
-                "vec_id",
-                (
-                    F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
-                ).alias("score"),
-            )
-        )
-        pick = (
-            scored.orderBy(F.col("score").desc(), "vec_id")
-            .limit(1)
-            .select(F.lit(r).cast("long").alias("pick_no"), "vec_id", "score")
-            .localCheckpoint(eager=True)
-        )
-        picks = picks.unionByName(pick)
-        selected = selected.unionByName(pick.select("vec_id"))
-    return picks
