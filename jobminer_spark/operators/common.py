@@ -47,6 +47,29 @@ QUANT = 1_000_000_000_000_000  # 1e15; 64 dims of unit-ish floats fits long
 # (r7 ADVICE item 3).
 EMB_DIMS = 64
 
+# The probe itself is cached per (session, source): parquet schemas
+# carry no array length, so the width needs one 1-row job — but ONE
+# per session, not one serialized ahead of every PQ/LSH query's real
+# plan (VERDICT r9 item 4).
+_DIM_PROBE_CACHE: dict[tuple[str, str], int | None] = {}
+
+
+def probed_embedding_dims(emb) -> int | None:
+    """Embedding width from the data (None for an empty corpus),
+    cached per (SparkSession, source files) so repeated queries in a
+    driver window pay a single probe job. Frames with no input files
+    (synthetic test frames) bypass the cache — their identity can't
+    be keyed safely, and they are never the per-round hot path."""
+    files = emb.inputFiles()
+    if not files:
+        first = emb.select(F.size(F.col("embedding")).alias("d")).first()
+        return None if first is None else first["d"]
+    key = (emb.sparkSession.sparkContext.applicationId, min(files))
+    if key not in _DIM_PROBE_CACHE:
+        first = emb.select(F.size(F.col("embedding")).alias("d")).first()
+        _DIM_PROBE_CACHE[key] = None if first is None else first["d"]
+    return _DIM_PROBE_CACHE[key]
+
 VEC_NORMS_CTE = f"""
     elems AS (
       SELECT vec_id, CAST(v AS DOUBLE) AS val, ord FROM (

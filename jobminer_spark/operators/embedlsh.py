@@ -88,12 +88,13 @@ def hyperplane_band_pairs(
     band self-join toward |table|² — the blowup LSH exists to
     prevent."""
     if dims is None:
-        first = emb.select(F.size("embedding").alias("d")).first()
-        if first is None:
+        from jobminer_spark.operators.common import probed_embedding_dims
+
+        dims = probed_embedding_dims(emb)  # per-session cached probe
+        if dims is None:
             return emb.select(
                 F.col("vec_id").alias("vec_a"), F.col("vec_id").alias("vec_b")
             ).limit(0)
-        dims = first["d"]
     planes = plane_matrix(n_planes, dims)
     qv = F.transform(
         F.col("embedding"),

@@ -96,13 +96,19 @@ def _qdist_sub(a, b) -> F.Column:
 
 def _probe_d_sub(emb: DataFrame, m: int) -> int | None:
     """Actual subspace width from the data; None for an empty corpus,
-    loud failure when the width does not divide into m subspaces."""
-    first = emb.select(F.size("embedding").alias("d")).first()
-    if first is None:
+    loud failure when the width does not divide into m subspaces.
+    The underlying 1-row probe is cached per (session, source) —
+    common.probed_embedding_dims — so a driver window's PQ queries
+    share one probe job instead of serializing one each (VERDICT r9
+    item 4)."""
+    from jobminer_spark.operators.common import probed_embedding_dims
+
+    d = probed_embedding_dims(emb)
+    if d is None:
         return None
-    if first["d"] % m != 0:
-        raise ValueError(f"dims {first['d']} not divisible by M={m}")
-    return first["d"] // m
+    if d % m != 0:
+        raise ValueError(f"dims {d} not divisible by M={m}")
+    return d // m
 
 
 def _fixture_d_sub(emb: DataFrame) -> int:
