@@ -79,18 +79,23 @@ def _mmr_oracle() -> str:
       ORDER BY q.dot / (n0.nrm * nc.nrm) DESC, q.vec_id
       LIMIT {MMR_SHORTLIST}
     ),
+    sel_elems AS MATERIALIZED (
+      SELECT e.vec_id, e.val, e.ord
+      FROM elems e JOIN shortlist s ON s.vec_id = e.vec_id
+    ),
+    pair_dots AS (
+      SELECT ea.vec_id AS a, eb.vec_id AS b,
+             CAST(SUM(CAST(floor(ea.val * eb.val * {_QUANT_SQL}) AS BIGINT)) AS DOUBLE)
+               / {_QUANT_SQL} AS dot
+      FROM sel_elems ea JOIN sel_elems eb
+        ON eb.ord = ea.ord AND eb.vec_id <> ea.vec_id
+      GROUP BY ea.vec_id, eb.vec_id
+    ),
     sims AS MATERIALIZED (
-      SELECT sa.vec_id AS a, sb.vec_id AS b,
-             (SELECT CAST(SUM(CAST(floor(ea.val * eb.val * {_QUANT_SQL}) AS BIGINT)) AS DOUBLE)
-                / {_QUANT_SQL}
-              FROM elems ea JOIN elems eb
-                ON eb.vec_id = sb.vec_id AND eb.ord = ea.ord
-              WHERE ea.vec_id = sa.vec_id)
-               / (na.nrm * nb.nrm) AS sim
-      FROM shortlist sa
-      JOIN shortlist sb ON sb.vec_id <> sa.vec_id
-      JOIN norms na ON na.vec_id = sa.vec_id
-      JOIN norms nb ON nb.vec_id = sb.vec_id
+      SELECT p.a, p.b, p.dot / (na.nrm * nb.nrm) AS sim
+      FROM pair_dots p
+      JOIN norms na ON na.vec_id = p.a
+      JOIN norms nb ON nb.vec_id = p.b
     ),
     p1 AS MATERIALIZED (
       SELECT CAST(1 AS BIGINT) AS pick_no, vec_id, rel AS score
