@@ -215,6 +215,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.hierarchy",
     "jobminer_spark.operators.twap",
     "jobminer_spark.operators.sqlsurface",
+    "jobminer_spark.operators.cusum",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -139,3 +139,46 @@ def test_cdc_latest_is_deterministic_under_repartition(spark, bad_round):
     ).repartition(7)
     out = cdc_latest(ch).collect()
     assert len(out) == 1 and out[0]["nb"] == 490
+
+
+def test_cusum_identity_matches_direct_recursion(spark):
+    """The prefix-sum identity S_i = P_i - min(0, min P_j) must equal
+    the textbook recursion S_i = max(0, S_{i-1} + d_i) — checked
+    per-type against a direct Python fold over the same ordered
+    deviations."""
+    from jobminer_spark import QUERIES, load_all_operators
+    from jobminer_spark.sources import load_table
+    import pyspark.sql.functions as F
+    import math
+
+    load_all_operators()
+    alarms = {
+        (r["event_type"], r["event_id"]): r["s_q"]
+        for r in QUERIES["cusum_changepoint_alarms"](spark, SF_DIR).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append((r["tus"], r["event_id"], r["vq"]))
+    expected = {}
+    for t, rows in by_type.items():
+        rows.sort()
+        target = sum(v for _, _, v in rows) // len(rows)
+        slack = target // 20
+        s = 0
+        for _, eid, v in rows:
+            s = max(0, s + (v - target - slack))
+            if s > target:
+                expected[(t, eid)] = s
+    assert alarms == expected
