@@ -216,6 +216,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.twap",
     "jobminer_spark.operators.sqlsurface",
     "jobminer_spark.operators.cusum",
+    "jobminer_spark.operators.attribution",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
