@@ -56,15 +56,16 @@ _DIM_PROBE_CACHE: dict[tuple[str, str], int | None] = {}
 
 def probed_embedding_dims(emb) -> int | None:
     """Embedding width from the data (None for an empty corpus),
-    cached per (SparkSession, source files) so repeated queries in a
-    driver window pay a single probe job. Frames with no input files
-    (synthetic test frames) bypass the cache — their identity can't
-    be keyed safely, and they are never the per-round hot path."""
-    files = emb.inputFiles()
-    if not files:
-        first = emb.select(F.size(F.col("embedding")).alias("d")).first()
-        return None if first is None else first["d"]
-    key = (emb.sparkSession.sparkContext.applicationId, min(files))
+    cached per (SparkSession, analyzed-plan semantic hash) so repeated
+    queries in a driver window pay a single probe job. The semantic
+    hash distinguishes PROJECTIONS of the same source — a sliced
+    embedding column must re-probe, not inherit the full width (a
+    file-path key broke the divisibility guard, caught by
+    test_pq_encoding_shape_and_guard)."""
+    key = (
+        emb.sparkSession.sparkContext.applicationId,
+        emb._jdf.queryExecution().analyzed().semanticHash(),
+    )
     if key not in _DIM_PROBE_CACHE:
         first = emb.select(F.size(F.col("embedding")).alias("d")).first()
         _DIM_PROBE_CACHE[key] = None if first is None else first["d"]
