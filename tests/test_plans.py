@@ -595,3 +595,29 @@ def test_mmr_stage1_is_take_ordered_not_window(spark):
     p1 = physical_plan(stage1)
     assert "TakeOrderedAndProject" in p1
     assert "Window" not in p1
+
+
+def test_attribution_band_join_is_keyed_not_nested_loop(spark):
+    """The 24h lookback join must hash/merge on the user key with the
+    time band as a post-join predicate — never a nested-loop or
+    cartesian over the event stream."""
+    plan = _plan(spark, "purchase_touch_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cusum_two_frames_share_one_keyed_sort(spark):
+    """Both CUSUM window frames (running sum, running min) ride ONE
+    (event_type) sort; the only other exchange is the per-type
+    parameter aggregate."""
+    plan = _plan(spark, "cusum_changepoint_alarms")
+    assert plan.count(") Window") == 2
+    assert plan.count("hashpartitioning(") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_twap_single_user_exchange(spark):
+    plan = _plan(spark, "time_weighted_avg_value")
+    assert plan.count("hashpartitioning(") == 1
+    assert "user_id" in plan.split("hashpartitioning(", 1)[1][:40]
