@@ -217,6 +217,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.sqlsurface",
     "jobminer_spark.operators.cusum",
     "jobminer_spark.operators.attribution",
+    "jobminer_spark.operators.profiling",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
