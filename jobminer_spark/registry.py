@@ -107,17 +107,18 @@ ORACLES: dict[str, str] = {}
 #     other four, textanalysis(9), tpch(21), similarity's
 #     kmeans_lloyd_clusters (oracle-ified in r10).
 #   round 11 window (PLAN — apply by rewriting _WINDOW_FRONT at the
-#     START of r11): the 15 r10-new queries first — lakeaudit(5:
+#     START of r11): the 19 r10-new queries first — lakeaudit(5:
 #     merge parity, pruning+travel, change feed, vacuum, concurrency),
 #     cdc(3: apply snapshot, apply counts, stream-CDC-lakehouse
-#     parity), mmr(1), hierarchy(2), twap(1), sqlsurface(3) = 15 —
-#     then kmeans_lloyd_clusters (first oracle-checked attestation;
-#     its r9 window row was err:no_oracle) = 16, then the oldest
+#     parity), mmr(1), hierarchy(2), twap(1), sqlsurface(3),
+#     cusum(1), attribution(1), profiling(2) = 19 — then
+#     kmeans_lloyd_clusters (first oracle-checked attestation; its
+#     r9 window row was err:no_oracle) = 20, then the oldest
 #     attestation debt: embedlsh(2), docquality(3), increment(5),
 #     semdedup(1), bloom(1), streamadmit(1), winnow(2),
-#     trainprep(9) = 40, temporal(3), events(6) = 49, and
-#     multimodal's first closes the window at exactly 50. Spills to
-#     r12: multimodal's other three, skills(6), audits' other four,
+#     trainprep(9) = 44, temporal(3) = 47, and events' first three
+#     close the window at exactly 50. Spills to r12: events' other
+#     three, multimodal(4), skills(6), audits' other four,
 #     textanalysis(9), tpch(21), and every r10-window query
 #     (re-attested r10).
 #   invariant: local parity (tests/test_oracle_parity.py) and
