@@ -207,9 +207,9 @@ def session_parity_sides(
       CAST(NULL AS BIGINT) AS session_start_us,
       CAST(NULL AS BIGINT) AS batch_n,
       CAST(NULL AS BIGINT) AS stream_n,
-      (SELECT COALESCE(SUM(CASE WHEN prev_ts IS NULL
+      (SELECT CAST(COALESCE(SUM(CASE WHEN prev_ts IS NULL
                                   OR ts - prev_ts >= INTERVAL 5 MINUTE
-                                THEN 1 ELSE 0 END), 0)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
        FROM (SELECT ts, LAG(ts) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS prev_ts
              FROM events)) AS n_sessions

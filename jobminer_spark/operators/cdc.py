@@ -191,7 +191,7 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT COUNT(*) FROM applied WHERE outcome = 'dupkey_skip')
         AS n_dupkey_skips,
       (SELECT COUNT(*) FROM final) AS n_final,
-      (SELECT SUM(balance_q) FROM final) AS balance_checksum
+      (SELECT CAST(SUM(balance_q) AS BIGINT) FROM final) AS balance_checksum
     """,
 )
 def cdc_apply_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,7 +339,7 @@ def _run_stream_cdc(spark: SparkSession, sf_dir: str) -> dict:
     WITH {_CHANGES_CTE}
     SELECT
       (SELECT COUNT(*) FROM final) AS n_final,
-      (SELECT SUM(balance_q) FROM final) AS balance_checksum,
+      (SELECT CAST(SUM(balance_q) AS BIGINT) FROM final) AS balance_checksum,
       CAST(1 AS BIGINT) AS replay_idempotent
     """,
 )

@@ -233,12 +233,14 @@ def _scalars_df(spark: SparkSession, cols: list[tuple[str, int]]) -> DataFrame:
       (SELECT COUNT(*) FROM orders
         WHERE o_orderkey < {_UPD_MAX} AND o_orderstatus = 'O')
         AS n_status_x,
-      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+      (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+       FROM orders)
         AS checksum_v1,
-      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+      CAST(
+        (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
         + (SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)), 0)
            FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
-        AS checksum_v2
+      AS BIGINT) AS checksum_v2
     """,
 )
 def lakehouse_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +278,8 @@ def lakehouse_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT COUNT(DISTINCT (o_orderkey + {_INS_OFFSET}) // 4096)
        FROM orders WHERE o_orderkey % {_INS_MOD} = 0) AS n_insert_files,
       (SELECT COUNT(*) FROM orders) AS tt_n_rows,
-      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+      (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+       FROM orders)
         AS tt_checksum
     """,
 )
@@ -358,12 +361,13 @@ _VACUUM_CACHE: dict[tuple[str, str], dict] = {}
       (SELECT COUNT(*) FROM orders)
         + (SELECT COUNT(*) FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
         AS n_rows_after,
-      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+      CAST(
+        (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
         + (SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)), 0)
            FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
         + (SELECT COUNT(*) FROM orders
            WHERE o_orderkey >= {_BUMP_LO} AND o_orderkey < {_BUMP_HI})
-        AS checksum_after,
+      AS BIGINT) AS checksum_after,
       CAST(0 AS BIGINT) AS v1_still_readable
     """,
 )
@@ -427,12 +431,13 @@ def lakehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT COUNT(*) FROM orders
         WHERE o_orderkey >= {_BUMP_LO} AND o_orderkey < {_BUMP_HI})
         AS n_bump_applied,
-      (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+      CAST(
+        (SELECT SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) FROM orders)
         + (SELECT COALESCE(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)), 0)
            FROM orders WHERE o_orderkey % {_INS_MOD} = 0)
         + (SELECT COUNT(*) FROM orders
            WHERE o_orderkey >= {_BUMP_LO} AND o_orderkey < {_BUMP_HI})
-        AS checksum_v3
+      AS BIGINT) AS checksum_v3
     """,
 )
 def lakehouse_concurrency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,9 +55,9 @@ _MONTH_EPOCH = 1995 * 12
       FROM monthly GROUP BY segment
     )
     SELECT segment, n_months,
-           n_months * sxy - sx * sy AS slope_num,
-           n_months * sxx - sx * sx AS slope_den,
-           sy AS total_cents
+           CAST(n_months * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_months * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(sy AS BIGINT) AS total_cents
     FROM moments
     """,
 )

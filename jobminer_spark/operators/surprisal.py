@@ -54,7 +54,7 @@ from jobminer_spark.sources import load_table
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           SUM(bits) AS surprisal_bits
+           CAST(SUM(bits) AS BIGINT) AS surprisal_bits
     FROM scored GROUP BY doc_id
     """,
 )

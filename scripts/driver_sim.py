@@ -23,6 +23,23 @@ local[32]):
                        builder config entirely so the session follows
                        the process TZ env — the judge's reproduction
                        setup (TZ=America/New_York + no configs)
+
+r11 hardening (VERDICT r10 items 3/4 — the r10 escape was the ORACLE
+RESULT TYPE: DuckDB SUM(BIGINT) returns HUGEINT, the driver's value
+hash is type-sensitive, and the old Python-int comparison here erased
+the distinction, so three driver rows went red that this sim called
+green):
+  - every oracle's DuckDB result types are checked against the pinned
+    vocabulary {VARCHAR, BIGINT, INTEGER, DOUBLE, BOOLEAN}; any other
+    type (HUGEINT, DECIMAL, FLOAT, UBIGINT, TIMESTAMP, ...) is a TYPE
+    failure even when the fetched Python values compare equal
+    (tests/test_oracle_types.py is the build-time twin of this guard)
+  - floats compare EXACTLY by default (the driver hashes exact
+    values; isclose hid last-ulp drift). --lenient restores the old
+    rel_tol=1e-9 comparison for diagnosis only — committed sweeps run
+    strict.
+  - the header prints pyspark/duckdb versions so a future
+    version-skew escape is diffable against the committed sweeps.
 The effective master/shuffle config and the input fixture forensics
 (file listing + per-table row counts, r7 verdict item 8) are printed
 in the header so a committed sweep is diffable against any future
@@ -45,13 +62,21 @@ from pyspark.sql import SparkSession  # noqa: E402
 from jobminer_spark import ORACLES, QUERIES, load_all_operators  # noqa: E402
 
 MIN3 = "--min3" in sys.argv
-_args = [a for a in sys.argv[1:] if a != "--min3"]
+LENIENT = "--lenient" in sys.argv
+_args = [a for a in sys.argv[1:] if a not in ("--min3", "--lenient")]
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = set(_args[1:])
 
 FIXTURE_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+# The only DuckDB result types any oracle may emit (r11, VERDICT r10
+# item 1b). Every member is proven driver-hash-compatible by at least
+# one green attested row; HUGEINT is proven INCOMPATIBLE (the entire
+# r10 red surface, 3/3 correlation). Keep in sync with
+# tests/test_oracle_types.py.
+ALLOWED_ORACLE_TYPES = {"VARCHAR", "BIGINT", "INTEGER", "DOUBLE", "BOOLEAN"}
 
 
 def _canon(rows, columns):
@@ -87,6 +112,11 @@ def _values_match(a, b):
     for ra, rb in zip(a, b):
         if ra == rb:
             continue
+        if not LENIENT:
+            # Strict mode (the default since r11): the driver hashes
+            # exact values, so any encoded difference — including
+            # last-ulp float drift — is a failure here too.
+            return False
         for va, vb in zip(ra, rb):
             if va == vb:
                 continue
@@ -96,6 +126,17 @@ def _values_match(a, b):
                     continue
             return False
     return True
+
+
+def _oracle_type_violations(con, sql):
+    """DuckDB result types outside the pinned vocabulary, via the
+    relation typer (binds the plan; does not execute it)."""
+    rel = con.sql(sql)
+    return [
+        (c, str(ty))
+        for c, ty in zip(rel.columns, rel.types)
+        if str(ty) not in ALLOWED_ORACLE_TYPES
+    ]
 
 
 def _dump_session_forensics(spark, sf_dir: str) -> None:
@@ -153,10 +194,14 @@ def main() -> None:
         builder = builder.config("spark.sql.shuffle.partitions", shuffle)
     spark = builder.getOrCreate()
     con = duckdb.connect()
+    import pyspark
+
     print(
         f"config: master={master} shuffle={shuffle} tz={tz} "
         f"(session tz at start: "
-        f"{spark.conf.get('spark.sql.session.timeZone')}) sf_dir={SF_DIR}",
+        f"{spark.conf.get('spark.sql.session.timeZone')}) sf_dir={SF_DIR} "
+        f"strict={not LENIENT} "
+        f"pyspark={pyspark.__version__} duckdb={duckdb.__version__}",
         flush=True,
     )
     for t in FIXTURE_TABLES:
@@ -180,10 +225,13 @@ def main() -> None:
             rows = [tuple(r) for r in sdf.collect()]
             t_spark = time.monotonic() - t0
             if name in ORACLES:
+                bad_types = _oracle_type_violations(con, ORACLES[name])
                 res = con.execute(ORACLES[name])
                 dcols = [c[0] for c in res.description]
                 drows = res.fetchall()
-                if sorted(cols) != sorted(dcols):
+                if bad_types:
+                    status = f"TYPE {bad_types}"
+                elif sorted(cols) != sorted(dcols):
                     status = f"SCHEMA {cols} vs {dcols}"
                 elif len(rows) != len(drows):
                     status = f"ROWS {len(rows)} vs {len(drows)}"
