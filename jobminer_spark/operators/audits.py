@@ -264,7 +264,60 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("divergence_class").isNotNull())
     )
-    summary = js.agg(F.count(F.lit(1)).alias("n_sessions")).select(
+    # r11 (VERDICT r10 item 2): the summary scalar is now
+    # DERIVATION-SYMMETRIC — Spark computes n_sessions via the exact
+    # gaps-and-islands rewrite the oracle uses (lag + break flag, the
+    # spelling proven green in dynamic_gap_sessions), not by counting
+    # the session_window join's rows. The scalar can therefore only
+    # diverge if an engine PRIMITIVE (lag/sum/comparison) drifts; a
+    # session_window-vs-islands semantic drift instead surfaces as
+    # tagged window_vs_islands diff rows below — a visible cardinality
+    # with a named class in CORRECTNESS, never a blind red scalar.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    worder = W.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(worder)
+    brk = F.when(
+        prev.isNull() | (F.col("tus") - prev >= 5 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    islands = (
+        ev.select(
+            "user_id",
+            "tus",
+            F.sum(brk).over(
+                worder.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("tus").alias("session_start_us"),
+            F.count(F.lit(1)).alias("i_sn"),
+        )
+        .select("user_id", "session_start_us", "i_sn")
+    )
+    jwi = bs.join(islands, ["user_id", "session_start_us"], "full_outer")
+    wi_cls = (
+        F.when(F.col("b_sn").isNull(), "islands_only")
+        .when(F.col("i_sn").isNull(), "window_only")
+        .when(F.col("b_sn") != F.col("i_sn"), "islands_count_diverging")
+    )
+    wi_diff = (
+        jwi.select(
+            wi_cls.alias("divergence_class"),
+            "user_id",
+            "session_start_us",
+            F.col("b_sn").cast("long").alias("batch_n"),
+            F.col("i_sn").cast("long").alias("stream_n"),
+            F.lit(None).cast("long").alias("n_sessions"),
+        )
+        .filter(F.col("divergence_class").isNotNull())
+    )
+    summary = islands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    ).select(
         F.lit("summary").alias("divergence_class"),
         F.lit(None).cast("long").alias("user_id"),
         F.lit(None).cast("long").alias("session_start_us"),
@@ -272,7 +325,7 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("stream_n"),
         "n_sessions",
     )
-    return summary.unionByName(diff)
+    return summary.unionByName(diff).unionByName(wi_diff)
 
 
 @query(

@@ -1,0 +1,151 @@
+"""Cross-engine environment probe (VERDICT r10 item 3).
+
+Every determinism recipe this repo's 210 oracles lean on bottoms out
+in a small set of engine primitives: ``bin()``-based exact log2,
+double ``floor`` quantization, truncating integer division, ``%`` sign
+behavior, ``split`` on multi-space text, ``lower`` on non-ASCII,
+epoch-microsecond extraction, DECIMAL→cents quantization, correctly
+rounded ``sqrt``, the 1e15 quantize-fold, and exact ``levenshtein``.
+Rounds 7–10 each lost a driver row to an ENVIRONMENT channel the local
+sim had pinned away (local[8] vs local[32], session timezone, and
+finally the DuckDB HUGEINT result type) — every one a multi-round
+blind red because nothing in the attested window *named* the drifting
+primitive.
+
+This query makes the channel visible: both engines evaluate the same
+probe table — one row per primitive, each compared against the same
+hard-coded literal expectation — and emit ONLY the rows whose computed
+value differs, plus exactly one trailing summary row pinning the probe
+count. While both engines are healthy the result is the 1-row summary
+and the driver row is hash-green. If either engine's primitive drifts
+(version skew included — the sim header prints both versions), the
+driver's recorded spark_rows/oracle_rows becomes ``1 + n_drifted`` and
+the extra rows carry the primitive's NAME and both values: a visible,
+named cardinality in CORRECTNESS_r{N}.json instead of a bare red bit.
+
+All output columns are VARCHAR, inside the pinned oracle type
+vocabulary (tests/test_oracle_types.py).
+
+Literal-expectation discipline: bare ``1.15`` parses as DECIMAL(3,2)
+in BOTH dialects, so every float probe casts its literals to DOUBLE
+explicitly — the probe pins IEEE double behavior, not literal-typing
+behavior (which `decimal_cents` pins separately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jobminer_spark.registry import query
+
+# (name, spark_expr, duckdb_expr, expected_literal) — the two
+# expressions are the SAME computation in each dialect's spelling;
+# `expected` is a hard-coded literal, never computed, so each engine
+# is checked against the CONTRACT, not against the other engine.
+_PROBES: list[tuple[str, str, str, str]] = [
+    (
+        "bin_log2",
+        "CAST(length(bin(1234)) - 1 AS STRING)",
+        "CAST(length(bin(1234)) - 1 AS VARCHAR)",
+        "10",
+    ),
+    (
+        "floor_cents",
+        "CAST(CAST(FLOOR(CAST(1.15 AS DOUBLE) * 100.0D) AS BIGINT) AS STRING)",
+        "CAST(CAST(FLOOR(CAST(1.15 AS DOUBLE) * 100.0) AS BIGINT) AS VARCHAR)",
+        "114",
+    ),
+    (
+        "int_div_neg",
+        "CAST((-7) div 2 AS STRING)",
+        "CAST((-7) // 2 AS VARCHAR)",
+        "-3",
+    ),
+    (
+        "int_div_pos",
+        "CAST(7 div 2 AS STRING)",
+        "CAST(7 // 2 AS VARCHAR)",
+        "3",
+    ),
+    (
+        "mod_neg",
+        "CAST((-7) % 3 AS STRING)",
+        "CAST((-7) % 3 AS VARCHAR)",
+        "-1",
+    ),
+    (
+        "split_multispace",
+        "CAST(size(split('a  b', ' ')) AS STRING)",
+        "CAST(len(string_split('a  b', ' ')) AS VARCHAR)",
+        "3",
+    ),
+    (
+        "lower_nonascii",
+        "lower('ÄØÉ')",
+        "lower('ÄØÉ')",
+        "äøé",
+    ),
+    (
+        "epoch_us_day2",
+        "CAST(unix_micros(TIMESTAMP'1970-01-02 00:00:00') AS STRING)",
+        "CAST(epoch_us(TIMESTAMP '1970-01-02 00:00:00') AS VARCHAR)",
+        "86400000000",
+    ),
+    (
+        "decimal_cents",
+        "CAST(CAST(CAST(123.45 AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)",
+        "CAST(CAST(CAST(123.45 AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)",
+        "12345",
+    ),
+    (
+        "sqrt_two",
+        "CAST(sqrt(2.0D) AS STRING)",
+        "CAST(CAST(sqrt(2.0) AS DOUBLE) AS VARCHAR)",
+        "1.4142135623730951",
+    ),
+    (
+        "quant_fold",
+        "CAST(CAST(FLOOR(CAST(0.1 AS DOUBLE) * 3 * 1e15) AS BIGINT) AS STRING)",
+        "CAST(CAST(FLOOR(CAST(0.1 AS DOUBLE) * 3 * 1e15) AS BIGINT) AS VARCHAR)",
+        "300000000000000",
+    ),
+    (
+        "levenshtein",
+        "CAST(levenshtein('kitten', 'sitting') AS STRING)",
+        "CAST(levenshtein('kitten', 'sitting') AS VARCHAR)",
+        "3",
+    ),
+]
+
+
+def _probe_sql(dialect_exprs: int) -> str:
+    """The probe query in one dialect (1 = Spark, 2 = DuckDB): rows
+    where got <> expected, plus the always-emitted summary row whose
+    `got` is the computed probe count and `expected` the literal one —
+    a silently lost probe row is itself a visible value mismatch."""
+    rows = ",\n      ".join(
+        f"('{n}', {se if dialect_exprs == 1 else de}, '{exp}')"
+        for n, se, de, exp in _PROBES
+    )
+    n = len(_PROBES)
+    return f"""
+    WITH probes(probe, got, expected) AS (
+      VALUES
+      {rows}
+    )
+    SELECT probe, got, expected FROM probes WHERE got <> expected
+    UNION ALL
+    SELECT 'summary' AS probe,
+           (SELECT CAST(COUNT(*) AS {"STRING" if dialect_exprs == 1 else "VARCHAR"})
+            FROM probes) AS got,
+           '{n}' AS expected
+    """
+
+
+@query("cross_engine_primitive_probe", oracle=_probe_sql(2))
+def cross_engine_primitive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the probe table Spark-side (same VALUES shape the
+    oracle runs in DuckDB) and emit drifted primitives + the summary.
+    sf_dir is unused by design: the probe pins engine primitives, not
+    data — it must stay green on any fixture."""
+    return spark.sql(_probe_sql(1))

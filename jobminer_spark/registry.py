@@ -106,19 +106,28 @@ ORACLES: dict[str, str] = {}
 #     temporal(3), events(6), multimodal(4), skills(6), audits'
 #     other four, textanalysis(9), tpch(21), similarity's
 #     kmeans_lloyd_clusters (oracle-ified in r10).
-#   round 11 window (PLAN — apply by rewriting _WINDOW_FRONT at the
-#     START of r11): the 19 r10-new queries first — lakeaudit(5:
-#     merge parity, pruning+travel, change feed, vacuum, concurrency),
-#     cdc(3: apply snapshot, apply counts, stream-CDC-lakehouse
-#     parity), mmr(1), hierarchy(2), twap(1), sqlsurface(3),
-#     cusum(1), attribution(1), profiling(2) = 19 — then
-#     kmeans_lloyd_clusters (first oracle-checked attestation; its
-#     r9 window row was err:no_oracle) = 20, then the oldest
-#     attestation debt: embedlsh(2), docquality(3), increment(5),
-#     semdedup(1), bloom(1), streamadmit(1), winnow(2),
-#     trainprep(9) = 44, temporal(3) = 47, and events' first three
-#     close the window at exactly 50. Spills to r12: events' other
-#     three, multimodal(4), skills(6), audits' other four,
+#   round 11 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below; amended from the r10-written plan per VERDICT r10 items
+#     1c/3, which consume four slots at the front): slots 1-3 are the
+#     three r10 red driver rows, each fixed by the BIGINT cast of its
+#     oracle's final aggregate (the judged HUGEINT root cause) —
+#     stream_session_parity (also made derivation-symmetric, item 2),
+#     revenue_trend_slope_per_segment, doc_surprisal_bits; slot 4 is
+#     the new cross_engine_primitive_probe (item 3 — any future
+#     engine-primitive drift becomes a visible named cardinality);
+#     then the 19 r10-new queries — lakeaudit(5: merge parity,
+#     pruning+travel, change feed, vacuum, concurrency — HUGEINT
+#     latents cast away), cdc(3: apply snapshot, apply counts,
+#     stream-CDC-lakehouse parity — same), mmr(1), hierarchy(2),
+#     twap(1), sqlsurface(3), cusum(1), attribution(1),
+#     profiling(2) = 23 — then kmeans_lloyd_clusters (first
+#     oracle-checked attestation; its r9 window row was
+#     err:no_oracle) = 24, then the oldest attestation debt:
+#     embedlsh(2), docquality(3), increment(5), semdedup(1),
+#     bloom(1), streamadmit(1), winnow(2), trainprep(9) = 48, and
+#     temporal's first two close the window at exactly 50.
+#     Spills to r12 (the four-slot rebalance): temporal's third,
+#     events(6), multimodal(4), skills(6), audits' other four,
 #     textanalysis(9), tpch(21), and every r10-window query
 #     (re-attested r10).
 #   invariant: local parity (tests/test_oracle_parity.py) and
@@ -219,6 +228,10 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.cusum",
     "jobminer_spark.operators.attribution",
     "jobminer_spark.operators.profiling",
+    # r11-new modules (registered past the r11 window tail by design —
+    # envprobe is FRONTED at slot 4 via _WINDOW_FRONT per VERDICT r10
+    # item 3)
+    "jobminer_spark.operators.envprobe",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
@@ -228,62 +241,70 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # slot 1: the r7/r8/r9 red driver row — timezone-proofed and
-    # restructured to emit its diff in r10 (VERDICT r9 item 1)
+    # slots 1-3: the three r10 red driver rows, fixed by the BIGINT
+    # cast of each oracle's final aggregate (VERDICT r10 item 1c —
+    # modified modules go first per the rotation invariant);
+    # stream_session_parity is additionally derivation-symmetric now
+    # (item 2: Spark computes the summary scalar via the same
+    # gaps-and-islands rewrite the oracle uses)
     "stream_session_parity",
-    # the 33 r9-new queries, first-ever driver rows
-    "xml_feed_parse_audit",
-    "zip_with_index_audit",
-    "resample_hourly_forward_fill",
-    "trailing_1h_range_totals",
-    "markov_transition_counts",
-    "weighted_sample_topk",
-    "incremental_rollup_audit",
-    "python_datasource_scan_audit",
-    "exact_median_by_event_type",
     "revenue_trend_slope_per_segment",
-    "token_cooccurrence_pairs",
-    "cooccurrence_lift_topk",
-    "association_link_prediction",
-    "er_blocked_match_resolution",
-    "er_funnel_audit",
-    "triangle_count_neardup",
-    "degree_histogram_neardup",
-    "stream_dedup_parity",
-    "trailing_zscore_outliers",
-    "stream_static_join_parity",
     "doc_surprisal_bits",
-    "dq_constraint_audit",
-    "dq_violation_injection_audit",
-    "unpivot_segment_metrics",
-    "ntile_value_quartiles",
-    "pca_power_iteration_audit",
-    "python_stream_datasource_parity",
-    "small_files_compaction_audit",
-    "partitioned_write_pruning_audit",
-    "schema_merge_read_audit",
-    "dynamic_gap_sessions",
-    "stream_dyngap_session_parity",
-    "http_fetch_retry_audit",
-    # dedupe's r9-spilled tail (14) — minhash/simhash REWORKED in r10
-    # (md5-derived hashing, full oracles, zero rows-only)
-    "merge_status_transition",
-    "dedup_exact_text",
-    "ngram_jaccard_top_pairs",
-    "minhash_lsh_neardup",
-    "simhash_fingerprints",
-    "minhash_estimation_audit",
-    "simhash_exactdup_audit",
-    "embedding_neardup_bucketed",
-    "neardup_connected_components",
-    "neardup_edges_prefix_filter",
-    "neardup_cc_star",
-    "neardup_dedup_survivors",
-    "simhash_band_neighbors",
-    "simhash_band_recall_audit",
-    # skew (2) close the window at slot 50
-    "salted_aggregation_equivalence",
-    "salted_join_equivalence",
+    # slot 4: the cross-engine primitive probe (item 3) — engine
+    # drift becomes a named visible cardinality, never a blind red
+    "cross_engine_primitive_probe",
+    # the 19 r10-new queries, first-ever driver rows (lakeaudit/cdc
+    # HUGEINT latents cast away this round)
+    "lakehouse_merge_parity",
+    "lakehouse_pruning_travel_audit",
+    "lakehouse_change_feed",
+    "lakehouse_vacuum_audit",
+    "lakehouse_concurrency_audit",
+    "cdc_apply_snapshot",
+    "cdc_apply_counts",
+    "stream_cdc_lakehouse_parity",
+    "mmr_diverse_topk",
+    "hierarchy_node_depths",
+    "hierarchy_subtree_rollup",
+    "time_weighted_avg_value",
+    "sql_text_pricing_summary",
+    "sql_text_window_running_revenue",
+    "sql_text_join_agg_subquery",
+    "cusum_changepoint_alarms",
+    "purchase_touch_attribution",
+    "value_histogram_equi_width",
+    "hot_key_skew_report",
+    # first oracle-checked attestation (r9's row was err:no_oracle;
+    # oracle-ified in r10 via MATERIALIZED replay CTEs)
+    "kmeans_lloyd_clusters",
+    # oldest attestation debt (r7-attested, rolling forward)
+    "embedding_hyperplane_lsh_topk",
+    "hyperplane_lsh_recall_audit",
+    "doc_repetition_stats",
+    "word_rarity_score",
+    "doc_repetition_profile_multi_n",
+    "incremental_neardup_admission",
+    "contained_document_pairs",
+    "neardup_survivors_with_containment",
+    "incremental_admission_probe",
+    "incremental_index_update_audit",
+    "semantic_dedup_survivors",
+    "bloom_prefilter_counts",
+    "stream_admission_parity",
+    "winnowing_fingerprint_stats",
+    "winnowing_candidate_pairs",
+    "benchmark_decontamination",
+    "document_chunking",
+    "source_mixture_sampling",
+    "quality_weighted_upsample",
+    "pii_redaction",
+    "hll_distinct_audit",
+    "quantile_sketch_audit",
+    "pretraining_prep_funnel",
+    "temperature_mixture_rebalance",
+    # temporal's first two close the window at exactly slot 50
+    "asof_join_last_click_before_purchase",
+    "range_band_join_event_values",
 ]
 
 
