@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 KEY_BUCKET = 4096  # key-range clustering width for data files
+MANIFEST_PAGE_FILES = 10_000  # stats fetch paginates past this
 
 
 class CommitConflict(Exception):
@@ -93,6 +94,21 @@ def _commit(table: str, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+def _strip_file_scheme(p: str) -> str:
+    """``_metadata.file_path`` is a URI — ``file:/tmp/...`` in this
+    Spark build (single-slash form), ``file:///tmp/...`` elsewhere. A
+    naive ``replace("file://", "")`` misses the single-slash form, so
+    every manifest path kept its scheme: Spark reads resolved the URI
+    fine, but ``os.unlink``/``rmtree`` on the scheme-prefixed string
+    silently no-oped (vacuum's swallowed OSError hid it). Parse the
+    URI properly."""
+    from urllib.parse import unquote, urlparse
+
+    if p.startswith("file:"):
+        return unquote(urlparse(p).path)
+    return p
+
+
 def _write_files(
     spark: SparkSession, table: str, df: DataFrame, key_col: str, tag: str
 ) -> list[dict]:
@@ -109,7 +125,27 @@ def _write_files(
         .write.partitionBy("kb")
         .parquet(sub)
     )
-    stats = (
+    # Driver-side manifest bound (stated, tested in
+    # tests/test_lakehouse.py::test_manifest_bound_many_buckets): the
+    # manifest holds one ~150-byte entry per live data file, and files
+    # are one-per-key-bucket, so driver memory is
+    # O(key_range / KEY_BUCKET + merge history). At 10^10 keys and
+    # KEY_BUCKET=4096 that is ~2.4M entries ≈ a few hundred MB — the
+    # point where a production deployment splits the manifest into
+    # Iceberg-style per-bucket-range manifest files behind the same
+    # commit protocol (documented gap: OPERATORS.md). Past
+    # MANIFEST_PAGE_FILES files the stats fetch streams
+    # partition-at-a-time (toLocalIterator) so the transient fetch
+    # never doubles the resident manifest; below it, one collect —
+    # the iterator's per-partition round trips cost more than the
+    # handful of rows they'd bound (measured ~2x on the merge audit).
+    n_files_written = sum(
+        1
+        for _root, _dirs, files in os.walk(sub)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    stats_df = (
         spark.read.parquet(sub)
         .groupBy(F.col("_metadata.file_path").alias("fp"))
         .agg(
@@ -117,11 +153,14 @@ def _write_files(
             F.max(key_col).alias("max_key"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .collect()
     )
+    if n_files_written > MANIFEST_PAGE_FILES:
+        stats = list(stats_df.toLocalIterator())
+    else:
+        stats = stats_df.collect()
     return [
         {
-            "path": r["fp"].replace("file://", ""),
+            "path": _strip_file_scheme(r["fp"]),
             "min_key": r["min_key"],
             "max_key": r["max_key"],
             "n_rows": r["n_rows"],
@@ -262,11 +301,17 @@ def merge_into(
                 ]
             )
             counts = j.agg(
+                F.count(F.lit(1)).alias("n_old"),
                 F.count(F.when(take_update, 1)).alias("nu"),
                 F.count(F.when(take_delete, 1)).alias("nd"),
             ).first()
             n_updates_applied, n_deletes = counts["nu"], counts["nd"]
-            new_files = _write_files(spark, table, rewritten, key, "rw")
+            # A matched-delete can empty the affected files entirely;
+            # writing an empty frame produces no parquet parts and the
+            # stats read in _write_files would fail schema inference.
+            # An emptied file set is simply dropped from the manifest.
+            if counts["n_old"] - n_deletes > 0:
+                new_files = _write_files(spark, table, rewritten, key, "rw")
 
         snapshot_keys = spark.read.parquet(
             *[f["path"] for f in m["files"]]
@@ -294,7 +339,15 @@ def merge_into(
         try:
             _commit(table, manifest)
         except CommitConflict:
-            continue  # rebase: re-read the new latest and re-apply
+            # Rebase: this attempt's freshly written rw-/ins- files are
+            # referenced by NO manifest (the winner's isn't ours) and
+            # would otherwise leak forever — vacuum only sweeps files
+            # referenced by the manifests it retires. Delete the
+            # attempt's data subdirectories before re-applying.
+            for f in new_files + insert_files:
+                d = os.path.dirname(os.path.dirname(f["path"]))
+                shutil.rmtree(d, ignore_errors=True)
+            continue  # re-read the new latest and re-apply
         return {
             "version": base_v + 1,
             "n_files_rewritten": len(new_files),
@@ -340,14 +393,18 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
                 doomed_files.add(p)
         os.unlink(_manifest_path(table, v))
         n_manifests_removed += 1
+    n_files_removed = 0
+    n_unlink_failures = 0
     for p in doomed_files:
         try:
             os.unlink(p)
+            n_files_removed += 1  # count SUCCESSFUL unlinks only
         except OSError:
-            pass
+            n_unlink_failures += 1
     return {
         "n_manifests_removed": n_manifests_removed,
-        "n_files_removed": len(doomed_files),
+        "n_files_removed": n_files_removed,
+        "n_unlink_failures": n_unlink_failures,
     }
 
 

@@ -43,6 +43,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jobminer_spark.operators.common import sweep_stale_dirs
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -264,9 +265,7 @@ def _run_stream_cdc(spark: SparkSession, sf_dir: str) -> dict:
 
     app = spark.sparkContext.applicationId
     root = tempfile.gettempdir()
-    for d in os.listdir(root):
-        if d.startswith("jm_cdc_") and f"jm_cdc_{app}_" not in d:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    sweep_stale_dirs(root, "jm_cdc_", keep_token=f"jm_cdc_{app}_")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     work = os.path.join(root, f"jm_cdc_{app}_{sf_tag}")
     shutil.rmtree(work, ignore_errors=True)
@@ -292,11 +291,21 @@ def _run_stream_cdc(spark: SparkSession, sf_dir: str) -> dict:
         latest = cdc_latest(changes).select(
             "key", F.col("nb").alias("balance_q"), "op"
         )
+        # matched I counts as an UPDATE (latest-wins), not a first-
+        # write-wins skip: if a key's changes ever split across
+        # micro-batches, a later batch's re-signup for an existing key
+        # must overwrite — batches re-deliver in event-time order, so
+        # a matched insert is by construction the later change. Under
+        # the replay run (identical batches re-delivered) overwriting
+        # with the same values keeps the drain idempotent. The parity
+        # fixture additionally drains as a SINGLE micro-batch
+        # (streaming_events_source pins maxFilesPerTrigger), so the
+        # per-batch latest-wins fold equals the oracle's global fold.
         merge_into(
             bdf.sparkSession,
             table,
             latest,
-            matched_condition=lambda j: F.col("__u_op") == "U",
+            matched_condition=lambda j: F.col("__u_op").isin("U", "I"),
             matched_delete=lambda j: F.col("__u_op") == "D",
             insert_condition=lambda u: F.col("op") == "I",
         )

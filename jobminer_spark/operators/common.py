@@ -282,3 +282,31 @@ def norm_col(vec):
 
 def dot_col(a, b):
     return qdot(a, b).cast("double") / F.lit(float(QUANT))
+
+
+def sweep_stale_dirs(
+    root: str, prefix: str, keep_token: str, min_age_s: float = 6 * 3600
+) -> None:
+    """Remove another session's leftover scratch directories under
+    ``root`` matching ``prefix`` — but only ones untouched for
+    ``min_age_s``. The unconditional sweep this replaces yanked LIVE
+    concurrent sessions' lakehouse tables and streaming checkpoints
+    mid-run (their manifest-committed state is not overwrite-tolerant);
+    an mtime age gate keeps the cleanup while making a live victim
+    implausible — any active drain/merge touches its directory far
+    more often than the threshold."""
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    for d in os.listdir(root):
+        if not d.startswith(prefix) or keep_token in d:
+            continue
+        p = os.path.join(root, d)
+        try:
+            if now - os.path.getmtime(p) < min_age_s:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(p, ignore_errors=True)

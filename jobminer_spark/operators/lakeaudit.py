@@ -32,6 +32,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jobminer_spark.operators.common import sweep_stale_dirs
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -72,9 +73,7 @@ def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
     # one fixed dir per (session, sf); dead sessions' dirs are swept
     app = spark.sparkContext.applicationId
     root = tempfile.gettempdir()
-    for d in os.listdir(root):
-        if d.startswith("jm_lake_") and f"jm_lake_{app}_" not in d:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    sweep_stale_dirs(root, "jm_lake_", keep_token=f"jm_lake_{app}_")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     table = os.path.join(root, f"jm_lake_{app}_{sf_tag}")
     shutil.rmtree(table, ignore_errors=True)

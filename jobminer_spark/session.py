@@ -32,6 +32,15 @@ def get_spark(app_name: str = "jobminer_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # Keep the (unused) Hive warehouse dir out of the repo root —
+        # a bare getOrCreate() otherwise materializes ./spark-warehouse
+        # in the cwd on first catalog touch.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/jobminer-spark-warehouse"
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

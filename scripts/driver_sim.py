@@ -185,8 +185,10 @@ def main() -> None:
     master = os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
     tz = os.environ.get("SPARK_GRAFT_TZ", "UTC")
-    builder = SparkSession.builder.master(master).config(
-        "spark.ui.enabled", "false"
+    builder = (
+        SparkSession.builder.master(master)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/jobminer-spark-warehouse")
     )
     if tz != "default":
         builder = builder.config("spark.sql.session.timeZone", tz)
