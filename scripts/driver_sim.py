@@ -180,11 +180,52 @@ def _dump_session_forensics(spark, sf_dir: str) -> None:
     print(f"session forensics -> {out} (n={len(rows)} diverging={n_div})")
 
 
+_WARN_NEEDLE = b"WindowExec: No Partition Defined"
+
+
+class _StderrTap:
+    """Redirect fd 2 (Python AND the Spark JVM write there) into a
+    temp file so per-query spans of the log can be attributed —
+    VERDICT r10 item 6: the sf0.1 sweep's unpartitioned-window WARN
+    count grew 16 -> 36 with no per-query attribution. The captured
+    bytes are replayed to the real stderr at exit, so a shell's
+    `2> sweep.err` artifact is unchanged."""
+
+    def __init__(self) -> None:
+        import tempfile
+
+        self.f = tempfile.NamedTemporaryFile(
+            prefix="jm_sweep_stderr_", delete=False
+        )
+        self.orig = os.dup(2)
+        os.dup2(self.f.fileno(), 2)
+
+    def pos(self) -> int:
+        return os.fstat(self.f.fileno()).st_size
+
+    def count_since(self, start: int) -> int:
+        with open(self.f.name, "rb") as r:
+            r.seek(start)
+            return r.read().count(_WARN_NEEDLE)
+
+    def close(self) -> None:
+        os.dup2(self.orig, 2)
+        os.close(self.orig)
+        with open(self.f.name, "rb") as r:
+            while chunk := r.read(1 << 20):
+                os.write(2, chunk)
+        os.unlink(self.f.name)
+
+
 def main() -> None:
     load_all_operators()
     master = os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
     tz = os.environ.get("SPARK_GRAFT_TZ", "UTC")
+    # The tap must be installed BEFORE the JVM launches: the child
+    # process inherits fd 2 at spawn, so a later dup2 would leave the
+    # JVM writing past the tap.
+    tap = _StderrTap() if os.environ.get("SPARK_GRAFT_TAP", "1") != "0" else None
     builder = (
         SparkSession.builder.master(master)
         .config("spark.ui.enabled", "false")
@@ -216,9 +257,11 @@ def main() -> None:
     t_start = time.monotonic()
     results = {}
     fails = []
+    warn_by_query: dict[str, int] = {}
     for name, fn in QUERIES.items():
         if ONLY and not any(name.startswith(p) for p in ONLY):
             continue
+        warn_start = tap.pos() if tap else 0
         t0 = time.monotonic()
         status = "ok"
         try:
@@ -248,14 +291,25 @@ def main() -> None:
         results[name] = round(dt, 2)
         if status not in ("ok", "rows_only"):
             fails.append((name, status))
+        nw = tap.count_since(warn_start) if tap else 0
+        if nw:
+            warn_by_query[name] = nw
         print(
             f"{dt:7.2f}s (spark {t_spark:5.2f}s)  "
-            f"cum {time.monotonic()-t_start:7.1f}s  {name}  {status}",
+            f"cum {time.monotonic()-t_start:7.1f}s  {name}  {status}"
+            + (f"  global_window_warns={nw}" if nw else ""),
             flush=True,
         )
 
     total = time.monotonic() - t_start
     print(json.dumps({"total_s": round(total, 1), "n": len(results)}))
+    if tap:
+        print(
+            "global_window_warns_by_query:",
+            json.dumps(warn_by_query),
+            json.dumps({"total_warns": sum(warn_by_query.values())}),
+        )
+        tap.close()
     if "stream_session_parity" in results:
         # VERDICT r8 item 1c: commit the drained session rows + the
         # forensic tuple so the NEXT red driver row can be diffed
