@@ -310,3 +310,38 @@ def sweep_stale_dirs(
         except OSError:
             continue
         shutil.rmtree(p, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact decimal → double conversion (identical in both engines)
+# ---------------------------------------------------------------------------
+# DuckDB's CAST(DECIMAL(38,s) AS DOUBLE) can misround by 1 ulp (observed
+# on SUM(value²) at sf0.01: 0x...3c4 vs the correctly rounded 0x...3c3
+# from both Spark and Python's Decimal→float) — the first strict-mode
+# escape, r11. The deterministic chain splits the decimal into integer
+# quotient q and fraction numerator r (both exact int64), then rebuilds
+# with int64→double conversions (correctly rounded in both engines at
+# any magnitude), one correctly-rounded division, and one addition —
+# token-for-token the same IEEE op order on both sides.
+
+
+def dec12_to_double(c: Column) -> Column:
+    """Spark half: ``c`` must be a DECIMAL(38,12) expression. The
+    fraction is cast to DECIMAL(14,12) BEFORE the 1e12 multiply —
+    Spark's product-type rule would otherwise cap precision by
+    SHRINKING the scale to 6 and silently truncate the low digits."""
+    q = F.floor(c).cast("long").cast("double")
+    frac = (c - F.floor(c)).cast("decimal(14,12)")
+    r = (frac * F.lit(1_000_000_000_000).cast("decimal(13,0)")).cast(
+        "long"
+    ).cast("double")
+    return q + r / F.lit(1_000_000_000_000.0)
+
+
+def dec12_to_double_sql(expr: str) -> str:
+    """DuckDB twin of :func:`dec12_to_double` for oracle strings."""
+    return (
+        f"(CAST(CAST(FLOOR({expr}) AS BIGINT) AS DOUBLE)"
+        f" + CAST(CAST(({expr} - FLOOR({expr})) * 1000000000000 AS BIGINT)"
+        f" AS DOUBLE) / 1000000000000.0)"
+    )

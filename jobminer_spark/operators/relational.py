@@ -32,7 +32,13 @@ from jobminer_spark.sources import load_table
 
 # Shared helpers live in operators/common.py (registration-free);
 # re-exported here for backward compatibility.
-from jobminer_spark.operators.common import davg, dsum, ts_str  # noqa: E402,F401
+from jobminer_spark.operators.common import (  # noqa: E402,F401
+    davg,
+    dec12_to_double,
+    dec12_to_double_sql,
+    dsum,
+    ts_str,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -535,20 +541,32 @@ def distinct_counts_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "variance_stats_by_event_type",
-    oracle="""
+    # the ..._sql chain replaces the bare CAST(sxx AS DOUBLE): DuckDB's
+    # direct DECIMAL(38,s)→DOUBLE cast misrounds by 1 ulp on this very
+    # fixture (the first strict-comparator catch, r11) — see
+    # common.dec12_to_double
+    oracle=f"""
     WITH s AS (
       SELECT event_type,
              COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(38,6))) AS sx,
-             SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))) AS sxx
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,12)) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6)))
+                  AS DECIMAL(38,12)) AS sxx
       FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n,
+             {{sx_d}} AS sx_d,
+             {{sxx_d}} AS sxx_d
+      FROM s
     )
     SELECT event_type, n,
-           CAST(sx AS DOUBLE) / n AS mean_value,
-           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-             / (n - 1) AS var_value
-    FROM s
-    """,
+           sx_d / n AS mean_value,
+           (sxx_d - sx_d * sx_d / n) / (n - 1) AS var_value
+    FROM d
+    """.format(
+        sx_d=dec12_to_double_sql("sx"), sxx_d=dec12_to_double_sql("sxx")
+    ),
 )
 def variance_stats_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean/variance per group WITHOUT the engines' stddev builtins:
@@ -562,12 +580,17 @@ def variance_stats_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     xd = F.col("value").cast("decimal(38,6)")
     s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(xd).alias("sx"),
-        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd).cast("decimal(38,12)").alias("sx"),
+        F.sum(xd * xd).cast("decimal(38,12)").alias("sxx"),
     )
-    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
-    n = F.col("n")
-    return s.select(
+    d = s.select(
+        "event_type",
+        "n",
+        dec12_to_double(F.col("sx")).alias("sx_d"),
+        dec12_to_double(F.col("sxx")).alias("sxx_d"),
+    )
+    sx, sxx, n = F.col("sx_d"), F.col("sxx_d"), F.col("n")
+    return d.select(
         "event_type",
         "n",
         (sx / n).alias("mean_value"),

@@ -1,0 +1,149 @@
+"""Token-budget allocation across sources: exact water-filling.
+
+A pretraining run has a token budget B smaller than the corpus; the
+standard fair allocation is water-filling — find the cap c such that
+every source contributes min(total_i, c) and the budget is met:
+sources below the water line contribute everything they have,
+larger sources are truncated at the shared cap. The whole computation
+is exact integer arithmetic (prefix sums + truncating division), so
+both engines reproduce it bit-for-bit — no floats, no ln.
+
+Derivation (sources sorted ascending by total, prefix = running sum):
+k* = the number of sources that fit ENTIRELY under some common cap,
+i.e. the largest k with prefix_k + (n-k)·total_(k) ≤ B; the cap is
+then (B - prefix_k*) div (n - k*). Here B = corpus_total div 2 (a
+50% budget — enough that both exhausted and capped sources exist in
+any skewed fixture).
+
+Scale shape: one groupBy(source) over the corpus (map-side partial
+sums), then all water-filling math happens on the SOURCE DIMENSION
+(|sources| rows — 20 in the fixture, rarely more than thousands in
+production), windowed over that tiny frame. The corpus is touched
+exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+
+_ORACLE = """
+    WITH totals AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    corpus AS (
+      SELECT CAST(SUM(total_tokens) AS BIGINT) // 2 AS budget,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM totals
+    ),
+    ranked AS (
+      -- ascending by (total, source): the tie order never changes the
+      -- cap (equal totals are interchangeable) but keeps both engines'
+      -- prefix sums identical row-for-row
+      SELECT source, total_tokens,
+             ROW_NUMBER() OVER (ORDER BY total_tokens, source) AS k,
+             CAST(SUM(total_tokens) OVER (
+               ORDER BY total_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS prefix
+      FROM totals
+    ),
+    kstar AS (
+      SELECT CAST(COALESCE(MAX(k), 0) AS BIGINT) AS ks
+      FROM ranked, corpus
+      WHERE prefix + (n_src - k) * total_tokens <= budget
+    ),
+    cap_cte AS (
+      SELECT CASE WHEN ks >= n_src THEN (SELECT MAX(total_tokens) FROM totals)
+                  ELSE (budget
+                        - COALESCE((SELECT prefix FROM ranked WHERE k = ks), 0))
+                       // (n_src - ks)
+             END AS cap
+      FROM kstar, corpus
+    )
+    SELECT r.source,
+           r.total_tokens,
+           CASE WHEN r.total_tokens <= c.cap THEN r.total_tokens
+                ELSE c.cap END AS allocated_tokens,
+           CASE WHEN r.total_tokens <= c.cap THEN 1 ELSE 0 END AS exhausted,
+           (CASE WHEN r.total_tokens <= c.cap THEN r.total_tokens
+                 ELSE c.cap END) * 1000 // r.total_tokens AS sample_rate_mill
+    FROM ranked r, cap_cte c
+"""
+
+
+@query("token_budget_waterfill", oracle=_ORACLE)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source allocation under a 50% corpus token budget: the
+    exhausted flag marks sources under the water line; capped sources
+    share the exact integer cap; sample_rate_mill is the per-mille
+    sampling rate a downstream reader applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "total_tokens"
+        )
+    )
+    order = W.orderBy("total_tokens", "source")
+    ranked = totals.select(
+        "source",
+        "total_tokens",
+        F.row_number().over(order).alias("k"),
+        F.sum("total_tokens")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("prefix"),
+    )
+    corpus = totals.agg(
+        F.expr("sum(total_tokens) div 2").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+    )
+    # dimension-sized frames from here down: |sources| rows, broadcast
+    withb = ranked.crossJoin(F.broadcast(corpus))
+    kstar = withb.filter(
+        F.col("prefix") + (F.col("n_src") - F.col("k")) * F.col("total_tokens")
+        <= F.col("budget")
+    ).agg(F.coalesce(F.max("k"), F.lit(0)).cast("long").alias("ks"))
+    prefix_at = (
+        withb.join(F.broadcast(kstar), F.col("k") == F.col("ks"), "inner")
+        .agg(F.coalesce(F.max("prefix"), F.lit(0)).alias("prefix_ks"))
+    )
+    max_total = totals.agg(F.max("total_tokens").alias("max_total"))
+    cap = (
+        corpus.crossJoin(F.broadcast(kstar))
+        .crossJoin(
+            F.broadcast(
+                prefix_at.crossJoin(F.broadcast(max_total))
+            )
+        )
+        .select(
+            F.when(
+                F.col("ks") >= F.col("n_src"), F.col("max_total")
+            )
+            .otherwise(
+                F.expr("(budget - coalesce(prefix_ks, 0)) div (n_src - ks)")
+            )
+            .alias("cap")
+        )
+    )
+    alloc = F.when(
+        F.col("total_tokens") <= F.col("cap"), F.col("total_tokens")
+    ).otherwise(F.col("cap"))
+    return ranked.crossJoin(F.broadcast(cap)).select(
+        "source",
+        "total_tokens",
+        alloc.alias("allocated_tokens"),
+        F.when(F.col("total_tokens") <= F.col("cap"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("exhausted"),
+        F.expr(
+            "(case when total_tokens <= cap then total_tokens else cap end)"
+            " * 1000 div total_tokens"
+        ).alias("sample_rate_mill"),
+    )

@@ -130,6 +130,13 @@ ORACLES: dict[str, str] = {}
 #     events(6), multimodal(4), skills(6), audits' other four,
 #     textanalysis(9), tpch(21), and every r10-window query
 #     (re-attested r10).
+#   round 12 front obligations (rotation invariant — modules
+#     modified or created in r11 outside the r11 window):
+#     variance_stats_by_event_type (relational.py — oracle reworked
+#     onto the dec12_to_double split chain after the strict
+#     comparator caught DuckDB's 1-ulp DECIMAL→DOUBLE misround),
+#     then the r11-new modules seqpack(2), splitguard(2),
+#     tokbudget(1); then the r11 spill list above.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -230,8 +237,11 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.profiling",
     # r11-new modules (registered past the r11 window tail by design —
     # envprobe is FRONTED at slot 4 via _WINDOW_FRONT per VERDICT r10
-    # item 3)
+    # item 3; the rotation plan fronts the others in r12)
     "jobminer_spark.operators.envprobe",
+    "jobminer_spark.operators.seqpack",
+    "jobminer_spark.operators.splitguard",
+    "jobminer_spark.operators.tokbudget",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

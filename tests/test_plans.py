@@ -455,6 +455,12 @@ _GLOBAL_WINDOW_WHITELIST = {
     # share-of-total over one row per skill category (dictionary-
     # bounded: |categories| ~ 10)
     "skill_category_share": 1,
+    # water-filling over the SOURCE dimension: the corpus is reduced
+    # to one row per source by the preceding groupBy, so all three
+    # windows (row_number + running prefix in `ranked`, re-used in
+    # the k* scan) order |sources| rows (20 in the fixture; thousands
+    # at worst in production — see tokbudget.py docstring)
+    "token_budget_waterfill": 3,
 }
 
 # modules whose query builders EXECUTE jobs at build time (stream
@@ -534,6 +540,12 @@ def test_global_window_inputs_are_dimension_sized(spark):
     # surrogate_key_assignment input: the customer dimension
     n_cust = load_table(spark, SF_DIR, "customer").count()
     assert QUERIES["surrogate_key_assignment"](spark, SF_DIR).count() <= n_cust
+    # token_budget_waterfill windows order the source dimension
+    n_src = (
+        load_table(spark, SF_DIR, "documents").select("source").distinct().count()
+    )
+    assert QUERIES["token_budget_waterfill"](spark, SF_DIR).count() == n_src
+    assert n_src <= 32
 
 
 def test_cdc_apply_no_cartesian_partial_agg(spark):
