@@ -235,8 +235,14 @@ def trained_cells_cte() -> str:
         FROM d0) WHERE rn = 1
     ),
     trained AS (
+      -- the inner decimal→double goes through VARCHAR: DuckDB's
+      -- direct DECIMAL→DOUBLE cast misrounds by 1 ulp on ~25% of
+      -- values (r11 finding), and a pre-REAL 1-ulp skew can flip the
+      -- float32 rounding on a boundary; the string bounce is
+      -- correctly rounded in both engines, matching Spark's cast
       SELECT a0.cluster AS cid, e.ord,
-             CAST(CAST(CAST(SUM(CAST(e.val AS DECIMAL(38,12))) AS DOUBLE)
+             CAST(CAST(CAST(CAST(SUM(CAST(e.val AS DECIMAL(38,12)))
+                                 AS VARCHAR) AS DOUBLE)
                        / COUNT(*) AS REAL) AS DOUBLE) AS cx
       FROM a0 JOIN elems e ON e.vec_id = a0.vec_id
       GROUP BY a0.cluster, e.ord
@@ -315,14 +321,24 @@ def sweep_stale_dirs(
 # ---------------------------------------------------------------------------
 # Exact decimal → double conversion (identical in both engines)
 # ---------------------------------------------------------------------------
-# DuckDB's CAST(DECIMAL(38,s) AS DOUBLE) can misround by 1 ulp (observed
-# on SUM(value²) at sf0.01: 0x...3c4 vs the correctly rounded 0x...3c3
-# from both Spark and Python's Decimal→float) — the first strict-mode
-# escape, r11. The deterministic chain splits the decimal into integer
-# quotient q and fraction numerator r (both exact int64), then rebuilds
-# with int64→double conversions (correctly rounded in both engines at
-# any magnitude), one correctly-rounded division, and one addition —
-# token-for-token the same IEEE op order on both sides.
+# DuckDB's CAST(DECIMAL(38,s) AS DOUBLE) MISROUNDS by 1 ulp on ~25% of
+# random values (r11 measurement: 76/300 at scale 18 vs Python's
+# Decimal→float reference; first observed as the strict comparator's
+# catch on SUM(value²) at sf0.01). Spark's decimal→double cast is
+# correctly rounded (0/3000 misrounds across scales 6/12/18). The
+# CANONICAL oracle-side fix is the VARCHAR bounce —
+#   CAST(CAST(<decimal expr> AS VARCHAR) AS DOUBLE)
+# — because decimal→string is exact and string→double parsing is
+# correctly rounded in BOTH engines (0/300 mismatches measured);
+# applied to every decimal-sum oracle in r11 and pinned by
+# tests/test_properties.py::test_decimal_double_string_route_parity.
+# The split chain below predates that finding and remains as a second
+# validated primitive (used by variance_stats_by_event_type): it
+# splits the decimal into integer quotient q and fraction numerator r
+# (both exact int64), then rebuilds with int64→double conversions
+# (correctly rounded in both engines at any magnitude), one
+# correctly-rounded division, and one addition — token-for-token the
+# same IEEE op order on both sides.
 
 
 def dec12_to_double(c: Column) -> Column:

@@ -27,7 +27,7 @@ from jobminer_spark.sources import load_table
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -65,7 +65,7 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM assigned
     GROUP BY w_start
     """,
@@ -111,7 +111,7 @@ def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM sessions
     GROUP BY user_id, session_no
     """,
@@ -143,7 +143,7 @@ def session_window_5m_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_bucket,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY json_extract_string(props, '$.k')::BIGINT % 10
     """,
@@ -168,8 +168,8 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events
     GROUP BY event_type
     """,

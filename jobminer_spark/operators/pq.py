@@ -413,7 +413,7 @@ def _pq_trained_ctes(n_queries: int, shortlist: int) -> str:
     return f"""
     tr_cb AS MATERIALIZED (
       SELECT a.s, a.code AS cid, v.ord,
-             CAST(CAST(CAST(SUM(CAST(v.val AS DECIMAL(38,12))) AS DOUBLE)
+             CAST(CAST(CAST(CAST(SUM(CAST(v.val AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                        / COUNT(*) AS REAL) AS DOUBLE) AS cval
       FROM enc a JOIN vsub v ON v.vec_id = a.vec_id AND v.s = a.s
       GROUP BY a.s, a.code, v.ord

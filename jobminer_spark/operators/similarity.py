@@ -376,11 +376,11 @@ def _ivf_probe_topk(
     ),
     centroid AS (
       SELECT label, ord,
-             CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+             CAST(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
       FROM elems GROUP BY label, ord
     )
     SELECT label,
-           sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS centroid_norm,
+           sqrt(CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)) AS centroid_norm,
            COUNT(*) AS dim
     FROM centroid GROUP BY label
     """,
@@ -629,7 +629,7 @@ def _lloyd3_oracle() -> str:
     ),
     trained2 AS (
       SELECT a1.cluster AS cid, e.ord,
-             CAST(CAST(CAST(SUM(CAST(e.val AS DECIMAL(38,12))) AS DOUBLE)
+             CAST(CAST(CAST(CAST(SUM(CAST(e.val AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                        / COUNT(*) AS REAL) AS DOUBLE) AS cx
       FROM a1 JOIN elems e ON e.vec_id = a1.vec_id
       GROUP BY a1.cluster, e.ord

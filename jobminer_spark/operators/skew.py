@@ -55,7 +55,7 @@ def salted_sum_count(
     "salted_aggregation_equivalence",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag
@@ -102,7 +102,7 @@ def salted_join(
     oracle="""
     WITH dim AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
                AS avg_price
       FROM lineitem GROUP BY l_returnflag)
     SELECT l.l_returnflag,

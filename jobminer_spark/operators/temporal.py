@@ -153,7 +153,7 @@ _BANDS = [
       ('p0350_0500', 350.0, 500.0))
     SELECT band,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events JOIN bands ON value >= lo AND value < hi
     GROUP BY band
     """,

@@ -58,7 +58,7 @@ def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_reporting",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -135,10 +135,10 @@ def q12_priority_class_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue_share",
     oracle="""
     SELECT
-      CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+      CAST(CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
                          THEN l_extendedprice * (1 - l_discount) END
-               AS DECIMAL(38,6))) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+               AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         * 100.0 AS promo_share_pct,
       COUNT(*) AS n_rows
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -171,7 +171,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_orders",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_qty
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey, o_custkey
     HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 120
@@ -197,7 +197,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_disjunctive_predicates",
     oracle="""
     SELECT
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         AS revenue,
       COUNT(*) AS n_rows
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -242,12 +242,12 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_avg_scalar_subquery",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS a
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS a
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c_nationkey,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_bal
     FROM customer, avg_bal
     WHERE c_acctbal > a
       AND NOT EXISTS (
@@ -320,7 +320,7 @@ def grouping_sets_order_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
              AS median_price,
            MIN(n) AS n_orders
     FROM ranked
@@ -360,7 +360,7 @@ def median_order_value_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY year(o_orderdate), month(o_orderdate)
     """,
@@ -462,8 +462,8 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'AMERICA'
     )
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN v
-                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN v
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE)
              / CAST(SUM(v) AS DOUBLE) AS mkt_share
     FROM vol GROUP BY o_year
     """,
@@ -508,8 +508,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
-                AS DOUBLE) AS profit
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -686,7 +685,7 @@ def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
              COUNT(*) AS qcnt
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / 7.0
              AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = lineitem.l_partkey

@@ -916,3 +916,65 @@ def test_trailing_range_window_hour_boundary(spark, tmp_path):
     # user1 trail sums: vq + vq (hour-old event excluded) = 2vq;
     # user2: vq + 2vq = 3vq; user3 peers: 2vq + 2vq = 4vq → 9vq total
     assert got == {"view": (6, 9 * vq, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Decimal→double determinism (r11): the VARCHAR-bounce recipe
+# ---------------------------------------------------------------------------
+
+
+def _random_decimal_strings(seed, n, scale):
+    import random
+
+    rng = random.Random(seed)
+    vals = []
+    for _ in range(n):
+        intpart = rng.randint(0, 10 ** rng.randint(0, 38 - scale - 1))
+        frac = rng.randint(0, 10**scale - 1)
+        v = f"{intpart}.{frac:0{scale}d}"
+        if rng.random() < 0.3:
+            v = "-" + v
+        vals.append(v)
+    return vals
+
+
+def test_decimal_double_string_route_parity(spark, ddb):
+    """The canonical oracle recipe — CAST(CAST(d AS VARCHAR) AS DOUBLE)
+    — must be bit-identical across DuckDB, Spark, and Python's
+    correctly-rounded Decimal→float, at every scale the repo uses."""
+    from decimal import Decimal
+
+    for scale in (6, 12, 18):
+        vals = _random_decimal_strings(scale * 101, 200, scale)
+        rows = ",".join(f"('{v}')" for v in vals)
+        duck = ddb.execute(
+            f"SELECT CAST(CAST(CAST(v AS DECIMAL(38,{scale})) AS VARCHAR)"
+            f" AS DOUBLE) FROM (VALUES {rows}) t(v)"
+        ).fetchall()
+        sp = spark.sql(
+            f"SELECT CAST(CAST(CAST(v AS DECIMAL(38,{scale})) AS STRING)"
+            f" AS DOUBLE) FROM (VALUES {rows}) t(v)"
+        ).collect()
+        for v, d, s in zip(vals, duck, sp):
+            ref = float(Decimal(v))
+            assert d[0] == s[0] == ref, (scale, v, d[0], s[0], ref)
+
+
+def test_duckdb_direct_decimal_cast_still_misrounds(ddb):
+    """Canary for WHY the bounce exists: DuckDB's direct
+    DECIMAL(38,18)→DOUBLE cast misrounds a substantial fraction of
+    random values (76/300 measured at adoption). If a DuckDB upgrade
+    fixes the cast, this canary flips and the bounce can be retired."""
+    from decimal import Decimal
+
+    vals = _random_decimal_strings(7, 300, 18)
+    rows = ",".join(f"('{v}')" for v in vals)
+    duck = ddb.execute(
+        f"SELECT CAST(CAST(v AS DECIMAL(38,18)) AS DOUBLE)"
+        f" FROM (VALUES {rows}) t(v)"
+    ).fetchall()
+    bad = sum(1 for v, d in zip(vals, duck) if d[0] != float(Decimal(v)))
+    assert bad > 0, (
+        "DuckDB's direct decimal→double cast appears correctly rounded "
+        "now — the VARCHAR bounce in the oracles can be simplified away"
+    )
