@@ -60,6 +60,11 @@ HEADLINE = [
     # would make min-of-passes measure a cache hit, not the engine)
     "cdc_apply_snapshot",
     "mmr_diverse_topk",
+    # r11-new families: token-level packing and budget water-filling
+    # (splitguard excluded: its clustering stage IS the
+    # neardup_connected_components headline already timed above)
+    "sequence_packing_stats",
+    "token_budget_waterfill",
 ]
 
 
@@ -86,14 +91,16 @@ def main() -> None:
 
     spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
 
-    # Three passes, report the per-query minimum: pass 1 pays one-time
+    # Five passes (SPARK_GRAFT_BENCH_PASSES; raised from 3 per VERDICT
+    # r10 item 8), report the per-query minimum: pass 1 pays one-time
     # codegen/compile; later passes are steady state. The min also
     # damps the heavy CPU-steal variance of this shared-host VM
     # (measured ~25% of user time historically, with multi-minute
     # bursts that can double a whole pass) — the number recorded is
     # the engine's cost, not the noisy host's.
     timings: dict[str, float] = {}
-    for _pass in range(3):
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    for _pass in range(n_passes):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
@@ -111,7 +118,7 @@ def main() -> None:
                 # each number is the min over `passes` full passes
                 # (pass 1 pays codegen; the min damps host CPU-steal),
                 # so round-over-round deltas are signal, not noise
-                "passes": 3,
+                "passes": n_passes,
                 "timing": "min_per_query_over_passes",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
