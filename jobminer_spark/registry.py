@@ -136,7 +136,13 @@ ORACLES: dict[str, str] = {}
 #     onto the dec12_to_double split chain after the strict
 #     comparator caught DuckDB's 1-ulp DECIMAL→DOUBLE misround),
 #     then the r11-new modules seqpack(2), splitguard(2),
-#     tokbudget(1); then the r11 spill list above.
+#     tokbudget(1), variantops(1); then the modules whose ORACLES
+#     moved to the VARCHAR-bounce decimal→double route in r11
+#     (values unchanged — proven by the strict sweeps — but the
+#     rotation invariant wants fresh driver rows): events(6),
+#     pq's ann_pq_trained_recall, similarity's centroid/trained
+#     rows, skew(2), temporal's range_band, and tpch/relational
+#     (already in the r11 spill list above).
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -242,6 +248,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.seqpack",
     "jobminer_spark.operators.splitguard",
     "jobminer_spark.operators.tokbudget",
+    "jobminer_spark.operators.variantops",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
