@@ -366,6 +366,16 @@ def _ivf_probe_topk(
 
 @query(
     "embedding_label_centroid_norms",
+    # Determinism rework (r11, second strict-comparator catch): the
+    # old spelling cast c*c (a DOUBLE) to DECIMAL(38,18) before
+    # summing — double→decimal conversion rounds differently across
+    # engines on some values (sf0.1 tripped it). Now each centroid
+    # component is floor-quantized to nano units (FLOOR of an
+    # identical double is identical), squared EXACTLY in integer
+    # decimal, summed exactly, and converted once through the VARCHAR
+    # bounce; the only remaining float ops (one divide, one sqrt) are
+    # correctly rounded and identical. The norm is quantized at 1e-9
+    # per component — harmless for a magnitude audit, stated here.
     oracle=f"""
     WITH elems AS (
       SELECT label, CAST(v AS DOUBLE) AS val, ord FROM (
@@ -376,11 +386,15 @@ def _ivf_probe_topk(
     ),
     centroid AS (
       SELECT label, ord,
-             CAST(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
+             CAST(FLOOR(
+               (CAST(CAST(SUM(CAST(val AS DECIMAL(38,18))) AS VARCHAR)
+                     AS DOUBLE) / COUNT(*)) * 1000000000.0
+             ) AS BIGINT) AS c_q
       FROM elems GROUP BY label, ord
     )
     SELECT label,
-           sqrt(CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)) AS centroid_norm,
+           sqrt(CAST(CAST(SUM(CAST(c_q AS DECIMAL(38,0)) * c_q) AS VARCHAR)
+                     AS DOUBLE) / 1e18) AS centroid_norm,
            COUNT(*) AS dim
     FROM centroid GROUP BY label
     """,
@@ -388,20 +402,31 @@ def _ivf_probe_topk(
 def embedding_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (posexplode → mean per dimension) — the
     training step of a real IVF index, expressed as plain relational
-    ops so it shuffles once on (label, dim)."""
+    ops so it shuffles once on (label, dim). Component means are
+    nano-quantized before the norm (see oracle comment)."""
     emb = load_table(spark, sf_dir, "embeddings")
     elems = emb.select("label", F.posexplode("embedding").alias("ord", "v")).select(
         "label", "ord", F.col("v").cast("double").alias("val")
     )
     centroid = elems.groupBy("label", "ord").agg(
-        (
-            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("c")
+        F.floor(
+            (
+                F.sum(F.col("val").cast("decimal(38,18)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1))
+            )
+            * F.lit(1_000_000_000.0)
+        )
+        .cast("long")
+        .alias("c_q")
     )
     return centroid.groupBy("label").agg(
         F.sqrt(
-            F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)")).cast("double")
+            F.sum(F.col("c_q").cast("decimal(38,0)") * F.col("c_q"))
+            .cast("string")
+            .cast("double")
+            / F.lit(1e18)
         ).alias("centroid_norm"),
         F.count(F.lit(1)).alias("dim"),
     )
