@@ -74,7 +74,18 @@ _GROUPED_CTE = f"""
 """
 
 
+_GROUPED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both registered queries consume the same clustering+assignment;
+    # cache the checkpointed frame per (session, fixture) so the
+    # iterative CC fixpoint runs once (the scenario-cache discipline
+    # of audits/lakeaudit). localCheckpoint also cuts the CC loop's
+    # lineage out of downstream plans.
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _GROUPED_CACHE:
+        return _GROUPED_CACHE[cache_key]
     docs = load_table(spark, sf_dir, "documents")
     comp = connected_components_propagation(_neardup_edges(docs)).select(
         "doc_id", "component"
@@ -90,7 +101,7 @@ def _grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # cluster labels cover graph members only — broadcast-size after
     # dedup; the left join never shuffles the full corpus twice
-    return (
+    out = (
         docs.join(F.broadcast(comp), "doc_id", "left")
         .select(
             "doc_id",
@@ -101,7 +112,10 @@ def _grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "naive_split"
             ),
         )
+        .localCheckpoint(eager=True)
     )
+    _GROUPED_CACHE[cache_key] = out
+    return out
 
 
 @query(
