@@ -978,3 +978,45 @@ def test_duckdb_direct_decimal_cast_still_misrounds(ddb):
         "DuckDB's direct decimal→double cast appears correctly rounded "
         "now — the VARCHAR bounce in the oracles can be simplified away"
     )
+
+
+def test_double_to_decimal_conversion_rule(spark, ddb):
+    """The safety rule for casting a COMPUTED double to DECIMAL in an
+    oracle: engines agree iff |x|·10^scale < 2^53 (both then compute
+    the scaled integer exactly). Scale 6 over price-magnitude values
+    agrees 100%; scale 18 diverges on most values (DuckDB scales in
+    double precision, Spark expands the exact binary decimal) — which
+    is why centroid norms quantize with FLOOR instead of casting
+    (similarity.py r11) and why the tpch decimal(38,6) casts are
+    safe as long as per-row magnitudes stay under 2^53/1e6 ≈ 9e9."""
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(3)
+    vals = [
+        repr(rng.uniform(900.0, 105000.0) * (1 - rng.choice([i / 100 for i in range(11)])))
+        for _ in range(300)
+    ]
+    rows = ",".join(f"({v})" for v in vals)
+    d6 = ddb.execute(
+        f"SELECT CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)) AS VARCHAR)"
+        f" FROM (VALUES {rows}) t(v)"
+    ).fetchall()
+    s6 = spark.sql(
+        f"SELECT CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)) AS STRING)"
+        f" FROM (VALUES {rows}) t(v)"
+    ).collect()
+    assert all(Decimal(a[0]) == Decimal(b[0]) for a, b in zip(d6, s6))
+
+    # canary: scale 18 diverges — if this starts passing, the rule
+    # (and the centroid quantization workaround) can be revisited
+    d18 = ddb.execute(
+        f"SELECT CAST(CAST(CAST(v AS DOUBLE)/77777.0 AS DECIMAL(38,18)) AS VARCHAR)"
+        f" FROM (VALUES {rows}) t(v)"
+    ).fetchall()
+    s18 = spark.sql(
+        f"SELECT CAST(CAST(CAST(v AS DOUBLE)/77777.0D AS DECIMAL(38,18)) AS STRING)"
+        f" FROM (VALUES {rows}) t(v)"
+    ).collect()
+    n_diverge = sum(1 for a, b in zip(d18, s18) if Decimal(a[0]) != Decimal(b[0]))
+    assert n_diverge > 0
