@@ -461,6 +461,11 @@ _GLOBAL_WINDOW_WHITELIST = {
     # the k* scan) order |sources| rows (20 in the fixture; thousands
     # at worst in production — see tokbudget.py docstring)
     "token_budget_waterfill": 3,
+    # corpus-wide quintiles over the USER dimension (the small output
+    # of the per-user aggregation, not the event fact table); the
+    # approx-percentile + broadcast-range-join rewrite for fact-sized
+    # user tables is documented in rfm.py's docstring
+    "rfm_segment_census": 3,
 }
 
 # modules whose query builders EXECUTE jobs at build time (stream
@@ -546,6 +551,13 @@ def test_global_window_inputs_are_dimension_sized(spark):
     )
     assert QUERIES["token_budget_waterfill"](spark, SF_DIR).count() == n_src
     assert n_src <= 32
+    # rfm quintile windows order the user dimension (post-aggregation)
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert n_users < n_events  # the window input is the REDUCED frame
+    assert QUERIES["rfm_segment_census"](spark, SF_DIR).count() <= 125
 
 
 def test_cdc_apply_no_cartesian_partial_agg(spark):
