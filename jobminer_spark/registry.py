@@ -136,7 +136,8 @@ ORACLES: dict[str, str] = {}
 #     onto the dec12_to_double split chain after the strict
 #     comparator caught DuckDB's 1-ulp DECIMAL→DOUBLE misround),
 #     then the r11-new modules seqpack(2), splitguard(2),
-#     tokbudget(1), variantops(1), cohort(1), rfm(1); then the modules whose ORACLES
+#     tokbudget(1), variantops(1), cohort(1), rfm(1),
+#     markovattr(1); then the modules whose ORACLES
 #     moved to the VARCHAR-bounce decimal→double route in r11
 #     (values unchanged — proven by the strict sweeps — but the
 #     rotation invariant wants fresh driver rows): events(6),
@@ -251,6 +252,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.variantops",
     "jobminer_spark.operators.cohort",
     "jobminer_spark.operators.rfm",
+    "jobminer_spark.operators.markovattr",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
