@@ -72,3 +72,27 @@ def test_variant_sums_match_raw_columns(spark):
         assert g["sum_mv"] == r["smv"]
         assert g["sum_tag0"] == r["st0"]
         assert g["variant_schema"].startswith("OBJECT<")
+
+
+def test_removal_effects_are_nonnegative_and_bounded(spark):
+    """Removing a channel zeroes a non-negative contribution stream,
+    so the 64-step conversion probability can only fall:
+    0 <= p_without <= p_all, and the per-mille effect is in [0, 1000].
+    Channels cover every non-purchase event type."""
+    from jobminer_spark.operators.markovattr import (
+        attribution_removal_effects,
+    )
+
+    rows = attribution_removal_effects(spark, SF_DIR).collect()
+    assert rows
+    types = {
+        r["event_type"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert {r["channel"] for r in rows} == types - {"purchase"}
+    for r in rows:
+        assert 0 <= r["p_without_q"] <= r["p_all_q"]
+        assert 0 <= r["removal_effect_permille"] <= 1000
