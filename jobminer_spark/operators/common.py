@@ -311,7 +311,20 @@ def sweep_stale_dirs(
             continue
         p = os.path.join(root, d)
         try:
-            if now - os.path.getmtime(p) < min_age_s:
+            # A directory's own mtime does NOT change when files are
+            # created deeper inside it, so the age must be the max
+            # mtime over the dir and its first two levels — merges
+            # touch <table>/_manifests and <table>/data/<sub>, and
+            # checkpoints touch <work>/ck_*/..., all within two
+            # levels, so any live activity refreshes this probe.
+            ages = [os.path.getmtime(p)]
+            for child in os.listdir(p)[:64]:
+                cp = os.path.join(p, child)
+                ages.append(os.path.getmtime(cp))
+                if os.path.isdir(cp):
+                    for gc in os.listdir(cp)[:64]:
+                        ages.append(os.path.getmtime(os.path.join(cp, gc)))
+            if now - max(ages) < min_age_s:
                 continue
         except OSError:
             continue

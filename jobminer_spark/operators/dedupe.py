@@ -991,6 +991,18 @@ _CC_EDGES_CTE = f"""
     )
 """
 
+# The transitive-closure + min-label spelling shared by every
+# CC-family oracle (three queries here + splitguard's two): ONE
+# constant so a future fix to the closure cannot silently diverge the
+# split assignment's clustering from the attested components.
+_CC_REACH_CTE = """\
+    reach(src, dst) AS (
+      SELECT src, dst FROM bidir
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
+    )"""
+
+
 
 @query(
     "neardup_connected_components",
@@ -1382,11 +1394,7 @@ def neardup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_dedup_survivors",
     oracle=f"""
     WITH RECURSIVE {_CC_EDGES_CTE},
-    reach(src, dst) AS (
-      SELECT src, dst FROM bidir
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
-    ),
+{_CC_REACH_CTE},
     comp AS (
       SELECT doc_id, MIN(m) AS component
       FROM (

@@ -248,7 +248,8 @@ def attribution_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     channels = sorted(
         r["event_type"]
         for r in ev.select("event_type").distinct().collect()
-        if r["event_type"] != "purchase"
+        # drop NULLs like the oracle's `event_type <> 'purchase'` does
+        if r["event_type"] is not None and r["event_type"] != "purchase"
     )
 
     def run(removed: str | None) -> int:
@@ -268,18 +269,25 @@ def attribution_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             if removed is not None:
                 nxt[removed] = 0
             p = nxt
-        return p["START"]
+        # an empty corpus has no START state at all — 0-probability,
+        # matching the oracle's empty frame
+        return p.get("START", 0)
 
     p_all = run(None)
     out_rows = []
     for ch in channels:
         pw = run(ch)
-        out_rows.append(
-            (ch, p_all, pw, (p_all - pw) * 1000 // p_all)
-        )
+        # p_all == 0 (a purchase-free corpus): the oracle's x // 0 is
+        # NULL in DuckDB — mirror it rather than raising
+        effect = (p_all - pw) * 1000 // p_all if p_all else None
+        out_rows.append((ch, p_all, pw, effect))
+
+    def lit(v: int | None) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
+
     values = ",".join(
-        f"('{ch}', CAST({pa} AS BIGINT), CAST({pw} AS BIGINT), "
-        f"CAST({re} AS BIGINT))"
+        # escape embedded quotes — channel names come from data
+        f"""('{ch.replace("'", "''")}', {lit(pa)}, {lit(pw)}, {lit(re)})"""
         for ch, pa, pw, re in out_rows
     )
     return spark.sql(

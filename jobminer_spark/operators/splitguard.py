@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from jobminer_spark.operators.common import bucket_sql, hash_bucket
 from jobminer_spark.operators.dedupe import (
     _CC_EDGES_CTE,
+    _CC_REACH_CTE,
     _neardup_edges,
     connected_components_propagation,
 )
@@ -47,11 +48,7 @@ _SPLIT_CASE = "CASE WHEN {b} < 8 THEN 'train' WHEN {b} < 9 THEN 'val' ELSE 'test
 
 _GROUPED_CTE = f"""
     {_CC_EDGES_CTE},
-    reach(src, dst) AS (
-      SELECT src, dst FROM bidir
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN bidir e ON r.dst = e.src
-    ),
+{_CC_REACH_CTE},
     comp AS (
       SELECT doc_id, MIN(m) AS component
       FROM (

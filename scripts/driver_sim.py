@@ -209,8 +209,11 @@ class _StderrTap:
             return r.read().count(_WARN_NEEDLE)
 
     def close(self) -> None:
+        if self.orig is None:  # idempotent: atexit + explicit call
+            return
         os.dup2(self.orig, 2)
         os.close(self.orig)
+        self.orig = None
         with open(self.f.name, "rb") as r:
             while chunk := r.read(1 << 20):
                 os.write(2, chunk)
@@ -224,8 +227,15 @@ def main() -> None:
     tz = os.environ.get("SPARK_GRAFT_TZ", "UTC")
     # The tap must be installed BEFORE the JVM launches: the child
     # process inherits fd 2 at spawn, so a later dup2 would leave the
-    # JVM writing past the tap.
+    # JVM writing past the tap. atexit guarantees fd 2 is restored and
+    # the captured bytes replayed even on an uncaught exception —
+    # otherwise a crash's own traceback would vanish into the temp
+    # file and the diagnostic tool would eat its own diagnostics.
     tap = _StderrTap() if os.environ.get("SPARK_GRAFT_TAP", "1") != "0" else None
+    if tap is not None:
+        import atexit
+
+        atexit.register(tap.close)
     builder = (
         SparkSession.builder.master(master)
         .config("spark.ui.enabled", "false")

@@ -1231,3 +1231,41 @@ def test_ewma_bounded_by_input_range(spark):
         (F.col("ewma_q") < F.col("mn")) | (F.col("ewma_q") > F.col("mx"))
     ).count() == 0
     assert out.count() > 0
+
+
+def test_sweep_stale_dirs_uses_deep_mtime():
+    """A live session's scratch dir whose TOP-LEVEL mtime is old but
+    whose nested files are fresh (the real access pattern — merges
+    touch <table>/data/<sub>, never the root) must NOT be swept; a
+    dir stale at every level must be."""
+    import os
+    import tempfile
+    import time
+
+    from jobminer_spark.operators.common import sweep_stale_dirs
+
+    root = tempfile.mkdtemp(prefix="jm_sweeptest_root_")
+    old = time.time() - 10 * 3600
+
+    live = os.path.join(root, "jm_x_live")
+    os.makedirs(os.path.join(live, "data", "sub"))
+    open(os.path.join(live, "data", "sub", "f.parquet"), "w").close()
+    # top level looks ancient; the depth-2 file is fresh
+    os.utime(live, (old, old))
+    os.utime(os.path.join(live, "data"), (old, old))
+
+    stale = os.path.join(root, "jm_x_stale")
+    os.makedirs(os.path.join(stale, "data", "sub"))
+    open(os.path.join(stale, "data", "sub", "f.parquet"), "w").close()
+    for p, _dirs, files in os.walk(stale, topdown=False):
+        for f in files:
+            os.utime(os.path.join(p, f), (old, old))
+        os.utime(p, (old, old))
+
+    sweep_stale_dirs(root, "jm_x_", keep_token="jm_x_nothing", min_age_s=6 * 3600)
+    assert os.path.exists(live), "live dir swept despite fresh nested mtime"
+    assert not os.path.exists(stale), "stale dir not swept"
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
