@@ -70,7 +70,10 @@ def variation_rows() -> list[tuple[str, str]]:
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    # backslashes first: Spark's default string-literal parser
+    # interprets \-escapes (spark.sql.parser.escapedStringLiterals is
+    # false), so a lone backslash would be re-interpreted downstream
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def values_df(spark: SparkSession, rows, cols: list[str]) -> DataFrame:

@@ -377,23 +377,31 @@ def _sink_parity_scalars(spark: SparkSession, sf_dir: str) -> tuple[int, int, in
     import tempfile
 
     from jobminer_spark.streaming.stateful import foreach_batch_upsert
-    from jobminer_spark.streaming.windows import streaming_events_source
+    from jobminer_spark.streaming.windows import (
+        pinned_drain_shuffle,
+        streaming_events_source,
+    )
 
     keys = ["user_id", "event_type"]
     work = tempfile.mkdtemp(prefix="stream_sink_parity_")
     try:
         sink = os.path.join(work, "sink")
         # run 1: normal drain; run 2: fresh checkpoint => every batch
-        # re-delivered against the already-populated sink
-        for ckpt in ("ck_run1", "ck_run2"):
-            q = foreach_batch_upsert(
-                streaming_events_source(spark, sf_dir).select("event_id", *keys),
-                spark,
-                sink,
-                os.path.join(work, ckpt),
-                keys,
-            )
-            q.awaitTermination()
+        # re-delivered against the already-populated sink. Both drains
+        # pin the shuffle partition count (the per-batch anti-join is
+        # otherwise priced by the session config — VERDICT r11 item 3).
+        with pinned_drain_shuffle(spark):
+            for ckpt in ("ck_run1", "ck_run2"):
+                q = foreach_batch_upsert(
+                    streaming_events_source(spark, sf_dir).select(
+                        "event_id", *keys
+                    ),
+                    spark,
+                    sink,
+                    os.path.join(work, ckpt),
+                    keys,
+                )
+                q.awaitTermination()
         sink_df = spark.read.parquet(sink)
         # bounded driver-side scalars: ONE aggregate for rows+keys,
         # one anti-join count for missing (was three separate jobs)

@@ -311,14 +311,19 @@ def _run_stream_cdc(spark: SparkSession, sf_dir: str) -> dict:
         )
 
     def drain(ckpt: str) -> None:
-        q = (
-            streaming_events_source(spark, sf_dir)
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", os.path.join(work, ckpt))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from jobminer_spark.streaming.windows import pinned_drain_shuffle
+
+        # bounded drain: pin shuffle/state partitions so the per-batch
+        # MERGE cost is session-config-independent (VERDICT r11 item 3)
+        with pinned_drain_shuffle(spark):
+            q = (
+                streaming_events_source(spark, sf_dir)
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", os.path.join(work, ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     def state() -> tuple[int, int]:
         r = read_snapshot(spark, table).agg(

@@ -317,12 +317,18 @@ def sweep_stale_dirs(
             # touch <table>/_manifests and <table>/data/<sub>, and
             # checkpoints touch <work>/ck_*/..., all within two
             # levels, so any live activity refreshes this probe.
+            # no sampling cap: an earlier [:64] slice could miss a
+            # live session whose recent writes land only in LATER
+            # listdir entries (e.g. >64 partition dirs under one data
+            # subdir) — exactly the failure class this gate closes.
+            # The walk is two levels deep and bounded in practice
+            # (manifests + bucket dirs), so a full listing is cheap.
             ages = [os.path.getmtime(p)]
-            for child in os.listdir(p)[:64]:
+            for child in os.listdir(p):
                 cp = os.path.join(p, child)
                 ages.append(os.path.getmtime(cp))
                 if os.path.isdir(cp):
-                    for gc in os.listdir(cp)[:64]:
+                    for gc in os.listdir(cp):
                         ages.append(os.path.getmtime(os.path.join(cp, gc)))
             if now - max(ages) < min_age_s:
                 continue

@@ -138,8 +138,15 @@ def _iter_cte(k: int) -> str:
                   WHEN variant = state THEN 0
                   ELSE CAST(acc // total AS BIGINT) END AS p
       FROM (
+        -- e.n * p.p as HUGEINT: with p up to Q=1e12, any edge count
+        -- above ~9.2e6 would overflow a BIGINT product and DuckDB
+        -- RAISES (no silent promotion) — the Spark-side Python replay
+        -- (arbitrary-precision ints) would keep working, so the
+        -- oracle must widen the intermediate; the result re-enters
+        -- the pinned type vocabulary via the CAST(... AS BIGINT)
+        -- around the division above.
         SELECT f.variant, f.state, f.total,
-               COALESCE(SUM(e.n * p.p), 0) AS acc
+               COALESCE(SUM(CAST(e.n AS HUGEINT) * p.p), 0) AS acc
         FROM frame f
         LEFT JOIN edges e ON e.from_state = f.state
         LEFT JOIN it{k} p
@@ -282,12 +289,28 @@ def attribution_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         effect = (p_all - pw) * 1000 // p_all if p_all else None
         out_rows.append((ch, p_all, pw, effect))
 
+    if not out_rows:
+        # a channel-free corpus (empty events, or every event is the
+        # conversion type): `VALUES` with zero tuples is a parse
+        # error, so emit the typed empty relation the oracle's empty
+        # frame produces
+        return spark.createDataFrame(
+            [],
+            "channel string, p_all_q bigint, p_without_q bigint, "
+            "removal_effect_permille bigint",
+        )
+
     def lit(v: int | None) -> str:
         return "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
 
+    def slit(s: str) -> str:
+        # channel names come from data: escape backslashes FIRST
+        # (Spark's default string-literal parser interprets \-escapes,
+        # unlike DuckDB's), then double embedded quotes
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
     values = ",".join(
-        # escape embedded quotes — channel names come from data
-        f"""('{ch.replace("'", "''")}', {lit(pa)}, {lit(pw)}, {lit(re)})"""
+        f"({slit(ch)}, {lit(pa)}, {lit(pw)}, {lit(re)})"
         for ch, pa, pw, re in out_rows
     )
     return spark.sql(

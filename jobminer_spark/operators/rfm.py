@@ -54,9 +54,12 @@ _DAY_US = 86_400_000_000
     ),
     scored AS (
       SELECT user_id, recency_days, frequency, monetary_cents,
-             NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_bucket,
-             NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_bucket,
-             NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_bucket
+             NTILE(5) OVER (ORDER BY recency_days ASC NULLS LAST, user_id)
+               AS r_bucket,
+             NTILE(5) OVER (ORDER BY frequency DESC NULLS LAST, user_id)
+               AS f_bucket,
+             NTILE(5) OVER (ORDER BY monetary_cents DESC NULLS LAST, user_id)
+               AS m_bucket
       FROM anchored
     )
     SELECT r_bucket, f_bucket, m_bucket,
@@ -92,12 +95,19 @@ def rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(5).over(W.orderBy("recency_days", "user_id")).alias("r_bucket"),
+        # explicit NULLS LAST on every measure: Spark's ASC default is
+        # NULLS FIRST while DuckDB's is NULLS LAST, so an all-NULL
+        # aggregate (e.g. NULL monetary_cents) would silently shift
+        # every bucket assignment — the unique user_id tiebreak does
+        # not cover null PLACEMENT
         F.ntile(5)
-        .over(W.orderBy(F.col("frequency").desc(), "user_id"))
+        .over(W.orderBy(F.col("recency_days").asc_nulls_last(), "user_id"))
+        .alias("r_bucket"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc_nulls_last(), "user_id"))
         .alias("f_bucket"),
         F.ntile(5)
-        .over(W.orderBy(F.col("monetary_cents").desc(), "user_id"))
+        .over(W.orderBy(F.col("monetary_cents").desc_nulls_last(), "user_id"))
         .alias("m_bucket"),
     )
     return scored.groupBy("r_bucket", "f_bucket", "m_bucket").agg(

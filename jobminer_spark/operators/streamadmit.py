@@ -93,13 +93,19 @@ def run_streaming_admission(
             shutil.rmtree(new_idx)
         update_corpus_shingle_index(spark, read_idx, admitted_docs, new_idx)
 
-    q = (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(work_dir, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from jobminer_spark.streaming.windows import pinned_drain_shuffle
+
+    # bounded drain: pin the shuffle/state partition count so the
+    # per-batch admission joins cost the same under any session config
+    # (VERDICT r11 item 3)
+    with pinned_drain_shuffle(spark):
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(work_dir, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # hive-style partition dirs: recover batch_id from the path
     return spark.read.option("basePath", sink).parquet(sink)
 

@@ -99,42 +99,49 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("prefix"),
     )
-    corpus = totals.agg(
-        F.expr("sum(total_tokens) div 2").alias("budget"),
-        F.count(F.lit(1)).cast("long").alias("n_src"),
-    )
-    # dimension-sized frames from here down: |sources| rows, broadcast
-    withb = ranked.crossJoin(F.broadcast(corpus))
-    kstar = withb.filter(
-        F.col("prefix") + (F.col("n_src") - F.col("k")) * F.col("total_tokens")
-        <= F.col("budget")
-    ).agg(F.coalesce(F.max("k"), F.lit(0)).cast("long").alias("ks"))
-    prefix_at = (
-        withb.join(F.broadcast(kstar), F.col("k") == F.col("ks"), "inner")
-        .agg(F.coalesce(F.max("prefix"), F.lit(0)).alias("prefix_ks"))
-    )
-    max_total = totals.agg(F.max("total_tokens").alias("max_total"))
-    cap = (
-        corpus.crossJoin(F.broadcast(kstar))
-        .crossJoin(
-            F.broadcast(
-                prefix_at.crossJoin(F.broadcast(max_total))
-            )
+    # Single-pass rewrite (r12, VERDICT r11 item 4): the earlier
+    # version derived `corpus`/`kstar`/`prefix_ks`/`max_total` as
+    # separate aggregates chained through broadcast crossJoins — each
+    # branch re-evaluated `totals` (another corpus scan) and `ranked`
+    # (another global window), ~18 window executions per run. All of
+    # those scalars are functions OF the ranked frame, so compute them
+    # as chained whole-frame window columns over the SAME |sources|-
+    # sized relation: the corpus is scanned exactly once and each
+    # window executes exactly once. (The windows stay global by
+    # definition — water-filling is corpus-wide — and dimension-sized;
+    # whitelist entry in tests/test_plans.py.)
+    scalars = (
+        ranked.select(
+            "*",
+            F.expr("sum(total_tokens) over () div 2").alias("budget"),
+            F.expr("count(*) over ()").alias("n_src"),
+            F.expr("max(total_tokens) over ()").alias("max_total"),
         )
         .select(
-            F.when(
-                F.col("ks") >= F.col("n_src"), F.col("max_total")
-            )
-            .otherwise(
-                F.expr("(budget - coalesce(prefix_ks, 0)) div (n_src - ks)")
-            )
-            .alias("cap")
+            "*",
+            F.expr(
+                "coalesce(max(case when prefix + (n_src - k) * total_tokens"
+                " <= budget then k end) over (), 0)"
+            ).alias("ks"),
         )
+        .select(
+            "*",
+            F.expr(
+                "coalesce(max(case when k = ks then prefix end) over (), 0)"
+            ).alias("prefix_ks"),
+        )
+    )
+    capped = scalars.select(
+        "source",
+        "total_tokens",
+        F.when(F.col("ks") >= F.col("n_src"), F.col("max_total"))
+        .otherwise(F.expr("(budget - prefix_ks) div (n_src - ks)"))
+        .alias("cap"),
     )
     alloc = F.when(
         F.col("total_tokens") <= F.col("cap"), F.col("total_tokens")
     ).otherwise(F.col("cap"))
-    return ranked.crossJoin(F.broadcast(cap)).select(
+    return capped.select(
         "source",
         "total_tokens",
         alloc.alias("allocated_tokens"),

@@ -72,7 +72,8 @@ _EXPECTED_SCHEMA = (
              AS sum_mv,
            CAST(SUM(CAST(json_extract(j, '$.tags[0]') AS BIGINT)) AS BIGINT)
              AS sum_tag0,
-           '{_EXPECTED_SCHEMA}' AS variant_schema
+           '{_EXPECTED_SCHEMA}' AS variant_schema,
+           CAST(1 AS BIGINT) AS n_distinct_schemas
     FROM docs GROUP BY event_type
     """,
 )
@@ -97,6 +98,10 @@ def variant_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tag0").alias("sum_tag0"),
         # distinct-collapse: every doc infers the SAME schema, so max
         # == the constant the oracle pins; a drifting inference (e.g.
-        # a field inferred DOUBLE) changes the value and flips red
+        # a field inferred DOUBLE) changes the value and flips red.
+        # max alone only catches drift that sorts ABOVE the pin — the
+        # distinct count (oracle pins 1) closes the below-the-pin
+        # half, so ANY minority schema flips the audit red
         F.max("vs").alias("variant_schema"),
+        F.countDistinct("vs").alias("n_distinct_schemas"),
     )

@@ -456,11 +456,14 @@ _GLOBAL_WINDOW_WHITELIST = {
     # bounded: |categories| ~ 10)
     "skill_category_share": 1,
     # water-filling over the SOURCE dimension: the corpus is reduced
-    # to one row per source by the preceding groupBy, so all three
-    # windows (row_number + running prefix in `ranked`, re-used in
-    # the k* scan) order |sources| rows (20 in the fixture; thousands
-    # at worst in production — see tokbudget.py docstring)
-    "token_budget_waterfill": 3,
+    # to one row per source by the preceding groupBy, so all four
+    # windows (row_number + running prefix in `ranked`, then the three
+    # chained whole-frame scalar windows of the r12 single-pass
+    # rewrite) order |sources| rows (20 in the fixture; thousands at
+    # worst in production — see tokbudget.py docstring). Each window
+    # now executes exactly once per run (the pre-r12 crossJoin chain
+    # re-evaluated the frame ~18×).
+    "token_budget_waterfill": 4,
     # corpus-wide quintiles over the USER dimension (the small output
     # of the per-user aggregation, not the event fact table); the
     # approx-percentile + broadcast-range-join rewrite for fact-sized
