@@ -130,20 +130,36 @@ ORACLES: dict[str, str] = {}
 #     events(6), multimodal(4), skills(6), audits' other four,
 #     textanalysis(9), tpch(21), and every r10-window query
 #     (re-attested r10).
-#   round 12 front obligations (rotation invariant — modules
-#     modified or created in r11 outside the r11 window):
-#     variance_stats_by_event_type (relational.py — oracle reworked
-#     onto the dec12_to_double split chain after the strict
-#     comparator caught DuckDB's 1-ulp DECIMAL→DOUBLE misround),
-#     then the r11-new modules seqpack(2), splitguard(2),
-#     tokbudget(1), variantops(1), cohort(1), rfm(1),
-#     markovattr(1); then the modules whose ORACLES
-#     moved to the VARCHAR-bounce decimal→double route in r11
+#   round 12 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below, executing the r11-written front obligations plus the
+#     post-r11 advisory-fix commit's fallout): slots 1-10 are the
+#     rotation-invariant front — variance_stats_by_event_type
+#     (relational.py oracle reworked onto the dec12_to_double split
+#     chain after the strict comparator caught DuckDB's 1-ulp
+#     DECIMAL→DOUBLE misround) and the nine r11-new-module queries
+#     seqpack(2), splitguard(2), tokbudget(1), variantops(1),
+#     cohort(1), rfm(1), markovattr(1) — tokbudget/variantops/rfm/
+#     markovattr additionally carry the a85d0e9 advisory fixes, so
+#     their driver rows attest the FIXED code. Slots 11-24 are the
+#     stream/drain surface modified by a85d0e9 (pinned_drain_shuffle
+#     threaded through every bounded drain; cdc/streamadmit batch
+#     accounting): audits(5), cdc(3), streamadmit(1), streamdedup(1),
+#     streamfunnel(1), streamstatic(1), dyngap's stream parity(1),
+#     pydsstream(1). Slots 25-30: skills(6) — skill_dictionary's
+#     _sql_str backslash escaping changed in a85d0e9 AND the module
+#     is r7-debt, the oldest in the book. Slots 31-43: the oracles
+#     that moved to the VARCHAR-bounce decimal→double route in r11
 #     (values unchanged — proven by the strict sweeps — but the
 #     rotation invariant wants fresh driver rows): events(6),
-#     pq's ann_pq_trained_recall, similarity's centroid/trained
-#     rows, skew(2), temporal's range_band, and tpch/relational
-#     (already in the r11 spill list above).
+#     ann_pq_trained_recall, similarity's centroid/trained rows (3),
+#     skew(2), temporal's range_band. Slots 44-50: tpch head (q4,
+#     q10, q12, q14, q18, q19, q22) — r8-debt burn-down begins.
+#     Spills to r13 (write that window to finish the debt): tpch's
+#     other 14, relational's 16 (all but variance), textanalysis(9),
+#     multimodal(4), temporal's interval_join (r7-debt; asof
+#     re-attested r11), then scrapeshape's first 6 close at 50;
+#     r14 takes scrapeshape's 7th + the r6-attested dedupe/
+#     curation tails still outside any recent window.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -262,70 +278,72 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # slots 1-3: the three r10 red driver rows, fixed by the BIGINT
-    # cast of each oracle's final aggregate (VERDICT r10 item 1c —
-    # modified modules go first per the rotation invariant);
-    # stream_session_parity is additionally derivation-symmetric now
-    # (item 2: Spark computes the summary scalar via the same
-    # gaps-and-islands rewrite the oracle uses)
+    # slots 1-10: rotation-invariant front — the reworked
+    # variance oracle (dec12_to_double split chain) and the nine
+    # r11-new-module queries, none of which has a driver row yet;
+    # tokbudget/variantops/rfm/markovattr attest the a85d0e9
+    # advisory-fixed code
+    "variance_stats_by_event_type",
+    "packed_sequence_manifest",
+    "sequence_packing_stats",
+    "leakage_safe_split_counts",
+    "split_leakage_audit",
+    "token_budget_waterfill",
+    "variant_extraction_stats",
+    "cohort_daily_retention",
+    "rfm_segment_census",
+    "attribution_removal_effects",
+    # slots 11-24: the bounded-drain surface modified in a85d0e9
+    # (pinned_drain_shuffle at every drain site; cdc matched-I
+    # latest-wins; streamadmit batch accounting) — re-attest all of
+    # it so the driver rows cover the shipped code
     "stream_session_parity",
-    "revenue_trend_slope_per_segment",
-    "doc_surprisal_bits",
-    # slot 4: the cross-engine primitive probe (item 3) — engine
-    # drift becomes a named visible cardinality, never a blind red
-    "cross_engine_primitive_probe",
-    # the 19 r10-new queries, first-ever driver rows (lakeaudit/cdc
-    # HUGEINT latents cast away this round)
-    "lakehouse_merge_parity",
-    "lakehouse_pruning_travel_audit",
-    "lakehouse_change_feed",
-    "lakehouse_vacuum_audit",
-    "lakehouse_concurrency_audit",
+    "stream_batch_parity",
+    "stream_sink_parity",
+    "stream_stateful_parity",
+    "kmeans_lloyd_audit",
     "cdc_apply_snapshot",
     "cdc_apply_counts",
     "stream_cdc_lakehouse_parity",
-    "mmr_diverse_topk",
-    "hierarchy_node_depths",
-    "hierarchy_subtree_rollup",
-    "time_weighted_avg_value",
-    "sql_text_pricing_summary",
-    "sql_text_window_running_revenue",
-    "sql_text_join_agg_subquery",
-    "cusum_changepoint_alarms",
-    "purchase_touch_attribution",
-    "value_histogram_equi_width",
-    "hot_key_skew_report",
-    # first oracle-checked attestation (r9's row was err:no_oracle;
-    # oracle-ified in r10 via MATERIALIZED replay CTEs)
-    "kmeans_lloyd_clusters",
-    # oldest attestation debt (r7-attested, rolling forward)
-    "embedding_hyperplane_lsh_topk",
-    "hyperplane_lsh_recall_audit",
-    "doc_repetition_stats",
-    "word_rarity_score",
-    "doc_repetition_profile_multi_n",
-    "incremental_neardup_admission",
-    "contained_document_pairs",
-    "neardup_survivors_with_containment",
-    "incremental_admission_probe",
-    "incremental_index_update_audit",
-    "semantic_dedup_survivors",
-    "bloom_prefilter_counts",
     "stream_admission_parity",
-    "winnowing_fingerprint_stats",
-    "winnowing_candidate_pairs",
-    "benchmark_decontamination",
-    "document_chunking",
-    "source_mixture_sampling",
-    "quality_weighted_upsample",
-    "pii_redaction",
-    "hll_distinct_audit",
-    "quantile_sketch_audit",
-    "pretraining_prep_funnel",
-    "temperature_mixture_rebalance",
-    # temporal's first two close the window at exactly slot 50
-    "asof_join_last_click_before_purchase",
+    "stream_dedup_parity",
+    "stream_funnel_parity",
+    "stream_static_join_parity",
+    "stream_dyngap_session_parity",
+    "python_stream_datasource_parity",
+    # slots 25-30: skills — skill_dictionary._sql_str escaping
+    # changed in a85d0e9, and the module is the oldest debt (r7)
+    "dict_first_match_resolution",
+    "skill_token_classification",
+    "multiword_containment_join",
+    "variant_normalization",
+    "skills_per_doc_grouped",
+    "skill_category_share",
+    # slots 31-43: oracles moved to the VARCHAR-bounce
+    # decimal→double route in r11 — fresh driver rows for the
+    # moved SQL (strict sweeps already prove the values)
+    "tumbling_window_hourly",
+    "sliding_window_1h_30m",
+    "session_window_5m_gap",
+    "json_props_extraction",
+    "event_type_stats",
+    "first_write_wins_dedup",
+    "ann_pq_trained_recall",
+    "embedding_label_centroid_norms",
+    "ann_ivf_trained_topk",
+    "ann_ivf_trained_recall",
+    "salted_aggregation_equivalence",
+    "salted_join_equivalence",
     "range_band_join_event_values",
+    # slots 44-50: tpch head — the r8 attestation debt starts
+    # burning down; the tail is r13's first obligation
+    "q4_order_priority_checking",
+    "q10_returned_item_reporting",
+    "q12_priority_class_buckets",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q22_global_avg_scalar_subquery",
 ]
 
 
