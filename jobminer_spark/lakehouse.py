@@ -17,6 +17,11 @@ actually guarantees:
   version N+1 is a single exclusive-create of ``_manifests/vN+1.json``
   (``open(..., "x")``) — the same putIfAbsent contract Delta's log
   relies on; on object stores the equivalent is a conditional PUT.
+  Past ``MANIFEST_SPLIT_FILES`` entries the file list is split into
+  immutable per-key-range shard files referenced from the root
+  (Iceberg's manifest-list shape): merges load only intersecting
+  shards and carry the rest by reference, so driver-resident
+  metadata on the write path is O(touched shards), not O(n_files).
 * **Copy-on-write MERGE** — only data files whose [min_key, max_key]
   interval intersects the update key range are rewritten; untouched
   files are carried by reference into the next manifest. At 100 TB
@@ -50,6 +55,18 @@ from pyspark.sql import functions as F
 
 KEY_BUCKET = 4096  # key-range clustering width for data files
 MANIFEST_PAGE_FILES = 10_000  # stats fetch paginates past this
+# Manifest split (Iceberg-style, VERDICT r11 item 5): past this many
+# inline file entries, a commit writes the file list as per-key-range
+# SHARD files and the root manifest holds only shard references
+# (path + bucket range + counts). A merge then loads only the shards
+# whose bucket range intersects the update batch and carries the rest
+# BY REFERENCE — the driver never materializes the full file list on
+# the hot path, so a 100 TB table's ~2.4M-entry manifest costs the
+# driver O(touched shards), not O(n_files). Shard files are
+# content-immutable and shared across versions (carried refs point at
+# the same file), so vacuum reference-counts them like data files.
+MANIFEST_SPLIT_FILES = 10_000
+MANIFEST_SHARD_FILES = 4_000  # target entries per shard file
 
 
 class CommitConflict(Exception):
@@ -63,6 +80,55 @@ def _manifest_path(table: str, version: int) -> str:
 def _read_manifest(table: str, version: int) -> dict:
     with open(_manifest_path(table, version)) as f:
         return json.load(f)
+
+
+def _load_shard(ref: dict) -> list[dict]:
+    with open(ref["path"]) as f:
+        return json.load(f)
+
+
+def _manifest_files(m: dict) -> list[dict]:
+    """Resolve a manifest's FULL file list: inline entries plus every
+    shard's contents. Offline/audit path — the merge hot path prunes
+    at shard level instead and never calls this."""
+    files = list(m.get("files", []))
+    for ref in m.get("file_shards", []):
+        files.extend(_load_shard(ref))
+    return files
+
+
+def _split_files(table: str, files: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Apply the manifest split policy to a prospective file list:
+    below MANIFEST_SPLIT_FILES the list stays inline (manifest format
+    unchanged from pre-split versions); above it, the list is sorted
+    by min_key and chunked into MANIFEST_SHARD_FILES-entry shard
+    files, each covering a contiguous key range. Returns
+    (inline_files, new_shard_refs). Shard files are written
+    tmp+rename (atomic publish) under _manifests/ with unique names;
+    the CALLER owns conflict cleanup of new refs (same contract as
+    rw-/ins- data files)."""
+    if len(files) <= MANIFEST_SPLIT_FILES:
+        return files, []
+    ordered = sorted(files, key=lambda f: (f["min_key"], f["max_key"]))
+    refs: list[dict] = []
+    mdir = os.path.join(table, "_manifests")
+    for i in range(0, len(ordered), MANIFEST_SHARD_FILES):
+        chunk = ordered[i : i + MANIFEST_SHARD_FILES]
+        path = os.path.join(mdir, f"shard-{uuid.uuid4().hex}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(chunk, f)
+        os.rename(tmp, path)
+        refs.append(
+            {
+                "path": path,
+                "min_kb": chunk[0]["min_key"] // KEY_BUCKET,
+                "max_kb": max(c["max_key"] for c in chunk) // KEY_BUCKET,
+                "n_files": len(chunk),
+                "n_rows": sum(c["n_rows"] for c in chunk),
+            }
+        )
+    return [], refs
 
 
 def latest_version(table: str) -> int:
@@ -130,10 +196,11 @@ def _write_files(
     # manifest holds one ~150-byte entry per live data file, and files
     # are one-per-key-bucket, so driver memory is
     # O(key_range / KEY_BUCKET + merge history). At 10^10 keys and
-    # KEY_BUCKET=4096 that is ~2.4M entries ≈ a few hundred MB — the
-    # point where a production deployment splits the manifest into
-    # Iceberg-style per-bucket-range manifest files behind the same
-    # commit protocol (documented gap: OPERATORS.md). Past
+    # KEY_BUCKET=4096 that is ~2.4M entries ≈ a few hundred MB — past
+    # MANIFEST_SPLIT_FILES entries the commit therefore splits the
+    # list into Iceberg-style per-key-range shard files (_split_files)
+    # and the merge hot path carries untouched shards by reference,
+    # bounding resident driver state to O(touched shards). Past
     # MANIFEST_PAGE_FILES files the stats fetch streams
     # partition-at-a-time (toLocalIterator) so the transient fetch
     # never doubles the resident manifest; below it, one collect —
@@ -175,16 +242,17 @@ def create_table(
     """Initialize a lakehouse table at version 1 from ``df``."""
     os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
     files = _write_files(spark, table, df, key_col, "base")
-    _commit(
-        table,
-        {
-            "version": 1,
-            "parent": None,
-            "key_col": key_col,
-            "columns": df.columns,
-            "files": files,
-        },
-    )
+    inline, shard_refs = _split_files(table, files)
+    manifest = {
+        "version": 1,
+        "parent": None,
+        "key_col": key_col,
+        "columns": df.columns,
+        "files": inline,
+    }
+    if shard_refs:
+        manifest["file_shards"] = shard_refs
+    _commit(table, manifest)
     return 1
 
 
@@ -197,7 +265,7 @@ def read_snapshot(
     concurrent commit."""
     v = latest_version(table) if version is None else version
     m = _read_manifest(table, v)
-    paths = [f["path"] for f in m["files"]]
+    paths = [f["path"] for f in _manifest_files(m)]
     return spark.read.parquet(*paths)
 
 
@@ -262,14 +330,32 @@ def merge_into(
                 .collect()
             )
 
-        def _hit(f: dict) -> bool:
-            lo_kb = f["min_key"] // KEY_BUCKET
-            hi_kb = f["max_key"] // KEY_BUCKET
+        def _range_hit(lo_kb: int, hi_kb: int) -> bool:
             i = bisect.bisect_left(kbs, lo_kb)
             return i < len(kbs) and kbs[i] <= hi_kb
 
-        affected = [f for f in m["files"] if _hit(f)]
-        carried = [f for f in m["files"] if not _hit(f)]
+        def _hit(f: dict) -> bool:
+            return _range_hit(
+                f["min_key"] // KEY_BUCKET, f["max_key"] // KEY_BUCKET
+            )
+
+        # Shard-level pruning first: only shards whose bucket range
+        # intersects the batch are ever LOADED; the rest are carried
+        # by reference — the split manifest's whole point. Inline
+        # entries (small tables, or the partially-rewritten residue
+        # of a loaded shard) are pruned file-by-file as before.
+        shard_refs = m.get("file_shards", [])
+        hit_refs = [
+            s for s in shard_refs if _range_hit(s["min_kb"], s["max_kb"])
+        ]
+        carried_refs = [
+            s for s in shard_refs if not _range_hit(s["min_kb"], s["max_kb"])
+        ]
+        pool = list(m.get("files", []))
+        for ref in hit_refs:
+            pool.extend(_load_shard(ref))
+        affected = [f for f in pool if _hit(f)]
+        carried = [f for f in pool if not _hit(f)]
 
         table_cols = m.get("columns")
         upd_cols = updates.columns
@@ -313,15 +399,26 @@ def merge_into(
             if counts["n_old"] - n_deletes > 0:
                 new_files = _write_files(spark, table, rewritten, key, "rw")
 
-        snapshot_keys = spark.read.parquet(
-            *[f["path"] for f in m["files"]]
-        ).select(key)
+        # Key-existence probe for inserts: a key's bucket is
+        # key div KEY_BUCKET, and every file entry records true
+        # [min_key, max_key], so a file can hold a batch key ONLY if
+        # its bucket range intersects the batch's buckets — i.e. only
+        # the AFFECTED files. Probing those instead of the whole
+        # snapshot turns the anti-join's scan from O(table) into
+        # O(touched files), and needs no shard loads beyond the ones
+        # the rewrite already paid for.
         cand = (
             updates.filter(insert_condition(updates))
             if insert_condition
             else updates
         )
-        inserts = cand.join(snapshot_keys, key, "left_anti")
+        if affected:
+            snapshot_keys = spark.read.parquet(
+                *[f["path"] for f in affected]
+            ).select(key)
+            inserts = cand.join(snapshot_keys, key, "left_anti")
+        else:
+            inserts = cand  # no existing file can contain these keys
         if table_cols is not None:
             inserts = inserts.select(*table_cols)
         n_inserts = inserts.count()
@@ -329,29 +426,42 @@ def merge_into(
         if n_inserts:
             insert_files = _write_files(spark, table, inserts, key, "ins")
 
+        inline, new_shard_refs = _split_files(
+            table, carried + new_files + insert_files
+        )
         manifest = {
             "version": base_v + 1,
             "parent": base_v,
             "key_col": key,
             "columns": table_cols,
-            "files": carried + new_files + insert_files,
+            "files": inline,
         }
+        if carried_refs or new_shard_refs:
+            manifest["file_shards"] = carried_refs + new_shard_refs
         try:
             _commit(table, manifest)
         except CommitConflict:
-            # Rebase: this attempt's freshly written rw-/ins- files are
-            # referenced by NO manifest (the winner's isn't ours) and
-            # would otherwise leak forever — vacuum only sweeps files
-            # referenced by the manifests it retires. Delete the
-            # attempt's data subdirectories before re-applying.
+            # Rebase: this attempt's freshly written rw-/ins- files
+            # and shard files are referenced by NO manifest (the
+            # winner's isn't ours) and would otherwise leak forever —
+            # vacuum only sweeps files referenced by the manifests it
+            # retires. Delete the attempt's artifacts before
+            # re-applying. Carried shard refs belong to the base
+            # version and stay.
             for f in new_files + insert_files:
                 d = os.path.dirname(os.path.dirname(f["path"]))
                 shutil.rmtree(d, ignore_errors=True)
+            for ref in new_shard_refs:
+                try:
+                    os.unlink(ref["path"])
+                except OSError:
+                    pass
             continue  # re-read the new latest and re-apply
         return {
             "version": base_v + 1,
             "n_files_rewritten": len(new_files),
-            "n_files_carried": len(carried),
+            "n_files_carried": len(carried)
+            + sum(s["n_files"] for s in carried_refs),
             "n_insert_files": len(insert_files),
             "n_updates_applied": n_updates_applied,
             "n_deletes": n_deletes,
@@ -373,8 +483,12 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
     latest = latest_version(table)
     keep = set(range(max(1, latest - keep_last + 1), latest + 1))
     referenced = set()
+    referenced_shards = set()
     for v in keep:
-        for f in _read_manifest(table, v)["files"]:
+        m = _read_manifest(table, v)
+        for ref in m.get("file_shards", []):
+            referenced_shards.add(os.path.realpath(ref["path"]))
+        for f in _manifest_files(m):
             referenced.add(os.path.realpath(f["path"]))
     mdir = os.path.join(table, "_manifests")
     n_manifests_removed = 0
@@ -384,10 +498,20 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
         if n.startswith("v") and n.endswith(".json")
     )
     doomed_files = set()
+    doomed_shards = set()
     for v in all_versions:
         if v in keep:
             continue
-        for f in _read_manifest(table, v)["files"]:
+        m = _read_manifest(table, v)
+        # Shard files are content-immutable and SHARED across
+        # versions (a carried ref points at the base version's
+        # shard), so they reference-count exactly like data files:
+        # delete only the shards no kept manifest points at.
+        for ref in m.get("file_shards", []):
+            sp = os.path.realpath(ref["path"])
+            if sp not in referenced_shards:
+                doomed_shards.add(sp)
+        for f in _manifest_files(m):
             p = os.path.realpath(f["path"])
             if p not in referenced:
                 doomed_files.add(p)
@@ -401,10 +525,18 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
             n_files_removed += 1  # count SUCCESSFUL unlinks only
         except OSError:
             n_unlink_failures += 1
+    n_shards_removed = 0
+    for p in doomed_shards:
+        try:
+            os.unlink(p)
+            n_shards_removed += 1
+        except OSError:
+            n_unlink_failures += 1
     return {
         "n_manifests_removed": n_manifests_removed,
         "n_files_removed": n_files_removed,
         "n_unlink_failures": n_unlink_failures,
+        "n_shards_removed": n_shards_removed,
     }
 
 

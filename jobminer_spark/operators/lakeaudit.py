@@ -203,9 +203,11 @@ def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
         "tt_checksum": tt["ck"],
         "change_rows": change_rows,
     }
-    from jobminer_spark.lakehouse import _read_manifest
+    from jobminer_spark.lakehouse import _manifest_files, _read_manifest
 
-    result["n_files_v1"] = len(_read_manifest(table, 1)["files"])
+    # _manifest_files resolves shard refs too, so the count stays
+    # correct even if the manifest split ever engages at this scale
+    result["n_files_v1"] = len(_manifest_files(_read_manifest(table, 1)))
     _SCENARIO_CACHE[cache_key] = result
     return result
 

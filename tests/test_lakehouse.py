@@ -306,6 +306,69 @@ def test_manifest_bound_many_buckets(spark, table_dir):
     assert lh.read_snapshot(spark, table_dir).count() == n_buckets
 
 
+def test_manifest_split_past_threshold(spark, table_dir, monkeypatch):
+    """VERDICT r11 item 5: past MANIFEST_SPLIT_FILES the commit shards
+    the file list into per-key-range manifest files. With the
+    threshold forced below the bucket count: creation produces a
+    sharded root (no inline files), a 2-bucket MERGE loads only the
+    intersecting shard and carries every other shard BY REFERENCE
+    (same ref path as v1 — no copy), reads and time travel resolve
+    through the shards, and vacuum deletes retired shard files but
+    never one a kept manifest still references."""
+    monkeypatch.setattr(lh, "MANIFEST_SPLIT_FILES", 40)
+    monkeypatch.setattr(lh, "MANIFEST_SHARD_FILES", 16)
+    n_buckets = 200
+    wide = spark.range(n_buckets).select(
+        (F.col("id") * lh.KEY_BUCKET).alias("k"),
+        F.lit("O").alias("status"),
+        F.col("id").alias("v"),
+    )
+    lh.create_table(spark, table_dir, wide, "k")
+    m1 = lh._read_manifest(table_dir, 1)
+    assert m1["files"] == [] and len(m1["file_shards"]) == 13  # ceil(200/16)
+    assert sum(s["n_files"] for s in m1["file_shards"]) == n_buckets
+    assert len(lh._manifest_files(m1)) == n_buckets
+    assert lh.read_snapshot(spark, table_dir).count() == n_buckets
+
+    # merge touches buckets 0 and 1 -> both live in the first shard;
+    # the other 12 shards must carry by reference, unloaded
+    upd = spark.range(2).select(
+        (F.col("id") * lh.KEY_BUCKET).alias("k"),
+        F.lit("X").alias("status"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    stats = lh.merge_into(spark, table_dir, upd, lambda j: F.lit(True))
+    assert stats["n_files_rewritten"] == 2
+    assert stats["n_files_carried"] == n_buckets - 2
+    assert stats["n_updates_applied"] == 2 and stats["n_inserts"] == 0
+    m2 = lh._read_manifest(table_dir, 2)
+    v1_shards = {s["path"] for s in m1["file_shards"]}
+    carried = [s for s in m2["file_shards"] if s["path"] in v1_shards]
+    assert len(carried) == 12  # every non-hit shard is the SAME file
+    # residue of the loaded shard (16-2=14 files) + 2 rewrites stay
+    # inline: under the 40-entry threshold, no re-shard needed
+    assert len(m2["files"]) == 16
+    snap2 = lh.read_snapshot(spark, table_dir)
+    assert snap2.count() == n_buckets
+    assert snap2.filter(F.col("status") == "X").count() == 2
+    # time travel through the shared shards still sees v1
+    assert (
+        lh.read_snapshot(spark, table_dir, 1)
+        .filter(F.col("status") == "X")
+        .count()
+        == 0
+    )
+
+    stats_v = lh.vacuum(table_dir, keep_last=1)
+    assert stats_v["n_manifests_removed"] == 1
+    # only the superseded first shard is removable; the 12 carried
+    # refs are still referenced by the kept manifest
+    assert stats_v["n_shards_removed"] == 1
+    assert stats_v["n_files_removed"] == 2  # the two rewritten buckets
+    assert all(os.path.exists(s["path"]) for s in carried)
+    assert lh.read_snapshot(spark, table_dir).count() == n_buckets
+
+
 def test_vacuum_actually_deletes_files_from_disk(spark, table_dir):
     """Regression for the file:-scheme path wart: manifest paths must
     be plain filesystem paths, so vacuum's unlinks really delete (the
