@@ -362,11 +362,21 @@ def sweep_stale_dirs(
 
 def dec12_to_double(c: Column) -> Column:
     """Spark half: ``c`` must be a DECIMAL(38,12) expression. The
-    fraction is cast to DECIMAL(14,12) BEFORE the 1e12 multiply —
-    Spark's product-type rule would otherwise cap precision by
-    SHRINKING the scale to 6 and silently truncate the low digits."""
+    fraction is extracted with ``c % 1`` — which Spark types as
+    DECIMAL(13,12), below the precision cap — NOT ``c - floor(c)``,
+    whose result type for a full-width input is DECIMAL(38,10):
+    Spark's add/subtract type rule would silently ROUND away the low
+    two fraction digits while the DuckDB twin keeps all twelve
+    (caught by the r12 `dec12_split` probe; invisible on fixtures
+    whose values carry ≤10 fraction digits). The modulo follows the
+    dividend's sign, so a negative input's remainder is shifted into
+    [0, 1) to match FLOOR semantics. The fraction is cast to
+    DECIMAL(14,12) BEFORE the 1e12 multiply — the product-type rule
+    would otherwise cap precision by shrinking the scale and
+    truncating low digits."""
     q = F.floor(c).cast("long").cast("double")
-    frac = (c - F.floor(c)).cast("decimal(14,12)")
+    m = c % F.lit(1).cast("decimal(1,0)")
+    frac = F.when(m < 0, m + 1).otherwise(m).cast("decimal(14,12)")
     r = (frac * F.lit(1_000_000_000_000).cast("decimal(13,0)")).cast(
         "long"
     ).cast("double")

@@ -115,6 +115,46 @@ _PROBES: list[tuple[str, str, str, str]] = [
         "CAST(levenshtein('kitten', 'sitting') AS VARCHAR)",
         "3",
     ),
+    # r12 (VERDICT r11 item 7): the two primitives the r11 oracle
+    # rework leans on, added so the probe's coverage never lags the
+    # recipe book. `varchar_bounce` is the DECIMAL→VARCHAR→DOUBLE
+    # route that replaced direct DECIMAL→DOUBLE casts after the strict
+    # comparator caught DuckDB's 1-ulp misround of the direct cast:
+    # decimal-to-text is exact in both engines and text-to-double is
+    # correctly rounded in both, so the bounce is deterministic where
+    # the direct cast was not.
+    (
+        "varchar_bounce",
+        "CAST(CAST(CAST(CAST(1234567.891 AS DECIMAL(38,6)) AS STRING)"
+        " AS DOUBLE) AS STRING)",
+        "CAST(CAST(CAST(CAST(1234567.891 AS DECIMAL(38,6)) AS VARCHAR)"
+        " AS DOUBLE) AS VARCHAR)",
+        "1234567.891",
+    ),
+    # `dec12_split` is common.dec12_to_double's split chain: integer
+    # part and 1e12-scaled fraction each pass through BIGINT (exact),
+    # so a DECIMAL(38,12) becomes a double with ONE rounding step in
+    # each engine instead of each engine's own decimal→double path.
+    # The Spark spelling extracts the fraction with `% 1` (types as
+    # DECIMAL(13,12) — full fraction), mirroring the helper; the
+    # first version of this probe used `x - FLOOR(x)` and CAUGHT the
+    # helper's DECIMAL(38,10) rounding trap on full-width inputs.
+    (
+        "dec12_split",
+        "CAST(CAST(CAST(FLOOR(CAST(3.141592653589 AS DECIMAL(38,12)))"
+        " AS BIGINT) AS DOUBLE)"
+        " + CAST(CAST(CAST((CAST(3.141592653589 AS DECIMAL(38,12))"
+        " % CAST(1 AS DECIMAL(1,0)))"
+        " AS DECIMAL(14,12)) * CAST(1000000000000 AS DECIMAL(13,0))"
+        " AS BIGINT) AS DOUBLE) / 1000000000000.0D AS STRING)",
+        "CAST((CAST(CAST(FLOOR(CAST(3.141592653589 AS DECIMAL(38,12)))"
+        " AS BIGINT) AS DOUBLE)"
+        " + CAST(CAST((CAST(3.141592653589 AS DECIMAL(38,12))"
+        " - FLOOR(CAST(3.141592653589 AS DECIMAL(38,12))))"
+        " * 1000000000000 AS BIGINT) AS DOUBLE) / 1000000000000.0)"
+        " AS VARCHAR)",
+        "3.141592653589",
+    ),
 ]
 
 

@@ -1269,3 +1269,26 @@ def test_sweep_stale_dirs_uses_deep_mtime():
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_dec12_to_double_keeps_full_width_fraction(spark):
+    """Regression (r12 probe catch): `c - floor(c)` on a full-width
+    DECIMAL(38,12) types as DECIMAL(38,10) under Spark's subtract
+    rule and silently ROUNDS fraction digits 11-12 away — invisible
+    on fixtures whose values carry fewer digits, divergent from the
+    DuckDB twin otherwise. The helper must reproduce all 12 digits,
+    and FLOOR semantics for negatives (remainder shifted into
+    [0, 1))."""
+    from jobminer_spark.operators.common import dec12_to_double
+
+    df = spark.sql(
+        "SELECT CAST(3.141592653589 AS DECIMAL(38,12)) AS x, "
+        "CAST(-2.250000000001 AS DECIMAL(38,12)) AS y"
+    )
+    r = df.select(
+        dec12_to_double(F.col("x")).alias("px"),
+        dec12_to_double(F.col("y")).alias("py"),
+    ).first()
+    assert r["px"] == 3 + 141592653589 / 1_000_000_000_000.0
+    # floor(-2.250000000001) = -3; fraction = 0.749999999999
+    assert r["py"] == -3 + 749999999999 / 1_000_000_000_000.0
