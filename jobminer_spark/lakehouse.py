@@ -54,6 +54,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 KEY_BUCKET = 4096  # key-range clustering width for data files
+
+
+def _bucket_expr(key_col: str) -> str:
+    """SQL for a key's bucket with FLOOR semantics, matching Python's
+    ``//`` used on the driver for file/shard ranges. Spark's ``div``
+    truncates toward zero, so for negative keys ``key div KEY_BUCKET``
+    lands one bucket HIGHER than ``key // KEY_BUCKET`` — a file holding
+    a negative batch key could then be missed by the affected-file
+    pruning, and the insert anti-join (which probes only affected
+    files) would re-insert an existing key as a duplicate. Pure integer
+    arithmetic (no double round-trip): Spark's ``%`` carries the
+    dividend's sign, so subtracting one bucket exactly when the
+    remainder is negative reproduces floor division for all longs."""
+    return (
+        f"(({key_col} div {KEY_BUCKET}) + "
+        f"(CASE WHEN {key_col} % {KEY_BUCKET} < 0 THEN -1 ELSE 0 END))"
+    )
 MANIFEST_PAGE_FILES = 10_000  # stats fetch paginates past this
 # Manifest split (Iceberg-style, VERDICT r11 item 5): past this many
 # inline file entries, a commit writes the file list as per-key-range
@@ -186,7 +203,7 @@ def _write_files(
     bucket directory."""
     sub = os.path.join(table, "data", f"{tag}-{uuid.uuid4().hex[:8]}")
     (
-        df.withColumn("kb", F.expr(f"{key_col} div {KEY_BUCKET}"))
+        df.withColumn("kb", F.expr(_bucket_expr(key_col)))
         .repartition("kb")
         .write.partitionBy("kb")
         .parquet(sub)
@@ -324,7 +341,7 @@ def merge_into(
             kbs = sorted(
                 r["kb"]
                 for r in updates.select(
-                    F.expr(f"{key} div {KEY_BUCKET}").alias("kb")
+                    F.expr(_bucket_expr(key)).alias("kb")
                 )
                 .distinct()
                 .collect()
@@ -400,7 +417,8 @@ def merge_into(
                 new_files = _write_files(spark, table, rewritten, key, "rw")
 
         # Key-existence probe for inserts: a key's bucket is
-        # key div KEY_BUCKET, and every file entry records true
+        # key // KEY_BUCKET (floor semantics on BOTH engines —
+        # _bucket_expr), and every file entry records true
         # [min_key, max_key], so a file can hold a batch key ONLY if
         # its bucket range intersects the batch's buckets — i.e. only
         # the AFFECTED files. Probing those instead of the whole
@@ -497,12 +515,22 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
         for n in os.listdir(mdir)
         if n.startswith("v") and n.endswith(".json")
     )
+    # Doomed data/shard files are discoverable ONLY through the
+    # retiring manifests, so deletion order matters for crash safety:
+    # delete the garbage FIRST, and unlink a retired manifest only
+    # after every doomed path it references is gone. A crash (or a
+    # failed unlink) mid-vacuum then leaves the manifest in place and
+    # the next vacuum re-discovers the same garbage — nothing leaks.
+    # The old order (manifest first) made any failure after that
+    # unlink a permanent leak.
     doomed_files = set()
     doomed_shards = set()
+    retiring: list[tuple[int, set[str]]] = []  # (version, its doomed paths)
     for v in all_versions:
         if v in keep:
             continue
         m = _read_manifest(table, v)
+        mine: set[str] = set()
         # Shard files are content-immutable and SHARED across
         # versions (a carried ref points at the base version's
         # shard), so they reference-count exactly like data files:
@@ -511,27 +539,40 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
             sp = os.path.realpath(ref["path"])
             if sp not in referenced_shards:
                 doomed_shards.add(sp)
+                mine.add(sp)
         for f in _manifest_files(m):
             p = os.path.realpath(f["path"])
             if p not in referenced:
                 doomed_files.add(p)
-        os.unlink(_manifest_path(table, v))
-        n_manifests_removed += 1
+                mine.add(p)
+        retiring.append((v, mine))
     n_files_removed = 0
     n_unlink_failures = 0
+    failed: set[str] = set()
     for p in doomed_files:
         try:
             os.unlink(p)
             n_files_removed += 1  # count SUCCESSFUL unlinks only
+        except FileNotFoundError:
+            pass  # a prior interrupted vacuum already removed it
         except OSError:
             n_unlink_failures += 1
+            failed.add(p)
     n_shards_removed = 0
     for p in doomed_shards:
         try:
             os.unlink(p)
             n_shards_removed += 1
+        except FileNotFoundError:
+            pass
         except OSError:
             n_unlink_failures += 1
+            failed.add(p)
+    for v, mine in retiring:
+        if mine & failed:
+            continue  # keep the manifest: it is the garbage's only index
+        os.unlink(_manifest_path(table, v))
+        n_manifests_removed += 1
     return {
         "n_manifests_removed": n_manifests_removed,
         "n_files_removed": n_files_removed,

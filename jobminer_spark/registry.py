@@ -130,7 +130,7 @@ ORACLES: dict[str, str] = {}
 #     events(6), multimodal(4), skills(6), audits' other four,
 #     textanalysis(9), tpch(21), and every r10-window query
 #     (re-attested r10).
-#   round 12 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#   round 12 window (the explicit 50-name _WINDOW_FRONT
 #     below, executing the r11-written front obligations plus the
 #     post-r11 advisory-fix commit's fallout): slots 1-10 are the
 #     rotation-invariant front — variance_stats_by_event_type
@@ -160,6 +160,29 @@ ORACLES: dict[str, str] = {}
 #     re-attested r11), then scrapeshape's first 6 close at 50;
 #     r14 takes scrapeshape's 7th + the r6-attested dedupe/
 #     curation tails still outside any recent window.
+#   round 13 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below; the r12-written plan AMENDED per VERDICT r12 item 1 for
+#     the two modules modified AFTER the r12 rotation): slots 1-5
+#     front lakeaudit (the 2ae4e18 manifest-shard split plus this
+#     round's floor-bucket and vacuum-ordering fixes have no driver
+#     row — these five attest the fixed lakehouse.py); slot 6 is
+#     cross_engine_primitive_probe (grew the VARCHAR-bounce and
+#     dec12-split probe rows in b9060f6 post-rotation, per ADVICE
+#     r12). Then the written spill plan burns the r7/r8 attestation
+#     debt: slots 7-20 tpch's other 14, slots 21-36 relational's 16
+#     (all but variance, re-attested r12), slots 37-45
+#     textanalysis(9), slots 46-49 multimodal(4) — the oldest debt in
+#     the book (r7) — and slot 50 temporal's
+#     interval_join_clicks_before_purchase (r7) closes at exactly 50.
+#     The six scrapeshape slots the r12 plan penciled in are displaced
+#     by the 6 amendment slots and move whole to r14.
+#     Spills to r14 (write that window at r13 close): scrapeshape's 7,
+#     the r13-NEW twin queries (rfm's approx-percentile scale path,
+#     hierarchy's pointer-doubling deep path — registered past this
+#     window by design, fronted next per the rotation invariant),
+#     any r13-modified module's queries (rfm, hierarchy), then the
+#     r6-attested dedupe/curation tails — that restores the "no query
+#     older than 5 rounds" invariant by r14 close.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -259,8 +282,11 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.attribution",
     "jobminer_spark.operators.profiling",
     # r11-new modules (registered past the r11 window tail by design —
-    # envprobe is FRONTED at slot 4 via _WINDOW_FRONT per VERDICT r10
-    # item 3; the rotation plan fronts the others in r12)
+    # envprobe's cross_engine_primitive_probe was fronted at slot 4 in
+    # the r11 window per VERDICT r10 item 3, rotated out in r12, and is
+    # RE-FRONTED at slot 6 in the r13 window because b9060f6 grew it
+    # two probe rows after the r12 rotation; the other r11-new modules
+    # were fronted in r12)
     "jobminer_spark.operators.envprobe",
     "jobminer_spark.operators.seqpack",
     "jobminer_spark.operators.splitguard",
@@ -278,72 +304,72 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # slots 1-10: rotation-invariant front — the reworked
-    # variance oracle (dec12_to_double split chain) and the nine
-    # r11-new-module queries, none of which has a driver row yet;
-    # tokbudget/variantops/rfm/markovattr attest the a85d0e9
-    # advisory-fixed code
-    "variance_stats_by_event_type",
-    "packed_sequence_manifest",
-    "sequence_packing_stats",
-    "leakage_safe_split_counts",
-    "split_leakage_audit",
-    "token_budget_waterfill",
-    "variant_extraction_stats",
-    "cohort_daily_retention",
-    "rfm_segment_census",
-    "attribution_removal_effects",
-    # slots 11-24: the bounded-drain surface modified in a85d0e9
-    # (pinned_drain_shuffle at every drain site; cdc matched-I
-    # latest-wins; streamadmit batch accounting) — re-attest all of
-    # it so the driver rows cover the shipped code
-    "stream_session_parity",
-    "stream_batch_parity",
-    "stream_sink_parity",
-    "stream_stateful_parity",
-    "kmeans_lloyd_audit",
-    "cdc_apply_snapshot",
-    "cdc_apply_counts",
-    "stream_cdc_lakehouse_parity",
-    "stream_admission_parity",
-    "stream_dedup_parity",
-    "stream_funnel_parity",
-    "stream_static_join_parity",
-    "stream_dyngap_session_parity",
-    "python_stream_datasource_parity",
-    # slots 25-30: skills — skill_dictionary._sql_str escaping
-    # changed in a85d0e9, and the module is the oldest debt (r7)
-    "dict_first_match_resolution",
-    "skill_token_classification",
-    "multiword_containment_join",
-    "variant_normalization",
-    "skills_per_doc_grouped",
-    "skill_category_share",
-    # slots 31-43: oracles moved to the VARCHAR-bounce
-    # decimal→double route in r11 — fresh driver rows for the
-    # moved SQL (strict sweeps already prove the values)
-    "tumbling_window_hourly",
-    "sliding_window_1h_30m",
-    "session_window_5m_gap",
-    "json_props_extraction",
-    "event_type_stats",
-    "first_write_wins_dedup",
-    "ann_pq_trained_recall",
-    "embedding_label_centroid_norms",
-    "ann_ivf_trained_topk",
-    "ann_ivf_trained_recall",
-    "salted_aggregation_equivalence",
-    "salted_join_equivalence",
-    "range_band_join_event_values",
-    # slots 44-50: tpch head — the r8 attestation debt starts
-    # burning down; the tail is r13's first obligation
-    "q4_order_priority_checking",
-    "q10_returned_item_reporting",
-    "q12_priority_class_buckets",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q22_global_avg_scalar_subquery",
+    # slots 1-5: lakeaudit — lakehouse.py was modified after the r12
+    # rotation (2ae4e18 manifest-shard split) and again this round
+    # (floor-semantics key buckets, garbage-before-manifest vacuum
+    # ordering, both per ADVICE r12); these five rows attest the
+    # shipped code
+    "lakehouse_merge_parity",
+    "lakehouse_pruning_travel_audit",
+    "lakehouse_change_feed",
+    "lakehouse_vacuum_audit",
+    "lakehouse_concurrency_audit",
+    # slot 6: the primitive probe gained the VARCHAR-bounce and
+    # dec12-split rows in b9060f6, post-rotation — no driver row
+    # covers them yet
+    "cross_engine_primitive_probe",
+    # slots 7-20: tpch's other 14 — r8 attestation debt (the head
+    # re-attested r12)
+    "grouping_sets_order_matrix",
+    "median_order_value_explicit",
+    "date_part_breakdown",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit_by_nation_year",
+    "q11_important_part_values",
+    "q13_customer_order_histogram",
+    "q15_top_supplier_revenue",
+    "q16_supplier_count_by_part_attrs",
+    "q17_small_quantity_revenue",
+    "q2_cheapest_part_per_type",
+    "q20_suppliers_of_excess_red_parts",
+    "q21_waiting_suppliers",
+    # slots 21-36: relational's 16 (all but variance_stats, which
+    # re-attested r12 on the reworked oracle) — r8 debt
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "semi_join_customers_with_open_orders",
+    "anti_join_customers_without_orders",
+    "topk_customers_per_nation",
+    "running_revenue_per_customer",
+    "surrogate_key_assignment",
+    "rollup_orders_status_priority",
+    "cube_lineitem_flags",
+    "pivot_quantity_by_linestatus",
+    "union_multi_source",
+    "intersect_repeat_customers",
+    "except_lapsed_customers",
+    "distinct_counts_per_status",
+    # slots 37-45: textanalysis — r8 debt
+    "token_count_stats",
+    "lang_id_heuristic",
+    "text_quality_score",
+    "doc_fingerprints",
+    "salary_parse_differential",
+    "job_id_url_extraction",
+    "years_of_experience_extraction",
+    "truncate_to_ddl_widths",
+    "tfidf_top_similar_pairs",
+    # slots 46-49: multimodal — the oldest debt in the book (r7)
+    "multimodal_binary_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    # slot 50: temporal's interval join — r7 debt (asof re-attested
+    # r11, range_band r12)
+    "interval_join_clicks_before_purchase",
 ]
 
 

@@ -273,9 +273,58 @@ def test_vacuum_counts_successful_unlinks_only(spark, table_dir):
     with mock.patch.object(lh.os, "unlink", side_effect=flaky_unlink):
         stats = lh.vacuum(table_dir, keep_last=1)
     assert stats["n_unlink_failures"] == 1
-    # reported removals reflect what actually happened on disk
-    assert stats["n_files_removed"] + 1 >= 1
-    assert stats["n_manifests_removed"] == 1
+    # ADVICE r12: a manifest whose doomed files failed to unlink is
+    # KEPT — it is the garbage's only index, so removing it first
+    # would leak the files forever. The failure leaves the table
+    # re-vacuumable, not corrupted.
+    assert stats["n_manifests_removed"] == 0
+    assert os.path.exists(lh._manifest_path(table_dir, 1))
+    # the next vacuum re-discovers the same garbage through the kept
+    # manifest and finishes the job
+    stats2 = lh.vacuum(table_dir, keep_last=1)
+    assert stats2["n_unlink_failures"] == 0
+    assert stats2["n_manifests_removed"] == 1
+    assert stats2["n_files_removed"] >= 1
+    assert not os.path.exists(lh._manifest_path(table_dir, 1))
+
+
+def test_negative_keys_floor_bucket_semantics(spark, table_dir):
+    """ADVICE r12: Spark's `div` truncates toward zero while the
+    driver's file/shard ranges use Python `//` (floor) — for negative
+    keys the batch bucket landed one too high, the holding file was
+    missed by the affected-files pruning, and (since the insert
+    anti-join probes only affected files) an EXISTING key was
+    re-inserted as a duplicate. _bucket_expr pins floor semantics on
+    the Spark side; this fixture (all keys in bucket -1, plus a
+    mixed-sign variant) reproduced the duplicate before the fix."""
+    base = spark.range(4096).select(
+        (F.col("id") - 4096).alias("k"),  # -4096..-1 -> floor bucket -1
+        F.lit("O").alias("status"),
+        F.col("id").alias("v"),
+    )
+    lh.create_table(spark, table_dir, base, "k")
+    upd = spark.createDataFrame(
+        [(-1, "X", -7), (-4096, "X", -7), (-9000, "N", 1)],
+        "k long, status string, v long",
+    )
+    stats = lh.merge_into(spark, table_dir, upd, lambda j: F.lit(True))
+    assert stats["n_updates_applied"] == 2  # matched, NOT re-inserted
+    assert stats["n_inserts"] == 1  # only the genuinely new key
+    snap = lh.read_snapshot(spark, table_dir)
+    assert snap.count() == 4097
+    assert snap.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+    assert snap.filter(F.col("status") == "X").count() == 2
+
+    # mixed-sign second merge: buckets -1 and 0 both resolve
+    upd2 = spark.createDataFrame(
+        [(-2, "Y", 0), (10_000, "N", 2)], "k long, status string, v long"
+    )
+    stats2 = lh.merge_into(spark, table_dir, upd2, lambda j: F.lit(True))
+    assert stats2["n_updates_applied"] == 1
+    assert stats2["n_inserts"] == 1
+    snap2 = lh.read_snapshot(spark, table_dir)
+    assert snap2.count() == 4098
+    assert snap2.groupBy("k").count().filter(F.col("count") > 1).count() == 0
 
 
 def test_manifest_bound_many_buckets(spark, table_dir):
