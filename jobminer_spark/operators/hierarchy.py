@@ -138,3 +138,90 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_q").alias("subtree_balance_q"),
         )
     )
+
+
+_CHAIN_CAP = 1024  # adversarial chain depth bound (keeps the oracle's
+# per-level recursion ~1k iterations at any SF; the Spark side needs
+# only ⌈log₂ 1023⌉ = 10 rounds regardless)
+
+
+@query(
+    "hierarchy_chain_depths_doubling",
+    oracle=f"""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS key FROM customer
+      WHERE c_custkey >= 1 AND c_custkey < {_CHAIN_CAP}
+    ),
+    t AS (
+      SELECT CAST(0 AS BIGINT) AS key, CAST(0 AS BIGINT) AS depth
+      UNION ALL
+      SELECT c.key, t.depth + 1 FROM chain c JOIN t ON c.key = t.key + 1
+    )
+    SELECT COUNT(*) AS n_nodes,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(depth) AS BIGINT) AS sum_depths,
+           CAST(CASE WHEN MAX(depth) <= 1 THEN 0
+                     ELSE LENGTH(BIN(MAX(depth) - 1)) END AS BIGINT)
+             AS n_rounds
+    FROM t
+    """,
+)
+def hierarchy_chain_depths_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer doubling on an adversarial LINKED-LIST hierarchy
+    (VERDICT r12 item 6): ``parent(k) = k-1`` over the first
+    ``_CHAIN_CAP`` customer keys is the depth-(n) chain that makes
+    per-level BFS infeasible at scale (one shuffle round PER LEVEL —
+    1023 rounds here, millions on a real deep table). Doubling keeps,
+    per node, the (ancestor-reached, steps-walked) pair and self-joins
+    it each round so the reached distance doubles: convergence in
+    exactly ⌈log₂ depth⌉ rounds, each one keyed equi-join (the
+    cc_star discipline). The MEASURED round count is returned as
+    ``n_rounds`` and the oracle pins it to the closed form
+    bit_length(max_depth - 1) — the round-count pin is part of the
+    cross-engine contract, not a prose claim.
+
+    The oracle states the same depths as a genuine WITH RECURSIVE
+    walking the chain one level per iteration — linear rounds are fine
+    on DuckDB's single-node working-table recursion, which is exactly
+    the asymmetry that makes pointer doubling the distributed plan."""
+    nodes = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("key"))
+        .filter((F.col("key") >= 1) & (F.col("key") < _CHAIN_CAP))
+    )
+    # (key, ptr, steps): ptr = the ancestor reached so far, steps =
+    # its distance; start one hop up the chain. Root key 0 is not in
+    # `reach`, so a pointer AT the root left-join-misses and freezes —
+    # the root-clamp that ends each node's walk.
+    reach = nodes.select(
+        "key",
+        (F.col("key") - 1).alias("ptr"),
+        F.lit(1).cast("long").alias("steps"),
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    while reach.filter(F.col("ptr") != 0).count() > 0:
+        rounds += 1
+        if rounds > 64:  # 2^64 depth bound: unreachable, loop-guard only
+            raise RuntimeError("pointer doubling failed to converge")
+        hop = reach.select(
+            F.col("key").alias("ptr"),
+            F.col("ptr").alias("ptr2"),
+            F.col("steps").alias("steps2"),
+        )
+        reach = (
+            reach.join(hop, "ptr", "left")
+            .select(
+                "key",
+                F.coalesce("ptr2", "ptr").alias("ptr"),
+                (F.col("steps") + F.coalesce("steps2", F.lit(0))).alias("steps"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    root = spark.range(1).select(F.lit(0).cast("long").alias("depth"))
+    depths = reach.select(F.col("steps").alias("depth")).unionByName(root)
+    return depths.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("depth").alias("max_depth"),
+        F.sum("depth").cast("long").alias("sum_depths"),
+        F.lit(rounds).cast("long").alias("n_rounds"),
+    )

@@ -25,7 +25,7 @@ which trades exact quintile boundaries for full parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -34,10 +34,7 @@ from jobminer_spark.sources import load_table
 
 _DAY_US = 86_400_000_000
 
-
-@query(
-    "rfm_segment_census",
-    oracle=f"""
+_CENSUS_ORACLE = f"""
     WITH per_user AS (
       SELECT user_id,
              MAX(epoch_us(ts) // {_DAY_US}) AS last_day,
@@ -67,12 +64,12 @@ _DAY_US = 86_400_000_000
            CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
            CAST(SUM(frequency) AS BIGINT) AS segment_events
     FROM scored GROUP BY r_bucket, f_bucket, m_bucket
-    """,
-)
-def rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users bucketed into R×F×M quintile cells (1 = best: most
-    recent, most frequent, highest value) with per-cell population
-    and exact integer value/event mass."""
+    """
+
+
+def _per_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared first stage: per-user (recency_days, frequency,
+    monetary_cents) anchored at the corpus max day."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_US}").alias("day"),
@@ -84,12 +81,20 @@ def rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("monetary_cents"),
     )
     max_day = per_user.agg(F.max("last_day").alias("corpus_max_day"))
-    anchored = per_user.crossJoin(F.broadcast(max_day)).select(
+    return per_user.crossJoin(F.broadcast(max_day)).select(
         "user_id",
         (F.col("corpus_max_day") - F.col("last_day")).alias("recency_days"),
         "frequency",
         "monetary_cents",
     )
+
+
+@query("rfm_segment_census", oracle=_CENSUS_ORACLE)
+def rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users bucketed into R×F×M quintile cells (1 = best: most
+    recent, most frequent, highest value) with per-cell population
+    and exact integer value/event mass."""
+    anchored = _per_user_rfm(spark, sf_dir)
     scored = anchored.select(
         "user_id",
         "recency_days",
@@ -109,6 +114,100 @@ def rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5)
         .over(W.orderBy(F.col("monetary_cents").desc_nulls_last(), "user_id"))
         .alias("m_bucket"),
+    )
+    return scored.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        F.sum("frequency").cast("long").alias("segment_events"),
+    )
+
+
+def _distributed_ranks(df: DataFrame, order_cols: list[Column], out: str) -> DataFrame:
+    """Exact global row_number under ``order_cols`` WITHOUT a
+    single-reducer window — the scale path for rank-based operators
+    over fact-sized inputs (VERDICT r12 item 5).
+
+    Plan: ``repartitionByRange`` on the sort key gives partitions
+    whose key ranges are disjoint and ordered by partition id, so the
+    global rank of a row is its PARTITION-LOCAL rank (a window
+    partitioned by pid — fully parallel) plus the total count of all
+    earlier partitions. The offsets are a prefix sum over the
+    per-partition counts — #shuffle-partitions rows — computed with a
+    triangular self-join (≤ partitions² pairs, trivially small)
+    instead of a global window, so this plan contains NO
+    unpartitioned Window at all; the result broadcasts back.
+    Range-partitioner sampling only moves the BOUNDARIES between
+    partitions, never the relative order, so the computed ranks are
+    exact and deterministic whenever the sort key is unique."""
+    part = df.repartitionByRange(*order_cols)
+    tagged = part.withColumn("_pid", F.spark_partition_id())
+    local = tagged.withColumn(
+        "_lrn", F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols))
+    )
+    counts = tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    earlier = counts.select(
+        F.col("_pid").alias("_bpid"), F.col("_c").alias("_bc")
+    )
+    offs = (
+        counts.join(earlier, F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_bc"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out, F.col("_lrn") + F.col("_off"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def _ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """ntile(k) bucket from an exact 1-based global rank over n rows:
+    the first ``n % k`` buckets get ``n div k + 1`` rows, the rest
+    ``n div k`` — Spark's and DuckDB's shared NTILE contract. The
+    ELSE divisor is clamped with greatest(_,1): when n < k the THEN
+    branch covers every row, but ANSI mode must never see a reachable
+    div-by-zero in the expression."""
+    size = n - (n % k)  # k * (n div k), avoids a second div
+    small = (size / k).cast("long")
+    rem = n % k
+    cut = rem * (small + 1)
+    return (
+        F.when(rank <= cut, ((rank - 1) / (small + 1)).cast("long") + 1)
+        .otherwise(
+            rem + ((rank - cut - 1) / F.greatest(small, F.lit(1))).cast("long") + 1
+        )
+        .cast("int")
+    )
+
+
+@query("rfm_segment_census_scaled", oracle=_CENSUS_ORACLE)
+def rfm_segment_census_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented fact-sized-user-dimension rewrite of
+    rfm_segment_census, registered as an executable twin (VERDICT r12
+    item 5): identical oracle, identical bucket assignments, but ZERO
+    global windows of any kind — each dimension's quintile comes from
+    the distributed-rank plan (range repartition + partition-local
+    row_number + broadcast triangular-join offsets) and the shared
+    ntile arithmetic. Hash-equality with the ntile oracle proves the
+    rewrite changes the plan, not the answer — the
+    salted_*_equivalence discipline."""
+    anchored = _per_user_rfm(spark, sf_dir)
+    n = anchored.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = _distributed_ranks(
+        anchored, [F.col("recency_days").asc_nulls_last(), F.col("user_id").asc()], "_rn_r"
+    )
+    ranked = _distributed_ranks(
+        ranked, [F.col("frequency").desc_nulls_last(), F.col("user_id").asc()], "_rn_f"
+    )
+    ranked = _distributed_ranks(
+        ranked, [F.col("monetary_cents").desc_nulls_last(), F.col("user_id").asc()], "_rn_m"
+    )
+    scored = ranked.crossJoin(F.broadcast(n)).select(
+        "monetary_cents",
+        "frequency",
+        _ntile_from_rank(F.col("_rn_r"), F.col("_n"), 5).alias("r_bucket"),
+        _ntile_from_rank(F.col("_rn_f"), F.col("_n"), 5).alias("f_bucket"),
+        _ntile_from_rank(F.col("_rn_m"), F.col("_n"), 5).alias("m_bucket"),
     )
     return scored.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -96,3 +96,66 @@ def test_removal_effects_are_nonnegative_and_bounded(spark):
     for r in rows:
         assert 0 <= r["p_without_q"] <= r["p_all_q"]
         assert 0 <= r["removal_effect_permille"] <= 1000
+
+
+def test_scaled_rfm_census_equals_ntile_census(spark):
+    """VERDICT r12 item 5: the distributed-rank twin must reproduce
+    the ntile census cell-for-cell — same buckets, same populations,
+    same integer mass — with no unbounded global window in its plan
+    (the plan half is pinned in test_plans.py's whitelist)."""
+    from jobminer_spark.operators.rfm import rfm_segment_census_scaled
+
+    a = {
+        (r["r_bucket"], r["f_bucket"], r["m_bucket"]): (
+            r["n_users"],
+            r["segment_cents"],
+            r["segment_events"],
+        )
+        for r in rfm_segment_census(spark, SF_DIR).collect()
+    }
+    b = {
+        (r["r_bucket"], r["f_bucket"], r["m_bucket"]): (
+            r["n_users"],
+            r["segment_cents"],
+            r["segment_events"],
+        )
+        for r in rfm_segment_census_scaled(spark, SF_DIR).collect()
+    }
+    assert a == b
+
+
+def test_distributed_ranks_equal_global_row_number(spark):
+    """_distributed_ranks is exact: equal to a plain global
+    row_number under the same (unique) ordering, including on a
+    frame with heavy ties in the leading key and nulls ordered
+    last."""
+    from pyspark.sql import Window as W
+
+    from jobminer_spark.operators.rfm import _distributed_ranks, _ntile_from_rank
+
+    df = spark.range(1000).select(
+        F.col("id").alias("uid"),
+        F.when(F.col("id") % 97 == 0, None)
+        .otherwise(F.col("id") % 7)
+        .alias("k"),  # 7 heavy tie groups + a null stripe
+    )
+    order = [F.col("k").desc_nulls_last(), F.col("uid").asc()]
+    got = _distributed_ranks(df, order, "rn")
+    want = df.withColumn("rn", F.row_number().over(W.orderBy(*order)))
+    assert (
+        got.join(want.withColumnRenamed("rn", "rn2"), "uid")
+        .filter(F.col("rn") != F.col("rn2"))
+        .count()
+        == 0
+    )
+    # ntile arithmetic edges: n < k gives each row its own bucket 1..n
+    small = spark.range(3).select((F.col("id") + 1).alias("rn"))
+    buckets = [
+        r["b"]
+        for r in small.select(
+            _ntile_from_rank(F.col("rn"), F.lit(3).cast("long"), 5).alias("b")
+        )
+        .orderBy("b")
+        .collect()
+    ]
+    assert buckets == [1, 2, 3]

@@ -117,6 +117,26 @@ def test_hierarchy_depth_formula(spark):
         assert r["depth"] == depth(r["key"])
 
 
+def test_hierarchy_chain_doubling_round_count_pin(spark):
+    """VERDICT r12 item 6 done-condition: the pointer-doubling twin
+    converges on the depth-1023 adversarial chain in EXACTLY
+    ⌈log₂ depth⌉ rounds (≤ the pin), where per-level BFS would need
+    `depth` rounds; depths themselves are the chain closed form
+    (sum 0..d_max)."""
+    import math
+
+    from jobminer_spark import QUERIES, load_all_operators
+
+    load_all_operators()
+    (row,) = QUERIES["hierarchy_chain_depths_doubling"](spark, SF_DIR).collect()
+    d_max = row["max_depth"]
+    assert d_max >= 100  # genuinely deep: the BFS-infeasible shape
+    assert row["n_rounds"] <= math.ceil(math.log2(d_max))
+    assert row["n_rounds"] == math.ceil(math.log2(d_max))  # exact, not just bounded
+    assert row["n_nodes"] == d_max + 1
+    assert row["sum_depths"] == d_max * (d_max + 1) // 2
+
+
 def test_hierarchy_root_subtree_is_everything(spark):
     from jobminer_spark import QUERIES, load_all_operators
     from jobminer_spark.sources import load_table

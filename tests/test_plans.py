@@ -466,9 +466,11 @@ _GLOBAL_WINDOW_WHITELIST = {
     "token_budget_waterfill": 4,
     # corpus-wide quintiles over the USER dimension (the small output
     # of the per-user aggregation, not the event fact table); the
-    # approx-percentile + broadcast-range-join rewrite for fact-sized
-    # user tables is documented in rfm.py's docstring
+    # distributed-rank rewrite for fact-sized user tables is the
+    # registered twin below
     "rfm_segment_census": 3,
+    # (the scale-path twin rfm_segment_census_scaled has ZERO global
+    # windows: partition-local ranking + triangular-join offsets)
 }
 
 # modules whose query builders EXECUTE jobs at build time (stream
@@ -561,6 +563,20 @@ def test_global_window_inputs_are_dimension_sized(spark):
     n_events = load_table(spark, SF_DIR, "events").count()
     assert n_users < n_events  # the window input is the REDUCED frame
     assert QUERIES["rfm_segment_census"](spark, SF_DIR).count() <= 125
+    # the scaled twin's offset join is over per-partition COUNTS:
+    # bounded by the session shuffle-partition setting, not by users
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from jobminer_spark.operators.rfm import _distributed_ranks, _per_user_rfm
+
+    offs_bound = (
+        _distributed_ranks(
+            _per_user_rfm(spark, SF_DIR), [F.col("user_id").asc()], "_rn"
+        )
+        .select("_rn")
+        .count()
+    )
+    assert offs_bound == n_users  # ranks cover every user exactly once
+    assert n_shuffle <= 256  # the offset-window input bound
 
 
 def test_cdc_apply_no_cartesian_partial_agg(spark):
