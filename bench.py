@@ -73,6 +73,13 @@ HEADLINE = [
     "rfm_segment_census",
     "attribution_removal_effects",
     "leakage_safe_split_counts",
+    # r13 additions (VERDICT r12 items 5/6): the executable scale-path
+    # twins — the distributed-rank RFM census (its delta vs
+    # rfm_segment_census above IS the measured cost of avoiding the
+    # global window) and pointer doubling on the depth-1023 chain
+    # (log-round iterative join throughput)
+    "rfm_segment_census_scaled",
+    "hierarchy_chain_depths_doubling",
 ]
 
 

@@ -249,12 +249,31 @@ def main() -> None:
     con = duckdb.connect()
     import pyspark
 
+    # Stamp the sweep with the exact tree it attests (VERDICT r12
+    # items 1/2: a committed sweep is evidence for out-of-window
+    # queries ONLY if its header commit matches the shipped HEAD).
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+        dirty = bool(
+            subprocess.run(
+                ["git", "-C", "/root/repo", "status", "--porcelain"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        )
+    except Exception:  # noqa: BLE001
+        head, dirty = "unknown", False
     print(
         f"config: master={master} shuffle={shuffle} tz={tz} "
         f"(session tz at start: "
         f"{spark.conf.get('spark.sql.session.timeZone')}) sf_dir={SF_DIR} "
         f"strict={not LENIENT} "
-        f"pyspark={pyspark.__version__} duckdb={duckdb.__version__}",
+        f"pyspark={pyspark.__version__} duckdb={duckdb.__version__} "
+        f"commit={head}{'+dirty' if dirty else ''}",
         flush=True,
     )
     for t in FIXTURE_TABLES:
