@@ -155,6 +155,23 @@ _PROBES: list[tuple[str, str, str, str]] = [
         " AS VARCHAR)",
         "3.141592653589",
     ),
+    # r13 (ADVICE r12): FLOOR-semantics integer division on negatives —
+    # the lakehouse key-bucket recipe (_bucket_expr). Both engines'
+    # native integer division TRUNCATES toward zero (pinned above by
+    # int_div_neg = -3), while Python's `//` FLOORS (-7 // 2 = -4);
+    # the recipe compensates with the dividend-signed `%`: one bucket
+    # down exactly when the remainder is negative. This probe pins the
+    # full compensated expression to the floor contract in BOTH
+    # dialects, so a future change to either engine's div/% sign rule
+    # surfaces as a named drift, not a silent bucket miss.
+    (
+        "floor_div_neg",
+        "CAST(((-7) div 2) +"
+        " (CASE WHEN (-7) % 2 < 0 THEN -1 ELSE 0 END) AS STRING)",
+        "CAST(((-7) // 2) +"
+        " (CASE WHEN (-7) % 2 < 0 THEN -1 ELSE 0 END) AS VARCHAR)",
+        "-4",
+    ),
 ]
 
 

@@ -459,3 +459,125 @@ def lakehouse_concurrency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("checksum_v3", s["checksum_v3"]),
         ],
     )
+
+
+_NEG_CAP = 2048  # negative-key scenario input bound (~2k rows)
+_NEG_UPD = 512   # updates touch keys in (-_NEG_UPD, 0]
+
+_NEG_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _run_negative_key_scenario(spark: SparkSession, sf_dir: str) -> dict:
+    """ADVICE r12 floor-bucket fix, attested cross-engine: a table
+    whose keys are NEGATED order keys spans buckets -1 and 0 —
+    exactly the boundary where Spark's truncating `div` used to place
+    batch keys one bucket above the Python-floor file ranges, so the
+    holding file was missed and every matched key re-inserted as a
+    duplicate. Post-fix (lakehouse._bucket_expr) the merge must apply
+    all updates, insert only the genuinely new keys, and leave key
+    uniqueness intact; the oracle recomputes every count from orders.
+    Before the fix this scenario yields n_updates_applied = 0 and
+    n_dup_keys > 0 — a red driver row, not a silent corruption."""
+    from jobminer_spark.lakehouse import create_table, merge_into, read_snapshot
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _NEG_CACHE:
+        return _NEG_CACHE[cache_key]
+
+    app = spark.sparkContext.applicationId
+    root = tempfile.gettempdir()
+    sweep_stale_dirs(root, "jm_lakeneg_", keep_token=f"jm_lakeneg_{app}_")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    table = os.path.join(root, f"jm_lakeneg_{app}_{sf_tag}")
+    shutil.rmtree(table, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < _NEG_CAP)
+        .select(
+            (-F.col("o_orderkey")).alias("key"),
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * F.lit(100.0))
+            .cast("long")
+            .alias("price_q"),
+        )
+    )
+    create_table(spark, table, base, "key")
+
+    transitions = base.filter(F.col("key") > -_NEG_UPD).select(
+        "key", F.lit("X").alias("o_orderstatus"), "price_q"
+    )
+    inserts = base.filter(F.col("key") % _INS_MOD == 0).select(
+        (F.col("key") - _INS_OFFSET).alias("key"),
+        F.lit("N").alias("o_orderstatus"),
+        "price_q",
+    )
+    m = merge_into(
+        spark, table, transitions.unionByName(inserts), lambda j: F.lit(True)
+    )
+    snap = read_snapshot(spark, table)
+    r = snap.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias("nx"),
+        F.sum("price_q").alias("ck"),
+    ).first()
+    n_dup = (
+        snap.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    result = {
+        "n_rows_v2": r["n"],
+        "n_status_x": r["nx"],
+        "checksum_v2": r["ck"],
+        "n_updates_applied": m["n_updates_applied"],
+        "n_inserts": m["n_inserts"],
+        "n_dup_keys": n_dup,
+    }
+    _NEG_CACHE[cache_key] = result
+    return result
+
+
+@query(
+    "lakehouse_negative_key_merge_parity",
+    oracle=f"""
+    WITH src AS (
+      SELECT -o_orderkey AS key, o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_q
+      FROM orders WHERE o_orderkey < {_NEG_CAP}
+    )
+    SELECT
+      (SELECT COUNT(*) FROM src)
+        + (SELECT COUNT(*) FROM src WHERE key % {_INS_MOD} = 0)
+        AS n_rows_v2,
+      (SELECT COUNT(*) FROM src WHERE key > -{_NEG_UPD}) AS n_status_x,
+      CAST(
+        (SELECT SUM(price_q) FROM src)
+        + (SELECT COALESCE(SUM(price_q), 0) FROM src
+           WHERE key % {_INS_MOD} = 0)
+      AS BIGINT) AS checksum_v2,
+      (SELECT COUNT(*) FROM src WHERE key > -{_NEG_UPD})
+        AS n_updates_applied,
+      (SELECT COUNT(*) FROM src WHERE key % {_INS_MOD} = 0) AS n_inserts,
+      CAST(0 AS BIGINT) AS n_dup_keys
+    """,
+)
+def lakehouse_negative_key_merge_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE over a negative key domain (buckets -1 and 0): the
+    floor-semantics bucket contract, driver-attested. See
+    _run_negative_key_scenario for the failure shape this pins."""
+    s = _run_negative_key_scenario(spark, sf_dir)
+    return _scalars_df(
+        spark,
+        [
+            ("n_rows_v2", s["n_rows_v2"]),
+            ("n_status_x", s["n_status_x"]),
+            ("checksum_v2", s["checksum_v2"]),
+            ("n_updates_applied", s["n_updates_applied"]),
+            ("n_inserts", s["n_inserts"]),
+            ("n_dup_keys", s["n_dup_keys"]),
+        ],
+    )

@@ -177,10 +177,11 @@ ORACLES: dict[str, str] = {}
 #     The six scrapeshape slots the r12 plan penciled in are displaced
 #     by the 6 amendment slots and move whole to r14.
 #     Spills to r14 (write that window at r13 close): scrapeshape's 7,
-#     the r13-NEW twin queries (rfm's approx-percentile scale path,
-#     hierarchy's pointer-doubling deep path — registered past this
-#     window by design, fronted next per the rotation invariant),
-#     any r13-modified module's queries (rfm, hierarchy), then the
+#     the r13-NEW queries (rfm_segment_census_scaled, hierarchy's
+#     pointer-doubling chain, lakehouse_negative_key_merge_parity —
+#     each registered past this window by design, fronted next per
+#     the rotation invariant), the other queries of the r13-modified
+#     modules (rfm's census, hierarchy's two BFS queries), then the
 #     r6-attested dedupe/curation tails — that restores the "no query
 #     older than 5 rounds" invariant by r14 close.
 #   invariant: local parity (tests/test_oracle_parity.py) and
