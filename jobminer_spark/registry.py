@@ -296,6 +296,10 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.cohort",
     "jobminer_spark.operators.rfm",
     "jobminer_spark.operators.markovattr",
+    # r13-new module (registered past the r13 window by design — the
+    # rotation plan fronts it in r14 alongside the other r13-new
+    # queries)
+    "jobminer_spark.operators.agreement",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -159,3 +159,58 @@ def test_distributed_ranks_equal_global_row_number(spark):
         .collect()
     ]
     assert buckets == [1, 2, 3]
+
+
+def test_filter_agreement_cells_partition_corpus(spark):
+    from jobminer_spark.operators.agreement import filter_agreement_kappa
+
+    (row,) = filter_agreement_kappa(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    cells = (
+        row["n_both_keep"]
+        + row["n_quality_only"]
+        + row["n_rep_only"]
+        + row["n_both_drop"]
+    )
+    assert row["n_docs"] == n_docs and cells == n_docs
+    assert -1000 <= row["kappa_permille"] <= 1000
+    assert 0 <= row["keep_jaccard_permille"] <= 1000
+    # both gates are non-trivial on the fixture (each keeps and drops)
+    assert row["n_both_keep"] > 0 and row["n_both_drop"] > 0
+
+
+def test_kappa_permille_matches_python_reference(spark):
+    """The exact-integer kappa equals the float textbook formula
+    truncated to permille, on the fixture's own confusion counts."""
+    from jobminer_spark.operators.agreement import (
+        filter_agreement_kappa,
+        lang_agreement_kappa,
+        lang_confusion_matrix,
+    )
+
+    (row,) = filter_agreement_kappa(spark, SF_DIR).collect()
+    a, b, c, d = (
+        row["n_both_keep"],
+        row["n_quality_only"],
+        row["n_rep_only"],
+        row["n_both_drop"],
+    )
+    n = a + b + c + d
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert row["kappa_permille"] == int(kappa * 1000)  # trunc toward 0
+
+    (lrow,) = lang_agreement_kappa(spark, SF_DIR).collect()
+    cells = lang_confusion_matrix(spark, SF_DIR).collect()
+    n2 = sum(r["n_docs"] for r in cells)
+    diag = sum(r["n_docs"] for r in cells if r["labeled_lang"] == r["lang_pred"])
+    rows: dict = {}
+    cols: dict = {}
+    for r in cells:
+        rows[r["labeled_lang"]] = rows.get(r["labeled_lang"], 0) + r["n_docs"]
+        cols[r["lang_pred"]] = cols.get(r["lang_pred"], 0) + r["n_docs"]
+    pe2 = sum(rows[l] * cols.get(l, 0) for l in rows) / (n2 * n2)
+    kappa2 = (diag / n2 - pe2) / (1 - pe2)
+    assert lrow["n_docs"] == n2 and lrow["n_agree"] == diag
+    assert lrow["kappa_permille"] == int(kappa2 * 1000)

@@ -1020,3 +1020,74 @@ def test_double_to_decimal_conversion_rule(spark, ddb):
     ).collect()
     n_diverge = sum(1 for a, b in zip(d18, s18) if Decimal(a[0]) != Decimal(b[0]))
     assert n_diverge > 0
+
+
+@_settings
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=2, max_value=9),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_ntile_from_rank_matches_reference(n, k, seed):
+    """The shared ntile arithmetic (rfm._ntile_from_rank) must agree
+    with the NTILE contract for every (n, k), including n < k: the
+    first n % k buckets get n//k + 1 rows, the rest n//k. Reference
+    computed in pure Python; the Column expression is evaluated via
+    pandas-free local relation once per example batch below (the
+    Spark-side evaluation itself is covered by
+    test_distributed_ranks_equal_global_row_number and the oracle
+    hash gate) — here we pin the FORMULA's integer math."""
+
+    def ref_ntile(rank: int, n: int, k: int) -> int:
+        small = n // k
+        rem = n % k
+        cut = rem * (small + 1)
+        if rank <= cut:
+            return (rank - 1) // (small + 1) + 1
+        return rem + (rank - cut - 1) // max(small, 1) + 1
+
+    # the reference itself must satisfy the NTILE contract
+    sizes: dict[int, int] = {}
+    for r in range(1, n + 1):
+        b = ref_ntile(r, n, k)
+        sizes[b] = sizes.get(b, 0) + 1
+    buckets = sorted(sizes)
+    assert buckets == list(range(1, min(n, k) + 1))
+    small, rem = n // k, n % k
+    for b, c in sizes.items():
+        assert c == (small + 1 if b <= rem else small)
+    # monotone: ranks map to non-decreasing buckets
+    assert all(
+        ref_ntile(r, n, k) <= ref_ntile(r + 1, n, k) for r in range(1, n)
+    )
+
+
+def test_ntile_from_rank_column_matches_reference_sampled(spark):
+    """The Column spelling of _ntile_from_rank evaluated in Spark
+    equals the pure-Python reference over a (n, k) sample that covers
+    the n < k, n % k = 0, and n % k > 0 regimes."""
+    import pyspark.sql.functions as F
+
+    from jobminer_spark.operators.rfm import _ntile_from_rank
+
+    def ref_ntile(rank: int, n: int, k: int) -> int:
+        small, rem = n // k, n % k
+        cut = rem * (small + 1)
+        if rank <= cut:
+            return (rank - 1) // (small + 1) + 1
+        return rem + (rank - cut - 1) // max(small, 1) + 1
+
+    for n, k in [(1, 5), (3, 5), (5, 5), (7, 5), (100, 5), (101, 7), (12, 3)]:
+        got = {
+            r["rn"]: r["b"]
+            for r in spark.range(1, n + 1)
+            .select(
+                F.col("id").alias("rn"),
+                _ntile_from_rank(
+                    F.col("id"), F.lit(n).cast("long"), k
+                ).alias("b"),
+            )
+            .collect()
+        }
+        want = {r: ref_ntile(r, n, k) for r in range(1, n + 1)}
+        assert got == want, (n, k)
