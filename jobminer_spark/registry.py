@@ -300,6 +300,7 @@ _OPERATOR_MODULES = [
     # rotation plan fronts it in r14 alongside the other r13-new
     # queries)
     "jobminer_spark.operators.agreement",
+    "jobminer_spark.operators.drift",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -214,3 +214,49 @@ def test_kappa_permille_matches_python_reference(spark):
     kappa2 = (diag / n2 - pe2) / (1 - pe2)
     assert lrow["n_docs"] == n2 and lrow["n_agree"] == diag
     assert lrow["kappa_permille"] == int(kappa2 * 1000)
+
+
+def test_ks_and_tvd_match_python_reference(spark):
+    """The exact-integer KS and TVD equal the float textbook values
+    (truncated to permille) recomputed in Python from the same split."""
+    from jobminer_spark.operators.drift import (
+        ks_drift_event_values,
+        tvd_drift_event_types,
+    )
+
+    ev = [
+        (r["us"], r["vq"], r["et"])
+        for r in load_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+            F.floor(F.col("value") * 100.0).cast("long").alias("vq"),
+            F.col("event_type").alias("et"),
+        )
+        .collect()
+    ]
+    mid = (min(e[0] for e in ev) + max(e[0] for e in ev)) // 2
+    s1 = sorted(e[1] for e in ev if e[0] < mid)
+    s2 = sorted(e[1] for e in ev if e[0] >= mid)
+    n1, n2 = len(s1), len(s2)
+    grid = sorted(set(s1) | set(s2))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(s1, v) / n1 - bisect.bisect_right(s2, v) / n2)
+        for v in grid
+    )
+    (row,) = ks_drift_event_values(spark, SF_DIR).collect()
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["n_value_buckets"] == len(grid)
+    assert row["ks_permille"] == int(d * 1000)
+
+    from collections import Counter
+
+    c1 = Counter(e[2] for e in ev if e[0] < mid)
+    c2 = Counter(e[2] for e in ev if e[0] >= mid)
+    types = set(c1) | set(c2)
+    tvd = 0.5 * sum(abs(c1[t] / n1 - c2[t] / n2) for t in types)
+    (trow,) = tvd_drift_event_types(spark, SF_DIR).collect()
+    assert trow["n_types"] == len(types)
+    assert trow["tvd_permille"] == int(tvd * 1000)
