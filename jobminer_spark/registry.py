@@ -178,12 +178,17 @@ ORACLES: dict[str, str] = {}
 #     by the 6 amendment slots and move whole to r14.
 #     Spills to r14 (write that window at r13 close): scrapeshape's 7,
 #     the r13-NEW queries (rfm_segment_census_scaled, hierarchy's
-#     pointer-doubling chain, lakehouse_negative_key_merge_parity —
-#     each registered past this window by design, fronted next per
-#     the rotation invariant), the other queries of the r13-modified
-#     modules (rfm's census, hierarchy's two BFS queries), then the
-#     r6-attested dedupe/curation tails — that restores the "no query
-#     older than 5 rounds" invariant by r14 close.
+#     pointer-doubling chain, lakehouse_negative_key_merge_parity,
+#     agreement's 3, drift's 2 — each registered past this window by
+#     design, fronted next per the rotation invariant), the other
+#     queries of the r13-modified modules (rfm's census, hierarchy's
+#     two BFS queries, docquality's doc_repetition_stats and
+#     textanalysis' lang/quality queries ONLY IF their shared
+#     formulas change — agreement/drift import them read-only), then
+#     the r6-attested dedupe/curation tails — that restores the "no
+#     query older than 5 rounds" invariant by r14 close. Bench
+#     candidates for r14: ks_drift_event_values (the distributed
+#     prefix-sum plan shape) and filter_agreement_kappa.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
