@@ -515,37 +515,52 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
         for n in os.listdir(mdir)
         if n.startswith("v") and n.endswith(".json")
     )
-    # Doomed data/shard files are discoverable ONLY through the
-    # retiring manifests, so deletion order matters for crash safety:
-    # delete the garbage FIRST, and unlink a retired manifest only
-    # after every doomed path it references is gone. A crash (or a
-    # failed unlink) mid-vacuum then leaves the manifest in place and
-    # the next vacuum re-discovers the same garbage — nothing leaks.
-    # The old order (manifest first) made any failure after that
-    # unlink a permanent leak.
+    # Doomed data files are discoverable ONLY through the retiring
+    # manifests (manifest → shard → data), so deletion order matters
+    # for crash safety — garbage before its index, innermost first:
+    #   1. doomed DATA files;
+    #   2. doomed SHARD files, but only those whose every retiring
+    #      referencer had all its doomed data deleted (a manifest kept
+    #      for a failed data unlink keeps its shards too — they are
+    #      its re-discovery index);
+    #   3. the retired MANIFESTS whose doomed data AND shards are gone.
+    # A crash or failed unlink at any point leaves every still-needed
+    # index file in place, so the next vacuum re-discovers the same
+    # garbage — nothing leaks and nothing crashes. Discovery is
+    # lenient to already-missing shard files (the pre-r13 orderings
+    # could strand one): a missing shard's data entries were deletable
+    # only through it, so the manifest is treated as having nothing
+    # left to index through that shard.
     doomed_files = set()
     doomed_shards = set()
-    retiring: list[tuple[int, set[str]]] = []  # (version, its doomed paths)
+    # per retiring version: (doomed data paths, doomed shard paths)
+    retiring: list[tuple[int, set[str], set[str]]] = []
     for v in all_versions:
         if v in keep:
             continue
         m = _read_manifest(table, v)
-        mine: set[str] = set()
+        my_data: set[str] = set()
+        my_shards: set[str] = set()
         # Shard files are content-immutable and SHARED across
         # versions (a carried ref points at the base version's
         # shard), so they reference-count exactly like data files:
         # delete only the shards no kept manifest points at.
+        files = list(m.get("files", []))
         for ref in m.get("file_shards", []):
             sp = os.path.realpath(ref["path"])
+            try:
+                files.extend(_load_shard(ref))
+            except FileNotFoundError:
+                continue  # stranded by an interrupted pre-fix vacuum
             if sp not in referenced_shards:
                 doomed_shards.add(sp)
-                mine.add(sp)
-        for f in _manifest_files(m):
+                my_shards.add(sp)
+        for f in files:
             p = os.path.realpath(f["path"])
             if p not in referenced:
                 doomed_files.add(p)
-                mine.add(p)
-        retiring.append((v, mine))
+                my_data.add(p)
+        retiring.append((v, my_data, my_shards))
     n_files_removed = 0
     n_unlink_failures = 0
     failed: set[str] = set()
@@ -558,8 +573,18 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
         except OSError:
             n_unlink_failures += 1
             failed.add(p)
+    # a manifest is data-clear when none of its doomed data failed
+    data_clear = {v for v, my_data, _ in retiring if not (my_data & failed)}
+    # a shard is deletable only when EVERY retiring manifest that
+    # references it is data-clear (a kept manifest still needs it)
+    shard_holders: dict[str, set[int]] = {}
+    for v, _, my_shards in retiring:
+        for sp in my_shards:
+            shard_holders.setdefault(sp, set()).add(v)
     n_shards_removed = 0
     for p in doomed_shards:
+        if not shard_holders[p] <= data_clear:
+            continue
         try:
             os.unlink(p)
             n_shards_removed += 1
@@ -568,9 +593,11 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
         except OSError:
             n_unlink_failures += 1
             failed.add(p)
-    for v, mine in retiring:
-        if mine & failed:
+    for v, my_data, my_shards in retiring:
+        if (my_data | my_shards) & failed:
             continue  # keep the manifest: it is the garbage's only index
+        if v not in data_clear:
+            continue
         os.unlink(_manifest_path(table, v))
         n_manifests_removed += 1
     return {

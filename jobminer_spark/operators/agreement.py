@@ -16,8 +16,8 @@ confusion counts — kappa's (po-pe)/(1-pe) is computed as a ratio of
 BIGINT polynomials and reported in truncated permille (Spark ``div``
 == DuckDB ``//``, probe-pinned by ``int_div_neg``), so there is no
 float anywhere past the gate comparisons themselves. The underlying
-gates reuse the oracle-shared definitions (textanalysis.quality_cte,
-common.repetition_cte, the lang-ID marker CASE) so the gate formulas
+gates reuse the oracle-shared definitions (textanalysis.quality_cte
+and lang_pred_cte, common.repetition_cte) so the gate formulas
 cannot drift from their source operators.
 
 Scale shape: one documents scan per gate (each embarrassingly
@@ -37,8 +37,8 @@ from pyspark.sql import functions as F
 from jobminer_spark.operators.common import DUP_FRAC_MAX, TOP_FRAC_MAX, repetition_cte
 from jobminer_spark.operators.docquality import doc_repetition_stats
 from jobminer_spark.operators.textanalysis import (
-    _marker_count_sql,
     lang_id_heuristic,
+    lang_pred_cte,
     quality_cte,
     quality_scores,
 )
@@ -127,37 +127,10 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_pred_cte() -> str:
-    """DuckDB CTE ``pred(doc_id, labeled_lang, lang_pred)`` — the
-    lang_id_heuristic scoring CASE, restated from the same shared
-    marker lists (textanalysis._marker_count_sql) so the labeler
-    cannot drift from its source operator."""
-    return f"""
-    scored AS (
-      SELECT doc_id, lang AS labeled_lang,
-             {_marker_count_sql("en")} AS s_en,
-             {_marker_count_sql("de")} AS s_de,
-             {_marker_count_sql("fr")} AS s_fr,
-             {_marker_count_sql("es")} AS s_es
-      FROM documents
-    ),
-    pred AS (
-      SELECT doc_id, labeled_lang,
-             CASE
-               WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
-               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-               WHEN s_fr >= s_es THEN 'fr'
-               ELSE 'es'
-             END AS lang_pred
-      FROM scored
-    )"""
-
-
 @query(
     "lang_confusion_matrix",
     oracle=f"""
-    WITH {_lang_pred_cte()}
+    WITH {lang_pred_cte()}
     SELECT labeled_lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM pred GROUP BY labeled_lang, lang_pred
     """,
@@ -176,7 +149,7 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lang_agreement_kappa",
     oracle=f"""
-    WITH {_lang_pred_cte()},
+    WITH {lang_pred_cte()},
     cm AS (
       SELECT labeled_lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS c
       FROM pred GROUP BY labeled_lang, lang_pred
@@ -193,7 +166,8 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON p.l = r.l) AS pe_num
     )
     SELECT n AS n_docs, diag AS n_agree,
-           CAST((1000 * diag) // n AS BIGINT) AS agree_permille,
+           CAST(CASE WHEN n = 0 THEN NULL ELSE (1000 * diag) // n END
+             AS BIGINT) AS agree_permille,
            CAST(CASE WHEN n*n - pe_num = 0 THEN NULL
                 ELSE (1000 * (n*diag - pe_num)) // (n*n - pe_num) END
              AS BIGINT) AS kappa_permille
@@ -233,7 +207,8 @@ def lang_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "n AS n_docs",
             "diag AS n_agree",
-            "CAST((1000 * diag) div n AS BIGINT) AS agree_permille",
+            "CAST(CASE WHEN n = 0 THEN NULL ELSE (1000 * diag) div n END"
+            " AS BIGINT) AS agree_permille",
             "CAST(CASE WHEN n*n - pe_num = 0 THEN NULL"
             " ELSE (1000 * (n*diag - pe_num)) div (n*n - pe_num) END"
             " AS BIGINT) AS kappa_permille",

@@ -152,10 +152,14 @@ _CHAIN_CAP = 1024  # adversarial chain depth bound (keeps the oracle's
       SELECT c_custkey AS key FROM customer
       WHERE c_custkey >= 1 AND c_custkey < {_CHAIN_CAP}
     ),
+    edges AS (
+      SELECT key, COALESCE(LAG(key) OVER (ORDER BY key), 0) AS parent
+      FROM chain
+    ),
     t AS (
       SELECT CAST(0 AS BIGINT) AS key, CAST(0 AS BIGINT) AS depth
       UNION ALL
-      SELECT c.key, t.depth + 1 FROM chain c JOIN t ON c.key = t.key + 1
+      SELECT e.key, t.depth + 1 FROM edges e JOIN t ON e.parent = t.key
     )
     SELECT COUNT(*) AS n_nodes,
            CAST(MAX(depth) AS BIGINT) AS max_depth,
@@ -168,11 +172,17 @@ _CHAIN_CAP = 1024  # adversarial chain depth bound (keeps the oracle's
 )
 def hierarchy_chain_depths_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointer doubling on an adversarial LINKED-LIST hierarchy
-    (VERDICT r12 item 6): ``parent(k) = k-1`` over the first
-    ``_CHAIN_CAP`` customer keys is the depth-(n) chain that makes
-    per-level BFS infeasible at scale (one shuffle round PER LEVEL —
-    1023 rounds here, millions on a real deep table). Doubling keeps,
-    per node, the (ancestor-reached, steps-walked) pair and self-joins
+    (VERDICT r12 item 6): each of the first ``_CHAIN_CAP`` customer
+    keys chains to its PREDECESSOR key (the first to root 0) — a
+    depth-(n) linked list that makes per-level BFS infeasible at
+    scale (one shuffle round PER LEVEL — 1023 rounds here, millions
+    on a real deep table). Each node's parent is its PREDECESSOR key
+    (not ``k-1``), so the chain is closed on ANY key domain — a gap
+    in the keys cannot dangle a pointer (review r13); the Spark side
+    derives it as max-smaller-key over the ≤_CHAIN_CAP-row chain (a
+    design-constant-bounded self-join, checkpointed away before the
+    loop), the oracle as LAG over the same order. Doubling keeps, per
+    node, the (ancestor-reached, steps-walked) pair and self-joins
     it each round so the reached distance doubles: convergence in
     exactly ⌈log₂ depth⌉ rounds, each one keyed equi-join (the
     cc_star discipline). The MEASURED round count is returned as
@@ -190,14 +200,20 @@ def hierarchy_chain_depths_doubling(spark: SparkSession, sf_dir: str) -> DataFra
         .filter((F.col("key") >= 1) & (F.col("key") < _CHAIN_CAP))
     )
     # (key, ptr, steps): ptr = the ancestor reached so far, steps =
-    # its distance; start one hop up the chain. Root key 0 is not in
-    # `reach`, so a pointer AT the root left-join-misses and freezes —
-    # the root-clamp that ends each node's walk.
-    reach = nodes.select(
-        "key",
-        (F.col("key") - 1).alias("ptr"),
-        F.lit(1).cast("long").alias("steps"),
-    ).localCheckpoint(eager=True)
+    # its distance; start one hop up the chain at the PREDECESSOR key
+    # (max smaller key — a self-join over the ≤_CHAIN_CAP-row chain,
+    # no window, no warn ledger entry; the oracle's LAG states the
+    # same predecessor). Root key 0 is not in `reach`, so a pointer
+    # AT the root left-join-misses and freezes — the root-clamp that
+    # ends each node's walk.
+    smaller = nodes.select(F.col("key").alias("bkey"))
+    reach = (
+        nodes.join(smaller, F.col("bkey") < F.col("key"), "left")
+        .groupBy("key")
+        .agg(F.coalesce(F.max("bkey"), F.lit(0)).alias("ptr"))
+        .select("key", "ptr", F.lit(1).cast("long").alias("steps"))
+        .localCheckpoint(eager=True)
+    )
     rounds = 0
     while reach.filter(F.col("ptr") != 0).count() > 0:
         rounds += 1

@@ -86,27 +86,40 @@ def _marker_count_sql(lang: str) -> str:
     )
 
 
-@query(
-    "lang_id_heuristic",
-    oracle=f"""
-    WITH scored AS (
+def lang_pred_cte() -> str:
+    """DuckDB CTEs ``scored`` + ``pred(doc_id, labeled_lang, s_*,
+    lang_pred)`` — the complete labeler (marker scores AND the
+    tie-break CASE) in one shared definition, so consumers
+    (operators/agreement.py) cannot drift from this operator's own
+    oracle (the quality_cte discipline)."""
+    return f"""
+    scored AS (
       SELECT doc_id, lang AS labeled_lang,
              {_marker_count_sql("en")} AS s_en,
              {_marker_count_sql("de")} AS s_de,
              {_marker_count_sql("fr")} AS s_fr,
              {_marker_count_sql("es")} AS s_es
       FROM documents
-    )
-    SELECT doc_id, labeled_lang,
-           CASE
-             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
-             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-             WHEN s_fr >= s_es THEN 'fr'
-             ELSE 'es'
-           END AS lang_pred,
-           s_en, s_de, s_fr, s_es
-    FROM scored
+    ),
+    pred AS (
+      SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
+             CASE
+               WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es'
+             END AS lang_pred
+      FROM scored
+    )"""
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH {lang_pred_cte()}
+    SELECT doc_id, labeled_lang, lang_pred, s_en, s_de, s_fr, s_es
+    FROM pred
     """,
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -255,13 +255,16 @@ def main() -> None:
     import subprocess
 
     try:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
         head = subprocess.run(
-            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            ["git", "-C", repo_root, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or "unknown"
         dirty = bool(
             subprocess.run(
-                ["git", "-C", "/root/repo", "status", "--porcelain"],
+                ["git", "-C", repo_root, "status", "--porcelain"],
                 capture_output=True, text=True, timeout=10,
             ).stdout.strip()
         )

@@ -227,7 +227,6 @@ def test_ks_and_tvd_match_python_reference(spark):
     ev = [
         (r["us"], r["vq"], r["et"])
         for r in load_table(spark, SF_DIR, "events")
-        .filter(F.col("value").isNotNull())
         .select(
             F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
             F.floor(F.col("value") * 100.0).cast("long").alias("vq"),
@@ -235,9 +234,10 @@ def test_ks_and_tvd_match_python_reference(spark):
         )
         .collect()
     ]
+    # split point over ALL events; KS grid over non-null values only
     mid = (min(e[0] for e in ev) + max(e[0] for e in ev)) // 2
-    s1 = sorted(e[1] for e in ev if e[0] < mid)
-    s2 = sorted(e[1] for e in ev if e[0] >= mid)
+    s1 = sorted(e[1] for e in ev if e[0] < mid and e[1] is not None)
+    s2 = sorted(e[1] for e in ev if e[0] >= mid and e[1] is not None)
     n1, n2 = len(s1), len(s2)
     grid = sorted(set(s1) | set(s2))
     import bisect
@@ -253,10 +253,13 @@ def test_ks_and_tvd_match_python_reference(spark):
 
     from collections import Counter
 
+    # TVD counts EVERY event (null-valued rows included), so its
+    # totals are the all-event half sizes, not the KS grid's
     c1 = Counter(e[2] for e in ev if e[0] < mid)
     c2 = Counter(e[2] for e in ev if e[0] >= mid)
+    m1, m2 = sum(c1.values()), sum(c2.values())
     types = set(c1) | set(c2)
-    tvd = 0.5 * sum(abs(c1[t] / n1 - c2[t] / n2) for t in types)
+    tvd = 0.5 * sum(abs(c1[t] / m1 - c2[t] / m2) for t in types)
     (trow,) = tvd_drift_event_types(spark, SF_DIR).collect()
     assert trow["n_types"] == len(types)
     assert trow["tvd_permille"] == int(tvd * 1000)

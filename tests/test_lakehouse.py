@@ -443,3 +443,85 @@ def test_vacuum_actually_deletes_files_from_disk(spark, table_dir):
     }
     gone = v1_files - kept
     assert gone and all(not os.path.exists(p) for p in gone)
+
+
+def test_vacuum_survives_stranded_shard(spark, table_dir, monkeypatch):
+    """Crash-window regression (r13 review): a retired manifest whose
+    shard file is already gone (vacuum killed between shard and
+    manifest unlinks, or a pre-fix ordering) must not crash the next
+    vacuum — discovery is lenient to the missing shard and the
+    manifest is then removable, so recovery actually runs."""
+    monkeypatch.setattr(lh, "MANIFEST_SPLIT_FILES", 40)
+    monkeypatch.setattr(lh, "MANIFEST_SHARD_FILES", 16)
+    n_buckets = 100
+    wide = spark.range(n_buckets).select(
+        (F.col("id") * lh.KEY_BUCKET).alias("k"),
+        F.lit("O").alias("status"),
+        F.col("id").alias("v"),
+    )
+    lh.create_table(spark, table_dir, wide, "k")
+    m1 = lh._read_manifest(table_dir, 1)
+    upd = spark.range(2).select(
+        (F.col("id") * lh.KEY_BUCKET).alias("k"),
+        F.lit("X").alias("status"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    lh.merge_into(spark, table_dir, upd, lambda j: F.lit(True))
+    # simulate the stranded state: the superseded first shard (the one
+    # v2 rewrote) vanishes while the v1 manifest is still on disk
+    m2 = lh._read_manifest(table_dir, 2)
+    v2_shards = {s["path"] for s in m2.get("file_shards", [])}
+    stranded = next(
+        s["path"] for s in m1["file_shards"] if s["path"] not in v2_shards
+    )
+    os.unlink(stranded)
+    stats = lh.vacuum(table_dir, keep_last=1)
+    assert stats["n_manifests_removed"] == 1  # recovery ran, no crash
+    assert stats["n_unlink_failures"] == 0
+    assert not os.path.exists(lh._manifest_path(table_dir, 1))
+    # the kept snapshot is untouched and fully readable
+    assert lh.read_snapshot(spark, table_dir).count() == n_buckets
+
+
+def test_vacuum_keeps_shards_of_blocked_manifest(spark, table_dir, monkeypatch):
+    """When a doomed DATA unlink fails, the retiring manifest is kept
+    — and so are its doomed shard files (the manifest's re-discovery
+    index); the next clean vacuum finishes data, shards, and manifest
+    together."""
+    monkeypatch.setattr(lh, "MANIFEST_SPLIT_FILES", 40)
+    monkeypatch.setattr(lh, "MANIFEST_SHARD_FILES", 16)
+    n_buckets = 100
+    wide = spark.range(n_buckets).select(
+        (F.col("id") * lh.KEY_BUCKET).alias("k"),
+        F.lit("O").alias("status"),
+        F.col("id").alias("v"),
+    )
+    lh.create_table(spark, table_dir, wide, "k")
+    upd = spark.range(2).select(
+        (F.col("id") * lh.KEY_BUCKET).alias("k"),
+        F.lit("X").alias("status"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    lh.merge_into(spark, table_dir, upd, lambda j: F.lit(True))
+
+    real_unlink = os.unlink
+    state = {"failed": 0}
+
+    def flaky_unlink(p):
+        if p.endswith(".parquet") and state["failed"] == 0:
+            state["failed"] = 1
+            raise OSError("transient")
+        real_unlink(p)
+
+    with mock.patch.object(lh.os, "unlink", side_effect=flaky_unlink):
+        stats = lh.vacuum(table_dir, keep_last=1)
+    assert stats["n_unlink_failures"] == 1
+    assert stats["n_manifests_removed"] == 0
+    assert stats["n_shards_removed"] == 0  # index kept with its manifest
+    m1 = lh._read_manifest(table_dir, 1)  # still present and loadable
+    assert all(os.path.exists(s["path"]) for s in m1["file_shards"])
+    stats2 = lh.vacuum(table_dir, keep_last=1)
+    assert stats2["n_unlink_failures"] == 0
+    assert stats2["n_manifests_removed"] == 1
+    assert stats2["n_shards_removed"] >= 1
+    assert lh.read_snapshot(spark, table_dir).count() == n_buckets
