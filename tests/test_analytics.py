@@ -263,3 +263,128 @@ def test_ks_and_tvd_match_python_reference(spark):
     (trow,) = tvd_drift_event_types(spark, SF_DIR).collect()
     assert trow["n_types"] == len(types)
     assert trow["tvd_permille"] == int(tvd * 1000)
+
+
+def _write_events_adversarial(d, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value|None). Write
+    a fixture-shaped events.parquet via pyarrow with timestamp[us]
+    (the Spark-write INT96/nanos footer trap — see
+    test_properties._write_events)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(list(cols[1]), pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    papq.write_table(table, str(d / "events.parquet"))
+
+
+def _drift_both_engines(spark, name, sf_dir):
+    """Run a drift query AND its DuckDB oracle over the same tmp
+    fixture; return (spark_rows, oracle_rows) sorted-by-column dicts."""
+    import duckdb
+
+    from jobminer_spark.registry import ORACLES, QUERIES, load_all_operators
+
+    load_all_operators()
+    sdf = QUERIES[name](spark, sf_dir)
+    srow = [tuple(r[c] for c in sorted(sdf.columns)) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    cols = [c[0] for c in res.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    drow = [tuple(r[i] for i in order) for r in res.fetchall()]
+    return srow, drow
+
+
+def test_tvd_sees_null_valued_type_disappearing(spark, tmp_path):
+    """Review r13: an event type that NEVER carries a value (click)
+    vanishing from the second half must register as categorical drift
+    — and both engines must agree on the exact permille."""
+    rows = (
+        # first half: 4 clicks (value NULL) + 4 purchases
+        [(i, 1_000_000 * i, 1, "click", None) for i in range(4)]
+        + [(10 + i, 1_000_000 * i, 2, "purchase", 5.0) for i in range(4)]
+        # second half: purchases only — the clicks are GONE
+        + [(20 + i, 100_000_000 + 1_000_000 * i, 3, "purchase", 5.0) for i in range(8)]
+    )
+    _write_events_adversarial(tmp_path, rows)
+    srow, drow = _drift_both_engines(
+        spark, "tvd_drift_event_types", str(tmp_path)
+    )
+    assert srow == drow
+    (row,) = [dict(zip(sorted(["n1", "n2", "n_types", "sum_scaled_gap", "tvd_permille"]), r)) for r in srow]
+    assert row["n1"] == 8 and row["n2"] == 8  # ALL events counted
+    # half 1 is 50/50 click/purchase, half 2 is 100% purchase: TVD = 0.5
+    assert row["tvd_permille"] == 500
+
+
+def test_ks_degenerate_half_yields_null_not_crash(spark, tmp_path):
+    """Review r13: all events at ONE timestamp puts every row in the
+    second half (us < mid is empty) — the permilles must be NULL in
+    BOTH engines under pinned ANSI, never a divide-by-zero."""
+    rows = [(i, 42_000_000, 1, "click", float(i)) for i in range(6)]
+    _write_events_adversarial(tmp_path, rows)
+    for name in ("ks_drift_event_values", "tvd_drift_event_types"):
+        srow, drow = _drift_both_engines(spark, name, str(tmp_path))
+        assert srow == drow, name
+        # the permille column (sorted order) is NULL on both sides
+        assert any(v is None for v in srow[0]), name
+
+
+def test_chain_doubling_survives_key_gaps(spark, tmp_path):
+    """Review r13: a hole in the customer key domain must not dangle
+    a pointer — predecessor-key edges keep the chain closed, both
+    engines agree, and the round count still pins to the (shorter)
+    chain's bit length."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    import duckdb
+
+    from jobminer_spark.registry import ORACLES, QUERIES, load_all_operators
+
+    load_all_operators()
+    # keys 0..99 with 37 and 61..63 missing: 96 chain nodes, depth 95
+    keys = [k for k in range(100) if k != 37 and not 61 <= k <= 63]
+    papq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array([f"c{k}" for k in keys], pa.string()),
+                "c_nationkey": pa.array([0] * len(keys), pa.int64()),
+                "c_acctbal": pa.array([1.0] * len(keys), pa.float64()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    name = "hierarchy_chain_depths_doubling"
+    sdf = QUERIES[name](spark, str(tmp_path))
+    (row,) = sdf.collect()
+    d_max = len(keys) - 1  # chain over all keys >= 1, root 0
+    assert row["max_depth"] == d_max
+    assert row["n_nodes"] == d_max + 1
+    assert row["n_rounds"] == math.ceil(math.log2(d_max))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet')"
+    )
+    res = con.execute(ORACLES[name])
+    cols = [c[0] for c in res.description]
+    (orow,) = res.fetchall()
+    assert dict(zip(cols, orow)) == {c: row[c] for c in cols}
