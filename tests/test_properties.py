@@ -1091,3 +1091,32 @@ def test_ntile_from_rank_column_matches_reference_sampled(spark):
         }
         want = {r: ref_ntile(r, n, k) for r in range(1, n + 1)}
         assert got == want, (n, k)
+
+
+def test_distributed_prefix_matches_python_cumsum(spark):
+    """rfm._distributed_prefix (the scale plan behind the RFM ranks
+    and the drift ECDFs) equals a plain Python cumulative sum under
+    the same order, across several partition counts — including
+    partitions left empty by the range partitioner."""
+    import pyspark.sql.functions as F
+
+    from jobminer_spark.operators.rfm import _distributed_prefix
+
+    rows = [(i, (i * 37) % 101, (i % 7) - 3) for i in range(500)]
+    want = {}
+    run_a = run_b = 0
+    for i, a, b in sorted(rows, key=lambda r: r[0]):
+        run_a += a
+        run_b += b
+        want[i] = (run_a, run_b)
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    for n_part in (1, 3, 32):
+        got = {
+            r["k"]: (r["ca"], r["cb"])
+            for r in _distributed_prefix(
+                df.repartition(n_part),
+                [F.col("k").asc()],
+                {"a": "ca", "b": "cb"},
+            ).collect()
+        }
+        assert got == want, n_part
