@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jobminer_spark.operators.rfm import _distributed_prefix
+from jobminer_spark.operators.textanalysis import quality_cte, quality_scores
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -223,5 +224,116 @@ def tvd_drift_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
             " ELSE (500 * sum_scaled_gap) div (n1 * n2) END AS BIGINT)"
             " AS tvd_permille",
+        )
+    )
+
+
+@query(
+    "ks_quality_by_source",
+    oracle=f"""
+    WITH {quality_cte()},
+    src AS (
+      SELECT q.doc_id, d.source,
+             CAST(FLOOR(q.quality_score * 10000.0) AS BIGINT) AS vq
+      FROM qual q JOIN documents d ON d.doc_id = q.doc_id
+    ),
+    counts AS (
+      SELECT source, vq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM src GROUP BY source, vq
+    ),
+    grid AS (SELECT DISTINCT vq FROM counts),
+    srcs AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    filled AS (
+      SELECT s.source, g.vq, COALESCE(c.c, 0) AS c
+      FROM grid g CROSS JOIN srcs s
+      LEFT JOIN counts c ON c.source = s.source AND c.vq = g.vq
+    ),
+    ecdf AS (
+      SELECT source, vq,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY vq) AS BIGINT)
+               AS cum_s
+      FROM filled
+    ),
+    tcum AS (
+      SELECT vq, CAST(SUM(cum_s) AS BIGINT) AS cum_t FROM ecdf GROUP BY vq
+    )
+    SELECT e.source,
+           s.n_s AS n_source,
+           CAST(MAX(ABS(e.cum_s * ((SELECT n FROM tot) - s.n_s)
+                        - (t.cum_t - e.cum_s) * s.n_s)) AS BIGINT)
+             AS max_scaled_gap,
+           CAST(CASE WHEN s.n_s = 0 OR s.n_s = (SELECT n FROM tot) THEN NULL
+                ELSE (1000 * MAX(ABS(e.cum_s * ((SELECT n FROM tot) - s.n_s)
+                                     - (t.cum_t - e.cum_s) * s.n_s)))
+                     // (s.n_s * ((SELECT n FROM tot) - s.n_s)) END AS BIGINT)
+             AS ks_permille
+    FROM ecdf e JOIN tcum t ON t.vq = e.vq JOIN srcs s ON s.source = e.source
+    GROUP BY e.source, s.n_s
+    """,
+)
+def ks_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH source drifted: per-source exact KS between the source's
+    quality-score distribution and the REST of the corpus — the
+    curation diagnostic behind per-source calibration (a source whose
+    scores are distributionally alien needs its own gate, not the
+    global one; cf. calibrate.py). Σ_s cum_s(v) = cum_total(v), so
+    the rest-ECDF is (cum_t − cum_s) with no second pass.
+
+    Scale shape: ECDFs use windows PARTITIONED by source (fully
+    parallel); the grid×sources fill frame is value-space ×
+    |sources| — corpus-size-independent — and the rest is keyed joins
+    on that bounded frame. Cross products stay under int64 for
+    corpora to ~3e9 docs (the kappa/KS family bound)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = quality_scores(docs, extra_cols=("source",)).select(
+        "source",
+        F.floor(F.col("quality_score") * 10000.0).cast("long").alias("vq"),
+    )
+    counts = src.groupBy("source", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = counts.select("vq").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    tot = counts.agg(F.sum("c").cast("long").alias("n"))
+    filled = (
+        grid.crossJoin(F.broadcast(srcs))
+        .join(counts, ["source", "vq"], "left")
+        .select("source", "vq", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    ecdf = filled.select(
+        "source",
+        "vq",
+        F.sum("c")
+        .over(
+            W.partitionBy("source")
+            .orderBy("vq")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("cum_s"),
+    )
+    tcum = ecdf.groupBy("vq").agg(F.sum("cum_s").cast("long").alias("cum_t"))
+    gap = F.abs(
+        F.col("cum_s") * (F.col("n") - F.col("n_s"))
+        - (F.col("cum_t") - F.col("cum_s")) * F.col("n_s")
+    )
+    return (
+        ecdf.join(tcum, "vq")
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n")
+        .agg(F.max(gap).cast("long").alias("max_scaled_gap"))
+        .selectExpr(
+            "source",
+            "n_s AS n_source",
+            "max_scaled_gap",
+            "CAST(CASE WHEN n_s = 0 OR n_s = n THEN NULL"
+            " ELSE (1000 * max_scaled_gap) div (n_s * (n - n_s)) END"
+            " AS BIGINT) AS ks_permille",
         )
     )

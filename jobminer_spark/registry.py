@@ -179,7 +179,7 @@ ORACLES: dict[str, str] = {}
 #     Spills to r14 (write that window at r13 close): scrapeshape's 7,
 #     the r13-NEW queries (rfm_segment_census_scaled, hierarchy's
 #     pointer-doubling chain, lakehouse_negative_key_merge_parity,
-#     agreement's 3, drift's 2 — each registered past this window by
+#     agreement's 3, drift's 3 — each registered past this window by
 #     design, fronted next per the rotation invariant), the other
 #     queries of the r13-modified modules (rfm's census, hierarchy's
 #     two BFS queries, docquality's doc_repetition_stats and
