@@ -72,6 +72,13 @@ def _bucket_expr(key_col: str) -> str:
         f"(CASE WHEN {key_col} % {KEY_BUCKET} < 0 THEN -1 ELSE 0 END))"
     )
 MANIFEST_PAGE_FILES = 10_000  # stats fetch paginates past this
+# Below this many files a write's manifest stats (min/max key, rows)
+# are read driver-side from the parquet FOOTERS (pyarrow) instead of
+# a dedicated Spark job — the footers already hold the column
+# statistics, and for the common small-batch merge the stats job was
+# pure fixed cost. Above it, the distributed stats read is the scale
+# path (sequential footer reads would serialize on the driver).
+FOOTER_STATS_FILES = 256
 # Manifest split (Iceberg-style, VERDICT r11 item 5): past this many
 # inline file entries, a commit writes the file list as per-key-range
 # SHARD files and the root manifest holds only shard references
@@ -200,7 +207,10 @@ def _write_files(
     min/max key stats, row count). One file per key bucket: the
     repartition on the bucket column puts each bucket in exactly one
     task, and partitionBy splits that task's output one file per
-    bucket directory."""
+    bucket directory. An EMPTY ``df`` is written like any other (the
+    write is often the job that also materializes caller-observed
+    metrics — see merge_into), produces no parquet parts, and returns
+    an empty entry list with the stray directory removed."""
     sub = os.path.join(table, "data", f"{tag}-{uuid.uuid4().hex[:8]}")
     (
         df.withColumn("kb", F.expr(_bucket_expr(key_col)))
@@ -229,6 +239,46 @@ def _write_files(
         for f in files
         if f.endswith(".parquet")
     )
+    if n_files_written == 0:
+        shutil.rmtree(sub, ignore_errors=True)  # _SUCCESS-only residue
+        return []
+    if n_files_written <= FOOTER_STATS_FILES:
+        # Small write: min/max/count come straight from the parquet
+        # FOOTERS, driver-side (pyarrow) — the column statistics Spark
+        # already wrote — instead of a whole extra Spark job re-reading
+        # the files. Sequential footer reads bound this to small file
+        # counts; past the threshold the distributed stats job below
+        # is the scale path (and past MANIFEST_PAGE_FILES it paginates).
+        import pyarrow.parquet as papq
+
+        def _footer_entry(p: str) -> dict | None:
+            md = papq.ParquetFile(p).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(key_col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None  # stats absent: use the Spark job
+
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not mins:
+                return None
+            return {
+                "path": os.path.abspath(p),
+                "min_key": min(mins),
+                "max_key": max(maxs),
+                "n_rows": md.num_rows,
+            }
+
+        entries: list[dict] | None = []
+        for root, _dirs, files in os.walk(sub):
+            for fname in files:
+                if entries is not None and fname.endswith(".parquet"):
+                    e = _footer_entry(os.path.join(root, fname))
+                    entries = None if e is None else entries + [e]
+        if entries is not None:
+            return sorted(entries, key=lambda e: e["min_key"])
     stats_df = (
         spark.read.parquet(sub)
         .groupBy(F.col("_metadata.file_path").alias("fp"))
@@ -384,6 +434,8 @@ def merge_into(
         n_updates_applied = 0
         n_deletes = 0
         if affected:
+            from pyspark.sql import Observation
+
             old = spark.read.parquet(*[f["path"] for f in affected])
             if table_cols is None:
                 table_cols = old.columns
@@ -393,6 +445,21 @@ def merge_into(
                 (matched & matched_delete(j)) if matched_delete else F.lit(False)
             )
             take_update = matched & ~take_delete & matched_condition(j)
+            # Update/delete tallies ride the REWRITE WRITE JOB itself
+            # (Observation over the pre-filter join) instead of a
+            # separate agg action — the join is the merge's expensive
+            # half, and a standalone count evaluated it twice. A
+            # matched-delete can empty the affected files entirely;
+            # _write_files handles the empty frame (no parts → no
+            # manifest entries) so the write is also the one
+            # guaranteed action the metrics need. Fresh Observation
+            # per rebase attempt: metrics pin at first use.
+            obs = Observation()
+            j = j.observe(
+                obs,
+                F.count(F.when(take_update, 1)).alias("nu"),
+                F.count(F.when(take_delete, 1)).alias("nd"),
+            )
             rewritten = j.filter(~take_delete).select(
                 *[
                     F.col(c)
@@ -403,18 +470,21 @@ def merge_into(
                     for c in table_cols
                 ]
             )
-            counts = j.agg(
-                F.count(F.lit(1)).alias("n_old"),
-                F.count(F.when(take_update, 1)).alias("nu"),
-                F.count(F.when(take_delete, 1)).alias("nd"),
-            ).first()
-            n_updates_applied, n_deletes = counts["nu"], counts["nd"]
-            # A matched-delete can empty the affected files entirely;
-            # writing an empty frame produces no parquet parts and the
-            # stats read in _write_files would fail schema inference.
-            # An emptied file set is simply dropped from the manifest.
-            if counts["n_old"] - n_deletes > 0:
-                new_files = _write_files(spark, table, rewritten, key, "rw")
+            new_files = _write_files(spark, table, rewritten, key, "rw")
+            if new_files:
+                got = obs.get  # the write was the materializing action
+                n_updates_applied, n_deletes = got["nu"], got["nd"]
+            else:
+                # The rewrite came out EMPTY, which (affected files
+                # are non-empty by construction) can only mean every
+                # affected row was matched-deleted: nu = 0 by the
+                # clause ordering and nd = the affected files' row
+                # stats — no extra job. obs.get is unusable here
+                # anyway: AQE's empty-relation propagation prunes the
+                # CollectMetrics node from an empty write (Spark
+                # internal assertion on the metrics fetch).
+                n_updates_applied = 0
+                n_deletes = sum(f["n_rows"] for f in affected)
 
         # Key-existence probe for inserts: a key's bucket is
         # key // KEY_BUCKET (floor semantics on BOTH engines —
@@ -439,10 +509,12 @@ def merge_into(
             inserts = cand  # no existing file can contain these keys
         if table_cols is not None:
             inserts = inserts.select(*table_cols)
-        n_inserts = inserts.count()
-        insert_files: list[dict] = []
-        if n_inserts:
-            insert_files = _write_files(spark, table, inserts, key, "ins")
+        # The insert count is the sum of the written files' row stats —
+        # a separate .count() would evaluate the anti-join a second
+        # time just to decide whether to write; writing unconditionally
+        # (empty-safe) costs the same single evaluation either way.
+        insert_files = _write_files(spark, table, inserts, key, "ins")
+        n_inserts = sum(f["n_rows"] for f in insert_files)
 
         inline, new_shard_refs = _split_files(
             table, carried + new_files + insert_files
@@ -596,8 +668,11 @@ def vacuum(table: str, keep_last: int = 1) -> dict:
     for v, my_data, my_shards in retiring:
         if (my_data | my_shards) & failed:
             continue  # keep the manifest: it is the garbage's only index
-        if v not in data_clear:
-            continue
+        # data_clear excludes exactly the versions with failed doomed
+        # DATA, a strict subset of the broader data|shards check above
+        # — assert rather than re-test so the manifest-deletion
+        # condition stays single-sourced (ADVICE r13)
+        assert v in data_clear
         os.unlink(_manifest_path(table, v))
         n_manifests_removed += 1
     return {

@@ -142,9 +142,22 @@ def _distributed_prefix(
     partitions, never the relative order, so the result is exact and
     deterministic whenever the sort key orders rows uniquely (or the
     summed quantity is insensitive to intra-tie order, as a prefix
-    sum evaluated at tie boundaries is)."""
+    sum evaluated at tie boundaries is).
+
+    The tagged frame is MATERIALIZED once (eager localCheckpoint,
+    same per-round discipline as hierarchy.py) before the two
+    consuming branches below: both the partition-local window and the
+    per-partition totals must see IDENTICAL range boundaries, and
+    range-partitioner boundaries are sampled from an upstream whose
+    intra-partition order need not be deterministic. Without the
+    checkpoint that identity holds only while Spark happens to reuse
+    the exchange; a future replan (AQE) could evaluate the branches
+    under independently-sampled boundaries and silently skew the
+    offsets (ADVICE r13)."""
     part = df.repartitionByRange(*order_cols)
-    tagged = part.withColumn("_pid", F.spark_partition_id())
+    tagged = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     w_local = (
         W.partitionBy("_pid")
         .orderBy(*order_cols)

@@ -189,6 +189,45 @@ ORACLES: dict[str, str] = {}
 #     query older than 5 rounds" invariant by r14 close. Bench
 #     candidates for r14: ks_drift_event_values (the distributed
 #     prefix-sum plan shape) and filter_agreement_kappa.
+#     [CORRECTION, r14 (VERDICT r13 item 1): the "r6-attested dedupe/
+#     curation tails" above was STALE when written — those re-attested
+#     in r10/r11. The true debt at r13 close, per
+#     scripts/attestation_histogram.py over CORRECTNESS_r01..r13:
+#     9 never-attested (the r13 newcomers) + 8 last-green-r8 singles
+#     + 33 last-green-r9; nothing older.]
+#   round 14 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below, generated from scripts/attestation_histogram.py output,
+#     not hand-copied): slots 1-7 the never-attested r13 newcomers
+#     (agreement 3, drift 3) plus this round's new
+#     ks_drift_vs_baseline (driftbase.py — the persisted-profile
+#     monitor, VERDICT r13 item 4); slots 8-10 the remaining
+#     never-attested r13 newcomers (lakehouse_negative_key_merge_
+#     parity, rfm_segment_census_scaled,
+#     hierarchy_chain_depths_doubling); slots 11-13 the r13-modified-
+#     module re-attests (rfm_segment_census — rfm.py also carries the
+#     r14 ADVICE fix, the _distributed_prefix localCheckpoint — and
+#     hierarchy's two BFS queries, hierarchy.py modified r13);
+#     slots 14-18 lakeaudit's five — lakehouse.py is r14-modified
+#     (Observation-folded merge tallies, footer-stats manifest path,
+#     vacuum assert per ADVICE r13), so their r13 rows no longer
+#     attest the shipped code; slots 19-26 the 8 last-green-r8
+#     singles (embedding_norm_outliers, corpus_datasheet,
+#     stratified_sample_per_source, udtf_chunking_parity,
+#     exact_shared_spans, span_coverage_dedup, zorder_pruning_stats,
+#     quality_calibrated_gate); slots 27-50 the FIRST 24 of the 33
+#     last-green-r9 queries in registration order (through
+#     pagerank_neardup_graph).
+#     SLIPS to r15 (displaced by the 8 modified-module re-attest
+#     slots + ks_drift_vs_baseline, stated per VERDICT r13 item 1):
+#     the last 9 r9-debt queries — bpe_encode_compression,
+#     bpe_train_merges, funnel_view_click_purchase,
+#     cohort_weekly_retention, session_path_topk,
+#     embedding_int8_recall_audit, scd2_user_attribute_history,
+#     scd2_incremental_update_audit, ewma_user_value.
+#   round 15 window (write/verify at r14 close with
+#     scripts/attestation_histogram.py): the 9 slipped r9 queries
+#     above + the 41 last-green-r10 queries = exactly 50, AMENDED at
+#     rotation time for any module modified after the r14 rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -306,6 +345,11 @@ _OPERATOR_MODULES = [
     # queries)
     "jobminer_spark.operators.agreement",
     "jobminer_spark.operators.drift",
+    # r14-new module (registered past the r14 window by design — the
+    # rotation plan fronts ks_drift_vs_baseline INSIDE the r14 window
+    # explicitly, as a _WINDOW_FRONT name; the module position here
+    # only governs the post-window tail order)
+    "jobminer_spark.operators.driftbase",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
@@ -315,72 +359,74 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # slots 1-5: lakeaudit — lakehouse.py was modified after the r12
-    # rotation (2ae4e18 manifest-shard split) and again this round
-    # (floor-semantics key buckets, garbage-before-manifest vacuum
-    # ordering, both per ADVICE r12); these five rows attest the
-    # shipped code
+    # slots 1-6: the r13-new agreement/drift queries — registered past
+    # the r13 window by design, never driver-attested
+    "filter_agreement_kappa",
+    "lang_confusion_matrix",
+    "lang_agreement_kappa",
+    "ks_drift_event_values",
+    "tvd_drift_event_types",
+    "ks_quality_by_source",
+    # slot 7: r14-new — the persisted-baseline drift monitor
+    # (driftbase.py, VERDICT r13 item 4)
+    "ks_drift_vs_baseline",
+    # slots 8-10: the remaining never-attested r13 newcomers
+    "lakehouse_negative_key_merge_parity",
+    "rfm_segment_census_scaled",
+    "hierarchy_chain_depths_doubling",
+    # slots 11-13: r13-modified-module re-attests — rfm.py (also
+    # carries the r14 _distributed_prefix localCheckpoint, ADVICE
+    # r13) and hierarchy.py's two BFS queries
+    "rfm_segment_census",
+    "hierarchy_node_depths",
+    "hierarchy_subtree_rollup",
+    # slots 14-18: lakeaudit — lakehouse.py is r14-modified
+    # (Observation-folded merge tallies, parquet-footer manifest
+    # stats, vacuum assert per ADVICE r13); the r13 rows attest the
+    # pre-fix code
     "lakehouse_merge_parity",
     "lakehouse_pruning_travel_audit",
     "lakehouse_change_feed",
     "lakehouse_vacuum_audit",
     "lakehouse_concurrency_audit",
-    # slot 6: the primitive probe gained the VARCHAR-bounce and
-    # dec12-split rows in b9060f6, post-rotation — no driver row
-    # covers them yet
-    "cross_engine_primitive_probe",
-    # slots 7-20: tpch's other 14 — r8 attestation debt (the head
-    # re-attested r12)
-    "grouping_sets_order_matrix",
-    "median_order_value_explicit",
-    "date_part_breakdown",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit_by_nation_year",
-    "q11_important_part_values",
-    "q13_customer_order_histogram",
-    "q15_top_supplier_revenue",
-    "q16_supplier_count_by_part_attrs",
-    "q17_small_quantity_revenue",
-    "q2_cheapest_part_per_type",
-    "q20_suppliers_of_excess_red_parts",
-    "q21_waiting_suppliers",
-    # slots 21-36: relational's 16 (all but variance_stats, which
-    # re-attested r12 on the reworked oracle) — r8 debt
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "q6_forecast_revenue",
-    "semi_join_customers_with_open_orders",
-    "anti_join_customers_without_orders",
-    "topk_customers_per_nation",
-    "running_revenue_per_customer",
-    "surrogate_key_assignment",
-    "rollup_orders_status_priority",
-    "cube_lineitem_flags",
-    "pivot_quantity_by_linestatus",
-    "union_multi_source",
-    "intersect_repeat_customers",
-    "except_lapsed_customers",
-    "distinct_counts_per_status",
-    # slots 37-45: textanalysis — r8 debt
-    "token_count_stats",
-    "lang_id_heuristic",
-    "text_quality_score",
-    "doc_fingerprints",
-    "salary_parse_differential",
-    "job_id_url_extraction",
-    "years_of_experience_extraction",
-    "truncate_to_ddl_widths",
-    "tfidf_top_similar_pairs",
-    # slots 46-49: multimodal — the oldest debt in the book (r7)
-    "multimodal_binary_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    # slot 50: temporal's interval join — r7 debt (asof re-attested
-    # r11, range_band r12)
-    "interval_join_clicks_before_purchase",
+    # slots 19-26: the 8 last-green-r8 singles — the oldest debt in
+    # the book after r13 burned the r7/r8 module blocks
+    "embedding_norm_outliers",
+    "corpus_datasheet",
+    "stratified_sample_per_source",
+    "udtf_chunking_parity",
+    "exact_shared_spans",
+    "span_coverage_dedup",
+    "zorder_pruning_stats",
+    "quality_calibrated_gate",
+    # slots 27-50: the first 24 of the 33 last-green-r9 queries in
+    # registration order; the remaining 9 (bpe 2, journeys 3,
+    # intquant 1, scd 2, decay 1) slip to r15's front — see the
+    # rotation-plan comment above
+    "ann_pq_adc_topk",
+    "ann_pq_recall_vs_bruteforce",
+    "cascade_extraction_gate",
+    "lookup_join_empty_default",
+    "page_count_estimator",
+    "offer_link_filter",
+    "underfilled_page_retry",
+    "html_badge_parse_udf",
+    "listing_page_flatten",
+    "ann_cosine_topk_bruteforce",
+    "ann_ivf_sign_buckets",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_recall_vs_bruteforce",
+    "kmeans_assign_fixed_centroids",
+    "upsert_anti_join_counts",
+    "train_val_test_split",
+    "sequence_packing_bins",
+    "curation_funnel",
+    "repeated_chunk_dedup",
+    "boilerplate_chunk_removal",
+    "bm25_topk_per_query",
+    "rrf_fusion_topk_per_query",
+    "cms_frequency_audit",
+    "pagerank_neardup_graph",
 ]
 
 

@@ -180,8 +180,14 @@ def test_filter_agreement_cells_partition_corpus(spark):
 
 
 def test_kappa_permille_matches_python_reference(spark):
-    """The exact-integer kappa equals the float textbook formula
-    truncated to permille, on the fixture's own confusion counts."""
+    """The exact-integer kappa equals the RATIONAL textbook formula
+    truncated to permille, on the fixture's own confusion counts.
+    Fraction, not float: a float reference double-rounds, and when the
+    true permille sits exactly on an integer boundary the float can
+    land one off — the test must be exact, not fixture-lucky
+    (ADVICE r13)."""
+    from fractions import Fraction
+
     from jobminer_spark.operators.agreement import (
         filter_agreement_kappa,
         lang_agreement_kappa,
@@ -196,8 +202,8 @@ def test_kappa_permille_matches_python_reference(spark):
         row["n_both_drop"],
     )
     n = a + b + c + d
-    po = (a + d) / n
-    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    po = Fraction(a + d, n)
+    pe = Fraction((a + b) * (a + c) + (c + d) * (b + d), n * n)
     kappa = (po - pe) / (1 - pe)
     assert row["kappa_permille"] == int(kappa * 1000)  # trunc toward 0
 
@@ -210,15 +216,17 @@ def test_kappa_permille_matches_python_reference(spark):
     for r in cells:
         rows[r["labeled_lang"]] = rows.get(r["labeled_lang"], 0) + r["n_docs"]
         cols[r["lang_pred"]] = cols.get(r["lang_pred"], 0) + r["n_docs"]
-    pe2 = sum(rows[l] * cols.get(l, 0) for l in rows) / (n2 * n2)
-    kappa2 = (diag / n2 - pe2) / (1 - pe2)
+    pe2 = Fraction(sum(rows[l] * cols.get(l, 0) for l in rows), n2 * n2)
+    kappa2 = (Fraction(diag, n2) - pe2) / (1 - pe2)
     assert lrow["n_docs"] == n2 and lrow["n_agree"] == diag
     assert lrow["kappa_permille"] == int(kappa2 * 1000)
 
 
 def test_ks_and_tvd_match_python_reference(spark):
-    """The exact-integer KS and TVD equal the float textbook values
-    (truncated to permille) recomputed in Python from the same split."""
+    """The exact-integer KS and TVD equal the RATIONAL textbook values
+    (truncated to permille) recomputed in Python from the same split —
+    Fraction, not float, so truncation is exact even when the true
+    permille lies on an integer boundary (ADVICE r13)."""
     from jobminer_spark.operators.drift import (
         ks_drift_event_values,
         tvd_drift_event_types,
@@ -241,9 +249,13 @@ def test_ks_and_tvd_match_python_reference(spark):
     n1, n2 = len(s1), len(s2)
     grid = sorted(set(s1) | set(s2))
     import bisect
+    from fractions import Fraction
 
     d = max(
-        abs(bisect.bisect_right(s1, v) / n1 - bisect.bisect_right(s2, v) / n2)
+        abs(
+            Fraction(bisect.bisect_right(s1, v), n1)
+            - Fraction(bisect.bisect_right(s2, v), n2)
+        )
         for v in grid
     )
     (row,) = ks_drift_event_values(spark, SF_DIR).collect()
@@ -259,7 +271,11 @@ def test_ks_and_tvd_match_python_reference(spark):
     c2 = Counter(e[2] for e in ev if e[0] >= mid)
     m1, m2 = sum(c1.values()), sum(c2.values())
     types = set(c1) | set(c2)
-    tvd = 0.5 * sum(abs(c1[t] / m1 - c2[t] / m2) for t in types)
+    from fractions import Fraction
+
+    tvd = Fraction(1, 2) * sum(
+        abs(Fraction(c1[t], m1) - Fraction(c2[t], m2)) for t in types
+    )
     (trow,) = tvd_drift_event_types(spark, SF_DIR).collect()
     assert trow["n_types"] == len(types)
     assert trow["tvd_permille"] == int(tvd * 1000)

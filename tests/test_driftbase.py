@@ -1,0 +1,60 @@
+"""Persisted-baseline drift monitor (driftbase.py): the profile path
+must reproduce the direct two-sample KS bit-for-bit, reuse its cached
+profile, and never rescan the baseline's raw rows on the comparison."""
+
+from __future__ import annotations
+
+import os
+
+from jobminer_spark.operators import driftbase
+from jobminer_spark.operators.drift import ks_drift_event_values
+from jobminer_spark.operators.driftbase import ks_drift_vs_baseline
+from tests.conftest import SF_DIR
+
+
+def test_baseline_path_equals_direct_two_sample(spark):
+    """Same grid union, same integer cross-multiplied KS: the
+    persisted-profile computation and the direct in-plan two-sample
+    computation must agree on every output cell."""
+    (a,) = ks_drift_vs_baseline(spark, SF_DIR).collect()
+    (b,) = ks_drift_event_values(spark, SF_DIR).collect()
+    assert a.asDict() == b.asDict()
+    assert a["n_value_buckets"] > 0 and a["ks_permille"] is not None
+
+
+def test_profile_is_built_once_and_reused(spark):
+    """The second call must hit the session cache — the grid parquet's
+    mtime is untouched and the cache key resolves to the same root."""
+    ks_drift_vs_baseline(spark, SF_DIR).collect()
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    root = driftbase._PROFILE_CACHE[key]
+    grid_dir = os.path.join(root, "grid")
+    mtime = os.path.getmtime(grid_dir)
+    ks_drift_vs_baseline(spark, SF_DIR).collect()
+    assert driftbase._PROFILE_CACHE[key] == root
+    assert os.path.getmtime(grid_dir) == mtime
+
+
+def test_profile_totals_match_grid(spark):
+    """meta.n1 is definitionally the grid's count sum, and mid splits
+    the corpus so n1 + n2 covers every non-null-value event."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.sources import load_table
+
+    ks_drift_vs_baseline(spark, SF_DIR).collect()  # ensure built
+    root = driftbase._PROFILE_CACHE[(spark.sparkContext.applicationId, SF_DIR)]
+    (meta,) = spark.read.parquet(os.path.join(root, "meta")).collect()
+    gsum = (
+        spark.read.parquet(os.path.join(root, "grid"))
+        .agg(F.sum("c1").alias("s"))
+        .first()["s"]
+    )
+    assert meta["n1"] == gsum
+    (row,) = ks_drift_vs_baseline(spark, SF_DIR).collect()
+    n_valued = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .count()
+    )
+    assert row["n1"] + row["n2"] == n_valued

@@ -664,3 +664,21 @@ def test_twap_single_user_exchange(spark):
     plan = _plan(spark, "time_weighted_avg_value")
     assert plan.count("hashpartitioning(") == 1
     assert "user_id" in plan.split("hashpartitioning(", 1)[1][:40]
+
+
+def test_baseline_drift_comparison_reads_profile_not_corpus(spark):
+    """ks_drift_vs_baseline's comparison must reach the baseline ONLY
+    through the persisted profile parquet (grid + meta) — the raw
+    events of the baseline period are never rescanned by the returned
+    plan. The batch side is reduced to its value-space-bounded count
+    grid inside the prefix-sum materialization, so the final plan
+    scans NO raw table at all: only the profile and bounded state
+    (the production O(batch + grid) shape, VERDICT r13 item 4)."""
+    plan = _plan(spark, "ks_drift_vs_baseline")
+    assert "events.parquet" not in plan  # baseline rows never rescanned
+    assert "documents.parquet" not in plan
+    assert "jm_driftbase_" in plan  # the profile parquet IS the scan
+    # and the direct two-sample twin really does rescan the corpus —
+    # the contrast that makes the persisted-profile plan the point
+    direct = _plan(spark, "ks_drift_event_values")
+    assert "events.parquet" in direct
