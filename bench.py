@@ -80,6 +80,13 @@ HEADLINE = [
     # (log-round iterative join throughput)
     "rfm_segment_census_scaled",
     "hierarchy_chain_depths_doubling",
+    # r14 additions (VERDICT r13 item 3): the r13 monitoring families —
+    # exact two-sample KS over the distributed prefix-sum plan, and
+    # the single-scan gate-agreement kappa. (ks_drift_vs_baseline is
+    # excluded like the lakehouse audits: its per-session profile
+    # cache would make min-of-passes time a cache hit.)
+    "ks_drift_event_values",
+    "filter_agreement_kappa",
 ]
 
 
