@@ -12,13 +12,16 @@ the incremental sibling of incremental_rollup_audit and the shingle
 index (increment.py): heavy state lives in a persisted, re-loadable
 parquet keyed for cheap probes.
 
-Profile layout (two parquet dirs under one root, the shingle-index
-pattern):
+Profile layout (three parquet dirs under one root, the shingle-index
+pattern; one baseline build serves both monitors):
   * ``grid/`` — (vq BIGINT, c1 BIGINT): baseline count per cents
-    bucket. VALUE-SPACE bounded (~50k rows for a bounded price
-    domain), corpus-size-independent.
-  * ``meta/`` — one row (mid BIGINT, n1 BIGINT): the epoch-µs split
-    point the baseline was built at, and the baseline sample size.
+    bucket, non-null values only (the KS sample). VALUE-SPACE bounded
+    (~50k rows for a bounded price domain), corpus-size-independent.
+  * ``types/`` — (event_type, c1 BIGINT): baseline count per event
+    type over EVERY event (the TVD sample; a type that never carries
+    a value must still register as categorical drift).
+  * ``meta/`` — one row (mid BIGINT, n1 BIGINT, n1_all BIGINT): the
+    epoch-µs split point and both baseline sample sizes.
 
 The fixture has no external "yesterday", so baseline = the corpus's
 first time half and batch = the second, making the result EXACTLY
@@ -71,26 +74,40 @@ def _build_fixture_profile(spark: SparkSession, sf_dir: str) -> str:
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
         F.floor(F.col("value") * 100.0).cast("long").alias("vq"),
         F.col("value").isNotNull().alias("has_v"),
+        "event_type",
     )
     mm = ev.agg(
         F.expr("(min(us) + max(us)) div 2").alias("m")
     ).first()  # bounded: one scalar row (the split point)
     mid = mm["m"]
+    side0 = ev.filter(F.col("us") < F.lit(mid))
+    # one profile job serves BOTH monitors: the value grid (KS, non-null
+    # values only) and the type-count grid (TVD, EVERY event — a type
+    # that never carries a value must still register as drift)
     grid = (
-        ev.filter((F.col("us") < F.lit(mid)) & F.col("has_v"))
+        side0.filter(F.col("has_v"))
         .groupBy("vq")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
     )
     grid.write.mode("overwrite").parquet(os.path.join(root, "grid"))
-    # n1 from the WRITTEN grid (not a second corpus aggregation):
+    types = side0.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    types.write.mode("overwrite").parquet(os.path.join(root, "types"))
+    # totals from the WRITTEN grids (not a second corpus aggregation):
     # the profile is the source of truth the comparison trusts
     n1 = (
         spark.read.parquet(os.path.join(root, "grid"))
         .agg(F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n1"))
         .first()["n1"]
     )  # bounded: one scalar over the value-space-bounded grid
+    n1_all = (
+        spark.read.parquet(os.path.join(root, "types"))
+        .agg(F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n"))
+        .first()["n"]
+    )  # bounded: one scalar over the |types|-bounded grid
     spark.createDataFrame(
-        [(int(mid), int(n1))], "mid long, n1 long"
+        [(int(mid), int(n1), int(n1_all))], "mid long, n1 long, n1_all long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "meta"))
     _PROFILE_CACHE[cache_key] = root
     return root
@@ -166,18 +183,101 @@ def ks_drift_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta (bounded scalar) and inlined so the batch filter is a
     literal predicate."""
     root = _build_fixture_profile(spark, sf_dir)
-    mid = (
-        spark.read.parquet(os.path.join(root, "meta")).first()["mid"]
-    )  # bounded: single-row meta
     batch_counts = (
+        _batch_events(spark, sf_dir, root)
+        .filter(F.col("has_v"))
+        .groupBy("vq")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    return compare_batch_to_profile(spark, batch_counts, root)
+
+
+def _batch_events(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    """The "today's batch" frame: events at or past the profile's
+    persisted split point. ``mid`` is read from the one-row meta
+    (bounded scalar) and inlined so the batch filter is a literal
+    predicate — in production, the partition-pruning bound on a
+    date-partitioned source."""
+    mid = spark.read.parquet(os.path.join(root, "meta")).first()["mid"]
+    return (
         load_table(spark, sf_dir, "events")
         .select(
             F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
             F.floor(F.col("value") * 100.0).cast("long").alias("vq"),
             F.col("value").isNotNull().alias("has_v"),
+            "event_type",
         )
-        .filter((F.col("us") >= F.lit(mid)) & F.col("has_v"))
-        .groupBy("vq")
+        .filter(F.col("us") >= F.lit(mid))
+    )
+
+
+def compare_batch_types_to_profile(
+    spark: SparkSession, batch_type_counts: DataFrame, root: str
+) -> DataFrame:
+    """Exact total-variation distance between ``batch_type_counts``
+    (event_type, c2) and the persisted type-count profile — the
+    CATEGORICAL twin of compare_batch_to_profile, O(batch + |types|).
+    No prefix sum is needed (TVD is a per-cell sum, not an ECDF), so
+    the |types|-bounded joined frame is materialized directly
+    (localCheckpoint) and the totals/gap passes read only it — the
+    comparison plan scans no raw table, like the KS path."""
+    types = spark.read.parquet(os.path.join(root, "types"))
+    meta = spark.read.parquet(os.path.join(root, "meta"))
+    joined = (
+        types.join(batch_type_counts, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+            F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = (
+        joined.agg(
+            F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("n2")
+        )
+        .crossJoin(F.broadcast(meta.select(F.col("n1_all").alias("n1"))))
+    )
+    gap = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(gap).cast("long").alias("sum_scaled_gap"),
+        )
+        .selectExpr(
+            "n1",
+            "n2",
+            "n_types",
+            "sum_scaled_gap",
+            "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
+            " ELSE (500 * sum_scaled_gap) div (n1 * n2) END AS BIGINT)"
+            " AS tvd_permille",
+        )
+    )
+
+
+@query(
+    "tvd_drift_vs_baseline",
+    # Shared with tvd_drift_event_types for the same reason the KS
+    # twin shares its oracle: the persisted-profile path must
+    # reproduce the direct two-sample TVD bit-for-bit.
+    oracle=ORACLES["tvd_drift_event_types"],
+)
+def tvd_drift_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift of the batch against the PERSISTED type-count
+    profile — the type-count half of the production monitor pair
+    (VERDICT r13 item 4 names "value-grid/type-count profile"; the
+    value-grid half is ks_drift_vs_baseline). Counts EVERY batch
+    event, null values included, exactly like tvd_drift_event_types;
+    types new in the batch and types that vanished both register
+    through the full-outer grid union."""
+    root = _build_fixture_profile(spark, sf_dir)
+    batch_type_counts = (
+        _batch_events(spark, sf_dir, root)
+        .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("c2"))
     )
-    return compare_batch_to_profile(spark, batch_counts, root)
+    return compare_batch_types_to_profile(spark, batch_type_counts, root)

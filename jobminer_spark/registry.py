@@ -224,10 +224,20 @@ ORACLES: dict[str, str] = {}
 #     cohort_weekly_retention, session_path_topk,
 #     embedding_int8_recall_audit, scd2_user_attribute_history,
 #     scd2_incremental_update_audit, ewma_user_value.
-#   round 15 window (write/verify at r14 close with
-#     scripts/attestation_histogram.py): the 9 slipped r9 queries
-#     above + the 41 last-green-r10 queries = exactly 50, AMENDED at
-#     rotation time for any module modified after the r14 rotation.
+#   round 15 window (write/verify at r15 start with
+#     scripts/attestation_histogram.py): slot 1
+#     tvd_drift_vs_baseline (r14-new AFTER the r14 rotation — the
+#     type-count half of the persisted-profile monitor pair,
+#     registered past the r14 window by design; its module sibling
+#     ks_drift_vs_baseline attests the shared builder at r14 slot 7,
+#     and the full sweep legs cover it strict-green), then the 9
+#     slipped r9 queries above, then 40 of the 41 last-green-r10
+#     queries = exactly 50. The ONE r10 query displaced to r16:
+#     http_fetch_retry_audit — its fetch machinery is additionally
+#     pinned by the injected-fake pytest suite (tests/test_ingestion)
+#     and its module is untouched since r10, the lowest-risk slip.
+#     AMEND at rotation time for any module modified after the r14
+#     rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

@@ -58,3 +58,35 @@ def test_profile_totals_match_grid(spark):
         .count()
     )
     assert row["n1"] + row["n2"] == n_valued
+
+
+def test_tvd_baseline_path_equals_direct_two_sample(spark):
+    """The categorical twin: the persisted type-count-profile TVD must
+    equal the direct two-sample TVD on every output cell."""
+    from jobminer_spark.operators.drift import tvd_drift_event_types
+    from jobminer_spark.operators.driftbase import tvd_drift_vs_baseline
+
+    (a,) = tvd_drift_vs_baseline(spark, SF_DIR).collect()
+    (b,) = tvd_drift_event_types(spark, SF_DIR).collect()
+    assert a.asDict() == b.asDict()
+    assert a["n_types"] > 0 and a["tvd_permille"] is not None
+
+
+def test_profile_serves_both_monitors_from_one_build(spark):
+    """ks_drift_vs_baseline and tvd_drift_vs_baseline share one
+    profile root: running either first builds it; the other reuses it
+    (grid mtimes untouched by the second call)."""
+    from jobminer_spark.operators.driftbase import (
+        ks_drift_vs_baseline,
+        tvd_drift_vs_baseline,
+    )
+
+    ks_drift_vs_baseline(spark, SF_DIR).collect()
+    root = driftbase._PROFILE_CACHE[(spark.sparkContext.applicationId, SF_DIR)]
+    mtimes = {
+        d: os.path.getmtime(os.path.join(root, d))
+        for d in ("grid", "types", "meta")
+    }
+    tvd_drift_vs_baseline(spark, SF_DIR).collect()
+    for d, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(root, d)) == m

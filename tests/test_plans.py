@@ -682,3 +682,13 @@ def test_baseline_drift_comparison_reads_profile_not_corpus(spark):
     # the contrast that makes the persisted-profile plan the point
     direct = _plan(spark, "ks_drift_event_values")
     assert "events.parquet" in direct
+
+
+def test_baseline_tvd_comparison_reads_profile_not_corpus(spark):
+    """The categorical twin's comparison plan likewise scans no raw
+    table: the type grid parquet + the |types|-bounded materialized
+    join are everything the collect touches."""
+    plan = _plan(spark, "tvd_drift_vs_baseline")
+    assert "events.parquet" not in plan
+    assert "documents.parquet" not in plan
+    assert "jm_driftbase_" in plan
