@@ -90,3 +90,58 @@ def test_profile_serves_both_monitors_from_one_build(spark):
     tvd_drift_vs_baseline(spark, SF_DIR).collect()
     for d, m in mtimes.items():
         assert os.path.getmtime(os.path.join(root, d)) == m
+
+
+def test_baseline_monitors_on_adversarial_nulls_and_one_sided_types(
+    spark, tmp_path
+):
+    """The standard fixture carries no null-valued events, so the
+    profile path's has_v branch (KS counts non-null values only, TVD
+    counts EVERY event) and the full-outer grid union's one-sided
+    cases are exercised here instead: nulls in both halves, a value
+    bucket that exists only in the baseline, one only in the batch,
+    an event type that vanishes after the split and one born after
+    it. Both persisted-profile monitors must still equal their
+    direct two-sample twins cell-for-cell."""
+    from tests.test_analytics import _write_events_adversarial
+
+    from jobminer_spark.operators.drift import (
+        ks_drift_event_values,
+        tvd_drift_event_types,
+    )
+    from jobminer_spark.operators.driftbase import (
+        ks_drift_vs_baseline,
+        tvd_drift_vs_baseline,
+    )
+
+    h = 3_600_000_000  # one hour in epoch µs; span 0..10h, mid = 5h
+    rows = [
+        # first half: values 1.00/2.00, types A (dies at mid), B
+        (1, 0 * h, 1, "A", 1.00),
+        (2, 1 * h, 1, "A", None),  # null value, counted by TVD only
+        (3, 2 * h, 2, "B", 2.00),  # bucket 200 exists ONLY here
+        (4, 3 * h, 2, "B", 1.00),
+        (5, 4 * h, 3, "A", None),
+        # second half: type C born after mid, bucket 300 only here
+        (6, 6 * h, 1, "B", 1.00),
+        (7, 7 * h, 2, "C", 3.00),
+        (8, 8 * h, 3, "C", None),
+        (9, 9 * h, 1, "B", 3.00),
+        (10, 10 * h, 2, "C", 1.00),
+    ]
+    _write_events_adversarial(tmp_path, rows)
+    sf = str(tmp_path)
+
+    (ka,) = ks_drift_vs_baseline(spark, sf).collect()
+    (kb,) = ks_drift_event_values(spark, sf).collect()
+    assert ka.asDict() == kb.asDict()
+    # non-null halves: 3 vs 4 values; union grid {100, 200, 300}
+    assert (ka["n1"], ka["n2"], ka["n_value_buckets"]) == (3, 4, 3)
+
+    (ta,) = tvd_drift_vs_baseline(spark, sf).collect()
+    (tb,) = tvd_drift_event_types(spark, sf).collect()
+    assert ta.asDict() == tb.asDict()
+    # TVD counts nulls too: 5 vs 5 events; union types {A, B, C}
+    assert (ta["n1"], ta["n2"], ta["n_types"]) == (5, 5, 3)
+    # A: 3/5 vs 0/5, B: 2/5 vs 2/5, C: 0/5 vs 3/5 -> TVD = 3/5
+    assert ta["tvd_permille"] == 600
