@@ -251,9 +251,20 @@ def _write_files(
         # is the scale path (and past MANIFEST_PAGE_FILES it paginates).
         import pyarrow.parquet as papq
 
+        import pyarrow as pa
+
         def _footer_entry(p: str) -> dict | None:
             md = papq.ParquetFile(p).metadata
-            idx = md.schema.to_arrow_schema().get_field_index(key_col)
+            schema = md.schema.to_arrow_schema()
+            idx = schema.get_field_index(key_col)
+            # Footer min/max are trusted only for INTEGER keys: the
+            # parquet spec allows writers to TRUNCATE binary (string)
+            # column statistics, and a truncated max_key would make
+            # merge pruning silently skip a file that holds the key.
+            # Non-integer keys take the Spark stats job below, which
+            # computes exact values from the rows.
+            if not pa.types.is_integer(schema.field(idx).type):
+                return None
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics

@@ -42,6 +42,7 @@ as drift.py: cum·n stays in int64 through ~3e9 rows per side.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -67,8 +68,16 @@ def _build_fixture_profile(spark: SparkSession, sf_dir: str) -> str:
     app = spark.sparkContext.applicationId
     tmp = tempfile.gettempdir()
     sweep_stale_dirs(tmp, "jm_driftbase_", keep_token=f"jm_driftbase_{app}_")
+    # Tag carries a full-path digest, not just the basename: the cache
+    # key is the full sf_dir, so two dirs sharing a basename (two
+    # tmp_path fixtures named alike) must not collide on one root —
+    # a basename-only tag would let the second build overwrite the
+    # first's profile while both cache entries kept pointing at it.
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:10]
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(tmp, f"jm_driftbase_{app}_{sf_tag}")
+    root = os.path.join(tmp, f"jm_driftbase_{app}_{sf_tag}_{digest}")
 
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),

@@ -145,3 +145,35 @@ def test_baseline_monitors_on_adversarial_nulls_and_one_sided_types(
     assert (ta["n1"], ta["n2"], ta["n_types"]) == (5, 5, 3)
     # A: 3/5 vs 0/5, B: 2/5 vs 2/5, C: 0/5 vs 3/5 -> TVD = 3/5
     assert ta["tvd_permille"] == 600
+
+
+def test_profile_roots_distinct_for_same_basename_dirs(spark, tmp_path):
+    """Two sf_dirs sharing a basename must get DISTINCT profile roots
+    — a basename-keyed root would let the second build overwrite the
+    first's profile while both cache entries still pointed at it."""
+    from tests.test_analytics import _write_events_adversarial
+
+    from jobminer_spark.operators.driftbase import ks_drift_vs_baseline
+
+    h = 3_600_000_000
+    rows_a = [(i, i * h, 1, "A", 1.0 * i) for i in range(1, 7)]
+    rows_b = [(i, i * h, 1, "B", 2.0 * i) for i in range(1, 11)]
+    da = tmp_path / "one" / "sfX"
+    db = tmp_path / "two" / "sfX"
+    da.mkdir(parents=True)
+    db.mkdir(parents=True)
+    _write_events_adversarial(da, rows_a)
+    _write_events_adversarial(db, rows_b)
+    (ra,) = ks_drift_vs_baseline(spark, str(da)).collect()
+    (rb,) = ks_drift_vs_baseline(spark, str(db)).collect()
+    key = spark.sparkContext.applicationId
+    roots = {
+        driftbase._PROFILE_CACHE[(key, str(da))],
+        driftbase._PROFILE_CACHE[(key, str(db))],
+    }
+    assert len(roots) == 2
+    # and the first dir's cached result is still ITS data, not b's
+    (ra2,) = ks_drift_vs_baseline(spark, str(da)).collect()
+    assert ra2.asDict() == ra.asDict()
+    assert ra["n1"] + ra["n2"] == len(rows_a)
+    assert rb["n1"] + rb["n2"] == len(rows_b)
