@@ -175,6 +175,52 @@ _PROBES: list[tuple[str, str, str, str]] = [
 ]
 
 
+def _qlog2_probe(name: str, x: int, shift: str, expected: str) -> None:
+    """Append a probe row for the r15 fixed-point log2 behind the PSI
+    drift monitor (driftbase.py module comment derives it): QL(x) =
+    1024·⌊log2 x⌋ + cubic mantissa polynomial under TRUNCATING
+    division, mantissa via a shift. ``shift`` is the dialect-neutral
+    spec ("shr"/"shl"); the per-dialect spellings are written HERE,
+    locally — the probe pins the recipe's contract text independently
+    of driftbase's generator, so a drift in either copy names itself.
+    The VALUES shape needs self-contained scalars, so the mantissa
+    expression is inlined at each polynomial site. The x literal is
+    cast to BIGINT — a bare small literal types as INT and the cubic
+    term then overflows int32 under ANSI (the PSI query itself always
+    feeds BIGINT products, so only the probe needs the cast)."""
+    xl = f"CAST({x} AS BIGINT)"
+    e = f"(length(bin({xl})) - 1)"
+    if shift == "shr":
+        t_s = f"(shiftright({xl}, {e} - 10) - 1024)"
+        t_d = f"(({xl} >> ({e} - 10)) - 1024)"
+    else:
+        t_s = f"(shiftleft({xl}, 10 - {e}) - 1024)"
+        t_d = f"(({xl} << (10 - {e})) - 1024)"
+
+    def poly(t: str, d: str) -> str:
+        return (
+            f"1024 * {e} + (1461 * {t} + (-605 * {t} * {t}) {d} 1024"
+            f" + (169 * {t} * {t} * {t}) {d} 1048576) {d} 1024"
+        )
+
+    _PROBES.append(
+        (
+            name,
+            f"CAST({poly(t_s, 'div')} AS STRING)",
+            f"CAST({poly(t_d, '//')} AS VARCHAR)",
+            expected,
+        )
+    )
+
+
+# Two hard pins, one per mantissa branch, both verified against the
+# Python bit_length reference: x = 1234567890123 exercises the e ≥ 10
+# shift-right path (41129 ≈ 1024·40.165); x = 700 the e < 10
+# shift-left path (9679 ≈ 1024·9.452).
+_qlog2_probe("qlog2_shr", 1234567890123, "shr", "41129")
+_qlog2_probe("qlog2_shl", 700, "shl", "9679")
+
+
 def _probe_sql(dialect_exprs: int) -> str:
     """The probe query in one dialect (1 = Spark, 2 = DuckDB): rows
     where got <> expected, plus the always-emitted summary row whose

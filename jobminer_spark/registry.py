@@ -224,20 +224,47 @@ ORACLES: dict[str, str] = {}
 #     cohort_weekly_retention, session_path_topk,
 #     embedding_int8_recall_audit, scd2_user_attribute_history,
 #     scd2_incremental_update_audit, ewma_user_value.
-#   round 15 window (write/verify at r15 start with
+#   round 15 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below, amended from the r14-written plan per the standing
+#     modified-module rule and regenerated with
 #     scripts/attestation_histogram.py): slot 1
 #     tvd_drift_vs_baseline (r14-new AFTER the r14 rotation — the
-#     type-count half of the persisted-profile monitor pair,
-#     registered past the r14 window by design; its module sibling
-#     ks_drift_vs_baseline attests the shared builder at r14 slot 7,
-#     and the full sweep legs cover it strict-green), then the 9
-#     slipped r9 queries above, then 40 of the 41 last-green-r10
-#     queries = exactly 50. The ONE r10 query displaced to r16:
-#     http_fetch_retry_audit — its fetch machinery is additionally
-#     pinned by the injected-fake pytest suite (tests/test_ingestion)
-#     and its module is untouched since r10, the lowest-risk slip.
-#     AMEND at rotation time for any module modified after the r14
-#     rotation.
+#     type-count half of the persisted-profile monitor pair, the one
+#     never-driver-attested query), slots 2-10 the 9 slipped r9
+#     queries (named in the r14 plan above), slot 11
+#     ks_drift_vs_baseline — driftbase.py is r15-MODIFIED (ADVICE
+#     r14: empty-corpus mid guard, data-fingerprinted profile cache;
+#     plus this round's new monitor queries share its builders), so
+#     its r14 row no longer attests the shipped code; slots 12-17 the
+#     six lakehouse-backed queries — lakehouse.py is r15-MODIFIED
+#     (ADVICE r14: footer-stats leaf resolved by path_in_schema, not
+#     the Arrow top-level index), so their r14 rows no longer attest
+#     the shipped code (lakehouse_merge_parity, pruning_travel,
+#     change_feed, vacuum_audit, concurrency_audit,
+#     negative_key_merge_parity — same re-attest unit as the r14
+#     rotation used for the same file); slot 18
+#     cross_engine_primitive_probe — envprobe.py is r15-MODIFIED
+#     (qlog2 probe rows for the PSI recipe, the probe-with-the-recipe
+#     discipline), so its r13 row no longer attests the shipped
+#     table; slots 19-50 the FIRST 32 of the 41 last-green-r10
+#     queries in registration order (through dq_constraint_audit).
+#     SLIPS to r16 (displaced by the 8 modified-module re-attest
+#     slots, stated per VERDICT r13 item 1's accounting rule): the
+#     last 9 r10-debt queries — dq_violation_injection_audit,
+#     unpivot_segment_metrics,
+#     ntile_value_quartiles, pca_power_iteration_audit,
+#     small_files_compaction_audit, partitioned_write_pruning_audit,
+#     schema_merge_read_audit, dynamic_gap_sessions, and
+#     http_fetch_retry_audit (the slip r14 already named; its fetch
+#     machinery stays pinned by the injected-fake pytest suite).
+#   round 16 window (write/verify at r16 start with
+#     scripts/attestation_histogram.py): first the r15-new driftbase
+#     queries registered past this round's window by design
+#     (psi_drift_vs_baseline, profile_history_day_compare,
+#     profile_history_retention_audit, stream_drift_profile_parity),
+#     then the 9 slipped r10 queries above, then r11 debt in
+#     registration order. AMEND at rotation time for any module
+#     modified after the r15 rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -369,74 +396,75 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # slots 1-6: the r13-new agreement/drift queries — registered past
-    # the r13 window by design, never driver-attested
-    "filter_agreement_kappa",
-    "lang_confusion_matrix",
-    "lang_agreement_kappa",
-    "ks_drift_event_values",
-    "tvd_drift_event_types",
-    "ks_quality_by_source",
-    # slot 7: r14-new — the persisted-baseline drift monitor
-    # (driftbase.py, VERDICT r13 item 4)
+    # slot 1: the type-count half of the persisted-baseline monitor
+    # pair — r14-new after the r14 rotation, the only query never
+    # driver-attested (VERDICT r14 item 1 names it slot 1)
+    "tvd_drift_vs_baseline",
+    # slots 2-10: the 9 r9-debt queries slipped from the r14 window
+    # (displaced there by the modified-module re-attest slots)
+    "bpe_encode_compression",
+    "bpe_train_merges",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "session_path_topk",
+    "embedding_int8_recall_audit",
+    "scd2_user_attribute_history",
+    "scd2_incremental_update_audit",
+    "ewma_user_value",
+    # slot 11: driftbase.py is r15-modified (ADVICE r14 empty-corpus
+    # guard + data-fingerprinted profile cache; the r15-new monitor
+    # queries share its builders) — its r14 row attests pre-fix code
     "ks_drift_vs_baseline",
-    # slots 8-10: the remaining never-attested r13 newcomers
-    "lakehouse_negative_key_merge_parity",
-    "rfm_segment_census_scaled",
-    "hierarchy_chain_depths_doubling",
-    # slots 11-13: r13-modified-module re-attests — rfm.py (also
-    # carries the r14 _distributed_prefix localCheckpoint, ADVICE
-    # r13) and hierarchy.py's two BFS queries
-    "rfm_segment_census",
-    "hierarchy_node_depths",
-    "hierarchy_subtree_rollup",
-    # slots 14-18: lakeaudit — lakehouse.py is r14-modified
-    # (Observation-folded merge tallies, parquet-footer manifest
-    # stats, vacuum assert per ADVICE r13); the r13 rows attest the
-    # pre-fix code
+    # slots 12-17: lakehouse.py is r15-modified (ADVICE r14: footer
+    # stats resolve the parquet LEAF by path, not the Arrow top-level
+    # index) — the same re-attest unit the r14 rotation used when the
+    # same file changed
     "lakehouse_merge_parity",
     "lakehouse_pruning_travel_audit",
     "lakehouse_change_feed",
     "lakehouse_vacuum_audit",
     "lakehouse_concurrency_audit",
-    # slots 19-26: the 8 last-green-r8 singles — the oldest debt in
-    # the book after r13 burned the r7/r8 module blocks
-    "embedding_norm_outliers",
-    "corpus_datasheet",
-    "stratified_sample_per_source",
-    "udtf_chunking_parity",
-    "exact_shared_spans",
-    "span_coverage_dedup",
-    "zorder_pruning_stats",
-    "quality_calibrated_gate",
-    # slots 27-50: the first 24 of the 33 last-green-r9 queries in
-    # registration order; the remaining 9 (bpe 2, journeys 3,
-    # intquant 1, scd 2, decay 1) slip to r15's front — see the
+    "lakehouse_negative_key_merge_parity",
+    # slot 18: envprobe.py is r15-modified (two probe rows added for
+    # the PSI monitor's fixed-point-log2 recipe, the same-commit
+    # probe discipline from r12) — its r13 row no longer attests the
+    # shipped probe table
+    "cross_engine_primitive_probe",
+    # slots 19-50: the first 32 of the 41 last-green-r10 queries in
+    # registration order; the remaining 9 slip to r16 — see the
     # rotation-plan comment above
-    "ann_pq_adc_topk",
-    "ann_pq_recall_vs_bruteforce",
-    "cascade_extraction_gate",
-    "lookup_join_empty_default",
-    "page_count_estimator",
-    "offer_link_filter",
-    "underfilled_page_retry",
-    "html_badge_parse_udf",
-    "listing_page_flatten",
-    "ann_cosine_topk_bruteforce",
-    "ann_ivf_sign_buckets",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_recall_vs_bruteforce",
-    "kmeans_assign_fixed_centroids",
-    "upsert_anti_join_counts",
-    "train_val_test_split",
-    "sequence_packing_bins",
-    "curation_funnel",
-    "repeated_chunk_dedup",
-    "boilerplate_chunk_removal",
-    "bm25_topk_per_query",
-    "rrf_fusion_topk_per_query",
-    "cms_frequency_audit",
-    "pagerank_neardup_graph",
+    "merge_status_transition",
+    "dedup_exact_text",
+    "ngram_jaccard_top_pairs",
+    "minhash_lsh_neardup",
+    "simhash_fingerprints",
+    "minhash_estimation_audit",
+    "simhash_exactdup_audit",
+    "embedding_neardup_bucketed",
+    "neardup_connected_components",
+    "neardup_edges_prefix_filter",
+    "neardup_cc_star",
+    "neardup_dedup_survivors",
+    "simhash_band_neighbors",
+    "simhash_band_recall_audit",
+    "xml_feed_parse_audit",
+    "zip_with_index_audit",
+    "resample_hourly_forward_fill",
+    "trailing_1h_range_totals",
+    "markov_transition_counts",
+    "weighted_sample_topk",
+    "incremental_rollup_audit",
+    "python_datasource_scan_audit",
+    "exact_median_by_event_type",
+    "token_cooccurrence_pairs",
+    "cooccurrence_lift_topk",
+    "association_link_prediction",
+    "er_blocked_match_resolution",
+    "er_funnel_audit",
+    "triangle_count_neardup",
+    "degree_histogram_neardup",
+    "trailing_zscore_outliers",
+    "dq_constraint_audit",
 ]
 
 

@@ -525,3 +525,34 @@ def test_vacuum_keeps_shards_of_blocked_manifest(spark, table_dir, monkeypatch):
     assert stats2["n_manifests_removed"] == 1
     assert stats2["n_shards_removed"] >= 1
     assert lh.read_snapshot(spark, table_dir).count() == n_buckets
+
+
+def test_footer_stats_resolve_leaf_by_path_under_nested_column(spark, tmp_path):
+    """ADVICE r14: parquet row-group column() takes a FLATTENED LEAF
+    index, so a struct column ordered before the key used to shift the
+    footer-stats read onto the wrong leaf (nested.b) — corrupting
+    manifest min/max and merge pruning. The leaf is now resolved by
+    path_in_schema; the manifest must carry the KEY's true range, not
+    the struct field's."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.lakehouse import (
+        _manifest_files,
+        _read_manifest,
+        create_table,
+        latest_version,
+    )
+
+    df = spark.range(1, 51).select(
+        F.struct(
+            F.lit(999_999).alias("a"), F.lit(-5).alias("b")
+        ).alias("nested"),
+        F.col("id").alias("k"),
+    )
+    table = str(tmp_path / "tbl_nested")
+    create_table(spark, table, df, "k")
+    files = _manifest_files(_read_manifest(table, latest_version(table)))
+    assert files, "expected at least one data file"
+    assert min(f["min_key"] for f in files) == 1
+    assert max(f["max_key"] for f in files) == 50
+    assert sum(f["n_rows"] for f in files) == 50

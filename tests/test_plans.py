@@ -692,3 +692,32 @@ def test_baseline_tvd_comparison_reads_profile_not_corpus(spark):
     assert "events.parquet" not in plan
     assert "documents.parquet" not in plan
     assert "jm_driftbase_" in plan
+
+
+def test_psi_comparison_reads_profile_not_corpus(spark):
+    """psi_drift_vs_baseline's comparison plan, like its KS/TVD twins,
+    reaches the baseline ONLY through the persisted profile parquet —
+    the joined grid is materialized bounded state, so no raw table
+    appears in the returned plan at all."""
+    plan = _plan(spark, "psi_drift_vs_baseline")
+    assert "events.parquet" not in plan
+    assert "documents.parquet" not in plan
+    assert "jm_driftbase_" in plan  # meta parquet rides the totals join
+
+
+def test_history_retention_audit_reads_only_profiles(spark):
+    """The retention audit's plan scans nothing but the day profiles'
+    parquet — auditing the store must never need the raw corpus."""
+    plan = _plan(spark, "profile_history_retention_audit")
+    assert "events.parquet" not in plan
+    assert "jm_drifthist_" in plan
+
+
+def test_history_day_compare_scans_no_raw_table(spark):
+    """Comparing today's batch against a kept day profile is the same
+    O(batch + grid) shape as the single-profile monitor: the batch
+    side is reduced to bounded state inside the prefix-sum
+    materialization and the baseline is day 1's grid parquet."""
+    plan = _plan(spark, "profile_history_day_compare")
+    assert "events.parquet" not in plan
+    assert "jm_drifthist_" in plan
