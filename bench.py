@@ -82,12 +82,33 @@ HEADLINE = [
     "hierarchy_chain_depths_doubling",
     # r14 additions (VERDICT r13 item 3): the r13 monitoring families —
     # exact two-sample KS over the distributed prefix-sum plan, and
-    # the single-scan gate-agreement kappa. (ks_drift_vs_baseline is
-    # excluded like the lakehouse audits: its per-session profile
-    # cache would make min-of-passes time a cache hit.)
+    # the single-scan gate-agreement kappa.
     "ks_drift_event_values",
     "filter_agreement_kappa",
+    # r15 additions (VERDICT r14 item 8): the persisted-profile
+    # comparison and the lakehouse MERGE. ks_drift_vs_baseline's
+    # profile cache is deliberately KEPT across passes — the query
+    # recomputes the full comparison plan every pass (no result is
+    # cached), so its min-of-passes IS the production per-batch cost:
+    # comparison against an already-persisted profile, the
+    # O(batch + grid) number worth tracking round-over-round.
+    # lakehouse_merge_parity memoizes its whole scenario RESULT per
+    # session, so the per-pass hook below clears that memo and every
+    # pass re-runs create_table + both MERGEs for real.
+    "ks_drift_vs_baseline",
+    "lakehouse_merge_parity",
 ]
+
+
+def _bust_lakeaudit_scenario() -> None:
+    from jobminer_spark.operators import lakeaudit
+
+    lakeaudit._SCENARIO_CACHE.clear()
+
+
+# Pre-pass hooks: queries whose module memoizes a full scenario result
+# per session would otherwise time a dict hit from pass 2 on.
+_PREPASS = {"lakehouse_merge_parity": _bust_lakeaudit_scenario}
 
 
 def main() -> None:
@@ -125,6 +146,8 @@ def main() -> None:
     for _pass in range(n_passes):
         for name in HEADLINE:
             fn = QUERIES[name]
+            if name in _PREPASS:
+                _PREPASS[name]()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)

@@ -79,15 +79,13 @@ MANIFEST_PAGE_FILES = 10_000  # stats fetch paginates past this
 # pure fixed cost. Above it, the distributed stats read is the scale
 # path (sequential footer reads would serialize on the driver).
 # The threshold assumes LOCAL-ish metadata latency (sub-ms footer
-# reads on local/NVMe or a warm DFS client): 256 sequential reads ≈
-# tens of ms, well under the ~2 s Spark job it replaces. On an
-# object store each footer is a ~10-100 ms round trip — 256 of them
-# serial would cost seconds — so deployments there should lower this
-# toward ~16, or parallelize the footer reads with a small driver
-# thread pool (the entries are independent; a ThreadPoolExecutor(16)
-# drops the wall cost ~16×). Kept sequential here because every
-# sandbox/test path is local disk and the sequential loop is the
-# simplest correct form.
+# reads on local/NVMe or a warm DFS client): 256 reads ≈ tens of ms,
+# well under the ~2 s Spark job it replaces. On an object store each
+# footer is a ~10-100 ms round trip, so the reads go through a small
+# driver thread pool (8 workers — the entries are independent), which
+# bounds the path to ~32 round-trip latencies at the threshold;
+# object-store deployments with colder metadata should still lower
+# this toward ~64.
 FOOTER_STATS_FILES = 256
 # Manifest split (Iceberg-style, VERDICT r11 item 5): past this many
 # inline file entries, a commit writes the file list as per-key-range
@@ -309,14 +307,23 @@ def _write_files(
                 "n_rows": md.num_rows,
             }
 
-        entries: list[dict] | None = []
-        for root, _dirs, files in os.walk(sub):
-            for fname in files:
-                if entries is not None and fname.endswith(".parquet"):
-                    e = _footer_entry(os.path.join(root, fname))
-                    entries = None if e is None else entries + [e]
-        if entries is not None:
-            return sorted(entries, key=lambda e: e["min_key"])
+        paths = [
+            os.path.join(root, fname)
+            for root, _dirs, files in os.walk(sub)
+            for fname in files
+            if fname.endswith(".parquet")
+        ]
+        # Footer reads are independent metadata fetches — a small
+        # driver pool overlaps them so the path's latency is
+        # ~ceil(n/8) round trips instead of n (negligible on local
+        # disk, the difference between ms and seconds on an object
+        # store; see the FOOTER_STATS_FILES latency note above).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            maybe = list(pool.map(_footer_entry, paths))
+        if all(e is not None for e in maybe):
+            return sorted(maybe, key=lambda e: e["min_key"])
     stats_df = (
         spark.read.parquet(sub)
         .groupBy(F.col("_metadata.file_path").alias("fp"))
