@@ -1001,3 +1001,266 @@ def stream_drift_profile_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(r["ks_permille"]).cast("long").alias("ks_permille"),
         F.lit(r["n_micro_batches"]).cast("long").alias("n_micro_batches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source PSI + the alert panel: WHICH source drifted (the PSI twin
+# of drift.ks_quality_by_source), and the decision layer that turns the
+# three monitors into one actionable row.
+# ---------------------------------------------------------------------------
+
+
+def _psi_from_cells(cells: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The shared PSI tail: ``cells`` carries (c1, c2, n1, n2) plus
+    ``group_cols``; returns one row per group with the ε-clipped
+    exact-integer PSI (module comment). Factoring the tail keeps the
+    baseline twin and the per-source diagnostic on ONE derivation."""
+    staged = cells.selectExpr(
+        *group_cols,
+        "n1",
+        "n2",
+        "greatest(c2, 1) * n1 - greatest(c1, 1) * n2 AS diff",
+        "greatest(greatest(c2, 1) * n1, 1) AS a",
+        "greatest(greatest(c1, 1) * n2, 1) AS b",
+    )
+    l1 = staged.selectExpr(
+        "*", f"{_e_sql('a')} AS ea", f"{_e_sql('b')} AS eb"
+    )
+    l2 = l1.selectExpr(
+        *group_cols, "n1", "n2", "diff", "ea", "eb",
+        f"{_t_sql('a', 'ea', 'spark')} AS ta",
+        f"{_t_sql('b', 'eb', 'spark')} AS tb",
+    )
+    l3 = l2.selectExpr(
+        *group_cols, "n1", "n2", "diff",
+        f"{_ql_sql('ea', 'ta', 'spark')} AS qa",
+        f"{_ql_sql('eb', 'tb', 'spark')} AS qb",
+    )
+    grouped = (
+        l3.groupBy(*group_cols, "n1", "n2")
+        if group_cols
+        else l3.groupBy("n1", "n2")
+    )
+    return grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_value_buckets"),
+        F.sum(F.expr("diff * (qa - qb)")).cast("long").alias("psi_scaled"),
+    ).selectExpr(
+        *group_cols,
+        "n1",
+        "n2",
+        "n_value_buckets",
+        "psi_scaled",
+        "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
+        " ELSE (1000 * psi_scaled) div (n1 * n2 * 1024) END AS BIGINT)"
+        " AS psi_permille_log2",
+    )
+
+
+def _psi_by_source_oracle() -> str:
+    """Per-source PSI oracle: the quality-score grid and source-vs-rest
+    counts replayed exactly like ks_quality_by_source, then the same
+    integer PSI cell chain the baseline twin uses — generated from the
+    shared helper functions."""
+    from jobminer_spark.operators.textanalysis import quality_cte
+
+    return f"""
+    WITH {quality_cte()},
+    src AS (
+      SELECT q.doc_id, d.source,
+             CAST(FLOOR(q.quality_score * 10000.0) AS BIGINT) AS vq
+      FROM qual q JOIN documents d ON d.doc_id = q.doc_id
+    ),
+    counts AS (
+      SELECT source, vq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM src GROUP BY source, vq
+    ),
+    grid AS (SELECT DISTINCT vq FROM counts),
+    srcs AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    tc AS (SELECT vq, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY vq),
+    cells AS (
+      SELECT s.source,
+             (SELECT n FROM tot) - s.n_s AS n1,
+             s.n_s AS n2,
+             GREATEST(COALESCE(c.c, 0), 1)
+               * ((SELECT n FROM tot) - s.n_s)
+               - GREATEST(t.t - COALESCE(c.c, 0), 1) * s.n_s AS diff,
+             GREATEST(GREATEST(COALESCE(c.c, 0), 1)
+               * ((SELECT n FROM tot) - s.n_s), 1) AS a,
+             GREATEST(GREATEST(t.t - COALESCE(c.c, 0), 1) * s.n_s, 1) AS b
+      FROM grid g
+      CROSS JOIN srcs s
+      JOIN tc t ON t.vq = g.vq
+      LEFT JOIN counts c ON c.source = s.source AND c.vq = g.vq
+    ),
+    l1 AS (
+      SELECT source, n1, n2, diff, a, b,
+             {_e_sql('a')} AS ea, {_e_sql('b')} AS eb
+      FROM cells
+    ),
+    l2 AS (
+      SELECT source, n1, n2, diff, ea, eb,
+             {_t_sql('a', 'ea', 'duckdb')} AS ta,
+             {_t_sql('b', 'eb', 'duckdb')} AS tb
+      FROM l1
+    ),
+    l3 AS (
+      SELECT source, n1, n2, diff,
+             {_ql_sql('ea', 'ta', 'duckdb')} AS qa,
+             {_ql_sql('eb', 'tb', 'duckdb')} AS qb
+      FROM l2
+    )
+    SELECT source,
+           n1, n2,
+           CAST(COUNT(*) AS BIGINT) AS n_value_buckets,
+           CAST(SUM(diff * (qa - qb)) AS BIGINT) AS psi_scaled,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                ELSE (1000 * CAST(SUM(diff * (qa - qb)) AS BIGINT))
+                     // (n1 * n2 * 1024) END AS BIGINT)
+             AS psi_permille_log2
+    FROM l3 GROUP BY source, n1, n2
+    """
+
+
+@query("psi_quality_by_source", oracle=_psi_by_source_oracle())
+def psi_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH source drifted, in PSI terms: each source's quality-score
+    distribution against the REST of the corpus — the magnitude-scaled
+    companion of ks_quality_by_source (KS finds the worst single gap;
+    PSI accumulates every cell's contribution, the number monitoring
+    teams threshold). Baseline = rest (rest_c = total_c − src_c, no
+    second pass), comparison = the source; same ε-clip and fixed-point
+    log2 as psi_drift_vs_baseline.
+
+    Scale shape: one documents scan → (source, bucket) counts with
+    map-side combine; the fill frame is grid × |sources| — corpus-
+    size-independent — and PSI needs no ECDF, so there is no window
+    anywhere: keyed joins on the bounded frame only."""
+    from jobminer_spark.operators.textanalysis import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = quality_scores(docs, extra_cols=("source",)).select(
+        "source",
+        F.floor(F.col("quality_score") * 10000.0).cast("long").alias("vq"),
+    )
+    counts = src.groupBy("source", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = counts.select("vq").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    tot = counts.agg(F.sum("c").cast("long").alias("n"))
+    tc = counts.groupBy("vq").agg(F.sum("c").cast("long").alias("t"))
+    cells = (
+        grid.crossJoin(F.broadcast(srcs))
+        .join(tc, "vq")
+        .join(counts, ["source", "vq"], "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n - n_s AS n1",
+            "n_s AS n2",
+            "COALESCE(c, 0) AS c2r",
+            "t - COALESCE(c, 0) AS c1r",
+        )
+        .selectExpr(
+            "source", "n1", "n2",
+            "c1r AS c1",
+            "c2r AS c2",
+        )
+    )
+    return _psi_from_cells(cells, ["source"])
+
+
+# Alert thresholds (permille / millibit units, stated constants): the
+# decision layer a monitoring deployment wires to paging. KS and TVD
+# alarm at 50‰; PSI's industry rule-of-thumb 0.1/0.25 (natural log)
+# maps to ~144/361 permille-log2 (÷ln2) — 144 is the "investigate"
+# line used here.
+ALERT_KS_PERMILLE = 50
+ALERT_TVD_PERMILLE = 50
+ALERT_PSI_PERMILLE_LOG2 = 144
+
+
+@query(
+    "drift_alert_panel",
+    # Each monitor's full oracle runs as its own CTE (nested WITHs are
+    # subquery-scoped), then one row of thresholded verdicts — the
+    # alert bits are recomputed by the oracle, not copied.
+    oracle=None,  # assigned below: composed from the three twins
+)
+def drift_alert_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three persisted-profile monitors folded into ONE actionable
+    row: each statistic plus its thresholded alert bit and the overall
+    any_alert — what a daily cadence actually pages on. All three
+    comparisons run against the same persisted profile (one build,
+    plan shape unchanged); thresholds are stated integer constants so
+    the row is exact cross-engine."""
+    root = _build_fixture_profile(spark, sf_dir)
+    batch = _batch_events(spark, sf_dir, root)
+    vcounts = (
+        batch.filter(F.col("has_v"))
+        .groupBy("vq")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .localCheckpoint(eager=True)  # one batch scan serves KS + PSI
+    )
+    tcounts = batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    ks = compare_batch_to_profile(spark, vcounts, root).selectExpr(
+        "ks_permille"
+    )
+    tvd = compare_batch_types_to_profile(spark, tcounts, root).selectExpr(
+        "tvd_permille"
+    )
+    psi = compare_batch_psi_to_profile(spark, vcounts, root).selectExpr(
+        "psi_permille_log2"
+    )
+    return (
+        ks.crossJoin(F.broadcast(tvd))
+        .crossJoin(F.broadcast(psi))
+        .selectExpr(
+            "ks_permille",
+            "tvd_permille",
+            "psi_permille_log2",
+            f"CAST(CASE WHEN ks_permille > {ALERT_KS_PERMILLE} THEN 1"
+            " ELSE 0 END AS BIGINT) AS ks_alert",
+            f"CAST(CASE WHEN tvd_permille > {ALERT_TVD_PERMILLE} THEN 1"
+            " ELSE 0 END AS BIGINT) AS tvd_alert",
+            f"CAST(CASE WHEN psi_permille_log2 > {ALERT_PSI_PERMILLE_LOG2}"
+            " THEN 1 ELSE 0 END AS BIGINT) AS psi_alert",
+            f"CAST(CASE WHEN ks_permille > {ALERT_KS_PERMILLE}"
+            f" OR tvd_permille > {ALERT_TVD_PERMILLE}"
+            f" OR psi_permille_log2 > {ALERT_PSI_PERMILLE_LOG2}"
+            " THEN 1 ELSE 0 END AS BIGINT) AS any_alert",
+        )
+    )
+
+
+# The panel's oracle: the three monitors' full replay SQLs as nested
+# CTEs plus the same stated thresholds.
+ORACLES["drift_alert_panel"] = f"""
+    WITH ks_m AS ({ORACLES["ks_drift_event_values"]}),
+    tvd_m AS ({ORACLES["tvd_drift_event_types"]}),
+    psi_m AS ({_psi_oracle()})
+    SELECT (SELECT ks_permille FROM ks_m) AS ks_permille,
+           (SELECT tvd_permille FROM tvd_m) AS tvd_permille,
+           (SELECT psi_permille_log2 FROM psi_m) AS psi_permille_log2,
+           CAST(CASE WHEN (SELECT ks_permille FROM ks_m)
+                > {ALERT_KS_PERMILLE} THEN 1 ELSE 0 END AS BIGINT)
+             AS ks_alert,
+           CAST(CASE WHEN (SELECT tvd_permille FROM tvd_m)
+                > {ALERT_TVD_PERMILLE} THEN 1 ELSE 0 END AS BIGINT)
+             AS tvd_alert,
+           CAST(CASE WHEN (SELECT psi_permille_log2 FROM psi_m)
+                > {ALERT_PSI_PERMILLE_LOG2} THEN 1 ELSE 0 END AS BIGINT)
+             AS psi_alert,
+           CAST(CASE WHEN (SELECT ks_permille FROM ks_m)
+                  > {ALERT_KS_PERMILLE}
+                OR (SELECT tvd_permille FROM tvd_m)
+                  > {ALERT_TVD_PERMILLE}
+                OR (SELECT psi_permille_log2 FROM psi_m)
+                  > {ALERT_PSI_PERMILLE_LOG2}
+                THEN 1 ELSE 0 END AS BIGINT) AS any_alert
+"""

@@ -258,13 +258,14 @@ ORACLES: dict[str, str] = {}
 #     http_fetch_retry_audit (the slip r14 already named; its fetch
 #     machinery stays pinned by the injected-fake pytest suite).
 #   round 16 window (write/verify at r16 start with
-#     scripts/attestation_histogram.py): first the r15-new driftbase
-#     queries registered past this round's window by design
+#     scripts/attestation_histogram.py): first the SIX r15-new
+#     driftbase queries registered past this round's window by design
 #     (psi_drift_vs_baseline, profile_history_day_compare,
-#     profile_history_retention_audit, stream_drift_profile_parity),
-#     then the 9 slipped r10 queries above, then r11 debt in
-#     registration order. AMEND at rotation time for any module
-#     modified after the r15 rotation.
+#     profile_history_retention_audit, stream_drift_profile_parity,
+#     psi_quality_by_source, drift_alert_panel), then the 9 slipped
+#     r10 queries above, then r11 debt in registration order. AMEND
+#     at rotation time for any module modified after the r15
+#     rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

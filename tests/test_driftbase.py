@@ -416,3 +416,47 @@ def test_stream_drift_parity_matches_direct_twin_and_batch_count(spark):
         )
     ]
     assert s["n_batches"] == 3
+
+
+def test_psi_by_source_rows_and_sign(spark):
+    """One row per source; every PSI is non-negative (the monotone
+    qlog makes each cell's term ≥ 0) and the source/rest totals
+    complement each other to one corpus."""
+    from jobminer_spark.operators.driftbase import psi_quality_by_source
+
+    rows = psi_quality_by_source(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    n = rows[0]["n1"] + rows[0]["n2"]
+    for r in rows:
+        assert r["n1"] + r["n2"] == n  # same corpus from every row
+        assert r["psi_scaled"] >= 0
+        assert r["psi_permille_log2"] is not None
+
+
+def test_alert_panel_bits_match_standalone_monitors(spark):
+    """The panel's statistics and alert bits must equal what the three
+    standalone monitors + the stated thresholds produce."""
+    from jobminer_spark.operators.driftbase import (
+        ALERT_KS_PERMILLE,
+        ALERT_PSI_PERMILLE_LOG2,
+        ALERT_TVD_PERMILLE,
+        drift_alert_panel,
+        psi_drift_vs_baseline,
+        tvd_drift_vs_baseline,
+    )
+
+    (p,) = drift_alert_panel(spark, SF_DIR).collect()
+    (ks,) = ks_drift_vs_baseline(spark, SF_DIR).collect()
+    (tvd,) = tvd_drift_vs_baseline(spark, SF_DIR).collect()
+    (psi,) = psi_drift_vs_baseline(spark, SF_DIR).collect()
+    assert p["ks_permille"] == ks["ks_permille"]
+    assert p["tvd_permille"] == tvd["tvd_permille"]
+    assert p["psi_permille_log2"] == psi["psi_permille_log2"]
+    assert p["ks_alert"] == int(ks["ks_permille"] > ALERT_KS_PERMILLE)
+    assert p["tvd_alert"] == int(tvd["tvd_permille"] > ALERT_TVD_PERMILLE)
+    assert p["psi_alert"] == int(
+        psi["psi_permille_log2"] > ALERT_PSI_PERMILLE_LOG2
+    )
+    assert p["any_alert"] == max(
+        p["ks_alert"], p["tvd_alert"], p["psi_alert"]
+    )

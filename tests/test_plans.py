@@ -721,3 +721,13 @@ def test_history_day_compare_scans_no_raw_table(spark):
     plan = _plan(spark, "profile_history_day_compare")
     assert "events.parquet" not in plan
     assert "jm_drifthist_" in plan
+
+
+def test_alert_panel_single_batch_scan(spark):
+    """The panel runs three monitors against one profile but must scan
+    the batch events exactly ONCE for the two value-grid monitors (the
+    checkpointed shared counts) plus once for the type counts — never
+    a third raw pass, and no baseline raw rows at all."""
+    plan = _plan(spark, "drift_alert_panel")
+    assert plan.count("events.parquet") <= 1  # the TVD type-count scan
+    assert "jm_driftbase_" in plan
