@@ -1,0 +1,224 @@
+"""Delta-format audits: the minimal open-protocol reader/writer
+(sources/delta.py) exercised end-to-end and pinned cross-engine.
+
+VERDICT r14 ranks "Delta/Iceberg format compatibility" the #1
+environment-blocked gap — blocked only because the `delta-spark` JAR
+is not installable offline. The transaction-log FORMAT needs no jar
+(JSON commits + parquet checkpoints, open protocol), so these audits
+build real Delta tables on disk — create, appends, an overwrite with
+remove-actions, a partitioned layout, and a 12-commit history with a
+version-10 checkpoint — then read them back through the log replay
+and pin every count/checksum against the oracle's recomputation from
+the raw events the batches were derived from. A reader that mis-
+replays adds/removes, loses partition values (they live ONLY in the
+log), or short-circuits the checkpoint wrongly goes red here.
+
+Scenario (one build per session+sf, the lakeaudit discipline):
+  * ``main`` table: v0 create = events with event_id%3==0,
+    v1 append %3==1, v2 append %3==2 (v2 ≡ the whole corpus),
+    v3 OVERWRITE with purchase events only (remove-actions for every
+    prior file) — time travel to v2 must still see everything.
+  * ``part`` table: one commit partitioned by event_type — the data
+    files do NOT contain the partition column; reading it back proves
+    the log's partitionValues restore it.
+  * ``ckpt`` table: 12 commits keyed user_id%12, checkpoint at v10 —
+    the latest read replays checkpoint+tail, the v9 read replays the
+    JSON commits from 0; both paths are pinned.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.operators.common import sweep_stale_dirs
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+from jobminer_spark.sources.delta import (
+    delta_latest_version,
+    read_delta,
+    write_delta,
+)
+
+_SCENARIO_CACHE: dict[tuple[str, str], dict] = {}
+
+_ROWS_CTE = """
+    rows AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS val_q
+      FROM events
+    )"""
+
+
+def _rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0).cast("long").alias("val_q"),
+    )
+
+
+def _scenario(spark: SparkSession, sf_dir: str) -> dict:
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _SCENARIO_CACHE:
+        return _SCENARIO_CACHE[cache_key]
+    app = spark.sparkContext.applicationId
+    tmp = tempfile.gettempdir()
+    sweep_stale_dirs(tmp, "jm_delta_", keep_token=f"jm_delta_{app}_")
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = os.path.join(tmp, f"jm_delta_{app}_{sf_tag}_{digest}")
+    shutil.rmtree(work, ignore_errors=True)
+    rows = _rows(spark, sf_dir)
+
+    main = os.path.join(work, "main")
+    assert write_delta(spark, main, rows.filter(F.col("event_id") % 3 == 0)) == 0
+    assert write_delta(spark, main, rows.filter(F.col("event_id") % 3 == 1)) == 1
+    assert write_delta(spark, main, rows.filter(F.col("event_id") % 3 == 2)) == 2
+    assert (
+        write_delta(
+            spark,
+            main,
+            rows.filter(F.col("event_type") == "purchase"),
+            mode="overwrite",
+        )
+        == 3
+    )
+
+    part = os.path.join(work, "part")
+    write_delta(spark, part, rows, partition_by=["event_type"])
+
+    ckpt = os.path.join(work, "ckpt")
+    for b in range(12):
+        write_delta(spark, ckpt, rows.filter(F.col("user_id") % 12 == b))
+
+    result = {"main": main, "part": part, "ckpt": ckpt}
+    _SCENARIO_CACHE[cache_key] = result
+    return result
+
+
+@query(
+    "delta_log_read_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT CAST(4 AS BIGINT) AS n_versions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_v2,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck_v2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_type = 'purchase') AS n_latest,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_type = 'purchase') AS ck_latest
+    """,
+)
+def delta_log_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create + two appends + an OVERWRITE on a real on-disk Delta
+    log, then read through the replay: version 2 (time travel) must
+    see the union of all three appends — the whole corpus — and the
+    latest version only the overwrite's purchase rows, which proves
+    the remove-actions cancelled every earlier file. Counts and
+    integer checksums recomputed by the oracle from raw events."""
+    s = _scenario(spark, sf_dir)
+    v2 = read_delta(spark, s["main"], version=2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_v2"),
+        F.sum("val_q").cast("long").alias("ck_v2"),
+    )
+    latest = read_delta(spark, s["main"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_latest"),
+        F.sum("val_q").cast("long").alias("ck_latest"),
+    )
+    n_versions = delta_latest_version(s["main"]) + 1
+    return (
+        v2.crossJoin(F.broadcast(latest))
+        .selectExpr(
+            f"CAST({n_versions} AS BIGINT) AS n_versions",
+            "n_v2",
+            "ck_v2",
+            "n_latest",
+            "ck_latest",
+        )
+    )
+
+
+@query(
+    "delta_partitioned_read_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(val_q) AS BIGINT) AS ck
+    FROM rows GROUP BY event_type
+    """,
+)
+def delta_partitioned_read_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A partitioned Delta write stores the partition column ONLY in
+    the log's partitionValues (the data files don't carry it); reading
+    back and grouping on that restored column must reproduce the raw
+    per-type counts and checksums exactly — the round trip that
+    breaks first when a reader mishandles the log."""
+    s = _scenario(spark, sf_dir)
+    return (
+        read_delta(spark, s["part"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val_q").cast("long").alias("ck"),
+        )
+    )
+
+
+@query(
+    "delta_checkpoint_replay_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT CAST(12 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS checkpoint_present,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_latest,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck_latest,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE user_id % 12 <= 9) AS n_v9,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE user_id % 12 <= 9) AS ck_v9
+    """,
+)
+def delta_checkpoint_replay_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Both replay paths pinned on a 12-commit history: the LATEST
+    read starts from the version-10 checkpoint parquet and applies the
+    JSON tail; the version-9 read predates the checkpoint and replays
+    every commit from 0. Totals of both must match the oracle's
+    user_id%12 batch arithmetic, and the checkpoint file's existence
+    is itself a pinned constant (a writer that silently stopped
+    checkpointing would flip it)."""
+    from jobminer_spark.sources.delta import _checkpoint_file
+
+    s = _scenario(spark, sf_dir)
+    n_versions = delta_latest_version(s["ckpt"]) + 1
+    ckpt_present = int(os.path.exists(_checkpoint_file(s["ckpt"], 10)))
+    latest = read_delta(spark, s["ckpt"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_latest"),
+        F.sum("val_q").cast("long").alias("ck_latest"),
+    )
+    v9 = read_delta(spark, s["ckpt"], version=9).agg(
+        F.count(F.lit(1)).cast("long").alias("n_v9"),
+        F.sum("val_q").cast("long").alias("ck_v9"),
+    )
+    return (
+        latest.crossJoin(F.broadcast(v9))
+        .selectExpr(
+            f"CAST({n_versions} AS BIGINT) AS n_versions",
+            f"CAST({ckpt_present} AS BIGINT) AS checkpoint_present",
+            "n_latest",
+            "ck_latest",
+            "n_v9",
+            "ck_v9",
+        )
+    )
