@@ -262,12 +262,14 @@ ORACLES: dict[str, str] = {}
 #     driftbase queries registered past this round's window by design
 #     (psi_drift_vs_baseline, profile_history_day_compare,
 #     profile_history_retention_audit, stream_drift_profile_parity,
-#     psi_quality_by_source, drift_alert_panel) and the THREE
-#     r15-new Delta-format audits (delta_log_read_audit,
+#     psi_quality_by_source, drift_alert_panel) and the FIVE
+#     r15-new format audits (delta_log_read_audit,
 #     delta_partitioned_read_audit, delta_checkpoint_replay_audit —
-#     operators/deltaaudit.py), then the 9 slipped r10 queries above,
-#     then r11 debt in registration order. AMEND at rotation time for
-#     any module modified after the r15 rotation.
+#     operators/deltaaudit.py; avro_roundtrip_audit,
+#     iceberg_metadata_read_audit — operators/formataudit.py), then
+#     the 9 slipped r10 queries above, then r11 debt in registration
+#     order. AMEND at rotation time for any module modified after the
+#     r15 rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -390,10 +392,11 @@ _OPERATOR_MODULES = [
     # explicitly, as a _WINDOW_FRONT name; the module position here
     # only governs the post-window tail order)
     "jobminer_spark.operators.driftbase",
-    # r15-new module (registered past the r15 window by design; the
-    # r16 plan fronts its three Delta-format audits alongside the
-    # driftbase r15 newcomers)
+    # r15-new modules (registered past the r15 window by design; the
+    # r16 plan fronts their format audits alongside the driftbase r15
+    # newcomers)
     "jobminer_spark.operators.deltaaudit",
+    "jobminer_spark.operators.formataudit",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own
