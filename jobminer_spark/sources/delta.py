@@ -171,11 +171,19 @@ def _check_protocol(p: dict) -> None:
 
 
 def read_delta(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partition_filters: dict[str, str] | None = None,
 ) -> DataFrame:
     """The table's snapshot at ``version`` (latest when None) as a
     DataFrame — time travel included, exactly like `spark.read
-    .format("delta").option("versionAsOf", v)` in delta-spark."""
+    .format("delta").option("versionAsOf", v)` in delta-spark.
+
+    ``partition_filters`` ({column: value}, equality only) prunes at
+    the LOG level — non-matching files never enter the plan at all,
+    the signature Delta read optimization (partitionValues are log
+    strings, so values compare as their string form)."""
     latest = delta_latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
@@ -183,6 +191,22 @@ def read_delta(
     if v > latest or v < 0:
         raise ValueError(f"version {v} out of range [0, {latest}]")
     adds, meta = _replay(table, v)
+    if partition_filters:
+        part_set = set(meta.get("partitionColumns", []))
+        unknown = set(partition_filters) - part_set
+        if unknown:
+            raise ValueError(
+                f"not partition columns: {sorted(unknown)}"
+                f" (table partitions: {sorted(part_set)})"
+            )
+        adds = {
+            p: a
+            for p, a in adds.items()
+            if all(
+                a.get("partitionValues", {}).get(k) == str(val)
+                for k, val in partition_filters.items()
+            )
+        }
     schema = json.loads(meta["schemaString"])
     part_cols = meta.get("partitionColumns", [])
     data_fields = [

@@ -159,3 +159,23 @@ def test_checkpoint_with_partitions_roundtrips_partition_values(
     back = read_delta(spark, t)
     counts = {r["p"]: r["count"] for r in back.groupBy("p").count().collect()}
     assert counts == {0: 11, 1: 11}
+
+
+def test_partition_filters_prune_at_log_level(spark, tmp_path):
+    """Equality partition filters must drop non-matching files BEFORE
+    the plan is built — the pruned partitions' file paths never appear
+    in the physical plan."""
+    t = str(tmp_path / "t9")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("bucket")
+    )
+    write_delta(spark, t, df, partition_by=["bucket"])
+    pruned = read_delta(spark, t, partition_filters={"bucket": "1"})
+    assert pruned.count() == 10
+    assert {r["bucket"] for r in pruned.collect()} == {1}
+    scanned = pruned.inputFiles()
+    assert scanned and all("bucket=1" in f for f in scanned)
+    # empty result for a value no partition holds
+    assert read_delta(spark, t, partition_filters={"bucket": "9"}).count() == 0
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_delta(spark, t, partition_filters={"k": "1"})
