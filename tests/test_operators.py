@@ -1292,3 +1292,51 @@ def test_dec12_to_double_keeps_full_width_fraction(spark):
     assert r["px"] == 3 + 141592653589 / 1_000_000_000_000.0
     # floor(-2.250000000001) = -3; fraction = 0.749999999999
     assert r["py"] == -3 + 749999999999 / 1_000_000_000_000.0
+
+
+def test_golden_record_survivorship_tiebreaks(spark, tmp_path):
+    """Every rule's tie-break pinned on a crafted cluster: longest-name
+    ties go to the lexicographically LAST value, latest-wins follows
+    the max recency key, and a full majority tie picks the SMALLEST
+    segment."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.operators.survivorship import (
+        golden_record_survivorship,
+    )
+
+    rows = [
+        # cluster 0: name-length tie ("aa" vs "bb"), all-distinct segs
+        (0, "aa", 1, 10.00, "B"),
+        (1, "bb", 1, 20.00, "C"),
+        (2, "c", 1, 30.00, "A"),
+        # cluster 1: clear majority seg, latest member has lowest bal
+        (3, "longest-name", 1, 5.00, "M"),
+        (4, "x", 1, 50.00, "M"),
+        (5, "yy", 1, 1.25, "Z"),
+    ]
+    cols = list(zip(*rows))
+    papq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(cols[0], pa.int64()),
+                "c_name": pa.array(cols[1], pa.string()),
+                "c_nationkey": pa.array(cols[2], pa.int32()),
+                "c_acctbal": pa.array(cols[3], pa.float64()),
+                "c_mktsegment": pa.array(cols[4], pa.string()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    got = {
+        r["cluster"]: r.asDict()
+        for r in golden_record_survivorship(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["name_surv"] == "bb"  # len tie -> lexicographically last
+    assert got[0]["bal_q_surv"] == 3000  # custkey 2 is "latest"
+    assert got[0]["seg_surv"] == "A"  # 1-1-1 majority tie -> smallest
+    assert got[1]["name_surv"] == "longest-name"
+    assert got[1]["bal_q_surv"] == 125  # custkey 5's balance
+    assert got[1]["seg_surv"] == "M"  # true majority beats lex order
+    assert got[0]["n_members"] == 3 and got[1]["n_members"] == 3
