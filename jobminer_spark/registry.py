@@ -266,10 +266,12 @@ ORACLES: dict[str, str] = {}
 #     r15-new format audits (delta_log_read_audit,
 #     delta_partitioned_read_audit, delta_checkpoint_replay_audit —
 #     operators/deltaaudit.py; avro_roundtrip_audit,
-#     iceberg_metadata_read_audit — operators/formataudit.py) and
-#     golden_record_survivorship (operators/survivorship.py), then
+#     iceberg_metadata_read_audit — operators/formataudit.py),
+#     golden_record_survivorship (operators/survivorship.py), and the
+#     Delta production compositions (stream_delta_sink_exactly_once,
+#     lakehouse_delta_export_parity — operators/deltastream.py), then
 #     the 9 slipped r10 queries above, then r11 debt in registration
-#     order (12 + 9 = 21 fixed slots, 29 r11 slots; the r11 tail
+#     order (14 + 9 = 23 fixed slots, 27 r11 slots; the r11 tail
 #     spills to r17). AMEND at rotation time for any module modified
 #     after the r15 rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
@@ -400,6 +402,7 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.deltaaudit",
     "jobminer_spark.operators.formataudit",
     "jobminer_spark.operators.survivorship",
+    "jobminer_spark.operators.deltastream",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

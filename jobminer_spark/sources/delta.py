@@ -100,21 +100,36 @@ def delta_latest_version(table: str) -> int:
     return max(versions, default=-1)
 
 
+def last_txn_version(table: str, app_id: str) -> int | None:
+    """The latest committed ``txn`` version for ``app_id`` (None if the
+    app never committed) — what a restarted streaming writer consults
+    to skip re-delivered batches."""
+    latest = delta_latest_version(table)
+    if latest < 0:
+        return None
+    _adds, _meta, txns = _replay(table, latest)
+    return txns.get(app_id)
+
+
 def _read_commit(table: str, version: int) -> list[dict]:
     with open(_commit_file(table, version)) as f:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def _replay(table: str, version: int) -> tuple[dict[str, dict], dict]:
-    """Active add-actions by relative path + the table metaData, at
-    ``version`` — replayed from the newest checkpoint ≤ version (or
-    from 0), honoring the protocol's reconciliation rules (a later
-    remove cancels an add; metaData/protocol latest-wins)."""
+def _replay(
+    table: str, version: int
+) -> tuple[dict[str, dict], dict, dict[str, int]]:
+    """Active add-actions by relative path, the table metaData, and the
+    latest ``txn`` version per appId, at ``version`` — replayed from
+    the newest checkpoint ≤ version (or from 0), honoring the
+    protocol's reconciliation rules (a later remove cancels an add;
+    metaData/protocol/txn latest-wins)."""
     import pyarrow.parquet as papq
 
     start = 0
     adds: dict[str, dict] = {}
     meta: dict = {}
+    txns: dict[str, int] = {}
     # checkpoint hint, then directory fallback (the hint file is
     # advisory per the protocol — a missing/stale one must not break)
     ckpt_version = -1
@@ -146,6 +161,8 @@ def _replay(table: str, version: int) -> tuple[dict[str, dict], dict]:
                 meta = dict(row["metaData"])
             if row.get("protocol"):
                 _check_protocol(row["protocol"])
+            if row.get("txn"):
+                txns[row["txn"]["appId"]] = row["txn"]["version"]
         start = ckpt_version + 1
     for v in range(start, version + 1):
         for action in _read_commit(table, v):
@@ -157,7 +174,9 @@ def _replay(table: str, version: int) -> tuple[dict[str, dict], dict]:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
-    return adds, meta
+            elif "txn" in action:
+                txns[action["txn"]["appId"]] = action["txn"]["version"]
+    return adds, meta, txns
 
 
 def _check_protocol(p: dict) -> None:
@@ -190,7 +209,7 @@ def read_delta(
     v = latest if version is None else version
     if v > latest or v < 0:
         raise ValueError(f"version {v} out of range [0, {latest}]")
-    adds, meta = _replay(table, v)
+    adds, meta, _txns = _replay(table, v)
     if partition_filters:
         part_set = set(meta.get("partitionColumns", []))
         unknown = set(partition_filters) - part_set
@@ -290,6 +309,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table``; returns the new
     version. ``overwrite`` removes every previously-active file in the
@@ -325,7 +345,7 @@ def write_delta(
                 }
             )
         elif mode == "overwrite":
-            prev_adds, prev_meta = _replay(table, current)
+            prev_adds, prev_meta, _ptxns = _replay(table, current)
             if prev_meta.get("partitionColumns", []) != part_cols:
                 actions.append(
                     {
@@ -347,6 +367,15 @@ def write_delta(
                 for p in sorted(prev_adds)
             )
         actions.extend({"add": a} for a in staged)
+        if txn is not None:
+            # the protocol's application transaction watermark: a
+            # streaming writer records (appId, version) with its data
+            # in ONE atomic commit, and skips any batch whose version
+            # it has already seen — exactly-once effect over
+            # at-least-once delivery
+            actions.append(
+                {"txn": {"appId": txn[0], "version": int(txn[1])}}
+            )
         try:
             _publish_commit(table, new_version, actions)
         except FileExistsError:
@@ -437,14 +466,23 @@ def _write_checkpoint(table: str, version: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as papq
 
-    adds, meta = _replay(table, version)
+    adds, meta, txns = _replay(table, version)
     rows: list[dict] = [
         {"add": None, "metaData": meta or None,
-         "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+         "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "txn": None},
     ]
     rows.extend(
-        {"add": a, "metaData": None, "protocol": None}
+        {"add": a, "metaData": None, "protocol": None, "txn": None}
         for a in sorted(adds.values(), key=lambda a: a["path"])
+    )
+    # txn watermarks survive checkpointing (the protocol requires it —
+    # a streaming writer's idempotence depends on them after log
+    # compaction)
+    rows.extend(
+        {"add": None, "metaData": None, "protocol": None,
+         "txn": {"appId": a, "version": v}}
+        for a, v in sorted(txns.items())
     )
     # Explicit schema matching the protocol's checkpoint shape:
     # partitionValues/options/configuration are MAP<string,string>
@@ -492,6 +530,15 @@ def _write_checkpoint(table: str, version: int) -> None:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
                     ]
                 ),
             ),

@@ -179,3 +179,49 @@ def test_partition_filters_prune_at_log_level(spark, tmp_path):
     assert read_delta(spark, t, partition_filters={"bucket": "9"}).count() == 0
     with pytest.raises(ValueError, match="not partition columns"):
         read_delta(spark, t, partition_filters={"k": "1"})
+
+
+def test_txn_watermark_and_checkpoint_survival(spark, tmp_path):
+    """txn (appId, version) watermarks: latest-wins per app, readable
+    via last_txn_version, and REQUIRED to survive log compaction —
+    after a checkpoint, the watermark must come from the checkpoint
+    parquet even with the pre-checkpoint commits gone."""
+    from jobminer_spark.sources.delta import last_txn_version
+
+    t = str(tmp_path / "txn1")
+    assert last_txn_version(t, "app") is None
+    for i in range(11):  # checkpoint lands at version 10
+        write_delta(spark, t, _df(spark, i, i + 1), txn=("app", i))
+    assert last_txn_version(t, "app") == 10
+    assert last_txn_version(t, "other") is None
+    assert os.path.exists(_checkpoint_file(t, 10))
+    # drop every pre-checkpoint commit: the watermark must persist
+    for v in range(10):
+        os.rename(_commit_file(t, v), _commit_file(t, v) + ".bak")
+    try:
+        assert last_txn_version(t, "app") == 10
+    finally:
+        for v in range(10):
+            os.rename(_commit_file(t, v) + ".bak", _commit_file(t, v))
+
+
+def test_txn_skip_gives_exactly_once_effect(spark, tmp_path):
+    """The sink pattern: a writer that consults its watermark before
+    committing writes each batch exactly once under re-delivery."""
+    from jobminer_spark.sources.delta import last_txn_version
+
+    t = str(tmp_path / "txn2")
+    app = "writer-1"
+
+    def deliver(bid: int) -> bool:
+        last = last_txn_version(t, app)
+        if last is not None and bid <= last:
+            return False
+        write_delta(spark, t, _df(spark, bid * 10, bid * 10 + 5), txn=(app, bid))
+        return True
+
+    assert [deliver(b) for b in (0, 1, 2)] == [True, True, True]
+    # full re-delivery: every batch skipped, table unchanged
+    assert [deliver(b) for b in (0, 1, 2)] == [False, False, False]
+    assert delta_latest_version(t) == 2
+    assert read_delta(spark, t).count() == 15
