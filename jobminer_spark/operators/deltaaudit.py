@@ -222,3 +222,73 @@ def delta_checkpoint_replay_audit(
             "ck_v9",
         )
     )
+
+
+_OPT_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _opt_scenario(spark: SparkSession, sf_dir: str) -> dict:
+    """A 6-append Delta table OPTIMIZEd to 2 files (its own table —
+    the main scenario's version counts are pinned by other audits and
+    must not grow)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _OPT_CACHE:
+        return _OPT_CACHE[cache_key]
+    from jobminer_spark.sources.delta import optimize_delta
+
+    s = _scenario(spark, sf_dir)  # shares the swept work dir root
+    table = os.path.join(os.path.dirname(s["main"]), "opt")
+    rows = _rows(spark, sf_dir)
+    for b in range(6):
+        write_delta(spark, table, rows.filter(F.col("event_id") % 6 == b))
+    pre_version = delta_latest_version(table)
+    v, n_before, n_after = optimize_delta(spark, table, target_files=2)
+    _OPT_CACHE[cache_key] = {
+        "table": table,
+        "pre_version": pre_version,
+        "n_before": n_before,
+        "n_after": n_after,
+    }
+    return _OPT_CACHE[cache_key]
+
+
+@query(
+    "delta_optimize_compaction_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           CAST(2 AS BIGINT) AS n_files_after,
+           CAST(1 AS BIGINT) AS layout_rearranged,
+           CAST(1 AS BIGINT) AS travel_sees_old_layout
+    """,
+)
+def delta_optimize_compaction_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE on a 6-append Delta table: the dataChange=false
+    compaction commit must leave every row and the checksum untouched
+    (oracle recomputes from raw events), land exactly target_files=2
+    active files, genuinely reduce the file count, and keep the
+    pre-OPTIMIZE layout reachable by time travel — the maintenance op
+    that closes the format's lifecycle (create → append → stream →
+    overwrite → compact → vacuum-eligible)."""
+    s = _opt_scenario(spark, sf_dir)
+    cur = read_delta(spark, s["table"])
+    n_files_after = len(cur.inputFiles())
+    old_files = len(
+        read_delta(spark, s["table"], version=s["pre_version"]).inputFiles()
+    )
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    return agg.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({n_files_after} AS BIGINT) AS n_files_after",
+        f"CAST({int(s['n_before'] > s['n_after'])} AS BIGINT)"
+        " AS layout_rearranged",
+        f"CAST({int(old_files == s['n_before'])} AS BIGINT)"
+        " AS travel_sees_old_layout",
+    )

@@ -267,13 +267,14 @@ ORACLES: dict[str, str] = {}
 #     delta_partitioned_read_audit, delta_checkpoint_replay_audit —
 #     operators/deltaaudit.py; avro_roundtrip_audit,
 #     iceberg_metadata_read_audit — operators/formataudit.py),
-#     golden_record_survivorship (operators/survivorship.py), and the
+#     golden_record_survivorship (operators/survivorship.py), the
 #     Delta production compositions (stream_delta_sink_exactly_once,
-#     lakehouse_delta_export_parity — operators/deltastream.py), then
-#     the 9 slipped r10 queries above, then r11 debt in registration
-#     order (14 + 9 = 23 fixed slots, 27 r11 slots; the r11 tail
-#     spills to r17). AMEND at rotation time for any module modified
-#     after the r15 rotation.
+#     lakehouse_delta_export_parity — operators/deltastream.py), and
+#     delta_optimize_compaction_audit (the dataChange=false OPTIMIZE,
+#     deltaaudit.py), then the 9 slipped r10 queries above, then r11
+#     debt in registration order (15 + 9 = 24 fixed slots, 26 r11
+#     slots; the r11 tail spills to r17). AMEND at rotation time for
+#     any module modified after the r15 rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

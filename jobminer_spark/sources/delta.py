@@ -550,3 +550,65 @@ def _write_checkpoint(table: str, version: int) -> None:
     )
     with open(os.path.join(_log_path(table), "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
+
+
+def optimize_delta(
+    spark: SparkSession, table: str, target_files: int = 8
+) -> tuple[int, int, int]:
+    """Compact the current snapshot's data files into ``target_files``
+    larger ones in ONE atomic commit — the protocol's OPTIMIZE shape:
+    the compacted adds and the removes of every old file all carry
+    ``dataChange: false``, telling downstream streaming readers the
+    commit rearranged bytes but changed no rows. Returns
+    (new_version, n_files_before, n_files_after). Unpartitioned tables
+    only (a partitioned OPTIMIZE compacts within each partition — the
+    same loop per partitionValues group; stated, not implemented).
+    Time travel to pre-OPTIMIZE versions still resolves the old files
+    (they are removed from the ACTIVE set, not from disk — a vacuum
+    process owns physical deletion, exactly like lakehouse.vacuum)."""
+    latest = delta_latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
+    while True:
+        current = delta_latest_version(table)
+        adds, meta, _txns = _replay(table, current)
+        if meta.get("partitionColumns"):
+            raise ValueError(
+                "optimize_delta supports unpartitioned tables only"
+            )
+        n_before = len(adds)
+        if n_before <= target_files:
+            return current, n_before, n_before  # nothing to do
+        schema = json.loads(meta["schemaString"])
+        ddl = ", ".join(
+            f"{f['name']} {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+            for f in schema["fields"]
+        )
+        paths = [os.path.join(table, a["path"]) for a in adds.values()]
+        compacted = spark.read.schema(ddl).parquet(*paths).repartition(
+            target_files
+        )
+        staged = _stage_data_files(spark, table, compacted, [])
+        for a in staged:
+            a["dataChange"] = False
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 0,
+                    "dataChange": False,
+                }
+            }
+            for p in sorted(adds)
+        ]
+        actions.extend({"add": a} for a in staged)
+        try:
+            _publish_commit(table, current + 1, actions)
+        except FileExistsError:
+            for a in staged:  # lost the race: unstage and retry
+                try:
+                    os.unlink(os.path.join(table, a["path"]))
+                except OSError:
+                    pass
+            continue
+        return current + 1, n_before, len(staged)

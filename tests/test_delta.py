@@ -225,3 +225,35 @@ def test_txn_skip_gives_exactly_once_effect(spark, tmp_path):
     assert [deliver(b) for b in (0, 1, 2)] == [False, False, False]
     assert delta_latest_version(t) == 2
     assert read_delta(spark, t).count() == 15
+
+
+def test_optimize_compacts_without_changing_rows(spark, tmp_path):
+    """OPTIMIZE: many small files → target_files larger ones in one
+    dataChange=false commit; rows identical, time travel still sees
+    the pre-compaction layout, and a no-op table is left alone."""
+    from jobminer_spark.sources.delta import optimize_delta
+
+    t = str(tmp_path / "opt1")
+    for i in range(6):
+        write_delta(spark, t, _df(spark, i * 4, i * 4 + 4))
+    before = read_delta(spark, t)
+    n_before_files = len(before.inputFiles())
+    assert n_before_files >= 6
+    rows_before = sorted(r["k"] for r in before.collect())
+
+    v, nb, na = optimize_delta(spark, t, target_files=2)
+    assert (nb, na) == (n_before_files, 2)
+    after = read_delta(spark, t)
+    assert len(after.inputFiles()) == 2
+    assert sorted(r["k"] for r in after.collect()) == rows_before
+    # the commit is pure rearrangement: every action dataChange=false
+    with open(_commit_file(t, v)) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    assert actions and all(
+        not a.get("add", a.get("remove"))["dataChange"] for a in actions
+    )
+    # time travel to pre-OPTIMIZE resolves the old layout
+    assert len(read_delta(spark, t, version=v - 1).inputFiles()) == n_before_files
+    # idempotent: already at/below target -> no new version
+    v2, nb2, na2 = optimize_delta(spark, t, target_files=2)
+    assert v2 == v and nb2 == na2 == 2
