@@ -313,16 +313,26 @@ def _write_files(
             for fname in files
             if fname.endswith(".parquet")
         ]
-        # Footer reads are independent metadata fetches — a small
-        # driver pool overlaps them so the path's latency is
-        # ~ceil(n/8) round trips instead of n (negligible on local
-        # disk, the difference between ms and seconds on an object
-        # store; see the FOOTER_STATS_FILES latency note above).
-        from concurrent.futures import ThreadPoolExecutor
+        # Probe ONE footer first: disqualification is usually
+        # schema-level (non-integer key), identical across the write's
+        # files — deciding it from a single footer avoids fanning out
+        # up to 256 reads that all() would then discard (review r15).
+        first = _footer_entry(paths[0]) if paths else None
+        if first is None:
+            maybe: list[dict | None] = [None]
+        elif len(paths) == 1:
+            maybe = [first]
+        else:
+            # Footer reads are independent metadata fetches — a small
+            # driver pool overlaps them so the path's latency is
+            # ~ceil(n/8) round trips instead of n (negligible on local
+            # disk, the difference between ms and seconds on an object
+            # store; see the FOOTER_STATS_FILES latency note above).
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            maybe = list(pool.map(_footer_entry, paths))
-        if all(e is not None for e in maybe):
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                maybe = [first, *pool.map(_footer_entry, paths[1:])]
+        if maybe and all(e is not None for e in maybe):
             return sorted(maybe, key=lambda e: e["min_key"])
     stats_df = (
         spark.read.parquet(sub)

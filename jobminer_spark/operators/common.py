@@ -390,3 +390,29 @@ def dec12_to_double_sql(expr: str) -> str:
         f" + CAST(CAST(({expr} - FLOOR({expr})) * 1000000000000 AS BIGINT)"
         f" AS DOUBLE) / 1000000000000.0)"
     )
+
+
+def source_fingerprint(sf_dir: str, table: str = "events") -> str:
+    """Cheap change-detection for one fixture table under ``sf_dir``:
+    (name, size, mtime_ns) of its parquet file — or of every entry
+    when it is a directory — digested. Folded into scenario/profile
+    cache keys (ADVICE r14, generalized in r15): if a test rewrites
+    the data under the same path within one Spark session, a stale
+    cached scenario must not be silently reused. Pure os.stat — no
+    Spark job, no file reads."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    try:
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = os.stat(path)
+            parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        parts.append("missing")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]

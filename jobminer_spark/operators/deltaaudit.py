@@ -36,7 +36,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.common import sweep_stale_dirs
+from jobminer_spark.operators.common import source_fingerprint, sweep_stale_dirs
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 from jobminer_spark.sources.delta import (
@@ -45,7 +45,7 @@ from jobminer_spark.sources.delta import (
     write_delta,
 )
 
-_SCENARIO_CACHE: dict[tuple[str, str], dict] = {}
+_SCENARIO_CACHE: dict[tuple[str, str, str], dict] = {}
 
 _ROWS_CTE = """
     rows AS (
@@ -65,13 +65,20 @@ def _rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scenario(spark: SparkSession, sf_dir: str) -> dict:
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    # data fingerprint in the key AND the root digest (ADVICE r14's
+    # stale-cache rule, applied to every r15 scenario cache): a
+    # rewritten dataset under the same path resolves to a fresh root
+    # and never overwrites one an older cache entry still points at
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
     if cache_key in _SCENARIO_CACHE:
         return _SCENARIO_CACHE[cache_key]
     app = spark.sparkContext.applicationId
     tmp = tempfile.gettempdir()
     sweep_stale_dirs(tmp, "jm_delta_", keep_token=f"jm_delta_{app}_")
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    digest = hashlib.md5(
+        (os.path.abspath(sf_dir) + "#" + fp).encode()
+    ).hexdigest()[:10]
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     work = os.path.join(tmp, f"jm_delta_{app}_{sf_tag}_{digest}")
     shutil.rmtree(work, ignore_errors=True)
@@ -224,20 +231,31 @@ def delta_checkpoint_replay_audit(
     )
 
 
-_OPT_CACHE: dict[tuple[str, str], dict] = {}
+_OPT_CACHE: dict[tuple[str, str, str], dict] = {}
 
 
 def _opt_scenario(spark: SparkSession, sf_dir: str) -> dict:
-    """A 6-append Delta table OPTIMIZEd to 2 files (its own table —
-    the main scenario's version counts are pinned by other audits and
-    must not grow)."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    """A 6-append Delta table OPTIMIZEd to 2 files, under its OWN
+    swept root — the main scenario's work dir is rmtree'd on rebuild,
+    so sharing it would leave this cache dangling (review r15), and
+    the main tables' version counts are pinned by other audits and
+    must not grow."""
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
     if cache_key in _OPT_CACHE:
         return _OPT_CACHE[cache_key]
     from jobminer_spark.sources.delta import optimize_delta
 
-    s = _scenario(spark, sf_dir)  # shares the swept work dir root
-    table = os.path.join(os.path.dirname(s["main"]), "opt")
+    app = spark.sparkContext.applicationId
+    tmp = tempfile.gettempdir()
+    sweep_stale_dirs(tmp, "jm_dopt_", keep_token=f"jm_dopt_{app}_")
+    digest = hashlib.md5(
+        (os.path.abspath(sf_dir) + "#" + fp).encode()
+    ).hexdigest()[:10]
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = os.path.join(tmp, f"jm_dopt_{app}_{sf_tag}_{digest}")
+    shutil.rmtree(work, ignore_errors=True)
+    table = os.path.join(work, "opt")
     rows = _rows(spark, sf_dir)
     for b in range(6):
         write_delta(spark, table, rows.filter(F.col("event_id") % 6 == b))

@@ -38,7 +38,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.common import sweep_stale_dirs
+from jobminer_spark.operators.common import source_fingerprint, sweep_stale_dirs
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 from jobminer_spark.sources.delta import (
@@ -50,8 +50,8 @@ from jobminer_spark.sources.delta import (
     write_delta,
 )
 
-_SINK_CACHE: dict[tuple[str, str], dict] = {}
-_EXPORT_CACHE: dict[tuple[str, str], dict] = {}
+_SINK_CACHE: dict[tuple[str, str, str], dict] = {}
+_EXPORT_CACHE: dict[tuple[str, str, str], dict] = {}
 
 _SINK_APP_ID = "jm-delta-stream-sink"
 
@@ -66,7 +66,9 @@ def _rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_stream_sink(spark: SparkSession, sf_dir: str) -> dict:
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    # fingerprint-keyed (ADVICE r14's stale-cache rule)
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
     if cache_key in _SINK_CACHE:
         return _SINK_CACHE[cache_key]
     from jobminer_spark.streaming.windows import pinned_drain_shuffle
@@ -74,7 +76,9 @@ def _run_stream_sink(spark: SparkSession, sf_dir: str) -> dict:
     app = spark.sparkContext.applicationId
     tmp = tempfile.gettempdir()
     sweep_stale_dirs(tmp, "jm_dsink_", keep_token=f"jm_dsink_{app}_")
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    digest = hashlib.md5(
+        (os.path.abspath(sf_dir) + "#" + fp).encode()
+    ).hexdigest()[:10]
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     work = os.path.join(tmp, f"jm_dsink_{app}_{sf_tag}_{digest}")
     shutil.rmtree(work, ignore_errors=True)
@@ -230,7 +234,10 @@ def export_lakehouse_snapshot_to_delta(
 
 
 def _run_export(spark: SparkSession, sf_dir: str) -> dict:
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    # fingerprint-keyed on ORDERS — the table this scenario derives
+    # from (the events fingerprint would miss an orders rewrite)
+    fp = source_fingerprint(sf_dir, "orders")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
     if cache_key in _EXPORT_CACHE:
         return _EXPORT_CACHE[cache_key]
     from jobminer_spark.lakehouse import create_table, merge_into
@@ -238,7 +245,9 @@ def _run_export(spark: SparkSession, sf_dir: str) -> dict:
     app = spark.sparkContext.applicationId
     tmp = tempfile.gettempdir()
     sweep_stale_dirs(tmp, "jm_dexp_", keep_token=f"jm_dexp_{app}_")
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    digest = hashlib.md5(
+        (os.path.abspath(sf_dir) + "#" + fp).encode()
+    ).hexdigest()[:10]
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     work = os.path.join(tmp, f"jm_dexp_{app}_{sf_tag}_{digest}")
     shutil.rmtree(work, ignore_errors=True)

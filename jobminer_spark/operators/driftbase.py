@@ -62,25 +62,13 @@ _PROFILE_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def _data_fingerprint(sf_dir: str) -> str:
-    """Cheap change-detection for the events source under ``sf_dir``:
-    (name, size, mtime_ns) of the parquet file — or of every entry
-    when it is a directory — digested. Folded into the profile cache
-    key (ADVICE r14): if a test rewrites the data under the same path
-    within one Spark session, the stale persisted profile must not be
-    silently reused. Pure os.stat — no Spark job, no file reads."""
-    path = os.path.join(sf_dir, "events.parquet")
-    parts: list[str] = []
-    try:
-        if os.path.isdir(path):
-            for name in sorted(os.listdir(path)):
-                st = os.stat(os.path.join(path, name))
-                parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-        else:
-            st = os.stat(path)
-            parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    except OSError:
-        parts.append("missing")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    """Cheap change-detection for the events source under ``sf_dir``
+    (ADVICE r14) — the shared operators.common.source_fingerprint,
+    kept under this name because tests and sibling modules key the
+    profile caches through it."""
+    from jobminer_spark.operators.common import source_fingerprint
+
+    return source_fingerprint(sf_dir, "events")
 
 
 def _cached_root(spark: SparkSession, sf_dir: str) -> str | None:
@@ -683,10 +671,17 @@ def vacuum_profile_history(
     already-missing dirs (same contract as lakehouse.vacuum)."""
     import shutil
 
+    # NUMERIC day order — lexicographic names would put day10 before
+    # day2 and vacuum the wrong days once a store holds 10+ of them
+    # (review r15; unreachable at _HISTORY_DAYS=3 but this is the
+    # reusable retention primitive)
     days = sorted(
-        d
-        for d in os.listdir(root)
-        if d.startswith("day") and os.path.isdir(os.path.join(root, d))
+        (
+            d
+            for d in os.listdir(root)
+            if d.startswith("day") and os.path.isdir(os.path.join(root, d))
+        ),
+        key=lambda d: int(d[3:]),
     )
     drop = days[: max(len(days) - keep, 0)]
     for d in drop:
@@ -906,7 +901,8 @@ def _run_stream_drift(spark: SparkSession, sf_dir: str) -> dict:
         "us", "vq", "has_v", "event_type"
     ).repartition(3).write.mode("overwrite").parquet(spool)
 
-    per_batch_rows: list = []
+    monitor_rows_seen = [0]  # count only — keeping the rows would
+    # pin them (and the closure) in the cache for the session
 
     def monitor_batch(bdf: DataFrame, bid: int) -> None:
         sp = bdf.sparkSession
@@ -918,7 +914,7 @@ def _run_stream_drift(spark: SparkSession, sf_dir: str) -> dict:
         # the monitor row for THIS arrival — one bounded row per batch
         row = compare_batch_to_profile(sp, bcounts, root).first()
         assert row is not None, "per-batch monitor produced no row"
-        per_batch_rows.append(row)
+        monitor_rows_seen[0] += 1
         # batch-id-keyed state: overwrite-idempotent under re-delivery
         bcounts.write.mode("overwrite").parquet(
             os.path.join(work, "state", f"batch_{bid:05d}")

@@ -30,7 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.common import sweep_stale_dirs
+from jobminer_spark.operators.common import source_fingerprint, sweep_stale_dirs
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 from jobminer_spark.sources.avro import read_avro, write_avro_dataset
@@ -40,7 +40,7 @@ from jobminer_spark.sources.iceberg import (
     write_iceberg,
 )
 
-_SCENARIO_CACHE: dict[tuple[str, str], dict] = {}
+_SCENARIO_CACHE: dict[tuple[str, str, str], dict] = {}
 
 _ROWS_CTE = """
     rows AS (
@@ -60,13 +60,18 @@ def _rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scenario(spark: SparkSession, sf_dir: str) -> dict:
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    # fingerprint-keyed (ADVICE r14's stale-cache rule): a rewritten
+    # dataset under the same path gets a fresh root and fresh results
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
     if cache_key in _SCENARIO_CACHE:
         return _SCENARIO_CACHE[cache_key]
     app = spark.sparkContext.applicationId
     tmp = tempfile.gettempdir()
     sweep_stale_dirs(tmp, "jm_fmt_", keep_token=f"jm_fmt_{app}_")
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    digest = hashlib.md5(
+        (os.path.abspath(sf_dir) + "#" + fp).encode()
+    ).hexdigest()[:10]
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     work = os.path.join(tmp, f"jm_fmt_{app}_{sf_tag}_{digest}")
     shutil.rmtree(work, ignore_errors=True)

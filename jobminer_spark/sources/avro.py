@@ -334,6 +334,48 @@ def _field_spark_type(ftype) -> str:
     raise ValueError(f"unsupported Avro column type: {ftype!r}")
 
 
+def _arrow_type(ftype):
+    """pyarrow type for a top-level Avro field — mirrors
+    _field_spark_type so the Arrow batches match the declared Spark
+    schema exactly."""
+    import pyarrow as pa
+
+    prim = {
+        "boolean": pa.bool_(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "bytes": pa.binary(),
+        "string": pa.string(),
+    }
+    if isinstance(ftype, list):
+        non_null = [b for b in ftype if b != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"unsupported union for a column: {ftype!r}")
+        return _arrow_type(non_null[0])
+    if isinstance(ftype, dict):
+        if ftype["type"] == "array":
+            return pa.list_(_arrow_type(ftype["items"]))
+        if ftype["type"] == "enum":
+            return pa.string()
+        return _arrow_type(ftype["type"])
+    if ftype in prim:
+        return prim[ftype]
+    raise ValueError(f"unsupported Avro column type: {ftype!r}")
+
+
+def _arrow_schema(schema: dict):
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field(f["name"], _arrow_type(f["type"]))
+            for f in schema["fields"]
+        ]
+    )
+
+
 def avro_spark_schema(schema: dict) -> str:
     """DDL string for a flat-record Avro schema."""
     return ", ".join(
@@ -362,30 +404,37 @@ def read_avro(spark, path: str):
         raise ValueError(f"not an Avro container file: {files[0]}")
     schema = json.loads(_read_meta_map(head)["avro.schema"])
     ddl = avro_spark_schema(schema)
+    arrow_schema = _arrow_schema(schema)
     field_names = [f["name"] for f in schema["fields"]]
     expected = json.dumps(schema, sort_keys=True)
 
+    # Arrow batches end-to-end (mapInArrow, not mapInPandas): pandas
+    # would coerce a nullable int64 column to float64, silently
+    # rounding longs >= 2^53 and conflating NaN with NULL (review
+    # r15) — Arrow carries exact int64-with-validity and keeps NaN
+    # and NULL distinct.
     def _decode_files(iterator):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in iterator:
-            for fpath in pdf["path"]:
+        for batch in iterator:
+            for fpath in batch.column("path").to_pylist():
                 fschema, records = read_avro_records(fpath)
                 if json.dumps(fschema, sort_keys=True) != expected:
                     raise ValueError(
                         f"schema mismatch across files: {fpath}"
                     )
-                yield pd.DataFrame(
-                    {
-                        name: [r.get(name) for r in records]
-                        for name in field_names
-                    }
+                yield pa.RecordBatch.from_pylist(
+                    [
+                        {name: r.get(name) for name in field_names}
+                        for r in records
+                    ],
+                    schema=arrow_schema,
                 )
 
     paths_df = spark.createDataFrame(
         [(p,) for p in files], "path string"
     ).repartition(len(files), "path")
-    return paths_df.mapInPandas(_decode_files, ddl)
+    return paths_df.mapInArrow(_decode_files, ddl)
 
 
 def write_avro_dataset(spark, df, path: str, codec: str = "deflate") -> int:
@@ -413,36 +462,26 @@ def write_avro_dataset(spark, df, path: str, codec: str = "deflate") -> int:
         )
     schema = {"type": "record", "name": "row", "fields": fields}
     os.makedirs(path, exist_ok=True)
-    names = [f.name for f in df.schema.fields]
 
+    # Arrow batches (mapInArrow): to_pylist() yields exact Python
+    # values — int64 stays int (no float64 coercion of nullable
+    # columns), NULL is None, and a genuine NaN double stays NaN and
+    # round-trips through the double encoding (review r15).
     def _write_part(iterator):
         import uuid as _uuid
 
-        import pandas as pd
+        import pyarrow as pa
 
         records: list[dict] = []
-        for pdf in iterator:
-            for row in pdf.itertuples(index=False):
-                rec = {}
-                for name, val in zip(names, row):
-                    if val is None or (
-                        isinstance(val, float) and val != val
-                    ):
-                        rec[name] = None
-                    elif hasattr(val, "item"):  # numpy scalar → python
-                        v = val.item()
-                        rec[name] = None if (
-                            isinstance(v, float) and v != v
-                        ) else v
-                    else:
-                        rec[name] = val
-                records.append(rec)
+        for batch in iterator:
+            records.extend(batch.to_pylist())
+        n_schema = pa.schema([pa.field("n", pa.int64())])
         if records:
             fname = os.path.join(path, f"part-{_uuid.uuid4().hex}.avro")
             write_avro_file(fname, schema, records, codec=codec)
-            yield pd.DataFrame({"n": [len(records)]})
+            yield pa.RecordBatch.from_pylist([{"n": len(records)}], n_schema)
         else:
-            yield pd.DataFrame({"n": []}).astype({"n": "int64"})
+            yield pa.RecordBatch.from_pylist([], n_schema)
 
-    counts = df.mapInPandas(_write_part, "n long").collect()
+    counts = df.mapInArrow(_write_part, "n long").collect()
     return len([c for c in counts if c["n"] is not None])

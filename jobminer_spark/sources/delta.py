@@ -326,6 +326,28 @@ def write_delta(
     while True:
         current = delta_latest_version(table)
         new_version = current + 1
+        if current >= 0 and mode == "append":
+            # Validate BEFORE staging: an append must match the
+            # table's declared schema and partitioning exactly — a
+            # mismatched append would land files the reader then
+            # misreads (all-NULL columns, NULL partition values).
+            # delta-spark rejects both; so do we, loudly (review r15).
+            _adds, prev_meta, _ptxns = _replay(table, current)
+            if prev_meta.get("partitionColumns", []) != part_cols:
+                raise ValueError(
+                    f"append partitioning {part_cols} != table's "
+                    f"{prev_meta.get('partitionColumns', [])}; use "
+                    "mode='overwrite' to change the layout"
+                )
+            if json.loads(prev_meta["schemaString"]) != json.loads(
+                _schema_string(df)
+            ):
+                raise ValueError(
+                    "append schema differs from the table schema; use "
+                    "mode='overwrite' to evolve it (schemaString: "
+                    f"{prev_meta['schemaString']} vs "
+                    f"{_schema_string(df)})"
+                )
         staged = _stage_data_files(spark, table, df, part_cols)
         actions: list[dict] = []
         if current < 0:
@@ -346,7 +368,15 @@ def write_delta(
             )
         elif mode == "overwrite":
             prev_adds, prev_meta, _ptxns = _replay(table, current)
-            if prev_meta.get("partitionColumns", []) != part_cols:
+            if prev_meta.get(
+                "partitionColumns", []
+            ) != part_cols or json.loads(
+                prev_meta["schemaString"]
+            ) != json.loads(_schema_string(df)):
+                # an overwrite REPLACES the table: the new schema and
+                # layout are published with it (review r15 — the old
+                # condition updated metaData only on partition change,
+                # leaving a stale schemaString to misread new files)
                 actions.append(
                     {
                         "metaData": {

@@ -215,3 +215,25 @@ def test_iceberg_unknown_snapshot_raises(spark, tmp_path):
     write_iceberg(spark, t, _kv(spark, 0, 5))
     with pytest.raises(ValueError, match="unknown snapshot"):
         read_iceberg(spark, t, snapshot_id=999).collect()
+
+
+def test_distributed_roundtrip_exact_large_longs_and_nan(spark, tmp_path):
+    """The review-r15 precision trap: a nullable long column holding a
+    value >= 2^53 next to a NULL must round-trip EXACTLY (the old
+    pandas path coerced to float64 and silently rounded it), and a
+    genuine NaN double must stay NaN — distinct from NULL."""
+    d = str(tmp_path / "big")
+    big = 9_007_199_254_740_993  # 2^53 + 1: not float64-representable
+    df = spark.createDataFrame(
+        [(1, big, 1.5), (2, None, float("nan")), (3, 7, None)],
+        "k long, v long, d double",
+    )
+    write_avro_dataset(spark, df.repartition(2), d)
+    back = read_avro(spark, d)
+    rows = {r["k"]: r for r in back.collect()}
+    assert rows[1]["v"] == big  # exact, not 9007199254740992
+    assert rows[2]["v"] is None and rows[3]["v"] == 7
+    assert rows[1]["d"] == 1.5
+    d2 = rows[2]["d"]
+    assert d2 is not None and d2 != d2  # NaN survived as NaN
+    assert rows[3]["d"] is None  # NULL stayed NULL

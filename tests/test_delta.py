@@ -257,3 +257,48 @@ def test_optimize_compacts_without_changing_rows(spark, tmp_path):
     # idempotent: already at/below target -> no new version
     v2, nb2, na2 = optimize_delta(spark, t, target_files=2)
     assert v2 == v and nb2 == na2 == 2
+
+
+def test_append_schema_or_partition_mismatch_fails_loudly(spark, tmp_path):
+    """A mismatched append would land files the reader misreads
+    (all-NULL columns / NULL partition values) — both are rejected
+    before any file is staged."""
+    t = str(tmp_path / "val1")
+    write_delta(spark, t, _df(spark, 0, 3))
+    bad = spark.range(3, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    with pytest.raises(ValueError, match="schema differs"):
+        write_delta(spark, t, bad)
+    p = str(tmp_path / "val2")
+    write_delta(
+        spark,
+        p,
+        spark.range(0, 4).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("b")
+        ),
+        partition_by=["b"],
+    )
+    with pytest.raises(ValueError, match="partitioning"):
+        write_delta(
+            spark,
+            p,
+            spark.range(4, 6).select(
+                F.col("id").alias("k"), (F.col("id") % 2).alias("b")
+            ),
+        )
+
+
+def test_overwrite_publishes_the_new_schema(spark, tmp_path):
+    """OVERWRITE replaces the table: its metaData must carry the NEW
+    schemaString even when partitioning is unchanged — a stale schema
+    would project the new files' columns as NULL."""
+    t = str(tmp_path / "evo")
+    write_delta(spark, t, _df(spark, 0, 3))
+    new = spark.range(0, 4).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+    )
+    write_delta(spark, t, new, mode="overwrite")
+    back = read_delta(spark, t)
+    assert set(back.columns) == {"k", "w"}
+    assert sorted(r["w"] for r in back.collect()) == [0, 7, 14, 21]
