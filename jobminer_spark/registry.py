@@ -257,24 +257,42 @@ ORACLES: dict[str, str] = {}
 #     schema_merge_read_audit, dynamic_gap_sessions, and
 #     http_fetch_retry_audit (the slip r14 already named; its fetch
 #     machinery stays pinned by the injected-fake pytest suite).
-#   round 16 window (write/verify at r16 start with
-#     scripts/attestation_histogram.py): first the SIX r15-new
-#     driftbase queries registered past this round's window by design
+#   round 16 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below, amended from the r15-written plan per the standing
+#     modified-module rule and regenerated with
+#     scripts/attestation_histogram.py): slots 1-15 the fifteen
+#     never-driver-attested r15 queries exactly as VERDICT r15 item 1
+#     names them — the SIX r15-new driftbase monitor queries
 #     (psi_drift_vs_baseline, profile_history_day_compare,
 #     profile_history_retention_audit, stream_drift_profile_parity,
-#     psi_quality_by_source, drift_alert_panel) and the FIVE
-#     r15-new format audits (delta_log_read_audit,
-#     delta_partitioned_read_audit, delta_checkpoint_replay_audit —
-#     operators/deltaaudit.py; avro_roundtrip_audit,
+#     psi_quality_by_source, drift_alert_panel), the FIVE format
+#     audits (delta_log_read_audit, delta_partitioned_read_audit,
+#     delta_checkpoint_replay_audit, delta_optimize_compaction_audit
+#     — operators/deltaaudit.py; avro_roundtrip_audit,
 #     iceberg_metadata_read_audit — operators/formataudit.py),
-#     golden_record_survivorship (operators/survivorship.py), the
+#     golden_record_survivorship (operators/survivorship.py), and the
 #     Delta production compositions (stream_delta_sink_exactly_once,
-#     lakehouse_delta_export_parity — operators/deltastream.py), and
-#     delta_optimize_compaction_audit (the dataChange=false OPTIMIZE,
-#     deltaaudit.py), then the 9 slipped r10 queries above, then r11
-#     debt in registration order (15 + 9 = 24 fixed slots, 26 r11
-#     slots; the r11 tail spills to r17). AMEND at rotation time for
-#     any module modified after the r15 rotation.
+#     lakehouse_delta_export_parity — operators/deltastream.py);
+#     slots 16-17 the AMEND the standing rule requires:
+#     operators/driftbase.py is r16-MODIFIED (VERDICT r15 item 3's
+#     fold of compare_batch_psi_to_profile onto _psi_from_cells), so
+#     the r15 rows for ks_drift_vs_baseline and tvd_drift_vs_baseline
+#     attest pre-fold code — both re-attest here (sources/delta.py,
+#     avro.py, iceberg.py are also r16-modified per ADVICE r15, but
+#     every query they back is already in slots 7-15); slots 18-26
+#     the 9 slipped r10 queries (named in the r15 plan above, incl.
+#     http_fetch_retry_audit); slots 27-50 the FIRST 24 of the 36
+#     last-green-r11 queries in registration order (through
+#     asof_join_last_click_before_purchase).
+#     SLIPS to r17 (displaced by the 2 amend slots; 10 were already
+#     planned to spill): the last 12 r11-debt queries —
+#     kmeans_lloyd_clusters, revenue_trend_slope_per_segment,
+#     doc_surprisal_bits, mmr_diverse_topk, time_weighted_avg_value,
+#     sql_text_pricing_summary, sql_text_window_running_revenue,
+#     sql_text_join_agg_subquery, cusum_changepoint_alarms,
+#     purchase_touch_attribution, value_histogram_equi_width,
+#     hot_key_skew_report. AMEND at r17 rotation time for any module
+#     modified after the r16 rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -413,75 +431,76 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # slot 1: the type-count half of the persisted-baseline monitor
-    # pair — r14-new after the r14 rotation, the only query never
-    # driver-attested (VERDICT r14 item 1 names it slot 1)
-    "tvd_drift_vs_baseline",
-    # slots 2-10: the 9 r9-debt queries slipped from the r14 window
-    # (displaced there by the modified-module re-attest slots)
-    "bpe_encode_compression",
-    "bpe_train_merges",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "session_path_topk",
-    "embedding_int8_recall_audit",
-    "scd2_user_attribute_history",
-    "scd2_incremental_update_audit",
-    "ewma_user_value",
-    # slot 11: driftbase.py is r15-modified (ADVICE r14 empty-corpus
-    # guard + data-fingerprinted profile cache; the r15-new monitor
-    # queries share its builders) — its r14 row attests pre-fix code
+    # slots 1-6: the six r15-new driftbase monitor queries —
+    # registered past the r15 window by design, never driver-attested
+    # (VERDICT r15 item 1 fronts them first)
+    "psi_drift_vs_baseline",
+    "profile_history_day_compare",
+    "profile_history_retention_audit",
+    "stream_drift_profile_parity",
+    "psi_quality_by_source",
+    "drift_alert_panel",
+    # slots 7-12: the five r15-new format audits + the OPTIMIZE audit
+    # (operators/deltaaudit.py, operators/formataudit.py) — the
+    # newest code in the repo, never driver-attested; sources/
+    # delta.py, avro.py and iceberg.py carry this round's ADVICE r15
+    # fixes, so these rows attest the post-fix readers/writers
+    "delta_log_read_audit",
+    "delta_partitioned_read_audit",
+    "delta_checkpoint_replay_audit",
+    "delta_optimize_compaction_audit",
+    "avro_roundtrip_audit",
+    "iceberg_metadata_read_audit",
+    # slots 13-15: survivorship + the Delta production compositions
+    # (operators/survivorship.py, operators/deltastream.py) — r15-new,
+    # never driver-attested
+    "golden_record_survivorship",
+    "stream_delta_sink_exactly_once",
+    "lakehouse_delta_export_parity",
+    # slots 16-17: driftbase.py is r16-modified (VERDICT r15 item 3:
+    # compare_batch_psi_to_profile folded onto the _psi_from_cells
+    # chain) — the r15 rows for these two attest pre-fold code, so
+    # the standing modified-module rule re-attests them here
     "ks_drift_vs_baseline",
-    # slots 12-17: lakehouse.py is r15-modified (ADVICE r14: footer
-    # stats resolve the parquet LEAF by path, not the Arrow top-level
-    # index) — the same re-attest unit the r14 rotation used when the
-    # same file changed
-    "lakehouse_merge_parity",
-    "lakehouse_pruning_travel_audit",
-    "lakehouse_change_feed",
-    "lakehouse_vacuum_audit",
-    "lakehouse_concurrency_audit",
-    "lakehouse_negative_key_merge_parity",
-    # slot 18: envprobe.py is r15-modified (two probe rows added for
-    # the PSI monitor's fixed-point-log2 recipe, the same-commit
-    # probe discipline from r12) — its r13 row no longer attests the
-    # shipped probe table
-    "cross_engine_primitive_probe",
-    # slots 19-50: the first 32 of the 41 last-green-r10 queries in
-    # registration order; the remaining 9 slip to r16 — see the
+    "tvd_drift_vs_baseline",
+    # slots 18-26: the 9 r10-debt queries slipped from the r15 window
+    # (displaced there by the modified-module re-attest slots)
+    "dq_violation_injection_audit",
+    "unpivot_segment_metrics",
+    "ntile_value_quartiles",
+    "pca_power_iteration_audit",
+    "small_files_compaction_audit",
+    "partitioned_write_pruning_audit",
+    "schema_merge_read_audit",
+    "dynamic_gap_sessions",
+    "http_fetch_retry_audit",
+    # slots 27-50: the first 24 of the 36 last-green-r11 queries in
+    # registration order; the remaining 12 slip to r17 — see the
     # rotation-plan comment above
-    "merge_status_transition",
-    "dedup_exact_text",
-    "ngram_jaccard_top_pairs",
-    "minhash_lsh_neardup",
-    "simhash_fingerprints",
-    "minhash_estimation_audit",
-    "simhash_exactdup_audit",
-    "embedding_neardup_bucketed",
-    "neardup_connected_components",
-    "neardup_edges_prefix_filter",
-    "neardup_cc_star",
-    "neardup_dedup_survivors",
-    "simhash_band_neighbors",
-    "simhash_band_recall_audit",
-    "xml_feed_parse_audit",
-    "zip_with_index_audit",
-    "resample_hourly_forward_fill",
-    "trailing_1h_range_totals",
-    "markov_transition_counts",
-    "weighted_sample_topk",
-    "incremental_rollup_audit",
-    "python_datasource_scan_audit",
-    "exact_median_by_event_type",
-    "token_cooccurrence_pairs",
-    "cooccurrence_lift_topk",
-    "association_link_prediction",
-    "er_blocked_match_resolution",
-    "er_funnel_audit",
-    "triangle_count_neardup",
-    "degree_histogram_neardup",
-    "trailing_zscore_outliers",
-    "dq_constraint_audit",
+    "embedding_hyperplane_lsh_topk",
+    "hyperplane_lsh_recall_audit",
+    "doc_repetition_stats",
+    "word_rarity_score",
+    "doc_repetition_profile_multi_n",
+    "incremental_neardup_admission",
+    "contained_document_pairs",
+    "neardup_survivors_with_containment",
+    "incremental_admission_probe",
+    "incremental_index_update_audit",
+    "semantic_dedup_survivors",
+    "bloom_prefilter_counts",
+    "winnowing_fingerprint_stats",
+    "winnowing_candidate_pairs",
+    "benchmark_decontamination",
+    "document_chunking",
+    "source_mixture_sampling",
+    "quality_weighted_upsample",
+    "pii_redaction",
+    "hll_distinct_audit",
+    "quantile_sketch_audit",
+    "pretraining_prep_funnel",
+    "temperature_mixture_rebalance",
+    "asof_join_last_click_before_purchase",
 ]
 
 
