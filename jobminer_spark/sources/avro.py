@@ -398,11 +398,14 @@ def read_avro(spark, path: str):
         files = [path]
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
+    # Parse the header straight off the open handle (the varint
+    # decoder consumes any binary stream) — a fixed-size head slice
+    # would turn a >1 MiB file-metadata map into a misleading
+    # EOFError('truncated varint') (review r15)
     with open(files[0], "rb") as f:
-        head = io.BytesIO(f.read(1 << 20))
-    if head.read(4) != MAGIC:
-        raise ValueError(f"not an Avro container file: {files[0]}")
-    schema = json.loads(_read_meta_map(head)["avro.schema"])
+        if f.read(4) != MAGIC:
+            raise ValueError(f"not an Avro container file: {files[0]}")
+        schema = json.loads(_read_meta_map(f)["avro.schema"])
     ddl = avro_spark_schema(schema)
     arrow_schema = _arrow_schema(schema)
     field_names = [f["name"] for f in schema["fields"]]

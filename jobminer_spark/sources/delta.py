@@ -25,9 +25,13 @@ module implements the subset a batch engine needs:
   lakehouse._commit — the protocol's "mutual exclusion" requirement).
   Creates `protocol` (minReader=1/minWriter=2) + `metaData` actions on
   version 0. Every N commits (`checkpoint_interval`) a checkpoint
-  parquet with the full active `add` set is written and
+  parquet with the full active `add` set — plus `remove` tombstones
+  still inside the 7-day retention window, which the protocol keeps
+  for external readers' vacuum/CDC bookkeeping — is written and
   `_last_checkpoint` updated — the log-compaction mechanism that keeps
-  replay O(tail), not O(history).
+  replay O(tail), not O(history). Null partition values are stored as
+  the protocol's JSON null (Spark's __HIVE_DEFAULT_PARTITION__ staging
+  sentinel and %-escapes are decoded before the add is published).
 
 Differences from the full protocol, stated: no deletion vectors, no
 column mapping, no generated columns, no CDC files, no multi-part
@@ -48,7 +52,7 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -124,10 +128,24 @@ def _replay(
     the newest checkpoint ≤ version (or from 0), honoring the
     protocol's reconciliation rules (a later remove cancels an add;
     metaData/protocol/txn latest-wins)."""
+    adds, _removes, meta, txns = _replay_full(table, version)
+    return adds, meta, txns
+
+
+def _replay_full(
+    table: str, version: int
+) -> tuple[dict[str, dict], dict[str, dict], dict, dict[str, int]]:
+    """`_replay` plus the remove TOMBSTONES still standing at
+    ``version`` (path → remove action). The protocol keeps removes in
+    checkpoints until their retention window lapses — vacuum/CDC
+    bookkeeping an external reader consuming our checkpoint expects —
+    so reconciliation tracks them: an add cancels a same-path
+    tombstone (file re-added), a remove re-raises it."""
     import pyarrow.parquet as papq
 
     start = 0
     adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
     meta: dict = {}
     txns: dict[str, int] = {}
     # checkpoint hint, then directory fallback (the hint file is
@@ -137,8 +155,15 @@ def _replay(
     if os.path.exists(hint):
         try:
             with open(hint) as f:
-                v = int(json.load(f)["version"])
-            if v <= version and os.path.exists(_checkpoint_file(table, v)):
+                h = json.load(f)
+            v = int(h["version"])
+            # multi-part checkpoints (parts > 1) are a stated non-goal:
+            # skip the checkpoint and fall through to a full commit
+            # replay — correct when the commit tail survives, and the
+            # missing-commit check below fails LOUDLY when it doesn't
+            if int(h.get("parts") or 1) > 1:
+                ckpt_version = -1
+            elif v <= version and os.path.exists(_checkpoint_file(table, v)):
                 ckpt_version = v
         except (ValueError, KeyError, json.JSONDecodeError):
             ckpt_version = -1
@@ -157,6 +182,9 @@ def _replay(
                 if isinstance(a.get("partitionValues"), list):
                     a["partitionValues"] = dict(a["partitionValues"])
                 adds[a["path"]] = a
+            if row.get("remove"):
+                r = dict(row["remove"])
+                removes[r["path"]] = r
             if row.get("metaData"):
                 meta = dict(row["metaData"])
             if row.get("protocol"):
@@ -165,6 +193,13 @@ def _replay(
                 txns[row["txn"]["appId"]] = row["txn"]["version"]
         start = ckpt_version + 1
     for v in range(start, version + 1):
+        if not os.path.exists(_commit_file(table, v)):
+            raise ValueError(
+                f"cannot reconstruct version {version}: commit "
+                f"{v:020d}.json is missing and no usable single-part "
+                "checkpoint covers it (multi-part checkpoints are not "
+                "supported by this reader — stated non-goal)"
+            )
         for action in _read_commit(table, v):
             if "protocol" in action:
                 _check_protocol(action["protocol"])
@@ -172,11 +207,17 @@ def _replay(
                 meta = action["metaData"]
             elif "add" in action:
                 adds[action["add"]["path"]] = action["add"]
+                removes.pop(action["add"]["path"], None)
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
+                removes[action["remove"]["path"]] = action["remove"]
             elif "txn" in action:
                 txns[action["txn"]["appId"]] = action["txn"]["version"]
-    return adds, meta, txns
+            # unknown single-key actions (cdc, commitInfo,
+            # domainMetadata, ...) are IGNORED per the protocol —
+            # reader version 1 only mandates the keys above
+    _check_metadata(meta)
+    return adds, removes, meta, txns
 
 
 def _check_protocol(p: dict) -> None:
@@ -189,11 +230,33 @@ def _check_protocol(p: dict) -> None:
         )
 
 
+def _check_metadata(meta: dict) -> None:
+    """Belt-and-braces gate behind _check_protocol: a malformed table
+    could claim reader version 1 while its metaData configuration
+    still demands column mapping or deletion vectors — misreading
+    either silently returns wrong column data, so reject by name."""
+    conf = (meta or {}).get("configuration") or {}
+    cm = conf.get("delta.columnMapping.mode", "none")
+    if cm not in ("", "none"):
+        raise ValueError(
+            f"unsupported Delta feature: columnMapping mode={cm!r} "
+            "(this reader resolves columns by name only — stated "
+            "non-goal)"
+        )
+    if str(conf.get("delta.enableDeletionVectors", "false")).lower() == (
+        "true"
+    ):
+        raise ValueError(
+            "unsupported Delta feature: deletion vectors (this reader "
+            "would return deleted rows — stated non-goal)"
+        )
+
+
 def read_delta(
     spark: SparkSession,
     table: str,
     version: int | None = None,
-    partition_filters: dict[str, str] | None = None,
+    partition_filters: dict[str, str | None] | None = None,
 ) -> DataFrame:
     """The table's snapshot at ``version`` (latest when None) as a
     DataFrame — time travel included, exactly like `spark.read
@@ -202,7 +265,8 @@ def read_delta(
     ``partition_filters`` ({column: value}, equality only) prunes at
     the LOG level — non-matching files never enter the plan at all,
     the signature Delta read optimization (partitionValues are log
-    strings, so values compare as their string form)."""
+    strings, so values compare as their string form; a None filter
+    value selects the null partition)."""
     latest = delta_latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
@@ -222,7 +286,8 @@ def read_delta(
             p: a
             for p, a in adds.items()
             if all(
-                a.get("partitionValues", {}).get(k) == str(val)
+                a.get("partitionValues", {}).get(k)
+                == (None if val is None else str(val))
                 for k, val in partition_filters.items()
             )
         }
@@ -253,7 +318,13 @@ def read_delta(
         by_part.setdefault(key, []).append(os.path.join(table, a["path"]))
     types = {f["name"]: f["type"] for f in schema["fields"]}
     parts = []
-    for key, paths in sorted(by_part.items()):
+    # None-safe group order: external tables correctly store JSON null
+    # partitionValues, and None is unorderable against str — nulls
+    # sort last per column (matching NULLS LAST), never TypeError
+    for key, paths in sorted(
+        by_part.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    ):
         df = spark.read.schema(data_schema).parquet(*paths)
         for c, val in zip(part_cols, key):
             col = (
@@ -386,11 +457,12 @@ def write_delta(
                         }
                     }
                 )
+            now_ms = int(time.time() * 1000)
             actions.extend(
                 {
                     "remove": {
                         "path": p,
-                        "deletionTimestamp": 0,
+                        "deletionTimestamp": now_ms,
                         "dataChange": True,
                     }
                 }
@@ -430,9 +502,17 @@ def _stage_data_files(
     """Write the batch's parquet under a unique data subdir; return the
     protocol `add` payloads (relative path, partitionValues, size,
     dataChange). Partition columns are DROPPED from the data files (the
-    protocol stores them in the log only)."""
+    protocol stores them in the log only).
+
+    Staging lives in a dot-prefixed scratch dir INSIDE the table path
+    (hidden per the protocol, so readers never see it) — same
+    filesystem as the destination, so `os.replace` publication stays
+    an atomic rename and never hits cross-device EXDEV the way a
+    /tmp-staged file could."""
+    from urllib.parse import unquote
+
     sub = f"data-{uuid.uuid4().hex[:12]}"
-    tmp = os.path.join(tempfile.gettempdir(), f"jm_delta_stage_{sub}")
+    tmp = os.path.join(table, f".stage_{sub}")
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -444,11 +524,20 @@ def _stage_data_files(
                 continue
             src = os.path.join(root, fname)
             rel_dir = os.path.relpath(root, tmp)
-            pvals: dict[str, str] = {}
+            pvals: dict[str, str | None] = {}
             if rel_dir != ".":
                 for piece in rel_dir.split(os.sep):
                     k, _, v = piece.partition("=")
-                    pvals[k] = v
+                    # Spark stages hive-style dirs: nulls become the
+                    # __HIVE_DEFAULT_PARTITION__ sentinel and special
+                    # chars are %-escaped — the PROTOCOL wants the
+                    # actual value (JSON null for null), so decode
+                    # here or a null round-trips as the sentinel text
+                    pvals[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(v)
+                    )
             # keep the hive-style partition subdirs in the table path:
             # one Spark task writes SAME-named files into each
             # partition dir, so flattening would collide basenames
@@ -489,29 +578,51 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
         f.write(payload + "\n")
 
 
+_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000  # delta's default
+
+
 def _write_checkpoint(table: str, version: int) -> None:
-    """Checkpoint parquet: one row per active action (add/metaData/
-    protocol as nullable struct columns — the protocol's checkpoint
-    schema shape), plus the `_last_checkpoint` hint."""
+    """Checkpoint parquet: one row per active action (add/remove/
+    metaData/protocol as nullable struct columns — the protocol's
+    checkpoint schema shape), plus the `_last_checkpoint` hint.
+
+    Remove TOMBSTONES within the retention window ride along (the
+    protocol requires it: an external reader's vacuum/CDC bookkeeping
+    for pre-checkpoint deletes lives in these rows); tombstones older
+    than `delta.deletedFileRetentionDuration` (default 7 days) expire
+    here, exactly when delta-spark drops them."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 
-    adds, meta, txns = _replay(table, version)
-    rows: list[dict] = [
-        {"add": None, "metaData": meta or None,
-         "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-         "txn": None},
+    adds, removes, meta, txns = _replay_full(table, version)
+    cutoff_ms = int(time.time() * 1000) - _TOMBSTONE_RETENTION_MS
+    live_removes = [
+        # project to the checkpoint struct (external commits may carry
+        # extendedFileMetadata/partitionValues/size on removes)
+        {
+            "path": r["path"],
+            "deletionTimestamp": r.get("deletionTimestamp", 0),
+            "dataChange": bool(r.get("dataChange", True)),
+        }
+        for r in sorted(removes.values(), key=lambda r: r["path"])
+        if r.get("deletionTimestamp", 0) >= cutoff_ms
     ]
-    rows.extend(
-        {"add": a, "metaData": None, "protocol": None, "txn": None}
-        for a in sorted(adds.values(), key=lambda a: a["path"])
-    )
+    none_row = {
+        "add": None, "remove": None, "metaData": None, "protocol": None,
+        "txn": None,
+    }
+    rows: list[dict] = [
+        {**none_row, "metaData": meta or None,
+         "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+    ]
+    rows.extend({**none_row, "add": a}
+                for a in sorted(adds.values(), key=lambda a: a["path"]))
+    rows.extend({**none_row, "remove": r} for r in live_removes)
     # txn watermarks survive checkpointing (the protocol requires it —
     # a streaming writer's idempotence depends on them after log
     # compaction)
     rows.extend(
-        {"add": None, "metaData": None, "protocol": None,
-         "txn": {"appId": a, "version": v}}
+        {**none_row, "txn": {"appId": a, "version": v}}
         for a, v in sorted(txns.items())
     )
     # Explicit schema matching the protocol's checkpoint shape:
@@ -529,6 +640,16 @@ def _write_checkpoint(table: str, version: int) -> None:
                         pa.field("partitionValues", str_map),
                         pa.field("size", pa.int64()),
                         pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("deletionTimestamp", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                     ]
                 ),
@@ -621,11 +742,12 @@ def optimize_delta(
         staged = _stage_data_files(spark, table, compacted, [])
         for a in staged:
             a["dataChange"] = False
+        now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             {
                 "remove": {
                     "path": p,
-                    "deletionTimestamp": 0,
+                    "deletionTimestamp": now_ms,
                     "dataChange": False,
                 }
             }

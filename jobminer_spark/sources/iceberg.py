@@ -1,5 +1,6 @@
-"""Minimal Apache Iceberg table reader (+ fixture-grade writer) on the
-pure-Python Avro codec — the metadata chain the spec defines, no jar.
+"""Minimal Apache Iceberg table reader (+ format-v2 append writer) on
+the pure-Python Avro codec — the metadata chain the spec defines, no
+jar.
 
 VERDICT r14's format-compatibility gap has two halves; Delta closed in
 r15 (sources/delta.py), and Iceberg was "blocked" only because its
@@ -22,14 +23,18 @@ COMPLETE file inventory at that snapshot (the spec's model), so time
 travel is just "read a different snapshot's list". Schema comes from
 the metadata JSON's schema (id/name/required/type fields).
 
-The writer exists to produce spec-shaped tables for the audits (no
-Iceberg engine is installable offline to produce them for us): it
-emits the same chain — parquet data files, one manifest per commit,
-a per-snapshot manifest list carrying every live manifest, metadata
-vN JSON + version hint. It is fixture-grade: enough of the spec for
-this reader and for metadata-chain inspection, NOT a claim of full
-engine interop (deletes, partition specs beyond identity, sort
-orders, and stats are absent — each would extend the same chain).
+The writer emits the same chain — parquet data files, one manifest
+per commit, a per-snapshot manifest list carrying every live
+manifest, metadata vN JSON + version hint — with format-v2 append
+semantics (review r15 promoted it from fixture-grade): monotone
+snapshot sequence numbers (`last-sequence-number` in metadata,
+`sequence-number` per snapshot, null-inherited in manifest entries)
+and the manifest-list stats counts (files/rows added/existing/
+deleted) a planner prunes by. Append-only, identity/unpartitioned
+layouts; delete files, non-identity partition specs, and sort orders
+are absent — each would extend the same chain. No third-party engine
+is installable offline, so interop remains spec-conformance +
+foreign-shaped fixtures, stated.
 
 Scale shape: the metadata chain is driver-side and
 O(manifests + live files) like the Delta replay; manifest lists keep
@@ -50,6 +55,9 @@ from jobminer_spark.sources.avro import read_avro_records, write_avro_file
 
 _STATUS_DELETED = 2
 
+# Manifest-list schema, format v2 shape: content + sequence numbers +
+# the six stats counts (spec fields 504-506/512-514) so a planner can
+# prune whole manifests without opening them
 _MANIFEST_LIST_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
@@ -57,22 +65,37 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
-        {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "content", "type": "int"},  # 0=data, 1=deletes
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
     ],
 }
 
+# Manifest-entry schema, format v2 shape: null sequence numbers on
+# ADDED entries inherit the snapshot's sequence number (the spec's
+# inheritance rule); data_file carries content=0 (data)
 _MANIFEST_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "file_sequence_number", "type": ["null", "long"]},
         {
             "name": "data_file",
             "type": {
                 "type": "record",
                 "name": "data_file",
                 "fields": [
+                    {"name": "content", "type": "int"},
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
@@ -193,7 +216,7 @@ def read_iceberg(
 
 
 # ---------------------------------------------------------------------------
-# fixture-grade writer
+# format-v2 append writer
 # ---------------------------------------------------------------------------
 
 
@@ -205,9 +228,20 @@ def write_iceberg(
     files, ONE manifest for them, and a manifest LIST carrying every
     live manifest (prior ones re-referenced — the spec's per-snapshot
     complete-inventory model), then publishes vN metadata JSON +
-    version hint."""
+    version hint.
+
+    Format v2 semantics on the append path (promoted from
+    fixture-grade per review r15): metadata carries
+    `last-sequence-number` and each snapshot a monotone
+    `sequence-number`; manifest-list records carry content/
+    sequence_number/min_sequence_number plus the six stats counts
+    (files/rows added/existing/deleted) so a planner can skip whole
+    manifests; manifest entries write null sequence numbers on ADDED
+    files (the spec's snapshot-inheritance rule). Still append-only,
+    unpartitioned/identity layouts, no delete files or sort orders —
+    each would extend the same chain."""
     if mode != "append":
-        raise ValueError("fixture-grade writer supports append only")
+        raise ValueError("iceberg writer supports append only")
     md = _metadata_dir(table)
     data_dir = os.path.join(table, "data")
     os.makedirs(md, exist_ok=True)
@@ -239,7 +273,11 @@ def write_iceberg(
                 {
                     "status": 1,  # ADDED
                     "snapshot_id": None,
+                    # null → inherit the snapshot's sequence number
+                    "sequence_number": None,
+                    "file_sequence_number": None,
                     "data_file": {
+                        "content": 0,  # data
                         "file_path": os.path.abspath(dest),
                         "file_format": "PARQUET",
                         "record_count": papq.ParquetFile(dest).metadata.num_rows,
@@ -252,6 +290,7 @@ def write_iceberg(
     shutil.rmtree(stage, ignore_errors=True)
 
     snapshot_id = version + 1  # deterministic, monotone
+    seq = snapshot_id  # v2 sequence number, assigned per commit
     manifest_path = os.path.join(md, f"manifest-{commit}.avro")
     write_avro_file(manifest_path, _MANIFEST_SCHEMA, data_files)
 
@@ -265,12 +304,48 @@ def write_iceberg(
         _, prior_manifests = read_avro_records(
             _resolve_path(table, current["manifest-list"])
         )
-    list_records = prior_manifests + [
+    # re-referenced manifests keep their own sequence numbers/stats;
+    # records from a pre-v2 table (older writer) get conservative
+    # defaults so the upgraded list stays self-consistent
+    prior_records = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "content": m.get("content", 0),
+            "sequence_number": m.get(
+                "sequence_number", m.get("added_snapshot_id") or 0
+            ),
+            "min_sequence_number": m.get(
+                "min_sequence_number", m.get("added_snapshot_id") or 0
+            ),
+            "added_snapshot_id": m.get("added_snapshot_id") or 0,
+            "added_files_count": m.get("added_files_count", 0),
+            "existing_files_count": m.get("existing_files_count", 0),
+            "deleted_files_count": m.get("deleted_files_count", 0),
+            "added_rows_count": m.get("added_rows_count", 0),
+            "existing_rows_count": m.get("existing_rows_count", 0),
+            "deleted_rows_count": m.get("deleted_rows_count", 0),
+        }
+        for m in prior_manifests
+    ]
+    list_records = prior_records + [
         {
             "manifest_path": os.path.abspath(manifest_path),
             "manifest_length": os.path.getsize(manifest_path),
             "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in data_files
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
         }
     ]
     list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
@@ -293,22 +368,38 @@ def write_iceberg(
                 }
             )
         meta = {
-            "format-version": 1,
+            "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
             "location": os.path.abspath(table),
             "last-updated-ms": 0,
             "last-column-id": len(fields),
-            "schema": {"type": "struct", "fields": fields},
-            "partition-spec": [],
+            "schemas": [
+                {"type": "struct", "schema-id": 0, "fields": fields}
+            ],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "last-partition-id": 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
             "properties": {},
             "snapshots": [],
         }
     new_version = version + 1
     meta = dict(meta)
     meta["current-snapshot-id"] = snapshot_id
+    # v2 sequence-number semantics; appending to a table created by
+    # the earlier v1 writer upgrades its metadata in place (a legal
+    # format-version bump — the reader handles both shapes)
+    meta["format-version"] = 2
+    meta["last-sequence-number"] = seq
+    if "schemas" not in meta and "schema" in meta:
+        meta["schemas"] = [{**meta.pop("schema"), "schema-id": 0}]
+        meta["current-schema-id"] = 0
     meta["snapshots"] = list(meta.get("snapshots", [])) + [
         {
             "snapshot-id": snapshot_id,
+            "sequence-number": seq,
             "timestamp-ms": 0,
             "manifest-list": os.path.abspath(list_path),
             "summary": {"operation": "append"},

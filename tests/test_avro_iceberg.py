@@ -237,3 +237,315 @@ def test_distributed_roundtrip_exact_large_longs_and_nan(spark, tmp_path):
     d2 = rows[2]["d"]
     assert d2 is not None and d2 != d2  # NaN survived as NaN
     assert rows[3]["d"] is None  # NULL stayed NULL
+
+
+# ---------------------------------------------------------------------------
+# r16: adversarial foreign-shaped fixtures (VERDICT r15 item 2) and
+# the promoted v2 writer's invariants (item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_record_bytes_colliding_with_sync_marker(tmp_path):
+    """OCF readers must never SCAN for the sync marker — blocks are
+    length-prefixed. A record whose bytes embed the exact marker is
+    the classic foreign-writer trap."""
+    from jobminer_spark.sources.avro import SYNC
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "raw", "type": "bytes"}],
+    }
+    recs = [
+        {"raw": SYNC},                     # the marker itself
+        {"raw": SYNC * 3},                 # repeated
+        {"raw": b"\x01" + SYNC + b"\x02"}, # embedded mid-record
+    ]
+    p = str(tmp_path / "sync.avro")
+    # null codec so the marker bytes hit the stream VERBATIM
+    write_avro_file(p, schema, recs, codec="null", block_records=1)
+    _, got = read_avro_records(p)
+    assert [r["raw"] for r in got] == [r["raw"] for r in recs]
+
+
+def test_block_boundary_edge_cases(tmp_path):
+    """Foreign writers emit odd block shapes: 1-record blocks, a big
+    final block, empty-bytes records at block edges."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "raw", "type": "bytes"},
+        ],
+    }
+    recs = [{"k": i, "raw": b"" if i % 7 == 0 else bytes([i % 256]) * i}
+            for i in range(257)]
+    for block in (1, 2, 255, 256, 10_000):
+        p = str(tmp_path / f"b{block}.avro")
+        write_avro_file(p, schema, recs, codec="deflate",
+                        block_records=block)
+        _, got = read_avro_records(p)
+        assert got == recs, f"block_records={block}"
+
+
+def test_corrupt_sync_marker_fails_loudly(tmp_path):
+    """A flipped byte in an inter-block sync marker must be a loud
+    error, not silent truncation."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    p = str(tmp_path / "corrupt.avro")
+    write_avro_file(p, schema, [{"k": i} for i in range(10)],
+                    codec="null", block_records=5)
+    blob = bytearray(open(p, "rb").read())
+    blob[-1] ^= 0xFF  # last byte of the final sync marker
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="sync marker"):
+        read_avro_records(p)
+
+
+def test_header_metadata_larger_than_1mib(spark, tmp_path):
+    """File-metadata maps can exceed 1 MiB (fat schemas, writer
+    stats); the header must be parsed incrementally off the handle,
+    not from a capped head slice (ADVICE r15)."""
+    from jobminer_spark.sources.avro import MAGIC, SYNC, _encode
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"null",
+        "big.blob": b"Z" * (2 << 20),  # 2 MiB of foreign metadata
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.write(SYNC)
+    body = io.BytesIO()
+    for i in range(4):
+        _encode(schema, {"k": i}, body)
+    _write_long(out, 4)
+    _write_long(out, len(body.getvalue()))
+    out.write(body.getvalue())
+    out.write(SYNC)
+    p = str(tmp_path / "fatheader.avro")
+    open(p, "wb").write(out.getvalue())
+    _, got = read_avro_records(p)
+    assert [r["k"] for r in got] == [0, 1, 2, 3]
+    # the distributed path probes the same header driver-side
+    df = read_avro(spark, p)
+    assert sorted(r["k"] for r in df.collect()) == [0, 1, 2, 3]
+
+
+def test_iceberg_manifest_list_with_multiple_manifests(spark, tmp_path):
+    """A snapshot whose manifest list carries SEVERAL manifests (plus
+    unknown extra fields) must union all their live files and skip
+    DELETED entries in any of them."""
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.avro import write_avro_file as _waf
+
+    t = str(tmp_path / "multimanifest")
+    md = os.path.join(t, "metadata")
+    data = os.path.join(t, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+    import pyarrow as pa
+
+    for i, ks in enumerate(([1, 2], [3], [4, 5])):
+        papq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64())}),
+            os.path.join(data, f"f{i}.parquet"),
+        )
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    # foreign extra field: must pass through unused
+                    {"name": "sort_order_id", "type": ["null", "int"]},
+                ],
+            }},
+        ],
+    }
+
+    def _entry(path, n, status=1):
+        return {
+            "status": status,
+            "snapshot_id": 7,
+            "data_file": {
+                "file_path": path,
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+                "sort_order_id": None,
+            },
+        }
+
+    m1 = os.path.join(md, "m1.avro")
+    m2 = os.path.join(md, "m2.avro")
+    _waf(m1, entry_schema, [
+        _entry(os.path.join(data, "f0.parquet"), 2),
+        _entry(os.path.join(data, "f1.parquet"), 1, status=2),  # DELETED
+    ])
+    _waf(m2, entry_schema, [_entry(os.path.join(data, "f2.parquet"), 2)])
+    list_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+            # foreign extra field
+            {"name": "key_metadata", "type": ["null", "bytes"]},
+        ],
+    }
+    snap_list = os.path.join(md, "snap-7.avro")
+    _waf(snap_list, list_schema, [
+        {"manifest_path": m, "manifest_length": os.path.getsize(m),
+         "partition_spec_id": 0, "added_snapshot_id": 7,
+         "key_metadata": None}
+        for m in (m1, m2)
+    ])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0000",
+        "location": t,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 1,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "sequence-number": 1,
+                       "timestamp-ms": 0, "manifest-list": snap_list,
+                       "summary": {"operation": "append"}}],
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+    got = read_iceberg(spark, t)
+    # f1 is DELETED: only f0 + f2 rows survive
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 4, 5]
+
+
+def test_iceberg_v2_writer_sequence_and_stats_invariants(spark, tmp_path):
+    """The promoted append path must emit spec-v2 bookkeeping: monotone
+    snapshot sequence numbers mirrored in last-sequence-number, and
+    manifest-list stats that match the files/rows actually written."""
+    from jobminer_spark.sources.avro import read_avro_records as _rar
+    from jobminer_spark.sources.iceberg import iceberg_metadata
+
+    t = str(tmp_path / "v2inv")
+    df1 = spark.range(0, 7).select(F.col("id").alias("k"))
+    df2 = spark.range(7, 10).select(F.col("id").alias("k"))
+    s1 = write_iceberg(spark, t, df1)
+    s2 = write_iceberg(spark, t, df2)
+    meta = iceberg_metadata(t)
+    assert meta["format-version"] == 2
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert snaps[s1]["sequence-number"] < snaps[s2]["sequence-number"]
+    assert meta["last-sequence-number"] == snaps[s2]["sequence-number"]
+    # current list: one manifest per commit, stats match reality
+    cur = snaps[meta["current-snapshot-id"]]
+    _, manifests = _rar(cur["manifest-list"])
+    assert len(manifests) == 2
+    by_snap = {m["added_snapshot_id"]: m for m in manifests}
+    assert by_snap[s1]["added_rows_count"] == 7
+    assert by_snap[s2]["added_rows_count"] == 3
+    for m in manifests:
+        assert m["content"] == 0
+        assert m["min_sequence_number"] <= m["sequence_number"]
+        assert m["deleted_files_count"] == 0
+        _, entries = _rar(m["manifest_path"])
+        assert m["added_files_count"] == len(entries)
+        assert m["added_rows_count"] == sum(
+            e["data_file"]["record_count"] for e in entries
+        )
+        for e in entries:
+            # null sequence numbers: inherited from the snapshot
+            assert e["sequence_number"] is None
+            assert e["data_file"]["content"] == 0
+    # schemas-list metadata (v2): the reader resolves it
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == list(
+        range(10)
+    )
+    assert read_iceberg(spark, t, snapshot_id=s1).count() == 7
+
+
+def test_iceberg_v1_table_upgrades_on_append(spark, tmp_path):
+    """Appending to a table created by the earlier v1 writer must
+    upgrade its metadata legally (schemas list + sequence numbers) and
+    keep every snapshot readable."""
+    import shutil
+
+    t = str(tmp_path / "v1up")
+    df1 = spark.range(0, 4).select(F.col("id").alias("k"))
+    s1 = write_iceberg(spark, t, df1)
+    # rewrite current metadata into the OLD v1 shape
+    from jobminer_spark.sources.iceberg import (
+        _current_metadata_path,
+        iceberg_metadata,
+    )
+
+    meta = iceberg_metadata(t)
+    sid = meta["current-schema-id"]
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == sid
+    )
+    v1_meta = {
+        "format-version": 1,
+        "table-uuid": meta["table-uuid"],
+        "location": meta["location"],
+        "last-updated-ms": 0,
+        "last-column-id": meta["last-column-id"],
+        "schema": {
+            "type": "struct",
+            "fields": schema["fields"],
+        },
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": meta["current-snapshot-id"],
+        "snapshots": [
+            {k: v for k, v in s.items() if k != "sequence-number"}
+            for s in meta["snapshots"]
+        ],
+    }
+    with open(_current_metadata_path(t), "w") as f:
+        json.dump(v1_meta, f)
+    df2 = spark.range(4, 6).select(F.col("id").alias("k"))
+    s2 = write_iceberg(spark, t, df2)
+    meta2 = iceberg_metadata(t)
+    assert meta2["format-version"] == 2
+    assert "schemas" in meta2 and "schema" not in meta2
+    assert meta2["last-sequence-number"] == next(
+        s["sequence-number"]
+        for s in meta2["snapshots"]
+        if s["snapshot-id"] == s2
+    )
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == list(
+        range(6)
+    )
+    assert read_iceberg(spark, t, snapshot_id=s1).count() == 4

@@ -302,3 +302,355 @@ def test_overwrite_publishes_the_new_schema(spark, tmp_path):
     back = read_delta(spark, t)
     assert set(back.columns) == {"k", "w"}
     assert sorted(r["w"] for r in back.collect()) == [0, 7, 14, 21]
+
+
+# ---------------------------------------------------------------------------
+# r16: null partition values, checkpoint tombstones, staging locality
+# (ADVICE r15), the loud-rejection matrix, and adversarial
+# foreign-shaped fixtures (VERDICT r15 items 2 and 4)
+# ---------------------------------------------------------------------------
+
+
+def test_null_partition_value_protocol_roundtrip(spark, tmp_path):
+    """A null partition value must be published as the protocol's JSON
+    null (NOT Spark's __HIVE_DEFAULT_PARTITION__ staging sentinel),
+    read back as NULL, be selectable via a None filter, and never
+    TypeError while grouping against non-null values."""
+    t = str(tmp_path / "nullpart")
+    df = spark.range(0, 6).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 2, F.lit(None)).otherwise(
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string"))
+        ).alias("p"),
+    )
+    write_delta(spark, t, df, partition_by=["p"])
+    with open(_commit_file(t, 0)) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    pvals = [a["add"]["partitionValues"] for a in actions if "add" in a]
+    assert any(pv["p"] is None for pv in pvals), pvals
+    assert not any(pv["p"] == "__HIVE_DEFAULT_PARTITION__" for pv in pvals)
+    back = read_delta(spark, t)  # mixed None/str groups: sort is safe
+    assert back.count() == 6
+    assert back.filter(F.col("p").isNull()).count() == 2
+    nulls_only = read_delta(spark, t, partition_filters={"p": None})
+    assert sorted(r["k"] for r in nulls_only.collect()) == [0, 1]
+
+
+def test_partition_value_special_chars_decoded(spark, tmp_path):
+    """Spark %-escapes special chars in hive dir names; the log must
+    carry the ACTUAL value."""
+    t = str(tmp_path / "escpart")
+    df = spark.createDataFrame([(1, "a b:c%d")], "k int, p string")
+    write_delta(spark, t, df, partition_by=["p"])
+    with open(_commit_file(t, 0)) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    pvals = [a["add"]["partitionValues"] for a in actions if "add" in a]
+    assert pvals and pvals[0]["p"] == "a b:c%d"
+    got = read_delta(spark, t).collect()
+    assert [r["p"] for r in got] == ["a b:c%d"]
+    assert read_delta(spark, t, partition_filters={"p": "a b:c%d"}).count() == 1
+
+
+def test_checkpoint_carries_recent_remove_tombstones(spark, tmp_path):
+    """The protocol keeps remove tombstones in checkpoints until their
+    retention lapses — an external reader's vacuum/CDC bookkeeping
+    depends on them. Expired tombstones must drop."""
+    import time as _time
+
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.delta import _publish_commit, _write_checkpoint
+
+    t = str(tmp_path / "tomb")
+    for i in range(9):
+        write_delta(spark, t, _df(spark, i, i + 1))  # versions 0..8
+    write_delta(spark, t, _df(spark, 100, 102), mode="overwrite")  # v9
+    # hand-publish v10: one EXPIRED tombstone (beyond 7-day retention)
+    _publish_commit(t, 10, [{
+        "remove": {
+            "path": "data-dead/beef.parquet",
+            "deletionTimestamp": int(_time.time() * 1000)
+            - 8 * 24 * 3600 * 1000,
+            "dataChange": True,
+        }
+    }])
+    _write_checkpoint(t, 10)
+    with open(_commit_file(t, 9)) as f:
+        v9 = [json.loads(line) for line in f if line.strip()]
+    overwritten = {a["remove"]["path"] for a in v9 if "remove" in a}
+    assert overwritten  # the overwrite tombstoned every prior file
+    rows = papq.read_table(_checkpoint_file(t, 10)).to_pylist()
+    removed_paths = {r["remove"]["path"] for r in rows if r.get("remove")}
+    # the overwrite's tombstones are recent -> all retained
+    assert removed_paths == overwritten
+    assert "data-dead/beef.parquet" not in removed_paths
+    for r in rows:
+        if r.get("remove"):
+            assert r["remove"]["deletionTimestamp"] > 0
+    # tombstones must NOT leak into the active set on replay
+    assert read_delta(spark, t).count() == 2
+    # and a re-add after a remove cancels the tombstone
+    write_delta(spark, t, _df(spark, 200, 201))  # v11
+    _write_checkpoint(t, 11)
+    rows11 = papq.read_table(_checkpoint_file(t, 11)).to_pylist()
+    adds11 = {r["add"]["path"] for r in rows11 if r.get("add")}
+    rems11 = {r["remove"]["path"] for r in rows11 if r.get("remove")}
+    assert not (adds11 & rems11)
+
+
+def test_staging_stays_inside_table_dir(spark, tmp_path):
+    """Staging must live on the TABLE's filesystem (dot-prefixed, so
+    hidden from readers) and leave no scratch behind — /tmp staging
+    broke os.replace across devices (EXDEV)."""
+    import tempfile as _tempfile
+
+    t = str(tmp_path / "stage")
+    write_delta(spark, t, _df(spark, 0, 4))
+    write_delta(spark, t, _df(spark, 4, 6), mode="overwrite")
+    leftovers = [d for d in os.listdir(t) if d.startswith(".stage_")]
+    assert leftovers == []
+    tmp_strays = [
+        d
+        for d in os.listdir(_tempfile.gettempdir())
+        if d.startswith("jm_delta_stage_")
+    ]
+    assert tmp_strays == []
+    assert read_delta(spark, t).count() == 2
+
+
+def _craft_log(table: str, lines_by_version: dict[int, list[dict]]) -> None:
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    for v, actions in lines_by_version.items():
+        with open(_commit_file(table, v), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+
+_META = {
+    "id": "fix-ture",
+    "format": {"provider": "parquet", "options": {}},
+    "schemaString": json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    ),
+    "partitionColumns": [],
+    "configuration": {},
+    "createdTime": 0,
+}
+
+
+def test_rejection_matrix_deletion_vectors(spark, tmp_path):
+    """A deletion-vector table (minReaderVersion=3) must fail loudly —
+    reading it naively would RETURN DELETED ROWS."""
+    t = str(tmp_path / "dv")
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": _META},
+    ]})
+    with pytest.raises(ValueError, match="minReaderVersion=3"):
+        read_delta(spark, t)
+
+
+def test_rejection_matrix_column_mapping(spark, tmp_path):
+    """Column mapping demands reader v2 -> version gate; a MALFORMED
+    table claiming reader v1 with mapping config still on must hit the
+    metadata gate — either way, never silently misread."""
+    t = str(tmp_path / "cmap")
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**_META, "configuration": {
+            "delta.columnMapping.mode": "name"}}},
+    ]})
+    with pytest.raises(ValueError, match="minReaderVersion=2"):
+        read_delta(spark, t)
+    t2 = str(tmp_path / "cmap_v1claim")
+    _craft_log(t2, {0: [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {**_META, "configuration": {
+            "delta.columnMapping.mode": "name"}}},
+    ]})
+    with pytest.raises(ValueError, match="columnMapping"):
+        read_delta(spark, t2)
+
+
+def test_rejection_matrix_deletion_vector_config_at_v1(spark, tmp_path):
+    t = str(tmp_path / "dvconf")
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {**_META, "configuration": {
+            "delta.enableDeletionVectors": "true"}}},
+    ]})
+    with pytest.raises(ValueError, match="deletion vectors"):
+        read_delta(spark, t)
+
+
+def test_multipart_checkpoint_replays_or_fails_loudly(spark, tmp_path):
+    """parts>1 in _last_checkpoint: the reader must IGNORE the
+    checkpoint and replay commits (correct), and if the commit tail
+    was cleaned it must fail with a message naming the cause — never
+    read half a checkpoint."""
+    t = str(tmp_path / "multipart")
+    write_delta(spark, t, _df(spark, 0, 3))
+    write_delta(spark, t, _df(spark, 3, 5))
+    log = os.path.join(t, "_delta_log")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 10, "parts": 2}, f)
+    # fake multi-part files (never readable by this reader)
+    for part in (1, 2):
+        open(os.path.join(
+            log, f"{1:020d}.checkpoint.{part:010d}.{2:010d}.parquet"
+        ), "wb").close()
+    assert read_delta(spark, t).count() == 5  # full replay, correct
+    os.rename(_commit_file(t, 0), _commit_file(t, 0) + ".gone")
+    with pytest.raises(ValueError, match="multi-part"):
+        read_delta(spark, t)
+    os.rename(_commit_file(t, 0) + ".gone", _commit_file(t, 0))
+
+
+def test_foreign_commit_unknown_actions_ignored(spark, tmp_path):
+    """External writers emit commitInfo/domainMetadata/cdc lines; the
+    protocol says readers IGNORE unknown actions. Also: removes with
+    extendedFileMetadata keys must replay and checkpoint cleanly."""
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.delta import _write_checkpoint
+
+    import time as _time
+
+    t = str(tmp_path / "foreign")
+    write_delta(spark, t, _df(spark, 0, 4))  # v0
+    with open(_commit_file(t, 0)) as f:
+        v0 = [json.loads(line) for line in f if line.strip()]
+    real_adds = [a["add"] for a in v0 if "add" in a]
+    now_ms = int(_time.time() * 1000)
+    _craft_log(t, {1: [
+        {"commitInfo": {"operation": "WRITE", "engineInfo": "ext/9.9"}},
+        {"domainMetadata": {"domain": "x", "configuration": "{}",
+                            "removed": False}},
+        *(
+            {"remove": {"path": a["path"], "deletionTimestamp": now_ms,
+                        "dataChange": True, "extendedFileMetadata": True,
+                        "partitionValues": {}, "size": a["size"]}}
+            for a in real_adds
+        ),
+    ]})
+    assert read_delta(spark, t).count() == 0  # removes applied
+    assert read_delta(spark, t, version=0).count() == 4
+    _write_checkpoint(t, 1)  # extended remove keys projected, no crash
+    rows = papq.read_table(_checkpoint_file(t, 1)).to_pylist()
+    assert {r["remove"]["path"] for r in rows if r.get("remove")} == {
+        a["path"] for a in real_adds
+    }
+
+
+def test_foreign_checkpoint_with_tombstones_and_extra_columns(
+    spark, tmp_path
+):
+    """A foreign checkpoint may carry remove tombstone rows and extra
+    columns (stats, tags); replay must take the adds, not resurrect
+    the removes, and ignore what it doesn't know."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    t = str(tmp_path / "fckpt")
+    write_delta(spark, t, _df(spark, 0, 4))  # v0: files + metaData
+    write_delta(spark, t, _df(spark, 4, 6))  # v1
+    with open(_commit_file(t, 0)) as f:
+        v0 = [json.loads(line) for line in f if line.strip()]
+    with open(_commit_file(t, 1)) as f:
+        v1 = [json.loads(line) for line in f if line.strip()]
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    adds0 = [a["add"] for a in v0 if "add" in a]
+    adds1 = [a["add"] for a in v1 if "add" in a]
+    # foreign checkpoint at v1: v1 adds active, v0 files tombstoned,
+    # plus a "stats" column ours doesn't model
+    rows = [{
+        "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+        "metaData": {
+            "id": meta["id"], "format": meta["format"],
+            "schemaString": meta["schemaString"],
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0,
+        },
+        "add": None, "remove": None, "stats": None,
+    }]
+    rows += [{"protocol": None, "metaData": None, "add": {
+        "path": a["path"], "partitionValues": [],
+        "size": a["size"], "modificationTime": 0, "dataChange": True,
+    }, "remove": None, "stats": '{"numRecords": 1}'} for a in adds1]
+    rows += [{"protocol": None, "metaData": None, "add": None,
+              "remove": {"path": a["path"], "deletionTimestamp": 123,
+                         "dataChange": True},
+              "stats": None} for a in adds0]
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema([
+        pa.field("protocol", pa.struct([
+            pa.field("minReaderVersion", pa.int32()),
+            pa.field("minWriterVersion", pa.int32())])),
+        pa.field("metaData", pa.struct([
+            pa.field("id", pa.string()),
+            pa.field("format", pa.struct([
+                pa.field("provider", pa.string()),
+                pa.field("options", str_map)])),
+            pa.field("schemaString", pa.string()),
+            pa.field("partitionColumns", pa.list_(pa.string())),
+            pa.field("configuration", str_map),
+            pa.field("createdTime", pa.int64())])),
+        pa.field("add", pa.struct([
+            pa.field("path", pa.string()),
+            pa.field("partitionValues", str_map),
+            pa.field("size", pa.int64()),
+            pa.field("modificationTime", pa.int64()),
+            pa.field("dataChange", pa.bool_())])),
+        pa.field("remove", pa.struct([
+            pa.field("path", pa.string()),
+            pa.field("deletionTimestamp", pa.int64()),
+            pa.field("dataChange", pa.bool_())])),
+        pa.field("stats", pa.string()),
+    ])
+    papq.write_table(
+        pa.Table.from_pylist(rows, schema=schema), _checkpoint_file(t, 1)
+    )
+    log = os.path.join(t, "_delta_log")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(rows)}, f)
+    # a later commit survives log cleanup (the usual foreign shape);
+    # its only action is one this reader must ignore
+    _craft_log(t, {2: [
+        {"commitInfo": {"operation": "OPTIMIZE", "engineInfo": "ext"}},
+    ]})
+    # hide the commits the checkpoint replaces: replay MUST come from
+    # the foreign checkpoint alone
+    os.rename(_commit_file(t, 0), _commit_file(t, 0) + ".bak")
+    os.rename(_commit_file(t, 1), _commit_file(t, 1) + ".bak")
+    try:
+        got = read_delta(spark, t)
+        assert sorted(r["k"] for r in got.collect()) == [4, 5]
+    finally:
+        os.rename(_commit_file(t, 0) + ".bak", _commit_file(t, 0))
+        os.rename(_commit_file(t, 1) + ".bak", _commit_file(t, 1))
+
+
+def test_foreign_null_partition_values_read(spark, tmp_path):
+    """An external table storing protocol-correct JSON null partition
+    values must read (None used to TypeError in the group sort)."""
+    t = str(tmp_path / "fnull")
+    df = spark.range(0, 4).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 2, F.lit("x")).alias("p"),
+    )
+    write_delta(spark, t, df, partition_by=["p"])
+    # assert the fixture actually contains a JSON-null partition value
+    with open(_commit_file(t, 0)) as f:
+        blob = f.read()
+    assert '"p": null' in blob or '"p":null' in blob.replace(" ", "")
+    back = read_delta(spark, t)
+    assert back.filter(F.col("p").isNull()).count() == 2
+    assert back.filter(F.col("p") == "x").count() == 2
