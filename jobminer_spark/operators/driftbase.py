@@ -406,7 +406,9 @@ def compare_batch_psi_to_profile(
     comparison: the baseline side is the grid parquet, never raw rows.
     No prefix sum (PSI is a per-cell sum), so the value-space-bounded
     joined frame is materialized once and every later pass reads only
-    it."""
+    it. The cell chain is ONE code path with the per-source diagnostic
+    (``_psi_from_cells`` — review r15 folded the duplicate);
+    ``global_agg`` keeps this variant's always-one-row output shape."""
     grid = spark.read.parquet(os.path.join(root, "grid"))
     meta = spark.read.parquet(os.path.join(root, "meta"))
     joined = (
@@ -422,45 +424,8 @@ def compare_batch_psi_to_profile(
         joined.agg(F.sum("c2").cast("long").alias("n2"))
         .crossJoin(F.broadcast(meta.select("n1")))
     )
-    cells = joined.crossJoin(F.broadcast(tot)).selectExpr(
-        "n1",
-        "n2",
-        "greatest(c2, 1) * n1 - greatest(c1, 1) * n2 AS diff",
-        "greatest(greatest(c2, 1) * n1, 1) AS a",
-        "greatest(greatest(c1, 1) * n2, 1) AS b",
-    )
-    l1 = cells.selectExpr(
-        "n1", "n2", "diff", "a", "b",
-        f"{_e_sql('a')} AS ea",
-        f"{_e_sql('b')} AS eb",
-    )
-    l2 = l1.selectExpr(
-        "n1", "n2", "diff", "ea", "eb",
-        f"{_t_sql('a', 'ea', 'spark')} AS ta",
-        f"{_t_sql('b', 'eb', 'spark')} AS tb",
-    )
-    l3 = l2.selectExpr(
-        "n1", "n2", "diff",
-        f"{_ql_sql('ea', 'ta', 'spark')} AS qa",
-        f"{_ql_sql('eb', 'tb', 'spark')} AS qb",
-    )
-    return (
-        l3.agg(
-            F.first("n1").alias("n1"),
-            F.first("n2").alias("n2"),
-            F.count(F.lit(1)).cast("long").alias("n_value_buckets"),
-            F.sum(F.expr("diff * (qa - qb)")).cast("long").alias("psi_scaled"),
-        )
-        .selectExpr(
-            "n1",
-            "n2",
-            "n_value_buckets",
-            "psi_scaled",
-            "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
-            " ELSE (1000 * psi_scaled) div (n1 * n2 * 1024) END AS BIGINT)"
-            " AS psi_permille_log2",
-        )
-    )
+    cells = joined.crossJoin(F.broadcast(tot)).select("n1", "n2", "c1", "c2")
+    return _psi_from_cells(cells, [], global_agg=True)
 
 
 def _psi_oracle() -> str:
@@ -1006,11 +971,23 @@ def stream_drift_profile_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _psi_from_cells(cells: DataFrame, group_cols: list[str]) -> DataFrame:
+def _psi_from_cells(
+    cells: DataFrame,
+    group_cols: list[str],
+    global_agg: bool = False,
+) -> DataFrame:
     """The shared PSI tail: ``cells`` carries (c1, c2, n1, n2) plus
     ``group_cols``; returns one row per group with the ε-clipped
     exact-integer PSI (module comment). Factoring the tail keeps the
-    baseline twin and the per-source diagnostic on ONE derivation."""
+    baseline twin and the per-source diagnostic on ONE derivation.
+
+    ``global_agg`` (ungrouped callers only) selects the empty-input
+    shape: a global aggregate always yields ONE row (NULL fields on an
+    empty frame — the monitor contract of compare_batch_psi_to_
+    profile), where the default groupBy yields ZERO rows per absent
+    group."""
+    if global_agg and group_cols:
+        raise ValueError("global_agg requires empty group_cols")
     staged = cells.selectExpr(
         *group_cols,
         "n1",
@@ -1032,6 +1009,24 @@ def _psi_from_cells(cells: DataFrame, group_cols: list[str]) -> DataFrame:
         f"{_ql_sql('ea', 'ta', 'spark')} AS qa",
         f"{_ql_sql('eb', 'tb', 'spark')} AS qb",
     )
+    if global_agg:
+        agged = l3.agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.count(F.lit(1)).cast("long").alias("n_value_buckets"),
+            F.sum(F.expr("diff * (qa - qb)")).cast("long").alias(
+                "psi_scaled"
+            ),
+        )
+        return agged.selectExpr(
+            "n1",
+            "n2",
+            "n_value_buckets",
+            "psi_scaled",
+            "CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
+            " ELSE (1000 * psi_scaled) div (n1 * n2 * 1024) END AS BIGINT)"
+            " AS psi_permille_log2",
+        )
     grouped = (
         l3.groupBy(*group_cols, "n1", "n2")
         if group_cols
