@@ -731,3 +731,29 @@ def test_alert_panel_single_batch_scan(spark):
     plan = _plan(spark, "drift_alert_panel")
     assert plan.count("events.parquet") <= 1  # the TVD type-count scan
     assert "jm_driftbase_" in plan
+
+
+def test_orc_roundtrip_pruned_read_hits_partition_filter(spark):
+    """The ORC audit's second read must prune at the PARTITION level —
+    the filter belongs in PartitionFilters on the scan, not in a
+    post-scan Filter over all partitions."""
+    plan = _plan(spark, "orc_roundtrip_audit")
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "event_type" in seg
+
+
+def test_csv_jsonl_reads_declare_schema_no_inference_scan(spark):
+    """Schema'd reads: exactly one scan per file source in each audit
+    (schema inference would add a second pass over the data)."""
+    for name, fmt in (
+        ("csv_roundtrip_audit", "csv"),
+        ("jsonl_roundtrip_audit", "json"),
+    ):
+        plan = _plan(spark, name)
+        # the formatted plan prints the tree, then per-node details —
+        # count scans in the TREE block only
+        tree = plan.split("\n\n", 1)[0]
+        assert tree.count(f"Scan {fmt}") == 1, (name, tree)
+        # single aggregation over that scan: map-side partial + final
+        assert plan.count("HashAggregate") >= 2
