@@ -97,6 +97,13 @@ HEADLINE = [
     # pass re-runs create_table + both MERGEs for real.
     "ks_drift_vs_baseline",
     "lakehouse_merge_parity",
+    # r16 additions: the plain-file round-trip family. The scenario
+    # WRITE is memoized per session (deliberate — the repeated-pass
+    # number should track the schema'd distributed READ + aggregate,
+    # the per-batch production path: pruned-partition ORC and the
+    # splittable quoted-CSV parse).
+    "orc_roundtrip_audit",
+    "csv_roundtrip_audit",
 ]
 
 

@@ -706,42 +706,66 @@ def _write_checkpoint(table: str, version: int) -> None:
 def optimize_delta(
     spark: SparkSession, table: str, target_files: int = 8
 ) -> tuple[int, int, int]:
-    """Compact the current snapshot's data files into ``target_files``
-    larger ones in ONE atomic commit — the protocol's OPTIMIZE shape:
-    the compacted adds and the removes of every old file all carry
-    ``dataChange: false``, telling downstream streaming readers the
-    commit rearranged bytes but changed no rows. Returns
-    (new_version, n_files_before, n_files_after). Unpartitioned tables
-    only (a partitioned OPTIMIZE compacts within each partition — the
-    same loop per partitionValues group; stated, not implemented).
+    """Compact the current snapshot's data files into at most
+    ``target_files`` larger ones PER PARTITION in ONE atomic commit —
+    the protocol's OPTIMIZE shape: the compacted adds and the removes
+    of every old file all carry ``dataChange: false``, telling
+    downstream streaming readers the commit rearranged bytes but
+    changed no rows. Partitioned tables compact within each
+    partitionValues group (groups already at or under the target are
+    left untouched — their files don't churn); unpartitioned tables
+    are the single-group case. Returns
+    (new_version, n_files_before, n_files_after).
     Time travel to pre-OPTIMIZE versions still resolves the old files
-    (they are removed from the ACTIVE set, not from disk — a vacuum
-    process owns physical deletion, exactly like lakehouse.vacuum)."""
+    (they are removed from the ACTIVE set, not from disk —
+    ``vacuum_delta`` owns physical deletion, exactly like
+    lakehouse.vacuum)."""
     latest = delta_latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
     while True:
         current = delta_latest_version(table)
         adds, meta, _txns = _replay(table, current)
-        if meta.get("partitionColumns"):
-            raise ValueError(
-                "optimize_delta supports unpartitioned tables only"
-            )
+        part_cols = meta.get("partitionColumns", [])
         n_before = len(adds)
-        if n_before <= target_files:
-            return current, n_before, n_before  # nothing to do
         schema = json.loads(meta["schemaString"])
-        ddl = ", ".join(
+        data_ddl = ", ".join(
             f"{f['name']} {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
             for f in schema["fields"]
+            if f["name"] not in part_cols
         )
-        paths = [os.path.join(table, a["path"]) for a in adds.values()]
-        compacted = spark.read.schema(ddl).parquet(*paths).repartition(
-            target_files
-        )
-        staged = _stage_data_files(spark, table, compacted, [])
-        for a in staged:
-            a["dataChange"] = False
+        by_part: dict[tuple, list[dict]] = {}
+        for a in adds.values():
+            key = tuple(
+                a.get("partitionValues", {}).get(c) for c in part_cols
+            )
+            by_part.setdefault(key, []).append(a)
+        staged_all: list[dict] = []
+        removed_paths: list[str] = []
+        n_untouched = 0
+        for key in sorted(
+            by_part,
+            key=lambda k: tuple((v is None, v or "") for v in k),
+        ):
+            group = by_part[key]
+            if len(group) <= target_files:
+                n_untouched += len(group)
+                continue
+            paths = [os.path.join(table, a["path"]) for a in group]
+            compacted = (
+                spark.read.schema(data_ddl)
+                .parquet(*paths)
+                .repartition(target_files)
+            )
+            staged = _stage_data_files(spark, table, compacted, [])
+            pvals = dict(zip(part_cols, key))
+            for a in staged:
+                a["dataChange"] = False
+                a["partitionValues"] = pvals
+            staged_all.extend(staged)
+            removed_paths.extend(a["path"] for a in group)
+        if not staged_all:
+            return current, n_before, n_before  # nothing to do
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -751,9 +775,11 @@ def optimize_delta(
                     "dataChange": False,
                 }
             }
-            for p in sorted(adds)
+            for p in sorted(removed_paths)
         ]
-        actions.extend({"add": a} for a in staged)
+        actions.extend({"add": a} for a in staged_all)
+        staged = staged_all  # the race-retry loop unstages these
+        n_after = n_untouched + len(staged_all)
         try:
             _publish_commit(table, current + 1, actions)
         except FileExistsError:
@@ -763,4 +789,56 @@ def optimize_delta(
                 except OSError:
                     pass
             continue
-        return current + 1, n_before, len(staged)
+        return current + 1, n_before, n_after
+
+
+def vacuum_delta(
+    table: str,
+    retention_ms: int = _TOMBSTONE_RETENTION_MS,
+    dry_run: bool = False,
+) -> tuple[list[str], int]:
+    """Physically delete data files no longer referenced by the
+    CURRENT snapshot whose tombstones have aged past ``retention_ms``
+    — the protocol's VACUUM. Returns (deleted relative paths, number
+    of unreferenced files kept for retention).
+
+    Algorithm (delta-spark's): LIST the table directory (skipping
+    `_delta_log` and hidden dot/underscore paths — staging is
+    dot-prefixed, so in-flight writes are invisible here), keep every
+    file the current snapshot references, and delete the rest only
+    once BOTH its tombstone (if one still stands) and its filesystem
+    mtime have aged past the retention window — the grace that lets
+    concurrent readers of older versions finish their scans. Time
+    travel to versions that referenced a vacuumed file fails at scan
+    time afterwards — the stated, protocol-matching trade."""
+    latest = delta_latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
+    adds, removes, _meta, _txns = _replay_full(table, latest)
+    cutoff = int(time.time() * 1000) - retention_ms
+    deleted: list[str] = []
+    kept = 0
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [
+            d for d in dirs if not d.startswith((".", "_"))
+        ]
+        for fname in files:
+            if fname.startswith((".", "_")):
+                continue
+            rel = os.path.relpath(os.path.join(root, fname), table).replace(
+                os.sep, "/"
+            )
+            if rel in adds:  # live in the current snapshot
+                continue
+            r = removes.get(rel)
+            if r is not None and r.get("deletionTimestamp", 0) > cutoff:
+                kept += 1
+                continue
+            full = os.path.join(root, fname)
+            if os.stat(full).st_mtime * 1000 > cutoff:
+                kept += 1
+                continue
+            if not dry_run:
+                os.unlink(full)
+            deleted.append(rel)
+    return sorted(deleted), kept

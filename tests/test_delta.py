@@ -654,3 +654,75 @@ def test_foreign_null_partition_values_read(spark, tmp_path):
     back = read_delta(spark, t)
     assert back.filter(F.col("p").isNull()).count() == 2
     assert back.filter(F.col("p") == "x").count() == 2
+
+
+def test_optimize_partitioned_compacts_within_partitions(spark, tmp_path):
+    """Partitioned OPTIMIZE: each partitionValues group compacts to at
+    most target_files; groups already small stay byte-identical; the
+    null partition compacts too; partition values survive."""
+    from jobminer_spark.sources.delta import optimize_delta
+
+    t = str(tmp_path / "optpart")
+    for i in range(5):
+        df = spark.range(i * 8, i * 8 + 8).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 3 == 0, F.lit(None))
+            .otherwise((F.col("id") % 3).cast("string"))
+            .alias("p"),
+        )
+        write_delta(spark, t, df, partition_by=["p"])
+    before = read_delta(spark, t)
+    rows_before = sorted(r["k"] for r in before.collect())
+    nulls_before = before.filter(F.col("p").isNull()).count()
+    n_files_before = len(before.inputFiles())
+    assert n_files_before > 3 * 2  # each partition has >2 files
+
+    v, nb, na = optimize_delta(spark, t, target_files=2)
+    assert nb == n_files_before and na <= 3 * 2
+    after = read_delta(spark, t)
+    assert len(after.inputFiles()) == na
+    assert sorted(r["k"] for r in after.collect()) == rows_before
+    assert after.filter(F.col("p").isNull()).count() == nulls_before
+    # adds carry the GROUP's partitionValues (incl. JSON null)
+    with open(_commit_file(t, v)) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    pvs = [a["add"]["partitionValues"]["p"] for a in actions if "add" in a]
+    assert None in pvs and {x for x in pvs if x is not None} <= {"1", "2"}
+    assert all(
+        not a.get("add", a.get("remove"))["dataChange"] for a in actions
+    )
+    # per-partition pruned read still correct post-compaction
+    assert read_delta(spark, t, partition_filters={"p": None}).count() == (
+        nulls_before
+    )
+
+
+def test_vacuum_deletes_expired_unreferenced_files_only(spark, tmp_path):
+    """VACUUM: files tombstoned past retention go; live files and
+    recent tombstones stay; time travel to a vacuumed version fails at
+    scan, the current snapshot is untouched."""
+    from jobminer_spark.sources.delta import optimize_delta, vacuum_delta
+
+    t = str(tmp_path / "vac")
+    for i in range(6):
+        write_delta(spark, t, _df(spark, i * 2, i * 2 + 2))
+    v, nb, na = optimize_delta(spark, t, target_files=1)
+    rows = sorted(r["k"] for r in read_delta(spark, t).collect())
+
+    # recent tombstones: default retention keeps everything
+    deleted, kept = vacuum_delta(t)
+    assert deleted == [] and kept == nb
+    # dry run with zero retention names them but deletes nothing
+    dry, _ = vacuum_delta(t, retention_ms=-60_000, dry_run=True)
+    assert len(dry) == nb
+    assert read_delta(spark, t, version=v - 1).count() == 12
+    # real vacuum past retention
+    deleted, kept = vacuum_delta(t, retention_ms=-60_000)
+    assert sorted(deleted) == sorted(dry) and kept == 0
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == rows
+    # the vacuumed pre-OPTIMIZE layout is gone: the travel read fails
+    # loudly (Spark resolves the listed paths at plan build)
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        read_delta(spark, t, version=v - 1).count()
+    # idempotent: nothing left to delete
+    assert vacuum_delta(t, retention_ms=-60_000) == ([], 0)
