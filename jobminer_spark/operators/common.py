@@ -416,3 +416,31 @@ def source_fingerprint(sf_dir: str, table: str = "events") -> str:
     except OSError:
         parts.append("missing")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def scenario_workdir(spark, sf_dir: str, prefix: str, fingerprint: str) -> str:
+    """Fresh scratch root for a one-build-per-(session, sf_dir, data)
+    audit scenario — the shared dance every format/maintenance audit
+    module used to copy (review r16 folded seven copies): sweep other
+    sessions' stale roots (age-gated), digest the FULL sf_dir path +
+    data fingerprint into the dir name (two alike-named fixture dirs,
+    or a rewritten dataset under the same path, can never collide on
+    one root — ADVICE r14's stale-cache rule), then clear any previous
+    build of this exact root. Callers own their memo dict; the memo
+    key is (applicationId, sf_dir, fingerprint) so a data rewrite gets
+    a fresh entry AND a fresh root."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    tmp = tempfile.gettempdir()
+    sweep_stale_dirs(tmp, prefix, keep_token=f"{prefix}{app}_")
+    digest = hashlib.md5(
+        (os.path.abspath(sf_dir) + "#" + fingerprint).encode()
+    ).hexdigest()[:10]
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    work = os.path.join(tmp, f"{prefix}{app}_{sf_tag}_{digest}")
+    shutil.rmtree(work, ignore_errors=True)
+    return work

@@ -28,15 +28,12 @@ Scenario (one build per session+sf, the lakeaudit discipline):
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.common import source_fingerprint, sweep_stale_dirs
+from jobminer_spark.operators.common import scenario_workdir, source_fingerprint
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 from jobminer_spark.sources.delta import (
@@ -73,15 +70,7 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
     if cache_key in _SCENARIO_CACHE:
         return _SCENARIO_CACHE[cache_key]
-    app = spark.sparkContext.applicationId
-    tmp = tempfile.gettempdir()
-    sweep_stale_dirs(tmp, "jm_delta_", keep_token=f"jm_delta_{app}_")
-    digest = hashlib.md5(
-        (os.path.abspath(sf_dir) + "#" + fp).encode()
-    ).hexdigest()[:10]
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    work = os.path.join(tmp, f"jm_delta_{app}_{sf_tag}_{digest}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = scenario_workdir(spark, sf_dir, "jm_delta_", fp)
     rows = _rows(spark, sf_dir)
 
     main = os.path.join(work, "main")
@@ -246,15 +235,7 @@ def _opt_scenario(spark: SparkSession, sf_dir: str) -> dict:
         return _OPT_CACHE[cache_key]
     from jobminer_spark.sources.delta import optimize_delta
 
-    app = spark.sparkContext.applicationId
-    tmp = tempfile.gettempdir()
-    sweep_stale_dirs(tmp, "jm_dopt_", keep_token=f"jm_dopt_{app}_")
-    digest = hashlib.md5(
-        (os.path.abspath(sf_dir) + "#" + fp).encode()
-    ).hexdigest()[:10]
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    work = os.path.join(tmp, f"jm_dopt_{app}_{sf_tag}_{digest}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = scenario_workdir(spark, sf_dir, "jm_dopt_", fp)
     table = os.path.join(work, "opt")
     rows = _rows(spark, sf_dir)
     for b in range(6):

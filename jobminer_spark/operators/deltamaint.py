@@ -29,17 +29,14 @@ lakehouse maintenance audits.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jobminer_spark.operators.common import (
+    scenario_workdir,
     source_fingerprint,
-    sweep_stale_dirs,
 )
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
@@ -91,15 +88,7 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
     if cache_key in _SCENARIO_CACHE:
         return _SCENARIO_CACHE[cache_key]
-    app = spark.sparkContext.applicationId
-    tmp = tempfile.gettempdir()
-    sweep_stale_dirs(tmp, "jm_dmaint_", keep_token=f"jm_dmaint_{app}_")
-    digest = hashlib.md5(
-        (os.path.abspath(sf_dir) + "#" + fp).encode()
-    ).hexdigest()[:10]
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    work = os.path.join(tmp, f"jm_dmaint_{app}_{sf_tag}_{digest}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = scenario_workdir(spark, sf_dir, "jm_dmaint_", fp)
 
     opt = os.path.join(work, "opt")
     _build_partitioned(spark, sf_dir, opt)

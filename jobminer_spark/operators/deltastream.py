@@ -30,15 +30,12 @@ oracle recomputing both from the raw source.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.common import source_fingerprint, sweep_stale_dirs
+from jobminer_spark.operators.common import scenario_workdir, source_fingerprint
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 from jobminer_spark.sources.delta import (
@@ -73,15 +70,7 @@ def _run_stream_sink(spark: SparkSession, sf_dir: str) -> dict:
         return _SINK_CACHE[cache_key]
     from jobminer_spark.streaming.windows import pinned_drain_shuffle
 
-    app = spark.sparkContext.applicationId
-    tmp = tempfile.gettempdir()
-    sweep_stale_dirs(tmp, "jm_dsink_", keep_token=f"jm_dsink_{app}_")
-    digest = hashlib.md5(
-        (os.path.abspath(sf_dir) + "#" + fp).encode()
-    ).hexdigest()[:10]
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    work = os.path.join(tmp, f"jm_dsink_{app}_{sf_tag}_{digest}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = scenario_workdir(spark, sf_dir, "jm_dsink_", fp)
     spool = os.path.join(work, "spool")
     table = os.path.join(work, "delta_table")
 
@@ -242,15 +231,7 @@ def _run_export(spark: SparkSession, sf_dir: str) -> dict:
         return _EXPORT_CACHE[cache_key]
     from jobminer_spark.lakehouse import create_table, merge_into
 
-    app = spark.sparkContext.applicationId
-    tmp = tempfile.gettempdir()
-    sweep_stale_dirs(tmp, "jm_dexp_", keep_token=f"jm_dexp_{app}_")
-    digest = hashlib.md5(
-        (os.path.abspath(sf_dir) + "#" + fp).encode()
-    ).hexdigest()[:10]
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    work = os.path.join(tmp, f"jm_dexp_{app}_{sf_tag}_{digest}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = scenario_workdir(spark, sf_dir, "jm_dexp_", fp)
     lake = os.path.join(work, "lake")
     delta = os.path.join(work, "delta_export")
 

@@ -26,17 +26,14 @@ the round trip.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jobminer_spark.operators.common import (
+    scenario_workdir,
     source_fingerprint,
-    sweep_stale_dirs,
 )
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
@@ -77,15 +74,7 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
     if cache_key in _SCENARIO_CACHE:
         return _SCENARIO_CACHE[cache_key]
-    app = spark.sparkContext.applicationId
-    tmp = tempfile.gettempdir()
-    sweep_stale_dirs(tmp, "jm_ff_", keep_token=f"jm_ff_{app}_")
-    digest = hashlib.md5(
-        (os.path.abspath(sf_dir) + "#" + fp).encode()
-    ).hexdigest()[:10]
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    work = os.path.join(tmp, f"jm_ff_{app}_{sf_tag}_{digest}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = scenario_workdir(spark, sf_dir, "jm_ff_", fp)
     rows = _rows(spark, sf_dir)
 
     orc_dir = os.path.join(work, "orc")

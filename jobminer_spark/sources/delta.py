@@ -179,14 +179,21 @@ def _replay_full(
             if row.get("add"):
                 a = dict(row["add"])
                 # map columns come back as (k, v) tuple lists
-                if isinstance(a.get("partitionValues"), list):
-                    a["partitionValues"] = dict(a["partitionValues"])
+                _maps_to_dicts(a, "partitionValues")
                 adds[a["path"]] = a
             if row.get("remove"):
                 r = dict(row["remove"])
                 removes[r["path"]] = r
             if row.get("metaData"):
                 meta = dict(row["metaData"])
+                # same tuple-list normalization for the metaData maps:
+                # configuration feeds _check_metadata (a list would
+                # crash its .get) and the overwrite path republishes
+                # this dict as JSON
+                _maps_to_dicts(meta, "configuration")
+                if isinstance(meta.get("format"), dict):
+                    meta["format"] = dict(meta["format"])
+                    _maps_to_dicts(meta["format"], "options")
             if row.get("protocol"):
                 _check_protocol(row["protocol"])
             if row.get("txn"):
@@ -218,6 +225,13 @@ def _replay_full(
             # reader version 1 only mandates the keys above
     _check_metadata(meta)
     return adds, removes, meta, txns
+
+
+def _maps_to_dicts(obj: dict, key: str) -> None:
+    """pyarrow returns parquet MAP columns as lists of (k, v) tuples;
+    normalize ``obj[key]`` to a plain dict in place."""
+    if isinstance(obj.get(key), list):
+        obj[key] = dict(obj[key])
 
 
 def _check_protocol(p: dict) -> None:
@@ -599,13 +613,15 @@ def _write_checkpoint(table: str, version: int) -> None:
     live_removes = [
         # project to the checkpoint struct (external commits may carry
         # extendedFileMetadata/partitionValues/size on removes)
+        # `or 0` also covers a present-but-null deletionTimestamp (the
+        # protocol marks the field optional; foreign writers emit null)
         {
             "path": r["path"],
-            "deletionTimestamp": r.get("deletionTimestamp", 0),
+            "deletionTimestamp": r.get("deletionTimestamp") or 0,
             "dataChange": bool(r.get("dataChange", True)),
         }
         for r in sorted(removes.values(), key=lambda r: r["path"])
-        if r.get("deletionTimestamp", 0) >= cutoff_ms
+        if (r.get("deletionTimestamp") or 0) >= cutoff_ms
     ]
     none_row = {
         "add": None, "remove": None, "metaData": None, "protocol": None,
@@ -704,7 +720,10 @@ def _write_checkpoint(table: str, version: int) -> None:
 
 
 def optimize_delta(
-    spark: SparkSession, table: str, target_files: int = 8
+    spark: SparkSession,
+    table: str,
+    target_files: int = 8,
+    checkpoint_interval: int = _CHECKPOINT_INTERVAL,
 ) -> tuple[int, int, int]:
     """Compact the current snapshot's data files into at most
     ``target_files`` larger ones PER PARTITION in ONE atomic commit —
@@ -789,7 +808,18 @@ def optimize_delta(
                 except OSError:
                     pass
             continue
-        return current + 1, n_before, n_after
+        # log compaction is per-VERSION, not per-writer: a maintenance
+        # commit landing on an interval multiple must checkpoint too,
+        # or interleaved OPTIMIZE/write histories grow the replay tail
+        # toward 2× the interval (review r16)
+        new_version = current + 1
+        if (
+            checkpoint_interval > 0
+            and new_version > 0
+            and new_version % checkpoint_interval == 0
+        ):
+            _write_checkpoint(table, new_version)
+        return new_version, n_before, n_after
 
 
 def vacuum_delta(
@@ -831,7 +861,7 @@ def vacuum_delta(
             if rel in adds:  # live in the current snapshot
                 continue
             r = removes.get(rel)
-            if r is not None and r.get("deletionTimestamp", 0) > cutoff:
+            if r is not None and (r.get("deletionTimestamp") or 0) > cutoff:
                 kept += 1
                 continue
             full = os.path.join(root, fname)

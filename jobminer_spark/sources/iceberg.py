@@ -313,12 +313,10 @@ def write_iceberg(
             "manifest_length": m["manifest_length"],
             "partition_spec_id": m.get("partition_spec_id", 0),
             "content": m.get("content", 0),
-            "sequence_number": m.get(
-                "sequence_number", m.get("added_snapshot_id") or 0
-            ),
-            "min_sequence_number": m.get(
-                "min_sequence_number", m.get("added_snapshot_id") or 0
-            ),
+            # pre-upgrade (v1-written) manifests carry data sequence
+            # number 0, the spec's assignment for pre-v2 history
+            "sequence_number": m.get("sequence_number", 0),
+            "min_sequence_number": m.get("min_sequence_number", 0),
             "added_snapshot_id": m.get("added_snapshot_id") or 0,
             "added_files_count": m.get("added_files_count", 0),
             "existing_files_count": m.get("existing_files_count", 0),
@@ -390,13 +388,26 @@ def write_iceberg(
     meta["current-snapshot-id"] = snapshot_id
     # v2 sequence-number semantics; appending to a table created by
     # the earlier v1 writer upgrades its metadata in place (a legal
-    # format-version bump — the reader handles both shapes)
+    # format-version bump). The upgrade must emit the FULL v2 required
+    # set — schemas list, partition-specs/default-spec-id, sort-orders/
+    # default-sort-order-id — and retire the v1-only partition-spec
+    # key; pre-upgrade snapshots get sequence number 0, the spec's
+    # assignment for pre-v2 history (review r16).
     meta["format-version"] = 2
     meta["last-sequence-number"] = seq
     if "schemas" not in meta and "schema" in meta:
         meta["schemas"] = [{**meta.pop("schema"), "schema-id": 0}]
         meta["current-schema-id"] = 0
-    meta["snapshots"] = list(meta.get("snapshots", [])) + [
+    meta.pop("partition-spec", None)
+    meta.setdefault("partition-specs", [{"spec-id": 0, "fields": []}])
+    meta.setdefault("default-spec-id", 0)
+    meta.setdefault("last-partition-id", 999)
+    meta.setdefault("sort-orders", [{"order-id": 0, "fields": []}])
+    meta.setdefault("default-sort-order-id", 0)
+    meta["snapshots"] = [
+        {**s, "sequence-number": s.get("sequence-number", 0)}
+        for s in meta.get("snapshots", [])
+    ] + [
         {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,

@@ -535,11 +535,60 @@ def test_iceberg_v1_table_upgrades_on_append(spark, tmp_path):
     }
     with open(_current_metadata_path(t), "w") as f:
         json.dump(v1_meta, f)
+    # ...and its manifest LIST back to the v1 writer's schema (no
+    # content/sequence/stats fields), so the upgrade's defaulting
+    # path is actually exercised
+    from jobminer_spark.sources.avro import read_avro_records as _rar0
+
+    cur1 = next(
+        s for s in v1_meta["snapshots"]
+        if s["snapshot-id"] == v1_meta["current-snapshot-id"]
+    )
+    _, v2_mans = _rar0(cur1["manifest-list"])
+    v1_list_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ],
+    }
+    write_avro_file(cur1["manifest-list"], v1_list_schema, [
+        {"manifest_path": m["manifest_path"],
+         "manifest_length": m["manifest_length"],
+         "partition_spec_id": 0,
+         "added_snapshot_id": m["added_snapshot_id"]}
+        for m in v2_mans
+    ])
     df2 = spark.range(4, 6).select(F.col("id").alias("k"))
     s2 = write_iceberg(spark, t, df2)
     meta2 = iceberg_metadata(t)
     assert meta2["format-version"] == 2
     assert "schemas" in meta2 and "schema" not in meta2
+    # the upgrade must emit the FULL v2 required set and retire the
+    # v1-only partition-spec key (review r16)
+    assert "partition-spec" not in meta2
+    assert meta2["partition-specs"] == [{"spec-id": 0, "fields": []}]
+    assert meta2["default-spec-id"] == 0
+    assert meta2["sort-orders"] == [{"order-id": 0, "fields": []}]
+    assert meta2["default-sort-order-id"] == 0
+    assert "last-partition-id" in meta2
+    # pre-upgrade snapshots get sequence number 0 (the spec's
+    # assignment for pre-v2 history); the new snapshot gets the live one
+    seqs = {s["snapshot-id"]: s["sequence-number"] for s in meta2["snapshots"]}
+    assert seqs[s1] == 0 and seqs[s2] > 0
+    # re-referenced pre-upgrade manifests carry data sequence number 0
+    from jobminer_spark.sources.avro import read_avro_records as _rar2
+
+    cur2 = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _, mans = _rar2(cur2["manifest-list"])
+    man_seqs = {m["added_snapshot_id"]: m["sequence_number"] for m in mans}
+    assert man_seqs.get(s1, 0) == 0 and man_seqs[s2] > 0
     assert meta2["last-sequence-number"] == next(
         s["sequence-number"]
         for s in meta2["snapshots"]

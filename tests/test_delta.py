@@ -726,3 +726,112 @@ def test_vacuum_deletes_expired_unreferenced_files_only(spark, tmp_path):
         read_delta(spark, t, version=v - 1).count()
     # idempotent: nothing left to delete
     assert vacuum_delta(t, retention_ms=-60_000) == ([], 0)
+
+
+def test_foreign_checkpoint_metadata_configuration_map(spark, tmp_path):
+    """pyarrow returns checkpoint MAP columns as (k, v) tuple lists; a
+    foreign checkpoint whose metaData carries table properties (every
+    delta-spark table does) must normalize to dicts — not crash the
+    metadata gate — and a column-mapping property arriving THROUGH the
+    checkpoint must still reject by name."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    def _ckpt(t, conf_pairs):
+        write_delta(spark, t, _df(spark, 0, 3))
+        with open(_commit_file(t, 0)) as f:
+            v0 = [json.loads(line) for line in f if line.strip()]
+        meta = next(a["metaData"] for a in v0 if "metaData" in a)
+        adds = [a["add"] for a in v0 if "add" in a]
+        str_map = pa.map_(pa.string(), pa.string())
+        schema = pa.schema([
+            pa.field("protocol", pa.struct([
+                pa.field("minReaderVersion", pa.int32()),
+                pa.field("minWriterVersion", pa.int32())])),
+            pa.field("metaData", pa.struct([
+                pa.field("id", pa.string()),
+                pa.field("format", pa.struct([
+                    pa.field("provider", pa.string()),
+                    pa.field("options", str_map)])),
+                pa.field("schemaString", pa.string()),
+                pa.field("partitionColumns", pa.list_(pa.string())),
+                pa.field("configuration", str_map),
+                pa.field("createdTime", pa.int64())])),
+            pa.field("add", pa.struct([
+                pa.field("path", pa.string()),
+                pa.field("partitionValues", str_map),
+                pa.field("size", pa.int64()),
+                pa.field("modificationTime", pa.int64()),
+                pa.field("dataChange", pa.bool_())])),
+        ])
+        rows = [{
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": {
+                "id": meta["id"], "format": meta["format"],
+                "schemaString": meta["schemaString"],
+                "partitionColumns": [],
+                "configuration": conf_pairs, "createdTime": 0,
+            },
+            "add": None,
+        }]
+        rows += [{"protocol": None, "metaData": None, "add": {
+            "path": a["path"], "partitionValues": [], "size": a["size"],
+            "modificationTime": 0, "dataChange": True}} for a in adds]
+        papq.write_table(
+            pa.Table.from_pylist(rows, schema=schema), _checkpoint_file(t, 0)
+        )
+        with open(os.path.join(t, "_delta_log", "_last_checkpoint"), "w") as f:
+            json.dump({"version": 0, "size": len(rows)}, f)
+
+    t1 = str(tmp_path / "conf_ok")
+    _ckpt(t1, [("delta.appendOnly", "false")])
+    assert read_delta(spark, t1).count() == 3  # benign property: reads
+    t2 = str(tmp_path / "conf_cmap")
+    _ckpt(t2, [("delta.columnMapping.mode", "name")])
+    with pytest.raises(ValueError, match="columnMapping"):
+        read_delta(spark, t2)
+
+
+def test_null_deletion_timestamp_tombstone_handled(spark, tmp_path):
+    """The protocol marks remove.deletionTimestamp optional; a foreign
+    null must act as 'expired' (checkpointed out, vacuumable), never
+    TypeError."""
+    from jobminer_spark.sources.delta import (
+        _write_checkpoint,
+        vacuum_delta,
+        write_delta as _wd,
+    )
+
+    t = str(tmp_path / "nullts")
+    _wd(spark, t, _df(spark, 0, 3))
+    with open(_commit_file(t, 0)) as f:
+        v0 = [json.loads(line) for line in f if line.strip()]
+    victim = next(a["add"] for a in v0 if "add" in a)
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"remove": {
+            "path": victim["path"], "deletionTimestamp": None,
+            "dataChange": True,
+        }}) + "\n")
+    _write_checkpoint(t, 1)  # no TypeError; null ts -> expired, dropped
+    import pyarrow.parquet as papq
+
+    rows = papq.read_table(_checkpoint_file(t, 1)).to_pylist()
+    assert not any(r.get("remove") for r in rows)
+    deleted, kept = vacuum_delta(t, retention_ms=-60_000)
+    assert victim["path"] in deleted
+
+
+def test_optimize_checkpoints_on_interval_multiple(spark, tmp_path):
+    """A maintenance commit landing on a checkpoint_interval multiple
+    must write the checkpoint too — log compaction is per-version, not
+    per-writer."""
+    from jobminer_spark.sources.delta import optimize_delta
+
+    t = str(tmp_path / "optckpt")
+    for i in range(10):  # versions 0..9
+        write_delta(spark, t, _df(spark, i, i + 1))
+    v, _nb, _na = optimize_delta(spark, t, target_files=1)
+    assert v == 10
+    assert os.path.exists(_checkpoint_file(t, 10))
+    with open(os.path.join(t, "_delta_log", "_last_checkpoint")) as f:
+        assert json.load(f)["version"] == 10
