@@ -1,0 +1,218 @@
+"""Delta read-optimization audits: data skipping on add-action
+statistics, and the incremental change reader (sources/delta.py),
+pinned against oracles that recompute row facts from raw events.
+
+deltamaint.py attests the maintenance pair; this module attests the
+two READ paths that make a 100 TB Delta table cheap to consume:
+
+* **Data skipping** — the writer stamps each add-action with
+  delta-spark's stats JSON (numRecords + per-integer-column min/max/
+  nullCount from the parquet footer), and ``read_delta(...,
+  stats_filters=...)`` drops files whose [min, max] cannot intersect
+  the requested range BEFORE the plan is built. On a range-clustered
+  layout the audit proves a 1-of-8 file scan returns exactly the
+  rows the oracle computes from the raw table.
+* **Incremental changes** — ``delta_changes`` delivers the rows
+  appended in a version range, skipping dataChange=false OPTIMIZE
+  rearrangements (their rows were already delivered) and refusing
+  ranges that contain a real delete — the contract of a Delta
+  streaming SOURCE, complementing deltastream.py's exactly-once SINK.
+
+Scale shape: both prunes are log-level (driver metadata, O(live
+files)); the scans they admit are ordinary distributed parquet reads
+with pushdown intact. Stats stamping is footer-read-per-file bounded
+by the small-commit cap (wider commits ship unprunable-but-correct;
+a cluster writer computes stats executor-side in the write job).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.operators.common import (
+    scenario_workdir,
+    source_fingerprint,
+)
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+from jobminer_spark.sources.delta import (
+    delta_changes,
+    delta_changes_adds,
+    delta_latest_version,
+    optimize_delta,
+    read_delta,
+    write_delta,
+)
+
+_SCENARIO_CACHE: dict[tuple[str, str, str], dict] = {}
+
+_N_BUCKETS = 8
+
+_ROWS_CTE = """
+    rows AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS val_q
+      FROM events
+    ),
+    wparam AS (
+      SELECT (MAX(event_id) + 8) // 8 AS w FROM rows
+    )"""
+
+
+def _rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0).cast("long").alias("val_q"),
+    )
+
+
+def _scenario(spark: SparkSession, sf_dir: str) -> dict:
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
+    if cache_key in _SCENARIO_CACHE:
+        return _SCENARIO_CACHE[cache_key]
+    work = scenario_workdir(spark, sf_dir, "jm_dscan_", fp)
+    rows = _rows(spark, sf_dir)
+
+    # RANGE-CLUSTERED table: commit i holds event_id ∈ [i·W, (i+1)·W),
+    # W = ceil((max_id+1)/8) — the layout a writer produces when data
+    # arrives ordered, and the one data skipping pays off on
+    max_id = rows.agg(F.max("event_id")).first()[0]
+    w = (max_id + _N_BUCKETS) // _N_BUCKETS
+    skip = os.path.join(work, "skip")
+    for i in range(_N_BUCKETS):
+        write_delta(
+            spark,
+            skip,
+            rows.filter(
+                (F.col("event_id") >= i * w)
+                & (F.col("event_id") < (i + 1) * w)
+            ).repartition(1),
+        )
+    full = read_delta(spark, skip)
+    pruned = read_delta(spark, skip, stats_filters={"event_id": (0, w - 1)})
+    n_files_total = len(full.inputFiles())
+    n_files_scanned = len(pruned.inputFiles())
+
+    # CHANGE-FED table: 4 appends, an OPTIMIZE (dataChange=false),
+    # one more append — the history an incremental consumer tails
+    chg = os.path.join(work, "chg")
+    for b in range(4):
+        write_delta(
+            spark, chg,
+            rows.filter(F.col("user_id") % 5 == b).repartition(1),
+        )
+    _v, _nb, n_after = optimize_delta(spark, chg, target_files=2)
+    write_delta(spark, chg, rows.filter(F.col("user_id") % 5 == 4))
+    _adds, n_rearranged = delta_changes_adds(chg, -1)
+
+    result = {
+        "skip": skip,
+        "w": w,
+        "n_files_total": n_files_total,
+        "n_files_scanned": n_files_scanned,
+        "chg": chg,
+        "n_rearranged": n_rearranged,
+        "n_opt_outputs": n_after,
+        "n_versions": delta_latest_version(chg) + 1,
+    }
+    _SCENARIO_CACHE[cache_key] = result
+    return result
+
+
+@query(
+    "delta_stats_skipping_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id < (SELECT w FROM wparam)) AS n,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id < (SELECT w FROM wparam)) AS ck,
+           CAST({_N_BUCKETS} AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_unpruned
+    FROM rows LIMIT 1
+    """,
+)
+def delta_stats_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eight range-clustered commits, then a stats-filtered read of
+    the first bucket: the log-level min/max prune must plan exactly
+    ONE of the eight files, and the rows that come back (with the real
+    filter applied on top, as data skipping requires) must match the
+    oracle's recomputation from raw events — while an unfiltered read
+    still sees everything. A writer that mis-stamps stats or a pruner
+    that drops a matching file goes red on n/ck; one that stops
+    pruning goes red on n_files_scanned."""
+    s = _scenario(spark, sf_dir)
+    w = s["w"]
+    pruned = (
+        read_delta(spark, s["skip"], stats_filters={"event_id": (0, w - 1)})
+        .filter(F.col("event_id") < w)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val_q").cast("long").alias("ck"),
+        )
+    )
+    full = read_delta(spark, s["skip"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_unpruned")
+    )
+    return (
+        pruned.crossJoin(F.broadcast(full))
+        .selectExpr(
+            "n",
+            "ck",
+            f"CAST({s['n_files_total']} AS BIGINT) AS n_files_total",
+            f"CAST({s['n_files_scanned']} AS BIGINT) AS n_files_scanned",
+            "n_unpruned",
+        )
+    )
+
+
+@query(
+    "delta_changes_incremental_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_incremental,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck_incremental,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE user_id % 5 = 4) AS n_last_batch,
+           CAST(2 AS BIGINT) AS n_rearranged_skipped,
+           CAST(6 AS BIGINT) AS n_versions
+    FROM rows LIMIT 1
+    """,
+)
+def delta_changes_incremental_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tail a 6-version history (4 appends, an OPTIMIZE, an append)
+    with the incremental reader: the full (−1, latest] range must
+    deliver every row exactly once — the OPTIMIZE's dataChange=false
+    output files are SKIPPED (their rows arrived with the original
+    appends; double delivery would double n/ck) — and the single-
+    version batch after the OPTIMIZE must be exactly the last append.
+    Counts and checksums recomputed from raw events."""
+    s = _scenario(spark, sf_dir)
+    inc = delta_changes(spark, s["chg"], -1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_incremental"),
+        F.sum("val_q").cast("long").alias("ck_incremental"),
+    )
+    last = delta_changes(
+        spark, s["chg"], s["n_versions"] - 2, s["n_versions"] - 1
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_last_batch"))
+    return (
+        inc.crossJoin(F.broadcast(last))
+        .selectExpr(
+            "n_incremental",
+            "ck_incremental",
+            "n_last_batch",
+            f"CAST({s['n_rearranged']} AS BIGINT) AS n_rearranged_skipped",
+            f"CAST({s['n_versions']} AS BIGINT) AS n_versions",
+        )
+    )

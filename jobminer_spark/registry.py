@@ -423,11 +423,13 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.survivorship",
     "jobminer_spark.operators.deltastream",
     # r16-new modules (registered past the r16 window by design —
-    # ORC/CSV/JSONL plain-file round-trip audits + Delta maintenance
-    # (partitioned OPTIMIZE, VACUUM); the r17 plan fronts their five
-    # queries alongside the 12-query r11 tail)
+    # ORC/CSV/JSONL plain-file round-trip audits, Delta maintenance
+    # (partitioned OPTIMIZE, VACUUM), and Delta read optimization
+    # (stats data skipping, incremental changes); the r17 plan fronts
+    # their seven queries alongside the 12-query r11 tail)
     "jobminer_spark.operators.fileformats",
     "jobminer_spark.operators.deltamaint",
+    "jobminer_spark.operators.deltascan",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

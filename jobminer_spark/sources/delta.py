@@ -271,6 +271,7 @@ def read_delta(
     table: str,
     version: int | None = None,
     partition_filters: dict[str, str | None] | None = None,
+    stats_filters: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """The table's snapshot at ``version`` (latest when None) as a
     DataFrame — time travel included, exactly like `spark.read
@@ -280,7 +281,15 @@ def read_delta(
     the LOG level — non-matching files never enter the plan at all,
     the signature Delta read optimization (partitionValues are log
     strings, so values compare as their string form; a None filter
-    value selects the null partition)."""
+    value selects the null partition).
+
+    ``stats_filters`` ({column: (lo, hi)}, inclusive, None = open end)
+    is DATA SKIPPING on the add-actions' per-file min/max statistics:
+    a file whose [min, max] cannot intersect the range never enters
+    the plan. Conservative by construction — a file without stats for
+    the column is always kept — and an OPTIMIZATION only: the caller
+    still applies the real row filter (nulls never satisfy a range
+    predicate, so min/max pruning cannot drop a matching row)."""
     latest = delta_latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
@@ -305,6 +314,42 @@ def read_delta(
                 for k, val in partition_filters.items()
             )
         }
+    if stats_filters:
+        adds = {
+            p: a
+            for p, a in adds.items()
+            if _stats_may_match(a, stats_filters)
+        }
+    return _adds_to_df(spark, table, list(adds.values()), meta)
+
+
+def _stats_may_match(add: dict, stats_filters: dict[str, tuple]) -> bool:
+    """True unless the add-action's statistics PROVE the file cannot
+    hold a row in every requested range — missing/unparseable stats or
+    a missing column keep the file (skipping must be conservative)."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    try:
+        st = json.loads(raw) if isinstance(raw, str) else raw
+        mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+    except (ValueError, AttributeError):
+        return True
+    for col, (lo, hi) in stats_filters.items():
+        mn, mx = mins.get(col), maxs.get(col)
+        if mn is None or mx is None:
+            continue  # no stats for this column: cannot prune
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return False
+    return True
+
+
+def _adds_to_df(
+    spark: SparkSession, table: str, adds: list[dict], meta: dict
+) -> DataFrame:
+    """Plan a distributed scan over ``adds``' files, restoring
+    partition columns from the log's partitionValues (Delta never
+    writes them into the data files)."""
     schema = json.loads(meta["schemaString"])
     part_cols = meta.get("partitionColumns", [])
     data_fields = [
@@ -321,13 +366,13 @@ def read_delta(
         )
         return spark.createDataFrame([], empty_schema)
     if not part_cols:
-        paths = [os.path.join(table, a["path"]) for a in adds.values()]
+        paths = [os.path.join(table, a["path"]) for a in adds]
         return spark.read.schema(data_schema).parquet(*paths)
     # Partitioned: partition values live in the LOG, not the files —
     # group files by their partitionValues tuple, attach literals per
     # group, union. Group count = live partitions (bounded by layout).
     by_part: dict[tuple, list[str]] = {}
-    for a in adds.values():
+    for a in adds:
         key = tuple(a.get("partitionValues", {}).get(c) for c in part_cols)
         by_part.setdefault(key, []).append(os.path.join(table, a["path"]))
     types = {f["name"]: f["type"] for f in schema["fields"]}
@@ -350,6 +395,69 @@ def read_delta(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def delta_changes_adds(
+    table: str, start_version: int, end_version: int | None = None
+) -> tuple[list[dict], int]:
+    """The add-actions of rows APPENDED by commits in
+    (start_version, end_version] plus the count of dataChange=false
+    adds skipped — the incremental file set a streaming reader
+    consumes. OPTIMIZE rearrangements (dataChange=false) are skipped:
+    their rows were already delivered by the original commits. A
+    dataChange=true REMOVE in range raises — the table changed rather
+    than grew, which an append-only incremental consumer must not
+    paper over (delta-spark's streaming source fails the same way
+    without ignoreDeletes/ignoreChanges)."""
+    latest = delta_latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
+    end = latest if end_version is None else end_version
+    if end > latest or start_version > end:
+        raise ValueError(
+            f"version range ({start_version}, {end}] invalid for latest "
+            f"{latest}"
+        )
+    adds: list[dict] = []
+    n_rearranged = 0
+    for v in range(start_version + 1, end + 1):
+        for action in _read_commit(table, v):
+            if "protocol" in action:
+                _check_protocol(action["protocol"])
+            elif "add" in action:
+                if action["add"].get("dataChange", True):
+                    adds.append(action["add"])
+                else:
+                    n_rearranged += 1
+            elif "remove" in action and action["remove"].get(
+                "dataChange", True
+            ):
+                raise ValueError(
+                    f"commit {v} removes data (dataChange=true remove):"
+                    " incremental append-only read cannot represent an"
+                    " overwrite/delete — reprocess from a snapshot"
+                )
+    return adds, n_rearranged
+
+
+def delta_changes(
+    spark: SparkSession,
+    table: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Incremental batch read: the rows appended in
+    (start_version, end_version] — what one micro-batch of a Delta
+    streaming SOURCE delivers (pass the last processed version as
+    ``start_version``; -1 reads from the beginning). Schema comes from
+    the END version's metaData, so a mid-range schema evolution reads
+    under the latest contract."""
+    end = (
+        delta_latest_version(table) if end_version is None else end_version
+    )
+    adds, _n = delta_changes_adds(table, start_version, end_version)
+    _adds_map, meta, _txns = _replay(table, end)
+    return _adds_to_df(spark, table, adds, meta)
 
 
 # Spark simpleString → Delta protocol primitive name (the inverse of
@@ -577,7 +685,72 @@ def _stage_data_files(
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return sorted(adds, key=lambda a: a["path"])
+    adds.sort(key=lambda a: a["path"])
+    if len(adds) <= _STATS_FILES_CAP:
+        for a in adds:
+            stats = _footer_stats_json(os.path.join(table, a["path"]))
+            if stats is not None:
+                a["stats"] = stats
+    return adds
+
+
+# Per-commit cap on driver-side footer reads for add-action stats —
+# the same small-batch discipline as lakehouse.FOOTER_STATS_FILES: a
+# wide commit skips stats (its files simply stay unprunable, which is
+# correct-but-unoptimized; a cluster deployment computes them
+# executor-side in the write job).
+_STATS_FILES_CAP = 64
+
+
+def _footer_stats_json(path: str) -> str | None:
+    """delta-spark's per-file statistics JSON (numRecords, minValues/
+    maxValues/nullCount) from the parquet footer — INTEGER leaf columns
+    only: the parquet spec lets writers truncate binary (string) stats,
+    and a truncated max would make data skipping silently drop a file
+    that holds matching rows (the lakehouse footer-stats rule)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    try:
+        md = papq.ParquetFile(path).metadata
+        schema = md.schema.to_arrow_schema()
+    except OSError:
+        return None
+    mins: dict[str, int] = {}
+    maxs: dict[str, int] = {}
+    nulls: dict[str, int] = {}
+    for i in range(md.num_columns):
+        name = md.schema.column(i).path
+        arrow_idx = schema.get_field_index(name)
+        if arrow_idx < 0 or not pa.types.is_integer(
+            schema.field(arrow_idx).type
+        ):
+            continue
+        col_mins, col_maxs, col_nulls = [], [], 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            col_mins.append(st.min)
+            col_maxs.append(st.max)
+            col_nulls += st.null_count or 0
+        if ok and col_mins:
+            mins[name] = min(col_mins)
+            maxs[name] = max(col_maxs)
+            nulls[name] = col_nulls
+    if not mins:
+        return None
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        sort_keys=True,
+    )
 
 
 def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
@@ -657,6 +830,10 @@ def _write_checkpoint(table: str, version: int) -> None:
                         pa.field("size", pa.int64()),
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
+                        # per-file statistics RIDE THROUGH compaction:
+                        # data skipping must keep working when the
+                        # original commit JSON is gone
+                        pa.field("stats", pa.string()),
                     ]
                 ),
             ),

@@ -835,3 +835,82 @@ def test_optimize_checkpoints_on_interval_multiple(spark, tmp_path):
     assert os.path.exists(_checkpoint_file(t, 10))
     with open(os.path.join(t, "_delta_log", "_last_checkpoint")) as f:
         assert json.load(f)["version"] == 10
+
+
+def test_stats_written_and_data_skipping_prunes_files(spark, tmp_path):
+    """Adds carry delta-spark's stats JSON for integer columns; a
+    stats_filters range read plans ONLY the files whose [min,max] can
+    intersect — and stats survive checkpoint compaction."""
+    from jobminer_spark.sources.delta import _write_checkpoint
+
+    t = str(tmp_path / "skip")
+    for i in range(4):  # file i holds k in [i*10, i*10+10)
+        write_delta(
+            spark, t, _df(spark, i * 10, i * 10 + 10).repartition(1)
+        )
+    with open(_commit_file(t, 0)) as f:
+        v0 = [json.loads(line) for line in f if line.strip()]
+    st = json.loads(next(a["add"]["stats"] for a in v0 if "add" in a))
+    assert st["numRecords"] == 10
+    assert st["minValues"]["k"] == 0 and st["maxValues"]["k"] == 9
+    assert "tag" not in st["minValues"]  # string stats not trusted
+    pruned = read_delta(spark, t, stats_filters={"k": (12, 17)})
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(
+        r["k"] for r in pruned.filter(F.col("k").between(12, 17)).collect()
+    ) == list(range(12, 18))
+    # open ends and multi-file ranges
+    assert len(read_delta(spark, t, stats_filters={"k": (25, None)})
+               .inputFiles()) == 2
+    assert len(read_delta(spark, t, stats_filters={"k": (None, 9)})
+               .inputFiles()) == 1
+    # conservative: unknown column never prunes
+    assert len(read_delta(spark, t, stats_filters={"zz": (0, 1)})
+               .inputFiles()) == 4
+    # stats survive the checkpoint
+    _write_checkpoint(t, 3)
+    for v in range(4):
+        os.rename(_commit_file(t, v), _commit_file(t, v) + ".bak")
+    with open(_commit_file(t, 4), "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "NOOP"}}) + "\n")
+    try:
+        assert len(read_delta(spark, t, stats_filters={"k": (12, 17)})
+                   .inputFiles()) == 1
+    finally:
+        os.unlink(_commit_file(t, 4))
+        for v in range(4):
+            os.rename(_commit_file(t, v) + ".bak", _commit_file(t, v))
+
+
+def test_delta_changes_incremental_read(spark, tmp_path):
+    """delta_changes delivers exactly the rows appended in a version
+    range, skips dataChange=false rearrangements, and REFUSES a range
+    containing a real delete/overwrite."""
+    from jobminer_spark.sources.delta import (
+        delta_changes,
+        delta_changes_adds,
+        optimize_delta,
+    )
+
+    t = str(tmp_path / "chg")
+    for i in range(4):  # v0..v3
+        write_delta(spark, t, _df(spark, i * 5, i * 5 + 5))
+    v, _nb, na = optimize_delta(spark, t, target_files=1)  # v4, no data chg
+    write_delta(spark, t, _df(spark, 100, 103))  # v5
+    # full incremental == full snapshot
+    inc = delta_changes(spark, t, -1)
+    assert sorted(r["k"] for r in inc.collect()) == sorted(
+        r["k"] for r in read_delta(spark, t).collect()
+    )
+    _, n_skipped = delta_changes_adds(t, -1)
+    assert n_skipped == na  # the OPTIMIZE outputs were skipped
+    # single-version batches
+    assert sorted(r["k"] for r in delta_changes(spark, t, 4, 5).collect()) \
+        == [100, 101, 102]
+    assert delta_changes(spark, t, 3, 4).count() == 0  # OPTIMIZE only
+    # an overwrite in range must refuse
+    write_delta(spark, t, _df(spark, 0, 2), mode="overwrite")  # v6
+    with pytest.raises(ValueError, match="removes data"):
+        delta_changes(spark, t, 5)
+    # ...but a range ending before it still reads
+    assert delta_changes(spark, t, 4, 5).count() == 3
