@@ -1,0 +1,131 @@
+"""Iceberg format-v2 position-delete audit: row-level deletes
+committed and read back through the metadata chain, oracle-pinned.
+
+Completes the r16 row-level-delete pair: Delta's deletion vectors
+(operators/deltadv.py) and Iceberg's position deletes share the same
+Spark execution shape — an anti-join of (file, row-position) pairs
+against the scan's generated `_metadata.row_index` — but arrive
+through entirely different metadata: Delta inlines a roaring bitmap
+per add action; Iceberg commits separate PARQUET delete files
+inventoried by content=1 delete manifests under the spec's
+sequence-number rule (sources/iceberg.py:_snapshot_files).
+
+The audit builds a real two-append Iceberg table from the events
+rows, commits a position-delete snapshot via write_iceberg_deletes
+(positions resolved distributedly from `_metadata`, deletes written
+range-partitioned and spec-sorted), then appends MORE rows after the
+delete — so the read must apply the delete to the first two
+snapshots' files and leave the post-delete append untouched, which is
+exactly the sequence rule. The oracle recomputes survivors from the
+raw events by the same predicates.
+
+Scale shape: delete application is a broadcast anti-join under the
+2M-record cap (shuffled past it, moving only (path, pos) pairs);
+the delete COMMIT's one shuffle is the spec-mandated sort. Metadata
+stays O(manifests) driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobminer_spark.operators.common import (
+    scenario_workdir,
+    source_fingerprint,
+)
+from jobminer_spark.registry import query
+from jobminer_spark.sources import load_table
+from jobminer_spark.sources.iceberg import (
+    iceberg_live_files,
+    read_iceberg,
+    write_iceberg,
+    write_iceberg_deletes,
+)
+
+_SCENARIO_CACHE: dict[tuple[str, str, str], dict] = {}
+
+_ROWS_CTE = """
+    rows AS (
+      SELECT event_id,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS val_q
+      FROM events
+    )"""
+
+
+def _rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100.0).cast("long").alias("val_q"),
+    )
+
+
+def _scenario(spark: SparkSession, sf_dir: str) -> dict:
+    import os
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
+    if cache_key in _SCENARIO_CACHE:
+        return _SCENARIO_CACHE[cache_key]
+    work = scenario_workdir(spark, sf_dir, "jm_icedel_", fp)
+    rows = _rows(spark, sf_dir)
+    table = os.path.join(work, "ice")
+    # two appends cover multi-manifest state; the third lands AFTER
+    # the delete snapshot to exercise the sequence rule
+    write_iceberg(spark, table, rows.filter(F.col("event_id") % 3 == 0))
+    write_iceberg(spark, table, rows.filter(F.col("event_id") % 3 == 1))
+    # positions of the doomed rows, resolved from the live files'
+    # own row order — a distributed metadata-column scan, no collect
+    scan = spark.read.parquet(*iceberg_live_files(table)).select(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "event_id",
+    )
+    write_iceberg_deletes(
+        spark,
+        table,
+        scan.filter(F.col("event_id") % 11 == 0).select("file_path", "pos"),
+    )
+    write_iceberg(spark, table, rows.filter(F.col("event_id") % 3 == 2))
+    _SCENARIO_CACHE[cache_key] = {"table": table}
+    return _SCENARIO_CACHE[cache_key]
+
+
+@query(
+    "iceberg_position_delete_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 2
+                OR event_id % 11 <> 0) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 2
+                OR event_id % 11 <> 0) AS ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 3 < 2
+               AND event_id % 11 = 0) AS n_deleted
+    """,
+)
+def iceberg_position_delete_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two appends, a position-delete snapshot marking event_id%11==0
+    rows, then a THIRD append: the read must drop the marked rows from
+    the pre-delete files only — the post-delete append survives intact
+    under the sequence rule even where its rows match the predicate.
+    Counts/checksums recomputed by the oracle from raw events; the
+    deleted count is cross-derived so an ignored-deletes reader
+    (inflated n_rows) or an over-applied one (rows from the third
+    append missing) both go red."""
+    s = _scenario(spark, sf_dir)
+    surv = read_iceberg(spark, s["table"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    total = _rows(spark, sf_dir).count()
+    n_deleted = total - read_iceberg(spark, s["table"]).count()
+    return surv.selectExpr(
+        "n_rows", "ck", f"CAST({n_deleted} AS BIGINT) AS n_deleted"
+    )

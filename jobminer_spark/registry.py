@@ -430,6 +430,15 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.fileformats",
     "jobminer_spark.operators.deltamaint",
     "jobminer_spark.operators.deltascan",
+    # r16-new (late): Delta reader v2/v3 promotion — deletion vectors,
+    # column mapping (name mode), multi-part checkpoints
+    # (sources/delta.py + sources/roaring.py); the r17 plan fronts
+    # these three audits with the other r16-new queries
+    "jobminer_spark.operators.deltadv",
+    # r16-new (late): Iceberg format-v2 position deletes — write +
+    # read through the metadata chain under the sequence rule
+    # (sources/iceberg.py); same r17 fronting
+    "jobminer_spark.operators.icebergdel",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

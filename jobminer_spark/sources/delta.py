@@ -33,11 +33,22 @@ module implements the subset a batch engine needs:
   the protocol's JSON null (Spark's __HIVE_DEFAULT_PARTITION__ staging
   sentinel and %-escapes are decoded before the add is published).
 
-Differences from the full protocol, stated: no deletion vectors, no
-column mapping, no generated columns, no CDC files, no multi-part
-checkpoints — reads REJECT tables whose protocol demands features
-above minReader=1 rather than silently misreading them (the
-protocol's mandated behavior).
+Protocol support, stated precisely (since r16): READS implement
+protocol reader version 3 — deletion vectors (the RoaringBitmapArray
+format, sources/roaring.py, applied as an anti-join on the scan's
+`_metadata.row_index`), column mapping in ``name`` mode (physical
+parquet names resolved from the schema-string field metadata, with
+partitionValues/stats keyed physically per the protocol), timestampNtz,
+and multi-part checkpoints. Reads REJECT loudly anything beyond that
+subset (columnMapping ``id`` mode, unknown readerFeatures such as
+v2Checkpoint, reader versions above 3) — the protocol's mandated
+behavior for unknown features. WRITES stay at writer version 2
+(append/overwrite/OPTIMIZE/VACUUM on plain tables): write_delta,
+optimize_delta and the checkpoint writer refuse tables that carry
+active deletion vectors or column mapping rather than silently
+dropping descriptors or misnaming columns, and vacuum treats
+referenced DV ``.bin`` payloads as live. No generated columns, no CDC
+files.
 
 Scale shape: log replay touches checkpoint + tail commits only
 (bounded by checkpoint_interval, not table history); the active-file
@@ -75,7 +86,16 @@ _DELTA_TO_SPARK = {
     "boolean": "boolean",
     "date": "date",
     "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
     "binary": "binary",
+}
+
+# Reader version 3 gates support per-FEATURE; this is the subset the
+# read path genuinely implements (anything else rejects by name).
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
 }
 
 
@@ -92,14 +112,21 @@ def _checkpoint_file(table: str, version: int) -> str:
 
 
 def delta_latest_version(table: str) -> int:
-    """Highest committed version (−1 if the log doesn't exist yet)."""
+    """Highest committed version (−1 if the log doesn't exist yet).
+    Checkpoint files count as evidence of their version too: metadata
+    cleanup may delete every commit JSON at or below a checkpoint, and
+    the table must still resolve (the checkpoint IS the snapshot)."""
     log = _log_path(table)
     if not os.path.isdir(log):
         return -1
     versions = [
         int(f[:20])
         for f in os.listdir(log)
-        if f.endswith(".json") and f[:20].isdigit() and len(f) == 25
+        if f[:20].isdigit()
+        and (
+            (f.endswith(".json") and len(f) == 25)
+            or ".checkpoint." in f[20:]
+        )
     ]
     return max(versions, default=-1)
 
@@ -151,30 +178,53 @@ def _replay_full(
     # checkpoint hint, then directory fallback (the hint file is
     # advisory per the protocol — a missing/stale one must not break)
     ckpt_version = -1
+    ckpt_files: list[str] = []
     hint = os.path.join(_log_path(table), "_last_checkpoint")
     if os.path.exists(hint):
         try:
             with open(hint) as f:
                 h = json.load(f)
             v = int(h["version"])
-            # multi-part checkpoints (parts > 1) are a stated non-goal:
-            # skip the checkpoint and fall through to a full commit
-            # replay — correct when the commit tail survives, and the
-            # missing-commit check below fails LOUDLY when it doesn't
-            if int(h.get("parts") or 1) > 1:
-                ckpt_version = -1
-            elif v <= version and os.path.exists(_checkpoint_file(table, v)):
-                ckpt_version = v
+            parts = int(h.get("parts") or 1)
+            if v <= version:
+                if parts > 1:
+                    # multi-part checkpoint: the snapshot is split
+                    # across `parts` files; all must be present or the
+                    # checkpoint is unusable (reading half a snapshot
+                    # silently drops files) — fall through to a full
+                    # commit replay in that case, and the
+                    # missing-commit check below fails LOUDLY when the
+                    # tail was cleaned too
+                    cand = [
+                        os.path.join(
+                            _log_path(table),
+                            f"{v:020d}.checkpoint."
+                            f"{i:010d}.{parts:010d}.parquet",
+                        )
+                        for i in range(1, parts + 1)
+                    ]
+                    if all(
+                        os.path.exists(p) and os.path.getsize(p) > 0
+                        for p in cand
+                    ):
+                        ckpt_version, ckpt_files = v, cand
+                elif os.path.exists(_checkpoint_file(table, v)):
+                    ckpt_version = v
+                    ckpt_files = [_checkpoint_file(table, v)]
         except (ValueError, KeyError, json.JSONDecodeError):
             ckpt_version = -1
     if ckpt_version < 0:
+        # directory fallback finds single-part checkpoints only — a
+        # multi-part set without its hint can't be trusted complete,
+        # so it is deliberately ignored (full replay stays correct)
         for f in os.listdir(_log_path(table)):
             if f.endswith(".checkpoint.parquet") and f[:20].isdigit():
                 v = int(f[:20])
-                if v <= version:
-                    ckpt_version = max(ckpt_version, v)
-    if ckpt_version >= 0:
-        t = papq.read_table(_checkpoint_file(table, ckpt_version))
+                if v <= version and v > ckpt_version:
+                    ckpt_version = v
+                    ckpt_files = [_checkpoint_file(table, v)]
+    for ckpt_file in ckpt_files:
+        t = papq.read_table(ckpt_file)
         for row in t.to_pylist():
             if row.get("add"):
                 a = dict(row["add"])
@@ -198,14 +248,15 @@ def _replay_full(
                 _check_protocol(row["protocol"])
             if row.get("txn"):
                 txns[row["txn"]["appId"]] = row["txn"]["version"]
+    if ckpt_version >= 0:
         start = ckpt_version + 1
     for v in range(start, version + 1):
         if not os.path.exists(_commit_file(table, v)):
             raise ValueError(
                 f"cannot reconstruct version {version}: commit "
-                f"{v:020d}.json is missing and no usable single-part "
-                "checkpoint covers it (multi-part checkpoints are not "
-                "supported by this reader — stated non-goal)"
+                f"{v:020d}.json is missing and no usable checkpoint "
+                "covers it (a multi-part checkpoint with missing parts "
+                "cannot be read safely)"
             )
         for action in _read_commit(table, v):
             if "protocol" in action:
@@ -235,34 +286,42 @@ def _maps_to_dicts(obj: dict, key: str) -> None:
 
 
 def _check_protocol(p: dict) -> None:
-    """Reject tables needing reader features beyond this subset — the
-    protocol REQUIRES unknown-feature tables to fail loudly."""
-    if p.get("minReaderVersion", 1) > 1:
+    """Reject tables needing reader capabilities beyond this subset —
+    the protocol REQUIRES unknown-feature tables to fail loudly.
+    Versions 1–2 are fully supported (v2 = column mapping, gated by
+    mode in _check_metadata); version 3 tables list their demands in
+    ``readerFeatures`` and every listed feature must be one this
+    reader implements."""
+    v = p.get("minReaderVersion", 1)
+    if v > 3:
         raise ValueError(
-            f"unsupported Delta minReaderVersion={p['minReaderVersion']}"
-            " (this reader implements protocol reader version 1)"
+            f"unsupported Delta minReaderVersion={v}"
+            " (this reader implements protocol reader versions 1-3)"
         )
+    if v == 3:
+        feats = set(p.get("readerFeatures") or [])
+        unknown = feats - _SUPPORTED_READER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"unsupported Delta reader features {sorted(unknown)} "
+                f"(supported: {sorted(_SUPPORTED_READER_FEATURES)})"
+            )
 
 
 def _check_metadata(meta: dict) -> None:
-    """Belt-and-braces gate behind _check_protocol: a malformed table
-    could claim reader version 1 while its metaData configuration
-    still demands column mapping or deletion vectors — misreading
-    either silently returns wrong column data, so reject by name."""
+    """Belt-and-braces gate behind _check_protocol: the table's
+    configuration can demand column-mapping MODES the protocol version
+    alone doesn't reveal. ``name`` mode is implemented (physical names
+    from schema-string metadata); ``id`` mode (parquet field-id
+    resolution) is not — misreading it silently returns wrong column
+    data, so reject by name."""
     conf = (meta or {}).get("configuration") or {}
     cm = conf.get("delta.columnMapping.mode", "none")
-    if cm not in ("", "none"):
+    if cm not in ("", "none", "name"):
         raise ValueError(
             f"unsupported Delta feature: columnMapping mode={cm!r} "
-            "(this reader resolves columns by name only — stated "
-            "non-goal)"
-        )
-    if str(conf.get("delta.enableDeletionVectors", "false")).lower() == (
-        "true"
-    ):
-        raise ValueError(
-            "unsupported Delta feature: deletion vectors (this reader "
-            "would return deleted rows — stated non-goal)"
+            "(this reader implements 'name' mode only — parquet "
+            "field-id resolution is a stated non-goal)"
         )
 
 
@@ -297,6 +356,7 @@ def read_delta(
     if v > latest or v < 0:
         raise ValueError(f"version {v} out of range [0, {latest}]")
     adds, meta, _txns = _replay(table, v)
+    phys = _physical_map(meta)
     if partition_filters:
         part_set = set(meta.get("partitionColumns", []))
         unknown = set(partition_filters) - part_set
@@ -305,20 +365,26 @@ def read_delta(
                 f"not partition columns: {sorted(unknown)}"
                 f" (table partitions: {sorted(part_set)})"
             )
+        # filters arrive by LOGICAL name; partitionValues are keyed by
+        # physical name when column mapping is active
         adds = {
             p: a
             for p, a in adds.items()
             if all(
-                a.get("partitionValues", {}).get(k)
+                a.get("partitionValues", {}).get(phys[k])
                 == (None if val is None else str(val))
                 for k, val in partition_filters.items()
             )
         }
     if stats_filters:
+        # per-file stats are keyed by physical name as well
+        stats_phys = {
+            phys.get(c, c): rng for c, rng in stats_filters.items()
+        }
         adds = {
             p: a
             for p, a in adds.items()
-            if _stats_may_match(a, stats_filters)
+            if _stats_may_match(a, stats_phys)
         }
     return _adds_to_df(spark, table, list(adds.values()), meta)
 
@@ -344,36 +410,161 @@ def _stats_may_match(add: dict, stats_filters: dict[str, tuple]) -> bool:
     return True
 
 
+def _physical_map(meta: dict) -> dict[str, str]:
+    """Logical → physical column name map. Identity when column
+    mapping is off; under ``name`` mode every field's physical parquet
+    name comes from the schema-string field metadata (the protocol
+    stores it at ``delta.columnMapping.physicalName``), and a field
+    missing it is a protocol violation we refuse to guess around —
+    resolving a renamed column by its logical name silently reads the
+    wrong (or no) data."""
+    schema = json.loads(meta["schemaString"])
+    conf = (meta or {}).get("configuration") or {}
+    mapped = conf.get("delta.columnMapping.mode", "none") == "name"
+    out: dict[str, str] = {}
+    for f in schema["fields"]:
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        if mapped and not phys:
+            raise ValueError(
+                f"columnMapping mode=name but field {f['name']!r} has "
+                "no delta.columnMapping.physicalName — refusing to "
+                "resolve by logical name"
+            )
+        out[f["name"]] = phys if mapped else f["name"]
+    return out
+
+
+def _dv_file_path(table: str, dv: dict) -> str:
+    """Absolute path of the ``.bin`` file a non-inline DV descriptor
+    references. storageType "u": pathOrInlineDv is an optional random
+    directory prefix followed by exactly 20 Z85 characters encoding
+    the 16-byte UUID; the file is
+    `<table>/<prefix>/deletion_vector_<uuid>.bin` per the protocol.
+    storageType "p": a path, absolute or table-relative."""
+    from jobminer_spark.sources.roaring import z85_decode
+
+    st = dv.get("storageType")
+    p = dv["pathOrInlineDv"]
+    if st == "p":
+        return p if os.path.isabs(p) else os.path.join(table, p)
+    if st == "u":
+        prefix, enc = p[:-20], p[-20:]
+        u = uuid.UUID(bytes=z85_decode(enc))
+        return os.path.join(table, prefix, f"deletion_vector_{u}.bin")
+    raise ValueError(f"unsupported deletion-vector storageType {st!r}")
+
+
+def _dv_indices(table: str, dv: dict) -> list[int]:
+    """The deleted row indices a descriptor points at — inline ("i",
+    Z85 text in the action itself) or from a ``.bin`` file at the
+    descriptor's offset, size- and CRC-checked."""
+    from jobminer_spark.sources.roaring import (
+        deserialize_rba,
+        read_dv_file,
+        z85_decode,
+    )
+
+    if dv.get("storageType") == "i":
+        return deserialize_rba(z85_decode(dv["pathOrInlineDv"]))
+    return read_dv_file(
+        _dv_file_path(table, dv), int(dv.get("offset") or 1),
+        int(dv["sizeInBytes"]),
+    )
+
+
+def _has_dv(add: dict) -> bool:
+    dv = add.get("deletionVector")
+    return bool(dv) and int(dv.get("cardinality") or 0) > 0
+
+
+# Broadcasting the deleted-position set is the shuffle-free plan; past
+# this many positions fall back to a shuffled anti-join rather than
+# ship an oversized broadcast to every executor.
+_DV_BROADCAST_MAX = 2_000_000
+
+
 def _adds_to_df(
     spark: SparkSession, table: str, adds: list[dict], meta: dict
 ) -> DataFrame:
     """Plan a distributed scan over ``adds``' files, restoring
     partition columns from the log's partitionValues (Delta never
-    writes them into the data files)."""
+    writes them into the data files), resolving physical column names
+    under column mapping, and anti-joining away rows the adds'
+    deletion vectors mark deleted."""
     schema = json.loads(meta["schemaString"])
+    phys = _physical_map(meta)
     part_cols = meta.get("partitionColumns", [])
     data_fields = [
         f for f in schema["fields"] if f["name"] not in part_cols
     ]
     data_schema = ", ".join(
-        f"{f['name']} {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+        f"`{phys[f['name']]}` {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
         for f in data_fields
     )
     if not adds:
         empty_schema = ", ".join(
-            f"{f['name']} {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+            f"`{f['name']}` {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
             for f in schema["fields"]
         )
         return spark.createDataFrame([], empty_schema)
+    # Deletion vectors: decode each DV-carrying add's deleted row
+    # positions into one (file, row_index) relation. Decode cost is
+    # O(deleted rows) driver-side at this scale; the SCAN-side filter
+    # is a broadcast anti-join on (_metadata.file_path,
+    # _metadata.row_index) — shuffle-free, and the parquet scan keeps
+    # its pushdown (row_index is generated, not read)
+    deleted: list[tuple[str, int]] = []
+    for a in adds:
+        if _has_dv(a):
+            fp = "file:" + os.path.abspath(
+                os.path.join(table, a["path"])
+            ).replace(os.sep, "/")
+            deleted.extend(
+                (fp, int(i)) for i in _dv_indices(table, a["deletionVector"])
+            )
+    dv_df = None
+    if deleted:
+        dv_df = spark.createDataFrame(
+            deleted, "__jm_dv_file string, __jm_dv_pos long"
+        )
+
+    def _scan(paths: list[str]) -> DataFrame:
+        df = spark.read.schema(data_schema).parquet(*paths)
+        if dv_df is None:
+            return df
+        keyed = df.withColumns(
+            {
+                "__jm_file": F.col("_metadata.file_path"),
+                "__jm_pos": F.col("_metadata.row_index"),
+            }
+        )
+        right = dv_df if len(deleted) > _DV_BROADCAST_MAX else F.broadcast(
+            dv_df
+        )
+        return keyed.join(
+            right,
+            (keyed["__jm_file"] == right["__jm_dv_file"])
+            & (keyed["__jm_pos"] == right["__jm_dv_pos"]),
+            "left_anti",
+        ).drop("__jm_file", "__jm_pos")
+
+    logical_order = [f["name"] for f in schema["fields"]]
     if not part_cols:
         paths = [os.path.join(table, a["path"]) for a in adds]
-        return spark.read.schema(data_schema).parquet(*paths)
+        return _scan(paths).select(
+            *[F.col(phys[c]).alias(c) for c in logical_order]
+        )
     # Partitioned: partition values live in the LOG, not the files —
     # group files by their partitionValues tuple, attach literals per
     # group, union. Group count = live partitions (bounded by layout).
+    # Under column mapping the partitionValues map is keyed by
+    # PHYSICAL names (protocol rule).
     by_part: dict[tuple, list[str]] = {}
     for a in adds:
-        key = tuple(a.get("partitionValues", {}).get(c) for c in part_cols)
+        key = tuple(
+            a.get("partitionValues", {}).get(phys[c]) for c in part_cols
+        )
         by_part.setdefault(key, []).append(os.path.join(table, a["path"]))
     types = {f["name"]: f["type"] for f in schema["fields"]}
     parts = []
@@ -384,13 +575,20 @@ def _adds_to_df(
         by_part.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = _scan(paths)
         for c, val in zip(part_cols, key):
             col = (
                 F.lit(None) if val is None else F.lit(val)
             ).cast(_DELTA_TO_SPARK.get(types[c], types[c]))
             df = df.withColumn(c, col)
-        parts.append(df.select(*[f["name"] for f in schema["fields"]]))
+        parts.append(
+            df.select(
+                *[
+                    F.col(c if c in part_cols else phys[c]).alias(c)
+                    for c in logical_order
+                ]
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -425,6 +623,15 @@ def delta_changes_adds(
             if "protocol" in action:
                 _check_protocol(action["protocol"])
             elif "add" in action:
+                if _has_dv(action["add"]):
+                    # a DV-carrying add re-publishes a file with rows
+                    # deleted IN PLACE: the table shrank, which an
+                    # append-only incremental consumer cannot represent
+                    raise ValueError(
+                        f"commit {v} adds a deletion-vector file:"
+                        " incremental append-only read cannot represent"
+                        " an in-place delete — reprocess from a snapshot"
+                    )
                 if action["add"].get("dataChange", True):
                     adds.append(action["add"])
                 else:
@@ -495,6 +702,29 @@ def _schema_string(df: DataFrame) -> str:
     return json.dumps({"type": "struct", "fields": fields})
 
 
+def _check_writable(adds: dict[str, dict], meta: dict) -> None:
+    """This module WRITES at writer version 2: it has no code to
+    preserve deletion-vector descriptors through checkpoints/commits
+    or to stage parquet under physical column names, so mutating a
+    table that carries either would silently corrupt it (a checkpoint
+    that drops a DV descriptor resurrects deleted rows). Foreign
+    reader-v2/v3 tables are READ-ONLY here; reject writes loudly."""
+    conf = (meta or {}).get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") not in ("", "none"):
+        raise ValueError(
+            "refusing to write: table uses column mapping (this writer "
+            "stages parquet under logical names — the table is "
+            "read-only here)"
+        )
+    dv_paths = [p for p, a in adds.items() if _has_dv(a)]
+    if dv_paths:
+        raise ValueError(
+            f"refusing to write: {len(dv_paths)} active file(s) carry "
+            "deletion vectors this writer cannot preserve (read-only "
+            "support; e.g. " + dv_paths[0] + ")"
+        )
+
+
 def write_delta(
     spark: SparkSession,
     table: str,
@@ -526,6 +756,7 @@ def write_delta(
             # misreads (all-NULL columns, NULL partition values).
             # delta-spark rejects both; so do we, loudly (review r15).
             _adds, prev_meta, _ptxns = _replay(table, current)
+            _check_writable(_adds, prev_meta)
             if prev_meta.get("partitionColumns", []) != part_cols:
                 raise ValueError(
                     f"append partitioning {part_cols} != table's "
@@ -561,6 +792,7 @@ def write_delta(
             )
         elif mode == "overwrite":
             prev_adds, prev_meta, _ptxns = _replay(table, current)
+            _check_writable(prev_adds, prev_meta)
             if prev_meta.get(
                 "partitionColumns", []
             ) != part_cols or json.loads(
@@ -782,6 +1014,10 @@ def _write_checkpoint(table: str, version: int) -> None:
     import pyarrow.parquet as papq
 
     adds, removes, meta, txns = _replay_full(table, version)
+    # the checkpoint schema below has no deletionVector column: it
+    # must never be written for a DV-carrying snapshot (replay through
+    # it would resurrect deleted rows)
+    _check_writable(adds, meta)
     cutoff_ms = int(time.time() * 1000) - _TOMBSTONE_RETENTION_MS
     live_removes = [
         # project to the checkpoint struct (external commits may carry
@@ -922,6 +1158,7 @@ def optimize_delta(
     while True:
         current = delta_latest_version(table)
         adds, meta, _txns = _replay(table, current)
+        _check_writable(adds, meta)
         part_cols = meta.get("partitionColumns", [])
         n_before = len(adds)
         schema = json.loads(meta["schemaString"])
@@ -1023,6 +1260,20 @@ def vacuum_delta(
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
     adds, removes, _meta, _txns = _replay_full(table, latest)
     cutoff = int(time.time() * 1000) - retention_ms
+    # deletion-vector payload files referenced by the CURRENT snapshot
+    # are as live as the data files that point at them; DVs referenced
+    # only by standing tombstones stay until the tombstone expires
+    live_dvs: set[str] = set()
+    for a in adds.values():
+        if _has_dv(a) and a["deletionVector"].get("storageType") in (
+            "u",
+            "p",
+        ):
+            live_dvs.add(
+                os.path.relpath(
+                    _dv_file_path(table, a["deletionVector"]), table
+                ).replace(os.sep, "/")
+            )
     deleted: list[str] = []
     kept = 0
     for root, dirs, files in os.walk(table):
@@ -1035,7 +1286,7 @@ def vacuum_delta(
             rel = os.path.relpath(os.path.join(root, fname), table).replace(
                 os.sep, "/"
             )
-            if rel in adds:  # live in the current snapshot
+            if rel in adds or rel in live_dvs:  # live in the snapshot
                 continue
             r = removes.get(rel)
             if r is not None and (r.get("deletionTimestamp") or 0) > cutoff:

@@ -21,7 +21,13 @@ stats, split offsets — pass through the Avro decoder untouched and
 unused). Snapshot semantics: each snapshot's manifest list is the
 COMPLETE file inventory at that snapshot (the spec's model), so time
 travel is just "read a different snapshot's list". Schema comes from
-the metadata JSON's schema (id/name/required/type fields).
+the metadata JSON's schema (id/name/required/type fields). Since late
+r16 the read side also applies format-v2 POSITION DELETES (delete
+manifests content=1 → delete files of (file_path, pos) parquet rows,
+anti-joined against the data scan's `_metadata.row_index` under the
+spec's sequence-number rule); equality deletes (content=2) reject
+loudly — applying them needs equality-field semantics this reader
+doesn't implement, and ignoring them would resurrect deleted rows.
 
 The writer emits the same chain — parquet data files, one manifest
 per commit, a per-snapshot manifest list carrying every live
@@ -31,8 +37,9 @@ snapshot sequence numbers (`last-sequence-number` in metadata,
 `sequence-number` per snapshot, null-inherited in manifest entries)
 and the manifest-list stats counts (files/rows added/existing/
 deleted) a planner prunes by. Append-only, identity/unpartitioned
-layouts; delete files, non-identity partition specs, and sort orders
-are absent — each would extend the same chain. No third-party engine
+layouts; the WRITER emits no delete files (the reader applies them),
+and non-identity partition specs / sort orders are absent — each
+would extend the same chain. No third-party engine
 is installable offline, so interop remains spec-conformance +
 foreign-shaped fixtures, stated.
 
@@ -50,6 +57,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from jobminer_spark.sources.avro import read_avro_records, write_avro_file
 
@@ -160,12 +168,24 @@ def _resolve_path(table: str, p: str) -> str:
     return os.path.join(table, p)
 
 
-def iceberg_live_files(table: str, snapshot_id: int | None = None) -> list[str]:
-    """The snapshot's live data-file paths via its manifest list."""
+def _snapshot_files(
+    table: str, snapshot_id: int | None = None
+) -> tuple[list[dict], list[dict]]:
+    """The snapshot's live (data_files, position_delete_files), each a
+    list of {path, seq, record_count} dicts, via its manifest list.
+
+    Format-v2 row-level deletes: a manifest-list record with
+    content=1 inventories DELETE manifests whose entries point at
+    delete FILES — content=1 in the data_file struct means position
+    deletes (parquet rows of file_path+pos), content=2 equality
+    deletes (rejected loudly: applying them needs equality-field
+    semantics this reader doesn't implement, and ignoring them would
+    resurrect deleted rows). Entry sequence numbers inherit from the
+    manifest-list record when null (the spec's inheritance rule)."""
     meta = iceberg_metadata(table)
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return []
+        return [], []
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
     snap = next(
@@ -176,15 +196,47 @@ def iceberg_live_files(table: str, snapshot_id: int | None = None) -> list[str]:
     _, manifests = read_avro_records(
         _resolve_path(table, snap["manifest-list"])
     )
-    files: list[str] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
         _, entries = read_avro_records(
             _resolve_path(table, m["manifest_path"])
         )
         for e in entries:
-            if e["status"] != _STATUS_DELETED:
-                files.append(_resolve_path(table, e["data_file"]["file_path"]))
-    return sorted(files)
+            if e["status"] == _STATUS_DELETED:
+                continue
+            df_ = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number", 0)
+            rec = {
+                "path": _resolve_path(table, df_["file_path"]),
+                "seq": seq,
+                "record_count": df_.get("record_count", 0),
+            }
+            content = df_.get("content", m.get("content", 0)) or 0
+            if content == 0:
+                data.append(rec)
+            elif content == 1:
+                deletes.append(rec)
+            else:
+                raise ValueError(
+                    "unsupported Iceberg delete file content="
+                    f"{content} at {df_['file_path']} (equality deletes"
+                    " are a stated non-goal — ignoring them would"
+                    " resurrect deleted rows)"
+                )
+    data.sort(key=lambda r: r["path"])
+    deletes.sort(key=lambda r: r["path"])
+    return data, deletes
+
+
+def iceberg_live_files(table: str, snapshot_id: int | None = None) -> list[str]:
+    """The snapshot's live DATA-file paths via its manifest list
+    (delete manifests are inventoried separately — see
+    _snapshot_files)."""
+    data, _deletes = _snapshot_files(table, snapshot_id)
+    return [r["path"] for r in data]
 
 
 def _spark_ddl(meta: dict) -> str:
@@ -201,18 +253,89 @@ def _spark_ddl(meta: dict) -> str:
     return ", ".join(cols)
 
 
+# Position-delete sets small enough to broadcast ride shuffle-free;
+# larger ones fall back to a shuffled anti-join of (path, pos) pairs.
+_DELETE_BROADCAST_MAX = 2_000_000
+
+
+def _norm_uri(col):
+    """file_path values appear as plain absolute paths, `file:/…` or
+    `file:///…` depending on the writer; normalize all three to the
+    bare absolute path so the anti-join keys compare."""
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
 def read_iceberg(
     spark: SparkSession, table: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """The table at ``snapshot_id`` (current when None) — the same
     surface as `spark.read.format("iceberg").option("snapshot-id", …)`
-    for the supported subset."""
+    for the supported subset, INCLUDING format-v2 position deletes:
+    delete files are themselves parquet (file_path, pos) relations, so
+    they load as an ordinary distributed scan and apply as an
+    anti-join against the data scan's generated `_metadata.row_index`
+    — broadcast (shuffle-free) under _DELETE_BROADCAST_MAX total
+    delete records, shuffled on (path, pos) pairs past it. The spec's
+    sequence rule is enforced: a position delete applies only to data
+    files whose data sequence number is <= the delete file's."""
     meta = iceberg_metadata(table)
     ddl = _spark_ddl(meta)
-    files = iceberg_live_files(table, snapshot_id)
-    if not files:
+    data, deletes = _snapshot_files(table, snapshot_id)
+    if not data:
         return spark.createDataFrame([], ddl)
-    return spark.read.schema(ddl).parquet(*files)
+    df = spark.read.schema(ddl).parquet(*[r["path"] for r in data])
+    if not deletes:
+        return df
+    logical_cols = df.columns
+    # delete rows: distributed parquet scan of the delete files, each
+    # stamped with its file's sequence number (metadata-bounded union)
+    del_parts = []
+    for r in deletes:
+        del_parts.append(
+            spark.read.schema("file_path string, pos long")
+            .parquet(r["path"])
+            .select(
+                _norm_uri(F.col("file_path")).alias("__ib_fp"),
+                F.col("pos").alias("__ib_pos"),
+                F.lit(r["seq"]).alias("__ib_del_seq"),
+            )
+        )
+    del_df = del_parts[0]
+    for p in del_parts[1:]:
+        del_df = del_df.unionByName(p)
+    # sequence gate: keep only deletes at/after their target file's
+    # data sequence number (live-file map is O(files) metadata)
+    live = spark.createDataFrame(
+        [(r["path"], r["seq"]) for r in data],
+        "__ib_live_fp string, __ib_data_seq long",
+    )
+    eligible = (
+        del_df.join(
+            F.broadcast(live),
+            del_df["__ib_fp"] == _norm_uri(F.col("__ib_live_fp")),
+            "inner",
+        )
+        .where(F.col("__ib_del_seq") >= F.col("__ib_data_seq"))
+        .select("__ib_fp", "__ib_pos")
+    )
+    keyed = df.withColumns(
+        {
+            "__ib_file": _norm_uri(F.col("_metadata.file_path")),
+            "__ib_row": F.col("_metadata.row_index"),
+        }
+    )
+    total_deletes = sum(r["record_count"] for r in deletes)
+    right = (
+        F.broadcast(eligible)
+        if total_deletes <= _DELETE_BROADCAST_MAX
+        else eligible
+    )
+    return keyed.join(
+        right,
+        (keyed["__ib_file"] == right["__ib_fp"])
+        & (keyed["__ib_row"] == right["__ib_pos"]),
+        "left_anti",
+    ).select(*logical_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -294,39 +417,7 @@ def write_iceberg(
     manifest_path = os.path.join(md, f"manifest-{commit}.avro")
     write_avro_file(manifest_path, _MANIFEST_SCHEMA, data_files)
 
-    prior_manifests: list[dict] = []
-    if meta is not None and meta.get("snapshots"):
-        current = next(
-            s
-            for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
-        )
-        _, prior_manifests = read_avro_records(
-            _resolve_path(table, current["manifest-list"])
-        )
-    # re-referenced manifests keep their own sequence numbers/stats;
-    # records from a pre-v2 table (older writer) get conservative
-    # defaults so the upgraded list stays self-consistent
-    prior_records = [
-        {
-            "manifest_path": m["manifest_path"],
-            "manifest_length": m["manifest_length"],
-            "partition_spec_id": m.get("partition_spec_id", 0),
-            "content": m.get("content", 0),
-            # pre-upgrade (v1-written) manifests carry data sequence
-            # number 0, the spec's assignment for pre-v2 history
-            "sequence_number": m.get("sequence_number", 0),
-            "min_sequence_number": m.get("min_sequence_number", 0),
-            "added_snapshot_id": m.get("added_snapshot_id") or 0,
-            "added_files_count": m.get("added_files_count", 0),
-            "existing_files_count": m.get("existing_files_count", 0),
-            "deleted_files_count": m.get("deleted_files_count", 0),
-            "added_rows_count": m.get("added_rows_count", 0),
-            "existing_rows_count": m.get("existing_rows_count", 0),
-            "deleted_rows_count": m.get("deleted_rows_count", 0),
-        }
-        for m in prior_manifests
-    ]
+    prior_records = _prior_manifest_records(table, meta)
     list_records = prior_records + [
         {
             "manifest_path": os.path.abspath(manifest_path),
@@ -383,16 +474,169 @@ def write_iceberg(
             "properties": {},
             "snapshots": [],
         }
+    return _publish_metadata(
+        md, meta, version, snapshot_id, seq, list_path, "append"
+    )
+
+
+def _prior_manifest_records(table: str, meta: dict | None) -> list[dict]:
+    """The current snapshot's manifest-list records, normalized for
+    re-reference in a new list: re-referenced manifests keep their own
+    sequence numbers/stats; records from a pre-v2 table (older writer)
+    get conservative defaults so the upgraded list stays
+    self-consistent (pre-upgrade manifests carry data sequence number
+    0, the spec's assignment for pre-v2 history)."""
+    prior_manifests: list[dict] = []
+    if meta is not None and meta.get("snapshots"):
+        current = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, prior_manifests = read_avro_records(
+            _resolve_path(table, current["manifest-list"])
+        )
+    return [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "content": m.get("content", 0),
+            "sequence_number": m.get("sequence_number", 0),
+            "min_sequence_number": m.get("min_sequence_number", 0),
+            "added_snapshot_id": m.get("added_snapshot_id") or 0,
+            "added_files_count": m.get("added_files_count", 0),
+            "existing_files_count": m.get("existing_files_count", 0),
+            "deleted_files_count": m.get("deleted_files_count", 0),
+            "added_rows_count": m.get("added_rows_count", 0),
+            "existing_rows_count": m.get("existing_rows_count", 0),
+            "deleted_rows_count": m.get("deleted_rows_count", 0),
+        }
+        for m in prior_manifests
+    ]
+
+
+def write_iceberg_deletes(
+    spark: SparkSession, table: str, deletes: DataFrame
+) -> int:
+    """Commit a POSITION-DELETE snapshot (format v2 row-level delete):
+    ``deletes`` is a (file_path string, pos long) relation naming data
+    rows to delete by file and row position. The rows are written as
+    parquet delete files sorted by (file_path, pos) — the spec's
+    required sort for position deletes — inventoried by a
+    content=1 delete manifest, and published as a new snapshot whose
+    sequence number makes them apply to every current data file.
+
+    Scale shape: the delete relation itself is written distributed
+    (range-partitioned on the sort key, one shuffle); metadata stays
+    O(manifests) driver-side like every other commit here."""
+    meta = iceberg_metadata(table)  # must exist: deletes need a target
+    if not meta.get("snapshots"):
+        raise ValueError("cannot commit deletes to an empty table")
+    md = _metadata_dir(table)
+    data_dir = os.path.join(table, "data")
+    version = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(md)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    commit = uuid.uuid4().hex[:12]
+    stage = os.path.join(table, f"_stage_{commit}")
+    (
+        deletes.select(
+            F.col("file_path").cast("string").alias("file_path"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .repartitionByRange("file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    import shutil
+
+    import pyarrow.parquet as papq
+
+    delete_entries: list[dict] = []
+    for root, _dirs, files in os.walk(stage):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            dest = os.path.join(data_dir, f"{commit}-delete-{fname}")
+            os.replace(os.path.join(root, fname), dest)
+            n = papq.ParquetFile(dest).metadata.num_rows
+            if n == 0:
+                os.unlink(dest)  # empty range partition: no entry
+                continue
+            delete_entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": None,
+                    "sequence_number": None,  # inherit the snapshot's
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,  # position deletes
+                        "file_path": os.path.abspath(dest),
+                        "file_format": "PARQUET",
+                        "record_count": n,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                    },
+                }
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    if not delete_entries:
+        raise ValueError("empty delete relation — nothing to commit")
+
+    snapshot_id = version + 1
+    seq = snapshot_id
+    manifest_path = os.path.join(md, f"manifest-{commit}.avro")
+    write_avro_file(manifest_path, _MANIFEST_SCHEMA, delete_entries)
+    n_rows = sum(e["data_file"]["record_count"] for e in delete_entries)
+    list_records = _prior_manifest_records(table, meta) + [
+        {
+            "manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 1,  # a DELETE manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(delete_entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
+    write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
+    return _publish_metadata(
+        md, meta, version, snapshot_id, seq, list_path, "delete"
+    )
+
+
+def _publish_metadata(
+    md: str,
+    meta: dict,
+    version: int,
+    snapshot_id: int,
+    seq: int,
+    list_path: str,
+    operation: str,
+) -> int:
+    """Publish the vN+1 metadata JSON + version hint for a new
+    snapshot — the shared commit tail of every Iceberg write here.
+
+    v2 sequence-number semantics; committing onto a table created by
+    the earlier v1 writer upgrades its metadata in place (a legal
+    format-version bump). The upgrade must emit the FULL v2 required
+    set — schemas list, partition-specs/default-spec-id, sort-orders/
+    default-sort-order-id — and retire the v1-only partition-spec
+    key; pre-upgrade snapshots get sequence number 0, the spec's
+    assignment for pre-v2 history (review r16)."""
     new_version = version + 1
     meta = dict(meta)
     meta["current-snapshot-id"] = snapshot_id
-    # v2 sequence-number semantics; appending to a table created by
-    # the earlier v1 writer upgrades its metadata in place (a legal
-    # format-version bump). The upgrade must emit the FULL v2 required
-    # set — schemas list, partition-specs/default-spec-id, sort-orders/
-    # default-sort-order-id — and retire the v1-only partition-spec
-    # key; pre-upgrade snapshots get sequence number 0, the spec's
-    # assignment for pre-v2 history (review r16).
     meta["format-version"] = 2
     meta["last-sequence-number"] = seq
     if "schemas" not in meta and "schema" in meta:
@@ -413,7 +657,7 @@ def write_iceberg(
             "sequence-number": seq,
             "timestamp-ms": 0,
             "manifest-list": os.path.abspath(list_path),
-            "summary": {"operation": "append"},
+            "summary": {"operation": operation},
         }
     ]
     # exclusive-create publish, like every other commit in this repo

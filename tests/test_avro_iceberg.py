@@ -598,3 +598,126 @@ def test_iceberg_v1_table_upgrades_on_append(spark, tmp_path):
         range(6)
     )
     assert read_iceberg(spark, t, snapshot_id=s1).count() == 4
+
+
+def test_iceberg_position_deletes_roundtrip(spark, tmp_path):
+    """Format-v2 position deletes: commit a delete snapshot via
+    write_iceberg_deletes and the read must drop exactly the marked
+    (file, pos) rows — while time travel to the pre-delete snapshot
+    still sees everything (delete files are snapshot-scoped, not
+    destructive)."""
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        write_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "posdel")
+    write_iceberg(
+        spark, t, spark.range(0, 50).select(F.col("id").alias("k"))
+    )
+    s2 = write_iceberg(
+        spark, t, spark.range(50, 80).select(F.col("id").alias("k"))
+    )
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "k",
+    )
+    write_iceberg_deletes(
+        spark, t, scan.filter(F.col("k") % 7 == 0).select("file_path", "pos")
+    )
+    expect = [k for k in range(80) if k % 7 != 0]
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == expect
+    assert read_iceberg(spark, t, snapshot_id=s2).count() == 80
+
+
+def test_iceberg_position_delete_sequence_rule(spark, tmp_path):
+    """A position delete applies only to data files at or before its
+    sequence number: rows appended AFTER the delete snapshot must
+    survive even if a stale delete names their (future) file path —
+    here the post-delete append reuses no path, so the direct check is
+    that new rows are untouched by the earlier delete."""
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        write_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "seqrule")
+    write_iceberg(
+        spark, t, spark.range(0, 10).select(F.col("id").alias("k"))
+    )
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "k",
+    )
+    write_iceberg_deletes(
+        spark, t, scan.filter(F.col("k") < 3).select("file_path", "pos")
+    )
+    write_iceberg(
+        spark, t, spark.range(10, 15).select(F.col("id").alias("k"))
+    )
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == list(
+        range(3, 15)
+    )
+
+
+def test_iceberg_equality_deletes_rejected(spark, tmp_path):
+    """content=2 (equality deletes) is a stated non-goal: the read
+    must fail loudly, never return resurrected rows."""
+    import pytest as _pytest
+
+    from jobminer_spark.sources.avro import (
+        read_avro_records as _rar,
+        write_avro_file as _waf,
+    )
+    from jobminer_spark.sources.iceberg import (
+        _MANIFEST_LIST_SCHEMA,
+        _MANIFEST_SCHEMA,
+        iceberg_metadata,
+    )
+
+    t = str(tmp_path / "eqdel")
+    write_iceberg(
+        spark, t, spark.range(0, 5).select(F.col("id").alias("k"))
+    )
+    md = os.path.join(t, "metadata")
+    # craft an equality-delete manifest and splice it into a new list
+    eq_manifest = os.path.join(md, "manifest-eqdel.avro")
+    _waf(eq_manifest, _MANIFEST_SCHEMA, [{
+        "status": 1, "snapshot_id": None, "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {"content": 2, "file_path": "/nope.parquet",
+                      "file_format": "PARQUET", "record_count": 1,
+                      "file_size_in_bytes": 1},
+    }])
+    meta = iceberg_metadata(t)
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, records = _rar(cur["manifest-list"])
+    records.append({
+        "manifest_path": eq_manifest,
+        "manifest_length": os.path.getsize(eq_manifest),
+        "partition_spec_id": 0, "content": 1, "sequence_number": 2,
+        "min_sequence_number": 2, "added_snapshot_id": 2,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 1,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    })
+    new_list = os.path.join(md, "snap-2-eqdel.avro")
+    _waf(new_list, _MANIFEST_LIST_SCHEMA, records)
+    meta["snapshots"].append({
+        "snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 0,
+        "manifest-list": new_list, "summary": {"operation": "delete"},
+    })
+    meta["current-snapshot-id"] = 2
+    with open(os.path.join(md, "v9.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("9")
+    with _pytest.raises(ValueError, match="equality deletes"):
+        read_iceberg(spark, t).collect()

@@ -122,11 +122,11 @@ def test_commit_race_retries_and_unstages(spark, tmp_path):
 def test_unsupported_reader_version_fails_loudly(spark, tmp_path):
     t = str(tmp_path / "t6")
     write_delta(spark, t, _df(spark, 0, 3))
-    # bump the protocol in a new commit
+    # bump the protocol past the supported range in a new commit
     with open(_commit_file(t, 1), "w") as f:
         f.write(
             json.dumps(
-                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+                {"protocol": {"minReaderVersion": 4, "minWriterVersion": 9}}
             )
             + "\n"
         )
@@ -444,51 +444,202 @@ _META = {
 }
 
 
-def test_rejection_matrix_deletion_vectors(spark, tmp_path):
-    """A deletion-vector table (minReaderVersion=3) must fail loudly —
-    reading it naively would RETURN DELETED ROWS."""
+def test_rejection_matrix_unknown_reader_features(spark, tmp_path):
+    """Reader v3 gates per feature: anything outside the implemented
+    set (deletionVectors / columnMapping / timestampNtz) must fail
+    loudly BY NAME — v2Checkpoint here, which this reader has no code
+    to consume."""
+    t = str(tmp_path / "v2ckpt")
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"metaData": _META},
+    ]})
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        read_delta(spark, t)
+
+
+def test_rejection_matrix_column_mapping_id_mode(spark, tmp_path):
+    """``id`` mode (parquet field-id resolution) stays a loud
+    rejection — and the gate must hold even when the table (malformed)
+    claims reader v1 with the mapping config still on."""
+    for claim, sub in ((2, "cmap_id"), (1, "cmap_id_v1claim")):
+        t = str(tmp_path / sub)
+        _craft_log(t, {0: [
+            {"protocol": {"minReaderVersion": claim,
+                          "minWriterVersion": 5}},
+            {"metaData": {**_META, "configuration": {
+                "delta.columnMapping.mode": "id"}}},
+        ]})
+        with pytest.raises(ValueError, match="columnMapping"):
+            read_delta(spark, t)
+
+
+def _craft_mapped_table(spark, t):
+    """A reader-v2 column-mapped (name mode) table with one physical
+    parquet file whose column name differs from the logical schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    os.makedirs(t, exist_ok=True)
+    papq.write_table(
+        pa.table({"col-9f2": [1, 2, 3]}), os.path.join(t, "d1.parquet")
+    )
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-9f2"}},
+    ]}
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**_META,
+                      "schemaString": json.dumps(schema),
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "1"}}},
+        {"add": {"path": "d1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]})
+
+
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    """Name-mode column mapping (reader v2): the parquet file's
+    physical column resolves through the schema-string metadata and
+    surfaces under its LOGICAL name."""
+    t = str(tmp_path / "cmap")
+    _craft_mapped_table(spark, t)
+    df = read_delta(spark, t)
+    assert df.columns == ["k"]
+    assert sorted(r.k for r in df.collect()) == [1, 2, 3]
+
+
+def test_column_mapping_table_is_read_only(spark, tmp_path):
+    """The writer stages parquet under logical names, so a mapped
+    table must refuse writes rather than corrupt physical naming."""
+    t = str(tmp_path / "cmap_ro")
+    _craft_mapped_table(spark, t)
+    with pytest.raises(ValueError, match="column mapping"):
+        write_delta(spark, t, _df(spark, 0, 2), mode="overwrite")
+
+
+def test_column_mapping_missing_physical_name_rejected(spark, tmp_path):
+    """mode=name with a field missing physicalName is a protocol
+    violation — resolving by logical name could silently read the
+    wrong column, so it must raise."""
+    t = str(tmp_path / "cmap_broken")
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**_META, "configuration": {
+            "delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "d1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]})
+    with pytest.raises(ValueError, match="physicalName"):
+        read_delta(spark, t)
+
+
+def test_deletion_vectors_read_and_write_guard(spark, tmp_path):
+    """Reader v3 + deletionVectors: rows a DV marks deleted vanish
+    from the scan (file-based "u" DV with CRC, and inline "i"), and
+    every mutating entry point refuses the table rather than write a
+    checkpoint/commit that would resurrect them."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import uuid as _uuid
+
+    from jobminer_spark.sources.delta import optimize_delta
+    from jobminer_spark.sources.roaring import (
+        serialize_rba,
+        write_dv_file,
+        z85_encode,
+    )
+
     t = str(tmp_path / "dv")
+    os.makedirs(t)
+    papq.write_table(
+        pa.table({"k": list(range(10))}), os.path.join(t, "f1.parquet")
+    )
+    papq.write_table(
+        pa.table({"k": list(range(10, 20))}), os.path.join(t, "f2.parquet")
+    )
+    u = _uuid.uuid4()
+    off, size = write_dv_file(
+        os.path.join(t, f"deletion_vector_{u}.bin"), [0, 3, 7]
+    )
+    inline_payload = serialize_rba([2, 5])
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {**_META, "configuration": {
+            "delta.enableDeletionVectors": "true"}}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "u",
+                     "pathOrInlineDv": z85_encode(u.bytes),
+                     "offset": off, "sizeInBytes": size,
+                     "cardinality": 3}}},
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "i",
+                     "pathOrInlineDv": z85_encode(inline_payload),
+                     "sizeInBytes": len(inline_payload),
+                     "cardinality": 2}}},
+    ]})
+    got = sorted(r.k for r in read_delta(spark, t).collect())
+    assert got == sorted(set(range(20)) - {0, 3, 7, 12, 15})
+    with pytest.raises(ValueError, match="deletion vectors"):
+        write_delta(spark, t, spark.range(2).toDF("k"))
+    with pytest.raises(ValueError, match="deletion vectors"):
+        write_delta(spark, t, spark.range(2).toDF("k"), mode="overwrite")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        optimize_delta(spark, t)
+
+
+def test_vacuum_keeps_live_deletion_vector_files(spark, tmp_path):
+    """VACUUM must treat a DV ``.bin`` referenced by an active add as
+    live — deleting it would make the table unreadable."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import uuid as _uuid
+
+    from jobminer_spark.sources.delta import vacuum_delta
+    from jobminer_spark.sources.roaring import write_dv_file, z85_encode
+
+    t = str(tmp_path / "dvvac")
+    os.makedirs(t)
+    papq.write_table(
+        pa.table({"k": [1, 2, 3]}), os.path.join(t, "f1.parquet")
+    )
+    # an orphan file that SHOULD be vacuumed, aged past retention
+    orphan = os.path.join(t, "orphan.parquet")
+    papq.write_table(pa.table({"k": [9]}), orphan)
+    old = 1_000_000_000
+    os.utime(orphan, (old, old))
+    u = _uuid.uuid4()
+    dv_path = os.path.join(t, f"deletion_vector_{u}.bin")
+    off, size = write_dv_file(dv_path, [1])
+    os.utime(dv_path, (old, old))  # aged too — liveness must save it
     _craft_log(t, {0: [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["deletionVectors"],
                       "writerFeatures": ["deletionVectors"]}},
         {"metaData": _META},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "u",
+                     "pathOrInlineDv": z85_encode(u.bytes),
+                     "offset": off, "sizeInBytes": size,
+                     "cardinality": 1}}},
     ]})
-    with pytest.raises(ValueError, match="minReaderVersion=3"):
-        read_delta(spark, t)
-
-
-def test_rejection_matrix_column_mapping(spark, tmp_path):
-    """Column mapping demands reader v2 -> version gate; a MALFORMED
-    table claiming reader v1 with mapping config still on must hit the
-    metadata gate — either way, never silently misread."""
-    t = str(tmp_path / "cmap")
-    _craft_log(t, {0: [
-        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        {"metaData": {**_META, "configuration": {
-            "delta.columnMapping.mode": "name"}}},
-    ]})
-    with pytest.raises(ValueError, match="minReaderVersion=2"):
-        read_delta(spark, t)
-    t2 = str(tmp_path / "cmap_v1claim")
-    _craft_log(t2, {0: [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {"metaData": {**_META, "configuration": {
-            "delta.columnMapping.mode": "name"}}},
-    ]})
-    with pytest.raises(ValueError, match="columnMapping"):
-        read_delta(spark, t2)
-
-
-def test_rejection_matrix_deletion_vector_config_at_v1(spark, tmp_path):
-    t = str(tmp_path / "dvconf")
-    _craft_log(t, {0: [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {"metaData": {**_META, "configuration": {
-            "delta.enableDeletionVectors": "true"}}},
-    ]})
-    with pytest.raises(ValueError, match="deletion vectors"):
-        read_delta(spark, t)
+    deleted, _kept = vacuum_delta(t, retention_ms=0)
+    assert deleted == ["orphan.parquet"]
+    assert os.path.exists(dv_path)
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == [1, 3]
 
 
 def test_multipart_checkpoint_replays_or_fails_loudly(spark, tmp_path):
@@ -512,6 +663,58 @@ def test_multipart_checkpoint_replays_or_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="multi-part"):
         read_delta(spark, t)
     os.rename(_commit_file(t, 0) + ".gone", _commit_file(t, 0))
+
+
+def test_multipart_checkpoint_reads_when_complete(spark, tmp_path):
+    """A COMPLETE multi-part checkpoint set is consumed as the replay
+    base: split our own checkpoint rows across two part files, delete
+    the pre-checkpoint commits, and the snapshot must still resolve —
+    proof the parts (not a full replay) produced it."""
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.delta import _write_checkpoint
+
+    t = str(tmp_path / "multipart_ok")
+    write_delta(spark, t, _df(spark, 0, 3))
+    write_delta(spark, t, _df(spark, 3, 7))
+    _write_checkpoint(t, 1)
+    tbl = papq.read_table(_checkpoint_file(t, 1))
+    log = os.path.join(t, "_delta_log")
+    half = max(tbl.num_rows // 2, 1)
+    papq.write_table(
+        tbl.slice(0, half),
+        os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    papq.write_table(
+        tbl.slice(half),
+        os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    os.unlink(_checkpoint_file(t, 1))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": tbl.num_rows, "parts": 2}, f)
+    os.rename(_commit_file(t, 0), _commit_file(t, 0) + ".gone")
+    os.rename(_commit_file(t, 1), _commit_file(t, 1) + ".gone")
+    assert read_delta(spark, t).count() == 7
+    assert read_delta(spark, t).agg(F.sum("k")).first()[0] == sum(range(7))
+
+
+def test_delta_changes_rejects_dv_adds(spark, tmp_path):
+    """The incremental changes reader must refuse a range containing a
+    DV-carrying add — an in-place delete it would otherwise paper
+    over as an append."""
+    from jobminer_spark.sources.delta import delta_changes_adds
+
+    t = str(tmp_path / "dvchanges")
+    write_delta(spark, t, _df(spark, 0, 3))
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"add": {
+            "path": "x.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": {"storageType": "i", "pathOrInlineDv": "",
+                               "sizeInBytes": 0, "cardinality": 2},
+        }}) + "\n")
+    with pytest.raises(ValueError, match="deletion-vector"):
+        delta_changes_adds(t, -1)
 
 
 def test_foreign_commit_unknown_actions_ignored(spark, tmp_path):
