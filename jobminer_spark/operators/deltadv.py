@@ -24,6 +24,17 @@ promotes the three read-side features to real support
   the checkpoint split into 3 protocol-named part files, and every
   commit JSON deleted (metadata cleanup's most aggressive legal
   state) — the snapshot must still resolve ENTIRELY from the parts.
+* **Merge-on-read DELETE** (writer v7): delete_delta on this engine's
+  own table — predicate matched distributedly, bitmaps built in
+  executors (one applyInPandas task per touched file), descriptors
+  committed with a protocol upgrade, and NO data file rewritten
+  (files_unchanged is pinned).
+* **Merge-on-read UPDATE**: update_delta layered on top — old row
+  versions masked by a SECOND generation of DVs (bitmap-union
+  composition) while the transformed rows land as new files in the
+  same atomic commit; the count stays fixed, the checksum shifts by
+  exactly the assignment, and time travel to the delete version
+  still shows the pre-update checksum.
 
 Scale shape: DV application is a broadcast anti-join on
 (_metadata.file_path, _metadata.row_index) — shuffle-free, scan
@@ -287,12 +298,44 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     for v in range(6):  # metadata cleanup: every commit JSON gone
         os.unlink(os.path.join(log, f"{v:020d}.json"))
 
+    # ---- merge-on-read delete + update table (our writer, e2e) ----
+    from jobminer_spark.sources.delta import delete_delta, update_delta
+
+    mord_table = os.path.join(work, "mord")
+    write_delta(
+        spark,
+        mord_table,
+        rows.filter(F.col("event_id") % 2 == 0).select("event_id", "val_q"),
+    )
+    write_delta(
+        spark,
+        mord_table,
+        rows.filter(F.col("event_id") % 2 == 1).select("event_id", "val_q"),
+    )
+    n_files_before = len(read_delta(spark, mord_table).inputFiles())
+    _v, n_deleted = delete_delta(spark, mord_table, "event_id % 13 = 0")
+    n_files_after = len(read_delta(spark, mord_table).inputFiles())
+    # the update lands AFTER the delete: survivors with
+    # event_id % 17 == 0 get val_q shifted by +100000 — old versions
+    # masked by a second generation of DVs, new rows in new files
+    _v2, n_updated = update_delta(
+        spark,
+        mord_table,
+        "event_id % 17 = 0",
+        {"val_q": "val_q + 100000"},
+    )
+
     result = {
         "dv": dv_table,
         "n_dv_files": n_dv_files,
         "cmap": cm_table,
         "multi": mp_table,
         "n_parts": n_parts,
+        "mord": mord_table,
+        "mord_delete_version": _v,
+        "mord_n_deleted": n_deleted,
+        "mord_n_updated": n_updated,
+        "mord_files_unchanged": int(n_files_before == n_files_after),
     }
     _SCENARIO_CACHE[cache_key] = result
     return result
@@ -399,4 +442,94 @@ def delta_multipart_checkpoint_audit(
         f"CAST({n_jsons} AS BIGINT) AS n_commit_jsons",
         "n_rows",
         "ck",
+    )
+
+
+@query(
+    "delta_merge_on_read_delete_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 13 <> 0) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 13 <> 0) AS ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 13 = 0) AS n_deleted,
+           CAST(1 AS BIGINT) AS files_unchanged
+    """,
+)
+def delta_merge_on_read_delete_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """delete_delta END-TO-END on this engine's own writer: a
+    two-append table, a predicate delete that writes deletion vectors
+    (bitmaps built in executors, one task per touched file), and the
+    read-back must show exactly the surviving rows WITHOUT any data
+    file having been rewritten — files_unchanged pins the
+    merge-on-read property itself (a copy-on-write implementation
+    would flip it), and n_deleted comes from the commit's descriptor
+    cardinalities, cross-checked against the oracle's predicate
+    count."""
+    s = _scenario(spark, sf_dir)
+    # time travel to the delete version: the scenario layers an UPDATE
+    # on top afterwards (audited separately), and this audit pins the
+    # post-delete/pre-update state
+    surv = read_delta(
+        spark, s["mord"], version=s["mord_delete_version"]
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    return surv.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['mord_n_deleted']} AS BIGINT) AS n_deleted",
+        f"CAST({s['mord_files_unchanged']} AS BIGINT) AS files_unchanged",
+    )
+
+
+@query(
+    "delta_merge_on_read_update_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 13 <> 0) AS n_rows,
+           (SELECT CAST(SUM(val_q
+                          + CASE WHEN event_id % 17 = 0
+                                 THEN 100000 ELSE 0 END) AS BIGINT)
+              FROM rows WHERE event_id % 13 <> 0) AS ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 13 <> 0 AND event_id % 17 = 0) AS n_updated,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 13 <> 0) AS ck_before
+    """,
+)
+def delta_merge_on_read_update_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """update_delta END-TO-END layered ON TOP of the delete: survivors
+    matching event_id%17==0 get val_q shifted, their old versions
+    masked by a second DV generation while the new rows land in new
+    files — the read must show the post-update checksum, the count
+    must be unchanged (update ≠ insert/delete), n_updated must equal
+    the oracle's predicate count over DELETE SURVIVORS only (an
+    implementation that updated DV-deleted rows would inflate it),
+    and time travel to the delete version must still see the
+    pre-update checksum."""
+    s = _scenario(spark, sf_dir)
+    cur = read_delta(spark, s["mord"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    before = read_delta(
+        spark, s["mord"], version=s["mord_delete_version"]
+    ).agg(F.sum("val_q").cast("long").alias("ck_before"))
+    return (
+        cur.crossJoin(F.broadcast(before))
+        .selectExpr(
+            "n_rows",
+            "ck",
+            f"CAST({s['mord_n_updated']} AS BIGINT) AS n_updated",
+            "ck_before",
+        )
     )

@@ -430,14 +430,22 @@ _OPERATOR_MODULES = [
     "jobminer_spark.operators.fileformats",
     "jobminer_spark.operators.deltamaint",
     "jobminer_spark.operators.deltascan",
-    # r16-new (late): Delta reader v2/v3 promotion — deletion vectors,
-    # column mapping (name mode), multi-part checkpoints
+    # r16-new (late): Delta reader v2/v3 promotion + merge-on-read
+    # writes — deletion vectors, column mapping (name mode),
+    # multi-part checkpoints, delete_delta/update_delta
     # (sources/delta.py + sources/roaring.py); the r17 plan fronts
-    # these three audits with the other r16-new queries
+    # these five audits (delta_deletion_vector_read_audit,
+    # delta_column_mapping_read_audit, delta_multipart_checkpoint_
+    # audit, delta_merge_on_read_delete_audit,
+    # delta_merge_on_read_update_audit) with the other r16-new queries
     "jobminer_spark.operators.deltadv",
     # r16-new (late): Iceberg format-v2 position deletes — write +
     # read through the metadata chain under the sequence rule
-    # (sources/iceberg.py); same r17 fronting
+    # (sources/iceberg.py, iceberg_position_delete_audit); same r17
+    # fronting. r17 window sketch: 12 r11-tail slips + 7 fileformats/
+    # deltamaint/deltascan + these 6 = 25 never-attested; fill the
+    # remaining 25 slots from the last-green-r12 head, AMENDing for
+    # any module modified after this rotation.
     "jobminer_spark.operators.icebergdel",
 ]
 

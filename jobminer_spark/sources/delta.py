@@ -42,13 +42,17 @@ partitionValues/stats keyed physically per the protocol), timestampNtz,
 and multi-part checkpoints. Reads REJECT loudly anything beyond that
 subset (columnMapping ``id`` mode, unknown readerFeatures such as
 v2Checkpoint, reader versions above 3) — the protocol's mandated
-behavior for unknown features. WRITES stay at writer version 2
-(append/overwrite/OPTIMIZE/VACUUM on plain tables): write_delta,
-optimize_delta and the checkpoint writer refuse tables that carry
-active deletion vectors or column mapping rather than silently
-dropping descriptors or misnaming columns, and vacuum treats
-referenced DV ``.bin`` payloads as live. No generated columns, no CDC
-files.
+behavior for unknown features. WRITES: append/overwrite/OPTIMIZE/
+VACUUM, plus MERGE-ON-READ DELETE (`delete_delta` — predicate deletes
+written as deletion vectors, bitmaps built in executors, the first DV
+commit upgrading the table to reader 3/writer 7 with the feature
+listed). Appends/overwrites on DV-carrying tables preserve
+descriptors (checkpoints carry a deletionVector column; tombstones
+keep the retired descriptor so vacuum can retire the ``.bin`` with
+its file), and OPTIMIZE MATERIALIZES accumulated DVs into clean files
+(dataChange=false — the logical rows are unchanged). Column-mapped
+tables remain read-only (staging writes under logical names would mix
+naming schemes). No generated columns, no CDC files.
 
 Scale shape: log replay touches checkpoint + tail commits only
 (bounded by checkpoint_interval, not table history); the active-file
@@ -155,13 +159,13 @@ def _replay(
     the newest checkpoint ≤ version (or from 0), honoring the
     protocol's reconciliation rules (a later remove cancels an add;
     metaData/protocol/txn latest-wins)."""
-    adds, _removes, meta, txns = _replay_full(table, version)
+    adds, _removes, meta, txns, _proto = _replay_full(table, version)
     return adds, meta, txns
 
 
 def _replay_full(
     table: str, version: int
-) -> tuple[dict[str, dict], dict[str, dict], dict, dict[str, int]]:
+) -> tuple[dict[str, dict], dict[str, dict], dict, dict[str, int], dict]:
     """`_replay` plus the remove TOMBSTONES still standing at
     ``version`` (path → remove action). The protocol keeps removes in
     checkpoints until their retention window lapses — vacuum/CDC
@@ -175,6 +179,7 @@ def _replay_full(
     removes: dict[str, dict] = {}
     meta: dict = {}
     txns: dict[str, int] = {}
+    protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
     # checkpoint hint, then directory fallback (the hint file is
     # advisory per the protocol — a missing/stale one must not break)
     ckpt_version = -1
@@ -245,7 +250,10 @@ def _replay_full(
                     meta["format"] = dict(meta["format"])
                     _maps_to_dicts(meta["format"], "options")
             if row.get("protocol"):
-                _check_protocol(row["protocol"])
+                pr = {k: v for k, v in dict(row["protocol"]).items()
+                      if v is not None}
+                _check_protocol(pr)
+                protocol = pr
             if row.get("txn"):
                 txns[row["txn"]["appId"]] = row["txn"]["version"]
     if ckpt_version >= 0:
@@ -261,6 +269,7 @@ def _replay_full(
         for action in _read_commit(table, v):
             if "protocol" in action:
                 _check_protocol(action["protocol"])
+                protocol = action["protocol"]
             elif "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
@@ -275,7 +284,7 @@ def _replay_full(
             # domainMetadata, ...) are IGNORED per the protocol —
             # reader version 1 only mandates the keys above
     _check_metadata(meta)
-    return adds, removes, meta, txns
+    return adds, removes, meta, txns, protocol
 
 
 def _maps_to_dicts(obj: dict, key: str) -> None:
@@ -484,14 +493,93 @@ def _has_dv(add: dict) -> bool:
 _DV_BROADCAST_MAX = 2_000_000
 
 
+def _dv_relation(
+    spark: SparkSession, table: str, adds: list[dict]
+) -> tuple[DataFrame | None, int]:
+    """Decode every DV-carrying add's deleted row positions into ONE
+    (file URI, row_index) relation (None when no add carries a DV).
+    Decode cost is O(deleted rows) driver-side at this scale; the
+    scan-side filter stays a broadcast anti-join on
+    (_metadata.file_path, _metadata.row_index) — shuffle-free, and the
+    parquet scan keeps its pushdown (row_index is generated, not
+    read)."""
+    deleted: list[tuple[str, int]] = []
+    for a in adds:
+        if _has_dv(a):
+            fp = _file_uri(os.path.join(table, a["path"]))
+            deleted.extend(
+                (fp, int(i))
+                for i in _dv_indices(table, a["deletionVector"])
+            )
+    if not deleted:
+        return None, 0
+    return (
+        spark.createDataFrame(
+            deleted, "__jm_dv_file string, __jm_dv_pos long"
+        ),
+        len(deleted),
+    )
+
+
+def _file_uri(path: str) -> str:
+    """The file URI form Spark's `_metadata.file_path` reports for a
+    local path — the anti-join key both sides must agree on."""
+    return "file:" + os.path.abspath(path).replace(os.sep, "/")
+
+
+def _scan_minus_dvs(
+    spark: SparkSession,
+    paths: list[str],
+    data_schema: str,
+    dv_df: DataFrame | None,
+    n_dv_positions: int,
+    keep_keys: bool = False,
+) -> DataFrame:
+    """Distributed parquet scan of ``paths`` minus the positions in
+    ``dv_df`` (pass-through when None). ``keep_keys`` retains the
+    ``__jm_file``/``__jm_pos`` position columns in the result — they
+    must be attached BEFORE the anti-join because `_metadata` only
+    resolves directly on the scan relation."""
+    df = spark.read.schema(data_schema).parquet(*paths)
+    if dv_df is None and not keep_keys:
+        return df
+    keyed = df.withColumns(
+        {
+            "__jm_file": F.col("_metadata.file_path"),
+            "__jm_pos": F.col("_metadata.row_index"),
+        }
+    )
+    if dv_df is None:
+        return keyed
+    right = (
+        dv_df
+        if n_dv_positions > _DV_BROADCAST_MAX
+        else F.broadcast(dv_df)
+    )
+    out = keyed.join(
+        right,
+        (keyed["__jm_file"] == right["__jm_dv_file"])
+        & (keyed["__jm_pos"] == right["__jm_dv_pos"]),
+        "left_anti",
+    )
+    return out if keep_keys else out.drop("__jm_file", "__jm_pos")
+
+
 def _adds_to_df(
-    spark: SparkSession, table: str, adds: list[dict], meta: dict
+    spark: SparkSession,
+    table: str,
+    adds: list[dict],
+    meta: dict,
+    include_position: bool = False,
 ) -> DataFrame:
     """Plan a distributed scan over ``adds``' files, restoring
     partition columns from the log's partitionValues (Delta never
     writes them into the data files), resolving physical column names
     under column mapping, and anti-joining away rows the adds'
-    deletion vectors mark deleted."""
+    deletion vectors mark deleted. With ``include_position`` the
+    result carries two extra columns — ``__jm_file`` (the file URI)
+    and ``__jm_pos`` (the row's physical position in it) — the handle
+    delete_delta needs to turn a row predicate into DV positions."""
     schema = json.loads(meta["schemaString"])
     phys = _physical_map(meta)
     part_cols = meta.get("partitionColumns", [])
@@ -507,53 +595,27 @@ def _adds_to_df(
             f"`{f['name']}` {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
             for f in schema["fields"]
         )
+        if include_position:
+            empty_schema += ", __jm_file string, __jm_pos long"
         return spark.createDataFrame([], empty_schema)
-    # Deletion vectors: decode each DV-carrying add's deleted row
-    # positions into one (file, row_index) relation. Decode cost is
-    # O(deleted rows) driver-side at this scale; the SCAN-side filter
-    # is a broadcast anti-join on (_metadata.file_path,
-    # _metadata.row_index) — shuffle-free, and the parquet scan keeps
-    # its pushdown (row_index is generated, not read)
-    deleted: list[tuple[str, int]] = []
-    for a in adds:
-        if _has_dv(a):
-            fp = "file:" + os.path.abspath(
-                os.path.join(table, a["path"])
-            ).replace(os.sep, "/")
-            deleted.extend(
-                (fp, int(i)) for i in _dv_indices(table, a["deletionVector"])
-            )
-    dv_df = None
-    if deleted:
-        dv_df = spark.createDataFrame(
-            deleted, "__jm_dv_file string, __jm_dv_pos long"
-        )
+    dv_df, n_dv_positions = _dv_relation(spark, table, adds)
 
     def _scan(paths: list[str]) -> DataFrame:
-        df = spark.read.schema(data_schema).parquet(*paths)
-        if dv_df is None:
-            return df
-        keyed = df.withColumns(
-            {
-                "__jm_file": F.col("_metadata.file_path"),
-                "__jm_pos": F.col("_metadata.row_index"),
-            }
+        return _scan_minus_dvs(
+            spark,
+            paths,
+            data_schema,
+            dv_df,
+            n_dv_positions,
+            keep_keys=include_position,
         )
-        right = dv_df if len(deleted) > _DV_BROADCAST_MAX else F.broadcast(
-            dv_df
-        )
-        return keyed.join(
-            right,
-            (keyed["__jm_file"] == right["__jm_dv_file"])
-            & (keyed["__jm_pos"] == right["__jm_dv_pos"]),
-            "left_anti",
-        ).drop("__jm_file", "__jm_pos")
 
     logical_order = [f["name"] for f in schema["fields"]]
+    extra = ["__jm_file", "__jm_pos"] if include_position else []
     if not part_cols:
         paths = [os.path.join(table, a["path"]) for a in adds]
         return _scan(paths).select(
-            *[F.col(phys[c]).alias(c) for c in logical_order]
+            *[F.col(phys[c]).alias(c) for c in logical_order], *extra
         )
     # Partitioned: partition values live in the LOG, not the files —
     # group files by their partitionValues tuple, attach literals per
@@ -586,7 +648,8 @@ def _adds_to_df(
                 *[
                     F.col(c if c in part_cols else phys[c]).alias(c)
                     for c in logical_order
-                ]
+                ],
+                *extra,
             )
         )
     out = parts[0]
@@ -702,26 +765,19 @@ def _schema_string(df: DataFrame) -> str:
     return json.dumps({"type": "struct", "fields": fields})
 
 
-def _check_writable(adds: dict[str, dict], meta: dict) -> None:
-    """This module WRITES at writer version 2: it has no code to
-    preserve deletion-vector descriptors through checkpoints/commits
-    or to stage parquet under physical column names, so mutating a
-    table that carries either would silently corrupt it (a checkpoint
-    that drops a DV descriptor resurrects deleted rows). Foreign
-    reader-v2/v3 tables are READ-ONLY here; reject writes loudly."""
+def _check_not_mapped(meta: dict) -> None:
+    """Writes stage parquet under LOGICAL column names, so a
+    column-mapped table (physical naming) is read-only here —
+    mutating it would mix naming schemes inside one table. Deletion
+    vectors are NOT a write blocker: commits re-publish descriptors
+    verbatim, checkpoints carry a deletionVector column, delete_delta
+    writes them, and OPTIMIZE materializes them away."""
     conf = (meta or {}).get("configuration") or {}
     if conf.get("delta.columnMapping.mode", "none") not in ("", "none"):
         raise ValueError(
             "refusing to write: table uses column mapping (this writer "
             "stages parquet under logical names — the table is "
             "read-only here)"
-        )
-    dv_paths = [p for p, a in adds.items() if _has_dv(a)]
-    if dv_paths:
-        raise ValueError(
-            f"refusing to write: {len(dv_paths)} active file(s) carry "
-            "deletion vectors this writer cannot preserve (read-only "
-            "support; e.g. " + dv_paths[0] + ")"
         )
 
 
@@ -756,7 +812,7 @@ def write_delta(
             # misreads (all-NULL columns, NULL partition values).
             # delta-spark rejects both; so do we, loudly (review r15).
             _adds, prev_meta, _ptxns = _replay(table, current)
-            _check_writable(_adds, prev_meta)
+            _check_not_mapped(prev_meta)
             if prev_meta.get("partitionColumns", []) != part_cols:
                 raise ValueError(
                     f"append partitioning {part_cols} != table's "
@@ -792,7 +848,7 @@ def write_delta(
             )
         elif mode == "overwrite":
             prev_adds, prev_meta, _ptxns = _replay(table, current)
-            _check_writable(prev_adds, prev_meta)
+            _check_not_mapped(prev_meta)
             if prev_meta.get(
                 "partitionColumns", []
             ) != part_cols or json.loads(
@@ -818,6 +874,14 @@ def write_delta(
                         "path": p,
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
+                        # tombstones keep the old DV descriptor so
+                        # vacuum can retire the .bin with its file
+                        **(
+                            {"deletionVector":
+                             prev_adds[p]["deletionVector"]}
+                            if _has_dv(prev_adds[p])
+                            else {}
+                        ),
                     }
                 }
                 for p in sorted(prev_adds)
@@ -1013,11 +1077,7 @@ def _write_checkpoint(table: str, version: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as papq
 
-    adds, removes, meta, txns = _replay_full(table, version)
-    # the checkpoint schema below has no deletionVector column: it
-    # must never be written for a DV-carrying snapshot (replay through
-    # it would resurrect deleted rows)
-    _check_writable(adds, meta)
+    adds, removes, meta, txns, protocol = _replay_full(table, version)
     cutoff_ms = int(time.time() * 1000) - _TOMBSTONE_RETENTION_MS
     live_removes = [
         # project to the checkpoint struct (external commits may carry
@@ -1028,6 +1088,7 @@ def _write_checkpoint(table: str, version: int) -> None:
             "path": r["path"],
             "deletionTimestamp": r.get("deletionTimestamp") or 0,
             "dataChange": bool(r.get("dataChange", True)),
+            "deletionVector": r.get("deletionVector"),
         }
         for r in sorted(removes.values(), key=lambda r: r["path"])
         if (r.get("deletionTimestamp") or 0) >= cutoff_ms
@@ -1037,8 +1098,7 @@ def _write_checkpoint(table: str, version: int) -> None:
         "txn": None,
     }
     rows: list[dict] = [
-        {**none_row, "metaData": meta or None,
-         "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {**none_row, "metaData": meta or None, "protocol": protocol},
     ]
     rows.extend({**none_row, "add": a}
                 for a in sorted(adds.values(), key=lambda a: a["path"]))
@@ -1070,6 +1130,23 @@ def _write_checkpoint(table: str, version: int) -> None:
                         # data skipping must keep working when the
                         # original commit JSON is gone
                         pa.field("stats", pa.string()),
+                        # deletion-vector descriptors RIDE THROUGH too
+                        # — dropping one would resurrect deleted rows
+                        # on the next checkpoint-based replay
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field(
+                                        "pathOrInlineDv", pa.string()
+                                    ),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -1080,6 +1157,20 @@ def _write_checkpoint(table: str, version: int) -> None:
                         pa.field("path", pa.string()),
                         pa.field("deletionTimestamp", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field(
+                                        "pathOrInlineDv", pa.string()
+                                    ),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -1110,6 +1201,12 @@ def _write_checkpoint(table: str, version: int) -> None:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        pa.field(
+                            "readerFeatures", pa.list_(pa.string())
+                        ),
+                        pa.field(
+                            "writerFeatures", pa.list_(pa.string())
+                        ),
                     ]
                 ),
             ),
@@ -1158,7 +1255,7 @@ def optimize_delta(
     while True:
         current = delta_latest_version(table)
         adds, meta, _txns = _replay(table, current)
-        _check_writable(adds, meta)
+        _check_not_mapped(meta)
         part_cols = meta.get("partitionColumns", [])
         n_before = len(adds)
         schema = json.loads(meta["schemaString"])
@@ -1181,15 +1278,20 @@ def optimize_delta(
             key=lambda k: tuple((v is None, v or "") for v in k),
         ):
             group = by_part[key]
-            if len(group) <= target_files:
+            group_has_dvs = any(_has_dv(a) for a in group)
+            if len(group) <= target_files and not group_has_dvs:
                 n_untouched += len(group)
                 continue
             paths = [os.path.join(table, a["path"]) for a in group]
-            compacted = (
-                spark.read.schema(data_ddl)
-                .parquet(*paths)
-                .repartition(target_files)
-            )
+            # DV-carrying groups MATERIALIZE their deletes: the scan
+            # drops DV-marked rows, the rewritten files carry no
+            # descriptors, and dataChange=false stays correct because
+            # the LOGICAL row set is unchanged — the protocol's
+            # "purge" shape
+            dv_df, n_dv = _dv_relation(spark, table, group)
+            compacted = _scan_minus_dvs(
+                spark, paths, data_ddl, dv_df, n_dv
+            ).repartition(target_files)
             staged = _stage_data_files(spark, table, compacted, [])
             pvals = dict(zip(part_cols, key))
             for a in staged:
@@ -1206,6 +1308,11 @@ def optimize_delta(
                     "path": p,
                     "deletionTimestamp": now_ms,
                     "dataChange": False,
+                    **(
+                        {"deletionVector": adds[p]["deletionVector"]}
+                        if _has_dv(adds[p])
+                        else {}
+                    ),
                 }
             }
             for p in sorted(removed_paths)
@@ -1236,6 +1343,280 @@ def optimize_delta(
         return new_version, n_before, n_after
 
 
+def delete_delta(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+) -> tuple[int, int]:
+    """MERGE-ON-READ DELETE: mark the rows matching ``predicate`` (a
+    Column or SQL string over the table's logical schema) deleted via
+    DELETION VECTORS — no data file is rewritten. Returns
+    (new_version, n_newly_deleted); a no-match delete commits nothing
+    and returns (current_version, 0).
+
+    The protocol shape: for every file with matched rows the commit
+    carries a ``remove`` of the old (path, DV) pair and an ``add`` of
+    the same path with the new DV descriptor — both dataChange=true —
+    and the first DV commit upgrades the table protocol to
+    reader 3 / writer 7 with the deletionVectors feature (legacy
+    writer-v2 features made explicit, per the upgrade rule) plus
+    ``delta.enableDeletionVectors`` in the table configuration.
+    Repeated deletes COMPOSE: the new bitmap is the union of the old
+    DV's positions and the new matches.
+
+    Scale shape: matching is one distributed scan with the row
+    predicate pushed down; bitmap construction runs IN EXECUTORS
+    (applyInPandas grouped by file — one task per touched file, each
+    writing its own ``deletion_vector_<uuid>.bin``), so the driver
+    only collects O(touched files) descriptors, never positions. The
+    one shuffle is the per-file grouping of matched positions —
+    proportional to matched rows, not table size. Reads stay
+    shuffle-free afterwards (broadcast anti-join). OPTIMIZE
+    materializes accumulated DVs away when rewrite amortizes."""
+    version, n, _matched = _mor_mutation(
+        spark, table, predicate, None, checkpoint_interval
+    )
+    return version, n
+
+
+def update_delta(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    assignments: dict,
+    checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+) -> tuple[int, int]:
+    """MERGE-ON-READ UPDATE: rows matching ``predicate`` get
+    ``assignments`` ({column: Column or SQL expression}) applied — the
+    old row versions are masked by deletion vectors and the updated
+    rows land as NEW files in the SAME atomic commit (delta-spark's
+    DV-update shape: touched files are not rewritten, only the delta
+    of changed rows is). Returns (new_version, n_updated); no match
+    commits nothing. Assignments may move rows across partitions —
+    the re-insert stages hive-style under the table's partitioning.
+
+    Scale shape: delete side identical to delete_delta; the re-insert
+    writes O(matched rows), not O(file size) — the point of
+    merge-on-read over copy-on-write for narrow updates."""
+
+    def _transform(matched_df: DataFrame) -> DataFrame:
+        out = matched_df
+        for c, expr in assignments.items():
+            if c not in matched_df.columns:
+                raise ValueError(
+                    f"assignment target {c!r} is not a table column"
+                )
+            out = out.withColumn(
+                c, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        return out
+
+    version, n, _matched = _mor_mutation(
+        spark, table, predicate, _transform, checkpoint_interval
+    )
+    return version, n
+
+
+def _mor_mutation(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    transform,
+    checkpoint_interval: int,
+) -> tuple[int, int, int]:
+    """Shared merge-on-read engine behind delete_delta/update_delta:
+    match rows, build per-file DV bitmaps in executors, optionally
+    stage ``transform``-ed replacement rows, and publish ONE commit
+    (retrying the whole match on an optimistic-concurrency loss)."""
+    latest = delta_latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    while True:
+        current = delta_latest_version(table)
+        adds, _removes, meta, _txns, protocol = _replay_full(table, current)
+        _check_not_mapped(meta)
+        part_cols = meta.get("partitionColumns", [])
+        rel_by_uri = {
+            _file_uri(os.path.join(table, p)): p for p in adds
+        }
+        matched_rows = _adds_to_df(
+            spark, table, list(adds.values()), meta, include_position=True
+        ).where(pred)
+        matched = matched_rows.select("__jm_file", "__jm_pos")
+        old_map = {
+            uri: adds[rel].get("deletionVector")
+            for uri, rel in rel_by_uri.items()
+            if _has_dv(adds[rel])
+        }
+        table_abs = os.path.abspath(table)
+        # executor Python workers inherit neither the driver's
+        # sys.path mutations nor its cwd; hand them the package root
+        # (shared FS locally; a cluster ships the package via its own
+        # deployment, and this insert is then a no-op)
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+
+        def _build_dv(pdf):
+            import sys
+
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            import pandas as pd
+
+            from jobminer_spark.sources.delta import _dv_indices
+            from jobminer_spark.sources.roaring import (
+                write_dv_file,
+                z85_encode,
+            )
+
+            uri = pdf["__jm_file"].iloc[0]
+            positions = set(int(p) for p in pdf["__jm_pos"])
+            old = old_map.get(uri)
+            if old is not None:
+                # compose: the scan already excluded old-DV rows, so
+                # the union is disjoint by construction
+                positions |= set(_dv_indices(table_abs, old))
+            u = uuid.uuid4()
+            off, size = write_dv_file(
+                os.path.join(table_abs, f"deletion_vector_{u}.bin"),
+                sorted(positions),
+            )
+            return pd.DataFrame(
+                [
+                    {
+                        "uri": uri,
+                        "dv_path": z85_encode(u.bytes),
+                        "dv_offset": off,
+                        "dv_size": size,
+                        "cardinality": len(positions),
+                    }
+                ]
+            )
+
+        descriptors = matched.groupBy("__jm_file").applyInPandas(
+            _build_dv,
+            "uri string, dv_path string, dv_offset long, dv_size long,"
+            " cardinality long",
+        ).collect()
+        if not descriptors:
+            return current, 0, 0
+        staged_new: list[dict] = []
+        if transform is not None:
+            replacement = transform(
+                matched_rows.drop("__jm_file", "__jm_pos")
+            )
+            staged_new = _stage_data_files(
+                spark, table, replacement, part_cols
+            )
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = []
+        conf = dict((meta or {}).get("configuration") or {})
+        feats = set(protocol.get("readerFeatures") or [])
+        if (
+            protocol.get("minReaderVersion", 1) < 3
+            or "deletionVectors" not in feats
+        ):
+            wfeats = set(protocol.get("writerFeatures") or [])
+            if protocol.get("minWriterVersion", 2) < 7:
+                # the upgrade rule: features implied by the legacy
+                # writer version become explicit alongside the new one
+                wfeats |= {"appendOnly", "invariants"}
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            feats | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            wfeats | {"deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        if (
+            str(conf.get("delta.enableDeletionVectors", "false")).lower()
+            != "true"
+        ):
+            conf["delta.enableDeletionVectors"] = "true"
+            actions.append({"metaData": {**meta, "configuration": conf}})
+        n_new = 0
+        written: list[str] = []
+        for d in sorted(descriptors, key=lambda d: d["uri"]):
+            rel = rel_by_uri[d["uri"]]
+            old_add = adds[rel]
+            old_dv = old_add.get("deletionVector")
+            new_dv = {
+                "storageType": "u",
+                "pathOrInlineDv": d["dv_path"],
+                "offset": int(d["dv_offset"]),
+                "sizeInBytes": int(d["dv_size"]),
+                "cardinality": int(d["cardinality"]),
+            }
+            written.append(d["dv_path"])
+            n_new += int(d["cardinality"]) - int(
+                (old_dv or {}).get("cardinality") or 0
+            )
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        **(
+                            {"deletionVector": old_dv}
+                            if _has_dv(old_add)
+                            else {}
+                        ),
+                    }
+                }
+            )
+            actions.append(
+                {
+                    "add": {
+                        **old_add,
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "deletionVector": new_dv,
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in staged_new)
+        new_version = current + 1
+        try:
+            _publish_commit(table, new_version, actions)
+        except FileExistsError:
+            # lost the race: positions were computed against a stale
+            # snapshot — unstage the DV files + replacement files and
+            # redo the match
+            for enc in written:
+                try:
+                    os.unlink(
+                        _dv_file_path(
+                            table,
+                            {"storageType": "u", "pathOrInlineDv": enc},
+                        )
+                    )
+                except OSError:
+                    pass
+            for a in staged_new:
+                try:
+                    os.unlink(os.path.join(table, a["path"]))
+                except OSError:
+                    pass
+            continue
+        if (
+            checkpoint_interval > 0
+            and new_version % checkpoint_interval == 0
+        ):
+            _write_checkpoint(table, new_version)
+        return new_version, n_new, len(descriptors)
+
+
 def vacuum_delta(
     table: str,
     retention_ms: int = _TOMBSTONE_RETENTION_MS,
@@ -1258,7 +1639,7 @@ def vacuum_delta(
     latest = delta_latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
-    adds, removes, _meta, _txns = _replay_full(table, latest)
+    adds, removes, _meta, _txns, _proto = _replay_full(table, latest)
     cutoff = int(time.time() * 1000) - retention_ms
     # deletion-vector payload files referenced by the CURRENT snapshot
     # are as live as the data files that point at them; DVs referenced
@@ -1273,6 +1654,18 @@ def vacuum_delta(
                 os.path.relpath(
                     _dv_file_path(table, a["deletionVector"]), table
                 ).replace(os.sep, "/")
+            )
+    # a tombstone's old DV shares the tombstone's retention clock
+    dv_tombstones: dict[str, int] = {}
+    for r in removes.values():
+        dv = r.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            dv_rel = os.path.relpath(
+                _dv_file_path(table, dv), table
+            ).replace(os.sep, "/")
+            dv_tombstones[dv_rel] = max(
+                dv_tombstones.get(dv_rel, 0),
+                r.get("deletionTimestamp") or 0,
             )
     deleted: list[str] = []
     kept = 0
@@ -1290,6 +1683,9 @@ def vacuum_delta(
                 continue
             r = removes.get(rel)
             if r is not None and (r.get("deletionTimestamp") or 0) > cutoff:
+                kept += 1
+                continue
+            if dv_tombstones.get(rel, 0) > cutoff:
                 kept += 1
                 continue
             full = os.path.join(root, fname)

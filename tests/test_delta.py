@@ -539,11 +539,12 @@ def test_column_mapping_missing_physical_name_rejected(spark, tmp_path):
         read_delta(spark, t)
 
 
-def test_deletion_vectors_read_and_write_guard(spark, tmp_path):
-    """Reader v3 + deletionVectors: rows a DV marks deleted vanish
-    from the scan (file-based "u" DV with CRC, and inline "i"), and
-    every mutating entry point refuses the table rather than write a
-    checkpoint/commit that would resurrect them."""
+def test_deletion_vectors_read_foreign_and_writer_interop(spark, tmp_path):
+    """Reader v3 + deletionVectors on a FOREIGN-shaped table: rows a
+    DV marks deleted vanish from the scan (file-based "u" DV with CRC,
+    and inline "i"), appends leave the DVs applied, and OPTIMIZE
+    materializes them into clean files instead of resurrecting
+    rows."""
     import pyarrow as pa
     import pyarrow.parquet as papq
     import uuid as _uuid
@@ -589,14 +590,99 @@ def test_deletion_vectors_read_and_write_guard(spark, tmp_path):
                      "sizeInBytes": len(inline_payload),
                      "cardinality": 2}}},
     ]})
+    survivors = sorted(set(range(20)) - {0, 3, 7, 12, 15})
     got = sorted(r.k for r in read_delta(spark, t).collect())
-    assert got == sorted(set(range(20)) - {0, 3, 7, 12, 15})
-    with pytest.raises(ValueError, match="deletion vectors"):
-        write_delta(spark, t, spark.range(2).toDF("k"))
-    with pytest.raises(ValueError, match="deletion vectors"):
-        write_delta(spark, t, spark.range(2).toDF("k"), mode="overwrite")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        optimize_delta(spark, t)
+    assert got == survivors
+    # append on a DV table: new rows land, old deletes stay applied
+    write_delta(
+        spark,
+        t,
+        spark.createDataFrame([(100,), (101,), (102,)], "k long"),
+    )
+    got = sorted(r.k for r in read_delta(spark, t).collect())
+    assert got == survivors + [100, 101, 102]
+    # OPTIMIZE materializes the DVs: same logical rows, no descriptors
+    optimize_delta(spark, t, target_files=1)
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delta_latest_version,
+    )
+
+    adds, _rm, _m, _tx, _p = _replay_full(t, delta_latest_version(t))
+    assert not any(a.get("deletionVector") for a in adds.values())
+    got = sorted(r.k for r in read_delta(spark, t).collect())
+    assert got == survivors + [100, 101, 102]
+
+
+def test_delete_delta_merge_on_read_lifecycle(spark, tmp_path):
+    """delete_delta writes DVs instead of rewriting files: matched
+    rows vanish, repeated deletes COMPOSE (bitmap union), a no-match
+    delete commits nothing, the protocol upgrades to reader 3/writer 7
+    with the feature listed, time travel still sees pre-delete rows,
+    and the checkpoint carries the descriptors."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        _write_checkpoint,
+        delete_delta,
+        delta_latest_version,
+    )
+
+    t = str(tmp_path / "mord")
+    write_delta(spark, t, _df(spark, 0, 40))
+    write_delta(spark, t, _df(spark, 40, 80))
+    n_files = len(read_delta(spark, t).inputFiles())
+
+    v, n = delete_delta(spark, t, "k % 4 = 0")
+    assert n == 20 and v == 2
+    assert len(read_delta(spark, t).inputFiles()) == n_files  # no rewrite
+    v2, n2 = delete_delta(spark, t, F.col("k") % 4 == 1)
+    assert n2 == 20
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+        k for k in range(80) if k % 4 >= 2
+    ]
+    # no-match: no commit
+    assert delete_delta(spark, t, "k > 999") == (v2, 0)
+    # time travel sees the pre-delete snapshot
+    assert read_delta(spark, t, version=1).count() == 80
+    # protocol + config upgraded
+    _adds, _rm, meta, _tx, proto = _replay_full(t, delta_latest_version(t))
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert meta["configuration"]["delta.enableDeletionVectors"] == "true"
+    # checkpoint replay keeps the deletes (descriptors ride through)
+    cv = delta_latest_version(t)
+    _write_checkpoint(t, cv)
+    for vv in range(cv):
+        os.unlink(_commit_file(t, vv))
+    assert read_delta(spark, t).count() == 40
+
+
+def test_vacuum_retains_tombstoned_dv_until_retention(spark, tmp_path):
+    """After OPTIMIZE materializes a delete, the old DV .bin is only
+    TOMBSTONE-referenced — vacuum must keep it while the tombstone
+    stands and collect it after retention."""
+    import glob
+
+    from jobminer_spark.sources.delta import (
+        delete_delta,
+        optimize_delta,
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "dvret")
+    write_delta(spark, t, _df(spark, 0, 30))
+    delete_delta(spark, t, "k < 5")
+    optimize_delta(spark, t, target_files=1)
+    dv_bins = glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    assert dv_bins  # one per touched data file
+    # inside retention: everything kept
+    deleted, kept = vacuum_delta(t, retention_ms=10**12)
+    assert deleted == [] and all(os.path.exists(p) for p in dv_bins)
+    # past retention: the orphaned DVs and old data files go
+    deleted, _kept = vacuum_delta(t, retention_ms=0)
+    deleted_names = {os.path.basename(p) for p in deleted}
+    assert {os.path.basename(p) for p in dv_bins} <= deleted_names
+    assert read_delta(spark, t).count() == 25
 
 
 def test_vacuum_keeps_live_deletion_vector_files(spark, tmp_path):
@@ -1117,3 +1203,44 @@ def test_delta_changes_incremental_read(spark, tmp_path):
         delta_changes(spark, t, 5)
     # ...but a range ending before it still reads
     assert delta_changes(spark, t, 4, 5).count() == 3
+
+
+def test_update_delta_merge_on_read(spark, tmp_path):
+    """update_delta masks old row versions with DVs and re-inserts the
+    transformed rows in the SAME commit — including rows that MOVE
+    partitions when an assignment touches the partition column."""
+    from jobminer_spark.sources.delta import update_delta
+
+    t = str(tmp_path / "upd")
+    write_delta(spark, t, _df(spark, 0, 30))
+    n_files = len(read_delta(spark, t).inputFiles())
+    v, n = update_delta(spark, t, "k < 5", {"v": "v + 1000"})
+    assert n == 5
+    rows = {r.k: r.v for r in read_delta(spark, t).collect()}
+    assert len(rows) == 30
+    assert all(rows[k] == 10 * k + 1000 for k in range(5))
+    assert all(rows[k] == 10 * k for k in range(5, 30))
+    # old files untouched; only the delta of changed rows was written
+    assert len(read_delta(spark, t).inputFiles()) > n_files - 1
+    # time travel sees the pre-update values
+    old = {r.k: r.v for r in read_delta(spark, t, version=v - 1).collect()}
+    assert old[0] == 0
+    # bad assignment target fails loudly
+    with pytest.raises(ValueError, match="not a table column"):
+        update_delta(spark, t, "k = 1", {"nope": "1"})
+
+
+def test_update_delta_moves_rows_across_partitions(spark, tmp_path):
+    from jobminer_spark.sources.delta import update_delta
+
+    t = str(tmp_path / "updpart")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("par"),
+    )
+    write_delta(spark, t, df, partition_by=["par"])
+    _v, n = update_delta(spark, t, "k = 4", {"par": "'odd'"})
+    assert n == 1
+    moved = read_delta(spark, t, partition_filters={"par": "odd"})
+    assert 4 in {r.k for r in moved.collect()}
+    assert read_delta(spark, t).count() == 20
