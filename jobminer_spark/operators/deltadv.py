@@ -325,8 +325,35 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
         {"val_q": "val_q + 100000"},
     )
 
+    # ---- restore table: append, append, overwrite, RESTORE ----
+    from jobminer_spark.sources.delta import restore_delta
+
+    rest_table = os.path.join(work, "rest")
+    write_delta(
+        spark,
+        rest_table,
+        rows.filter(F.col("event_id") % 3 == 0).select("event_id", "val_q"),
+    )
+    write_delta(
+        spark,
+        rest_table,
+        rows.filter(F.col("event_id") % 3 != 0).select("event_id", "val_q"),
+    )
+    write_delta(
+        spark,
+        rest_table,
+        rows.filter(F.col("event_type") == "purchase").select(
+            "event_id", "val_q"
+        ),
+        mode="overwrite",
+    )
+    rest_v, rest_readded, rest_removed = restore_delta(spark, rest_table, 1)
+
     result = {
         "dv": dv_table,
+        "rest": rest_table,
+        "rest_v": rest_v,
+        "rest_moved": int(rest_readded > 0 and rest_removed > 0),
         "n_dv_files": n_dv_files,
         "cmap": cm_table,
         "multi": mp_table,
@@ -531,5 +558,45 @@ def delta_merge_on_read_update_audit(
             "ck",
             f"CAST({s['mord_n_updated']} AS BIGINT) AS n_updated",
             "ck_before",
+        )
+    )
+
+
+@query(
+    "delta_restore_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_type = 'purchase') AS n_overwrite_travel,
+           CAST(3 AS BIGINT) AS restore_version,
+           CAST(1 AS BIGINT) AS files_moved_both_ways
+    """,
+)
+def delta_restore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION closes the lifecycle: after two appends and
+    a purchase-only OVERWRITE, restoring to version 1 must reproduce
+    the FULL corpus (count + checksum from raw events) in one pure-
+    metadata commit — version 3, pinned — while the overwritten state
+    stays reachable by time travel (its count is pinned too), and the
+    restore must have both re-added the overwritten files and removed
+    the overwrite's (files_moved_both_ways)."""
+    s = _scenario(spark, sf_dir)
+    cur = read_delta(spark, s["rest"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    travel = read_delta(spark, s["rest"], version=2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overwrite_travel")
+    )
+    return (
+        cur.crossJoin(F.broadcast(travel))
+        .selectExpr(
+            "n_rows",
+            "ck",
+            "n_overwrite_travel",
+            f"CAST({s['rest_v']} AS BIGINT) AS restore_version",
+            f"CAST({s['rest_moved']} AS BIGINT) AS files_moved_both_ways",
         )
     )

@@ -1,5 +1,6 @@
-"""Iceberg format-v2 position-delete audit: row-level deletes
-committed and read back through the metadata chain, oracle-pinned.
+"""Iceberg format-v2 position-delete + snapshot-expiration audits:
+row-level deletes and metadata maintenance through the chain,
+oracle-pinned.
 
 Completes the r16 row-level-delete pair: Delta's deletion vectors
 (operators/deltadv.py) and Iceberg's position deletes share the same
@@ -89,7 +90,40 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
         scan.filter(F.col("event_id") % 11 == 0).select("file_path", "pos"),
     )
     write_iceberg(spark, table, rows.filter(F.col("event_id") % 3 == 2))
-    _SCENARIO_CACHE[cache_key] = {"table": table}
+
+    # expiration table: three snapshots, keep only the newest — the
+    # current snapshot's inventory is complete (append model), so
+    # every data file survives; only old manifest lists/manifests die
+    from jobminer_spark.sources.iceberg import expire_iceberg_snapshots
+
+    exp_table = os.path.join(work, "expire")
+    first = write_iceberg(
+        spark, exp_table,
+        rows.filter(F.col("event_id") % 4 == 0).select("event_id", "val_q"),
+    )
+    for b in (1, 2, 3):
+        write_iceberg(
+            spark, exp_table,
+            rows.filter(F.col("event_id") % 4 == b).select(
+                "event_id", "val_q"
+            ),
+        )
+    dead, n_expired = expire_iceberg_snapshots(exp_table, keep_last=1)
+    first_gone = 0
+    try:
+        read_iceberg(spark, exp_table, snapshot_id=first).count()
+    except ValueError:
+        first_gone = 1
+
+    _SCENARIO_CACHE[cache_key] = {
+        "table": table,
+        "expire": exp_table,
+        "n_expired": n_expired,
+        "dead_all_gone": int(
+            bool(dead) and not any(os.path.exists(p) for p in dead)
+        ),
+        "first_gone": first_gone,
+    }
     return _SCENARIO_CACHE[cache_key]
 
 
@@ -128,4 +162,40 @@ def iceberg_position_delete_audit(
     n_deleted = total - read_iceberg(spark, s["table"]).count()
     return surv.selectExpr(
         "n_rows", "ck", f"CAST({n_deleted} AS BIGINT) AS n_deleted"
+    )
+
+
+@query(
+    "iceberg_expire_snapshots_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           CAST(3 AS BIGINT) AS n_expired,
+           CAST(1 AS BIGINT) AS dead_files_gone,
+           CAST(1 AS BIGINT) AS expired_id_unknown
+    """,
+)
+def iceberg_expire_snapshots_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot expiration on a four-append table, keep_last=1: the
+    three older snapshots leave the chain (their ids become unknown to
+    time travel — pinned), every file only they referenced is
+    physically gone (pinned), and the CURRENT snapshot still reads the
+    complete corpus — count and checksum recomputed by the oracle from
+    raw events. An expiration that dropped a shared manifest or data
+    file would break the current read; one that deleted nothing would
+    flip dead_files_gone."""
+    s = _scenario(spark, sf_dir)
+    agg = read_iceberg(spark, s["expire"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    return agg.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['n_expired']} AS BIGINT) AS n_expired",
+        f"CAST({s['dead_all_gone']} AS BIGINT) AS dead_files_gone",
+        f"CAST({s['first_gone']} AS BIGINT) AS expired_id_unknown",
     )

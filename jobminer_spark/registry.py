@@ -439,13 +439,15 @@ _OPERATOR_MODULES = [
     # audit, delta_merge_on_read_delete_audit,
     # delta_merge_on_read_update_audit) with the other r16-new queries
     "jobminer_spark.operators.deltadv",
-    # r16-new (late): Iceberg format-v2 position deletes — write +
-    # read through the metadata chain under the sequence rule
-    # (sources/iceberg.py, iceberg_position_delete_audit); same r17
-    # fronting. r17 window sketch: 12 r11-tail slips + 7 fileformats/
-    # deltamaint/deltascan + these 6 = 25 never-attested; fill the
-    # remaining 25 slots from the last-green-r12 head, AMENDing for
-    # any module modified after this rotation.
+    # r16-new (late): Iceberg format-v2 position deletes (write +
+    # read under the sequence rule) and snapshot expiration
+    # (sources/iceberg.py — iceberg_position_delete_audit,
+    # iceberg_expire_snapshots_audit); same r17 fronting. r17 window
+    # sketch: 12 r11-tail slips + 7 fileformats/deltamaint/deltascan
+    # + 6 deltadv (incl. delta_restore_audit) + 2 icebergdel = 27
+    # never-attested; fill the remaining 23 slots from the
+    # last-green-r12 head, AMENDing for any module modified after
+    # this rotation.
     "jobminer_spark.operators.icebergdel",
 ]
 

@@ -1617,6 +1617,118 @@ def _mor_mutation(
         return new_version, n_new, len(descriptors)
 
 
+def restore_delta(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+) -> tuple[int, int, int]:
+    """RESTORE TO VERSION: ONE commit that makes the latest snapshot's
+    file set equal the target version's — files only the target had
+    are re-added (their deletion vectors restored with them), files
+    only the present has are removed, and the target's metaData is
+    re-published when schema/partitioning/configuration changed.
+    History is preserved: the restore is a NEW version, so time travel
+    to the pre-restore state keeps working (delta-spark's RESTORE
+    semantics). Returns (new_version, n_readded, n_removed).
+
+    Fails loudly if a file the target references was already vacuumed
+    (including a DV payload) — restoring a snapshot whose bytes are
+    gone would publish a table that errors at scan time.
+
+    Scale shape: pure metadata — two replays plus a per-file existence
+    probe for the files being re-added; no data movement at all."""
+    latest = delta_latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
+    if version > latest or version < 0:
+        raise ValueError(f"version {version} out of range [0, {latest}]")
+    target_adds, _trm, target_meta, _ttx, _tproto = _replay_full(
+        table, version
+    )
+    # every byte the restored snapshot needs must still exist
+    for rel, a in sorted(target_adds.items()):
+        missing = []
+        if not os.path.exists(os.path.join(table, rel)):
+            missing.append(rel)
+        if _has_dv(a) and a["deletionVector"].get("storageType") in (
+            "u",
+            "p",
+        ):
+            dvp = _dv_file_path(table, a["deletionVector"])
+            if not os.path.exists(dvp):
+                missing.append(os.path.relpath(dvp, table))
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {missing[0]} was "
+                "vacuumed — the snapshot's data is gone"
+            )
+    while True:
+        current = delta_latest_version(table)
+        cur_adds, cur_meta, _ctx = _replay(table, current)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = []
+        if (
+            cur_meta.get("schemaString") != target_meta.get("schemaString")
+            or cur_meta.get("partitionColumns")
+            != target_meta.get("partitionColumns")
+            or cur_meta.get("configuration")
+            != target_meta.get("configuration")
+        ):
+            actions.append({"metaData": target_meta})
+        n_removed = 0
+        for rel in sorted(set(cur_adds) - set(target_adds)):
+            n_removed += 1
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        **(
+                            {"deletionVector":
+                             cur_adds[rel]["deletionVector"]}
+                            if _has_dv(cur_adds[rel])
+                            else {}
+                        ),
+                    }
+                }
+            )
+        n_readded = 0
+        for rel, a in sorted(target_adds.items()):
+            cur = cur_adds.get(rel)
+            # identical (path + DV descriptor) adds need no action;
+            # a same-path add with a DIFFERENT DV is re-published (the
+            # replay's same-path add replaces the standing one)
+            if cur is not None and cur.get("deletionVector") == a.get(
+                "deletionVector"
+            ):
+                continue
+            n_readded += 1
+            actions.append(
+                {
+                    "add": {
+                        **a,
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        if not actions:
+            return current, 0, 0  # already identical
+        new_version = current + 1
+        try:
+            _publish_commit(table, new_version, actions)
+        except FileExistsError:
+            continue  # pure metadata: nothing staged to unstage
+        if (
+            checkpoint_interval > 0
+            and new_version % checkpoint_interval == 0
+        ):
+            _write_checkpoint(table, new_version)
+        return new_version, n_readded, n_removed
+
+
 def vacuum_delta(
     table: str,
     retention_ms: int = _TOMBSTONE_RETENTION_MS,

@@ -43,6 +43,11 @@ would extend the same chain. No third-party engine
 is installable offline, so interop remains spec-conformance +
 foreign-shaped fixtures, stated.
 
+Maintenance: `expire_iceberg_snapshots` keeps the last-N snapshots,
+drops the rest from the chain, and physically deletes the manifest
+lists/manifests/files only they referenced — Iceberg's
+expire-snapshots op, the vacuum analog.
+
 Scale shape: the metadata chain is driver-side and
 O(manifests + live files) like the Delta replay; manifest lists keep
 per-snapshot inventories so no log replay is needed at all — the
@@ -670,3 +675,99 @@ def _publish_metadata(
     with open(os.path.join(md, "version-hint.text"), "w") as f:
         f.write(str(new_version))
     return snapshot_id
+
+
+def expire_iceberg_snapshots(
+    table: str, keep_last: int = 1, dry_run: bool = False
+) -> tuple[list[str], int]:
+    """Snapshot EXPIRATION — Iceberg's maintenance op (the analog of
+    Delta's vacuum + log cleanup in one): keep the ``keep_last`` most
+    recent snapshots (always including the current one), drop the
+    rest from the metadata's snapshot list, and physically delete
+    every file only the expired snapshots referenced — their manifest
+    lists, manifests no retained snapshot references, and data/delete
+    files unreachable from any retained snapshot. Publishes a new
+    metadata version (the expiration itself is versioned, like every
+    other commit here). Returns (deleted paths, n_expired_snapshots).
+
+    Time travel to an expired snapshot id fails loudly afterwards
+    (unknown snapshot-id) — the stated, spec-matching trade.
+
+    Scale shape: metadata-bounded — one manifest walk per snapshot,
+    no data reads; deletions are unlink calls on the dead set."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = iceberg_metadata(table)
+    snaps = meta.get("snapshots", [])
+    if len(snaps) <= keep_last:
+        return [], 0
+    current_id = meta["current-snapshot-id"]
+    by_recency = sorted(
+        snaps, key=lambda s: (s.get("sequence-number", 0), s["snapshot-id"])
+    )
+    retained = by_recency[-keep_last:]
+    if all(s["snapshot-id"] != current_id for s in retained):
+        raise ValueError(
+            "keep_last window would expire the CURRENT snapshot"
+        )
+    expired = by_recency[:-keep_last]
+
+    def _referenced(snapshot: dict) -> tuple[set[str], set[str]]:
+        """(manifest paths, data/delete file paths) of one snapshot."""
+        manifests: set[str] = set()
+        files: set[str] = set()
+        _, records = read_avro_records(
+            _resolve_path(table, snapshot["manifest-list"])
+        )
+        for m in records:
+            mp = _resolve_path(table, m["manifest_path"])
+            manifests.add(mp)
+            _, entries = read_avro_records(mp)
+            for e in entries:
+                files.add(
+                    _resolve_path(table, e["data_file"]["file_path"])
+                )
+        return manifests, files
+
+    keep_manifests: set[str] = set()
+    keep_files: set[str] = set()
+    keep_lists = {
+        _resolve_path(table, s["manifest-list"]) for s in retained
+    }
+    for snap in retained:
+        m, f = _referenced(snap)
+        keep_manifests |= m
+        keep_files |= f
+    dead: set[str] = set()
+    for snap in expired:
+        lst = _resolve_path(table, snap["manifest-list"])
+        if lst not in keep_lists:
+            dead.add(lst)
+        m, f = _referenced(snap)
+        dead |= m - keep_manifests
+        dead |= f - keep_files
+
+    md = _metadata_dir(table)
+    version = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(md)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    new_version = version + 1
+    if not dry_run:
+        fd = os.open(
+            os.path.join(md, f"v{new_version}.metadata.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_meta, f, indent=1)
+        with open(os.path.join(md, "version-hint.text"), "w") as f:
+            f.write(str(new_version))
+        for p in sorted(dead):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+    return sorted(dead), len(expired)

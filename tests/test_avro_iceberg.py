@@ -721,3 +721,33 @@ def test_iceberg_equality_deletes_rejected(spark, tmp_path):
         f.write("9")
     with _pytest.raises(ValueError, match="equality deletes"):
         read_iceberg(spark, t).collect()
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """Expiration keeps the last-N snapshots, physically deletes files
+    only the expired ones referenced, keeps every byte the retained
+    snapshots need, and makes expired ids unknown to time travel."""
+    from jobminer_spark.sources.iceberg import expire_iceberg_snapshots
+
+    t = str(tmp_path / "expire")
+    s1 = write_iceberg(spark, t, spark.range(0, 5).select(F.col("id").alias("k")))
+    s2 = write_iceberg(spark, t, spark.range(5, 9).select(F.col("id").alias("k")))
+    s3 = write_iceberg(spark, t, spark.range(9, 12).select(F.col("id").alias("k")))
+    # dry run deletes nothing
+    dead_preview, n = expire_iceberg_snapshots(t, keep_last=1, dry_run=True)
+    assert n == 2 and all(os.path.exists(p) for p in dead_preview)
+    dead, n = expire_iceberg_snapshots(t, keep_last=1)
+    assert n == 2 and dead == dead_preview
+    assert all(not os.path.exists(p) for p in dead)
+    # the retained (current) snapshot still reads completely: every
+    # data file is shared forward, so counts are intact
+    assert read_iceberg(spark, t).count() == 12
+    # expired ids are gone from the chain
+    with pytest.raises(ValueError, match="unknown snapshot-id"):
+        read_iceberg(spark, t, snapshot_id=s1).collect()
+    # no-op below the threshold
+    assert expire_iceberg_snapshots(t, keep_last=5) == ([], 0)
+    # refusing to expire the current snapshot is impossible by
+    # construction (keep_last >= 1 retains the newest)
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_iceberg_snapshots(t, keep_last=0)

@@ -1244,3 +1244,42 @@ def test_update_delta_moves_rows_across_partitions(spark, tmp_path):
     moved = read_delta(spark, t, partition_filters={"par": "odd"})
     assert 4 in {r.k for r in moved.collect()}
     assert read_delta(spark, t).count() == 20
+
+
+def test_restore_delta_roundtrip_and_history(spark, tmp_path):
+    """RESTORE makes the latest snapshot equal the target version in
+    one metadata commit, keeps history (time travel to the pre-restore
+    state still works), restores DV descriptors with their files, and
+    refuses a target whose bytes were vacuumed."""
+    from jobminer_spark.sources.delta import (
+        delete_delta,
+        restore_delta,
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "restore")
+    write_delta(spark, t, _df(spark, 0, 10))         # v0
+    write_delta(spark, t, _df(spark, 10, 20))        # v1
+    delete_delta(spark, t, "k < 3")                  # v2 (DV)
+    write_delta(spark, t, _df(spark, 100, 103), mode="overwrite")  # v3
+
+    # restore to the DV state: deletes must come back WITH the table
+    v, readded, removed = restore_delta(spark, t, 2)
+    assert v == 4 and readded > 0 and removed > 0
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == list(
+        range(3, 20)
+    )
+    # history preserved: the overwrite state is still reachable
+    assert sorted(
+        r.k for r in read_delta(spark, t, version=3).collect()
+    ) == [100, 101, 102]
+    # idempotent: restoring to the now-current state is a no-op
+    assert restore_delta(spark, t, 4) == (4, 0, 0)
+    # restore to v1: pre-delete rows return
+    restore_delta(spark, t, 1)
+    assert read_delta(spark, t).count() == 20
+    # vacuum away the overwrite's file, then restoring to it must fail
+    deleted, _k = vacuum_delta(t, retention_ms=0)
+    assert deleted
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_delta(spark, t, 3)
