@@ -349,8 +349,22 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     )
     rest_v, rest_readded, rest_removed = restore_delta(spark, rest_table, 1)
 
+    # ---- change-data-feed table: insert, DV delete, DV update ----
+    cdf_table = os.path.join(work, "cdf")
+    write_delta(
+        spark,
+        cdf_table,
+        rows.select("event_id", "val_q"),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, cdf_table, "event_id % 19 = 0")
+    update_delta(
+        spark, cdf_table, "event_id % 23 = 0", {"val_q": "val_q + 50000"}
+    )
+
     result = {
         "dv": dv_table,
+        "cdf": cdf_table,
         "rest": rest_table,
         "rest_v": rest_v,
         "rest_moved": int(rest_readded > 0 and rest_removed > 0),
@@ -598,5 +612,53 @@ def delta_restore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_overwrite_travel",
             f"CAST({s['rest_v']} AS BIGINT) AS restore_version",
             f"CAST({s['rest_moved']} AS BIGINT) AS files_moved_both_ways",
+        )
+    )
+
+
+@query(
+    "delta_change_feed_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT * FROM (
+      SELECT 'insert' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(val_q) AS BIGINT) AS ck
+      FROM rows
+      UNION ALL
+      SELECT 'delete', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(val_q) AS BIGINT)
+      FROM rows WHERE event_id % 19 = 0
+      UNION ALL
+      SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(val_q) AS BIGINT)
+      FROM rows WHERE event_id % 19 <> 0 AND event_id % 23 = 0
+      UNION ALL
+      SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(val_q + 50000) AS BIGINT)
+      FROM rows WHERE event_id % 19 <> 0 AND event_id % 23 = 0
+    )
+    """,
+)
+def delta_change_feed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHANGE DATA FEED end-to-end: a CDF-enabled table takes an
+    insert, a DV delete and a DV update; reading the feed across the
+    whole history must reproduce, per change type, exactly the rows
+    the oracle derives from the raw events — inserts = the corpus,
+    deletes = the %19 predicate, update pre/post images = the %23
+    predicate over DELETE SURVIVORS with the checksum shifted by
+    exactly the assignment on the postimage side. A feed that derived
+    changes from data files instead of the CDC files would re-report
+    DV-deleted rows; one that missed the preimage/postimage pairing
+    would break the count equality between the two."""
+    from jobminer_spark.sources.delta import delta_change_feed
+
+    s = _scenario(spark, sf_dir)
+    feed = delta_change_feed(spark, s["cdf"], -1)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val_q").cast("long").alias("ck"),
         )
     )

@@ -434,20 +434,20 @@ _OPERATOR_MODULES = [
     # writes — deletion vectors, column mapping (name mode),
     # multi-part checkpoints, delete_delta/update_delta
     # (sources/delta.py + sources/roaring.py); the r17 plan fronts
-    # these five audits (delta_deletion_vector_read_audit,
+    # these seven audits (delta_deletion_vector_read_audit,
     # delta_column_mapping_read_audit, delta_multipart_checkpoint_
     # audit, delta_merge_on_read_delete_audit,
-    # delta_merge_on_read_update_audit) with the other r16-new queries
+    # delta_merge_on_read_update_audit, delta_restore_audit,
+    # delta_change_feed_audit) with the other r16-new queries
     "jobminer_spark.operators.deltadv",
     # r16-new (late): Iceberg format-v2 position deletes (write +
     # read under the sequence rule) and snapshot expiration
     # (sources/iceberg.py — iceberg_position_delete_audit,
     # iceberg_expire_snapshots_audit); same r17 fronting. r17 window
     # sketch: 12 r11-tail slips + 7 fileformats/deltamaint/deltascan
-    # + 6 deltadv (incl. delta_restore_audit) + 2 icebergdel = 27
-    # never-attested; fill the remaining 23 slots from the
-    # last-green-r12 head, AMENDing for any module modified after
-    # this rotation.
+    # + 7 deltadv + 2 icebergdel = 28 never-attested; fill the
+    # remaining 22 slots from the last-green-r12 head, AMENDing for
+    # any module modified after this rotation.
     "jobminer_spark.operators.icebergdel",
 ]
 

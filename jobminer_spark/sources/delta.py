@@ -50,9 +50,16 @@ listed). Appends/overwrites on DV-carrying tables preserve
 descriptors (checkpoints carry a deletionVector column; tombstones
 keep the retired descriptor so vacuum can retire the ``.bin`` with
 its file), and OPTIMIZE MATERIALIZES accumulated DVs into clean files
-(dataChange=false — the logical rows are unchanged). Column-mapped
-tables remain read-only (staging writes under logical names would mix
-naming schemes). No generated columns, no CDC files.
+(dataChange=false — the logical rows are unchanged). CHANGE DATA
+FEED: with ``delta.enableChangeDataFeed`` set, delete_delta /
+update_delta commits publish their change rows as `_change_data`
+parquet files via ``cdc`` actions, and `delta_change_feed` reads the
+per-version feed back (rows + _change_type + _commit_version),
+deriving inserts/full-file deletes for plain commits and failing
+loudly where derivation would be wrong (partitioned removes without
+CDC, vacuumed files). Column-mapped tables remain read-only (staging
+writes under logical names would mix naming schemes). No generated
+columns.
 
 Scale shape: log replay touches checkpoint + tail commits only
 (bounded by checkpoint_interval, not table history); the active-file
@@ -789,6 +796,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     checkpoint_interval: int = _CHECKPOINT_INTERVAL,
     txn: tuple[str, int] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table``; returns the new
     version. ``overwrite`` removes every previously-active file in the
@@ -796,7 +804,11 @@ def write_delta(
     under a unique subdir, then published by the exclusive-create of
     the commit JSON — a losing concurrent writer deletes its staged
     files and retries against the new state (lakehouse._commit's
-    optimistic discipline, which IS Delta's commit protocol)."""
+    optimistic discipline, which IS Delta's commit protocol).
+    ``configuration`` seeds the table properties at CREATION time only
+    (e.g. ``delta.enableChangeDataFeed``: "true" — the flag that makes
+    delete_delta/update_delta commits also publish `_change_data`
+    files for the change-feed reader)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     part_cols = list(partition_by or [])
@@ -831,8 +843,20 @@ def write_delta(
         staged = _stage_data_files(spark, table, df, part_cols)
         actions: list[dict] = []
         if current < 0:
+            conf0 = dict(configuration or {})
+            cdf_on = (
+                str(conf0.get("delta.enableChangeDataFeed", "false"))
+                .lower()
+                == "true"
+            )
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        # CDF requires writer version 4 per the protocol
+                        "minWriterVersion": 4 if cdf_on else 2,
+                    }
+                }
             )
             actions.append(
                 {
@@ -841,7 +865,7 @@ def write_delta(
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": _schema_string(df),
                         "partitionColumns": part_cols,
-                        "configuration": {},
+                        "configuration": conf0,
                         "createdTime": 0,
                     }
                 }
@@ -1418,6 +1442,49 @@ def update_delta(
     return version, n
 
 
+def _stage_cdc_files(
+    spark: SparkSession, table: str, cdf_df: DataFrame
+) -> list[dict]:
+    """Stage change-data rows (table columns + _change_type) as
+    parquet under `_change_data/` and return the commit's ``cdc``
+    actions. CDC files are NOT part of the active data set (replay
+    ignores them); only the change-feed reader consumes them. All
+    table columns ride INLINE (partition columns included) with empty
+    partitionValues — stated simplification of the layout rule."""
+    import shutil
+
+    commit = uuid.uuid4().hex[:12]
+    cdc_dir = os.path.join(table, "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    scratch = os.path.join(table, f".stage_cdc_{commit}")
+    cdf_df.write.mode("overwrite").parquet(scratch)
+    actions: list[dict] = []
+    i = 0
+    for root, _dirs, files in os.walk(scratch):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            rel = f"_change_data/cdc-{commit}-{i:05d}.parquet"
+            dest = os.path.join(table, rel)
+            os.replace(os.path.join(root, fname), dest)
+            if os.path.getsize(dest) == 0:
+                os.unlink(dest)
+                continue
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(dest),
+                        "dataChange": False,
+                    }
+                }
+            )
+            i += 1
+    shutil.rmtree(scratch, ignore_errors=True)
+    return actions
+
+
 def _mor_mutation(
     spark: SparkSession,
     table: str,
@@ -1504,13 +1571,36 @@ def _mor_mutation(
         if not descriptors:
             return current, 0, 0
         staged_new: list[dict] = []
+        logical_matched = matched_rows.drop("__jm_file", "__jm_pos")
+        replacement = None
         if transform is not None:
-            replacement = transform(
-                matched_rows.drop("__jm_file", "__jm_pos")
-            )
+            replacement = transform(logical_matched)
             staged_new = _stage_data_files(
                 spark, table, replacement, part_cols
             )
+        cdc_actions: list[dict] = []
+        conf_now = (meta or {}).get("configuration") or {}
+        if (
+            str(conf_now.get("delta.enableChangeDataFeed", "false"))
+            .lower()
+            == "true"
+        ):
+            # the protocol's CDF contract: update/delete commits carry
+            # their change rows in `_change_data` files so the feed
+            # reader never has to reconstruct them from data files
+            if replacement is None:
+                cdf = logical_matched.withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            else:
+                cdf = logical_matched.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    replacement.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            cdc_actions = _stage_cdc_files(spark, table, cdf)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = []
         conf = dict((meta or {}).get("configuration") or {})
@@ -1586,13 +1676,19 @@ def _mor_mutation(
                 }
             )
         actions.extend({"add": a} for a in staged_new)
+        actions.extend(cdc_actions)
         new_version = current + 1
         try:
             _publish_commit(table, new_version, actions)
         except FileExistsError:
             # lost the race: positions were computed against a stale
-            # snapshot — unstage the DV files + replacement files and
-            # redo the match
+            # snapshot — unstage the DV files + replacement files +
+            # CDC files and redo the match
+            for c in cdc_actions:
+                try:
+                    os.unlink(os.path.join(table, c["cdc"]["path"]))
+                except OSError:
+                    pass
             for enc in written:
                 try:
                     os.unlink(
@@ -1615,6 +1711,146 @@ def _mor_mutation(
         ):
             _write_checkpoint(table, new_version)
         return new_version, n_new, len(descriptors)
+
+
+def delta_change_feed(
+    spark: SparkSession,
+    table: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED read: every row-level change committed in
+    (start_version, end_version], as the table's columns plus
+    ``_change_type`` ('insert' | 'delete' | 'update_preimage' |
+    'update_postimage') and ``_commit_version`` — the same shape as
+    `spark.read.format("delta").option("readChangeFeed", ...)`.
+
+    Per the protocol: a commit that carries ``cdc`` actions is read
+    FROM THEM exclusively (delete_delta/update_delta write them when
+    ``delta.enableChangeDataFeed`` is true); a commit without them
+    derives inserts from its dataChange adds, and full-file deletes
+    from its dataChange removes (unpartitioned only — a partitioned
+    remove's partition values are not reconstructible without CDC
+    files, so that case fails loudly rather than emit wrong rows).
+
+    Scale shape: per-version metadata pass over the commit JSONs plus
+    ordinary distributed parquet scans of exactly the changed files —
+    cost proportional to the CHANGES in range, never table size."""
+    latest = delta_latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
+    end = latest if end_version is None else end_version
+    if end > latest or start_version > end:
+        raise ValueError(
+            f"version range ({start_version}, {end}] invalid for latest "
+            f"{latest}"
+        )
+    _adds, meta, _txns = _replay(table, end)
+    schema = json.loads(meta["schemaString"])
+    logical_cols = [f["name"] for f in schema["fields"]]
+    full_ddl = ", ".join(
+        f"`{f['name']}` {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+        for f in schema["fields"]
+    )
+    part_cols = meta.get("partitionColumns", [])
+    out_cols = [*logical_cols, "_change_type", "_commit_version"]
+    parts: list[DataFrame] = []
+    for v in range(start_version + 1, end + 1):
+        if not os.path.exists(_commit_file(table, v)):
+            raise ValueError(
+                f"change feed needs commit {v:020d}.json but it was "
+                "cleaned — the feed for that range is gone (read a "
+                "snapshot instead)"
+            )
+        actions = _read_commit(table, v)
+
+        def _existing(paths: list[str], what: str) -> list[str]:
+            for p in paths:
+                if not os.path.exists(os.path.join(table, p)):
+                    raise ValueError(
+                        f"change feed needs commit {v}'s {what} file "
+                        f"{p} but it was vacuumed — the change rows "
+                        "are gone (read a snapshot instead)"
+                    )
+            return [os.path.join(table, p) for p in paths]
+
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        if cdcs:
+            paths = _existing([c["path"] for c in cdcs], "CDC")
+            df = spark.read.schema(
+                full_ddl + ", `_change_type` string"
+            ).parquet(*paths)
+            parts.append(
+                df.withColumn("_commit_version", F.lit(v).cast("long"))
+                .select(*out_cols)
+            )
+            continue
+        adds = [
+            a["add"]
+            for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if adds:
+            _existing([a["path"] for a in adds], "insert")
+            ins = _adds_to_df(spark, table, adds, meta)
+            parts.append(
+                ins.withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+                .select(*out_cols)
+            )
+        if removes:
+            if part_cols:
+                raise ValueError(
+                    f"commit {v} removes files from a PARTITIONED "
+                    "table without CDC files: the removed rows' "
+                    "partition values are not reconstructible — "
+                    "enable delta.enableChangeDataFeed"
+                )
+            paths = _existing([r["path"] for r in removes], "delete")
+            dels = spark.read.schema(full_ddl).parquet(*paths)
+            # the remove's standing DV (rows already deleted BEFORE
+            # this commit) must not re-report those rows as deletes
+            dv_df, n_dv = _dv_relation(
+                spark,
+                table,
+                [
+                    {"path": r["path"],
+                     "deletionVector": r.get("deletionVector")}
+                    for r in removes
+                    if _has_dv(r)
+                ],
+            )
+            if dv_df is not None:
+                keyed = dels.withColumns(
+                    {
+                        "__jm_file": F.col("_metadata.file_path"),
+                        "__jm_pos": F.col("_metadata.row_index"),
+                    }
+                )
+                dels = keyed.join(
+                    F.broadcast(dv_df),
+                    (keyed["__jm_file"] == dv_df["__jm_dv_file"])
+                    & (keyed["__jm_pos"] == dv_df["__jm_dv_pos"]),
+                    "left_anti",
+                ).drop("__jm_file", "__jm_pos")
+            parts.append(
+                dels.withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+                .select(*out_cols)
+            )
+    if not parts:
+        return spark.createDataFrame(
+            [], full_ddl + ", `_change_type` string, `_commit_version` long"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def restore_delta(

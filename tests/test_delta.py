@@ -1283,3 +1283,88 @@ def test_restore_delta_roundtrip_and_history(spark, tmp_path):
     assert deleted
     with pytest.raises(ValueError, match="vacuumed"):
         restore_delta(spark, t, 3)
+
+
+def test_change_data_feed_cdc_and_derived(spark, tmp_path):
+    """CDF: delete/update commits on an enabled table write
+    `_change_data` files the feed reads exclusively; plain commits
+    derive inserts from adds and full-file deletes from removes; the
+    guarded impossible cases fail loudly."""
+    from jobminer_spark.sources.delta import (
+        delete_delta,
+        delta_change_feed,
+        update_delta,
+    )
+
+    t = str(tmp_path / "cdf")
+    write_delta(
+        spark,
+        t,
+        _df(spark, 0, 20),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, t, "k < 3")
+    update_delta(spark, t, "k >= 18", {"v": "v + 7"})
+    feed = delta_change_feed(spark, t, -1)
+    by = {}
+    for r in feed.collect():
+        by.setdefault((r._commit_version, r._change_type), []).append(
+            (r.k, r.v)
+        )
+    assert sorted(k for k, _ in by[(0, "insert")]) == list(range(20))
+    assert sorted(k for k, _ in by[(1, "delete")]) == [0, 1, 2]
+    assert sorted(by[(2, "update_preimage")]) == [(18, 180), (19, 190)]
+    assert sorted(by[(2, "update_postimage")]) == [(18, 187), (19, 197)]
+    # cdc files live under _change_data and are NOT in the active set
+    assert os.path.isdir(os.path.join(t, "_change_data"))
+    assert read_delta(spark, t).count() == 17
+
+    # derived deletes for a PARTITIONED table must refuse
+    t2 = str(tmp_path / "cdfpart")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    write_delta(spark, t2, df, partition_by=["p"])
+    write_delta(
+        spark, t2, df.filter("k < 2"), mode="overwrite",
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="PARTITIONED"):
+        delta_change_feed(spark, t2, -1).collect()
+
+    # vacuumed remove target must refuse
+    from jobminer_spark.sources.delta import vacuum_delta
+
+    t3 = str(tmp_path / "cdfvac")
+    write_delta(spark, t3, _df(spark, 0, 5))
+    write_delta(spark, t3, _df(spark, 5, 8), mode="overwrite")
+    vacuum_delta(t3, retention_ms=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        delta_change_feed(spark, t3, -1).collect()
+
+
+def test_change_feed_skips_predeleted_rows_in_derived_removes(
+    spark, tmp_path
+):
+    """A dataChange remove of a file that already carried a DV (e.g.
+    an overwrite after a delete on a NON-CDF table) must not re-report
+    the DV-deleted rows as deletes."""
+    from jobminer_spark.sources.delta import (
+        delete_delta,
+        delta_change_feed,
+    )
+
+    t = str(tmp_path / "cdfdv")
+    write_delta(spark, t, _df(spark, 0, 10))
+    delete_delta(spark, t, "k < 4")  # v1: DV delete, no CDF config
+    write_delta(spark, t, _df(spark, 50, 52), mode="overwrite")  # v2
+    # v1 has no cdc files and re-publishes a DV add -> the feed cannot
+    # represent it; reading across v1 must fail loudly... unless the
+    # range starts after it. v2's removes carry the v1 DV, so the six
+    # SURVIVING rows are the deletes, not all ten.
+    feed = delta_change_feed(spark, t, 1, 2)
+    by = {}
+    for r in feed.collect():
+        by.setdefault(r._change_type, []).append(r.k)
+    assert sorted(by["delete"]) == list(range(4, 10))
+    assert sorted(by["insert"]) == [50, 51]
