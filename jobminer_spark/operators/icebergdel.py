@@ -1,6 +1,6 @@
-"""Iceberg format-v2 position-delete + snapshot-expiration audits:
-row-level deletes and metadata maintenance through the chain,
-oracle-pinned.
+"""Iceberg format-v2 row-level-delete (position + equality) and
+snapshot-expiration audits: deletes and metadata maintenance through
+the chain, oracle-pinned.
 
 Completes the r16 row-level-delete pair: Delta's deletion vectors
 (operators/deltadv.py) and Iceberg's position deletes share the same
@@ -115,8 +115,26 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     except ValueError:
         first_gone = 1
 
+    # equality-delete table: two appends, an equality delete on a
+    # derived bucket column, then a post-delete append (strict rule)
+    from jobminer_spark.sources.iceberg import (
+        write_iceberg_equality_deletes,
+    )
+
+    eq_table = os.path.join(work, "eqdel")
+    rows3 = rows.withColumn("bucket", F.col("event_id") % 7)
+    write_iceberg(spark, eq_table, rows3.filter(F.col("event_id") % 3 == 0))
+    write_iceberg(spark, eq_table, rows3.filter(F.col("event_id") % 3 == 1))
+    write_iceberg_equality_deletes(
+        spark,
+        eq_table,
+        spark.createDataFrame([(2,), (5,)], "bucket long"),
+    )
+    write_iceberg(spark, eq_table, rows3.filter(F.col("event_id") % 3 == 2))
+
     _SCENARIO_CACHE[cache_key] = {
         "table": table,
+        "eqdel": eq_table,
         "expire": exp_table,
         "n_expired": n_expired,
         "dead_all_gone": int(
@@ -198,4 +216,42 @@ def iceberg_expire_snapshots_audit(
         f"CAST({s['n_expired']} AS BIGINT) AS n_expired",
         f"CAST({s['dead_all_gone']} AS BIGINT) AS dead_files_gone",
         f"CAST({s['first_gone']} AS BIGINT) AS expired_id_unknown",
+    )
+
+
+@query(
+    "iceberg_equality_delete_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 2
+                OR event_id % 7 NOT IN (2, 5)) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 2
+                OR event_id % 7 NOT IN (2, 5)) AS ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 3 < 2
+               AND event_id % 7 IN (2, 5)) AS n_deleted
+    """,
+)
+def iceberg_equality_delete_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equality deletes end-to-end: two appends, an equality-delete
+    snapshot on bucket∈{2,5}, then a THIRD append — the read must drop
+    matching rows from the pre-delete snapshots ONLY (the strict
+    sequence rule: post-delete rows survive even where they match),
+    with counts/checksums recomputed by the oracle under the same
+    predicates and the deleted count cross-derived (an
+    ignored-equality-deletes reader inflates n_rows; an over-applied
+    one deletes from the third append too)."""
+    s = _scenario(spark, sf_dir)
+    surv = read_iceberg(spark, s["eqdel"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    total = _rows(spark, sf_dir).count()
+    n_deleted = total - read_iceberg(spark, s["eqdel"]).count()
+    return surv.selectExpr(
+        "n_rows", "ck", f"CAST({n_deleted} AS BIGINT) AS n_deleted"
     )

@@ -440,14 +440,15 @@ _OPERATOR_MODULES = [
     # delta_merge_on_read_update_audit, delta_restore_audit,
     # delta_change_feed_audit) with the other r16-new queries
     "jobminer_spark.operators.deltadv",
-    # r16-new (late): Iceberg format-v2 position deletes (write +
-    # read under the sequence rule) and snapshot expiration
-    # (sources/iceberg.py — iceberg_position_delete_audit,
-    # iceberg_expire_snapshots_audit); same r17 fronting. r17 window
-    # sketch: 12 r11-tail slips + 7 fileformats/deltamaint/deltascan
-    # + 7 deltadv + 2 icebergdel = 28 never-attested; fill the
-    # remaining 22 slots from the last-green-r12 head, AMENDing for
-    # any module modified after this rotation.
+    # r16-new (late): Iceberg format-v2 row-level deletes (position
+    # + equality, write + read under the sequence rules) and snapshot
+    # expiration (sources/iceberg.py — iceberg_position_delete_audit,
+    # iceberg_equality_delete_audit, iceberg_expire_snapshots_audit);
+    # same r17 fronting. r17 window sketch: 12 r11-tail slips + 7
+    # fileformats/deltamaint/deltascan + 7 deltadv + 3 icebergdel =
+    # 29 never-attested; fill the remaining 21 slots from the
+    # last-green-r12 head, AMENDing for any module modified after
+    # this rotation.
     "jobminer_spark.operators.icebergdel",
 ]
 

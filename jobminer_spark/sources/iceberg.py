@@ -22,12 +22,14 @@ unused). Snapshot semantics: each snapshot's manifest list is the
 COMPLETE file inventory at that snapshot (the spec's model), so time
 travel is just "read a different snapshot's list". Schema comes from
 the metadata JSON's schema (id/name/required/type fields). Since late
-r16 the read side also applies format-v2 POSITION DELETES (delete
-manifests content=1 → delete files of (file_path, pos) parquet rows,
-anti-joined against the data scan's `_metadata.row_index` under the
-spec's sequence-number rule); equality deletes (content=2) reject
-loudly — applying them needs equality-field semantics this reader
-doesn't implement, and ignoring them would resurrect deleted rows.
+r16 the read side also applies format-v2 ROW-LEVEL DELETES of both
+kinds: POSITION deletes (content=1 → (file_path, pos) parquet rows,
+anti-joined against the data scan's `_metadata.row_index`, sequence
+rule <=) and EQUALITY deletes (content=2 → rows of the equality
+columns named by equality_ids, null-safe anti-join with the STRICT
+sequence gate); a content=2 entry missing its equality_ids rejects
+loudly, since applying it would need field semantics the metadata
+doesn't state.
 
 The writer emits the same chain — parquet data files, one manifest
 per commit, a per-snapshot manifest list carrying every live
@@ -36,13 +38,15 @@ semantics (review r15 promoted it from fixture-grade): monotone
 snapshot sequence numbers (`last-sequence-number` in metadata,
 `sequence-number` per snapshot, null-inherited in manifest entries)
 and the manifest-list stats counts (files/rows added/existing/
-deleted) a planner prunes by. Append-only, identity/unpartitioned
-layouts; the WRITER emits no delete files (the reader applies them),
-and non-identity partition specs / sort orders are absent — each
-would extend the same chain. No third-party engine
+deleted) a planner prunes by. Identity/unpartitioned layouts;
+non-identity partition specs and sort orders are absent — each would
+extend the same chain. No third-party engine
 is installable offline, so interop remains spec-conformance +
 foreign-shaped fixtures, stated.
 
+Row-level delete WRITERS: `write_iceberg_deletes` (position,
+spec-sorted) and `write_iceberg_equality_deletes` (equality, ids
+resolved from the schema's field ids).
 Maintenance: `expire_iceberg_snapshots` keeps the last-N snapshots,
 drops the rest from the chain, and physically deletes the manifest
 lists/manifests/files only they referenced — Iceberg's
@@ -113,6 +117,8 @@ _MANIFEST_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
                 ],
             },
         },
@@ -175,18 +181,20 @@ def _resolve_path(table: str, p: str) -> str:
 
 def _snapshot_files(
     table: str, snapshot_id: int | None = None
-) -> tuple[list[dict], list[dict]]:
-    """The snapshot's live (data_files, position_delete_files), each a
-    list of {path, seq, record_count} dicts, via its manifest list.
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """The snapshot's live (data_files, position_delete_files,
+    equality_delete_files), each a list of {path, seq, record_count,
+    equality_ids} dicts, via its manifest list.
 
     Format-v2 row-level deletes: a manifest-list record with
     content=1 inventories DELETE manifests whose entries point at
     delete FILES — content=1 in the data_file struct means position
     deletes (parquet rows of file_path+pos), content=2 equality
-    deletes (rejected loudly: applying them needs equality-field
-    semantics this reader doesn't implement, and ignoring them would
-    resurrect deleted rows). Entry sequence numbers inherit from the
-    manifest-list record when null (the spec's inheritance rule)."""
+    deletes (rows of the equality columns named by equality_ids; an
+    entry MISSING its equality_ids rejects loudly — applying it would
+    need field semantics the metadata doesn't state). Entry sequence
+    numbers inherit from the manifest-list record when null (the
+    spec's inheritance rule)."""
     meta = iceberg_metadata(table)
     snaps = meta.get("snapshots", [])
     if not snaps:
@@ -203,6 +211,7 @@ def _snapshot_files(
     )
     data: list[dict] = []
     deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     for m in manifests:
         _, entries = read_avro_records(
             _resolve_path(table, m["manifest_path"])
@@ -224,23 +233,33 @@ def _snapshot_files(
                 data.append(rec)
             elif content == 1:
                 deletes.append(rec)
+            elif content == 2:
+                ids = df_.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        "equality delete file "
+                        f"{df_['file_path']} carries no equality_ids "
+                        "— cannot apply it, and ignoring it would "
+                        "resurrect deleted rows"
+                    )
+                rec["equality_ids"] = list(ids)
+                eq_deletes.append(rec)
             else:
                 raise ValueError(
                     "unsupported Iceberg delete file content="
-                    f"{content} at {df_['file_path']} (equality deletes"
-                    " are a stated non-goal — ignoring them would"
-                    " resurrect deleted rows)"
+                    f"{content} at {df_['file_path']}"
                 )
     data.sort(key=lambda r: r["path"])
     deletes.sort(key=lambda r: r["path"])
-    return data, deletes
+    eq_deletes.sort(key=lambda r: r["path"])
+    return data, deletes, eq_deletes
 
 
 def iceberg_live_files(table: str, snapshot_id: int | None = None) -> list[str]:
     """The snapshot's live DATA-file paths via its manifest list
     (delete manifests are inventoried separately — see
     _snapshot_files)."""
-    data, _deletes = _snapshot_files(table, snapshot_id)
+    data, _deletes, _eq = _snapshot_files(table, snapshot_id)
     return [r["path"] for r in data]
 
 
@@ -270,77 +289,150 @@ def _norm_uri(col):
     return F.regexp_replace(col, "^file:/+", "/")
 
 
+def _schema_field_names_by_id(meta: dict) -> dict[int, str]:
+    schema = meta.get("schema")
+    if schema is None:
+        sid = meta["current-schema-id"]
+        schema = next(s for s in meta["schemas"] if s["schema-id"] == sid)
+    return {f["id"]: f["name"] for f in schema["fields"]}
+
+
 def read_iceberg(
     spark: SparkSession, table: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """The table at ``snapshot_id`` (current when None) — the same
     surface as `spark.read.format("iceberg").option("snapshot-id", …)`
-    for the supported subset, INCLUDING format-v2 position deletes:
-    delete files are themselves parquet (file_path, pos) relations, so
-    they load as an ordinary distributed scan and apply as an
-    anti-join against the data scan's generated `_metadata.row_index`
-    — broadcast (shuffle-free) under _DELETE_BROADCAST_MAX total
-    delete records, shuffled on (path, pos) pairs past it. The spec's
-    sequence rule is enforced: a position delete applies only to data
-    files whose data sequence number is <= the delete file's."""
+    for the supported subset, INCLUDING format-v2 row-level deletes of
+    BOTH kinds. Position deletes: parquet (file_path, pos) relations
+    anti-joined against the data scan's generated
+    `_metadata.row_index` — broadcast (shuffle-free) under
+    _DELETE_BROADCAST_MAX total delete records, shuffled past it —
+    applying to data files with sequence number <= the delete's.
+    Equality deletes: parquet relations of the equality columns named
+    by the manifest's equality_ids, anti-joined NULL-SAFELY on those
+    columns with the spec's STRICT sequence gate (data seq < delete
+    seq), grouped by equality-column set."""
     meta = iceberg_metadata(table)
     ddl = _spark_ddl(meta)
-    data, deletes = _snapshot_files(table, snapshot_id)
+    data, deletes, eq_deletes = _snapshot_files(table, snapshot_id)
     if not data:
         return spark.createDataFrame([], ddl)
     df = spark.read.schema(ddl).parquet(*[r["path"] for r in data])
-    if not deletes:
+    if not deletes and not eq_deletes:
         return df
     logical_cols = df.columns
-    # delete rows: distributed parquet scan of the delete files, each
-    # stamped with its file's sequence number (metadata-bounded union)
-    del_parts = []
-    for r in deletes:
-        del_parts.append(
-            spark.read.schema("file_path string, pos long")
-            .parquet(r["path"])
-            .select(
-                _norm_uri(F.col("file_path")).alias("__ib_fp"),
-                F.col("pos").alias("__ib_pos"),
-                F.lit(r["seq"]).alias("__ib_del_seq"),
-            )
-        )
-    del_df = del_parts[0]
-    for p in del_parts[1:]:
-        del_df = del_df.unionByName(p)
-    # sequence gate: keep only deletes at/after their target file's
-    # data sequence number (live-file map is O(files) metadata)
-    live = spark.createDataFrame(
-        [(r["path"], r["seq"]) for r in data],
-        "__ib_live_fp string, __ib_data_seq long",
-    )
-    eligible = (
-        del_df.join(
-            F.broadcast(live),
-            del_df["__ib_fp"] == _norm_uri(F.col("__ib_live_fp")),
-            "inner",
-        )
-        .where(F.col("__ib_del_seq") >= F.col("__ib_data_seq"))
-        .select("__ib_fp", "__ib_pos")
-    )
+    # every delete kind needs per-row file identity; equality deletes
+    # additionally need the row's data sequence number
     keyed = df.withColumns(
         {
             "__ib_file": _norm_uri(F.col("_metadata.file_path")),
             "__ib_row": F.col("_metadata.row_index"),
         }
     )
-    total_deletes = sum(r["record_count"] for r in deletes)
-    right = (
-        F.broadcast(eligible)
-        if total_deletes <= _DELETE_BROADCAST_MAX
-        else eligible
+    live = spark.createDataFrame(
+        [(r["path"], r["seq"]) for r in data],
+        "__ib_live_fp string, __ib_data_seq long",
     )
-    return keyed.join(
-        right,
-        (keyed["__ib_file"] == right["__ib_fp"])
-        & (keyed["__ib_row"] == right["__ib_pos"]),
-        "left_anti",
-    ).select(*logical_cols)
+    if deletes:
+        # position-delete rows: distributed scan of the delete files,
+        # each stamped with its file's sequence number
+        del_parts = []
+        for r in deletes:
+            del_parts.append(
+                spark.read.schema("file_path string, pos long")
+                .parquet(r["path"])
+                .select(
+                    _norm_uri(F.col("file_path")).alias("__ib_fp"),
+                    F.col("pos").alias("__ib_pos"),
+                    F.lit(r["seq"]).alias("__ib_del_seq"),
+                )
+            )
+        del_df = del_parts[0]
+        for p in del_parts[1:]:
+            del_df = del_df.unionByName(p)
+        eligible = (
+            del_df.join(
+                F.broadcast(live),
+                del_df["__ib_fp"] == _norm_uri(F.col("__ib_live_fp")),
+                "inner",
+            )
+            .where(F.col("__ib_del_seq") >= F.col("__ib_data_seq"))
+            .select("__ib_fp", "__ib_pos")
+        )
+        total = sum(r["record_count"] for r in deletes)
+        right = (
+            F.broadcast(eligible)
+            if total <= _DELETE_BROADCAST_MAX
+            else eligible
+        )
+        keyed = keyed.join(
+            right,
+            (keyed["__ib_file"] == right["__ib_fp"])
+            & (keyed["__ib_row"] == right["__ib_pos"]),
+            "left_anti",
+        )
+    if eq_deletes:
+        names_by_id = _schema_field_names_by_id(meta)
+        types = dict(
+            (f["name"], _ICEBERG_TO_SPARK[f["type"]])
+            for f in (
+                meta.get("schema")
+                or next(
+                    s
+                    for s in meta["schemas"]
+                    if s["schema-id"] == meta["current-schema-id"]
+                )
+            )["fields"]
+        )
+        # attach the row's data sequence number once
+        keyed = keyed.join(
+            F.broadcast(
+                live.select(
+                    _norm_uri(F.col("__ib_live_fp")).alias("__ib_lfp"),
+                    "__ib_data_seq",
+                )
+            ),
+            keyed["__ib_file"] == F.col("__ib_lfp"),
+            "left",
+        ).drop("__ib_lfp")
+        by_cols: dict[tuple, list[dict]] = {}
+        for r in eq_deletes:
+            try:
+                cols = tuple(names_by_id[i] for i in r["equality_ids"])
+            except KeyError as e:
+                raise ValueError(
+                    f"equality delete {r['path']} names unknown field "
+                    f"id {e.args[0]}"
+                ) from None
+            by_cols.setdefault(cols, []).append(r)
+        for cols, group in sorted(by_cols.items()):
+            eq_ddl = ", ".join(f"`{c}` {types[c]}" for c in cols)
+            parts = []
+            for r in group:
+                parts.append(
+                    spark.read.schema(eq_ddl)
+                    .parquet(r["path"])
+                    .select(
+                        *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                        F.lit(r["seq"]).alias("__eq_seq"),
+                    )
+                )
+            eq_df = parts[0]
+            for p in parts[1:]:
+                eq_df = eq_df.unionByName(p)
+            total = sum(r["record_count"] for r in group)
+            right = (
+                F.broadcast(eq_df)
+                if total <= _DELETE_BROADCAST_MAX
+                else eq_df
+            )
+            cond = F.col("__ib_data_seq") < right["__eq_seq"]
+            for c in cols:
+                # null-safe: an equality delete row with NULL matches
+                # rows where the column IS NULL (the spec's semantics)
+                cond = cond & keyed[c].eqNullSafe(right[f"__eq_{c}"])
+            keyed = keyed.join(right, cond, "left_anti")
+    return keyed.select(*logical_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -410,6 +502,7 @@ def write_iceberg(
                         "file_format": "PARQUET",
                         "record_count": papq.ParquetFile(dest).metadata.num_rows,
                         "file_size_in_bytes": os.path.getsize(dest),
+                        "equality_ids": None,
                     },
                 }
             )
@@ -481,6 +574,106 @@ def write_iceberg(
         }
     return _publish_metadata(
         md, meta, version, snapshot_id, seq, list_path, "append"
+    )
+
+
+def write_iceberg_equality_deletes(
+    spark: SparkSession, table: str, deletes: DataFrame
+) -> int:
+    """Commit an EQUALITY-DELETE snapshot (format v2): each row of
+    ``deletes`` — whose columns must be a subset of the table's and
+    name the equality columns — deletes every data row from EARLIER
+    snapshots whose those columns match null-safely (the spec's strict
+    sequence rule; rows appended after this snapshot are untouched).
+    The manifest entries carry content=2 plus the equality_ids
+    resolved from the schema's field ids. Returns the snapshot id.
+
+    Scale shape: the delete relation is written distributed as-is (no
+    sort mandated for equality deletes); metadata stays O(manifests)
+    driver-side."""
+    meta = iceberg_metadata(table)
+    if not meta.get("snapshots"):
+        raise ValueError("cannot commit deletes to an empty table")
+    ids_by_name = {
+        name: fid for fid, name in _schema_field_names_by_id(meta).items()
+    }
+    unknown = [c for c in deletes.columns if c not in ids_by_name]
+    if unknown:
+        raise ValueError(
+            f"equality columns {unknown} are not table columns"
+        )
+    eq_ids = [ids_by_name[c] for c in deletes.columns]
+    md = _metadata_dir(table)
+    data_dir = os.path.join(table, "data")
+    version = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(md)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    commit = uuid.uuid4().hex[:12]
+    stage = os.path.join(table, f"_stage_{commit}")
+    deletes.write.mode("overwrite").parquet(stage)
+    import shutil
+
+    import pyarrow.parquet as papq
+
+    entries: list[dict] = []
+    for root, _dirs, files in os.walk(stage):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            dest = os.path.join(data_dir, f"{commit}-eqdelete-{fname}")
+            os.replace(os.path.join(root, fname), dest)
+            n = papq.ParquetFile(dest).metadata.num_rows
+            if n == 0:
+                os.unlink(dest)
+                continue
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": None,
+                    "sequence_number": None,  # inherit the snapshot's
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 2,  # equality deletes
+                        "file_path": os.path.abspath(dest),
+                        "file_format": "PARQUET",
+                        "record_count": n,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "equality_ids": eq_ids,
+                    },
+                }
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    if not entries:
+        raise ValueError("empty delete relation — nothing to commit")
+
+    snapshot_id = version + 1
+    seq = snapshot_id
+    manifest_path = os.path.join(md, f"manifest-{commit}.avro")
+    write_avro_file(manifest_path, _MANIFEST_SCHEMA, entries)
+    n_rows = sum(e["data_file"]["record_count"] for e in entries)
+    list_records = _prior_manifest_records(table, meta) + [
+        {
+            "manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 1,  # a DELETE manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
+    write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
+    return _publish_metadata(
+        md, meta, version, snapshot_id, seq, list_path, "delete"
     )
 
 
@@ -584,6 +777,7 @@ def write_iceberg_deletes(
                         "file_format": "PARQUET",
                         "record_count": n,
                         "file_size_in_bytes": os.path.getsize(dest),
+                        "equality_ids": None,
                     },
                 }
             )

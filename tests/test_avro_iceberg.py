@@ -666,9 +666,9 @@ def test_iceberg_position_delete_sequence_rule(spark, tmp_path):
     )
 
 
-def test_iceberg_equality_deletes_rejected(spark, tmp_path):
-    """content=2 (equality deletes) is a stated non-goal: the read
-    must fail loudly, never return resurrected rows."""
+def test_iceberg_equality_delete_without_ids_rejected(spark, tmp_path):
+    """A content=2 entry MISSING its equality_ids cannot be applied —
+    the read must fail loudly, never return resurrected rows."""
     import pytest as _pytest
 
     from jobminer_spark.sources.avro import (
@@ -719,7 +719,7 @@ def test_iceberg_equality_deletes_rejected(spark, tmp_path):
         json.dump(meta, f)
     with open(os.path.join(md, "version-hint.text"), "w") as f:
         f.write("9")
-    with _pytest.raises(ValueError, match="equality deletes"):
+    with _pytest.raises(ValueError, match="equality_ids"):
         read_iceberg(spark, t).collect()
 
 
@@ -751,3 +751,38 @@ def test_iceberg_expire_snapshots(spark, tmp_path):
     # construction (keep_last >= 1 retains the newest)
     with pytest.raises(ValueError, match="keep_last"):
         expire_iceberg_snapshots(t, keep_last=0)
+
+
+def test_iceberg_equality_deletes_roundtrip(spark, tmp_path):
+    """Equality deletes: rows matching the delete relation's equality
+    columns vanish from EARLIER snapshots (strict sequence rule — a
+    post-delete append survives even where it matches), nulls match
+    null-safely, and they compose with position deletes."""
+    from jobminer_spark.sources.iceberg import (
+        write_iceberg_equality_deletes,
+    )
+
+    t = str(tmp_path / "eqdel2")
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, None), (3, "a"), (4, "c")],
+        "k long, g string",
+    )
+    write_iceberg(spark, t, df)
+    # delete g='a' and g IS NULL from existing data
+    dels = spark.createDataFrame([("a",), (None,)], "g string")
+    write_iceberg_equality_deletes(spark, t, dels)
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == [1, 4]
+    # strict rule: a NEW row with g='a' survives the OLD delete
+    write_iceberg(
+        spark, t, spark.createDataFrame([(9, "a")], "k long, g string")
+    )
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == [
+        1, 4, 9,
+    ]
+    # unknown equality column refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not table columns"):
+        write_iceberg_equality_deletes(
+            spark, t, spark.createDataFrame([(1,)], "zzz long")
+        )
