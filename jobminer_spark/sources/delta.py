@@ -55,9 +55,10 @@ FEED: with ``delta.enableChangeDataFeed`` set, delete_delta /
 update_delta commits publish their change rows as `_change_data`
 parquet files via ``cdc`` actions, and `delta_change_feed` reads the
 per-version feed back (rows + _change_type + _commit_version),
-deriving inserts/full-file deletes for plain commits and failing
-loudly where derivation would be wrong (partitioned removes without
-CDC, vacuumed files). Column-mapped tables remain read-only (staging
+deriving inserts/full-file deletes — and merge-on-read deletes from
+DV position diffs — for plain commits, and failing loudly where
+derivation would be wrong (partitioned removes/MoR without CDC,
+vacuumed files). Column-mapped tables remain read-only (staging
 writes under logical names would mix naming schemes). No generated
 columns.
 
@@ -513,7 +514,7 @@ def _dv_relation(
     deleted: list[tuple[str, int]] = []
     for a in adds:
         if _has_dv(a):
-            fp = _file_uri(os.path.join(table, a["path"]))
+            fp = _file_key(os.path.join(table, a["path"]))
             deleted.extend(
                 (fp, int(i))
                 for i in _dv_indices(table, a["deletionVector"])
@@ -528,10 +529,21 @@ def _dv_relation(
     )
 
 
-def _file_uri(path: str) -> str:
-    """The file URI form Spark's `_metadata.file_path` reports for a
-    local path — the anti-join key both sides must agree on."""
-    return "file:" + os.path.abspath(path).replace(os.sep, "/")
+def _file_key(path: str) -> str:
+    """Python-side anti-join key for a data file: the plain absolute
+    path. The Spark side decodes `_metadata.file_path` (a
+    percent-ENCODED file URI — a table dir with a space reports %20)
+    to the same form via _decoded_path_col, so paths with URI-special
+    characters key identically on both sides."""
+    return os.path.abspath(path).replace(os.sep, "/")
+
+
+def _decoded_path_col(col):
+    """`_metadata.file_path` normalized to a decoded absolute path:
+    scheme stripped, percent-escapes decoded (try_: a non-URI stray
+    value falls back to itself rather than erroring the scan)."""
+    stripped = F.regexp_replace(col, "^file:/+", "/")
+    return F.coalesce(F.try_url_decode(stripped), stripped)
 
 
 def _scan_minus_dvs(
@@ -552,7 +564,7 @@ def _scan_minus_dvs(
         return df
     keyed = df.withColumns(
         {
-            "__jm_file": F.col("_metadata.file_path"),
+            "__jm_file": _decoded_path_col(F.col("_metadata.file_path")),
             "__jm_pos": F.col("_metadata.row_index"),
         }
     )
@@ -772,6 +784,97 @@ def _schema_string(df: DataFrame) -> str:
     return json.dumps({"type": "struct", "fields": fields})
 
 
+# Writer-side feature support. "Supported" means enforce-or-refuse:
+# features whose semantics this writer enforces directly (appendOnly,
+# deletionVectors, changeDataFeed, timestampNtz), plus features it
+# supports by REFUSING any table that actually uses them (invariants,
+# constraints, generated/identity columns — writing without evaluating
+# them would corrupt the table for conforming engines). Anything else
+# listed rejects by name, per the protocol's writer rule.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "generatedColumns",
+    "identityColumns",
+    "deletionVectors",
+    "changeDataFeed",
+    "columnMapping",
+    "timestampNtz",
+}
+# legacy writer versions imply feature sets (the protocol's table)
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+
+
+def _check_writer_supported(
+    protocol: dict, meta: dict, operation: str
+) -> None:
+    """The protocol REQUIRES writers to refuse tables whose writer
+    version/features demand behavior they don't implement — silently
+    committing would corrupt the table for conforming engines."""
+    v = protocol.get("minWriterVersion", 2)
+    if v > 7:
+        raise ValueError(
+            f"unsupported Delta minWriterVersion={v} for writes"
+            " (this writer implements protocol writer versions 1-7)"
+        )
+    if v == 7:
+        feats = set(protocol.get("writerFeatures") or [])
+    else:
+        feats = set()
+        for lv, fs in _LEGACY_WRITER_FEATURES.items():
+            if v >= lv:
+                feats |= fs
+    unknown = feats - _SUPPORTED_WRITER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"refusing to write: table demands writer features "
+            f"{sorted(unknown)} this writer does not implement"
+        )
+    conf = (meta or {}).get("configuration") or {}
+    if (
+        "appendOnly" in feats
+        and str(conf.get("delta.appendOnly", "false")).lower() == "true"
+        and operation not in ("append", "optimize")
+    ):
+        raise ValueError(
+            f"refusing to {operation}: delta.appendOnly=true (the "
+            "appendOnly feature forbids deletes/overwrites)"
+        )
+    if any(k.startswith("delta.constraints.") for k in conf):
+        raise ValueError(
+            "refusing to write: table declares CHECK constraints this "
+            "writer cannot evaluate"
+        )
+    try:
+        fields = json.loads(meta["schemaString"])["fields"]
+    except (KeyError, TypeError, ValueError):
+        fields = []
+    for f in fields:
+        md = f.get("metadata") or {}
+        if "delta.invariants" in md:
+            raise ValueError(
+                f"refusing to write: column {f['name']!r} declares an "
+                "invariant this writer cannot evaluate"
+            )
+        if "delta.generationExpression" in md:
+            raise ValueError(
+                f"refusing to write: column {f['name']!r} is a "
+                "generated column this writer cannot populate"
+            )
+        if any(k.startswith("delta.identity.") for k in md):
+            raise ValueError(
+                f"refusing to write: column {f['name']!r} is an "
+                "identity column this writer cannot populate"
+            )
+
+
 def _check_not_mapped(meta: dict) -> None:
     """Writes stage parquet under LOGICAL column names, so a
     column-mapped table (physical naming) is read-only here —
@@ -823,8 +926,11 @@ def write_delta(
             # mismatched append would land files the reader then
             # misreads (all-NULL columns, NULL partition values).
             # delta-spark rejects both; so do we, loudly (review r15).
-            _adds, prev_meta, _ptxns = _replay(table, current)
+            _adds, _rm, prev_meta, _ptxns, prev_proto = _replay_full(
+                table, current
+            )
             _check_not_mapped(prev_meta)
+            _check_writer_supported(prev_proto, prev_meta, "append")
             if prev_meta.get("partitionColumns", []) != part_cols:
                 raise ValueError(
                     f"append partitioning {part_cols} != table's "
@@ -871,8 +977,11 @@ def write_delta(
                 }
             )
         elif mode == "overwrite":
-            prev_adds, prev_meta, _ptxns = _replay(table, current)
+            prev_adds, _rm, prev_meta, _ptxns, prev_proto = (
+                _replay_full(table, current)
+            )
             _check_not_mapped(prev_meta)
+            _check_writer_supported(prev_proto, prev_meta, "overwrite")
             if prev_meta.get(
                 "partitionColumns", []
             ) != part_cols or json.loads(
@@ -1278,8 +1387,9 @@ def optimize_delta(
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
     while True:
         current = delta_latest_version(table)
-        adds, meta, _txns = _replay(table, current)
+        adds, _rm, meta, _txns, proto = _replay_full(table, current)
         _check_not_mapped(meta)
+        _check_writer_supported(proto, meta, "optimize")
         part_cols = meta.get("partitionColumns", [])
         n_before = len(adds)
         schema = json.loads(meta["schemaString"])
@@ -1423,14 +1533,23 @@ def update_delta(
     Scale shape: delete side identical to delete_delta; the re-insert
     writes O(matched rows), not O(file size) — the point of
     merge-on-read over copy-on-write for narrow updates."""
+    latest = delta_latest_version(table)
+    if latest >= 0:
+        # validate targets BEFORE the match runs: a typo'd column must
+        # not cost a full scan and leave orphaned DV files behind
+        _a, meta0, _t = _replay(table, latest)
+        cols = {
+            f["name"] for f in json.loads(meta0["schemaString"])["fields"]
+        }
+        unknown = [c for c in assignments if c not in cols]
+        if unknown:
+            raise ValueError(
+                f"assignment target {unknown[0]!r} is not a table column"
+            )
 
     def _transform(matched_df: DataFrame) -> DataFrame:
         out = matched_df
         for c, expr in assignments.items():
-            if c not in matched_df.columns:
-                raise ValueError(
-                    f"assignment target {c!r} is not a table column"
-                )
             out = out.withColumn(
                 c, F.expr(expr) if isinstance(expr, str) else expr
             )
@@ -1504,13 +1623,25 @@ def _mor_mutation(
         current = delta_latest_version(table)
         adds, _removes, meta, _txns, protocol = _replay_full(table, current)
         _check_not_mapped(meta)
+        _check_writer_supported(
+            protocol, meta, "update" if transform is not None else "delete"
+        )
         part_cols = meta.get("partitionColumns", [])
         rel_by_uri = {
-            _file_uri(os.path.join(table, p)): p for p in adds
+            _file_key(os.path.join(table, p)): p for p in adds
         }
-        matched_rows = _adds_to_df(
-            spark, table, list(adds.values()), meta, include_position=True
-        ).where(pred)
+        # one consumer for deletes, up to three more for updates
+        # (replacement staging + CDC pre/post images): persist the
+        # matched scan so the predicate pass over the table runs once,
+        # not once per consumer — and once per retry, not per stage
+        matched_rows = (
+            _adds_to_df(
+                spark, table, list(adds.values()), meta,
+                include_position=True,
+            )
+            .where(pred)
+            .persist()
+        )
         matched = matched_rows.select("__jm_file", "__jm_pos")
         old_map = {
             uri: adds[rel].get("deletionVector")
@@ -1569,6 +1700,7 @@ def _mor_mutation(
             " cardinality long",
         ).collect()
         if not descriptors:
+            matched_rows.unpersist()
             return current, 0, 0
         staged_new: list[dict] = []
         logical_matched = matched_rows.drop("__jm_file", "__jm_pos")
@@ -1601,6 +1733,7 @@ def _mor_mutation(
                     )
                 )
             cdc_actions = _stage_cdc_files(spark, table, cdf)
+        matched_rows.unpersist()
         now_ms = int(time.time() * 1000)
         actions: list[dict] = []
         conf = dict((meta or {}).get("configuration") or {})
@@ -1728,10 +1861,13 @@ def delta_change_feed(
     Per the protocol: a commit that carries ``cdc`` actions is read
     FROM THEM exclusively (delete_delta/update_delta write them when
     ``delta.enableChangeDataFeed`` is true); a commit without them
-    derives inserts from its dataChange adds, and full-file deletes
-    from its dataChange removes (unpartitioned only — a partitioned
+    derives inserts from its dataChange adds, full-file deletes from
+    its dataChange removes, and merge-on-read deletes from a
+    remove/re-add DV pair's POSITION DIFF (the rows the new bitmap
+    marks beyond the old one, read back from the still-live file).
+    Unpartitioned only for the delete derivations — a partitioned
     remove's partition values are not reconstructible without CDC
-    files, so that case fails loudly rather than emit wrong rows).
+    files, so that case fails loudly rather than emit wrong rows.
 
     Scale shape: per-version metadata pass over the commit JSONs plus
     ordinary distributed parquet scans of exactly the changed files —
@@ -1785,16 +1921,79 @@ def delta_change_feed(
                 .select(*out_cols)
             )
             continue
-        adds = [
+        all_adds = [
             a["add"]
             for a in actions
             if "add" in a and a["add"].get("dataChange", True)
         ]
-        removes = [
-            a["remove"]
+        removes_by_path = {
+            a["remove"]["path"]: a["remove"]
             for a in actions
             if "remove" in a and a["remove"].get("dataChange", True)
-        ]
+        }
+        # a MERGE-ON-READ mutation commit (remove + re-add of the same
+        # path with a new DV) is derivable without CDC files: the
+        # deleted rows are exactly the NEW DV positions minus the OLD
+        # ones — read them from the (still live) file by row position
+        mor_deletes: list[tuple[str, list[int]]] = []
+        adds = []
+        for a in all_adds:
+            if _has_dv(a) and a["path"] in removes_by_path:
+                old = removes_by_path.pop(a["path"])
+                new_pos = set(_dv_indices(table, a["deletionVector"]))
+                old_pos = (
+                    set(_dv_indices(table, old["deletionVector"]))
+                    if _has_dv(old)
+                    else set()
+                )
+                diff = sorted(new_pos - old_pos)
+                if diff:
+                    mor_deletes.append((a["path"], diff))
+            elif _has_dv(a):
+                raise ValueError(
+                    f"commit {v} adds a DV file without removing its "
+                    "prior version — cannot derive its change rows"
+                )
+            else:
+                adds.append(a)
+        removes = list(removes_by_path.values())
+        if mor_deletes:
+            if part_cols:
+                raise ValueError(
+                    f"commit {v} carries a merge-on-read delete on a "
+                    "PARTITIONED table without CDC files: the deleted "
+                    "rows' partition values are not reconstructible — "
+                    "enable delta.enableChangeDataFeed"
+                )
+            paths = _existing([p for p, _ in mor_deletes], "delete")
+            pos_df = spark.createDataFrame(
+                [
+                    (_file_key(os.path.join(table, p)), int(i))
+                    for p, diff in mor_deletes
+                    for i in diff
+                ],
+                "__jm_dv_file string, __jm_dv_pos long",
+            )
+            scan = spark.read.schema(full_ddl).parquet(*paths)
+            keyed = scan.withColumns(
+                {
+                    "__jm_file": _decoded_path_col(
+                        F.col("_metadata.file_path")
+                    ),
+                    "__jm_pos": F.col("_metadata.row_index"),
+                }
+            )
+            drows = keyed.join(
+                F.broadcast(pos_df),
+                (keyed["__jm_file"] == pos_df["__jm_dv_file"])
+                & (keyed["__jm_pos"] == pos_df["__jm_dv_pos"]),
+                "inner",
+            ).drop("__jm_file", "__jm_pos", "__jm_dv_file", "__jm_dv_pos")
+            parts.append(
+                drows.withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+                .select(*out_cols)
+            )
         if adds:
             _existing([a["path"] for a in adds], "insert")
             ins = _adds_to_df(spark, table, adds, meta)
@@ -1812,7 +2011,6 @@ def delta_change_feed(
                     "enable delta.enableChangeDataFeed"
                 )
             paths = _existing([r["path"] for r in removes], "delete")
-            dels = spark.read.schema(full_ddl).parquet(*paths)
             # the remove's standing DV (rows already deleted BEFORE
             # this commit) must not re-report those rows as deletes
             dv_df, n_dv = _dv_relation(
@@ -1825,19 +2023,7 @@ def delta_change_feed(
                     if _has_dv(r)
                 ],
             )
-            if dv_df is not None:
-                keyed = dels.withColumns(
-                    {
-                        "__jm_file": F.col("_metadata.file_path"),
-                        "__jm_pos": F.col("_metadata.row_index"),
-                    }
-                )
-                dels = keyed.join(
-                    F.broadcast(dv_df),
-                    (keyed["__jm_file"] == dv_df["__jm_dv_file"])
-                    & (keyed["__jm_pos"] == dv_df["__jm_dv_pos"]),
-                    "left_anti",
-                ).drop("__jm_file", "__jm_pos")
+            dels = _scan_minus_dvs(spark, paths, full_ddl, dv_df, n_dv)
             parts.append(
                 dels.withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", F.lit(v).cast("long"))
@@ -1901,7 +2087,10 @@ def restore_delta(
             )
     while True:
         current = delta_latest_version(table)
-        cur_adds, cur_meta, _ctx = _replay(table, current)
+        cur_adds, _crm, cur_meta, _ctx, cur_proto = _replay_full(
+            table, current
+        )
+        _check_writer_supported(cur_proto, cur_meta, "restore")
         now_ms = int(time.time() * 1000)
         actions: list[dict] = []
         if (

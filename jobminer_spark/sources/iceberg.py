@@ -198,7 +198,7 @@ def _snapshot_files(
     meta = iceberg_metadata(table)
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return [], []
+        return [], [], []
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
     snap = next(
@@ -285,8 +285,11 @@ _DELETE_BROADCAST_MAX = 2_000_000
 def _norm_uri(col):
     """file_path values appear as plain absolute paths, `file:/…` or
     `file:///…` depending on the writer; normalize all three to the
-    bare absolute path so the anti-join keys compare."""
-    return F.regexp_replace(col, "^file:/+", "/")
+    bare absolute path — decoding percent-escapes (try_: a stray
+    non-URI value falls back to itself) so Spark's percent-ENCODED
+    `_metadata.file_path` and raw manifest paths key identically."""
+    stripped = F.regexp_replace(col, "^file:/+", "/")
+    return F.coalesce(F.try_url_decode(stripped), stripped)
 
 
 def _schema_field_names_by_id(meta: dict) -> dict[int, str]:
@@ -468,11 +471,7 @@ def write_iceberg(
     os.makedirs(data_dir, exist_ok=True)
     try:
         meta = iceberg_metadata(table)
-        version = max(
-            int(f[1:].split(".")[0])
-            for f in os.listdir(md)
-            if f.startswith("v") and f.endswith(".metadata.json")
-        )
+        version = _metadata_version(md)
     except FileNotFoundError:
         meta, version = None, 0
 
@@ -577,106 +576,6 @@ def write_iceberg(
     )
 
 
-def write_iceberg_equality_deletes(
-    spark: SparkSession, table: str, deletes: DataFrame
-) -> int:
-    """Commit an EQUALITY-DELETE snapshot (format v2): each row of
-    ``deletes`` — whose columns must be a subset of the table's and
-    name the equality columns — deletes every data row from EARLIER
-    snapshots whose those columns match null-safely (the spec's strict
-    sequence rule; rows appended after this snapshot are untouched).
-    The manifest entries carry content=2 plus the equality_ids
-    resolved from the schema's field ids. Returns the snapshot id.
-
-    Scale shape: the delete relation is written distributed as-is (no
-    sort mandated for equality deletes); metadata stays O(manifests)
-    driver-side."""
-    meta = iceberg_metadata(table)
-    if not meta.get("snapshots"):
-        raise ValueError("cannot commit deletes to an empty table")
-    ids_by_name = {
-        name: fid for fid, name in _schema_field_names_by_id(meta).items()
-    }
-    unknown = [c for c in deletes.columns if c not in ids_by_name]
-    if unknown:
-        raise ValueError(
-            f"equality columns {unknown} are not table columns"
-        )
-    eq_ids = [ids_by_name[c] for c in deletes.columns]
-    md = _metadata_dir(table)
-    data_dir = os.path.join(table, "data")
-    version = max(
-        int(f[1:].split(".")[0])
-        for f in os.listdir(md)
-        if f.startswith("v") and f.endswith(".metadata.json")
-    )
-    commit = uuid.uuid4().hex[:12]
-    stage = os.path.join(table, f"_stage_{commit}")
-    deletes.write.mode("overwrite").parquet(stage)
-    import shutil
-
-    import pyarrow.parquet as papq
-
-    entries: list[dict] = []
-    for root, _dirs, files in os.walk(stage):
-        for fname in sorted(files):
-            if not fname.endswith(".parquet"):
-                continue
-            dest = os.path.join(data_dir, f"{commit}-eqdelete-{fname}")
-            os.replace(os.path.join(root, fname), dest)
-            n = papq.ParquetFile(dest).metadata.num_rows
-            if n == 0:
-                os.unlink(dest)
-                continue
-            entries.append(
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": None,
-                    "sequence_number": None,  # inherit the snapshot's
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": 2,  # equality deletes
-                        "file_path": os.path.abspath(dest),
-                        "file_format": "PARQUET",
-                        "record_count": n,
-                        "file_size_in_bytes": os.path.getsize(dest),
-                        "equality_ids": eq_ids,
-                    },
-                }
-            )
-    shutil.rmtree(stage, ignore_errors=True)
-    if not entries:
-        raise ValueError("empty delete relation — nothing to commit")
-
-    snapshot_id = version + 1
-    seq = snapshot_id
-    manifest_path = os.path.join(md, f"manifest-{commit}.avro")
-    write_avro_file(manifest_path, _MANIFEST_SCHEMA, entries)
-    n_rows = sum(e["data_file"]["record_count"] for e in entries)
-    list_records = _prior_manifest_records(table, meta) + [
-        {
-            "manifest_path": os.path.abspath(manifest_path),
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
-            "content": 1,  # a DELETE manifest
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": n_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
-    ]
-    list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
-    write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
-    return _publish_metadata(
-        md, meta, version, snapshot_id, seq, list_path, "delete"
-    )
-
-
 def _prior_manifest_records(table: str, meta: dict | None) -> list[dict]:
     """The current snapshot's manifest-list records, normalized for
     re-reference in a new list: re-referenced manifests keep their own
@@ -714,6 +613,104 @@ def _prior_manifest_records(table: str, meta: dict | None) -> list[dict]:
     ]
 
 
+def _metadata_version(md: str) -> int:
+    return max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(md)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+
+
+def _stage_delete_parquet(
+    spark, table: str, df: DataFrame, commit: str, tag: str
+) -> list[tuple[str, int]]:
+    """Write ``df`` via a scratch dir, move the non-empty parts under
+    data/ as ``<commit>-<tag>-…``, and return (abs path, row count)
+    pairs — the staging walk both delete writers share."""
+    import shutil
+
+    import pyarrow.parquet as papq
+
+    data_dir = os.path.join(table, "data")
+    stage = os.path.join(table, f"_stage_{commit}")
+    df.write.mode("overwrite").parquet(stage)
+    out: list[tuple[str, int]] = []
+    for root, _dirs, files in os.walk(stage):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            dest = os.path.join(data_dir, f"{commit}-{tag}-{fname}")
+            os.replace(os.path.join(root, fname), dest)
+            n = papq.ParquetFile(dest).metadata.num_rows
+            if n == 0:
+                os.unlink(dest)  # empty partition: no entry
+                continue
+            out.append((os.path.abspath(dest), n))
+    shutil.rmtree(stage, ignore_errors=True)
+    if not out:
+        raise ValueError("empty delete relation — nothing to commit")
+    return out
+
+
+def _commit_delete_snapshot(
+    table: str,
+    meta: dict,
+    staged: list[tuple[str, int]],
+    commit: str,
+    content: int,
+    equality_ids: list[int] | None,
+) -> int:
+    """The delete writers' shared commit tail: one delete manifest
+    (entries at ``content`` with inherited sequence numbers), a
+    manifest list re-referencing every prior manifest plus the new
+    content=1 record, and the published metadata version."""
+    md = _metadata_dir(table)
+    version = _metadata_version(md)
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": None,
+            "sequence_number": None,  # inherit the snapshot's
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": equality_ids,
+            },
+        }
+        for path, n in staged
+    ]
+    snapshot_id = version + 1
+    seq = snapshot_id
+    manifest_path = os.path.join(md, f"manifest-{commit}.avro")
+    write_avro_file(manifest_path, _MANIFEST_SCHEMA, entries)
+    list_records = _prior_manifest_records(table, meta) + [
+        {
+            "manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 1,  # a DELETE manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(n for _p, n in staged),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
+    write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
+    return _publish_metadata(
+        md, meta, version, snapshot_id, seq, list_path, "delete"
+    )
+
+
 def write_iceberg_deletes(
     spark: SparkSession, table: str, deletes: DataFrame
 ) -> int:
@@ -731,87 +728,51 @@ def write_iceberg_deletes(
     meta = iceberg_metadata(table)  # must exist: deletes need a target
     if not meta.get("snapshots"):
         raise ValueError("cannot commit deletes to an empty table")
-    md = _metadata_dir(table)
-    data_dir = os.path.join(table, "data")
-    version = max(
-        int(f[1:].split(".")[0])
-        for f in os.listdir(md)
-        if f.startswith("v") and f.endswith(".metadata.json")
-    )
     commit = uuid.uuid4().hex[:12]
-    stage = os.path.join(table, f"_stage_{commit}")
-    (
+    staged = _stage_delete_parquet(
+        spark,
+        table,
         deletes.select(
             F.col("file_path").cast("string").alias("file_path"),
             F.col("pos").cast("long").alias("pos"),
         )
         .repartitionByRange("file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
-        .write.mode("overwrite")
-        .parquet(stage)
+        .sortWithinPartitions("file_path", "pos"),
+        commit,
+        "delete",
     )
-    import shutil
+    return _commit_delete_snapshot(table, meta, staged, commit, 1, None)
 
-    import pyarrow.parquet as papq
 
-    delete_entries: list[dict] = []
-    for root, _dirs, files in os.walk(stage):
-        for fname in sorted(files):
-            if not fname.endswith(".parquet"):
-                continue
-            dest = os.path.join(data_dir, f"{commit}-delete-{fname}")
-            os.replace(os.path.join(root, fname), dest)
-            n = papq.ParquetFile(dest).metadata.num_rows
-            if n == 0:
-                os.unlink(dest)  # empty range partition: no entry
-                continue
-            delete_entries.append(
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": None,
-                    "sequence_number": None,  # inherit the snapshot's
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": 1,  # position deletes
-                        "file_path": os.path.abspath(dest),
-                        "file_format": "PARQUET",
-                        "record_count": n,
-                        "file_size_in_bytes": os.path.getsize(dest),
-                        "equality_ids": None,
-                    },
-                }
-            )
-    shutil.rmtree(stage, ignore_errors=True)
-    if not delete_entries:
-        raise ValueError("empty delete relation — nothing to commit")
+def write_iceberg_equality_deletes(
+    spark: SparkSession, table: str, deletes: DataFrame
+) -> int:
+    """Commit an EQUALITY-DELETE snapshot (format v2): each row of
+    ``deletes`` — whose columns must be a subset of the table's and
+    name the equality columns — deletes every data row from EARLIER
+    snapshots whose those columns match null-safely (the spec's strict
+    sequence rule; rows appended after this snapshot are untouched).
+    The manifest entries carry content=2 plus the equality_ids
+    resolved from the schema's field ids. Returns the snapshot id.
 
-    snapshot_id = version + 1
-    seq = snapshot_id
-    manifest_path = os.path.join(md, f"manifest-{commit}.avro")
-    write_avro_file(manifest_path, _MANIFEST_SCHEMA, delete_entries)
-    n_rows = sum(e["data_file"]["record_count"] for e in delete_entries)
-    list_records = _prior_manifest_records(table, meta) + [
-        {
-            "manifest_path": os.path.abspath(manifest_path),
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
-            "content": 1,  # a DELETE manifest
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(delete_entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": n_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
-    ]
-    list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
-    write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
-    return _publish_metadata(
-        md, meta, version, snapshot_id, seq, list_path, "delete"
-    )
+    Scale shape: the delete relation is written distributed as-is (no
+    sort mandated for equality deletes); metadata stays O(manifests)
+    driver-side."""
+    meta = iceberg_metadata(table)
+    if not meta.get("snapshots"):
+        raise ValueError("cannot commit deletes to an empty table")
+    ids_by_name = {
+        name: fid for fid, name in _schema_field_names_by_id(meta).items()
+    }
+    unknown = [c for c in deletes.columns if c not in ids_by_name]
+    if unknown:
+        raise ValueError(
+            f"equality columns {unknown} are not table columns"
+        )
+    eq_ids = [ids_by_name[c] for c in deletes.columns]
+    commit = uuid.uuid4().hex[:12]
+    staged = _stage_delete_parquet(spark, table, deletes, commit, "eqdelete")
+    return _commit_delete_snapshot(table, meta, staged, commit, 2, eq_ids)
 
 
 def _publish_metadata(
@@ -942,11 +903,7 @@ def expire_iceberg_snapshots(
         dead |= f - keep_files
 
     md = _metadata_dir(table)
-    version = max(
-        int(f[1:].split(".")[0])
-        for f in os.listdir(md)
-        if f.startswith("v") and f.endswith(".metadata.json")
-    )
+    version = _metadata_version(md)
     new_meta = dict(meta)
     new_meta["snapshots"] = retained
     new_version = version + 1

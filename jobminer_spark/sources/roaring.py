@@ -151,7 +151,9 @@ def deserialize_rba(data: bytes) -> list[int]:
 
 
 def _deserialize_rb32(data: bytes, pos: int) -> tuple[list[int], int]:
-    (cookie,) = struct.unpack_from("<i", data, pos)
+    # unsigned: a packed run-format cookie stores container-count-1 in
+    # the high 16 bits, which a signed read turns negative past 32767
+    (cookie,) = struct.unpack_from("<I", data, pos)
     if cookie == _SERIAL_COOKIE_NO_RUN:
         (n,) = struct.unpack_from("<i", data, pos + 4)
         run_bitset = b""

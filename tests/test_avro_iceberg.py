@@ -786,3 +786,56 @@ def test_iceberg_equality_deletes_roundtrip(spark, tmp_path):
         write_iceberg_equality_deletes(
             spark, t, spark.createDataFrame([(1,)], "zzz long")
         )
+
+
+def test_iceberg_empty_table_reads_empty(spark, tmp_path):
+    """A foreign table with metadata but NO snapshots yet (CREATE
+    TABLE before first insert) must read as an empty DataFrame, not
+    crash (review r16 — the 3-way _snapshot_files split missed the
+    early return)."""
+    t = str(tmp_path / "empty")
+    md = os.path.join(t, "metadata")
+    os.makedirs(md)
+    meta = {
+        "format-version": 2, "table-uuid": "u", "location": t,
+        "last-updated-ms": 0, "last-column-id": 1,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0, "properties": {}, "snapshots": [],
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+    df = read_iceberg(spark, t)
+    assert df.columns == ["k"] and df.count() == 0
+
+    pos_t = str(tmp_path / "space dir" / "ice")
+    os.makedirs(os.path.dirname(pos_t), exist_ok=True)
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        write_iceberg_deletes,
+    )
+
+    write_iceberg(
+        spark, pos_t, spark.range(0, 8).select(F.col("id").alias("k"))
+    )
+    scan = spark.read.parquet(*iceberg_live_files(pos_t)).select(
+        F.expr(
+            "coalesce(try_url_decode(regexp_replace("
+            "_metadata.file_path, '^file:/+', '/')), "
+            "regexp_replace(_metadata.file_path, '^file:/+', '/'))"
+        ).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "k",
+    )
+    write_iceberg_deletes(
+        spark, pos_t, scan.filter("k < 3").select("file_path", "pos")
+    )
+    assert sorted(r.k for r in read_iceberg(spark, pos_t).collect()) == [
+        3, 4, 5, 6, 7,
+    ]

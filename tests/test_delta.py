@@ -1368,3 +1368,75 @@ def test_change_feed_skips_predeleted_rows_in_derived_removes(
         by.setdefault(r._change_type, []).append(r.k)
     assert sorted(by["delete"]) == list(range(4, 10))
     assert sorted(by["insert"]) == [50, 51]
+
+
+def test_writer_feature_gate(spark, tmp_path):
+    """The protocol's writer rule: refuse tables demanding writer
+    features this writer does not implement, enforce appendOnly, and
+    refuse tables that actually USE invariants/constraints/generated
+    columns rather than silently corrupt them."""
+    from jobminer_spark.sources.delta import delete_delta
+
+    # unknown writer feature
+    t = str(tmp_path / "wfeat")
+    write_delta(spark, t, _df(spark, 0, 3))
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "icebergCompatV2"],
+        }}) + "\n")
+    assert read_delta(spark, t).count() == 3  # reads stay fine
+    with pytest.raises(ValueError, match="icebergCompatV2"):
+        write_delta(spark, t, _df(spark, 3, 4))
+    with pytest.raises(ValueError, match="icebergCompatV2"):
+        delete_delta(spark, t, "k = 0")
+
+    # appendOnly: appends fine, deletes/overwrites refused
+    t2 = str(tmp_path / "aponly")
+    write_delta(
+        spark, t2, _df(spark, 0, 3),
+        configuration={"delta.appendOnly": "true"},
+    )
+    write_delta(spark, t2, _df(spark, 3, 5))
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta(spark, t2, _df(spark, 0, 1), mode="overwrite")
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_delta(spark, t2, "k = 0")
+
+    # a CHECK constraint in configuration refuses writes
+    t3 = str(tmp_path / "constr")
+    write_delta(spark, t3, _df(spark, 0, 3))
+    with open(_commit_file(t3, 1), "w") as f:
+        f.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "tag", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ]}),
+            "partitionColumns": [], "createdTime": 0,
+            "configuration": {"delta.constraints.positive": "k > 0"},
+        }}) + "\n")
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        write_delta(spark, t3, _df(spark, 3, 4))
+
+
+def test_dv_delete_on_path_with_space(spark, tmp_path):
+    """URI-encoding regression guard: _metadata.file_path percent-
+    encodes a table dir with a space; the DV anti-join keys must still
+    match (review r16 — a raw-path key silently resurrected every
+    DV-deleted row)."""
+    from jobminer_spark.sources.delta import delete_delta
+
+    t = str(tmp_path / "has space" / "t")
+    os.makedirs(os.path.dirname(t), exist_ok=True)
+    write_delta(spark, t, _df(spark, 0, 12))
+    v, n = delete_delta(spark, t, "k < 4")
+    assert n == 4
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == list(
+        range(4, 12)
+    )
