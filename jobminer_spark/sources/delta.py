@@ -484,9 +484,19 @@ def _dv_indices(table: str, dv: dict) -> list[int]:
 
     if dv.get("storageType") == "i":
         return deserialize_rba(z85_decode(dv["pathOrInlineDv"]))
+    # absent offset defaults to 1 (byte 0 is the format-version byte);
+    # an EXPLICIT offset < 1 is corruption and must not be coerced
+    off = dv.get("offset")
+    if off is None:
+        off = 1
+    elif int(off) < 1:
+        raise ValueError(
+            f"malformed deletion-vector descriptor: offset={off} "
+            "(the DV data region starts after the format-version "
+            "byte, so a conforming offset is >= 1)"
+        )
     return read_dv_file(
-        _dv_file_path(table, dv), int(dv.get("offset") or 1),
-        int(dv["sizeInBytes"]),
+        _dv_file_path(table, dv), int(off), int(dv["sizeInBytes"])
     )
 
 
@@ -497,36 +507,118 @@ def _has_dv(add: dict) -> bool:
 
 # Broadcasting the deleted-position set is the shuffle-free plan; past
 # this many positions fall back to a shuffled anti-join rather than
-# ship an oversized broadcast to every executor.
+# ship an oversized broadcast to every executor. Both gates read the
+# DESCRIPTOR-declared cardinalities, so no decode is needed to choose.
 _DV_BROADCAST_MAX = 2_000_000
+# Decode deleted positions driver-side only below this TOTAL declared
+# cardinality; above it bitmaps are decoded IN EXECUTORS (mapInPandas
+# over the descriptor relation), so a heavily-deleted table — billions
+# of positions at 100 TB — can never materialize a driver-side
+# position list. The driver path exists only to spare tiny tables an
+# extra Spark stage.
+_DV_DRIVER_DECODE_MAX = 4096
+
+
+def _dv_positions_df(
+    spark: SparkSession,
+    table: str,
+    descs: list[tuple[str, dict, dict | None]],
+    total: int,
+) -> DataFrame:
+    """(file URI, new DV descriptor, old DV descriptor | None) →
+    the (__jm_dv_file, __jm_dv_pos) relation of positions in NEW minus
+    OLD (plain decode when old is None). ``total`` is the
+    descriptor-declared cardinality sum: past _DV_DRIVER_DECODE_MAX
+    the bitmaps are decoded in executors — one Arrow batch row per
+    descriptor, each task reading its own ``.bin`` files — mirroring
+    the write side's _build_dv, so driver memory stays O(descriptors),
+    never O(deleted rows)."""
+    table_abs = os.path.abspath(table)
+    if total <= _DV_DRIVER_DECODE_MAX:
+        rows: list[tuple[str, int]] = []
+        for fp, new, old in descs:
+            pos = set(_dv_indices(table_abs, new))
+            if old is not None:
+                pos -= set(_dv_indices(table_abs, old))
+            rows.extend((fp, int(i)) for i in sorted(pos))
+        return spark.createDataFrame(
+            rows, "__jm_dv_file string, __jm_dv_pos long"
+        )
+    # executor Python workers inherit neither the driver's sys.path
+    # mutations nor its cwd; hand them the package root (shared FS
+    # locally; a cluster ships the package via its own deployment,
+    # and this insert is then a no-op)
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    n_slices = min(
+        len(descs),
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    desc_df = spark.createDataFrame(
+        [
+            (fp, json.dumps(new), None if old is None else json.dumps(old))
+            for fp, new, old in descs
+        ],
+        "__jm_dv_file string, __jm_new string, __jm_old string",
+    ).repartition(n_slices)
+
+    def _decode(batches):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import json as _json
+
+        import pandas as pd
+
+        from jobminer_spark.sources.delta import _dv_indices
+
+        for pdf in batches:
+            for fp, new_j, old_j in zip(
+                pdf["__jm_dv_file"], pdf["__jm_new"], pdf["__jm_old"]
+            ):
+                pos = set(_dv_indices(table_abs, _json.loads(new_j)))
+                if isinstance(old_j, str):
+                    pos -= set(
+                        _dv_indices(table_abs, _json.loads(old_j))
+                    )
+                if pos:
+                    yield pd.DataFrame(
+                        {
+                            "__jm_dv_file": fp,
+                            "__jm_dv_pos": pd.array(
+                                sorted(pos), dtype="int64"
+                            ),
+                        }
+                    )
+
+    return desc_df.mapInPandas(
+        _decode, "__jm_dv_file string, __jm_dv_pos long"
+    )
 
 
 def _dv_relation(
     spark: SparkSession, table: str, adds: list[dict]
 ) -> tuple[DataFrame | None, int]:
-    """Decode every DV-carrying add's deleted row positions into ONE
-    (file URI, row_index) relation (None when no add carries a DV).
-    Decode cost is O(deleted rows) driver-side at this scale; the
-    scan-side filter stays a broadcast anti-join on
-    (_metadata.file_path, _metadata.row_index) — shuffle-free, and the
-    parquet scan keeps its pushdown (row_index is generated, not
-    read)."""
-    deleted: list[tuple[str, int]] = []
+    """Every DV-carrying add's deleted row positions as ONE
+    (file URI, row_index) relation (None when no add carries a DV),
+    plus the descriptor-declared position total. Decode runs in
+    executors past _DV_DRIVER_DECODE_MAX (see _dv_positions_df); the
+    scan-side filter stays an anti-join on
+    (_metadata.file_path, _metadata.row_index) — broadcast below
+    _DV_BROADCAST_MAX, shuffled above — and the parquet scan keeps its
+    pushdown (row_index is generated, not read)."""
+    descs: list[tuple[str, dict, dict | None]] = []
+    total = 0
     for a in adds:
         if _has_dv(a):
             fp = _file_key(os.path.join(table, a["path"]))
-            deleted.extend(
-                (fp, int(i))
-                for i in _dv_indices(table, a["deletionVector"])
-            )
-    if not deleted:
+            descs.append((fp, a["deletionVector"], None))
+            total += int(a["deletionVector"].get("cardinality") or 0)
+    if not descs:
         return None, 0
-    return (
-        spark.createDataFrame(
-            deleted, "__jm_dv_file string, __jm_dv_pos long"
-        ),
-        len(deleted),
-    )
+    return _dv_positions_df(spark, table, descs, total), total
 
 
 def _file_key(path: str) -> str:
@@ -541,9 +633,15 @@ def _file_key(path: str) -> str:
 def _decoded_path_col(col):
     """`_metadata.file_path` normalized to a decoded absolute path:
     scheme stripped, percent-escapes decoded (try_: a non-URI stray
-    value falls back to itself rather than erroring the scan)."""
+    value falls back to itself rather than erroring the scan).
+    try_url_decode is form-urlencoded decoding, which would also turn
+    a literal '+' in a path into a space while the Python-side
+    _file_key keeps '+' — silently resurrecting DV-deleted rows on
+    such tables — so '+' is pre-escaped to %2B and only %XX escapes
+    are translated."""
     stripped = F.regexp_replace(col, "^file:/+", "/")
-    return F.coalesce(F.try_url_decode(stripped), stripped)
+    plus_safe = F.regexp_replace(stripped, r"\+", "%2B")
+    return F.coalesce(F.try_url_decode(plus_safe), stripped)
 
 
 def _scan_minus_dvs(
@@ -1562,29 +1660,66 @@ def update_delta(
 
 
 def _stage_cdc_files(
-    spark: SparkSession, table: str, cdf_df: DataFrame
+    spark: SparkSession,
+    table: str,
+    cdf_df: DataFrame,
+    part_cols: list[str],
 ) -> list[dict]:
     """Stage change-data rows (table columns + _change_type) as
     parquet under `_change_data/` and return the commit's ``cdc``
     actions. CDC files are NOT part of the active data set (replay
-    ignores them); only the change-feed reader consumes them. All
-    table columns ride INLINE (partition columns included) with empty
-    partitionValues — stated simplification of the layout rule."""
+    ignores them); only the change-feed reader consumes them. Like
+    data files, partition columns are DROPPED from the files and
+    carried in each action's real partitionValues (the cdc action
+    layout rule), so a conforming foreign CDF reader — which
+    reconstructs partition columns from partitionValues — sees the
+    right values instead of NULLs."""
     import shutil
+    from urllib.parse import unquote
 
     commit = uuid.uuid4().hex[:12]
-    cdc_dir = os.path.join(table, "_change_data")
-    os.makedirs(cdc_dir, exist_ok=True)
+    os.makedirs(os.path.join(table, "_change_data"), exist_ok=True)
     scratch = os.path.join(table, f".stage_cdc_{commit}")
-    cdf_df.write.mode("overwrite").parquet(scratch)
+    writer = cdf_df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(scratch)
     actions: list[dict] = []
     i = 0
     for root, _dirs, files in os.walk(scratch):
         for fname in sorted(files):
             if not fname.endswith(".parquet"):
                 continue
-            rel = f"_change_data/cdc-{commit}-{i:05d}.parquet"
-            dest = os.path.join(table, rel)
+            rel_dir = os.path.relpath(root, scratch)
+            pvals: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for piece in rel_dir.split(os.sep):
+                    k, _, v = piece.partition("=")
+                    # same hive-dir decode rule as _stage_data_files:
+                    # the protocol wants the actual value, JSON null
+                    # for null
+                    pvals[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(v)
+                    )
+            # keep the hive-style subdirs for partitioned stages so
+            # same-named task files from different partitions never
+            # collide
+            rel = (
+                f"_change_data/cdc-{commit}-{i:05d}.parquet"
+                if rel_dir == "."
+                else "/".join(
+                    [
+                        "_change_data",
+                        f"cdc-{commit}",
+                        rel_dir.replace(os.sep, "/"),
+                        fname,
+                    ]
+                )
+            )
+            dest = os.path.join(table, *rel.split("/"))
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.replace(os.path.join(root, fname), dest)
             if os.path.getsize(dest) == 0:
                 os.unlink(dest)
@@ -1593,7 +1728,7 @@ def _stage_cdc_files(
                 {
                     "cdc": {
                         "path": rel,
-                        "partitionValues": {},
+                        "partitionValues": pvals,
                         "size": os.path.getsize(dest),
                         "dataChange": False,
                     }
@@ -1732,7 +1867,7 @@ def _mor_mutation(
                         "_change_type", F.lit("update_postimage")
                     )
                 )
-            cdc_actions = _stage_cdc_files(spark, table, cdf)
+            cdc_actions = _stage_cdc_files(spark, table, cdf, part_cols)
         matched_rows.unpersist()
         now_ms = int(time.time() * 1000)
         actions: list[dict] = []
@@ -1743,10 +1878,21 @@ def _mor_mutation(
             or "deletionVectors" not in feats
         ):
             wfeats = set(protocol.get("writerFeatures") or [])
-            if protocol.get("minWriterVersion", 2) < 7:
-                # the upgrade rule: features implied by the legacy
-                # writer version become explicit alongside the new one
-                wfeats |= {"appendOnly", "invariants"}
+            prior_w = protocol.get("minWriterVersion", 2)
+            if prior_w < 7:
+                # the upgrade rule: EVERY feature the legacy writer
+                # version implies becomes explicit alongside the new
+                # one — at writer 7 only listed features are enabled,
+                # so dropping e.g. changeDataFeed from a v4 table
+                # would make delta.enableChangeDataFeed inert for
+                # conforming engines
+                for lv, fs in _LEGACY_WRITER_FEATURES.items():
+                    if prior_w >= lv:
+                        wfeats |= fs
+            if protocol.get("minReaderVersion", 1) == 2:
+                # legacy reader 2 implies columnMapping; reader 3
+                # tables must list it
+                feats |= {"columnMapping"}
             actions.append(
                 {
                     "protocol": {
@@ -1912,14 +2058,43 @@ def delta_change_feed(
 
         cdcs = [a["cdc"] for a in actions if "cdc" in a]
         if cdcs:
-            paths = _existing([c["path"] for c in cdcs], "CDC")
-            df = spark.read.schema(
-                full_ddl + ", `_change_type` string"
-            ).parquet(*paths)
-            parts.append(
-                df.withColumn("_commit_version", F.lit(v).cast("long"))
-                .select(*out_cols)
-            )
+            _existing([c["path"] for c in cdcs], "CDC")
+            # cdc files follow the data-file layout rule: partition
+            # columns live in each action's partitionValues, not in
+            # the file — group by partition tuple and restore them as
+            # typed literals, exactly like _adds_to_df
+            cdc_ddl = ", ".join(
+                f"`{f['name']}` {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+                for f in schema["fields"]
+                if f["name"] not in part_cols
+            ) + ", `_change_type` string"
+            types = {f["name"]: f["type"] for f in schema["fields"]}
+            by_part: dict[tuple, list[str]] = {}
+            for c in cdcs:
+                key = tuple(
+                    (c.get("partitionValues") or {}).get(pc)
+                    for pc in part_cols
+                )
+                by_part.setdefault(key, []).append(
+                    os.path.join(table, c["path"])
+                )
+            for key, paths in sorted(
+                by_part.items(),
+                key=lambda kv: tuple((x is None, x or "") for x in kv[0]),
+            ):
+                df = spark.read.schema(cdc_ddl).parquet(*paths)
+                for pc, val in zip(part_cols, key):
+                    df = df.withColumn(
+                        pc,
+                        (
+                            F.lit(None) if val is None else F.lit(val)
+                        ).cast(_DELTA_TO_SPARK.get(types[pc], types[pc])),
+                    )
+                parts.append(
+                    df.withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    ).select(*out_cols)
+                )
             continue
         all_adds = [
             a["add"]
@@ -1934,21 +2109,30 @@ def delta_change_feed(
         # a MERGE-ON-READ mutation commit (remove + re-add of the same
         # path with a new DV) is derivable without CDC files: the
         # deleted rows are exactly the NEW DV positions minus the OLD
-        # ones — read them from the (still live) file by row position
-        mor_deletes: list[tuple[str, list[int]]] = []
+        # ones — read them from the (still live) file by row position.
+        # The diff decode rides _dv_positions_df, so it runs in
+        # executors past the driver threshold exactly like snapshot
+        # reads.
+        mor_descs: list[tuple[str, dict, dict | None]] = []
+        mor_paths: list[str] = []
+        mor_total = 0
         adds = []
         for a in all_adds:
             if _has_dv(a) and a["path"] in removes_by_path:
                 old = removes_by_path.pop(a["path"])
-                new_pos = set(_dv_indices(table, a["deletionVector"]))
-                old_pos = (
-                    set(_dv_indices(table, old["deletionVector"]))
-                    if _has_dv(old)
-                    else set()
+                mor_descs.append(
+                    (
+                        _file_key(os.path.join(table, a["path"])),
+                        a["deletionVector"],
+                        old.get("deletionVector")
+                        if _has_dv(old)
+                        else None,
+                    )
                 )
-                diff = sorted(new_pos - old_pos)
-                if diff:
-                    mor_deletes.append((a["path"], diff))
+                mor_paths.append(a["path"])
+                mor_total += int(
+                    a["deletionVector"].get("cardinality") or 0
+                )
             elif _has_dv(a):
                 raise ValueError(
                     f"commit {v} adds a DV file without removing its "
@@ -1957,7 +2141,7 @@ def delta_change_feed(
             else:
                 adds.append(a)
         removes = list(removes_by_path.values())
-        if mor_deletes:
+        if mor_descs:
             if part_cols:
                 raise ValueError(
                     f"commit {v} carries a merge-on-read delete on a "
@@ -1965,15 +2149,8 @@ def delta_change_feed(
                     "rows' partition values are not reconstructible — "
                     "enable delta.enableChangeDataFeed"
                 )
-            paths = _existing([p for p, _ in mor_deletes], "delete")
-            pos_df = spark.createDataFrame(
-                [
-                    (_file_key(os.path.join(table, p)), int(i))
-                    for p, diff in mor_deletes
-                    for i in diff
-                ],
-                "__jm_dv_file string, __jm_dv_pos long",
-            )
+            paths = _existing(mor_paths, "delete")
+            pos_df = _dv_positions_df(spark, table, mor_descs, mor_total)
             scan = spark.read.schema(full_ddl).parquet(*paths)
             keyed = scan.withColumns(
                 {
@@ -1983,10 +2160,15 @@ def delta_change_feed(
                     "__jm_pos": F.col("_metadata.row_index"),
                 }
             )
+            right = (
+                pos_df
+                if mor_total > _DV_BROADCAST_MAX
+                else F.broadcast(pos_df)
+            )
             drows = keyed.join(
-                F.broadcast(pos_df),
-                (keyed["__jm_file"] == pos_df["__jm_dv_file"])
-                & (keyed["__jm_pos"] == pos_df["__jm_dv_pos"]),
+                right,
+                (keyed["__jm_file"] == right["__jm_dv_file"])
+                & (keyed["__jm_pos"] == right["__jm_dv_pos"]),
                 "inner",
             ).drop("__jm_file", "__jm_pos", "__jm_dv_file", "__jm_dv_pos")
             parts.append(

@@ -228,7 +228,12 @@ def _snapshot_files(
                 "seq": seq,
                 "record_count": df_.get("record_count", 0),
             }
-            content = df_.get("content", m.get("content", 0)) or 0
+            # content is a nullable union in many writers' schemas: an
+            # explicit Avro null must fall back to the manifest-list
+            # record's content (a null in a content=1 manifest is a
+            # DELETE file), not be coerced to "data"
+            _c = df_.get("content")
+            content = (m.get("content") or 0) if _c is None else _c
             if content == 0:
                 data.append(rec)
             elif content == 1:
@@ -287,9 +292,14 @@ def _norm_uri(col):
     `file:///…` depending on the writer; normalize all three to the
     bare absolute path — decoding percent-escapes (try_: a stray
     non-URI value falls back to itself) so Spark's percent-ENCODED
-    `_metadata.file_path` and raw manifest paths key identically."""
+    `_metadata.file_path` and raw manifest paths key identically.
+    try_url_decode is form-urlencoded decoding, so a literal '+' in a
+    path is pre-escaped to %2B — otherwise the Spark side would map
+    '+' to a space while raw manifest paths keep '+', silently
+    skipping every delete on such tables."""
     stripped = F.regexp_replace(col, "^file:/+", "/")
-    return F.coalesce(F.try_url_decode(stripped), stripped)
+    plus_safe = F.regexp_replace(stripped, r"\+", "%2B")
+    return F.coalesce(F.try_url_decode(plus_safe), stripped)
 
 
 def _schema_field_names_by_id(meta: dict) -> dict[int, str]:

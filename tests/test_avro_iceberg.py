@@ -839,3 +839,98 @@ def test_iceberg_empty_table_reads_empty(spark, tmp_path):
     assert sorted(r.k for r in read_iceberg(spark, pos_t).collect()) == [
         3, 4, 5, 6, 7,
     ]
+
+
+def test_iceberg_position_delete_on_plus_path(spark, tmp_path):
+    """try_url_decode is form-urlencoded decoding: a literal '+' in
+    the table path must NOT become a space on the Spark side of the
+    delete anti-join (ADVICE r16 — it silently skipped every
+    position/equality delete on such tables)."""
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        write_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "p+q" / "t")
+    os.makedirs(os.path.dirname(t), exist_ok=True)
+    write_iceberg(
+        spark, t, spark.range(0, 30).select(F.col("id").alias("k"))
+    )
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "k",
+    )
+    write_iceberg_deletes(
+        spark, t,
+        scan.filter(F.col("k") % 3 == 0).select("file_path", "pos"),
+    )
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == [
+        k for k in range(30) if k % 3 != 0
+    ]
+
+
+def test_iceberg_null_content_classified_by_manifest(spark, tmp_path):
+    """Many writers' manifest schemas make data_file.content a
+    nullable union; an explicit Avro null must fall back to the
+    manifest-LIST record's content — a null inside a content=1
+    manifest is a DELETE file, not data (ADVICE r16: coercing it to 0
+    resurrected the deleted rows AND scanned the delete rows as
+    data)."""
+    import copy
+
+    from jobminer_spark.sources.avro import (
+        read_avro_records as _rar,
+        write_avro_file as _waf,
+    )
+    from jobminer_spark.sources.iceberg import (
+        _MANIFEST_LIST_SCHEMA,
+        _MANIFEST_SCHEMA,
+        iceberg_live_files,
+        iceberg_metadata,
+        write_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "nullcontent")
+    write_iceberg(
+        spark, t, spark.range(0, 20).select(F.col("id").alias("k"))
+    )
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "k",
+    )
+    write_iceberg_deletes(
+        spark, t, scan.filter(F.col("k") < 5).select("file_path", "pos")
+    )
+    assert read_iceberg(spark, t).count() == 15
+    # rewrite the delete manifest foreign-shaped: content is a
+    # nullable union carrying an explicit null
+    meta = iceberg_metadata(t)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mlist = _rar(cur["manifest-list"])
+    dm = next(m for m in mlist if m["content"] == 1)
+    _, entries = _rar(dm["manifest_path"])
+    nullable = copy.deepcopy(_MANIFEST_SCHEMA)
+    df_field = next(
+        f for f in nullable["fields"] if f["name"] == "data_file"
+    )
+    cfield = next(
+        f for f in df_field["type"]["fields"] if f["name"] == "content"
+    )
+    cfield["type"] = ["null", "int"]
+    for e in entries:
+        e["data_file"]["content"] = None
+    _waf(dm["manifest_path"], nullable, entries)
+    dm["manifest_length"] = os.path.getsize(dm["manifest_path"])
+    _waf(cur["manifest-list"], _MANIFEST_LIST_SCHEMA, mlist)
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == list(
+        range(5, 20)
+    )

@@ -1440,3 +1440,173 @@ def test_dv_delete_on_path_with_space(spark, tmp_path):
     assert sorted(r.k for r in read_delta(spark, t).collect()) == list(
         range(4, 12)
     )
+
+
+def test_dv_delete_on_path_with_plus(spark, tmp_path):
+    """try_url_decode is form-urlencoded decoding: a literal '+' in
+    the table path must NOT become a space on the Spark side of the
+    DV anti-join (ADVICE r16 — it silently resurrected every
+    DV-deleted row and broke delete_delta's rel_by_uri lookup)."""
+    from jobminer_spark.sources.delta import delete_delta
+
+    t = str(tmp_path / "a+b" / "t")
+    os.makedirs(os.path.dirname(t), exist_ok=True)
+    write_delta(spark, t, _df(spark, 0, 12))
+    v, n = delete_delta(spark, t, "k < 4")
+    assert n == 4
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == list(
+        range(4, 12)
+    )
+    # second delete exercises rel_by_uri + old-DV composition on the
+    # same '+' path
+    v2, n2 = delete_delta(spark, t, "k = 11")
+    assert n2 == 1
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == list(
+        range(4, 11)
+    )
+
+
+def test_dv_decode_runs_in_executors_past_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """Scale contract (VERDICT r16 item 2): past _DV_DRIVER_DECODE_MAX
+    the DV bitmaps are decoded in EXECUTORS. Forcing the threshold to
+    -1 and poisoning the driver-side _dv_indices proves the driver
+    never materializes a positions list — the snapshot read, the
+    repeated-delete composition read, and the CDF merge-on-read diff
+    all stay correct through the mapInPandas path."""
+    from jobminer_spark.sources import delta as D
+
+    t = str(tmp_path / "dvexec")
+    write_delta(spark, t, _df(spark, 0, 40))
+    D.delete_delta(spark, t, "k % 4 = 0")
+    D.delete_delta(spark, t, "k % 4 = 1")
+
+    monkeypatch.setattr(D, "_DV_DRIVER_DECODE_MAX", -1)
+
+    def _boom(*_a, **_k):  # executors re-import the real module
+        raise AssertionError("DV bitmap decoded on the driver")
+
+    monkeypatch.setattr(D, "_dv_indices", _boom)
+    assert sorted(r.k for r in D.read_delta(spark, t).collect()) == [
+        k for k in range(40) if k % 4 >= 2
+    ]
+    # CDF derived branch rides the same executor path (diff decode)
+    feed = D.delta_change_feed(spark, t, 0, 2).collect()
+    assert sorted(r.k for r in feed if r._change_type == "delete") == [
+        k for k in range(40) if k % 4 <= 1
+    ]
+
+
+def test_upgrade_carries_legacy_writer_features(spark, tmp_path):
+    """The table-features upgrade rule (ADVICE r16): promoting a
+    legacy table to writer 7 must list EVERY feature the prior legacy
+    version implied — a CDF table at minWriterVersion=4 keeps
+    changeDataFeed (and checkConstraints/generatedColumns) listed, so
+    conforming engines still honor delta.enableChangeDataFeed."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delete_delta,
+        delta_latest_version,
+    )
+
+    t = str(tmp_path / "cdf4")
+    write_delta(
+        spark, t, _df(spark, 0, 10),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    with open(_commit_file(t, 0)) as f:
+        proto0 = next(
+            json.loads(line)["protocol"]
+            for line in f
+            if "protocol" in line
+        )
+    assert proto0["minWriterVersion"] == 4
+    delete_delta(spark, t, "k < 3")
+    _a, _r, _m, _t, proto = _replay_full(t, delta_latest_version(t))
+    assert proto["minWriterVersion"] == 7
+    assert {
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "deletionVectors",
+    } <= set(proto["writerFeatures"])
+    # a feature the prior version did NOT imply stays unlisted
+    assert "identityColumns" not in proto["writerFeatures"]
+
+
+def test_upgrade_carries_reader2_column_mapping(spark, tmp_path):
+    """Legacy minReaderVersion=2 implies columnMapping; the reader-3
+    promotion must carry it into readerFeatures."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delete_delta,
+        delta_latest_version,
+    )
+
+    t = str(tmp_path / "rv2")
+    write_delta(spark, t, _df(spark, 0, 6))
+    # splice a legacy reader-2 protocol (mode stays none, so the
+    # mutation gate passes)
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }}) + "\n")
+    delete_delta(spark, t, "k = 0")
+    _a, _r, _m, _t, proto = _replay_full(t, delta_latest_version(t))
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+
+
+def test_dv_offset_zero_rejected(tmp_path):
+    """An on-disk descriptor with an EXPLICIT offset of 0 is
+    corruption (byte 0 is the format-version byte) and must be
+    rejected, not silently coerced to 1 (ADVICE r16)."""
+    from jobminer_spark.sources.delta import _dv_indices
+
+    with pytest.raises(ValueError, match="offset=0"):
+        _dv_indices(
+            str(tmp_path),
+            {
+                "storageType": "p",
+                "pathOrInlineDv": "x.bin",
+                "offset": 0,
+                "sizeInBytes": 8,
+                "cardinality": 1,
+            },
+        )
+
+
+def test_cdc_files_partitioned_layout(spark, tmp_path):
+    """CDC files follow the data-file layout rule (ADVICE r16):
+    partition columns are dropped from the parquet and carried in the
+    cdc action's real partitionValues, so a conforming foreign CDF
+    reader reconstructs them instead of seeing NULLs."""
+    import pyarrow.parquet as pq
+
+    from jobminer_spark.sources.delta import (
+        _read_commit,
+        delete_delta,
+        delta_change_feed,
+    )
+
+    t = str(tmp_path / "cdcpart")
+    write_delta(
+        spark, t, _df(spark, 0, 12),
+        partition_by=["tag"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    write_delta(
+        spark, t, _df(spark, 12, 20, tag="b"), partition_by=["tag"]
+    )
+    v, n = delete_delta(spark, t, "k % 2 = 0")
+    assert n == 10
+    cdcs = [a["cdc"] for a in _read_commit(t, v) if "cdc" in a]
+    assert cdcs and all(c["partitionValues"].get("tag") for c in cdcs)
+    assert {c["partitionValues"]["tag"] for c in cdcs} == {"a", "b"}
+    for c in cdcs:
+        cols = pq.read_schema(os.path.join(t, *c["path"].split("/")))
+        assert "tag" not in cols.names  # dropped like data files
+        assert "_change_type" in cols.names
+    feed = delta_change_feed(spark, t, v - 1, v).collect()
+    assert sorted((r.k, r.tag) for r in feed) == [
+        (k, "a" if k < 12 else "b") for k in range(0, 20, 2)
+    ]
