@@ -265,6 +265,59 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
         + [{"add": a} for a in cm_adds],
     )
 
+    # ---- column-mapped table, ID mode (foreign v2 shape,
+    # partitioned). Adversarial: the parquet column NAMES are SWAPPED
+    # relative to the physical names, so a (wrong) name-based
+    # resolution would return transposed data — only parquet FIELD-ID
+    # resolution reads true. Files carry ids via Spark's native
+    # fieldId.write path (alias metadata), the same mechanism real
+    # id-mode writers use. ----
+    cmid_table = os.path.join(work, "cmap_id")
+    os.makedirs(cmid_table, exist_ok=True)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    cmid_adds = []
+    for t in etypes:
+        rels = _stage_plain_parquet(
+            spark,
+            rows.filter(F.col("event_type") == t).select(
+                F.col("event_id").alias(
+                    "col-vq8", metadata={"parquet.field.id": 1}
+                ),
+                F.col("val_q").alias(
+                    "col-id7", metadata={"parquet.field.id": 2}
+                ),
+            ),
+            cmid_table,
+            1,
+            f"etype-{t}",
+        )
+        for rel in rels:
+            cmid_adds.append({
+                "path": rel,
+                "partitionValues": {"col-et9": t},
+                "size": os.path.getsize(os.path.join(cmid_table, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+            })
+    _publish_commit0(
+        cmid_table,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(cm_schema),
+                "partitionColumns": ["event_type"],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 0,
+            }},
+        ]
+        + [{"add": a} for a in cmid_adds],
+    )
+
     # ---- multi-part-checkpoint table (our own writer, then foreign
     # checkpoint layout + the most aggressive legal log cleanup) ----
     mp_table = os.path.join(work, "multi")
@@ -370,6 +423,7 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
         "rest_moved": int(rest_readded > 0 and rest_removed > 0),
         "n_dv_files": n_dv_files,
         "cmap": cm_table,
+        "cmap_id": cmid_table,
         "multi": mp_table,
         "n_parts": n_parts,
         "mord": mord_table,
@@ -421,29 +475,41 @@ def delta_deletion_vector_read_audit(
     "delta_column_mapping_read_audit",
     oracle=f"""
     WITH {_ROWS_CTE}
-    SELECT event_type,
+    SELECT m.mode, r.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(val_q) AS BIGINT) AS ck,
-           CAST(MIN(event_id) AS BIGINT) AS min_id
-    FROM rows GROUP BY event_type
+           CAST(SUM(r.val_q) AS BIGINT) AS ck,
+           CAST(MIN(r.event_id) AS BIGINT) AS min_id
+    FROM rows r
+    CROSS JOIN (SELECT 'name' AS mode UNION ALL SELECT 'id') m
+    GROUP BY m.mode, r.event_type
     """,
 )
 def delta_column_mapping_read_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """A foreign reader-v2 name-mode table: parquet columns and the
-    partitionValues map use PHYSICAL names (`col-id7`, `col-et9`);
-    the read must surface logical names and restore the logical
-    partition column from the physically-keyed log — per-type counts,
-    checksums and min ids pinned against the raw events."""
+    """Foreign reader-v2 column-mapped tables in BOTH modes. ``name``
+    leg: parquet columns and the partitionValues map use PHYSICAL
+    names (`col-id7`, `col-et9`); the read must surface logical names
+    and restore the logical partition column from the physically-keyed
+    log. ``id`` leg (r17): the parquet column names are SWAPPED
+    relative to the physical names, so only field-id resolution
+    (spark.sql.parquet.fieldId.read.enabled under the hood) produces
+    these per-type counts/checksums — a name-resolved read would
+    transpose event_id and val_q and break ck/min_id."""
     s = _scenario(spark, sf_dir)
-    df = read_delta(spark, s["cmap"])
-    assert df.columns == ["event_id", "val_q", "event_type"], df.columns
-    return df.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("val_q").cast("long").alias("ck"),
-        F.min("event_id").cast("long").alias("min_id"),
-    )
+
+    def _agg(table: str, mode: str) -> DataFrame:
+        df = read_delta(spark, table)
+        assert df.columns == ["event_id", "val_q", "event_type"], (
+            df.columns
+        )
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val_q").cast("long").alias("ck"),
+            F.min("event_id").cast("long").alias("min_id"),
+        ).select(F.lit(mode).alias("mode"), "*")
+
+    return _agg(s["cmap"], "name").unionByName(_agg(s["cmap_id"], "id"))
 
 
 @query(

@@ -38,11 +38,13 @@ protocol reader version 3 — deletion vectors (the RoaringBitmapArray
 format, sources/roaring.py, applied as an anti-join on the scan's
 `_metadata.row_index`), column mapping in ``name`` mode (physical
 parquet names resolved from the schema-string field metadata, with
-partitionValues/stats keyed physically per the protocol), timestampNtz,
-and multi-part checkpoints. Reads REJECT loudly anything beyond that
-subset (columnMapping ``id`` mode, unknown readerFeatures such as
-v2Checkpoint, reader versions above 3) — the protocol's mandated
-behavior for unknown features. WRITES: append/overwrite/OPTIMIZE/
+partitionValues/stats keyed physically per the protocol) and ``id``
+mode (file columns resolved BY PARQUET FIELD ID through Spark's
+native spark.sql.parquet.fieldId.read.enabled matching — the file's
+own column names are irrelevant), timestampNtz, and multi-part
+checkpoints. Reads REJECT loudly anything beyond that subset (unknown
+readerFeatures such as v2Checkpoint, reader versions above 3) — the
+protocol's mandated behavior for unknown features. WRITES: append/overwrite/OPTIMIZE/
 VACUUM, plus MERGE-ON-READ DELETE (`delete_delta` — predicate deletes
 written as deletion vectors, bitmaps built in executors, the first DV
 commit upgrading the table to reader 3/writer 7 with the feature
@@ -334,11 +336,10 @@ def _check_metadata(meta: dict) -> None:
     data, so reject by name."""
     conf = (meta or {}).get("configuration") or {}
     cm = conf.get("delta.columnMapping.mode", "none")
-    if cm not in ("", "none", "name"):
+    if cm not in ("", "none", "name", "id"):
         raise ValueError(
             f"unsupported Delta feature: columnMapping mode={cm!r} "
-            "(this reader implements 'name' mode only — parquet "
-            "field-id resolution is a stated non-goal)"
+            "(this reader implements 'name' and 'id' modes)"
         )
 
 
@@ -427,29 +428,74 @@ def _stats_may_match(add: dict, stats_filters: dict[str, tuple]) -> bool:
     return True
 
 
+def _mapping_mode(meta: dict) -> str:
+    conf = (meta or {}).get("configuration") or {}
+    return conf.get("delta.columnMapping.mode", "none") or "none"
+
+
 def _physical_map(meta: dict) -> dict[str, str]:
     """Logical → physical column name map. Identity when column
-    mapping is off; under ``name`` mode every field's physical parquet
-    name comes from the schema-string field metadata (the protocol
-    stores it at ``delta.columnMapping.physicalName``), and a field
-    missing it is a protocol violation we refuse to guess around —
-    resolving a renamed column by its logical name silently reads the
-    wrong (or no) data."""
+    mapping is off; under ``name`` and ``id`` modes every field's
+    physical parquet name comes from the schema-string field metadata
+    (the protocol stores it at ``delta.columnMapping.physicalName``
+    in BOTH modes — id mode resolves file COLUMNS by field id but
+    still keys partitionValues and stats by physical name), and a
+    field missing it is a protocol violation we refuse to guess
+    around — resolving a renamed column by its logical name silently
+    reads the wrong (or no) data."""
     schema = json.loads(meta["schemaString"])
-    conf = (meta or {}).get("configuration") or {}
-    mapped = conf.get("delta.columnMapping.mode", "none") == "name"
+    mode = _mapping_mode(meta)
+    mapped = mode in ("name", "id")
     out: dict[str, str] = {}
     for f in schema["fields"]:
         md = f.get("metadata") or {}
         phys = md.get("delta.columnMapping.physicalName")
         if mapped and not phys:
             raise ValueError(
-                f"columnMapping mode=name but field {f['name']!r} has "
-                "no delta.columnMapping.physicalName — refusing to "
-                "resolve by logical name"
+                f"columnMapping mode={mode} but field {f['name']!r} "
+                "has no delta.columnMapping.physicalName — refusing "
+                "to resolve by logical name"
             )
         out[f["name"]] = phys if mapped else f["name"]
     return out
+
+
+def _field_id_schema(meta: dict, data_fields: list[dict], phys: dict):
+    """``id``-mode read schema: a StructType over the PHYSICAL names
+    whose per-field ``parquet.field.id`` metadata makes Spark's
+    parquet reader resolve file columns BY FIELD ID
+    (spark.sql.parquet.fieldId.read.enabled) — the file's own column
+    names are irrelevant, exactly the protocol's id-mode rule. A
+    field missing delta.columnMapping.id is a protocol violation."""
+    from pyspark.sql.types import StructField, StructType
+
+    ddl = ", ".join(
+        f"`{phys[f['name']]}` {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+        for f in data_fields
+    )
+    ids_by_phys: dict[str, int] = {}
+    for f in data_fields:
+        md = f.get("metadata") or {}
+        fid = md.get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"columnMapping mode=id but field {f['name']!r} has "
+                "no delta.columnMapping.id — cannot resolve it in "
+                "the data files"
+            )
+        ids_by_phys[phys[f["name"]]] = int(fid)
+    base = StructType.fromDDL(ddl)
+    return StructType(
+        [
+            StructField(
+                sf.name,
+                sf.dataType,
+                True,
+                {"parquet.field.id": ids_by_phys[sf.name]},
+            )
+            for sf in base.fields
+        ]
+    )
 
 
 def _dv_file_path(table: str, dv: dict) -> str:
@@ -647,7 +693,7 @@ def _decoded_path_col(col):
 def _scan_minus_dvs(
     spark: SparkSession,
     paths: list[str],
-    data_schema: str,
+    data_schema,  # DDL string, or StructType under id-mode mapping
     dv_df: DataFrame | None,
     n_dv_positions: int,
     keep_keys: bool = False,
@@ -703,10 +749,19 @@ def _adds_to_df(
     data_fields = [
         f for f in schema["fields"] if f["name"] not in part_cols
     ]
-    data_schema = ", ".join(
-        f"`{phys[f['name']]}` {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
-        for f in data_fields
-    )
+    if _mapping_mode(meta) == "id":
+        data_schema = _field_id_schema(meta, data_fields, phys)
+        # only schemas that carry parquet.field.id metadata are
+        # affected by this conf, so enabling it session-wide cannot
+        # change any other read's resolution; a file with no ids then
+        # fails loudly (ignoreMissing=false default) per the protocol
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    else:
+        data_schema = ", ".join(
+            f"`{phys[f['name']]}`"
+            f" {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+            for f in data_fields
+        )
     if not adds:
         empty_schema = ", ".join(
             f"`{f['name']}` {_DELTA_TO_SPARK.get(f['type'], f['type'])}"

@@ -460,20 +460,126 @@ def test_rejection_matrix_unknown_reader_features(spark, tmp_path):
         read_delta(spark, t)
 
 
-def test_rejection_matrix_column_mapping_id_mode(spark, tmp_path):
-    """``id`` mode (parquet field-id resolution) stays a loud
-    rejection — and the gate must hold even when the table (malformed)
-    claims reader v1 with the mapping config still on."""
-    for claim, sub in ((2, "cmap_id"), (1, "cmap_id_v1claim")):
-        t = str(tmp_path / sub)
-        _craft_log(t, {0: [
-            {"protocol": {"minReaderVersion": claim,
-                          "minWriterVersion": 5}},
-            {"metaData": {**_META, "configuration": {
-                "delta.columnMapping.mode": "id"}}},
-        ]})
-        with pytest.raises(ValueError, match="columnMapping"):
-            read_delta(spark, t)
+def _id_mode_schema():
+    return {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-a"}},
+        {"name": "v", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-b"}},
+    ]}
+
+
+def _write_field_id_parquet(path, named_arrays):
+    """(name, field_id, values) triples → a parquet file carrying
+    parquet field ids, the shape foreign id-mode writers produce."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    fields = [
+        pa.field(n, pa.int64(), metadata={b"PARQUET:field_id": str(i).encode()})
+        for n, i, _ in named_arrays
+    ]
+    papq.write_table(
+        pa.table(
+            {n: pa.array(vals, pa.int64()) for n, _, vals in named_arrays},
+            schema=pa.schema(fields),
+        ),
+        path,
+    )
+
+
+def test_column_mapping_id_mode_reads(spark, tmp_path):
+    """``id`` mode (reader v2, previously a stated non-goal): file
+    columns resolve BY PARQUET FIELD ID via Spark's native
+    fieldId.read matching. The fixture is adversarial — the parquet
+    column NAMES are swapped relative to the physical names — so a
+    (wrong) name-based resolution would silently return transposed
+    data, while field ids pick the right columns."""
+    t = str(tmp_path / "cmap_id_pos")
+    os.makedirs(t, exist_ok=True)
+    # field id 1 lives on the file column NAMED like v's physical name
+    _write_field_id_parquet(
+        os.path.join(t, "d1.parquet"),
+        [("col-b", 1, [1, 2, 3]), ("col-a", 2, [10, 20, 30])],
+    )
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**_META,
+                      "schemaString": json.dumps(_id_mode_schema()),
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "2"}}},
+        {"add": {"path": "d1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]})
+    df = read_delta(spark, t)
+    assert df.columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in df.collect()) == [
+        (1, 10), (2, 20), (3, 30),
+    ]
+
+
+def test_column_mapping_id_mode_partitioned(spark, tmp_path):
+    """id-mode partitioned table: partitionValues stay keyed by
+    PHYSICAL name (the protocol rule shared with name mode) while the
+    data columns resolve by field id."""
+    t = str(tmp_path / "cmap_id_part")
+    os.makedirs(t, exist_ok=True)
+    schema = _id_mode_schema()
+    schema["fields"].append(
+        {"name": "p", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-p"}}
+    )
+    for i, part in enumerate((7, 8)):
+        _write_field_id_parquet(
+            os.path.join(t, f"d{i}.parquet"),
+            [("x", 1, [part * 100]), ("y", 2, [part * 1000])],
+        )
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**_META, "schemaString": json.dumps(schema),
+                      "partitionColumns": ["p"],
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "3"}}},
+        {"add": {"path": "d0.parquet",
+                 "partitionValues": {"col-p": "7"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "d1.parquet",
+                 "partitionValues": {"col-p": "8"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]})
+    got = sorted(
+        (r.k, r.v, r.p) for r in read_delta(spark, t).collect()
+    )
+    assert got == [(700, 7000, 7), (800, 8000, 8)]
+
+
+def test_column_mapping_id_mode_missing_id_rejected(spark, tmp_path):
+    """A field without delta.columnMapping.id in id mode is a
+    protocol violation — loud failure, never a guess."""
+    t = str(tmp_path / "cmap_id_bad")
+    os.makedirs(t, exist_ok=True)
+    _write_field_id_parquet(
+        os.path.join(t, "d1.parquet"), [("col-a", 1, [1])]
+    )
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a"}},
+    ]}
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**_META, "schemaString": json.dumps(schema),
+                      "configuration": {
+                          "delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "d1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]})
+    with pytest.raises(ValueError, match="delta.columnMapping.id"):
+        read_delta(spark, t).collect()
 
 
 def _craft_mapped_table(spark, t):
