@@ -46,6 +46,15 @@ from jobminer_spark.sources.iceberg import (
 
 _SCENARIO_CACHE: dict[tuple[str, str, str], dict] = {}
 
+_US_DAY = 86_400_000_000
+
+
+def _day_number(col):
+    """Epoch-day number of an NTZ timestamp column — computed on the
+    stored (naive) value via to_date/datediff, so the session timezone
+    never shifts a row across a day boundary."""
+    return F.datediff(F.to_date(col), F.lit("1970-01-01").cast("date"))
+
 _ROWS_CTE = """
     rows AS (
       SELECT event_id,
@@ -63,6 +72,7 @@ def _rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     import os
+    import shutil
 
     fp = source_fingerprint(sf_dir, "events")
     cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
@@ -122,20 +132,186 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     )
 
     eq_table = os.path.join(work, "eqdel")
-    rows3 = rows.withColumn("bucket", F.col("event_id") % 7)
+    # bucket is NULLABLE (every event_id%5==0 row) so the null-valued
+    # delete row below exercises the null-safe match against real
+    # null data, not vacuously
+    rows3 = rows.withColumn(
+        "bucket",
+        F.when(
+            F.col("event_id") % 5 == 0, F.lit(None).cast("long")
+        ).otherwise(F.col("event_id") % 7),
+    )
     write_iceberg(spark, eq_table, rows3.filter(F.col("event_id") % 3 == 0))
     write_iceberg(spark, eq_table, rows3.filter(F.col("event_id") % 3 == 1))
+    # ONE delete snapshot, TWO equality-column sets (r17, VERDICT r16
+    # item 5): {bucket} incl. an explicit NULL delete row, and
+    # {event_id} — the multi-spec shape a multi-predicate MERGE emits
     write_iceberg_equality_deletes(
         spark,
         eq_table,
-        spark.createDataFrame([(2,), (5,)], "bucket long"),
+        [
+            spark.createDataFrame(
+                [(2,), (5,), (None,)], "bucket long"
+            ),
+            rows.filter(F.col("event_id") % 13 == 0).select("event_id"),
+        ],
     )
     write_iceberg(spark, eq_table, rows3.filter(F.col("event_id") % 3 == 2))
+
+    # transform-partitioned FOREIGN table (r17): day(ts) + bucket[8]
+    # (event_id) — the layout any real warehouse emits. One data file
+    # per (day, bucket) group (Spark lays them out distributed:
+    # repartition on the computed partition tuple + partitionBy; the
+    # bucket value is the spec's murmur3 via the Arrow-batched
+    # iceberg_bucket_udf), manifests carry the partition tuples,
+    # metadata the partition-specs.
+    import json as _json
+
+    import pyarrow.parquet as _papq
+
+    from jobminer_spark.sources.avro import write_avro_file
+    from jobminer_spark.sources.iceberg import iceberg_bucket_udf
+
+    tp_table = os.path.join(work, "transforms")
+    tp_md = os.path.join(tp_table, "metadata")
+    tp_data = os.path.join(tp_table, "data")
+    os.makedirs(tp_md, exist_ok=True)
+    os.makedirs(tp_data, exist_ok=True)
+    full_rows = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100.0).cast("long").alias("val_q"),
+    )
+    scratch = os.path.join(tp_table, ".stage")
+    (
+        full_rows.withColumns(
+            {
+                # tz-proof: the fixture ts is NTZ, so to_date/datediff
+                # work on the STORED value and never pass through the
+                # session zone — the spec's day() on the same naive
+                # micros DuckDB's CAST(ts AS DATE) sees
+                "day": _day_number(F.col("ts")).cast("int"),
+                "bkt": iceberg_bucket_udf(8)(F.col("event_id")),
+            }
+        )
+        .repartition("day", "bkt")
+        .write.mode("overwrite")
+        .partitionBy("day", "bkt")
+        .parquet(scratch)
+    )
+    tp_groups: dict[tuple[int, int], int] = {}
+    entries = []
+    for root, _dirs, files in sorted(os.walk(scratch)):
+        parts = [p for p in root.split(os.sep) if "=" in p]
+        if len(parts) != 2:
+            continue
+        day = int(parts[0].split("=")[1])
+        bkt = int(parts[1].split("=")[1])
+        for fname in sorted(f for f in files if f.endswith(".parquet")):
+            i = len(entries)
+            dest = os.path.join(tp_data, f"f{i:05d}.parquet")
+            os.replace(os.path.join(root, fname), dest)
+            tp_groups[(day, bkt)] = tp_groups.get((day, bkt), 0) + 1
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": 7,
+                    "data_file": {
+                        "file_path": dest,
+                        "file_format": "PARQUET",
+                        "record_count": _papq.read_metadata(
+                            dest
+                        ).num_rows,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "partition": {"ts_day": day, "id_bucket": bkt},
+                    },
+                }
+            )
+    shutil.rmtree(scratch, ignore_errors=True)
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": [
+                            {"name": "ts_day", "type": "int"},
+                            {"name": "id_bucket", "type": "int"},
+                        ],
+                    }},
+                ],
+            }},
+        ],
+    }
+    m1 = os.path.join(tp_md, "m1.avro")
+    write_avro_file(m1, entry_schema, entries)
+    snap_list = os.path.join(tp_md, "snap-7.avro")
+    write_avro_file(
+        snap_list,
+        {
+            "type": "record", "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "added_snapshot_id", "type": ["null", "long"]},
+            ],
+        },
+        [{"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+          "partition_spec_id": 0, "added_snapshot_id": 7}],
+    )
+    with open(os.path.join(tp_md, "v1.metadata.json"), "w") as f:
+        _json.dump(
+            {
+                "format-version": 2,
+                "table-uuid": str(__import__("uuid").uuid4()),
+                "location": tp_table,
+                "last-sequence-number": 1,
+                "last-updated-ms": 0,
+                "last-column-id": 3,
+                "schemas": [{"type": "struct", "schema-id": 0,
+                             "fields": [
+                    {"id": 1, "name": "event_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "ts", "required": False,
+                     "type": "timestamp"},
+                    {"id": 3, "name": "val_q", "required": False,
+                     "type": "long"},
+                ]}],
+                "current-schema-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": [
+                    {"name": "ts_day", "transform": "day",
+                     "source-id": 2, "field-id": 1000},
+                    {"name": "id_bucket", "transform": "bucket[8]",
+                     "source-id": 1, "field-id": 1001},
+                ]}],
+                "default-spec-id": 0,
+                "last-partition-id": 1001,
+                "current-snapshot-id": 7,
+                "snapshots": [{"snapshot-id": 7, "sequence-number": 1,
+                               "timestamp-ms": 0,
+                               "manifest-list": snap_list,
+                               "summary": {"operation": "append"}}],
+            },
+            f,
+        )
+    with open(os.path.join(tp_md, "version-hint.text"), "w") as f:
+        f.write("1")
 
     _SCENARIO_CACHE[cache_key] = {
         "table": table,
         "eqdel": eq_table,
         "expire": exp_table,
+        "transforms": tp_table,
+        "tp_groups": tp_groups,
         "n_expired": n_expired,
         "dead_all_gone": int(
             bool(dead) and not any(os.path.exists(p) for p in dead)
@@ -225,26 +401,36 @@ def iceberg_expire_snapshots_audit(
     WITH {_ROWS_CTE}
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
              WHERE event_id % 3 = 2
-                OR event_id % 7 NOT IN (2, 5)) AS n_rows,
+                OR NOT (event_id % 5 = 0
+                        OR event_id % 7 IN (2, 5)
+                        OR event_id % 13 = 0)) AS n_rows,
            (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
              WHERE event_id % 3 = 2
-                OR event_id % 7 NOT IN (2, 5)) AS ck,
+                OR NOT (event_id % 5 = 0
+                        OR event_id % 7 IN (2, 5)
+                        OR event_id % 13 = 0)) AS ck,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
              WHERE event_id % 3 < 2
-               AND event_id % 7 IN (2, 5)) AS n_deleted
+               AND (event_id % 5 = 0
+                    OR event_id % 7 IN (2, 5)
+                    OR event_id % 13 = 0)) AS n_deleted,
+           CAST(4 AS BIGINT) AS n_snapshots
     """,
 )
 def iceberg_equality_delete_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Equality deletes end-to-end: two appends, an equality-delete
-    snapshot on bucket∈{2,5}, then a THIRD append — the read must drop
-    matching rows from the pre-delete snapshots ONLY (the strict
-    sequence rule: post-delete rows survive even where they match),
-    with counts/checksums recomputed by the oracle under the same
-    predicates and the deleted count cross-derived (an
-    ignored-equality-deletes reader inflates n_rows; an over-applied
-    one deletes from the third append too)."""
+    """Equality deletes end-to-end with the r17 MULTI-SPEC fixture:
+    two appends, then ONE delete snapshot carrying TWO equality-column
+    sets — {bucket} with an explicit NULL delete row (bucket is null
+    on every event_id%5==0 row, so the null-safe match fires against
+    real data) and {event_id} on the %13 ids — then a THIRD append.
+    The read must group delete files per column set, apply each
+    null-safely to pre-delete snapshots ONLY (strict sequence rule),
+    and n_snapshots=4 pins that both sets rode a single snapshot.
+    Counts/checksums recomputed by the oracle; the deleted count is
+    cross-derived (ignored deletes inflate n_rows; over-application
+    deletes from the third append too)."""
     s = _scenario(spark, sf_dir)
     surv = read_iceberg(spark, s["eqdel"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -252,6 +438,125 @@ def iceberg_equality_delete_audit(
     )
     total = _rows(spark, sf_dir).count()
     n_deleted = total - read_iceberg(spark, s["eqdel"]).count()
+    from jobminer_spark.sources.iceberg import iceberg_snapshots
+
+    n_snaps = len(iceberg_snapshots(s["eqdel"]))
     return surv.selectExpr(
-        "n_rows", "ck", f"CAST({n_deleted} AS BIGINT) AS n_deleted"
+        "n_rows",
+        "ck",
+        f"CAST({n_deleted} AS BIGINT) AS n_deleted",
+        f"CAST({n_snaps} AS BIGINT) AS n_snapshots",
+    )
+
+
+_TP_CTE = """
+    trows AS (
+      SELECT event_id, ts,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS val_q
+      FROM events
+    )"""
+
+
+@query(
+    "iceberg_partition_transform_audit",
+    oracle=f"""
+    WITH {_TP_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM trows) AS total_n,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM trows) AS total_ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trows
+             WHERE CAST(ts AS DATE) = DATE '2024-01-15') AS day_n,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM trows
+             WHERE CAST(ts AS DATE) = DATE '2024-01-15') AS day_ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trows
+             WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+               AND event_id = (
+                 SELECT MIN(event_id) FROM trows
+                 WHERE CAST(ts AS DATE) = DATE '2024-01-15')) AS key_n,
+           TRUE AS pruned
+    """,
+)
+def iceberg_partition_transform_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A foreign day(ts)+bucket[8](event_id) partitioned table (r17,
+    VERDICT r16 item 4): non-identity partition specs resolved in the
+    manifest walk, with equality partition_filters PROJECTED through
+    the transforms (spec equality projection — day floors the stored
+    micros, bucket is the spec's murmur3) pruning at the manifest
+    level. The `pruned` flag is computed from inputFiles against the
+    fixture's own (day, bucket)→files map, so a reader that scans
+    everything (no pruning) or prunes the wrong files goes red even
+    though the row aggregates would survive; the data legs
+    (whole-table, one-day, one-key) are oracle-recomputed from raw
+    events. tz-proof: both sides derive the day from the stored
+    timestamp value, never the session zone."""
+    import datetime
+
+    s = _scenario(spark, sf_dir)
+    t = s["transforms"]
+    tp_groups = s["tp_groups"]
+    target_day = (
+        datetime.date(2024, 1, 15) - datetime.date(1970, 1, 1)
+    ).days  # the oracle's DATE '2024-01-15'
+    full = read_iceberg(spark, t)
+    n_files_full = len(full.inputFiles())
+
+    day_df = read_iceberg(
+        spark, t, partition_filters={"ts": target_day * _US_DAY}
+    )
+    n_day_files = sum(
+        n for (d, _b), n in tp_groups.items() if d == target_day
+    )
+    files_ok = (
+        n_files_full == sum(tp_groups.values())
+        and len(day_df.inputFiles()) == n_day_files
+        and (n_day_files == 0 or n_day_files < n_files_full)
+    )
+    # belt-and-braces row filter (projection is an optimization, not
+    # the row predicate), tz-proof on the NTZ stored value
+    is_target_day = _day_number(F.col("ts")) == target_day
+    day_rows = day_df.where(is_target_day)
+    k = day_rows.agg(F.min("event_id")).collect()[0][0]
+    if k is None:
+        key_n = 0
+    else:
+        from jobminer_spark.sources.iceberg import (
+            transform_partition_value,
+        )
+
+        key_df = read_iceberg(
+            spark,
+            t,
+            partition_filters={
+                "ts": target_day * _US_DAY,
+                "event_id": int(k),
+            },
+        )
+        want_key = (
+            target_day,
+            transform_partition_value("bucket[8]", "long", int(k)),
+        )
+        files_ok = files_ok and len(key_df.inputFiles()) == (
+            tp_groups.get(want_key, 0)
+        )
+        key_n = (
+            key_df.where(is_target_day)
+            .where(F.col("event_id") == int(k))
+            .count()
+        )
+    return (
+        full.agg(
+            F.count(F.lit(1)).cast("long").alias("total_n"),
+            F.sum("val_q").cast("long").alias("total_ck"),
+        )
+        .crossJoin(
+            F.broadcast(
+                day_rows.agg(
+                    F.count(F.lit(1)).cast("long").alias("day_n"),
+                    F.sum("val_q").cast("long").alias("day_ck"),
+                )
+            )
+        )
+        .withColumn("key_n", F.lit(int(key_n)).cast("long"))
+        .withColumn("pruned", F.lit(bool(files_ok)))
     )

@@ -934,3 +934,277 @@ def test_iceberg_null_content_classified_by_manifest(spark, tmp_path):
     assert sorted(r.k for r in read_iceberg(spark, t).collect()) == list(
         range(5, 20)
     )
+
+
+def _ib_meta_v2(t, schema_fields, spec_fields, snap_list, last_col):
+    return {
+        "format-version": 2,
+        "table-uuid": "0000",
+        "location": t,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": last_col,
+        "schemas": [{"type": "struct", "schema-id": 0,
+                     "fields": schema_fields}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 1001,
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "sequence-number": 1,
+                       "timestamp-ms": 0, "manifest-list": snap_list,
+                       "summary": {"operation": "append"}}],
+    }
+
+
+def _ib_partitioned_entry_schema(part_fields):
+    return {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": part_fields,
+                    }},
+                ],
+            }},
+        ],
+    }
+
+
+_IB_LIST_SCHEMA_MIN = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+def test_iceberg_partition_transform_pruning(spark, tmp_path):
+    """A foreign day(ts)+bucket[4](k) partitioned table: equality
+    partition_filters project through the transforms (spec equality
+    projection) and prune at the MANIFEST level — non-matching files
+    never enter the plan (inputFiles pinned) — while the unfiltered
+    read still returns every row."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.avro import write_avro_file as _waf
+    from jobminer_spark.sources.iceberg import (
+        transform_partition_value as tpv,
+    )
+
+    # projection pinned against the spec's published murmur3 vector
+    # (hash(34) = 2017239379 -> bucket[4] = 3), so fixture and filter
+    # sharing tpv cannot both be wrong the same way
+    assert tpv("bucket[4]", "long", 34) == 3
+
+    t = str(tmp_path / "transforms")
+    md, data = os.path.join(t, "metadata"), os.path.join(t, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+    us_day = 86_400_000_000
+    rows = []
+    for day in (19000, 19001):
+        for k in range(8):
+            rows.append((k, day * us_day + k * 3_600_000_000,
+                         k * 100 + (day - 19000)))
+    groups = {}
+    for k, ts, v in rows:
+        key = (tpv("day", "timestamp", ts), tpv("bucket[4]", "long", k))
+        groups.setdefault(key, []).append((k, ts, v))
+    entries = []
+    for i, ((dday, bkt), grp) in enumerate(sorted(groups.items())):
+        p = os.path.join(data, f"f{i}.parquet")
+        papq.write_table(
+            pa.table({
+                "k": pa.array([g[0] for g in grp], pa.int64()),
+                "ts": pa.array([g[1] for g in grp],
+                               pa.timestamp("us")),
+                "v": pa.array([g[2] for g in grp], pa.int64()),
+            }),
+            p,
+        )
+        entries.append({
+            "status": 1, "snapshot_id": 7,
+            "data_file": {
+                "file_path": p, "file_format": "PARQUET",
+                "record_count": len(grp),
+                "file_size_in_bytes": os.path.getsize(p),
+                "partition": {"ts_day": dday, "k_bucket": bkt},
+            },
+        })
+    m1 = os.path.join(md, "m1.avro")
+    _waf(m1, _ib_partitioned_entry_schema([
+        {"name": "ts_day", "type": "int"},
+        {"name": "k_bucket", "type": "int"},
+    ]), entries)
+    snap_list = os.path.join(md, "snap-7.avro")
+    _waf(snap_list, _IB_LIST_SCHEMA_MIN, [
+        {"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+         "partition_spec_id": 0, "added_snapshot_id": 7},
+    ])
+    meta = _ib_meta_v2(
+        t,
+        [{"id": 1, "name": "k", "required": False, "type": "long"},
+         {"id": 2, "name": "ts", "required": False, "type": "timestamp"},
+         {"id": 3, "name": "v", "required": False, "type": "long"}],
+        [{"name": "ts_day", "transform": "day", "source-id": 2,
+          "field-id": 1000},
+         {"name": "k_bucket", "transform": "bucket[4]", "source-id": 1,
+          "field-id": 1001}],
+        snap_list, 3,
+    )
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    full = read_iceberg(spark, t)
+    assert full.count() == len(rows)
+    # filter: day of a mid-day-19001 timestamp + k=5
+    want_key = (19001, tpv("bucket[4]", "long", 5))
+    pruned = read_iceberg(
+        spark, t,
+        partition_filters={"ts": 19001 * us_day + 7_200_000_000, "k": 5},
+    )
+    assert len(pruned.inputFiles()) == 1  # one matching (day, bucket)
+    got = pruned.collect()
+    expect_ks = [
+        k for k, ts, _ in rows
+        if (tpv("day", "timestamp", ts),
+            tpv("bucket[4]", "long", k)) == want_key
+    ]
+    assert sorted(r.k for r in got) == sorted(expect_ks)
+    assert 5 in expect_ks  # the filtered row's file is the one kept
+    # filter on day alone prunes to that day's bucket files
+    day_only = read_iceberg(
+        spark, t, partition_filters={"ts": "2022-01-09T12:00:00+00:00"}
+    )
+    n_day_files = sum(1 for (d, _b) in groups if d == 19001)
+    assert len(day_only.inputFiles()) == n_day_files
+    assert day_only.count() == 8
+    with pytest.raises(ValueError, match="not partition"):
+        read_iceberg(spark, t, partition_filters={"v": 1})
+    with pytest.raises(ValueError, match="unknown column"):
+        read_iceberg(spark, t, partition_filters={"nope": 1})
+
+
+def test_iceberg_identity_restore_from_partition_tuple(spark, tmp_path):
+    """v1 Hive-migrated shape: data files OMIT the identity partition
+    column; the read restores it from the manifest's partition tuple
+    (typed literal per file group), and files that DO carry the
+    column keep their own values."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.avro import write_avro_file as _waf
+
+    t = str(tmp_path / "identrestore")
+    md, data = os.path.join(t, "metadata"), os.path.join(t, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+    # f0/f1: migrated files WITHOUT the src column; f2 carries it
+    papq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64())}),
+        os.path.join(data, "f0.parquet"),
+    )
+    papq.write_table(
+        pa.table({"k": pa.array([3], pa.int64())}),
+        os.path.join(data, "f1.parquet"),
+    )
+    papq.write_table(
+        pa.table({"k": pa.array([4], pa.int64()),
+                  "src": pa.array(["z"], pa.string())}),
+        os.path.join(data, "f2.parquet"),
+    )
+    entries = []
+    for fname, n, srcval in (("f0", 2, "x"), ("f1", 1, "y"),
+                             ("f2", 1, "z")):
+        p = os.path.join(data, f"{fname}.parquet")
+        entries.append({
+            "status": 1, "snapshot_id": 7,
+            "data_file": {
+                "file_path": p, "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(p),
+                "partition": {"src": srcval},
+            },
+        })
+    m1 = os.path.join(md, "m1.avro")
+    _waf(m1, _ib_partitioned_entry_schema(
+        [{"name": "src", "type": "string"}]), entries)
+    snap_list = os.path.join(md, "snap-7.avro")
+    _waf(snap_list, _IB_LIST_SCHEMA_MIN, [
+        {"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+         "partition_spec_id": 0, "added_snapshot_id": 7},
+    ])
+    meta = _ib_meta_v2(
+        t,
+        [{"id": 1, "name": "k", "required": False, "type": "long"},
+         {"id": 2, "name": "src", "required": False, "type": "string"}],
+        [{"name": "src", "transform": "identity", "source-id": 2,
+          "field-id": 1000}],
+        snap_list, 2,
+    )
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+    got = sorted((r.k, r.src) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "x"), (2, "x"), (3, "y"), (4, "z")]
+    # identity filters prune to the named partition
+    pruned = read_iceberg(spark, t, partition_filters={"src": "x"})
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.k for r in pruned.collect()) == [1, 2]
+
+
+def test_iceberg_multi_spec_equality_deletes_one_snapshot(
+    spark, tmp_path
+):
+    """TWO equality-column sets plus a NULL-valued delete row in ONE
+    snapshot: delete files group per set, the null row matches null
+    data null-safely, and the strict sequence rule still protects the
+    post-delete append."""
+    from jobminer_spark.sources.iceberg import (
+        iceberg_snapshots,
+        write_iceberg_equality_deletes,
+    )
+
+    t = str(tmp_path / "multispec")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 7)
+        .alias("b"),
+    )
+    write_iceberg(spark, t, df.filter(F.col("k") < 20))
+    write_iceberg_equality_deletes(
+        spark, t,
+        [
+            spark.createDataFrame([(3,), (None,)], "b long"),
+            spark.createDataFrame([(7,), (8,)], "k long"),
+        ],
+    )
+    write_iceberg(spark, t, df.filter(F.col("k") >= 20))  # post-delete
+    assert len(iceberg_snapshots(t)) == 3  # both sets in ONE snapshot
+    survivors = sorted(r.k for r in read_iceberg(spark, t).collect())
+    expect = [
+        k for k in range(30)
+        if k >= 20
+        or not (k % 5 == 0 or k % 7 == 3 or k in (7, 8))
+    ]
+    assert survivors == expect
+    # null-matched rows really died (k%5==0 below 20 gone)
+    assert 0 not in survivors and 10 not in survivors and 20 in survivors
