@@ -293,6 +293,47 @@ ORACLES: dict[str, str] = {}
 #     purchase_touch_attribution, value_histogram_equi_width,
 #     hot_key_skew_report. AMEND at r17 rotation time for any module
 #     modified after the r16 rotation.
+#   round 17 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below, regenerated from scripts/attestation_histogram.py over
+#     CORRECTNESS_r01..r16, amended from the r16-written plan per the
+#     standing modified-module rule): slots 1-17 the seventeen
+#     never-driver-attested r16 format queries exactly as VERDICT r16
+#     item 1 names them — orc/csv/jsonl_roundtrip_audit
+#     (operators/fileformats.py), delta_partitioned_optimize_audit +
+#     delta_vacuum_audit (operators/deltamaint.py),
+#     delta_stats_skipping_audit + delta_changes_incremental_audit
+#     (operators/deltascan.py), the seven deltadv audits
+#     (deletion_vector/column_mapping/multipart_checkpoint/
+#     merge_on_read_delete/merge_on_read_update/restore/change_feed),
+#     and the three icebergdel audits (position/expire/equality);
+#     slot 18 iceberg_partition_transform_audit — r17-NEW
+#     (operators/icebergdel.py, VERDICT r16 item 4), fronted with its
+#     module's never-attested siblings rather than waiting for r18;
+#     slots 19-25 the AMEND the standing rule requires:
+#     sources/delta.py and sources/iceberg.py are r17-MODIFIED
+#     (ADVICE r16 fixes, executor-side DV decode, columnMapping id
+#     mode, partition transforms), so the r16 rows for
+#     delta_log_read_audit, delta_partitioned_read_audit,
+#     delta_checkpoint_replay_audit, delta_optimize_compaction_audit,
+#     iceberg_metadata_read_audit, stream_delta_sink_exactly_once and
+#     lakehouse_delta_export_parity attest pre-fix code — all seven
+#     re-attest here (avro.py is NOT r17-modified, so
+#     avro_roundtrip_audit's r16 row stands); slots 26-37 the 12
+#     r11-debt stragglers slipped from the r16 window
+#     (kmeans_lloyd_clusters, revenue_trend_slope_per_segment,
+#     doc_surprisal_bits, mmr_diverse_topk, time_weighted_avg_value,
+#     sql_text_pricing_summary, sql_text_window_running_revenue,
+#     sql_text_join_agg_subquery, cusum_changepoint_alarms,
+#     purchase_touch_attribution, value_histogram_equi_width,
+#     hot_key_skew_report); slots 38-50 the FIRST 13 of the 49
+#     last-green-r12 queries in registration order (stream_batch/
+#     session/sink/stateful_parity, kmeans_lloyd_audit, q4, q10, q12,
+#     q14, q18, q19, q22, variance_stats_by_event_type).
+#     SLIPS to r18 (displaced by the 7 amend slots + the 1 r17-new
+#     slot, per the standing accounting rule): the remaining 36
+#     r12-debt queries, ann_pq_trained_recall through
+#     attribution_removal_effects in registration order. AMEND at r18
+#     rotation time for any module modified after this rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -459,76 +500,81 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # slots 1-6: the six r15-new driftbase monitor queries —
-    # registered past the r15 window by design, never driver-attested
-    # (VERDICT r15 item 1 fronts them first)
-    "psi_drift_vs_baseline",
-    "profile_history_day_compare",
-    "profile_history_retention_audit",
-    "stream_drift_profile_parity",
-    "psi_quality_by_source",
-    "drift_alert_panel",
-    # slots 7-12: the five r15-new format audits + the OPTIMIZE audit
-    # (operators/deltaaudit.py, operators/formataudit.py) — the
-    # newest code in the repo, never driver-attested; sources/
-    # delta.py, avro.py and iceberg.py carry this round's ADVICE r15
-    # fixes, so these rows attest the post-fix readers/writers
+    # slots 1-3: plain-file round-trip audits (operators/
+    # fileformats.py) — r16-new, never driver-attested
+    "orc_roundtrip_audit",
+    "csv_roundtrip_audit",
+    "jsonl_roundtrip_audit",
+    # slots 4-7: Delta maintenance + read-optimization audits
+    # (operators/deltamaint.py, operators/deltascan.py) — r16-new,
+    # never driver-attested
+    "delta_partitioned_optimize_audit",
+    "delta_vacuum_audit",
+    "delta_stats_skipping_audit",
+    "delta_changes_incremental_audit",
+    # slots 8-14: the Delta reader-v3/merge-on-read audits
+    # (operators/deltadv.py) — r16-new, never driver-attested; the
+    # backing sources/delta.py carries this round's executor-side DV
+    # decode + ADVICE r16 fixes, and delta_column_mapping_read_audit
+    # gained its id-mode leg this round, so these rows attest the
+    # newest code in the repo
+    "delta_deletion_vector_read_audit",
+    "delta_column_mapping_read_audit",
+    "delta_multipart_checkpoint_audit",
+    "delta_merge_on_read_delete_audit",
+    "delta_merge_on_read_update_audit",
+    "delta_restore_audit",
+    "delta_change_feed_audit",
+    # slots 15-17: Iceberg row-level-delete/expiration audits
+    # (operators/icebergdel.py) — r16-new, never driver-attested; the
+    # equality audit carries the r17 multi-spec + null-row fixture
+    "iceberg_position_delete_audit",
+    "iceberg_expire_snapshots_audit",
+    "iceberg_equality_delete_audit",
+    # slot 18: r17-NEW partition-transform read audit — fronted with
+    # its module's never-attested siblings
+    "iceberg_partition_transform_audit",
+    # slots 19-25: AMEND — sources/delta.py and sources/iceberg.py
+    # are r17-modified, so these r16-attested rows re-attest the
+    # post-fix readers/writers (avro.py untouched: avro_roundtrip
+    # stands on its r16 row)
     "delta_log_read_audit",
     "delta_partitioned_read_audit",
     "delta_checkpoint_replay_audit",
     "delta_optimize_compaction_audit",
-    "avro_roundtrip_audit",
     "iceberg_metadata_read_audit",
-    # slots 13-15: survivorship + the Delta production compositions
-    # (operators/survivorship.py, operators/deltastream.py) — r15-new,
-    # never driver-attested
-    "golden_record_survivorship",
     "stream_delta_sink_exactly_once",
     "lakehouse_delta_export_parity",
-    # slots 16-17: driftbase.py is r16-modified (VERDICT r15 item 3:
-    # compare_batch_psi_to_profile folded onto the _psi_from_cells
-    # chain) — the r15 rows for these two attest pre-fold code, so
-    # the standing modified-module rule re-attests them here
-    "ks_drift_vs_baseline",
-    "tvd_drift_vs_baseline",
-    # slots 18-26: the 9 r10-debt queries slipped from the r15 window
-    # (displaced there by the modified-module re-attest slots)
-    "dq_violation_injection_audit",
-    "unpivot_segment_metrics",
-    "ntile_value_quartiles",
-    "pca_power_iteration_audit",
-    "small_files_compaction_audit",
-    "partitioned_write_pruning_audit",
-    "schema_merge_read_audit",
-    "dynamic_gap_sessions",
-    "http_fetch_retry_audit",
-    # slots 27-50: the first 24 of the 36 last-green-r11 queries in
-    # registration order; the remaining 12 slip to r17 — see the
+    # slots 26-37: the 12 r11-debt stragglers slipped from the r16
+    # window (named in the r16 plan comment above)
+    "kmeans_lloyd_clusters",
+    "revenue_trend_slope_per_segment",
+    "doc_surprisal_bits",
+    "mmr_diverse_topk",
+    "time_weighted_avg_value",
+    "sql_text_pricing_summary",
+    "sql_text_window_running_revenue",
+    "sql_text_join_agg_subquery",
+    "cusum_changepoint_alarms",
+    "purchase_touch_attribution",
+    "value_histogram_equi_width",
+    "hot_key_skew_report",
+    # slots 38-50: the first 13 of the 49 last-green-r12 queries in
+    # registration order; the remaining 36 slip to r18 — see the
     # rotation-plan comment above
-    "embedding_hyperplane_lsh_topk",
-    "hyperplane_lsh_recall_audit",
-    "doc_repetition_stats",
-    "word_rarity_score",
-    "doc_repetition_profile_multi_n",
-    "incremental_neardup_admission",
-    "contained_document_pairs",
-    "neardup_survivors_with_containment",
-    "incremental_admission_probe",
-    "incremental_index_update_audit",
-    "semantic_dedup_survivors",
-    "bloom_prefilter_counts",
-    "winnowing_fingerprint_stats",
-    "winnowing_candidate_pairs",
-    "benchmark_decontamination",
-    "document_chunking",
-    "source_mixture_sampling",
-    "quality_weighted_upsample",
-    "pii_redaction",
-    "hll_distinct_audit",
-    "quantile_sketch_audit",
-    "pretraining_prep_funnel",
-    "temperature_mixture_rebalance",
-    "asof_join_last_click_before_purchase",
+    "stream_batch_parity",
+    "stream_session_parity",
+    "stream_sink_parity",
+    "stream_stateful_parity",
+    "kmeans_lloyd_audit",
+    "q4_order_priority_checking",
+    "q10_returned_item_reporting",
+    "q12_priority_class_buckets",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q22_global_avg_scalar_subquery",
+    "variance_stats_by_event_type",
 ]
 
 
