@@ -306,11 +306,29 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     with open(os.path.join(tp_md, "version-hint.text"), "w") as f:
         f.write("1")
 
+    # the same layout through OUR writer (r17 write half): two
+    # appends so the second inherits the table's default spec
+    wtp_table = os.path.join(work, "wtransforms")
+    wspec = [
+        ("ts_day", "day", "ts"),
+        ("id_bucket", "bucket[8]", "event_id"),
+    ]
+    write_iceberg(
+        spark,
+        wtp_table,
+        full_rows.filter(F.col("event_id") % 2 == 0),
+        partition_spec=wspec,
+    )
+    write_iceberg(
+        spark, wtp_table, full_rows.filter(F.col("event_id") % 2 == 1)
+    )
+
     _SCENARIO_CACHE[cache_key] = {
         "table": table,
         "eqdel": eq_table,
         "expire": exp_table,
         "transforms": tp_table,
+        "wtransforms": wtp_table,
         "tp_groups": tp_groups,
         "n_expired": n_expired,
         "dead_all_gone": int(
@@ -472,6 +490,10 @@ _TP_CTE = """
                AND event_id = (
                  SELECT MIN(event_id) FROM trows
                  WHERE CAST(ts AS DATE) = DATE '2024-01-15')) AS key_n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trows
+             WHERE CAST(ts AS DATE) = DATE '2024-01-15') AS writer_day_n,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM trows
+             WHERE CAST(ts AS DATE) = DATE '2024-01-15') AS writer_day_ck,
            TRUE AS pruned
     """,
 )
@@ -544,6 +566,25 @@ def iceberg_partition_transform_audit(
             .where(F.col("event_id") == int(k))
             .count()
         )
+    # writer leg: the same day filter over the table OUR writer laid
+    # out (two snapshots, spec inherited on the second append) — the
+    # manifest tuples it wrote must prune and the rows must agree
+    wfull = read_iceberg(spark, s["wtransforms"])
+    wday = read_iceberg(
+        spark,
+        s["wtransforms"],
+        partition_filters={"ts": target_day * _US_DAY},
+    ).where(is_target_day)
+    files_ok = files_ok and (
+        len(
+            read_iceberg(
+                spark,
+                s["wtransforms"],
+                partition_filters={"ts": target_day * _US_DAY},
+            ).inputFiles()
+        )
+        < len(wfull.inputFiles())
+    )
     return (
         full.agg(
             F.count(F.lit(1)).cast("long").alias("total_n"),
@@ -558,5 +599,13 @@ def iceberg_partition_transform_audit(
             )
         )
         .withColumn("key_n", F.lit(int(key_n)).cast("long"))
+        .crossJoin(
+            F.broadcast(
+                wday.agg(
+                    F.count(F.lit(1)).cast("long").alias("writer_day_n"),
+                    F.sum("val_q").cast("long").alias("writer_day_ck"),
+                )
+            )
+        )
         .withColumn("pruned", F.lit(bool(files_ok)))
     )

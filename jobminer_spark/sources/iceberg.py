@@ -42,10 +42,11 @@ semantics (review r15 promoted it from fixture-grade): monotone
 snapshot sequence numbers (`last-sequence-number` in metadata,
 `sequence-number` per snapshot, null-inherited in manifest entries)
 and the manifest-list stats counts (files/rows added/existing/
-deleted) a planner prunes by. WRITER layouts stay
-identity/unpartitioned (transform-partitioned writes and sort orders
-would extend the same chain; the READ side handles transform
-partitions fully). No third-party engine
+deleted) a planner prunes by. The writer also lays out
+TRANSFORM-PARTITIONED tables (r17): `partition_spec` triples on
+create, inherited on append, helper-column staging so data files keep
+every table column, manifest partition records for the pruner; sort
+orders would extend the same chain. No third-party engine
 is installable offline, so interop remains spec-conformance +
 foreign-shaped fixtures, stated.
 
@@ -822,8 +823,104 @@ def read_iceberg(
 # ---------------------------------------------------------------------------
 
 
+def iceberg_transform_col(transform: str, src_col: str, src_type: str):
+    """Spark Column computing the PARTITION value of ``src_col`` under
+    ``transform`` — JVM-side expressions except bucket (Arrow-batched
+    murmur3), all tz-proof (date-part functions evaluate the stored
+    NTZ value, never the session zone; ``timestamptz`` sources are
+    rejected because their date parts WOULD pass through the session
+    zone)."""
+    c = F.col(src_col)
+    if transform == "identity":
+        return c
+    m = re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        if src_type not in ("int", "long"):
+            raise ValueError(
+                f"bucket write over {src_type!r} not supported "
+                "(int/long sources only)"
+            )
+        return iceberg_bucket_udf(int(m.group(1)))(c.cast("long"))
+    m = re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        w = int(m.group(1))
+        if src_type in ("int", "long"):
+            return c - F.pmod(c, F.lit(w))
+        if src_type == "string":
+            return F.substring(c, 1, w)
+        raise ValueError(f"truncate write over {src_type!r} not supported")
+    if transform in ("day", "month", "year", "hour"):
+        if src_type == "date":
+            d = c
+        elif src_type == "timestamp":
+            d = F.to_date(c)
+        else:
+            raise ValueError(
+                f"{transform} write over {src_type!r} not supported "
+                "(date / timestamp-without-zone sources only)"
+            )
+        epoch = F.lit("1970-01-01").cast("date")
+        if transform == "day":
+            return F.datediff(d, epoch)
+        if transform == "hour":
+            if src_type != "timestamp":
+                raise ValueError("hour transform needs a timestamp source")
+            return F.datediff(d, epoch) * 24 + F.hour(c)
+        if transform == "year":
+            return F.year(d) - F.lit(1970)
+        return (F.year(d) - F.lit(1970)) * 12 + F.month(d) - 1
+    raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+_AVRO_OF_ICEBERG = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "int",
+}
+
+
+def _spec_avro_type(transform: str, src_type: str) -> str:
+    """Avro type of a partition-record field (nullable union added by
+    the caller)."""
+    if transform == "identity":
+        t = _AVRO_OF_ICEBERG.get(src_type)
+        if t is None:
+            raise ValueError(
+                f"identity partition write over {src_type!r} not supported"
+            )
+        return t
+    if transform.startswith("truncate["):
+        return (
+            "string" if src_type == "string"
+            else _AVRO_OF_ICEBERG[src_type]
+        )
+    return "int"  # bucket / day / month / year / hour
+
+
+def _parse_partition_dir_value(raw: str, avro_type: str):
+    from urllib.parse import unquote
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if avro_type in ("int", "long"):
+        return int(raw)
+    if avro_type == "double":
+        return float(raw)
+    if avro_type == "boolean":
+        return raw.lower() == "true"
+    return unquote(raw)
+
+
 def write_iceberg(
-    spark: SparkSession, table: str, df: DataFrame, mode: str = "append"
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    mode: str = "append",
+    partition_spec: list[tuple[str, str, str]] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot (create on first write);
     returns the new snapshot id. Each commit writes its parquet data
@@ -839,9 +936,18 @@ def write_iceberg(
     sequence_number/min_sequence_number plus the six stats counts
     (files/rows added/existing/deleted) so a planner can skip whole
     manifests; manifest entries write null sequence numbers on ADDED
-    files (the spec's snapshot-inheritance rule). Still append-only,
-    unpartitioned/identity layouts, no delete files or sort orders —
-    each would extend the same chain."""
+    files (the spec's snapshot-inheritance rule).
+
+    ``partition_spec`` (r17): (name, transform, source_column)
+    triples — identity, bucket[N] (the spec's murmur3, Arrow-batched),
+    truncate[W], day/month/year/hour — recorded in the metadata's
+    partition-specs on CREATE; appends inherit the table's default
+    spec (passing a conflicting one is an error). Files lay out one
+    Spark task per partition tuple (repartition on the computed tuple
+    + partitionBy over HELPER columns, so data files keep EVERY table
+    column — the spec's model, unlike hive), and manifest entries
+    carry the partition record the read-side pruner consumes. Still
+    append-only; sort orders would extend the same chain."""
     if mode != "append":
         raise ValueError("iceberg writer supports append only")
     md = _metadata_dir(table)
@@ -854,19 +960,105 @@ def write_iceberg(
     except FileNotFoundError:
         meta, version = None, 0
 
-    # stage parquet via a scratch dir, then move under data/
+    # resolve the partition spec + source column types
+    if meta is not None:
+        names_by_id = _schema_field_names_by_id(meta)
+        src_types = {
+            f["name"]: f["type"]
+            for f in _current_schema(meta)["fields"]
+        }
+        existing = [
+            (f["name"], f["transform"], names_by_id[f["source-id"]])
+            for f in _partition_spec_fields(
+                meta, meta.get("default-spec-id", 0)
+            )
+        ]
+        if partition_spec is not None and [
+            tuple(x) for x in partition_spec
+        ] != existing:
+            raise ValueError(
+                f"append partition spec {partition_spec!r} != the "
+                f"table's default spec {existing!r}"
+            )
+        spec_tuples = existing
+        spec_id = meta.get("default-spec-id", 0)
+    else:
+        spec_tuples = [tuple(x) for x in (partition_spec or [])]
+        spec_id = 0
+        ddl_inv = {v: k for k, v in _ICEBERG_TO_SPARK.items()}
+        src_types = {}
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            it = ddl_inv.get({"bigint": "long"}.get(t, t))
+            if it is not None:
+                src_types[f.name] = it
+    part_avro_types = {
+        name: _spec_avro_type(transform, src_types[src])
+        for name, transform, src in spec_tuples
+    }
+
+    # stage parquet via a scratch dir, then move under data/.
+    # Partitioned: helper __ibp_* columns carry the computed tuple so
+    # partitionBy drops ONLY them — table columns all stay in the
+    # data files
     commit = uuid.uuid4().hex[:12]
     stage = os.path.join(table, f"_stage_{commit}")
-    df.write.mode("overwrite").parquet(stage)
+    if spec_tuples:
+        helpers = {
+            f"__ibp_{name}": iceberg_transform_col(
+                transform, src, src_types[src]
+            )
+            for name, transform, src in spec_tuples
+        }
+        (
+            df.withColumns(helpers)
+            .repartition(*[F.col(h) for h in helpers])
+            .write.mode("overwrite")
+            .partitionBy(*helpers)
+            .parquet(stage)
+        )
+    else:
+        df.write.mode("overwrite").parquet(stage)
     data_files: list[dict] = []
-    for root, _dirs, files in os.walk(stage):
+    for root, _dirs, files in sorted(os.walk(stage)):
+        pvals = None
+        if spec_tuples:
+            pieces = dict(
+                p.split("=", 1)
+                for p in os.path.relpath(root, stage).split(os.sep)
+                if "=" in p
+            )
+            if len(pieces) != len(spec_tuples):
+                if any(f.endswith(".parquet") for f in files):
+                    raise ValueError(
+                        f"staged file outside the partition layout: {root}"
+                    )
+                continue
+            pvals = {
+                name: _parse_partition_dir_value(
+                    pieces[f"__ibp_{name}"], part_avro_types[name]
+                )
+                for name, _t, _s in spec_tuples
+            }
         for fname in sorted(files):
             if not fname.endswith(".parquet"):
                 continue
-            dest = os.path.join(data_dir, f"{commit}-{fname}")
+            dest = os.path.join(
+                data_dir, f"{commit}-{len(data_files):05d}-{fname}"
+            )
             os.replace(os.path.join(root, fname), dest)
             import pyarrow.parquet as papq
 
+            dfile = {
+                "content": 0,  # data
+                "file_path": os.path.abspath(dest),
+                "file_format": "PARQUET",
+                "record_count": papq.ParquetFile(dest).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(dest),
+                "equality_ids": None,
+            }
+            if pvals is not None:
+                dfile["partition"] = pvals
             data_files.append(
                 {
                     "status": 1,  # ADDED
@@ -874,14 +1066,7 @@ def write_iceberg(
                     # null → inherit the snapshot's sequence number
                     "sequence_number": None,
                     "file_sequence_number": None,
-                    "data_file": {
-                        "content": 0,  # data
-                        "file_path": os.path.abspath(dest),
-                        "file_format": "PARQUET",
-                        "record_count": papq.ParquetFile(dest).metadata.num_rows,
-                        "file_size_in_bytes": os.path.getsize(dest),
-                        "equality_ids": None,
-                    },
+                    "data_file": dfile,
                 }
             )
     import shutil
@@ -891,14 +1076,39 @@ def write_iceberg(
     snapshot_id = version + 1  # deterministic, monotone
     seq = snapshot_id  # v2 sequence number, assigned per commit
     manifest_path = os.path.join(md, f"manifest-{commit}.avro")
-    write_avro_file(manifest_path, _MANIFEST_SCHEMA, data_files)
+    if spec_tuples:
+        import copy
+
+        mschema = copy.deepcopy(_MANIFEST_SCHEMA)
+        dfields = next(
+            f for f in mschema["fields"] if f["name"] == "data_file"
+        )["type"]["fields"]
+        dfields.append(
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {
+                            "name": name,
+                            "type": ["null", part_avro_types[name]],
+                        }
+                        for name, _t, _s in spec_tuples
+                    ],
+                },
+            }
+        )
+        write_avro_file(manifest_path, mschema, data_files)
+    else:
+        write_avro_file(manifest_path, _MANIFEST_SCHEMA, data_files)
 
     prior_records = _prior_manifest_records(table, meta)
     list_records = prior_records + [
         {
             "manifest_path": os.path.abspath(manifest_path),
             "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -932,6 +1142,16 @@ def write_iceberg(
                     "type": it,
                 }
             )
+        ids_by_name = {f["name"]: f["id"] for f in fields}
+        spec_fields = [
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": ids_by_name[src],
+                "field-id": 1000 + i,
+            }
+            for i, (name, transform, src) in enumerate(spec_tuples)
+        ]
         meta = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -942,9 +1162,9 @@ def write_iceberg(
                 {"type": "struct", "schema-id": 0, "fields": fields}
             ],
             "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "default-spec-id": 0,
-            "last-partition-id": 999,
+            "last-partition-id": 999 + len(spec_fields),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "properties": {},

@@ -1208,3 +1208,93 @@ def test_iceberg_multi_spec_equality_deletes_one_snapshot(
     assert survivors == expect
     # null-matched rows really died (k%5==0 below 20 gone)
     assert 0 not in survivors and 10 not in survivors and 20 in survivors
+
+
+def test_iceberg_write_partition_transforms_roundtrip(spark, tmp_path):
+    """r17 write half: create a day(ts)+bucket[4](k) table through
+    write_iceberg's partition_spec, append a second snapshot that
+    INHERITS the spec, and verify (a) every table column stays in the
+    data files (the spec's model — partition values are metadata),
+    (b) manifest partition tuples drive read-side pruning, (c) a
+    conflicting spec on append fails loudly."""
+    import datetime as _dt
+
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        transform_partition_value as tpv,
+    )
+
+    t = str(tmp_path / "wtransform")
+    spec = [("ts_day", "day", "ts"), ("k_bucket", "bucket[4]", "k")]
+    base = _dt.datetime(2023, 3, 1, 0, 0, 0)
+
+    def _df(lo, hi):
+        rows = [
+            (k, base + _dt.timedelta(days=k % 3, hours=k % 5), k * 10)
+            for k in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "k long, ts timestamp_ntz, v long"
+        )
+
+    write_iceberg(spark, t, _df(0, 40), partition_spec=spec)
+    write_iceberg(spark, t, _df(40, 60))  # inherits the table spec
+    full = read_iceberg(spark, t)
+    assert full.count() == 60
+    # every data file keeps all three columns
+    for p in iceberg_live_files(t):
+        assert papq.read_schema(p).names == ["k", "ts", "v"]
+    # pruning through BOTH transforms on our own layout
+    d0 = (_dt.date(2023, 3, 1) - _dt.date(1970, 1, 1)).days
+    day1 = read_iceberg(
+        spark, t, partition_filters={"ts": "2023-03-02T00:00:00"}
+    )
+    expect_day1 = [k for k in range(60) if k % 3 == 1]
+    assert sorted(r.k for r in day1.collect()) == expect_day1
+    n_day1_buckets = len(
+        {tpv("bucket[4]", "long", k) for k in expect_day1}
+    )
+    # two snapshots → up to 2 files per (day, bucket)
+    assert len(day1.inputFiles()) <= 2 * n_day1_buckets
+    assert len(day1.inputFiles()) < len(full.inputFiles())
+    kdf = read_iceberg(
+        spark, t,
+        partition_filters={"ts": "2023-03-02T00:00:00", "k": 7},
+    )
+    assert 7 in [r.k for r in kdf.collect()]
+    assert len(kdf.inputFiles()) <= 2
+    # conflicting spec on append: loud
+    with pytest.raises(ValueError, match="default spec"):
+        write_iceberg(
+            spark, t, _df(0, 1),
+            partition_spec=[("ts_day", "day", "ts")],
+        )
+
+
+def test_iceberg_write_identity_partition_keeps_column(spark, tmp_path):
+    """Identity partition writes keep the source column IN the data
+    files (helper-column staging) while manifests carry the tuple for
+    pruning — including a NULL partition value."""
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.iceberg import iceberg_live_files
+
+    t = str(tmp_path / "wident")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None)],
+        "k long, src string",
+    )
+    write_iceberg(
+        spark, t, df, partition_spec=[("src", "identity", "src")]
+    )
+    for p in iceberg_live_files(t):
+        assert papq.read_schema(p).names == ["k", "src"]
+    got = sorted(
+        (r.k, r.src) for r in read_iceberg(spark, t).collect()
+    )
+    assert got == [(1, "a"), (2, "a"), (3, "b"), (4, None)]
+    pruned = read_iceberg(spark, t, partition_filters={"src": "a"})
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.k for r in pruned.collect()) == [1, 2]
