@@ -351,6 +351,33 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     for v in range(6):  # metadata cleanup: every commit JSON gone
         os.unlink(os.path.join(log, f"{v:020d}.json"))
 
+    # ---- v2Checkpoint table (r17): our writer's commits, the
+    # protocol listing the feature, then write_checkpoint_v2 (UUID
+    # main + parquet sidecars) and the same aggressive cleanup —
+    # every commit JSON deleted, snapshot resolves from v2 alone ----
+    from jobminer_spark.sources.delta import write_checkpoint_v2
+
+    v2_table = os.path.join(work, "v2ckpt")
+    for b in range(3):
+        write_delta(
+            spark,
+            v2_table,
+            rows.filter(F.col("event_id") % 3 == b).select(
+                "event_id", "val_q"
+            ),
+            checkpoint_interval=0,
+        )
+    v2log = os.path.join(v2_table, "_delta_log")
+    with open(os.path.join(v2log, f"{3:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }}) + "\n")
+    write_checkpoint_v2(v2_table, 3, actions_per_sidecar=2)
+    for v in range(4):
+        os.unlink(os.path.join(v2log, f"{v:020d}.json"))
+
     # ---- merge-on-read delete + update table (our writer, e2e) ----
     from jobminer_spark.sources.delta import delete_delta, update_delta
 
@@ -425,6 +452,7 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
         "cmap": cm_table,
         "cmap_id": cmid_table,
         "multi": mp_table,
+        "v2ckpt": v2_table,
         "n_parts": n_parts,
         "mord": mord_table,
         "mord_delete_version": _v,
@@ -519,36 +547,60 @@ def delta_column_mapping_read_audit(
     SELECT CAST(3 AS BIGINT) AS n_parts,
            CAST(0 AS BIGINT) AS n_commit_jsons,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
-           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS v2_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS v2_ck,
+           TRUE AS v2_sidecars_split
     """,
 )
 def delta_multipart_checkpoint_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """A 6-commit table whose checkpoint was split into 3 protocol-
-    named part files and whose commit JSONs were ALL removed (the most
-    aggressive legal metadata cleanup): the latest snapshot must
-    resolve entirely from the parts — version discovery included —
-    and reproduce the full corpus count/checksum. n_commit_jsons=0 is
-    pinned so the fixture can never silently regress into a
-    replay-from-commits pass."""
+    """Checkpoint layouts beyond the classic single file. Multi-part
+    leg: a 6-commit table whose checkpoint was split into 3 protocol-
+    named part files and whose commit JSONs were ALL removed (the
+    most aggressive legal metadata cleanup) — the latest snapshot
+    must resolve entirely from the parts, version discovery included.
+    v2Checkpoint leg (r17): a table checkpointed by
+    write_checkpoint_v2 — UUID-named main parquet holding
+    checkpointMetadata + sidecar actions, add actions split across
+    >=2 parquet sidecars under _delta_log/_sidecars/ — with its
+    commit JSONs deleted too; the same corpus count/checksum must
+    come back through the sidecar path, and v2_sidecars_split pins
+    that the snapshot really was split (a reader that only consumed
+    the main file would return 0 rows). n_commit_jsons=0 is pinned so
+    neither fixture can silently regress into a replay-from-commits
+    pass."""
     s = _scenario(spark, sf_dir)
-    log = os.path.join(s["multi"], "_delta_log")
-    n_jsons = sum(
-        1
-        for f in os.listdir(log)
-        if f.endswith(".json") and f[:20].isdigit() and len(f) == 25
-    )
+    n_jsons = 0
+    for tkey in ("multi", "v2ckpt"):
+        log = os.path.join(s[tkey], "_delta_log")
+        n_jsons += sum(
+            1
+            for f in os.listdir(log)
+            if f.endswith(".json") and f[:20].isdigit() and len(f) == 25
+        )
     assert delta_latest_version(s["multi"]) == 5
+    assert delta_latest_version(s["v2ckpt"]) == 3
+    n_sidecars = len(
+        os.listdir(os.path.join(s["v2ckpt"], "_delta_log", "_sidecars"))
+    )
     agg = read_delta(spark, s["multi"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("val_q").cast("long").alias("ck"),
     )
-    return agg.selectExpr(
+    v2agg = read_delta(spark, s["v2ckpt"]).agg(
+        F.count(F.lit(1)).cast("long").alias("v2_rows"),
+        F.sum("val_q").cast("long").alias("v2_ck"),
+    )
+    return agg.crossJoin(F.broadcast(v2agg)).selectExpr(
         f"CAST({s['n_parts']} AS BIGINT) AS n_parts",
         f"CAST({n_jsons} AS BIGINT) AS n_commit_jsons",
         "n_rows",
         "ck",
+        "v2_rows",
+        "v2_ck",
+        f"{'TRUE' if n_sidecars >= 2 else 'FALSE'} AS v2_sidecars_split",
     )
 
 

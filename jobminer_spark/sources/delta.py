@@ -42,9 +42,13 @@ partitionValues/stats keyed physically per the protocol) and ``id``
 mode (file columns resolved BY PARQUET FIELD ID through Spark's
 native spark.sql.parquet.fieldId.read.enabled matching — the file's
 own column names are irrelevant), timestampNtz, and multi-part
-checkpoints. Reads REJECT loudly anything beyond that subset (unknown
-readerFeatures such as v2Checkpoint, reader versions above 3) — the
-protocol's mandated behavior for unknown features. WRITES: append/overwrite/OPTIMIZE/
+checkpoints — both classic/multi-part AND v2Checkpoint (r17:
+UUID-named `<v>.checkpoint.<uuid>.{parquet,json}` files with
+checkpointMetadata self-validation and parquet sidecars under
+`_delta_log/_sidecars/`, every named sidecar required). Reads REJECT
+loudly anything beyond that subset (unknown readerFeatures such as
+typeWidening, reader versions above 3) — the protocol's mandated
+behavior for unknown features. WRITES: append/overwrite/OPTIMIZE/
 VACUUM, plus MERGE-ON-READ DELETE (`delete_delta` — predicate deletes
 written as deletion vectors, bitmaps built in executors, the first DV
 commit upgrading the table to reader 3/writer 7 with the feature
@@ -110,7 +114,25 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "timestampNtz",
+    "v2Checkpoint",
 }
+
+
+def _v2_checkpoint_candidates(logdir: str, v: int) -> list[str]:
+    """UUID-named single-file checkpoints at version ``v`` — the
+    v2Checkpoint naming `<version>.checkpoint.<uniqueStr>.{parquet,
+    json}` (exactly one segment between 'checkpoint' and the
+    extension, which distinguishes them from multi-part's two numeric
+    segments). Any one is a complete snapshot."""
+    pre = f"{v:020d}.checkpoint."
+    out = []
+    for f in os.listdir(logdir):
+        if not f.startswith(pre):
+            continue
+        rest = f[len(pre):].split(".")
+        if len(rest) == 2 and rest[1] in ("parquet", "json"):
+            out.append(os.path.join(logdir, f))
+    return sorted(out)
 
 
 def _log_path(table: str) -> str:
@@ -226,46 +248,104 @@ def _replay_full(
                 elif os.path.exists(_checkpoint_file(table, v)):
                     ckpt_version = v
                     ckpt_files = [_checkpoint_file(table, v)]
+                else:
+                    # v2Checkpoint: UUID-named single file at v
+                    cand = _v2_checkpoint_candidates(_log_path(table), v)
+                    if cand:
+                        ckpt_version, ckpt_files = v, cand[:1]
         except (ValueError, KeyError, json.JSONDecodeError):
             ckpt_version = -1
     if ckpt_version < 0:
-        # directory fallback finds single-part checkpoints only — a
-        # multi-part set without its hint can't be trusted complete,
-        # so it is deliberately ignored (full replay stays correct)
+        # directory fallback finds single-FILE checkpoints only
+        # (classic or v2 UUID-named) — a multi-part set without its
+        # hint can't be trusted complete, so it is deliberately
+        # ignored (full replay stays correct)
         for f in os.listdir(_log_path(table)):
-            if f.endswith(".checkpoint.parquet") and f[:20].isdigit():
-                v = int(f[:20])
-                if v <= version and v > ckpt_version:
-                    ckpt_version = v
-                    ckpt_files = [_checkpoint_file(table, v)]
+            if not (f[:20].isdigit() and f[20:].startswith(".checkpoint.")):
+                continue
+            v = int(f[:20])
+            if v > version or v <= ckpt_version:
+                continue
+            rest = f[20 + len(".checkpoint."):].split(".")
+            if len(rest) == 1 and rest[0] == "parquet":
+                ckpt_version = v  # classic single-part
+                ckpt_files = [_checkpoint_file(table, v)]
+            elif len(rest) == 2 and rest[1] in ("parquet", "json"):
+                ckpt_version = v  # v2 UUID-named
+                ckpt_files = [os.path.join(_log_path(table), f)]
+
+    sidecars: list[str] = []
+
+    def _absorb_ckpt_row(row: dict) -> None:
+        nonlocal meta, protocol
+        if row.get("add"):
+            a = dict(row["add"])
+            # map columns come back as (k, v) tuple lists
+            _maps_to_dicts(a, "partitionValues")
+            if isinstance(a.get("deletionVector"), dict):
+                a["deletionVector"] = {
+                    k: v
+                    for k, v in a["deletionVector"].items()
+                    if v is not None
+                } or None
+            adds[a["path"]] = a
+        if row.get("remove"):
+            r = dict(row["remove"])
+            removes[r["path"]] = r
+        if row.get("metaData"):
+            meta = dict(row["metaData"])
+            # same tuple-list normalization for the metaData maps:
+            # configuration feeds _check_metadata (a list would
+            # crash its .get) and the overwrite path republishes
+            # this dict as JSON
+            _maps_to_dicts(meta, "configuration")
+            if isinstance(meta.get("format"), dict):
+                meta["format"] = dict(meta["format"])
+                _maps_to_dicts(meta["format"], "options")
+        if row.get("protocol"):
+            pr = {k: v for k, v in dict(row["protocol"]).items()
+                  if v is not None}
+            _check_protocol(pr)
+            protocol = pr
+        if row.get("txn"):
+            txns[row["txn"]["appId"]] = row["txn"]["version"]
+        if row.get("checkpointMetadata"):
+            cm = dict(row["checkpointMetadata"])
+            if int(cm.get("version", ckpt_version)) != ckpt_version:
+                raise ValueError(
+                    "v2 checkpoint self-describes version "
+                    f"{cm.get('version')} but is named for "
+                    f"{ckpt_version} — refusing a torn checkpoint"
+                )
+        if row.get("sidecar"):
+            sidecars.append(dict(row["sidecar"])["path"])
+
     for ckpt_file in ckpt_files:
-        t = papq.read_table(ckpt_file)
-        for row in t.to_pylist():
-            if row.get("add"):
-                a = dict(row["add"])
-                # map columns come back as (k, v) tuple lists
-                _maps_to_dicts(a, "partitionValues")
-                adds[a["path"]] = a
-            if row.get("remove"):
-                r = dict(row["remove"])
-                removes[r["path"]] = r
-            if row.get("metaData"):
-                meta = dict(row["metaData"])
-                # same tuple-list normalization for the metaData maps:
-                # configuration feeds _check_metadata (a list would
-                # crash its .get) and the overwrite path republishes
-                # this dict as JSON
-                _maps_to_dicts(meta, "configuration")
-                if isinstance(meta.get("format"), dict):
-                    meta["format"] = dict(meta["format"])
-                    _maps_to_dicts(meta["format"], "options")
-            if row.get("protocol"):
-                pr = {k: v for k, v in dict(row["protocol"]).items()
-                      if v is not None}
-                _check_protocol(pr)
-                protocol = pr
-            if row.get("txn"):
-                txns[row["txn"]["appId"]] = row["txn"]["version"]
+        if ckpt_file.endswith(".json"):
+            # v2 checkpoints may be JSON (one action per line)
+            with open(ckpt_file) as fh:
+                for line in fh:
+                    if line.strip():
+                        _absorb_ckpt_row(json.loads(line))
+        else:
+            for row in papq.read_table(ckpt_file).to_pylist():
+                _absorb_ckpt_row(row)
+    # v2Checkpoint sidecars: the add/remove actions live in parquet
+    # files under _delta_log/_sidecars/ — every named sidecar must be
+    # present (reading a partial snapshot silently drops files)
+    for sc in sidecars:
+        p = (
+            sc
+            if os.path.isabs(sc)
+            else os.path.join(_log_path(table), "_sidecars", sc)
+        )
+        if not os.path.exists(p):
+            raise ValueError(
+                f"v2 checkpoint names sidecar {sc!r} but it is "
+                "missing — the checkpoint cannot be read safely"
+            )
+        for row in papq.read_table(p).to_pylist():
+            _absorb_ckpt_row(row)
     if ckpt_version >= 0:
         start = ckpt_version + 1
     for v in range(start, version + 1):
@@ -1350,10 +1430,11 @@ def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
 _TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000  # delta's default
 
 
-def _write_checkpoint(table: str, version: int) -> None:
-    """Checkpoint parquet: one row per active action (add/remove/
+def _checkpoint_rows_schema(table: str, version: int):
+    """Checkpoint rows + Arrow schema, shared by the classic and v2
+    checkpoint writers: one row per active action (add/remove/
     metaData/protocol as nullable struct columns — the protocol's
-    checkpoint schema shape), plus the `_last_checkpoint` hint.
+    checkpoint schema shape).
 
     Remove TOMBSTONES within the retention window ride along (the
     protocol requires it: an external reader's vacuum/CDC bookkeeping
@@ -1361,7 +1442,7 @@ def _write_checkpoint(table: str, version: int) -> None:
     than `delta.deletedFileRetentionDuration` (default 7 days) expire
     here, exactly when delta-spark drops them."""
     import pyarrow as pa
-    import pyarrow.parquet as papq
+    import pyarrow.parquet as papq  # noqa: F401 (callers write)
 
     adds, removes, meta, txns, protocol = _replay_full(table, version)
     cutoff_ms = int(time.time() * 1000) - _TOMBSTONE_RETENTION_MS
@@ -1507,12 +1588,114 @@ def _write_checkpoint(table: str, version: int) -> None:
             ),
         ]
     )
+    return rows, schema
+
+
+def _write_checkpoint(table: str, version: int) -> None:
+    """Classic single-file checkpoint parquet + `_last_checkpoint`."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    rows, schema = _checkpoint_rows_schema(table, version)
     papq.write_table(
         pa.Table.from_pylist(rows, schema=schema),
         _checkpoint_file(table, version),
     )
     with open(os.path.join(_log_path(table), "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
+
+
+def write_checkpoint_v2(
+    table: str, version: int, actions_per_sidecar: int = 100_000
+) -> str:
+    """V2 CHECKPOINT writer (the v2Checkpoint table feature, r17): a
+    UUID-named parquet checkpoint `<v>.checkpoint.<uuid>.parquet`
+    holding metaData/protocol/txn plus ONE checkpointMetadata action
+    and one `sidecar` action per sidecar file, with the add/remove
+    file actions split across parquet SIDECARS under
+    `_delta_log/_sidecars/` — the layout delta-spark emits with the
+    feature on, sized so a million-file snapshot splits into bounded
+    sidecars instead of one giant parquet. Requires the table
+    protocol to list v2Checkpoint (older readers cannot consume the
+    layout, so writing it to a legacy table would brick them — the
+    spec's gate). Returns the checkpoint path."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    _a, _r, _m, _t, protocol = _replay_full(table, version)
+    if "v2Checkpoint" not in set(protocol.get("readerFeatures") or []):
+        raise ValueError(
+            "refusing to write a v2 checkpoint: the table protocol "
+            "does not list the v2Checkpoint reader feature"
+        )
+    rows, schema = _checkpoint_rows_schema(table, version)
+    file_rows = [r for r in rows if r.get("add") or r.get("remove")]
+    meta_rows = [
+        r for r in rows if not (r.get("add") or r.get("remove"))
+    ]
+    log = _log_path(table)
+    sdir = os.path.join(log, "_sidecars")
+    os.makedirs(sdir, exist_ok=True)
+    u = uuid.uuid4().hex
+    ar_schema = pa.schema([schema.field("add"), schema.field("remove")])
+    blank = {
+        "add": None, "remove": None, "metaData": None,
+        "protocol": None, "txn": None,
+        "checkpointMetadata": None, "sidecar": None,
+    }
+    main_rows = [{**blank, **r} for r in meta_rows]
+    main_rows.append(
+        {**blank, "checkpointMetadata": {"version": version}}
+    )
+    for i in range(0, max(len(file_rows), 1), actions_per_sidecar):
+        chunk = file_rows[i:i + actions_per_sidecar]
+        name = f"{u}-{i // actions_per_sidecar:05d}.parquet"
+        papq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {"add": r.get("add"), "remove": r.get("remove")}
+                    for r in chunk
+                ],
+                schema=ar_schema,
+            ),
+            os.path.join(sdir, name),
+        )
+        main_rows.append(
+            {
+                **blank,
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(
+                        os.path.join(sdir, name)
+                    ),
+                    "modificationTime": 0,
+                },
+            }
+        )
+    v2_schema = pa.schema(
+        list(schema)
+        + [
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([pa.field("version", pa.int64())]),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("sizeInBytes", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    path = os.path.join(log, f"{version:020d}.checkpoint.{u}.parquet")
+    papq.write_table(pa.Table.from_pylist(main_rows, schema=v2_schema), path)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    return path
 
 
 def optimize_delta(

@@ -446,17 +446,17 @@ _META = {
 
 def test_rejection_matrix_unknown_reader_features(spark, tmp_path):
     """Reader v3 gates per feature: anything outside the implemented
-    set (deletionVectors / columnMapping / timestampNtz) must fail
-    loudly BY NAME — v2Checkpoint here, which this reader has no code
-    to consume."""
-    t = str(tmp_path / "v2ckpt")
+    set (deletionVectors / columnMapping / timestampNtz /
+    v2Checkpoint) must fail loudly BY NAME — typeWidening here, which
+    this reader has no code to consume."""
+    t = str(tmp_path / "unkfeat")
     _craft_log(t, {0: [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"],
-                      "writerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
         {"metaData": _META},
     ]})
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         read_delta(spark, t)
 
 
@@ -1715,4 +1715,178 @@ def test_cdc_files_partitioned_layout(spark, tmp_path):
     feed = delta_change_feed(spark, t, v - 1, v).collect()
     assert sorted((r.k, r.tag) for r in feed) == [
         (k, "a" if k < 12 else "b") for k in range(0, 20, 2)
+    ]
+
+
+def _v2_checkpointify(spark, t, *, json_inline=False, drop_sidecar=False,
+                      bad_version=False):
+    """Convert a table's latest state into a FOREIGN v2 checkpoint:
+    a UUID-named JSON checkpoint file carrying protocol/metaData/
+    checkpointMetadata (+ sidecar actions referencing parquet sidecars
+    under _delta_log/_sidecars/ unless json_inline), then delete every
+    commit JSON — the snapshot must resolve from the v2 checkpoint
+    alone."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.delta import (
+        _write_checkpoint,
+        delta_latest_version,
+    )
+
+    v = delta_latest_version(t)
+    _write_checkpoint(t, v)
+    log = os.path.join(t, "_delta_log")
+    classic = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    tbl = papq.read_table(classic)
+    rows = tbl.to_pylist()
+
+    def _clean(d):
+        if isinstance(d, dict):
+            return {
+                k: _clean(x)
+                for k, x in d.items()
+                if x is not None and _clean(x) is not None
+            }
+        if isinstance(d, list):
+            return [_clean(x) for x in d]
+        return d
+
+    proto = next(r["protocol"] for r in rows if r.get("protocol"))
+    md = next(r["metaData"] for r in rows if r.get("metaData"))
+    md = dict(md)
+    for key in ("configuration",):
+        if isinstance(md.get(key), list):
+            md[key] = dict(md[key])
+    if isinstance(md.get("format"), dict) and isinstance(
+        md["format"].get("options"), list
+    ):
+        md["format"] = {**md["format"], "options": dict(md["format"]["options"])}
+    adds = [r["add"] for r in rows if r.get("add")]
+    removes = [r["remove"] for r in rows if r.get("remove")]
+    lines = [
+        {"checkpointMetadata": {"version": v + (1 if bad_version else 0)}},
+        {"protocol": _clean(proto)},
+        {"metaData": _clean(md)},
+    ]
+    if json_inline:
+        for a in adds:
+            aa = dict(a)
+            if isinstance(aa.get("partitionValues"), list):
+                aa["partitionValues"] = dict(aa["partitionValues"])
+            lines.append({"add": _clean(aa) | (
+                {"partitionValues": dict(a["partitionValues"])}
+                if isinstance(a.get("partitionValues"), list)
+                else {"partitionValues": a.get("partitionValues") or {}}
+            )})
+        for r in removes:
+            lines.append({"remove": _clean(dict(r))})
+    else:
+        sdir = os.path.join(log, "_sidecars")
+        os.makedirs(sdir, exist_ok=True)
+        ar = tbl.select(["add", "remove"])
+        half = max(1, len(rows) // 2)
+        for i, sl in enumerate((ar.slice(0, half), ar.slice(half))):
+            name = f"sc-{i}.parquet"
+            papq.write_table(sl, os.path.join(sdir, name))
+            lines.append({"sidecar": {
+                "path": name,
+                "sizeInBytes": os.path.getsize(os.path.join(sdir, name)),
+            }})
+        if drop_sidecar:
+            os.unlink(os.path.join(sdir, "sc-1.parquet"))
+    u = _uuid.uuid4().hex
+    with open(os.path.join(log, f"{v:020d}.checkpoint.{u}.json"), "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+    os.unlink(classic)
+    for vv in range(v + 1):
+        p = os.path.join(log, f"{vv:020d}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v}, f)
+    return v
+
+
+def test_v2_checkpoint_with_sidecars_reads(spark, tmp_path):
+    """v2Checkpoint (UUID-named + sidecars): the snapshot resolves
+    from the checkpoint file's metadata actions plus the parquet
+    sidecars carrying the adds — with every commit JSON deleted."""
+    t = str(tmp_path / "v2side")
+    write_delta(spark, t, _df(spark, 0, 20))
+    write_delta(spark, t, _df(spark, 20, 35))
+    _v2_checkpointify(spark, t)
+    got = read_delta(spark, t)
+    assert sorted(r.k for r in got.collect()) == list(range(35))
+
+
+def test_v2_checkpoint_json_inline_reads(spark, tmp_path):
+    """A JSON v2 checkpoint with adds INLINE (no sidecars) resolves
+    the same snapshot, including partitioned tables (partitionValues
+    restored from the checkpoint rows)."""
+    t = str(tmp_path / "v2json")
+    write_delta(spark, t, _df(spark, 0, 10), partition_by=["tag"])
+    write_delta(
+        spark, t, _df(spark, 10, 16, tag="b"), partition_by=["tag"]
+    )
+    _v2_checkpointify(spark, t, json_inline=True)
+    got = read_delta(spark, t)
+    assert sorted((r.k, r.tag) for r in got.collect()) == [
+        (k, "a" if k < 10 else "b") for k in range(16)
+    ]
+
+
+def test_v2_checkpoint_missing_sidecar_fails_loudly(spark, tmp_path):
+    t = str(tmp_path / "v2miss")
+    write_delta(spark, t, _df(spark, 0, 8))
+    _v2_checkpointify(spark, t, drop_sidecar=True)
+    with pytest.raises(ValueError, match="sidecar"):
+        read_delta(spark, t)
+
+
+def test_v2_checkpoint_version_mismatch_fails_loudly(spark, tmp_path):
+    t = str(tmp_path / "v2bad")
+    write_delta(spark, t, _df(spark, 0, 8))
+    _v2_checkpointify(spark, t, bad_version=True)
+    with pytest.raises(ValueError, match="torn checkpoint"):
+        read_delta(spark, t)
+
+
+def test_write_checkpoint_v2_roundtrip(spark, tmp_path):
+    """Our own v2 checkpoint writer: UUID-named main parquet +
+    parquet sidecars; the snapshot resolves from them alone (every
+    commit JSON deleted), tombstones/DV descriptors ride through, and
+    a table without the feature refuses the layout."""
+    from jobminer_spark.sources.delta import (
+        delete_delta,
+        delta_latest_version,
+        write_checkpoint_v2,
+    )
+
+    t = str(tmp_path / "wv2")
+    write_delta(spark, t, _df(spark, 0, 30))
+    write_delta(spark, t, _df(spark, 30, 45))
+    # no v2Checkpoint feature yet: loud refusal
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        write_checkpoint_v2(t, delta_latest_version(t))
+    # delete_delta upgrades to reader 3; splice the feature in
+    delete_delta(spark, t, "k % 5 = 0")
+    v = delta_latest_version(t)
+    with open(_commit_file(t, v + 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+            "writerFeatures": ["deletionVectors", "v2Checkpoint"],
+        }}) + "\n")
+    v = delta_latest_version(t)
+    path = write_checkpoint_v2(t, v, actions_per_sidecar=2)
+    assert os.path.basename(path).split(".")[1] == "checkpoint"
+    assert os.path.isdir(os.path.join(t, "_delta_log", "_sidecars"))
+    for vv in range(v + 1):
+        os.unlink(_commit_file(t, vv))
+    got = read_delta(spark, t)
+    assert sorted(r.k for r in got.collect()) == [
+        k for k in range(45) if k % 5 != 0
     ]
