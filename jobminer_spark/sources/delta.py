@@ -64,9 +64,12 @@ per-version feed back (rows + _change_type + _commit_version),
 deriving inserts/full-file deletes — and merge-on-read deletes from
 DV position diffs — for plain commits, and failing loudly where
 derivation would be wrong (partitioned removes/MoR without CDC,
-vacuumed files). Column-mapped tables remain read-only (staging
-writes under logical names would mix naming schemes). No generated
-columns.
+vacuumed files). Column-mapped tables are WRITABLE (r17): append /
+OPTIMIZE / delete_delta / update_delta and their CDC files stage
+under PHYSICAL names (parquet field ids attached in ``id`` mode),
+partitionValues stay physically keyed, and only OVERWRITE is refused
+— replacing the schema would re-assign the physical naming. No
+generated columns.
 
 Scale shape: log replay touches checkpoint + tail commits only
 (bounded by checkpoint_interval, not table history); the active-file
@@ -1109,19 +1112,60 @@ def _check_writer_supported(
 
 
 def _check_not_mapped(meta: dict) -> None:
-    """Writes stage parquet under LOGICAL column names, so a
-    column-mapped table (physical naming) is read-only here —
-    mutating it would mix naming schemes inside one table. Deletion
-    vectors are NOT a write blocker: commits re-publish descriptors
-    verbatim, checkpoints carry a deletionVector column, delete_delta
-    writes them, and OPTIMIZE materializes them away."""
+    """Overwrite is the one write this engine still refuses on
+    column-mapped tables: replacing the schema would mean assigning
+    fresh physical names/ids, which belongs to the engine that owns
+    the mapping. Appends, OPTIMIZE and merge-on-read mutations stage
+    under PHYSICAL names via _to_physical (r17) and are allowed."""
     conf = (meta or {}).get("configuration") or {}
     if conf.get("delta.columnMapping.mode", "none") not in ("", "none"):
         raise ValueError(
-            "refusing to write: table uses column mapping (this writer "
-            "stages parquet under logical names — the table is "
-            "read-only here)"
+            "refusing to write: overwriting a column-mapped table "
+            "would re-assign its physical naming — append/OPTIMIZE/"
+            "delete/update are the supported writes here"
         )
+
+
+def _to_physical(
+    spark: SparkSession,
+    df: DataFrame,
+    meta: dict,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stage-side rename for column-mapped tables: LOGICAL → PHYSICAL
+    column names, attaching ``parquet.field.id`` metadata in ``id``
+    mode (and enabling Spark's fieldId write path) so the staged
+    files resolve exactly like the table's existing ones. No-op when
+    mapping is off. ``extra_cols`` (e.g. ``_change_type`` on CDC
+    rows) pass through unrenamed."""
+    mode = _mapping_mode(meta)
+    if mode not in ("name", "id"):
+        return df
+    schema = json.loads(meta["schemaString"])
+    phys = _physical_map(meta)
+    cols = []
+    for f in schema["fields"]:
+        md = f.get("metadata") or {}
+        c = F.col(f["name"])
+        if mode == "id":
+            fid = md.get("delta.columnMapping.id")
+            if fid is None:
+                raise ValueError(
+                    f"columnMapping mode=id but field {f['name']!r} "
+                    "has no delta.columnMapping.id — cannot stage "
+                    "files for it"
+                )
+            cols.append(
+                c.alias(
+                    phys[f["name"]],
+                    metadata={"parquet.field.id": int(fid)},
+                )
+            )
+        else:
+            cols.append(c.alias(phys[f["name"]]))
+    if mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    return df.select(*cols, *[F.col(c) for c in (extra_cols or [])])
 
 
 def write_delta(
@@ -1153,6 +1197,7 @@ def write_delta(
     while True:
         current = delta_latest_version(table)
         new_version = current + 1
+        stage_df, stage_parts = df, part_cols
         if current >= 0 and mode == "append":
             # Validate BEFORE staging: an append must match the
             # table's declared schema and partitioning exactly — a
@@ -1162,7 +1207,6 @@ def write_delta(
             _adds, _rm, prev_meta, _ptxns, prev_proto = _replay_full(
                 table, current
             )
-            _check_not_mapped(prev_meta)
             _check_writer_supported(prev_proto, prev_meta, "append")
             if prev_meta.get("partitionColumns", []) != part_cols:
                 raise ValueError(
@@ -1170,7 +1214,29 @@ def write_delta(
                     f"{prev_meta.get('partitionColumns', [])}; use "
                     "mode='overwrite' to change the layout"
                 )
-            if json.loads(prev_meta["schemaString"]) != json.loads(
+            if _mapping_mode(prev_meta) in ("name", "id"):
+                # mapped tables: the caller speaks LOGICAL names; the
+                # comparison is the logical shape, and staging renames
+                # to physical (r17 — mapped tables were read-only)
+                prev_shape = [
+                    (f["name"], f["type"])
+                    for f in json.loads(prev_meta["schemaString"])[
+                        "fields"
+                    ]
+                ]
+                df_shape = [
+                    (f["name"], f["type"])
+                    for f in json.loads(_schema_string(df))["fields"]
+                ]
+                if prev_shape != df_shape:
+                    raise ValueError(
+                        "append schema differs from the table's "
+                        f"logical schema ({df_shape} vs {prev_shape})"
+                    )
+                phys = _physical_map(prev_meta)
+                stage_df = _to_physical(spark, df, prev_meta)
+                stage_parts = [phys[c] for c in part_cols]
+            elif json.loads(prev_meta["schemaString"]) != json.loads(
                 _schema_string(df)
             ):
                 raise ValueError(
@@ -1179,7 +1245,7 @@ def write_delta(
                     f"{prev_meta['schemaString']} vs "
                     f"{_schema_string(df)})"
                 )
-        staged = _stage_data_files(spark, table, df, part_cols)
+        staged = _stage_data_files(spark, table, stage_df, stage_parts)
         actions: list[dict] = []
         if current < 0:
             conf0 = dict(configuration or {})
@@ -1724,20 +1790,43 @@ def optimize_delta(
     while True:
         current = delta_latest_version(table)
         adds, _rm, meta, _txns, proto = _replay_full(table, current)
-        _check_not_mapped(meta)
         _check_writer_supported(proto, meta, "optimize")
         part_cols = meta.get("partitionColumns", [])
         n_before = len(adds)
         schema = json.loads(meta["schemaString"])
-        data_ddl = ", ".join(
-            f"{f['name']} {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+        phys = _physical_map(meta)
+        data_fields = [
+            f for f in schema["fields"] if f["name"] not in part_cols
+        ]
+        # mapped tables compact under PHYSICAL naming end to end: the
+        # scan resolves physically (field ids in id mode), the
+        # rewritten files keep physical columns, partitionValues stay
+        # physically keyed (r17 — mapped tables were read-only)
+        if _mapping_mode(meta) == "id":
+            data_ddl = _field_id_schema(meta, data_fields, phys)
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        else:
+            data_ddl = ", ".join(
+                f"`{phys[f['name']]}`"
+                f" {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+                for f in data_fields
+            )
+        ids_by_phys = {
+            phys[f["name"]]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.id"
+            )
             for f in schema["fields"]
-            if f["name"] not in part_cols
-        )
+        }
         by_part: dict[tuple, list[dict]] = {}
         for a in adds.values():
             key = tuple(
-                a.get("partitionValues", {}).get(c) for c in part_cols
+                a.get("partitionValues", {}).get(phys[c])
+                for c in part_cols
             )
             by_part.setdefault(key, []).append(a)
         staged_all: list[dict] = []
@@ -1762,8 +1851,22 @@ def optimize_delta(
             compacted = _scan_minus_dvs(
                 spark, paths, data_ddl, dv_df, n_dv
             ).repartition(target_files)
+            if _mapping_mode(meta) == "id":
+                # restaged files must carry the field ids their
+                # siblings resolve by
+                compacted = compacted.select(
+                    *[
+                        F.col(c).alias(
+                            c,
+                            metadata={
+                                "parquet.field.id": int(ids_by_phys[c])
+                            },
+                        )
+                        for c in compacted.columns
+                    ]
+                )
             staged = _stage_data_files(spark, table, compacted, [])
-            pvals = dict(zip(part_cols, key))
+            pvals = dict(zip([phys[c] for c in part_cols], key))
             for a in staged:
                 a["dataChange"] = False
                 a["partitionValues"] = pvals
@@ -1995,7 +2098,6 @@ def _mor_mutation(
     while True:
         current = delta_latest_version(table)
         adds, _removes, meta, _txns, protocol = _replay_full(table, current)
-        _check_not_mapped(meta)
         _check_writer_supported(
             protocol, meta, "update" if transform is not None else "delete"
         )
@@ -2078,10 +2180,18 @@ def _mor_mutation(
         staged_new: list[dict] = []
         logical_matched = matched_rows.drop("__jm_file", "__jm_pos")
         replacement = None
+        # mapped tables: predicates/transforms speak LOGICAL names
+        # (the matched scan is logical already); staging renames to
+        # physical so replacement files match their siblings (r17)
+        phys = _physical_map(meta)
+        stage_parts = [phys[c] for c in part_cols]
         if transform is not None:
             replacement = transform(logical_matched)
             staged_new = _stage_data_files(
-                spark, table, replacement, part_cols
+                spark,
+                table,
+                _to_physical(spark, replacement, meta),
+                stage_parts,
             )
         cdc_actions: list[dict] = []
         conf_now = (meta or {}).get("configuration") or {}
@@ -2105,7 +2215,12 @@ def _mor_mutation(
                         "_change_type", F.lit("update_postimage")
                     )
                 )
-            cdc_actions = _stage_cdc_files(spark, table, cdf, part_cols)
+            cdc_actions = _stage_cdc_files(
+                spark,
+                table,
+                _to_physical(spark, cdf, meta, ["_change_type"]),
+                stage_parts,
+            )
         matched_rows.unpersist()
         now_ms = int(time.time() * 1000)
         actions: list[dict] = []
@@ -2300,17 +2415,34 @@ def delta_change_feed(
             # cdc files follow the data-file layout rule: partition
             # columns live in each action's partitionValues, not in
             # the file — group by partition tuple and restore them as
-            # typed literals, exactly like _adds_to_df
-            cdc_ddl = ", ".join(
-                f"`{f['name']}` {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
-                for f in schema["fields"]
-                if f["name"] not in part_cols
-            ) + ", `_change_type` string"
+            # typed literals, exactly like _adds_to_df. Mapped tables
+            # (r17): cdc files carry PHYSICAL column names and
+            # physically-keyed partitionValues; resolve physically,
+            # surface logically
+            phys = _physical_map(meta)
+            data_fields = [
+                f for f in schema["fields"] if f["name"] not in part_cols
+            ]
+            if _mapping_mode(meta) == "id":
+                from pyspark.sql.types import StringType
+
+                cdc_ddl = _field_id_schema(meta, data_fields, phys).add(
+                    "_change_type", StringType()
+                )
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.read.enabled", "true"
+                )
+            else:
+                cdc_ddl = ", ".join(
+                    f"`{phys[f['name']]}`"
+                    f" {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+                    for f in data_fields
+                ) + ", `_change_type` string"
             types = {f["name"]: f["type"] for f in schema["fields"]}
             by_part: dict[tuple, list[str]] = {}
             for c in cdcs:
                 key = tuple(
-                    (c.get("partitionValues") or {}).get(pc)
+                    (c.get("partitionValues") or {}).get(phys[pc])
                     for pc in part_cols
                 )
                 by_part.setdefault(key, []).append(
@@ -2321,6 +2453,13 @@ def delta_change_feed(
                 key=lambda kv: tuple((x is None, x or "") for x in kv[0]),
             ):
                 df = spark.read.schema(cdc_ddl).parquet(*paths)
+                df = df.select(
+                    *[
+                        F.col(phys[f["name"]]).alias(f["name"])
+                        for f in data_fields
+                    ],
+                    "_change_type",
+                )
                 for pc, val in zip(part_cols, key):
                     df = df.withColumn(
                         pc,
@@ -2380,6 +2519,13 @@ def delta_change_feed(
                 adds.append(a)
         removes = list(removes_by_path.values())
         if mor_descs:
+            if _mapping_mode(meta) in ("name", "id"):
+                raise ValueError(
+                    f"commit {v} carries a merge-on-read mutation on "
+                    "a COLUMN-MAPPED table without CDC files — the "
+                    "derived scan resolves columns logically; enable "
+                    "delta.enableChangeDataFeed"
+                )
             if part_cols:
                 raise ValueError(
                     f"commit {v} carries a merge-on-read delete on a "
@@ -2423,6 +2569,13 @@ def delta_change_feed(
                 .select(*out_cols)
             )
         if removes:
+            if _mapping_mode(meta) in ("name", "id"):
+                raise ValueError(
+                    f"commit {v} removes files from a COLUMN-MAPPED "
+                    "table without CDC files — the derived scan "
+                    "resolves columns logically; enable "
+                    "delta.enableChangeDataFeed"
+                )
             if part_cols:
                 raise ValueError(
                     f"commit {v} removes files from a PARTITIONED "

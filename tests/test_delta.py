@@ -620,13 +620,47 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     assert sorted(r.k for r in df.collect()) == [1, 2, 3]
 
 
-def test_column_mapping_table_is_read_only(spark, tmp_path):
-    """The writer stages parquet under logical names, so a mapped
-    table must refuse writes rather than corrupt physical naming."""
-    t = str(tmp_path / "cmap_ro")
+def test_column_mapping_writes(spark, tmp_path):
+    """r17: mapped tables accept APPEND (staged under physical names,
+    logical-shape schema check) and merge-on-read DELETE; OVERWRITE
+    stays refused — replacing the schema would re-assign the physical
+    naming."""
+    import pyarrow.parquet as pq
+
+    from jobminer_spark.sources.delta import delete_delta
+
+    t = str(tmp_path / "cmap_w")
     _craft_mapped_table(spark, t)
-    with pytest.raises(ValueError, match="column mapping"):
-        write_delta(spark, t, _df(spark, 0, 2), mode="overwrite")
+    with pytest.raises(ValueError, match="column-mapped"):
+        write_delta(
+            spark,
+            t,
+            spark.range(9, 11).select(F.col("id").alias("k")),
+            mode="overwrite",
+        )
+    # logical-shape mismatch: loud
+    with pytest.raises(ValueError, match="logical schema"):
+        write_delta(spark, t, _df(spark, 0, 2))
+    write_delta(
+        spark, t, spark.range(9, 11).select(F.col("id").alias("k"))
+    )
+    df = read_delta(spark, t)
+    assert sorted(r.k for r in df.collect()) == [1, 2, 3, 9, 10]
+    # the appended files carry the PHYSICAL column name
+    new_files = [
+        f for f in df.inputFiles() if "/data-" in f or "data-" in f
+    ]
+    assert new_files
+    for f in new_files:
+        assert pq.read_schema(f.replace("file:", "")).names == [
+            "col-9f2"
+        ]
+    # merge-on-read delete speaks logical names too
+    v, n = delete_delta(spark, t, "k IN (2, 9)")
+    assert n == 2
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+        1, 3, 10,
+    ]
 
 
 def test_column_mapping_missing_physical_name_rejected(spark, tmp_path):
@@ -1890,3 +1924,91 @@ def test_write_checkpoint_v2_roundtrip(spark, tmp_path):
     assert sorted(r.k for r in got.collect()) == [
         k for k in range(45) if k % 5 != 0
     ]
+
+
+def test_column_mapping_id_mode_append(spark, tmp_path):
+    """id-mode appends stage files with PARQUET FIELD IDS so they
+    resolve like their (misleadingly-named) siblings."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "cmap_id_append")
+    os.makedirs(t, exist_ok=True)
+    _write_field_id_parquet(
+        os.path.join(t, "d1.parquet"),
+        [("col-b", 1, [1, 2, 3]), ("col-a", 2, [10, 20, 30])],
+    )
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**_META,
+                      "schemaString": json.dumps(_id_mode_schema()),
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "2"}}},
+        {"add": {"path": "d1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]})
+    write_delta(
+        spark, t,
+        spark.range(4, 6).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    got = sorted((r.k, r.v) for r in read_delta(spark, t).collect())
+    assert got == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]
+    # the staged file carries ids on its (physical-named) columns
+    new = [
+        f.replace("file:", "")
+        for f in read_delta(spark, t).inputFiles()
+        if "data-" in f
+    ]
+    assert new
+    sch = pq.read_schema(new[0])
+    ids = {
+        n: sch.field(n).metadata.get(b"PARQUET:field_id")
+        for n in sch.names
+    }
+    assert ids == {"col-a": b"1", "col-b": b"2"}
+
+
+def test_column_mapping_update_with_change_feed(spark, tmp_path):
+    """update_delta on a CDF-enabled mapped table: CDC files stage
+    under physical names with physically-keyed partitionValues, and
+    the feed reader surfaces LOGICAL columns."""
+    from jobminer_spark.sources.delta import (
+        delta_change_feed,
+        delta_latest_version,
+        update_delta,
+    )
+
+    t = str(tmp_path / "cmap_cdf")
+    _craft_mapped_table(spark, t)
+    # flip CDF on via a metaData re-publish (the foreign admin shape)
+    meta_line = {
+        "metaData": {
+            **_META,
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName":
+                                  "col-9f2"}},
+            ]}),
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "1",
+                "delta.enableChangeDataFeed": "true",
+            },
+        }
+    }
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps(meta_line) + "\n")
+    v, n = update_delta(spark, t, "k = 2", {"k": F.lit(99)})
+    assert n == 1
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+        1, 3, 99,
+    ]
+    feed = delta_change_feed(spark, t, v - 1, v).collect()
+    changes = sorted((r._change_type, r.k) for r in feed)
+    assert changes == [
+        ("update_postimage", 99), ("update_preimage", 2),
+    ]
+    assert delta_latest_version(t) == v
