@@ -1037,6 +1037,9 @@ _SUPPORTED_WRITER_FEATURES = {
     "changeDataFeed",
     "columnMapping",
     "timestampNtz",
+    # r17: interval checkpoints dispatch to the v2 layout when the
+    # protocol lists it (_write_checkpoint_auto)
+    "v2Checkpoint",
 }
 # legacy writer versions imply feature sets (the protocol's table)
 _LEGACY_WRITER_FEATURES = {
@@ -1342,7 +1345,7 @@ def write_delta(
             and new_version > 0
             and new_version % checkpoint_interval == 0
         ):
-            _write_checkpoint(table, new_version)
+            _write_checkpoint_auto(table, new_version)
         return new_version
 
 
@@ -1657,6 +1660,18 @@ def _checkpoint_rows_schema(table: str, version: int):
     return rows, schema
 
 
+def _write_checkpoint_auto(table: str, version: int) -> None:
+    """Interval-checkpoint dispatcher: a table whose protocol lists
+    the v2Checkpoint reader feature gets the v2 layout (conforming
+    engines expect it once the feature is on); everything else keeps
+    the classic single-file parquet."""
+    _a, _r, _m, _t, protocol = _replay_full(table, version)
+    if "v2Checkpoint" in set(protocol.get("readerFeatures") or []):
+        write_checkpoint_v2(table, version)
+    else:
+        _write_checkpoint(table, version)
+
+
 def _write_checkpoint(table: str, version: int) -> None:
     """Classic single-file checkpoint parquet + `_last_checkpoint`."""
     import pyarrow as pa
@@ -1912,7 +1927,7 @@ def optimize_delta(
             and new_version > 0
             and new_version % checkpoint_interval == 0
         ):
-            _write_checkpoint(table, new_version)
+            _write_checkpoint_auto(table, new_version)
         return new_version, n_before, n_after
 
 
@@ -2341,7 +2356,7 @@ def _mor_mutation(
             checkpoint_interval > 0
             and new_version % checkpoint_interval == 0
         ):
-            _write_checkpoint(table, new_version)
+            _write_checkpoint_auto(table, new_version)
         return new_version, n_new, len(descriptors)
 
 
@@ -2723,7 +2738,7 @@ def restore_delta(
             checkpoint_interval > 0
             and new_version % checkpoint_interval == 0
         ):
-            _write_checkpoint(table, new_version)
+            _write_checkpoint_auto(table, new_version)
         return new_version, n_readded, n_removed
 
 

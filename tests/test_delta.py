@@ -2012,3 +2012,28 @@ def test_column_mapping_update_with_change_feed(spark, tmp_path):
         ("update_postimage", 99), ("update_preimage", 2),
     ]
     assert delta_latest_version(t) == v
+
+
+def test_interval_checkpoint_is_v2_when_feature_on(spark, tmp_path):
+    """Once a table's protocol lists v2Checkpoint, interval
+    checkpoints must use the v2 layout — a classic checkpoint would
+    surprise conforming engines that enabled the feature."""
+    import glob
+
+    t = str(tmp_path / "autov2")
+    write_delta(spark, t, _df(spark, 0, 6), checkpoint_interval=0)
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint", "appendOnly",
+                               "invariants"],
+        }}) + "\n")
+    write_delta(spark, t, _df(spark, 6, 9), checkpoint_interval=2)
+    log = os.path.join(t, "_delta_log")
+    assert not glob.glob(os.path.join(log, "*.checkpoint.parquet"))
+    v2 = glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+    assert len(v2) == 1 and os.path.isdir(os.path.join(log, "_sidecars"))
+    for vv in range(3):
+        os.unlink(_commit_file(t, vv))
+    assert read_delta(spark, t).count() == 9
