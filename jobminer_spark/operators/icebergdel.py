@@ -323,11 +323,32 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
         spark, wtp_table, full_rows.filter(F.col("event_id") % 2 == 1)
     )
 
+    # stats-skipping table (r17): three disjoint event_id ranges,
+    # one file each (coalesce(1)), so manifest bounds prune a range
+    # filter to exactly one file
+    st_table = os.path.join(work, "statskip")
+    max_id = int(rows.agg(F.max("event_id")).collect()[0][0])
+    third = max_id // 3
+    for lo_, hi_ in (
+        (0, third),
+        (third + 1, 2 * third),
+        (2 * third + 1, max_id),
+    ):
+        write_iceberg(
+            spark,
+            st_table,
+            rows.filter(F.col("event_id").between(lo_, hi_))
+            .select("event_id", "val_q")
+            .coalesce(1),
+        )
+
     _SCENARIO_CACHE[cache_key] = {
         "table": table,
         "eqdel": eq_table,
         "expire": exp_table,
         "transforms": tp_table,
+        "statskip": st_table,
+        "statskip_third": third,
         "wtransforms": wtp_table,
         "tp_groups": tp_groups,
         "n_expired": n_expired,
@@ -608,4 +629,54 @@ def iceberg_partition_transform_audit(
             )
         )
         .withColumn("pruned", F.lit(bool(files_ok)))
+    )
+
+
+@query(
+    "iceberg_stats_skipping_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE},
+    m AS (SELECT CAST(FLOOR(MAX(event_id) / 3) AS BIGINT) AS third
+          FROM rows)
+    SELECT CAST(3 AS BIGINT) AS n_files_full,
+           CAST(1 AS BIGINT) AS n_files_pruned,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows, m
+             WHERE event_id BETWEEN m.third + 1 AND 2 * m.third)
+             AS mid_n,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows, m
+             WHERE event_id BETWEEN m.third + 1 AND 2 * m.third)
+             AS mid_ck
+    """,
+)
+def iceberg_stats_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg DATA SKIPPING (r17): write_iceberg stamps per-file
+    lower/upper bounds (the spec's single-value binary serialization,
+    numeric/temporal columns only — string stats can be truncated by
+    parquet writers, so they are omitted rather than risk an invalid
+    upper bound) and read_iceberg's stats_filters prune at the
+    MANIFEST level. The fixture holds three disjoint event_id ranges
+    in one file each; the middle-range filter must plan exactly ONE
+    file (n_files_pruned pinned — a reader ignoring bounds scans 3)
+    while the row aggregates match the oracle's recomputation."""
+    s = _scenario(spark, sf_dir)
+    t = s["statskip"]
+    third = s["statskip_third"]
+    n_full = len(read_iceberg(spark, t).inputFiles())
+    pruned = read_iceberg(
+        spark, t, stats_filters={"event_id": (third + 1, 2 * third)}
+    )
+    n_pruned = len(pruned.inputFiles())
+    mid = pruned.where(
+        F.col("event_id").between(third + 1, 2 * third)
+    )
+    return mid.agg(
+        F.count(F.lit(1)).cast("long").alias("mid_n"),
+        F.sum("val_q").cast("long").alias("mid_ck"),
+    ).selectExpr(
+        f"CAST({n_full} AS BIGINT) AS n_files_full",
+        f"CAST({n_pruned} AS BIGINT) AS n_files_pruned",
+        "mid_n",
+        "mid_ck",
     )

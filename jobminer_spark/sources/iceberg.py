@@ -127,6 +127,23 @@ _MANIFEST_SCHEMA = {
                     {"name": "file_size_in_bytes", "type": "long"},
                     {"name": "equality_ids",
                      "type": ["null", {"type": "array", "items": "int"}]},
+                    # the spec's bounds maps (fields 125-128): logical
+                    # map<int, binary> as array<record{key, value}>,
+                    # record names per the spec's k/v convention
+                    {"name": "lower_bounds",
+                     "type": ["null", {"type": "array", "items": {
+                         "type": "record", "name": "k126_v127",
+                         "fields": [
+                             {"name": "key", "type": "int"},
+                             {"name": "value", "type": "bytes"},
+                         ]}}]},
+                    {"name": "upper_bounds",
+                     "type": ["null", {"type": "array", "items": {
+                         "type": "record", "name": "k129_v130",
+                         "fields": [
+                             {"name": "key", "type": "int"},
+                             {"name": "value", "type": "bytes"},
+                         ]}}]},
                 ],
             },
         },
@@ -241,6 +258,8 @@ def _snapshot_files(
                 "record_count": df_.get("record_count", 0),
                 "partition": df_.get("partition") or {},
                 "spec_id": m.get("partition_spec_id", 0),
+                "lower_bounds": df_.get("lower_bounds"),
+                "upper_bounds": df_.get("upper_bounds"),
             }
             # content is a nullable union in many writers' schemas: an
             # explicit Avro null must fall back to the manifest-list
@@ -476,6 +495,172 @@ def iceberg_bucket_udf(n: int):
     return pandas_udf(_bucket, "int")
 
 
+# the spec's "binary single-value serialization" for bounds maps:
+# fixed-width values little-endian, strings UTF-8
+_BOUND_STRUCT = {
+    "int": "<i",
+    "long": "<q",
+    "float": "<f",
+    "double": "<d",
+    "date": "<i",
+    "timestamp": "<q",
+    "timestamptz": "<q",
+}
+
+
+def _encode_bound(v, ib_type: str) -> bytes | None:
+    import struct
+
+    if v is None:
+        return None
+    if ib_type == "string":
+        return str(v).encode("utf-8")
+    if ib_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    fmt = _BOUND_STRUCT.get(ib_type)
+    if fmt is None:
+        return None
+    if ib_type in ("date", "timestamp", "timestamptz"):
+        v = _canon_source(v, "date" if ib_type == "date" else "timestamp")
+    if ib_type in ("float", "double"):
+        return struct.pack(fmt, float(v))
+    return struct.pack(fmt, int(v))
+
+
+def _decode_bound(b: bytes, ib_type: str):
+    import struct
+
+    if b is None:
+        return None
+    if ib_type == "string":
+        return b.decode("utf-8", errors="replace")
+    if ib_type == "boolean":
+        return bool(b[0])
+    fmt = _BOUND_STRUCT.get(ib_type)
+    if fmt is None or len(b) != struct.calcsize(fmt):
+        return None  # unknown/odd encoding: no pruning from it
+    return struct.unpack(fmt, b)[0]
+
+
+def _bounds_map(raw) -> dict[int, bytes]:
+    """A manifest bounds field in either physical shape — the spec's
+    array<record{key,value}> or a decoder-provided dict — as
+    {field_id: bytes}."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items() if v is not None}
+    out = {}
+    for e in raw:
+        if e and e.get("value") is not None:
+            out[int(e["key"])] = e["value"]
+    return out
+
+
+def _file_bounds(
+    path: str, ids_by_name: dict[str, int], types_by_name: dict[str, str]
+) -> tuple[list[dict] | None, list[dict] | None]:
+    """Per-file lower/upper bounds from the parquet footer, as the
+    manifest's array<{key,value}> payloads. NUMERIC/date/timestamp
+    columns only — the parquet spec lets writers truncate binary
+    (string) stats, and a truncated max would be an INVALID upper
+    bound that silently drops matching files (the same rule Delta's
+    footer-stats stamper applies). A column missing stats in any row
+    group is omitted (conservative)."""
+    import pyarrow.parquet as papq
+
+    try:
+        md = papq.ParquetFile(path).metadata
+    except OSError:
+        return None, None
+    lower: list[dict] = []
+    upper: list[dict] = []
+    for i in range(md.num_columns):
+        name = md.schema.column(i).path
+        fid = ids_by_name.get(name)
+        ib_type = types_by_name.get(name)
+        if fid is None or ib_type not in _BOUND_STRUCT:
+            continue
+        mins, maxs = [], []
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not ok or not mins:
+            continue
+        lo = _encode_bound(min(mins), ib_type)
+        hi = _encode_bound(max(maxs), ib_type)
+        if lo is None or hi is None:
+            continue
+        lower.append({"key": fid, "value": lo})
+        upper.append({"key": fid, "value": hi})
+    return (lower or None), (upper or None)
+
+
+def _prune_by_stats(
+    meta: dict, data: list[dict], stats_filters: dict
+) -> list[dict]:
+    """DATA SKIPPING on the manifests' lower/upper bounds:
+    {column: (lo, hi)} inclusive ranges (None = open end) in source
+    space; a file whose decoded [min, max] cannot intersect the range
+    never enters the plan. Conservative and an OPTIMIZATION only — a
+    file without bounds for the column is always kept, and the caller
+    still applies the real row filter (nulls never satisfy a range
+    predicate, so min/max pruning cannot drop a matching row)."""
+    schema_fields = _current_schema(meta)["fields"]
+    ids_by_name = {f["name"]: f["id"] for f in schema_fields}
+    types_by_name = {f["name"]: f["type"] for f in schema_fields}
+    unknown = set(stats_filters) - set(ids_by_name)
+    if unknown:
+        raise ValueError(
+            f"stats filter names unknown column(s) {sorted(unknown)}"
+        )
+    keep = []
+    for rec in data:
+        lo_map = _bounds_map(rec.get("lower_bounds"))
+        hi_map = _bounds_map(rec.get("upper_bounds"))
+        drop = False
+        for col, (lo, hi) in stats_filters.items():
+            fid = ids_by_name[col]
+            ib_type = types_by_name[col]
+            fmin = _decode_bound(lo_map.get(fid), ib_type)
+            fmax = _decode_bound(hi_map.get(fid), ib_type)
+            lo_c = (
+                None if lo is None else _canon_source(
+                    lo,
+                    "timestamp"
+                    if ib_type in ("timestamp", "timestamptz")
+                    else ib_type,
+                )
+            )
+            hi_c = (
+                None if hi is None else _canon_source(
+                    hi,
+                    "timestamp"
+                    if ib_type in ("timestamp", "timestamptz")
+                    else ib_type,
+                )
+            )
+            if (
+                hi_c is not None
+                and fmin is not None
+                and fmin > hi_c
+            ) or (
+                lo_c is not None
+                and fmax is not None
+                and fmax < lo_c
+            ):
+                drop = True
+                break
+        if not drop:
+            keep.append(rec)
+    return keep
+
+
 def _canon_partition_value(v):
     """Manifest partition values normalized for comparison: dates →
     epoch days, timestamps → micros (some Avro decoders surface the
@@ -673,6 +858,7 @@ def read_iceberg(
     table: str,
     snapshot_id: int | None = None,
     partition_filters: dict | None = None,
+    stats_filters: dict | None = None,
 ) -> DataFrame:
     """The table at ``snapshot_id`` (current when None) — the same
     surface as `spark.read.format("iceberg").option("snapshot-id", …)`
@@ -695,12 +881,21 @@ def read_iceberg(
     applies the row filter; projection is an optimization that cannot
     drop a matching row). Identity partition columns a data file
     omits (v1 Hive-migrated shape) are restored from the manifest's
-    partition tuple."""
+    partition tuple.
+
+    ``stats_filters`` ({column: (lo, hi)}, inclusive, None = open
+    end) is DATA SKIPPING on the manifests' lower/upper bounds (the
+    spec's single-value binary serialization): a file whose [min,
+    max] cannot intersect the range never enters the plan —
+    conservative, bounds-less files always kept, caller still applies
+    the row filter."""
     meta = iceberg_metadata(table)
     ddl = _spark_ddl(meta)
     data, deletes, eq_deletes = _snapshot_files(table, snapshot_id)
     if partition_filters:
         data = _prune_by_partition(meta, data, partition_filters)
+    if stats_filters:
+        data = _prune_by_stats(meta, data, stats_filters)
     if not data:
         return spark.createDataFrame([], ddl)
     need_keys = bool(deletes or eq_deletes)
@@ -996,6 +1191,15 @@ def write_iceberg(
         name: _spec_avro_type(transform, src_types[src])
         for name, transform, src in spec_tuples
     }
+    if meta is not None:
+        ids_by_name = {
+            name: fid
+            for fid, name in _schema_field_names_by_id(meta).items()
+        }
+    else:  # create assigns ids by position, matching the metadata below
+        ids_by_name = {
+            f.name: i + 1 for i, f in enumerate(df.schema.fields)
+        }
 
     # stage parquet via a scratch dir, then move under data/.
     # Partitioned: helper __ibp_* columns carry the computed tuple so
@@ -1049,6 +1253,7 @@ def write_iceberg(
             os.replace(os.path.join(root, fname), dest)
             import pyarrow.parquet as papq
 
+            lb, ub = _file_bounds(dest, ids_by_name, src_types)
             dfile = {
                 "content": 0,  # data
                 "file_path": os.path.abspath(dest),
@@ -1056,6 +1261,11 @@ def write_iceberg(
                 "record_count": papq.ParquetFile(dest).metadata.num_rows,
                 "file_size_in_bytes": os.path.getsize(dest),
                 "equality_ids": None,
+                # footer-derived min/max per field id (numeric/
+                # temporal only — see _file_bounds) so planners can
+                # data-skip without opening the file
+                "lower_bounds": lb,
+                "upper_bounds": ub,
             }
             if pvals is not None:
                 dfile["partition"] = pvals

@@ -1298,3 +1298,92 @@ def test_iceberg_write_identity_partition_keeps_column(spark, tmp_path):
     pruned = read_iceberg(spark, t, partition_filters={"src": "a"})
     assert len(pruned.inputFiles()) == 1
     assert sorted(r.k for r in pruned.collect()) == [1, 2]
+
+
+def test_iceberg_stats_skipping_bounds(spark, tmp_path):
+    """r17 data skipping: write_iceberg stamps per-file lower/upper
+    bounds (spec single-value binary serialization, numeric/temporal
+    columns only) into the manifests, and stats_filters prune files
+    at the manifest level — conservative for bounds-less files."""
+    import datetime as _dt
+
+    from jobminer_spark.sources.avro import read_avro_records as _rar
+    from jobminer_spark.sources.iceberg import (
+        _decode_bound,
+        iceberg_metadata,
+    )
+
+    t = str(tmp_path / "statskip")
+    base = _dt.datetime(2024, 5, 1)
+    for lo in (0, 100, 200):
+        rows = [
+            (k, base + _dt.timedelta(hours=k), float(k) / 7.0)
+            for k in range(lo, lo + 100)
+        ]
+        write_iceberg(
+            spark,
+            t,
+            spark.createDataFrame(
+                rows, "k long, ts timestamp_ntz, x double"
+            ).coalesce(1),
+        )
+    full = read_iceberg(spark, t)
+    assert full.count() == 300 and len(full.inputFiles()) == 3
+    # manifest really carries decodable bounds
+    meta = iceberg_metadata(t)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mlist = _rar(cur["manifest-list"])
+    found = []
+    for m in mlist:
+        _, entries = _rar(m["manifest_path"])
+        for e in entries:
+            lb = e["data_file"].get("lower_bounds")
+            if lb:
+                found.append(
+                    {b["key"]: b["value"] for b in lb}
+                )
+    assert len(found) == 3
+    ks = sorted(_decode_bound(f[1], "long") for f in found)
+    assert ks == [0, 100, 200]
+    # long-range filter prunes to one file
+    pruned = read_iceberg(spark, t, stats_filters={"k": (150, 180)})
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.where("k BETWEEN 150 AND 180").count() == 31
+    # timestamp filter (string source-space value) prunes too
+    tp = read_iceberg(
+        spark, t,
+        stats_filters={"ts": ("2024-05-01T00:00:00", "2024-05-02T00:00:00")},
+    )
+    assert len(tp.inputFiles()) == 1
+    # double filter
+    dp = read_iceberg(spark, t, stats_filters={"x": (None, 5.0)})
+    assert len(dp.inputFiles()) == 1
+    # open range keeps everything; unknown column is loud
+    assert len(
+        read_iceberg(
+            spark, t, stats_filters={"k": (None, None)}
+        ).inputFiles()
+    ) == 3
+    with pytest.raises(ValueError, match="unknown column"):
+        read_iceberg(spark, t, stats_filters={"nope": (1, 2)})
+    # deletes still apply on the pruned scan
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        write_iceberg_deletes,
+    )
+
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "k",
+    )
+    write_iceberg_deletes(
+        spark, t, scan.filter(F.col("k") == 160).select("file_path", "pos")
+    )
+    pruned2 = read_iceberg(spark, t, stats_filters={"k": (150, 180)})
+    assert pruned2.where("k BETWEEN 150 AND 180").count() == 30
