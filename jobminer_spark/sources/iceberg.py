@@ -853,12 +853,36 @@ def _schema_field_names_by_id(meta: dict) -> dict[int, str]:
     return {f["id"]: f["name"] for f in schema["fields"]}
 
 
+def _iceberg_field_id_schema(spark: SparkSession, meta: dict, ddl: str):
+    """Read schema carrying ``parquet.field.id`` metadata per current
+    schema field: Spark's parquet reader then resolves file columns BY
+    FIELD ID — the spec's rule — so files written before a column
+    RENAME still resolve under the current name (a name-based read
+    would return nulls for them)."""
+    from pyspark.sql.types import StructField, StructType
+
+    ids = {f["name"]: f["id"] for f in _current_schema(meta)["fields"]}
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    return StructType(
+        [
+            StructField(
+                sf.name,
+                sf.dataType,
+                True,
+                {"parquet.field.id": ids[sf.name]},
+            )
+            for sf in StructType.fromDDL(ddl).fields
+        ]
+    )
+
+
 def read_iceberg(
     spark: SparkSession,
     table: str,
     snapshot_id: int | None = None,
     partition_filters: dict | None = None,
     stats_filters: dict | None = None,
+    resolve: str = "name",
 ) -> DataFrame:
     """The table at ``snapshot_id`` (current when None) — the same
     surface as `spark.read.format("iceberg").option("snapshot-id", …)`
@@ -889,6 +913,8 @@ def read_iceberg(
     max] cannot intersect the range never enters the plan —
     conservative, bounds-less files always kept, caller still applies
     the row filter."""
+    if resolve not in ("name", "field-id"):
+        raise ValueError(f"unsupported resolve mode {resolve!r}")
     meta = iceberg_metadata(table)
     ddl = _spark_ddl(meta)
     data, deletes, eq_deletes = _snapshot_files(table, snapshot_id)
@@ -898,8 +924,13 @@ def read_iceberg(
         data = _prune_by_stats(meta, data, stats_filters)
     if not data:
         return spark.createDataFrame([], ddl)
+    read_schema = (
+        _iceberg_field_id_schema(spark, meta, ddl)
+        if resolve == "field-id"
+        else ddl
+    )
     need_keys = bool(deletes or eq_deletes)
-    df = _data_scan(spark, meta, ddl, data, need_keys)
+    df = _data_scan(spark, meta, read_schema, data, need_keys)
     if not need_keys:
         return df
     logical_cols = [c for c in df.columns if not c.startswith("__ib_")]
@@ -1200,6 +1231,22 @@ def write_iceberg(
         ids_by_name = {
             f.name: i + 1 for i, f in enumerate(df.schema.fields)
         }
+
+    # stamp parquet field ids on every table column (the spec
+    # REQUIRES data files to carry them; they also make the files
+    # rename-proof under resolve="field-id" reads)
+    df = df.select(
+        *[
+            F.col(f.name).alias(
+                f.name,
+                metadata={"parquet.field.id": ids_by_name[f.name]},
+            )
+            if f.name in ids_by_name
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
     # stage parquet via a scratch dir, then move under data/.
     # Partitioned: helper __ibp_* columns carry the computed tuple so

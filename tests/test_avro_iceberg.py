@@ -1387,3 +1387,56 @@ def test_iceberg_stats_skipping_bounds(spark, tmp_path):
     )
     pruned2 = read_iceberg(spark, t, stats_filters={"k": (150, 180)})
     assert pruned2.where("k BETWEEN 150 AND 180").count() == 30
+
+
+def test_iceberg_field_id_resolution_survives_rename(spark, tmp_path):
+    """Schema evolution (r17): our writer stamps parquet field ids;
+    after a metadata-level column RENAME (same field id), a
+    resolve="field-id" read returns the old files' data under the new
+    name — the spec's resolution rule — while a name-based read of
+    the renamed column can only see nulls for pre-rename files."""
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.iceberg import (
+        _current_metadata_path,
+        iceberg_live_files,
+    )
+
+    t = str(tmp_path / "rename")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    # files really carry ids
+    sch = papq.read_schema(iceberg_live_files(t)[0])
+    assert sch.field("k").metadata[b"PARQUET:field_id"] == b"1"
+    # rename v -> val in the metadata (field id 2 unchanged)
+    mp = _current_metadata_path(t)
+    meta = json.load(open(mp))
+    for f in meta["schemas"][0]["fields"]:
+        if f["id"] == 2:
+            f["name"] = "val"
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    got = read_iceberg(spark, t, resolve="field-id")
+    assert got.columns == ["k", "val"]
+    assert sorted((r.k, r.val) for r in got.collect()) == [
+        (i, i * 10) for i in range(10)
+    ]
+    # name-based read documents WHY the mode exists: pre-rename files
+    # have no column named "val"
+    by_name = read_iceberg(spark, t)
+    assert all(r.val is None for r in by_name.collect())
+    # post-rename appends coexist: new files carry id 2 under "val"
+    write_iceberg(
+        spark, t,
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+        ),
+    )
+    got2 = read_iceberg(spark, t, resolve="field-id")
+    assert sorted((r.k, r.val) for r in got2.collect()) == [
+        (i, i * 10) for i in range(12)
+    ]
