@@ -1086,22 +1086,14 @@ def _check_writer_supported(
             f"refusing to {operation}: delta.appendOnly=true (the "
             "appendOnly feature forbids deletes/overwrites)"
         )
-    if any(k.startswith("delta.constraints.") for k in conf):
-        raise ValueError(
-            "refusing to write: table declares CHECK constraints this "
-            "writer cannot evaluate"
-        )
+    # CHECK constraints and legacy invariants are ENFORCED on the
+    # batch (r17, _enforce_constraints) rather than refused
     try:
         fields = json.loads(meta["schemaString"])["fields"]
     except (KeyError, TypeError, ValueError):
         fields = []
     for f in fields:
         md = f.get("metadata") or {}
-        if "delta.invariants" in md:
-            raise ValueError(
-                f"refusing to write: column {f['name']!r} declares an "
-                "invariant this writer cannot evaluate"
-            )
         if "delta.generationExpression" in md:
             raise ValueError(
                 f"refusing to write: column {f['name']!r} is a "
@@ -1112,6 +1104,74 @@ def _check_writer_supported(
                 f"refusing to write: column {f['name']!r} is an "
                 "identity column this writer cannot populate"
             )
+
+
+def _constraint_exprs(meta: dict) -> list[tuple[str, str]]:
+    """(name, SQL expression) pairs the table demands of every row:
+    `delta.constraints.*` configuration entries plus legacy per-column
+    `delta.invariants` field metadata. An unparseable invariant
+    refuses loudly — writing past it would corrupt the table for the
+    engines that do evaluate it."""
+    conf = (meta or {}).get("configuration") or {}
+    out = [
+        (k[len("delta.constraints."):], v)
+        for k, v in sorted(conf.items())
+        if k.startswith("delta.constraints.")
+    ]
+    try:
+        fields = json.loads(meta["schemaString"])["fields"]
+    except (KeyError, TypeError, ValueError):
+        fields = []
+    for f in fields:
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (KeyError, TypeError, ValueError):
+            raise ValueError(
+                f"column {f['name']!r} declares an invariant this "
+                f"writer cannot parse: {inv!r}"
+            ) from None
+        out.append((f"invariant:{f['name']}", expr))
+    return out
+
+
+def _enforce_constraints(df: DataFrame, meta: dict) -> None:
+    """Enforce the table's CHECK constraints/invariants on a batch
+    BEFORE it commits — SQL CHECK semantics (NULL passes, FALSE
+    violates), all constraints in ONE pass over the batch (a filter +
+    limit(1), so the scan short-circuits on the first violation)."""
+    exprs = _constraint_exprs(meta)
+    if not exprs:
+        return
+    checks = [
+        (
+            name,
+            expr,
+            F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+        )
+        for name, expr in exprs
+    ]
+    cond = None
+    for _n, _e, c in checks:
+        cond = ~c if cond is None else cond | ~c
+    viol = (
+        df.filter(cond)
+        .select(*[c.alias(f"__c{i}") for i, (_n, _e, c) in enumerate(checks)])
+        .limit(1)
+        .collect()
+    )
+    if viol:
+        row = viol[0]
+        bad = [
+            f"{name} ({expr})"
+            for i, (name, expr, _c) in enumerate(checks)
+            if row[f"__c{i}"] is False
+        ]
+        raise ValueError(
+            "CHECK constraint violated by the write: " + "; ".join(bad)
+        )
 
 
 def _check_not_mapped(meta: dict) -> None:
@@ -1211,6 +1271,7 @@ def write_delta(
                 table, current
             )
             _check_writer_supported(prev_proto, prev_meta, "append")
+            _enforce_constraints(df, prev_meta)
             if prev_meta.get("partitionColumns", []) != part_cols:
                 raise ValueError(
                     f"append partitioning {part_cols} != table's "
@@ -1239,15 +1300,33 @@ def write_delta(
                 phys = _physical_map(prev_meta)
                 stage_df = _to_physical(spark, df, prev_meta)
                 stage_parts = [phys[c] for c in part_cols]
-            elif json.loads(prev_meta["schemaString"]) != json.loads(
-                _schema_string(df)
-            ):
-                raise ValueError(
-                    "append schema differs from the table schema; use "
-                    "mode='overwrite' to evolve it (schemaString: "
-                    f"{prev_meta['schemaString']} vs "
-                    f"{_schema_string(df)})"
-                )
+            else:
+                # field METADATA is table-owned (invariants, mapping
+                # keys) — an append matches on name/type/nullable
+                def _shape(sch: dict) -> list[tuple]:
+                    return [
+                        (f["name"], f["type"], f.get("nullable", True))
+                        for f in sch["fields"]
+                    ]
+
+                if _shape(
+                    json.loads(prev_meta["schemaString"])
+                ) != _shape(json.loads(_schema_string(df))):
+                    raise ValueError(
+                        "append schema differs from the table schema; "
+                        "use mode='overwrite' to evolve it "
+                        f"(schemaString: {prev_meta['schemaString']} "
+                        f"vs {_schema_string(df)})"
+                    )
+        if current < 0 and configuration:
+            # creation-time constraints bind the very first batch too
+            _enforce_constraints(
+                df,
+                {
+                    "configuration": dict(configuration),
+                    "schemaString": _schema_string(df),
+                },
+            )
         staged = _stage_data_files(spark, table, stage_df, stage_parts)
         actions: list[dict] = []
         if current < 0:
@@ -1284,6 +1363,15 @@ def write_delta(
             )
             _check_not_mapped(prev_meta)
             _check_writer_supported(prev_proto, prev_meta, "overwrite")
+            try:
+                _enforce_constraints(df, prev_meta)
+            except ValueError:
+                for a in staged:  # violation: unstage before raising
+                    try:
+                        os.unlink(os.path.join(table, a["path"]))
+                    except OSError:
+                        pass
+                raise
             if prev_meta.get(
                 "partitionColumns", []
             ) != part_cols or json.loads(
@@ -2202,6 +2290,7 @@ def _mor_mutation(
         stage_parts = [phys[c] for c in part_cols]
         if transform is not None:
             replacement = transform(logical_matched)
+            _enforce_constraints(replacement, meta)
             staged_new = _stage_data_files(
                 spark,
                 table,

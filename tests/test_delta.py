@@ -1544,25 +1544,32 @@ def test_writer_feature_gate(spark, tmp_path):
     with pytest.raises(ValueError, match="appendOnly"):
         delete_delta(spark, t2, "k = 0")
 
-    # a CHECK constraint in configuration refuses writes
+    # a CHECK constraint in configuration is ENFORCED (r17): a
+    # satisfying batch commits, a violating one is rejected by name
     t3 = str(tmp_path / "constr")
-    write_delta(spark, t3, _df(spark, 0, 3))
+    write_delta(spark, t3, _df(spark, 1, 3))
     with open(_commit_file(t3, 1), "w") as f:
         f.write(json.dumps({"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": [
-                {"name": "k", "type": "long", "nullable": True,
+                {"name": "k", "type": "long", "nullable": False,
                  "metadata": {}},
-                {"name": "v", "type": "long", "nullable": True,
+                {"name": "v", "type": "long", "nullable": False,
                  "metadata": {}},
-                {"name": "tag", "type": "string", "nullable": True,
+                {"name": "tag", "type": "string", "nullable": False,
                  "metadata": {}},
             ]}),
             "partitionColumns": [], "createdTime": 0,
             "configuration": {"delta.constraints.positive": "k > 0"},
         }}) + "\n")
-    with pytest.raises(ValueError, match="CHECK constraints"):
-        write_delta(spark, t3, _df(spark, 3, 4))
+    write_delta(spark, t3, _df(spark, 3, 4))  # k=3 satisfies k > 0
+    with pytest.raises(
+        ValueError, match=r"CHECK constraint violated.*positive"
+    ):
+        write_delta(spark, t3, _df(spark, 0, 2))  # k=0 violates
+    assert sorted(r.k for r in read_delta(spark, t3).collect()) == [
+        1, 2, 3,
+    ]
 
 
 def test_dv_delete_on_path_with_space(spark, tmp_path):
@@ -2037,3 +2044,81 @@ def test_interval_checkpoint_is_v2_when_feature_on(spark, tmp_path):
     for vv in range(3):
         os.unlink(_commit_file(t, vv))
     assert read_delta(spark, t).count() == 9
+
+
+def test_check_constraints_enforced_across_write_paths(spark, tmp_path):
+    """r17 CHECK-constraint enforcement everywhere rows enter the
+    table: creation-time configuration, append, overwrite (staged
+    files unstaged on violation), update_delta replacements, and the
+    legacy per-column invariant metadata; NULL passes per SQL CHECK
+    semantics."""
+    import glob
+
+    from jobminer_spark.sources.delta import update_delta
+
+    t = str(tmp_path / "cenf")
+    with pytest.raises(ValueError, match="positive"):
+        write_delta(
+            spark, t, _df(spark, 0, 3),
+            configuration={"delta.constraints.positive": "k > 0"},
+        )
+    write_delta(
+        spark, t, _df(spark, 1, 4),
+        configuration={"delta.constraints.positive": "k > 0"},
+    )
+    with pytest.raises(ValueError, match="positive"):
+        write_delta(spark, t, _df(spark, 0, 1))
+    # overwrite violation unstages — no orphan parquet outside the log
+    n_files_before = len(glob.glob(os.path.join(t, "data-*", "*")))
+    with pytest.raises(ValueError, match="positive"):
+        write_delta(spark, t, _df(spark, 0, 2), mode="overwrite")
+    assert len(glob.glob(os.path.join(t, "data-*", "*"))) == (
+        n_files_before
+    )
+    # update replacement must satisfy the constraint too
+    with pytest.raises(ValueError, match="positive"):
+        update_delta(spark, t, "k = 2", {"k": F.lit(-5)})
+    v, n = update_delta(spark, t, "k = 2", {"k": F.lit(20)})
+    assert n == 1
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+        1, 3, 20,
+    ]
+    # NULL passes (SQL CHECK) — own table so nullability matches
+    t3 = str(tmp_path / "cnull")
+    write_delta(
+        spark, t3,
+        spark.createDataFrame(
+            [(1, 5, "a")], "k long, v long, tag string"
+        ),
+        configuration={"delta.constraints.positive": "k > 0"},
+    )
+    write_delta(
+        spark, t3,
+        spark.createDataFrame(
+            [(None, 6, "b")], "k long, v long, tag string"
+        ),
+    )
+    assert read_delta(spark, t3).count() == 2
+
+    t2 = str(tmp_path / "inv")
+    write_delta(spark, t2, _df(spark, 1, 3))
+    inv = json.dumps(
+        {"expression": {"expression": "v < 100"}}
+    )
+    with open(_commit_file(t2, 1), "w") as f:
+        f.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": False,
+                 "metadata": {}},
+                {"name": "v", "type": "long", "nullable": False,
+                 "metadata": {"delta.invariants": inv}},
+                {"name": "tag", "type": "string", "nullable": False,
+                 "metadata": {}},
+            ]}),
+            "partitionColumns": [], "createdTime": 0,
+            "configuration": {},
+        }}) + "\n")
+    write_delta(spark, t2, _df(spark, 3, 5))  # v = 30,40 < 100: fine
+    with pytest.raises(ValueError, match="invariant:v"):
+        write_delta(spark, t2, _df(spark, 20, 21))  # v = 200
