@@ -1092,13 +1092,11 @@ def _check_writer_supported(
         fields = json.loads(meta["schemaString"])["fields"]
     except (KeyError, TypeError, ValueError):
         fields = []
+    # generated columns are POPULATED/VALIDATED on write (r17,
+    # _apply_generated_columns); identity columns stay refused — their
+    # high-watermark state lives outside the batch
     for f in fields:
         md = f.get("metadata") or {}
-        if "delta.generationExpression" in md:
-            raise ValueError(
-                f"refusing to write: column {f['name']!r} is a "
-                "generated column this writer cannot populate"
-            )
         if any(k.startswith("delta.identity.") for k in md):
             raise ValueError(
                 f"refusing to write: column {f['name']!r} is an "
@@ -1137,12 +1135,53 @@ def _constraint_exprs(meta: dict) -> list[tuple[str, str]]:
     return out
 
 
-def _enforce_constraints(df: DataFrame, meta: dict) -> None:
-    """Enforce the table's CHECK constraints/invariants on a batch
-    BEFORE it commits — SQL CHECK semantics (NULL passes, FALSE
-    violates), all constraints in ONE pass over the batch (a filter +
-    limit(1), so the scan short-circuits on the first violation)."""
-    exprs = _constraint_exprs(meta)
+def _apply_generated_columns(
+    df: DataFrame, meta: dict
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """delta-spark's generated-column contract: a column carrying
+    delta.generationExpression is COMPUTED when the batch omits it
+    and VALIDATED (null-safe equality with its expression, via the
+    constraint pass) when provided. Returns the completed batch plus
+    the extra (name, sql) checks."""
+    try:
+        fields = json.loads(meta["schemaString"])["fields"]
+    except (KeyError, TypeError, ValueError):
+        return df, []
+    gen = [
+        (f["name"], (f.get("metadata") or {}).get(
+            "delta.generationExpression"
+        ))
+        for f in fields
+    ]
+    gen = [(n, e) for n, e in gen if e]
+    if not gen:
+        return df, []
+    checks: list[tuple[str, str]] = []
+    for name, expr in gen:
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            checks.append(
+                (f"generated:{name}", f"`{name}` <=> ({expr})")
+            )
+    declared = [f["name"] for f in fields]
+    if set(df.columns) == set(declared):
+        df = df.select(*declared)  # restore the declared order
+    return df, checks
+
+
+def _enforce_constraints(
+    df: DataFrame,
+    meta: dict,
+    extra: list[tuple[str, str]] | None = None,
+) -> None:
+    """Enforce the table's CHECK constraints/invariants (plus any
+    ``extra`` (name, sql) checks, e.g. generated-column validation)
+    on a batch BEFORE it commits — SQL CHECK semantics (NULL passes,
+    FALSE violates), all constraints in ONE pass over the batch (a
+    filter + limit(1), so the scan short-circuits on the first
+    violation)."""
+    exprs = _constraint_exprs(meta) + list(extra or [])
     if not exprs:
         return
     checks = [
@@ -1261,17 +1300,39 @@ def write_delta(
         current = delta_latest_version(table)
         new_version = current + 1
         stage_df, stage_parts = df, part_cols
-        if current >= 0 and mode == "append":
+        prev_adds = None
+        prev_meta = None
+        if current >= 0:
             # Validate BEFORE staging: an append must match the
             # table's declared schema and partitioning exactly — a
             # mismatched append would land files the reader then
             # misreads (all-NULL columns, NULL partition values).
             # delta-spark rejects both; so do we, loudly (review r15).
-            _adds, _rm, prev_meta, _ptxns, prev_proto = _replay_full(
-                table, current
+            prev_adds, _rm, prev_meta, _ptxns, prev_proto = (
+                _replay_full(table, current)
             )
-            _check_writer_supported(prev_proto, prev_meta, "append")
-            _enforce_constraints(df, prev_meta)
+            _check_writer_supported(prev_proto, prev_meta, mode)
+        if current >= 0 and mode == "overwrite":
+            _check_not_mapped(prev_meta)
+            # overwrite REPLACES the schema (its field metadata and
+            # generated columns with it); the configuration — and the
+            # CHECK constraints living in it — persists
+            _enforce_constraints(
+                df,
+                {
+                    "configuration": (prev_meta or {}).get(
+                        "configuration"
+                    )
+                    or {},
+                    "schemaString": _schema_string(df),
+                },
+            )
+        if current >= 0 and mode == "append":
+            # generated columns: computed when omitted, validated
+            # (with the constraint pass) when provided
+            batch, gen_checks = _apply_generated_columns(df, prev_meta)
+            _enforce_constraints(batch, prev_meta, extra=gen_checks)
+            stage_df = batch
             if prev_meta.get("partitionColumns", []) != part_cols:
                 raise ValueError(
                     f"append partitioning {part_cols} != table's "
@@ -1290,7 +1351,7 @@ def write_delta(
                 ]
                 df_shape = [
                     (f["name"], f["type"])
-                    for f in json.loads(_schema_string(df))["fields"]
+                    for f in json.loads(_schema_string(batch))["fields"]
                 ]
                 if prev_shape != df_shape:
                     raise ValueError(
@@ -1298,7 +1359,7 @@ def write_delta(
                         f"logical schema ({df_shape} vs {prev_shape})"
                     )
                 phys = _physical_map(prev_meta)
-                stage_df = _to_physical(spark, df, prev_meta)
+                stage_df = _to_physical(spark, batch, prev_meta)
                 stage_parts = [phys[c] for c in part_cols]
             else:
                 # field METADATA is table-owned (invariants, mapping
@@ -1311,12 +1372,12 @@ def write_delta(
 
                 if _shape(
                     json.loads(prev_meta["schemaString"])
-                ) != _shape(json.loads(_schema_string(df))):
+                ) != _shape(json.loads(_schema_string(batch))):
                     raise ValueError(
                         "append schema differs from the table schema; "
                         "use mode='overwrite' to evolve it "
                         f"(schemaString: {prev_meta['schemaString']} "
-                        f"vs {_schema_string(df)})"
+                        f"vs {_schema_string(batch)})"
                     )
         if current < 0 and configuration:
             # creation-time constraints bind the very first batch too
@@ -1358,20 +1419,8 @@ def write_delta(
                 }
             )
         elif mode == "overwrite":
-            prev_adds, _rm, prev_meta, _ptxns, prev_proto = (
-                _replay_full(table, current)
-            )
-            _check_not_mapped(prev_meta)
-            _check_writer_supported(prev_proto, prev_meta, "overwrite")
-            try:
-                _enforce_constraints(df, prev_meta)
-            except ValueError:
-                for a in staged:  # violation: unstage before raising
-                    try:
-                        os.unlink(os.path.join(table, a["path"]))
-                    except OSError:
-                        pass
-                raise
+            # prev state replayed (and constraints enforced) before
+            # staging, at the loop top
             if prev_meta.get(
                 "partitionColumns", []
             ) != part_cols or json.loads(
@@ -2290,7 +2339,12 @@ def _mor_mutation(
         stage_parts = [phys[c] for c in part_cols]
         if transform is not None:
             replacement = transform(logical_matched)
-            _enforce_constraints(replacement, meta)
+            # replacement rows carry every column, so generated
+            # columns arrive as VALIDATION checks here
+            _r2, gen_checks = _apply_generated_columns(
+                replacement, meta
+            )
+            _enforce_constraints(replacement, meta, extra=gen_checks)
             staged_new = _stage_data_files(
                 spark,
                 table,

@@ -2122,3 +2122,66 @@ def test_check_constraints_enforced_across_write_paths(spark, tmp_path):
     write_delta(spark, t2, _df(spark, 3, 5))  # v = 30,40 < 100: fine
     with pytest.raises(ValueError, match="invariant:v"):
         write_delta(spark, t2, _df(spark, 20, 21))  # v = 200
+
+
+def test_generated_columns_populated_and_validated(spark, tmp_path):
+    """r17: a column carrying delta.generationExpression is COMPUTED
+    when the append omits it and VALIDATED null-safely when provided
+    — a batch contradicting the expression is rejected by name, and
+    update_delta replacements revalidate too."""
+    from jobminer_spark.sources.delta import update_delta
+
+    t = str(tmp_path / "gencol")
+    write_delta(spark, t, _df(spark, 1, 4))
+    gexpr = "k * 2"
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": False,
+                 "metadata": {}},
+                {"name": "v", "type": "long", "nullable": False,
+                 "metadata": {"delta.generationExpression": gexpr}},
+                {"name": "tag", "type": "string", "nullable": False,
+                 "metadata": {}},
+            ]}),
+            "partitionColumns": [], "createdTime": 0,
+            "configuration": {},
+        }}) + "\n")
+    # omitted: computed (k*2 instead of _df's k*10)
+    write_delta(
+        spark, t,
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), F.lit("g").alias("tag")
+        ),
+    )
+    got = {r.k: r.v for r in read_delta(spark, t).collect()}
+    assert got[10] == 20 and got[11] == 22
+    # provided and consistent: accepted
+    write_delta(
+        spark, t,
+        spark.range(20, 21).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.lit("p").alias("tag"),
+        ),
+    )
+    # provided and contradicting: rejected by name
+    with pytest.raises(ValueError, match="generated:v"):
+        write_delta(
+            spark, t,
+            spark.range(30, 31).select(
+                F.col("id").alias("k"),
+                F.lit(7).cast("long").alias("v"),
+                F.lit("bad").alias("tag"),
+            ),
+        )
+    # update replacements revalidate: changing k without v breaks k*2
+    with pytest.raises(ValueError, match="generated:v"):
+        update_delta(spark, t, "k = 20", {"k": F.lit(21)})
+    v, n = update_delta(
+        spark, t, "k = 20", {"k": F.lit(21), "v": F.lit(42)}
+    )
+    assert n == 1
+    got = {r.k: r.v for r in read_delta(spark, t).collect()}
+    assert got[21] == 42
