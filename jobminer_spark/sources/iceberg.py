@@ -100,6 +100,21 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long"},
         {"name": "existing_rows_count", "type": "long"},
         {"name": "deleted_rows_count", "type": "long"},
+        # the spec's per-partition-field summaries (field 507): lets a
+        # planner skip WHOLE manifests without opening them
+        {"name": "partitions", "type": ["null", {
+            "type": "array",
+            "items": {
+                "type": "record", "name": "r508",
+                "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {"name": "contains_nan",
+                     "type": ["null", "boolean"]},
+                    {"name": "lower_bound", "type": ["null", "bytes"]},
+                    {"name": "upper_bound", "type": ["null", "bytes"]},
+                ],
+            },
+        }]},
     ],
 }
 
@@ -209,7 +224,9 @@ def _resolve_path(table: str, p: str) -> str:
 
 
 def _snapshot_files(
-    table: str, snapshot_id: int | None = None
+    table: str,
+    snapshot_id: int | None = None,
+    partition_filters: dict | None = None,
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """The snapshot's live (data_files, position_delete_files,
     equality_delete_files), each a list of {path, seq, record_count,
@@ -242,6 +259,15 @@ def _snapshot_files(
     deletes: list[dict] = []
     eq_deletes: list[dict] = []
     for m in manifests:
+        # manifest-level prune: a DATA manifest whose partition
+        # summaries exclude the filter is never opened (delete
+        # manifests are always read — correctness, not planning)
+        if (
+            partition_filters
+            and (m.get("content") or 0) == 0
+            and not _manifest_may_match(meta, m, partition_filters)
+        ):
+            continue
         _, entries = read_avro_records(
             _resolve_path(table, m["manifest_path"])
         )
@@ -678,6 +704,51 @@ def _canon_partition_value(v):
     return v
 
 
+def _partition_bound_type(transform: str, src_type: str) -> str:
+    """Iceberg type of a PARTITION-space value (for bound encoding):
+    the day family and bucket project to int; identity/truncate keep
+    the source type."""
+    if transform == "identity" or transform.startswith("truncate["):
+        return src_type
+    return "int"
+
+
+def _manifest_may_match(meta: dict, m: dict, filters: dict) -> bool:
+    """Manifest-LEVEL pruning from the manifest-list record's
+    partition summaries (the spec's field_summary list, ordered by
+    the spec's partition fields): an equality filter projected to
+    partition space that falls outside a field's [lower, upper] bound
+    proves the whole manifest irrelevant — it is never opened.
+    Conservative: no summaries, no spec, or any decode gap keeps the
+    manifest."""
+    summaries = m.get("partitions")
+    if not summaries:
+        return True
+    spec = _partition_spec_fields(meta, m.get("partition_spec_id", 0))
+    if not spec:
+        return True
+    schema_fields = _current_schema(meta)["fields"]
+    names_by_id = {f["id"]: f["name"] for f in schema_fields}
+    src_types = {f["name"]: f["type"] for f in schema_fields}
+    for f, summ in zip(spec, summaries):
+        src = names_by_id.get(f.get("source-id"))
+        if src not in filters or not isinstance(summ, dict):
+            continue
+        bt = _partition_bound_type(f["transform"], src_types[src])
+        v = transform_partition_value(
+            f["transform"], src_types[src], filters[src]
+        )
+        if v is None:
+            if not summ.get("contains_null"):
+                return False
+            continue
+        lo = _decode_bound(summ.get("lower_bound"), bt)
+        hi = _decode_bound(summ.get("upper_bound"), bt)
+        if (lo is not None and v < lo) or (hi is not None and v > hi):
+            return False
+    return True
+
+
 def _prune_by_partition(
     meta: dict, data: list[dict], filters: dict
 ) -> list[dict]:
@@ -698,8 +769,23 @@ def _prune_by_partition(
         raise ValueError(
             f"partition filter names unknown column(s) {sorted(unknown)}"
         )
+    all_sources: set[str] = set()
+    specs = meta.get("partition-specs")
+    if specs is None and meta.get("partition-spec"):
+        specs = [{"fields": meta["partition-spec"]}]
+    for spec in specs or []:
+        for f in spec.get("fields") or []:
+            src = names_by_id.get(f.get("source-id"))
+            if src:
+                all_sources.add(src)
+    not_partition = set(filters) - all_sources
+    if not_partition:
+        raise ValueError(
+            f"column(s) {sorted(not_partition)} are not partition "
+            "sources in any spec this table declares — a partition "
+            "filter there cannot prune"
+        )
     proj_by_spec: dict[int, list[tuple[str, object]]] = {}
-    sources_seen: set[str] = set()
     keep: list[dict] = []
     for rec in data:
         sid = rec.get("spec_id", 0)
@@ -708,7 +794,6 @@ def _prune_by_partition(
             for f in _partition_spec_fields(meta, sid):
                 src = names_by_id.get(f.get("source-id"))
                 if src in filters:
-                    sources_seen.add(src)
                     projs.append(
                         (
                             f["name"],
@@ -731,13 +816,6 @@ def _prune_by_partition(
                     break
         if ok:
             keep.append(rec)
-    not_partition = set(filters) - sources_seen
-    if not_partition:
-        raise ValueError(
-            f"column(s) {sorted(not_partition)} are not partition "
-            "sources in any spec this snapshot uses — a partition "
-            "filter there cannot prune"
-        )
     return keep
 
 
@@ -917,7 +995,9 @@ def read_iceberg(
         raise ValueError(f"unsupported resolve mode {resolve!r}")
     meta = iceberg_metadata(table)
     ddl = _spark_ddl(meta)
-    data, deletes, eq_deletes = _snapshot_files(table, snapshot_id)
+    data, deletes, eq_deletes = _snapshot_files(
+        table, snapshot_id, partition_filters
+    )
     if partition_filters:
         data = _prune_by_partition(meta, data, partition_filters)
     if stats_filters:
@@ -1360,12 +1440,42 @@ def write_iceberg(
     else:
         write_avro_file(manifest_path, _MANIFEST_SCHEMA, data_files)
 
+    # per-field partition summaries so planners can skip this whole
+    # manifest from the list record alone
+    partitions_summary = None
+    if spec_tuples and data_files:
+        partitions_summary = []
+        for name, transform, src in spec_tuples:
+            vals = [
+                (e["data_file"].get("partition") or {}).get(name)
+                for e in data_files
+            ]
+            nonnull = [v for v in vals if v is not None]
+            bt = _partition_bound_type(transform, src_types[src])
+            partitions_summary.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": (
+                        _encode_bound(min(nonnull), bt)
+                        if nonnull
+                        else None
+                    ),
+                    "upper_bound": (
+                        _encode_bound(max(nonnull), bt)
+                        if nonnull
+                        else None
+                    ),
+                }
+            )
+
     prior_records = _prior_manifest_records(table, meta)
     list_records = prior_records + [
         {
             "manifest_path": os.path.abspath(manifest_path),
             "manifest_length": os.path.getsize(manifest_path),
             "partition_spec_id": spec_id,
+            "partitions": partitions_summary,
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1464,6 +1574,7 @@ def _prior_manifest_records(table: str, meta: dict | None) -> list[dict]:
             "added_rows_count": m.get("added_rows_count", 0),
             "existing_rows_count": m.get("existing_rows_count", 0),
             "deleted_rows_count": m.get("deleted_rows_count", 0),
+            "partitions": m.get("partitions"),
         }
         for m in prior_manifests
     ]

@@ -1440,3 +1440,54 @@ def test_iceberg_field_id_resolution_survives_rename(spark, tmp_path):
     assert sorted((r.k, r.val) for r in got2.collect()) == [
         (i, i * 10) for i in range(12)
     ]
+
+
+def test_iceberg_manifest_level_partition_summary_prune(
+    spark, tmp_path
+):
+    """r17 manifest-level pruning: write_iceberg emits per-field
+    partition summaries in the manifest-list records, and a filtered
+    read skips non-matching DATA manifests without opening them — the
+    skipped manifest is DELETED from disk here, so any attempt to
+    open it would raise. Summaries survive re-referencing by later
+    snapshots."""
+    import datetime as _dt
+
+    from jobminer_spark.sources.avro import read_avro_records as _rar
+    from jobminer_spark.sources.iceberg import iceberg_metadata
+
+    t = str(tmp_path / "msummary")
+    spec = [("ts_day", "day", "ts")]
+
+    def _day_df(day, lo, hi):
+        base = _dt.datetime(2024, 7, day, 1, 0, 0)
+        return spark.createDataFrame(
+            [(k, base, k * 10) for k in range(lo, hi)],
+            "k long, ts timestamp_ntz, v long",
+        )
+
+    write_iceberg(spark, t, _day_df(1, 0, 5), partition_spec=spec)
+    write_iceberg(spark, t, _day_df(9, 5, 9))  # re-references m1
+    meta = iceberg_metadata(t)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mlist = _rar(cur["manifest-list"])
+    assert all(m.get("partitions") for m in mlist)  # summaries present
+    # delete the day-1 manifest: only a pruned read can succeed now
+    day1 = (_dt.date(2024, 7, 1) - _dt.date(1970, 1, 1)).days
+    from jobminer_spark.sources.iceberg import _decode_bound
+
+    doomed = next(
+        m for m in mlist
+        if _decode_bound(m["partitions"][0]["lower_bound"], "int")
+        == day1
+    )
+    os.unlink(doomed["manifest_path"])
+    got = read_iceberg(
+        spark, t, partition_filters={"ts": "2024-07-09T12:00:00"}
+    )
+    assert sorted(r.k for r in got.collect()) == [5, 6, 7, 8]
+    with pytest.raises(FileNotFoundError):
+        read_iceberg(spark, t).collect()
