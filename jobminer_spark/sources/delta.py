@@ -1092,16 +1092,20 @@ def _check_writer_supported(
         fields = json.loads(meta["schemaString"])["fields"]
     except (KeyError, TypeError, ValueError):
         fields = []
-    # generated columns are POPULATED/VALIDATED on write (r17,
-    # _apply_generated_columns); identity columns stay refused — their
-    # high-watermark state lives outside the batch
-    for f in fields:
-        md = f.get("metadata") or {}
-        if any(k.startswith("delta.identity.") for k in md):
-            raise ValueError(
-                f"refusing to write: column {f['name']!r} is an "
-                "identity column this writer cannot populate"
-            )
+    # generated columns are POPULATED/VALIDATED on write
+    # (_apply_generated_columns) and identity columns ASSIGNED with a
+    # high-watermark republish (_apply_identity_columns) — appends
+    # only; an overwrite replaces the schema and with it the
+    # watermark bookkeeping, which stays refused
+    if operation == "overwrite":
+        for f in fields:
+            md = f.get("metadata") or {}
+            if any(k.startswith("delta.identity.") for k in md):
+                raise ValueError(
+                    f"refusing to overwrite: column {f['name']!r} is "
+                    "an identity column (the overwrite would replace "
+                    "its high-watermark bookkeeping)"
+                )
 
 
 def _constraint_exprs(meta: dict) -> list[tuple[str, str]]:
@@ -1133,6 +1137,132 @@ def _constraint_exprs(meta: dict) -> list[tuple[str, str]]:
             ) from None
         out.append((f"invariant:{f['name']}", expr))
     return out
+
+
+def _identity_md(md: dict) -> bool:
+    return any(k.startswith("delta.identity.") for k in md)
+
+
+def _assign_identity(
+    spark: SparkSession, df: DataFrame, name: str, base: int, step: int
+):
+    """Distributed gap-free identity assignment: one light
+    per-partition count pass builds cumulative offsets (bounded by
+    partition count), then an Arrow-batched enumeration stamps
+    base + step * global_index per row — no global window, no
+    collect of data rows. Returns (df_with_column, last_value|None).
+    Deterministic because both passes share one plan's
+    partitioning."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parts = df.withColumn("__jm_pid", F.spark_partition_id())
+    counts = {
+        int(r["__jm_pid"]): int(r["cnt"])
+        for r in parts.groupBy("__jm_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    if not counts:
+        return df.withColumn(name, F.lit(None).cast("long")), None
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    last = base + step * (acc - 1)
+    out_schema = StructType(
+        list(parts.schema.fields) + [StructField(name, LongType())]
+    )
+
+    def _stamp(iterator):
+        import pandas as pd
+
+        used: dict[int, int] = {}
+        for pdf in iterator:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out[name] = pd.Series([], dtype="int64")
+                yield out
+                continue
+            pid = int(pdf["__jm_pid"].iloc[0])
+            off = used.get(pid, offsets[pid])
+            used[pid] = off + len(pdf)
+            out[name] = [base + step * (off + i) for i in range(len(pdf))]
+            yield out
+
+    return parts.mapInPandas(_stamp, out_schema).drop("__jm_pid"), last
+
+
+def _apply_identity_columns(
+    spark: SparkSession, df: DataFrame, meta: dict
+) -> tuple[DataFrame, dict | None]:
+    """delta-spark's identity contract on APPEND: an omitted identity
+    column is assigned from the schema metadata's high watermark
+    (start/step honored, gaps legal — this path makes none) and the
+    metaData is republished in the SAME commit with the advanced
+    watermark; a provided column needs allowExplicitInsert=true
+    (GENERATED ALWAYS rejects explicit values) and advances the
+    watermark past the batch max. Returns (batch, metaData action to
+    commit | None)."""
+    sch = json.loads(meta["schemaString"])
+    if not any(
+        _identity_md(f.get("metadata") or {}) for f in sch["fields"]
+    ):
+        return df, None
+    changed = False
+    new_fields = []
+    for f in sch["fields"]:
+        f = dict(f)
+        md = dict(f.get("metadata") or {})
+        new_fields.append(f)
+        if not _identity_md(md):
+            continue
+        name = f["name"]
+        start = int(md.get("delta.identity.start", 1))
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise ValueError(
+                f"identity column {name!r} declares step=0"
+            )
+        wm = md.get("delta.identity.highWaterMark")
+        wm = None if wm is None else int(wm)
+        allow = (
+            str(md.get("delta.identity.allowExplicitInsert", "false"))
+            .lower()
+            == "true"
+        )
+        if name in df.columns:
+            if not allow:
+                raise ValueError(
+                    f"column {name!r} is GENERATED ALWAYS AS IDENTITY "
+                    "— explicit values are not allowed"
+                )
+            mx = df.agg(
+                (F.max if step > 0 else F.min)(name)
+            ).collect()[0][0]
+            if mx is not None and (
+                wm is None
+                or (step > 0 and int(mx) > wm)
+                or (step < 0 and int(mx) < wm)
+            ):
+                md["delta.identity.highWaterMark"] = int(mx)
+                changed = True
+        else:
+            base = (wm + step) if wm is not None else start
+            df, last = _assign_identity(spark, df, name, base, step)
+            if last is not None:
+                md["delta.identity.highWaterMark"] = int(last)
+                changed = True
+        f["metadata"] = md
+    declared = [f["name"] for f in new_fields]
+    if set(df.columns) == set(declared):
+        df = df.select(*declared)
+    if not changed:
+        return df, None
+    return df, {
+        **meta,
+        "schemaString": json.dumps({**sch, "fields": new_fields}),
+    }
 
 
 def _apply_generated_columns(
@@ -1327,10 +1457,18 @@ def write_delta(
                     "schemaString": _schema_string(df),
                 },
             )
+        id_meta_action = None
         if current >= 0 and mode == "append":
-            # generated columns: computed when omitted, validated
-            # (with the constraint pass) when provided
-            batch, gen_checks = _apply_generated_columns(df, prev_meta)
+            # identity first (generated expressions/constraints may
+            # reference it), then generated columns: computed when
+            # omitted, validated (with the constraint pass) when
+            # provided
+            batch, id_meta_action = _apply_identity_columns(
+                spark, df, prev_meta
+            )
+            batch, gen_checks = _apply_generated_columns(
+                batch, prev_meta
+            )
             _enforce_constraints(batch, prev_meta, extra=gen_checks)
             stage_df = batch
             if prev_meta.get("partitionColumns", []) != part_cols:
@@ -1363,16 +1501,21 @@ def write_delta(
                 stage_parts = [phys[c] for c in part_cols]
             else:
                 # field METADATA is table-owned (invariants, mapping
-                # keys) — an append matches on name/type/nullable
-                def _shape(sch: dict) -> list[tuple]:
-                    return [
-                        (f["name"], f["type"], f.get("nullable", True))
-                        for f in sch["fields"]
-                    ]
-
-                if _shape(
-                    json.loads(prev_meta["schemaString"])
-                ) != _shape(json.loads(_schema_string(batch))):
+                # keys) — an append matches on name/type, and a batch
+                # may be STRICTER on nullability than the table (a
+                # non-null batch into a nullable column is safe; the
+                # reverse is not)
+                prev_f = json.loads(prev_meta["schemaString"])["fields"]
+                df_f = json.loads(_schema_string(batch))["fields"]
+                if len(prev_f) != len(df_f) or not all(
+                    p["name"] == d["name"]
+                    and p["type"] == d["type"]
+                    and (
+                        p.get("nullable", True)
+                        or not d.get("nullable", True)
+                    )
+                    for p, d in zip(prev_f, df_f)
+                ):
                     raise ValueError(
                         "append schema differs from the table schema; "
                         "use mode='overwrite' to evolve it "
@@ -1458,6 +1601,11 @@ def write_delta(
                 }
                 for p in sorted(prev_adds)
             )
+        if id_meta_action is not None:
+            # the advanced identity high watermark rides the SAME
+            # commit as the rows it covers (losing it would hand the
+            # next writer duplicate values)
+            actions.append({"metaData": id_meta_action})
         actions.extend({"add": a} for a in staged)
         if txn is not None:
             # the protocol's application transaction watermark: a
@@ -2129,14 +2277,27 @@ def update_delta(
         # validate targets BEFORE the match runs: a typo'd column must
         # not cost a full scan and leave orphaned DV files behind
         _a, meta0, _t = _replay(table, latest)
-        cols = {
-            f["name"] for f in json.loads(meta0["schemaString"])["fields"]
-        }
+        fields0 = json.loads(meta0["schemaString"])["fields"]
+        cols = {f["name"] for f in fields0}
         unknown = [c for c in assignments if c not in cols]
         if unknown:
             raise ValueError(
                 f"assignment target {unknown[0]!r} is not a table column"
             )
+        for f in fields0:
+            md = f.get("metadata") or {}
+            if (
+                f["name"] in assignments
+                and _identity_md(md)
+                and str(
+                    md.get("delta.identity.allowExplicitInsert", "false")
+                ).lower()
+                != "true"
+            ):
+                raise ValueError(
+                    f"column {f['name']!r} is GENERATED ALWAYS AS "
+                    "IDENTITY — UPDATE may not set it"
+                )
 
     def _transform(matched_df: DataFrame) -> DataFrame:
         out = matched_df

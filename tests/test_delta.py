@@ -2185,3 +2185,91 @@ def test_generated_columns_populated_and_validated(spark, tmp_path):
     assert n == 1
     got = {r.k: r.v for r in read_delta(spark, t).collect()}
     assert got[21] == 42
+
+
+def _identity_meta(wm=None, allow=False, start=100, step=10):
+    md = {
+        "delta.identity.start": start,
+        "delta.identity.step": step,
+        "delta.identity.allowExplicitInsert":
+            "true" if allow else "false",
+    }
+    if wm is not None:
+        md["delta.identity.highWaterMark"] = wm
+    return {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "rid", "type": "long", "nullable": True,
+             "metadata": md},
+            {"name": "k", "type": "long", "nullable": False,
+             "metadata": {}},
+            {"name": "v", "type": "long", "nullable": False,
+             "metadata": {}},
+            {"name": "tag", "type": "string", "nullable": False,
+             "metadata": {}},
+        ]}),
+        "partitionColumns": [], "createdTime": 0, "configuration": {},
+    }
+
+
+def test_identity_columns_assigned_with_watermark(spark, tmp_path):
+    """r17: an omitted identity column is assigned start/step values
+    distributed (no global window, no data collect), the high
+    watermark republishes in the SAME commit, the next append
+    continues past it, GENERATED ALWAYS rejects explicit values (in
+    appends and UPDATE SET), and allowExplicitInsert advances the
+    watermark past explicit maxima."""
+    from jobminer_spark.sources.delta import (
+        _replay,
+        delta_latest_version,
+        update_delta,
+    )
+
+    t = str(tmp_path / "ident")
+    write_delta(spark, t, _df(spark, 0, 1).select(
+        F.lit(1).cast("long").alias("rid"), "k", "v", "tag"
+    ))
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"metaData": _identity_meta()}) + "\n")
+    # omitted: values 100, 110, ... assigned; watermark advances
+    write_delta(spark, t, _df(spark, 1, 5))
+    rids = sorted(
+        r.rid for r in read_delta(spark, t).collect() if r.k >= 1
+    )
+    assert rids == [100, 110, 120, 130]
+    _a, meta, _t = _replay(t, delta_latest_version(t))
+    md = next(
+        f["metadata"]
+        for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "rid"
+    )
+    assert int(md["delta.identity.highWaterMark"]) == 130
+    # the next append continues past the committed watermark
+    write_delta(spark, t, _df(spark, 5, 7))
+    rids = sorted(
+        r.rid for r in read_delta(spark, t).collect() if r.k >= 1
+    )
+    assert rids == [100, 110, 120, 130, 140, 150]
+    # GENERATED ALWAYS: explicit values rejected in append and UPDATE
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta(spark, t, _df(spark, 7, 8).select(
+            F.lit(999).cast("long").alias("rid"), "k", "v", "tag"
+        ))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        update_delta(spark, t, "k = 1", {"rid": F.lit(7)})
+
+    # allowExplicitInsert: accepted, watermark jumps past the max
+    t2 = str(tmp_path / "ident2")
+    write_delta(spark, t2, _df(spark, 0, 1).select(
+        F.lit(1).cast("long").alias("rid"), "k", "v", "tag"
+    ))
+    with open(_commit_file(t2, 1), "w") as f:
+        f.write(json.dumps(
+            {"metaData": _identity_meta(allow=True)}
+        ) + "\n")
+    write_delta(spark, t2, _df(spark, 1, 2).select(
+        F.lit(500).cast("long").alias("rid"), "k", "v", "tag"
+    ))
+    write_delta(spark, t2, _df(spark, 2, 3))  # omitted: from 510
+    got = {r.k: r.rid for r in read_delta(spark, t2).collect()}
+    assert got[1] == 500 and got[2] == 510
