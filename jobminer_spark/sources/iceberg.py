@@ -941,6 +941,12 @@ def _iceberg_field_id_schema(spark: SparkSession, meta: dict, ddl: str):
 
     ids = {f["name"]: f["id"] for f in _current_schema(meta)["fields"]}
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    # ADD-column evolution: files written before the column existed
+    # carry no field with its id — they must read as NULL (the spec's
+    # semantics), not error
+    spark.conf.set(
+        "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+    )
     return StructType(
         [
             StructField(

@@ -1491,3 +1491,36 @@ def test_iceberg_manifest_level_partition_summary_prune(
     assert sorted(r.k for r in got.collect()) == [5, 6, 7, 8]
     with pytest.raises(FileNotFoundError):
         read_iceberg(spark, t).collect()
+
+
+def test_iceberg_field_id_add_column_evolution(spark, tmp_path):
+    """ADD-column evolution under field-id resolution: files written
+    before the column existed read as NULL for it (ignoreMissing),
+    never error — alongside the rename case."""
+    from jobminer_spark.sources.iceberg import _current_metadata_path
+
+    t = str(tmp_path / "addcol")
+    write_iceberg(
+        spark, t, spark.range(0, 5).select(F.col("id").alias("k"))
+    )
+    mp = _current_metadata_path(t)
+    meta = json.load(open(mp))
+    meta["schemas"][0]["fields"].append(
+        {"id": 2, "name": "extra", "required": False, "type": "long"}
+    )
+    meta["last-column-id"] = 2
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    got = read_iceberg(spark, t, resolve="field-id")
+    assert got.columns == ["k", "extra"]
+    assert all(r.extra is None for r in got.collect())
+    # new appends carry the column; both generations coexist
+    write_iceberg(
+        spark, t,
+        spark.range(5, 7).select(
+            F.col("id").alias("k"), (F.col("id") + 100).alias("extra")
+        ),
+    )
+    rows = {r.k: r.extra for r in
+            read_iceberg(spark, t, resolve="field-id").collect()}
+    assert rows[0] is None and rows[5] == 105 and rows[6] == 106
