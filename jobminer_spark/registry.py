@@ -491,6 +491,10 @@ _OPERATOR_MODULES = [
     # last-green-r12 head, AMENDing for any module modified after
     # this rotation.
     "jobminer_spark.operators.icebergdel",
+    # r17-new (late): two-pass Misra-Gries heavy hitters — registered
+    # past the r17 window by design; the r18 plan fronts it with the
+    # other r17-new tail queries (iceberg_stats_skipping_audit)
+    "jobminer_spark.operators.heavyhit",
 ]
 
 # Queries pulled to the very front of the window, ahead of their own

@@ -404,3 +404,29 @@ def test_chain_doubling_survives_key_gaps(spark, tmp_path):
     cols = [c[0] for c in res.description]
     (orow,) = res.fetchall()
     assert dict(zip(cols, orow)) == {c: row[c] for c in cols}
+
+
+def test_heavy_hitters_mg_guarantee_adversarial(spark):
+    """The two-pass heavy-hitters path can never MISS a true heavy
+    hitter (the Misra-Gries superset guarantee), even when the heavy
+    token is spread thin across partitions among many distinct light
+    tokens designed to evict it from the per-partition sketches."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.heavyhit import heavy_hitters
+
+    # 32 partitions x (6 'hot' + 494 unique noise) tokens: 'hot' is
+    # only ~1.2% of each partition but globally > n/100
+    rows = []
+    for p in range(32):
+        rows.extend(f"noise_{p}_{i}" for i in range(494))
+        rows.extend(["hot"] * 6)
+    tokens = (
+        spark.createDataFrame([(t,) for t in rows], "token string")
+        .repartition(32)
+    )
+    got = heavy_hitters(tokens, k=100)
+    res = {r.token: r.cnt for r in got.collect()}
+    n = len(rows)
+    assert res == {"hot": 192}  # 32*6, the only token > n/100
+    assert 192 > n // 100
