@@ -334,6 +334,14 @@ ORACLES: dict[str, str] = {}
 #     r12-debt queries, ann_pq_trained_recall through
 #     attribution_removal_effects in registration order. AMEND at r18
 #     rotation time for any module modified after this rotation.
+#     r18 must ALSO front the two r17-new past-window queries
+#     (iceberg_stats_skipping_audit, heavy_hitters_two_pass) — both
+#     registered at the module-list tail after the rotation, never
+#     driver-attested; the late-r17 format capabilities (v2Checkpoint
+#     write/auto-dispatch, constraints/generated/identity enforcement,
+#     mapped-table writes, manifest summaries, field-id resolution)
+#     ride the ALREADY-WINDOWED delta/iceberg audit rows, which the
+#     driver attests against the final r17 tree.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
