@@ -45,10 +45,11 @@ own column names are irrelevant), timestampNtz, and multi-part
 checkpoints — both classic/multi-part AND v2Checkpoint (r17:
 UUID-named `<v>.checkpoint.<uuid>.{parquet,json}` files with
 checkpointMetadata self-validation and parquet sidecars under
-`_delta_log/_sidecars/`, every named sidecar required). Reads REJECT
-loudly anything beyond that subset (unknown readerFeatures such as
-typeWidening, reader versions above 3) — the protocol's mandated
-behavior for unknown features. WRITES: append/overwrite/OPTIMIZE/
+`_delta_log/_sidecars/`, every named sidecar required). typeWidening reads narrow-typed
+files exactly under the declared wide schema (native scan widening,
+decimal rescale included). Reads REJECT loudly anything beyond that
+subset (unknown readerFeatures such as variantType, reader versions
+above 3) — the protocol's mandated behavior for unknown features. WRITES: append/overwrite/OPTIMIZE/
 VACUUM, plus MERGE-ON-READ DELETE (`delete_delta` — predicate deletes
 written as deletion vectors, bitmaps built in executors, the first DV
 commit upgrading the table to reader 3/writer 7 with the feature
@@ -118,6 +119,13 @@ _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
     "v2Checkpoint",
+    # r17: every widening the feature allows (byte->short->int->long,
+    # float->double, int->double/decimal, decimal rescale,
+    # date->timestamp_ntz) is handled natively and EXACTLY by Spark's
+    # parquet scan under the requested (wide) schema — probed against
+    # narrow-typed files, incl. the decimal-rescale corner
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 
@@ -1040,6 +1048,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # r17: interval checkpoints dispatch to the v2 layout when the
     # protocol lists it (_write_checkpoint_auto)
     "v2Checkpoint",
+    # appends must match the declared (wide) schema, so preserving the
+    # type-change metadata is vacuous for this writer
+    "typeWidening",
+    "typeWidening-preview",
 }
 # legacy writer versions imply feature sets (the protocol's table)
 _LEGACY_WRITER_FEATURES = {

@@ -446,17 +446,16 @@ _META = {
 
 def test_rejection_matrix_unknown_reader_features(spark, tmp_path):
     """Reader v3 gates per feature: anything outside the implemented
-    set (deletionVectors / columnMapping / timestampNtz /
-    v2Checkpoint) must fail loudly BY NAME — typeWidening here, which
-    this reader has no code to consume."""
+    set must fail loudly BY NAME — variantType here, which this
+    reader has no code to consume."""
     t = str(tmp_path / "unkfeat")
     _craft_log(t, {0: [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["typeWidening"],
-                      "writerFeatures": ["typeWidening"]}},
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
         {"metaData": _META},
     ]})
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="variantType"):
         read_delta(spark, t)
 
 
@@ -2273,3 +2272,48 @@ def test_identity_columns_assigned_with_watermark(spark, tmp_path):
     write_delta(spark, t2, _df(spark, 2, 3))  # omitted: from 510
     got = {r.k: r.rid for r in read_delta(spark, t2).collect()}
     assert got[1] == 500 and got[2] == 510
+
+
+def test_type_widening_reads_narrow_files(spark, tmp_path):
+    """typeWidening (r17): files written before a type change carry
+    the NARROW physical types; the read under the declared wide
+    schema must return exact widened values — int32 under long,
+    float32 under double, decimal(5,2) under decimal(10,4)."""
+    import decimal as _dec
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    t = str(tmp_path / "widen")
+    os.makedirs(t, exist_ok=True)
+    papq.write_table(
+        pa.table({
+            "k": pa.array([1, 2], pa.int32()),
+            "x": pa.array([1.5, 2.5], pa.float32()),
+            "m": pa.array(
+                [_dec.Decimal("12.34"), _dec.Decimal("56.78")],
+                pa.decimal128(5, 2),
+            ),
+        }),
+        os.path.join(t, "d1.parquet"),
+    )
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "x", "type": "double", "nullable": True,
+         "metadata": {}},
+        {"name": "m", "type": "decimal(10,4)", "nullable": True,
+         "metadata": {}},
+    ]}
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {**_META, "schemaString": json.dumps(schema)}},
+        {"add": {"path": "d1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]})
+    got = sorted(
+        (r.k, r.x, str(r.m)) for r in read_delta(spark, t).collect()
+    )
+    assert got == [(1, 1.5, "12.3400"), (2, 2.5, "56.7800")]
