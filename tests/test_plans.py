@@ -757,3 +757,16 @@ def test_csv_jsonl_reads_declare_schema_no_inference_scan(spark):
         assert tree.count(f"Scan {fmt}") == 1, (name, tree)
         # single aggregation over that scan: map-side partial + final
         assert plan.count("HashAggregate") >= 2
+
+
+def test_heavy_hitters_recount_pushes_candidate_filter(spark):
+    """heavy_hitters_two_pass's RECOUNT plan (the returned DataFrame)
+    must be candidate-restricted — the In-predicate on the collected
+    candidate names reaches the plan as a filter, and the aggregate
+    runs map-side partial + final like any well-shaped count. The
+    corpus-wide sketch pass happened eagerly before the plan, so the
+    returned plan itself never re-folds the vocabulary."""
+    plan = _plan(spark, "heavy_hitters_two_pass")
+    assert "INSET" in plan  # candidate-name filter before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "mapinpandas" not in plan.lower()  # sketch ran eagerly
