@@ -759,14 +759,33 @@ def test_csv_jsonl_reads_declare_schema_no_inference_scan(spark):
         assert plan.count("HashAggregate") >= 2
 
 
-def test_heavy_hitters_recount_pushes_candidate_filter(spark):
-    """heavy_hitters_two_pass's RECOUNT plan (the returned DataFrame)
-    must be candidate-restricted — the In-predicate on the collected
-    candidate names reaches the plan as a filter, and the aggregate
-    runs map-side partial + final like any well-shaped count. The
-    corpus-wide sketch pass happened eagerly before the plan, so the
-    returned plan itself never re-folds the vocabulary."""
+def test_heavy_hitters_recount_gates_via_broadcast_semi_join(spark):
+    """heavy_hitters_two_pass is ONE lazy plan: the recount must be
+    gated by a BROADCAST LEFT-SEMI join on the <=K-row candidate
+    frame (never a collected IN-list literal — the r17 INSET shape
+    was driver-memory/plan-size bounded at 10^5+ splits), the
+    Misra-Gries sketch fold (mapInPandas) is part of the plan, its
+    merge is a bounded groupBy (map-side partial + final), and no
+    INSET of candidate names appears anywhere."""
     plan = _plan(spark, "heavy_hitters_two_pass")
-    assert "INSET" in plan  # candidate-name filter before the shuffle
+    assert "INSET" not in plan  # no driver-materialized candidates
+    low = plan.lower()
+    assert "leftsemi" in low.replace(" ", "").replace("_", "")
+    assert "broadcast" in low  # candidate gate + 1-row total
     assert plan.count("HashAggregate") >= 2
-    assert "mapinpandas" not in plan.lower()  # sketch ran eagerly
+    assert "mapinpandas" in low  # sketch fold is IN the lazy plan
+
+
+def test_heavy_hitters_sketch_exchange_reused_at_runtime(spark):
+    """The candidate and total branches both read the merged-sketch
+    aggregate; because they split on the aggregated sum's SIGN (not
+    on the grouping key, which Catalyst would push below the
+    aggregate), AQE must reuse the sketch exchange — the corpus is
+    scanned exactly TWICE (sketch + recount), never three times."""
+    df = QUERIES["heavy_hitters_two_pass"](spark, SF_DIR)
+    df.collect()  # reuse is an adaptive-runtime decision
+    plan = physical_plan(df)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "ReusedExchange" in final
+    # exactly two corpus scans in the executed tree
+    assert final.count("Scan parquet") == 2
