@@ -844,9 +844,15 @@ def _adds_to_df(
         data_schema = _field_id_schema(meta, data_fields, phys)
         # only schemas that carry parquet.field.id metadata are
         # affected by this conf, so enabling it session-wide cannot
-        # change any other read's resolution; a file with no ids then
-        # fails loudly (ignoreMissing=false default) per the protocol
+        # change any other read's resolution; a file with no ids must
+        # fail loudly per the protocol, so ignoreMissing is pinned
+        # FALSE here rather than trusting the session default — an
+        # earlier read_iceberg(resolve="field-id") in the same session
+        # legitimately pins it true (ADVICE r17)
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.ignoreMissing", "false"
+        )
     else:
         data_schema = ", ".join(
             f"`{phys[f['name']]}`"
@@ -1162,12 +1168,22 @@ def _assign_identity(
     per-partition count pass builds cumulative offsets (bounded by
     partition count), then an Arrow-batched enumeration stamps
     base + step * global_index per row — no global window, no
-    collect of data rows. Returns (df_with_column, last_value|None).
-    Deterministic because both passes share one plan's
-    partitioning."""
+    collect of data rows. Returns (df_with_column, last_value|None,
+    persisted_handle|None).
+
+    The ``__jm_pid``-keyed frame is persist()ed before the count pass
+    so the stamp pass observes the SAME materialization: an upstream
+    plan whose row-to-partition assignment is not deterministically
+    recomputable (round-robin repartition, shuffle-fetch order) could
+    otherwise show the stamp different per-partition counts than the
+    offsets were built from — duplicate identity values or values
+    past the watermark published in the same commit (ADVICE r17).
+    The caller unpersists the handle after the staged write
+    materializes."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     parts = df.withColumn("__jm_pid", F.spark_partition_id())
+    parts.persist()
     counts = {
         int(r["__jm_pid"]): int(r["cnt"])
         for r in parts.groupBy("__jm_pid")
@@ -1175,7 +1191,8 @@ def _assign_identity(
         .collect()
     }
     if not counts:
-        return df.withColumn(name, F.lit(None).cast("long")), None
+        parts.unpersist()
+        return df.withColumn(name, F.lit(None).cast("long")), None, None
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
@@ -1202,12 +1219,16 @@ def _assign_identity(
             out[name] = [base + step * (off + i) for i in range(len(pdf))]
             yield out
 
-    return parts.mapInPandas(_stamp, out_schema).drop("__jm_pid"), last
+    return (
+        parts.mapInPandas(_stamp, out_schema).drop("__jm_pid"),
+        last,
+        parts,
+    )
 
 
 def _apply_identity_columns(
     spark: SparkSession, df: DataFrame, meta: dict
-) -> tuple[DataFrame, dict | None]:
+) -> tuple[DataFrame, dict | None, list[DataFrame]]:
     """delta-spark's identity contract on APPEND: an omitted identity
     column is assigned from the schema metadata's high watermark
     (start/step honored, gaps legal — this path makes none) and the
@@ -1215,13 +1236,14 @@ def _apply_identity_columns(
     watermark; a provided column needs allowExplicitInsert=true
     (GENERATED ALWAYS rejects explicit values) and advances the
     watermark past the batch max. Returns (batch, metaData action to
-    commit | None)."""
+    commit | None, persisted handles to unpersist after staging)."""
     sch = json.loads(meta["schemaString"])
     if not any(
         _identity_md(f.get("metadata") or {}) for f in sch["fields"]
     ):
-        return df, None
+        return df, None, []
     changed = False
+    cached: list[DataFrame] = []
     new_fields = []
     for f in sch["fields"]:
         f = dict(f)
@@ -1261,7 +1283,11 @@ def _apply_identity_columns(
                 changed = True
         else:
             base = (wm + step) if wm is not None else start
-            df, last = _assign_identity(spark, df, name, base, step)
+            df, last, handle = _assign_identity(
+                spark, df, name, base, step
+            )
+            if handle is not None:
+                cached.append(handle)
             if last is not None:
                 md["delta.identity.highWaterMark"] = int(last)
                 changed = True
@@ -1270,11 +1296,11 @@ def _apply_identity_columns(
     if set(df.columns) == set(declared):
         df = df.select(*declared)
     if not changed:
-        return df, None
+        return df, None, cached
     return df, {
         **meta,
         "schemaString": json.dumps({**sch, "fields": new_fields}),
-    }
+    }, cached
 
 
 def _apply_generated_columns(
@@ -1470,12 +1496,13 @@ def write_delta(
                 },
             )
         id_meta_action = None
+        id_cached: list[DataFrame] = []
         if current >= 0 and mode == "append":
             # identity first (generated expressions/constraints may
             # reference it), then generated columns: computed when
             # omitted, validated (with the constraint pass) when
             # provided
-            batch, id_meta_action = _apply_identity_columns(
+            batch, id_meta_action, id_cached = _apply_identity_columns(
                 spark, df, prev_meta
             )
             batch, gen_checks = _apply_generated_columns(
@@ -1493,20 +1520,29 @@ def write_delta(
                 # mapped tables: the caller speaks LOGICAL names; the
                 # comparison is the logical shape, and staging renames
                 # to physical (r17 — mapped tables were read-only)
-                prev_shape = [
-                    (f["name"], f["type"])
-                    for f in json.loads(prev_meta["schemaString"])[
-                        "fields"
-                    ]
-                ]
-                df_shape = [
-                    (f["name"], f["type"])
-                    for f in json.loads(_schema_string(batch))["fields"]
-                ]
-                if prev_shape != df_shape:
+                prev_f = json.loads(prev_meta["schemaString"])["fields"]
+                df_f = json.loads(_schema_string(batch))["fields"]
+                # same rule as the unmapped branch below: names/types
+                # match and the batch may only be STRICTER on
+                # nullability — a nullable batch into a non-nullable
+                # table column would corrupt the table for engines
+                # trusting the declared schema (ADVICE r17)
+                if len(prev_f) != len(df_f) or not all(
+                    p["name"] == d["name"]
+                    and p["type"] == d["type"]
+                    and (
+                        p.get("nullable", True)
+                        or not d.get("nullable", True)
+                    )
+                    for p, d in zip(prev_f, df_f)
+                ):
                     raise ValueError(
                         "append schema differs from the table's "
-                        f"logical schema ({df_shape} vs {prev_shape})"
+                        "logical schema ("
+                        f"{[(f['name'], f['type'], f.get('nullable', True)) for f in df_f]}"
+                        " vs "
+                        f"{[(f['name'], f['type'], f.get('nullable', True)) for f in prev_f]}"
+                        ")"
                     )
                 phys = _physical_map(prev_meta)
                 stage_df = _to_physical(spark, batch, prev_meta)
@@ -1544,6 +1580,10 @@ def write_delta(
                 },
             )
         staged = _stage_data_files(spark, table, stage_df, stage_parts)
+        # identity stamping pinned its partitioning via persist();
+        # the staged write has materialized, release it
+        for h in id_cached:
+            h.unpersist()
         actions: list[dict] = []
         if current < 0:
             conf0 = dict(configuration or {})
@@ -2118,6 +2158,10 @@ def optimize_delta(
             data_ddl = _field_id_schema(meta, data_fields, phys)
             spark.conf.set(
                 "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            # pin, don't inherit: Iceberg field-id reads set this true
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.ignoreMissing", "false"
             )
             spark.conf.set(
                 "spark.sql.parquet.fieldId.write.enabled", "true"
@@ -2763,6 +2807,11 @@ def delta_change_feed(
                 spark.conf.set(
                     "spark.sql.parquet.fieldId.read.enabled", "true"
                 )
+                # pin, don't inherit (Iceberg field-id reads set true)
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.read.ignoreMissing",
+                    "false",
+                )
             else:
                 cdc_ddl = ", ".join(
                     f"`{phys[f['name']]}`"
@@ -2771,13 +2820,73 @@ def delta_change_feed(
                 ) + ", `_change_type` string"
             types = {f["name"]: f["type"] for f in schema["fields"]}
             by_part: dict[tuple, list[str]] = {}
+            # LEGACY shape (ADVICE r17): cdc files this engine wrote
+            # before r17 stored partition columns INLINE with empty
+            # partitionValues — reconstructing from partitionValues
+            # alone would silently emit NULL partition values for
+            # them. An action missing the partition keys routes to
+            # the inline-read path below (or fails loudly).
+            legacy: list[str] = []
             for c in cdcs:
-                key = tuple(
-                    (c.get("partitionValues") or {}).get(phys[pc])
-                    for pc in part_cols
-                )
+                pv = c.get("partitionValues") or {}
+                if part_cols and not all(
+                    phys[pc] in pv for pc in part_cols
+                ):
+                    legacy.append(os.path.join(table, c["path"]))
+                    continue
+                key = tuple(pv.get(phys[pc]) for pc in part_cols)
                 by_part.setdefault(key, []).append(
                     os.path.join(table, c["path"])
+                )
+            if legacy:
+                if _mapping_mode(meta) != "none":
+                    raise ValueError(
+                        "change feed: cdc actions in commit "
+                        f"{v} carry no partitionValues for partition "
+                        f"columns {part_cols} on a column-mapped "
+                        "table — unreadable legacy shape"
+                    )
+                import pyarrow.parquet as _papq
+
+                for p in legacy:
+                    fnames = set(_papq.read_schema(p).names)
+                    miss = [
+                        pc for pc in part_cols if phys[pc] not in fnames
+                    ]
+                    if miss:
+                        raise ValueError(
+                            "change feed: cdc file "
+                            f"{os.path.basename(p)} (commit {v}) has "
+                            f"neither partitionValues nor inline "
+                            f"partition columns {miss} — cannot "
+                            "reconstruct partition values"
+                        )
+                legacy_ddl = ", ".join(
+                    f"`{phys[f['name']]}`"
+                    f" {_DELTA_TO_SPARK.get(f['type'], f['type'])}"
+                    for f in data_fields
+                ) + ", " + ", ".join(
+                    f"`{phys[pc]}`"
+                    f" {_DELTA_TO_SPARK.get(types[pc], types[pc])}"
+                    for pc in part_cols
+                ) + ", `_change_type` string"
+                ldf = spark.read.schema(legacy_ddl).parquet(*legacy)
+                parts.append(
+                    ldf.select(
+                        *[
+                            F.col(phys[f["name"]]).alias(f["name"])
+                            for f in data_fields
+                        ],
+                        *[
+                            F.col(phys[pc]).alias(pc)
+                            for pc in part_cols
+                        ],
+                        "_change_type",
+                    )
+                    .withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                    .select(*out_cols)
                 )
             for key, paths in sorted(
                 by_part.items(),

@@ -1220,7 +1220,11 @@ def _parse_partition_dir_value(raw: str, avro_type: str):
         return None
     if avro_type in ("int", "long"):
         return int(raw)
-    if avro_type == "double":
+    # float is reachable via identity/truncate partitioning on a
+    # float source (_spec_avro_type maps it to "float"); falling
+    # through to unquote() would put a Python str into the manifest's
+    # ["null","float"] Avro field (ADVICE r17)
+    if avro_type in ("float", "double"):
         return float(raw)
     if avro_type == "boolean":
         return raw.lower() == "true"

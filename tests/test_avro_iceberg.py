@@ -1300,6 +1300,28 @@ def test_iceberg_write_identity_partition_keeps_column(spark, tmp_path):
     assert sorted(r.k for r in pruned.collect()) == [1, 2]
 
 
+def test_iceberg_write_identity_partition_float_source(
+    spark, tmp_path
+):
+    """ADVICE r17: identity partitioning on a FLOAT source maps to
+    Avro type "float"; the hive-directory value must parse back to a
+    Python float (not fall through to a str, which corrupts the
+    manifest's ["null","float"] union) — round-trip and prune."""
+    t = str(tmp_path / "wident_float")
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, 1.5), (3, 2.5)], "k long, fx float"
+    )
+    write_iceberg(
+        spark, t, df, partition_spec=[("fx", "identity", "fx")]
+    )
+    got = sorted(
+        (r.k, float(r.fx)) for r in read_iceberg(spark, t).collect()
+    )
+    assert got == [(1, 1.5), (2, 1.5), (3, 2.5)]
+    pruned = read_iceberg(spark, t, partition_filters={"fx": 1.5})
+    assert sorted(r.k for r in pruned.collect()) == [1, 2]
+
+
 def test_iceberg_stats_skipping_bounds(spark, tmp_path):
     """r17 data skipping: write_iceberg stamps per-file lower/upper
     bounds (spec single-value binary serialization, numeric/temporal

@@ -581,6 +581,49 @@ def test_column_mapping_id_mode_missing_id_rejected(spark, tmp_path):
         read_delta(spark, t).collect()
 
 
+def test_id_mode_missing_file_ids_fail_despite_iceberg_conf(
+    spark, tmp_path
+):
+    """ADVICE r17: read_iceberg(resolve="field-id") pins
+    spark.sql.parquet.fieldId.read.ignoreMissing=true session-wide
+    (Iceberg ADD-column semantics need it). A Delta id-mode read in
+    the SAME session must still fail loudly on a data file missing
+    parquet field ids (the Delta protocol's rule) — the Delta scan
+    pins ignoreMissing=false itself rather than trusting the session
+    default, so the leaked conf can't silently turn the protocol
+    violation into all-NULL columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    t = str(tmp_path / "cmap_id_noids")
+    os.makedirs(t, exist_ok=True)
+    # a data file with NO parquet field ids at all
+    papq.write_table(
+        pa.table({"col-a": pa.array([1, 2], pa.int64()),
+                  "col-b": pa.array([10, 20], pa.int64())}),
+        os.path.join(t, "d1.parquet"),
+    )
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**_META,
+                      "schemaString": json.dumps(_id_mode_schema()),
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "2"}}},
+        {"add": {"path": "d1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]})
+    # simulate the leak an earlier field-id Iceberg read leaves behind
+    spark.conf.set(
+        "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+    )
+    try:
+        with pytest.raises(Exception, match="field"):
+            read_delta(spark, t).collect()
+    finally:
+        spark.conf.unset("spark.sql.parquet.fieldId.read.ignoreMissing")
+
+
 def _craft_mapped_table(spark, t):
     """A reader-v2 column-mapped (name mode) table with one physical
     parquet file whose column name differs from the logical schema."""
@@ -659,6 +702,55 @@ def test_column_mapping_writes(spark, tmp_path):
     assert n == 2
     assert sorted(r.k for r in read_delta(spark, t).collect()) == [
         1, 3, 10,
+    ]
+
+
+def test_column_mapping_append_enforces_nullability(spark, tmp_path):
+    """ADVICE r17: the mapped-branch append check must carry the same
+    nullability rule as the unmapped branch — a NULLABLE batch column
+    against a NON-nullable table column is rejected (it could append
+    NULLs engines trusting the declared schema would miscompile),
+    while a stricter (non-nullable) batch into a nullable column is
+    fine."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    t = str(tmp_path / "cmap_nn")
+    os.makedirs(t, exist_ok=True)
+    papq.write_table(
+        pa.table({"col-9f2": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(t, "d1.parquet"),
+    )
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": False,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-9f2"}},
+    ]}
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**_META,
+                      "schemaString": json.dumps(schema),
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "1"}}},
+        {"add": {"path": "d1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]})
+    # nullable batch (max() over a group is nullable) → loud
+    nullable_batch = (
+        spark.range(9, 11)
+        .groupBy()
+        .agg(F.max("id").alias("k"))
+    )
+    assert nullable_batch.schema["k"].nullable
+    with pytest.raises(ValueError, match="logical schema"):
+        write_delta(spark, t, nullable_batch)
+    # stricter batch (range is non-nullable) into the same column: ok
+    write_delta(
+        spark, t, spark.range(9, 10).select(F.col("id").alias("k"))
+    )
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+        1, 2, 3, 9,
     ]
 
 
@@ -1482,6 +1574,65 @@ def test_change_data_feed_cdc_and_derived(spark, tmp_path):
         delta_change_feed(spark, t3, -1).collect()
 
 
+def test_change_feed_reads_legacy_inline_partition_cdc(
+    spark, tmp_path
+):
+    """ADVICE r17: cdc files written by this engine before r17 stored
+    partition columns INLINE with empty partitionValues. The feed
+    must return the real partition values from the file — and fail
+    loudly when neither partitionValues nor inline columns exist —
+    never silently emit NULLs."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.delta import delta_change_feed
+
+    t = str(tmp_path / "cdflegacy")
+    df = spark.range(0, 4).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    write_delta(
+        spark, t, df, partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    os.makedirs(os.path.join(t, "_change_data"), exist_ok=True)
+    papq.write_table(
+        pa.table({
+            "k": pa.array([0, 2], pa.int64()),
+            "p": pa.array([0, 0], pa.int64()),
+            "_change_type": pa.array(["delete", "delete"]),
+        }),
+        os.path.join(t, "_change_data", "legacy.parquet"),
+    )
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"cdc": {
+            "path": "_change_data/legacy.parquet",
+            "partitionValues": {}, "size": 1, "dataChange": False,
+        }}) + "\n")
+    rows = [
+        (r.k, r.p, r._change_type)
+        for r in delta_change_feed(spark, t, -1).collect()
+        if r._commit_version == 1
+    ]
+    assert sorted(rows) == [(0, 0, "delete"), (2, 0, "delete")]
+
+    # neither partitionValues nor inline partition column: loud
+    papq.write_table(
+        pa.table({
+            "k": pa.array([1], pa.int64()),
+            "_change_type": pa.array(["delete"]),
+        }),
+        os.path.join(t, "_change_data", "broken.parquet"),
+    )
+    with open(_commit_file(t, 2), "w") as f:
+        f.write(json.dumps({"cdc": {
+            "path": "_change_data/broken.parquet",
+            "partitionValues": {}, "size": 1, "dataChange": False,
+        }}) + "\n")
+    with pytest.raises(ValueError, match="reconstruct"):
+        delta_change_feed(spark, t, -1).collect()
+
+
 def test_change_feed_skips_predeleted_rows_in_derived_removes(
     spark, tmp_path
 ):
@@ -2272,6 +2423,44 @@ def test_identity_columns_assigned_with_watermark(spark, tmp_path):
     write_delta(spark, t2, _df(spark, 2, 3))  # omitted: from 510
     got = {r.k: r.rid for r in read_delta(spark, t2).collect()}
     assert got[1] == 500 and got[2] == 510
+
+
+def test_identity_assignment_pins_partitioning(spark, tmp_path):
+    """ADVICE r17: identity assignment runs a count pass and a stamp
+    pass over the same plan; with a non-deterministically-recomputable
+    upstream (round-robin repartition over a shuffle) the two passes
+    could disagree on per-partition counts, minting duplicates or
+    values past the published watermark. The __jm_pid frame is
+    persist()ed so both passes observe ONE materialization — the
+    assigned ids must be exactly the contiguous start/step sequence,
+    unique, with max == the committed high watermark."""
+    from jobminer_spark.sources.delta import (
+        _replay,
+        delta_latest_version,
+    )
+
+    t = str(tmp_path / "ident_det")
+    write_delta(spark, t, _df(spark, 0, 1).select(
+        F.lit(1).cast("long").alias("rid"), "k", "v", "tag"
+    ))
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"metaData": _identity_meta()}) + "\n")
+    # adversarial upstream: round-robin repartition — the classic
+    # not-deterministically-recomputable shape ADVICE r17 names
+    batch = _df(spark, 1, 65).repartition(7).select("k", "v", "tag")
+    write_delta(spark, t, batch)
+    rows = [r for r in read_delta(spark, t).collect() if r.k >= 1]
+    rids = sorted(r.rid for r in rows)
+    assert rids == [100 + 10 * i for i in range(64)]  # unique, gapless
+    _a, meta, _t = _replay(t, delta_latest_version(t))
+    md = next(
+        f["metadata"]
+        for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "rid"
+    )
+    assert int(md["delta.identity.highWaterMark"]) == max(rids)
+    # nothing left cached once the commit returned
+    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
 def test_type_widening_reads_narrow_files(spark, tmp_path):
