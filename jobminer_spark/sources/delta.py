@@ -1105,25 +1105,14 @@ def _check_writer_supported(
             "appendOnly feature forbids deletes/overwrites)"
         )
     # CHECK constraints and legacy invariants are ENFORCED on the
-    # batch (r17, _enforce_constraints) rather than refused
-    try:
-        fields = json.loads(meta["schemaString"])["fields"]
-    except (KeyError, TypeError, ValueError):
-        fields = []
-    # generated columns are POPULATED/VALIDATED on write
+    # batch (r17, _enforce_constraints) rather than refused; generated
+    # columns are POPULATED/VALIDATED on write
     # (_apply_generated_columns) and identity columns ASSIGNED with a
-    # high-watermark republish (_apply_identity_columns) — appends
-    # only; an overwrite replaces the schema and with it the
-    # watermark bookkeeping, which stays refused
-    if operation == "overwrite":
-        for f in fields:
-            md = f.get("metadata") or {}
-            if any(k.startswith("delta.identity.") for k in md):
-                raise ValueError(
-                    f"refusing to overwrite: column {f['name']!r} is "
-                    "an identity column (the overwrite would replace "
-                    "its high-watermark bookkeeping)"
-                )
+    # high-watermark republish (_apply_identity_columns) — on appends
+    # AND overwrites (r18; delta-spark permits identity overwrite,
+    # keeping the watermark MONOTONE — write_delta's overwrite branch
+    # preserves the identity field metadata and continues enumerating
+    # past the committed watermark, never resetting it)
 
 
 def _constraint_exprs(meta: dict) -> list[tuple[str, str]]:
@@ -1480,106 +1469,150 @@ def write_delta(
                 _replay_full(table, current)
             )
             _check_writer_supported(prev_proto, prev_meta, mode)
-        if current >= 0 and mode == "overwrite":
-            _check_not_mapped(prev_meta)
-            # overwrite REPLACES the schema (its field metadata and
-            # generated columns with it); the configuration — and the
-            # CHECK constraints living in it — persists
-            _enforce_constraints(
-                df,
-                {
-                    "configuration": (prev_meta or {}).get(
-                        "configuration"
-                    )
-                    or {},
-                    "schemaString": _schema_string(df),
-                },
-            )
         id_meta_action = None
         id_cached: list[DataFrame] = []
-        if current >= 0 and mode == "append":
-            # identity first (generated expressions/constraints may
-            # reference it), then generated columns: computed when
-            # omitted, validated (with the constraint pass) when
-            # provided
-            batch, id_meta_action, id_cached = _apply_identity_columns(
-                spark, df, prev_meta
-            )
-            batch, gen_checks = _apply_generated_columns(
-                batch, prev_meta
-            )
-            _enforce_constraints(batch, prev_meta, extra=gen_checks)
-            stage_df = batch
-            if prev_meta.get("partitionColumns", []) != part_cols:
-                raise ValueError(
-                    f"append partitioning {part_cols} != table's "
-                    f"{prev_meta.get('partitionColumns', [])}; use "
-                    "mode='overwrite' to change the layout"
+        identity_table = False
+        try:
+            if current >= 0 and mode == "overwrite":
+                _check_not_mapped(prev_meta)
+                ow_batch = df
+                identity_table = any(
+                    _identity_md(f.get("metadata") or {})
+                    for f in json.loads(prev_meta["schemaString"])["fields"]
                 )
-            if _mapping_mode(prev_meta) in ("name", "id"):
-                # mapped tables: the caller speaks LOGICAL names; the
-                # comparison is the logical shape, and staging renames
-                # to physical (r17 — mapped tables were read-only)
-                prev_f = json.loads(prev_meta["schemaString"])["fields"]
-                df_f = json.loads(_schema_string(batch))["fields"]
-                # same rule as the unmapped branch below: names/types
-                # match and the batch may only be STRICTER on
-                # nullability — a nullable batch into a non-nullable
-                # table column would corrupt the table for engines
-                # trusting the declared schema (ADVICE r17)
-                if len(prev_f) != len(df_f) or not all(
-                    p["name"] == d["name"]
-                    and p["type"] == d["type"]
-                    and (
-                        p.get("nullable", True)
-                        or not d.get("nullable", True)
+                if identity_table:
+                    # delta-spark semantics: overwrite keeps the identity
+                    # high watermark MONOTONE — an omitted identity column
+                    # continues enumerating PAST the committed watermark
+                    # (never resets to start), an explicit one advances it
+                    # past the batch max; the identity field metadata
+                    # survives (the schema is NOT replaced), so the batch
+                    # must keep the declared shape
+                    ow_batch, id_meta_action, id_cached = (
+                        _apply_identity_columns(spark, df, prev_meta)
                     )
-                    for p, d in zip(prev_f, df_f)
-                ):
+                    prev_f = json.loads(prev_meta["schemaString"])["fields"]
+                    df_f = json.loads(_schema_string(ow_batch))["fields"]
+                    if len(prev_f) != len(df_f) or not all(
+                        p["name"] == d["name"]
+                        and p["type"] == d["type"]
+                        and (
+                            p.get("nullable", True)
+                            or not d.get("nullable", True)
+                        )
+                        for p, d in zip(prev_f, df_f)
+                    ):
+                        raise ValueError(
+                            "overwrite of an identity table must keep the "
+                            "declared schema (replacing it would drop the "
+                            "identity bookkeeping); got "
+                            f"{_schema_string(ow_batch)} vs "
+                            f"{prev_meta['schemaString']}"
+                        )
+                    stage_df = ow_batch
+                # a plain overwrite REPLACES the schema (its field
+                # metadata and generated columns with it); the
+                # configuration — and the CHECK constraints living in
+                # it — persists
+                _enforce_constraints(
+                    ow_batch,
+                    {
+                        "configuration": (prev_meta or {}).get(
+                            "configuration"
+                        )
+                        or {},
+                        "schemaString": _schema_string(ow_batch),
+                    },
+                )
+            if current >= 0 and mode == "append":
+                # identity first (generated expressions/constraints may
+                # reference it), then generated columns: computed when
+                # omitted, validated (with the constraint pass) when
+                # provided
+                batch, id_meta_action, id_cached = _apply_identity_columns(
+                    spark, df, prev_meta
+                )
+                batch, gen_checks = _apply_generated_columns(
+                    batch, prev_meta
+                )
+                _enforce_constraints(batch, prev_meta, extra=gen_checks)
+                stage_df = batch
+                if prev_meta.get("partitionColumns", []) != part_cols:
                     raise ValueError(
-                        "append schema differs from the table's "
-                        "logical schema ("
-                        f"{[(f['name'], f['type'], f.get('nullable', True)) for f in df_f]}"
-                        " vs "
-                        f"{[(f['name'], f['type'], f.get('nullable', True)) for f in prev_f]}"
-                        ")"
+                        f"append partitioning {part_cols} != table's "
+                        f"{prev_meta.get('partitionColumns', [])}; use "
+                        "mode='overwrite' to change the layout"
                     )
-                phys = _physical_map(prev_meta)
-                stage_df = _to_physical(spark, batch, prev_meta)
-                stage_parts = [phys[c] for c in part_cols]
-            else:
-                # field METADATA is table-owned (invariants, mapping
-                # keys) — an append matches on name/type, and a batch
-                # may be STRICTER on nullability than the table (a
-                # non-null batch into a nullable column is safe; the
-                # reverse is not)
-                prev_f = json.loads(prev_meta["schemaString"])["fields"]
-                df_f = json.loads(_schema_string(batch))["fields"]
-                if len(prev_f) != len(df_f) or not all(
-                    p["name"] == d["name"]
-                    and p["type"] == d["type"]
-                    and (
-                        p.get("nullable", True)
-                        or not d.get("nullable", True)
-                    )
-                    for p, d in zip(prev_f, df_f)
-                ):
-                    raise ValueError(
-                        "append schema differs from the table schema; "
-                        "use mode='overwrite' to evolve it "
-                        f"(schemaString: {prev_meta['schemaString']} "
-                        f"vs {_schema_string(batch)})"
-                    )
-        if current < 0 and configuration:
-            # creation-time constraints bind the very first batch too
-            _enforce_constraints(
-                df,
-                {
-                    "configuration": dict(configuration),
-                    "schemaString": _schema_string(df),
-                },
-            )
-        staged = _stage_data_files(spark, table, stage_df, stage_parts)
+                if _mapping_mode(prev_meta) in ("name", "id"):
+                    # mapped tables: the caller speaks LOGICAL names; the
+                    # comparison is the logical shape, and staging renames
+                    # to physical (r17 — mapped tables were read-only)
+                    prev_f = json.loads(prev_meta["schemaString"])["fields"]
+                    df_f = json.loads(_schema_string(batch))["fields"]
+                    # same rule as the unmapped branch below: names/types
+                    # match and the batch may only be STRICTER on
+                    # nullability — a nullable batch into a non-nullable
+                    # table column would corrupt the table for engines
+                    # trusting the declared schema (ADVICE r17)
+                    if len(prev_f) != len(df_f) or not all(
+                        p["name"] == d["name"]
+                        and p["type"] == d["type"]
+                        and (
+                            p.get("nullable", True)
+                            or not d.get("nullable", True)
+                        )
+                        for p, d in zip(prev_f, df_f)
+                    ):
+                        raise ValueError(
+                            "append schema differs from the table's "
+                            "logical schema ("
+                            f"{[(f['name'], f['type'], f.get('nullable', True)) for f in df_f]}"
+                            " vs "
+                            f"{[(f['name'], f['type'], f.get('nullable', True)) for f in prev_f]}"
+                            ")"
+                        )
+                    phys = _physical_map(prev_meta)
+                    stage_df = _to_physical(spark, batch, prev_meta)
+                    stage_parts = [phys[c] for c in part_cols]
+                else:
+                    # field METADATA is table-owned (invariants, mapping
+                    # keys) — an append matches on name/type, and a batch
+                    # may be STRICTER on nullability than the table (a
+                    # non-null batch into a nullable column is safe; the
+                    # reverse is not)
+                    prev_f = json.loads(prev_meta["schemaString"])["fields"]
+                    df_f = json.loads(_schema_string(batch))["fields"]
+                    if len(prev_f) != len(df_f) or not all(
+                        p["name"] == d["name"]
+                        and p["type"] == d["type"]
+                        and (
+                            p.get("nullable", True)
+                            or not d.get("nullable", True)
+                        )
+                        for p, d in zip(prev_f, df_f)
+                    ):
+                        raise ValueError(
+                            "append schema differs from the table schema; "
+                            "use mode='overwrite' to evolve it "
+                            f"(schemaString: {prev_meta['schemaString']} "
+                            f"vs {_schema_string(batch)})"
+                        )
+            if current < 0 and configuration:
+                # creation-time constraints bind the very first batch too
+                _enforce_constraints(
+                    df,
+                    {
+                        "configuration": dict(configuration),
+                        "schemaString": _schema_string(df),
+                    },
+                )
+            staged = _stage_data_files(spark, table, stage_df, stage_parts)
+        except BaseException:
+            # failed validation/staging must not leak the
+            # identity pass's persisted partitioning pin
+            for h in id_cached:
+                h.unpersist()
+            raise
         # identity stamping pinned its partitioning via persist();
         # the staged write has materialized, release it
         for h in id_cached:
@@ -1616,7 +1649,23 @@ def write_delta(
         elif mode == "overwrite":
             # prev state replayed (and constraints enforced) before
             # staging, at the loop top
-            if prev_meta.get(
+            if identity_table:
+                # the schema (with its identity metadata) is
+                # preserved; only the layout may change — fold it
+                # into the watermark republish if one is pending
+                if id_meta_action is not None:
+                    id_meta_action = {
+                        **id_meta_action,
+                        "partitionColumns": part_cols,
+                    }
+                elif prev_meta.get("partitionColumns", []) != part_cols:
+                    actions.append(
+                        {"metaData": {
+                            **prev_meta,
+                            "partitionColumns": part_cols,
+                        }}
+                    )
+            elif prev_meta.get(
                 "partitionColumns", []
             ) != part_cols or json.loads(
                 prev_meta["schemaString"]

@@ -2425,6 +2425,68 @@ def test_identity_columns_assigned_with_watermark(spark, tmp_path):
     assert got[1] == 500 and got[2] == 510
 
 
+def test_identity_overwrite_keeps_watermark_monotone(spark, tmp_path):
+    """r18 (VERDICT r17 item 4): OVERWRITE of an identity table is
+    permitted with delta-spark's semantics — the high watermark stays
+    MONOTONE across overwrites (an omitted identity column continues
+    enumerating past the committed watermark, never resetting to
+    start), the identity field metadata survives the commit, and a
+    schema-changing overwrite is refused loudly."""
+    from jobminer_spark.sources.delta import (
+        _replay,
+        delta_latest_version,
+    )
+
+    def _wm(t):
+        _a, meta, _t = _replay(t, delta_latest_version(t))
+        md = next(
+            f["metadata"]
+            for f in json.loads(meta["schemaString"])["fields"]
+            if f["name"] == "rid"
+        )
+        return int(md["delta.identity.highWaterMark"]), meta
+
+    t = str(tmp_path / "ident_ow")
+    write_delta(spark, t, _df(spark, 0, 1).select(
+        F.lit(1).cast("long").alias("rid"), "k", "v", "tag"
+    ))
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"metaData": _identity_meta()}) + "\n")
+    write_delta(spark, t, _df(spark, 1, 5))  # rids 100..130
+    assert _wm(t)[0] == 130
+    # overwrite with an omitted identity column: enumeration
+    # CONTINUES past the committed watermark — never back to start
+    write_delta(spark, t, _df(spark, 10, 13), mode="overwrite")
+    rows = read_delta(spark, t).collect()
+    assert sorted(r.rid for r in rows) == [140, 150, 160]
+    wm, meta = _wm(t)
+    assert wm == 160
+    # identity metadata survived the overwrite's metaData republish
+    assert any(
+        _k.startswith("delta.identity.")
+        for f in json.loads(meta["schemaString"])["fields"]
+        for _k in (f.get("metadata") or {})
+    )
+    # a second overwrite keeps climbing
+    write_delta(spark, t, _df(spark, 20, 22), mode="overwrite")
+    assert sorted(
+        r.rid for r in read_delta(spark, t).collect()
+    ) == [170, 180]
+    assert _wm(t)[0] == 180
+    # GENERATED ALWAYS still rejects explicit values on overwrite
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta(spark, t, _df(spark, 30, 31).select(
+            F.lit(999).cast("long").alias("rid"), "k", "v", "tag"
+        ), mode="overwrite")
+    # schema-changing overwrite would drop the bookkeeping: loud
+    with pytest.raises(ValueError, match="identity"):
+        write_delta(
+            spark, t,
+            _df(spark, 30, 31).select("k", "v"),
+            mode="overwrite",
+        )
+
+
 def test_identity_assignment_pins_partitioning(spark, tmp_path):
     """ADVICE r17: identity assignment runs a count pass and a stamp
     pass over the same plan; with a non-deterministically-recomputable
