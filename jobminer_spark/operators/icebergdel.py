@@ -342,7 +342,59 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
             .coalesce(1),
         )
 
+    # delete-file COMPACTION table (r18): two appends, a position-
+    # delete snapshot (%11), an equality-delete snapshot (%13), a
+    # post-delete append, then rewrite_iceberg_deletes — the
+    # maintenance op that applies accumulated deletes into rewritten
+    # data files and drops every delete manifest
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        iceberg_metadata,
+        rewrite_iceberg_deletes,
+    )
+
+    rw_table = os.path.join(work, "rwdel")
+    write_iceberg(spark, rw_table, rows.filter(F.col("event_id") % 3 == 0))
+    write_iceberg(spark, rw_table, rows.filter(F.col("event_id") % 3 == 1))
+    rw_scan = spark.read.parquet(*iceberg_live_files(rw_table)).select(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "event_id",
+    )
+    write_iceberg_deletes(
+        spark,
+        rw_table,
+        rw_scan.filter(F.col("event_id") % 11 == 0).select(
+            "file_path", "pos"
+        ),
+    )
+    write_iceberg_equality_deletes(
+        spark,
+        rw_table,
+        rows.filter(F.col("event_id") % 13 == 0).select("event_id"),
+    )
+    write_iceberg(spark, rw_table, rows.filter(F.col("event_id") % 3 == 2))
+    pre = read_iceberg(spark, rw_table).agg(
+        F.count(F.lit(1)), F.sum("val_q")
+    ).collect()[0]
+    snap_pre = iceberg_metadata(rw_table)["current-snapshot-id"]
+    _sid, n_rewritten = rewrite_iceberg_deletes(spark, rw_table)
+    post = read_iceberg(spark, rw_table).agg(
+        F.count(F.lit(1)), F.sum("val_q")
+    ).collect()[0]
+    _d, rw_pos_after, rw_eq_after = _snapshot_files(rw_table)
+    old = read_iceberg(spark, rw_table, snapshot_id=snap_pre).agg(
+        F.count(F.lit(1)), F.sum("val_q")
+    ).collect()[0]
+
     _SCENARIO_CACHE[cache_key] = {
+        "rwdel": rw_table,
+        "rw_parity": int(tuple(pre) == tuple(post)),
+        "rw_deletes_after": len(rw_pos_after) + len(rw_eq_after),
+        "rw_travel_ok": int(tuple(old) == tuple(pre)),
+        "rw_files_rewritten": int(n_rewritten > 0),
         "table": table,
         "eqdel": eq_table,
         "expire": exp_table,
@@ -679,4 +731,52 @@ def iceberg_stats_skipping_audit(
         f"CAST({n_pruned} AS BIGINT) AS n_files_pruned",
         "mid_n",
         "mid_ck",
+    )
+
+
+@query(
+    "iceberg_rewrite_deletes_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 2
+                OR (event_id % 11 <> 0 AND event_id % 13 <> 0))
+             AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 2
+                OR (event_id % 11 <> 0 AND event_id % 13 <> 0))
+             AS ck,
+           CAST(0 AS BIGINT) AS delete_files_after,
+           CAST(1 AS BIGINT) AS scan_parity,
+           CAST(1 AS BIGINT) AS old_snapshot_ok,
+           CAST(1 AS BIGINT) AS files_rewritten
+    """,
+)
+def iceberg_rewrite_deletes_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-file COMPACTION (r18, VERDICT r17 item 5): a table
+    carrying a position-delete snapshot (%11 rows of the first two
+    appends), an equality-delete snapshot (%13) and a post-delete
+    append is compacted via rewrite_iceberg_deletes. Pinned: the
+    post-compaction scan is IDENTICAL to the pre-compaction one
+    (scan_parity, plus the oracle recomputes the survivors from raw
+    events), the new snapshot inventories ZERO delete files
+    (delete_files_after), the pre-compaction snapshot still
+    time-travels to the same result (old_snapshot_ok), and at least
+    one data file was physically rewritten (files_rewritten). A
+    compaction that resurrected deleted rows, dropped live ones, or
+    left delete manifests behind goes red on the matching column."""
+    s = _scenario(spark, sf_dir)
+    agg = read_iceberg(spark, s["rwdel"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    return agg.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['rw_deletes_after']} AS BIGINT) AS delete_files_after",
+        f"CAST({s['rw_parity']} AS BIGINT) AS scan_parity",
+        f"CAST({s['rw_travel_ok']} AS BIGINT) AS old_snapshot_ok",
+        f"CAST({s['rw_files_rewritten']} AS BIGINT) AS files_rewritten",
     )

@@ -1015,6 +1015,23 @@ def read_iceberg(
         if resolve == "field-id"
         else ddl
     )
+    return _apply_row_deletes(
+        spark, meta, read_schema, data, deletes, eq_deletes
+    )
+
+
+def _apply_row_deletes(
+    spark: SparkSession,
+    meta: dict,
+    read_schema,
+    data: list[dict],
+    deletes: list[dict],
+    eq_deletes: list[dict],
+) -> DataFrame:
+    """Scan ``data`` and anti-join away the rows the position/equality
+    delete files remove, under the spec's sequence rules — the shared
+    read core of read_iceberg and rewrite_iceberg_deletes (the latter
+    feeds only the AFFECTED file subset)."""
     need_keys = bool(deletes or eq_deletes)
     df = _data_scan(spark, meta, read_schema, data, need_keys)
     if not need_keys:
@@ -1231,6 +1248,187 @@ def _parse_partition_dir_value(raw: str, avro_type: str):
     return unquote(raw)
 
 
+def _stage_table_data(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    spec_tuples: list[tuple[str, str, str]],
+    src_types: dict[str, str],
+    ids_by_name: dict[str, int],
+    part_avro_types: dict[str, str],
+    commit: str,
+) -> list[dict]:
+    """Stage ``df`` as table data files and return their ADDED
+    manifest entries — the write core write_iceberg and
+    rewrite_iceberg_deletes share.
+
+    Parquet field ids are stamped on every table column (the spec
+    REQUIRES data files to carry them; they also make the files
+    rename-proof under resolve="field-id" reads). Partitioned layout:
+    helper __ibp_* columns carry the computed tuple so partitionBy
+    drops ONLY them — table columns all stay in the data files.
+    Empty parquet parts are dropped (no zero-row entries)."""
+    import shutil
+
+    import pyarrow.parquet as papq
+
+    data_dir = os.path.join(table, "data")
+    df = df.select(
+        *[
+            F.col(f.name).alias(
+                f.name,
+                metadata={"parquet.field.id": ids_by_name[f.name]},
+            )
+            if f.name in ids_by_name
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    stage = os.path.join(table, f"_stage_{commit}")
+    if spec_tuples:
+        helpers = {
+            f"__ibp_{name}": iceberg_transform_col(
+                transform, src, src_types[src]
+            )
+            for name, transform, src in spec_tuples
+        }
+        (
+            df.withColumns(helpers)
+            .repartition(*[F.col(h) for h in helpers])
+            .write.mode("overwrite")
+            .partitionBy(*helpers)
+            .parquet(stage)
+        )
+    else:
+        df.write.mode("overwrite").parquet(stage)
+    data_files: list[dict] = []
+    for root, _dirs, files in sorted(os.walk(stage)):
+        pvals = None
+        if spec_tuples:
+            pieces = dict(
+                p.split("=", 1)
+                for p in os.path.relpath(root, stage).split(os.sep)
+                if "=" in p
+            )
+            if len(pieces) != len(spec_tuples):
+                if any(f.endswith(".parquet") for f in files):
+                    raise ValueError(
+                        f"staged file outside the partition layout: {root}"
+                    )
+                continue
+            pvals = {
+                name: _parse_partition_dir_value(
+                    pieces[f"__ibp_{name}"], part_avro_types[name]
+                )
+                for name, _t, _s in spec_tuples
+            }
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            dest = os.path.join(
+                data_dir, f"{commit}-{len(data_files):05d}-{fname}"
+            )
+            os.replace(os.path.join(root, fname), dest)
+            n_rows = papq.ParquetFile(dest).metadata.num_rows
+            if n_rows == 0:
+                os.unlink(dest)
+                continue
+            lb, ub = _file_bounds(dest, ids_by_name, src_types)
+            dfile = {
+                "content": 0,  # data
+                "file_path": os.path.abspath(dest),
+                "file_format": "PARQUET",
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(dest),
+                "equality_ids": None,
+                # footer-derived min/max per field id (numeric/
+                # temporal only — see _file_bounds) so planners can
+                # data-skip without opening the file
+                "lower_bounds": lb,
+                "upper_bounds": ub,
+            }
+            if pvals is not None:
+                dfile["partition"] = pvals
+            data_files.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": None,
+                    # null → inherit the snapshot's sequence number
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": dfile,
+                }
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    return data_files
+
+
+def _data_manifest_schema(
+    spec_tuples: list[tuple[str, str, str]],
+    part_avro_types: dict[str, str],
+) -> dict:
+    """_MANIFEST_SCHEMA, extended with the spec's per-spec partition
+    record when the table is partitioned."""
+    if not spec_tuples:
+        return _MANIFEST_SCHEMA
+    import copy
+
+    mschema = copy.deepcopy(_MANIFEST_SCHEMA)
+    dfields = next(
+        f for f in mschema["fields"] if f["name"] == "data_file"
+    )["type"]["fields"]
+    dfields.append(
+        {
+            "name": "partition",
+            "type": {
+                "type": "record",
+                "name": "r102",
+                "fields": [
+                    {
+                        "name": name,
+                        "type": ["null", part_avro_types[name]],
+                    }
+                    for name, _t, _s in spec_tuples
+                ],
+            },
+        }
+    )
+    return mschema
+
+
+def _partition_summaries(
+    spec_tuples: list[tuple[str, str, str]],
+    src_types: dict[str, str],
+    data_files: list[dict],
+):
+    """Per-field partition summaries (manifest-list field 507) so
+    planners can skip a whole manifest from the list record alone."""
+    if not spec_tuples or not data_files:
+        return None
+    out = []
+    for name, transform, src in spec_tuples:
+        vals = [
+            (e["data_file"].get("partition") or {}).get(name)
+            for e in data_files
+        ]
+        nonnull = [v for v in vals if v is not None]
+        bt = _partition_bound_type(transform, src_types[src])
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": (
+                    _encode_bound(min(nonnull), bt) if nonnull else None
+                ),
+                "upper_bound": (
+                    _encode_bound(max(nonnull), bt) if nonnull else None
+                ),
+            }
+        )
+    return out
+
+
 def write_iceberg(
     spark: SparkSession,
     table: str,
@@ -1322,162 +1520,29 @@ def write_iceberg(
             f.name: i + 1 for i, f in enumerate(df.schema.fields)
         }
 
-    # stamp parquet field ids on every table column (the spec
-    # REQUIRES data files to carry them; they also make the files
-    # rename-proof under resolve="field-id" reads)
-    df = df.select(
-        *[
-            F.col(f.name).alias(
-                f.name,
-                metadata={"parquet.field.id": ids_by_name[f.name]},
-            )
-            if f.name in ids_by_name
-            else F.col(f.name)
-            for f in df.schema.fields
-        ]
-    )
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-
-    # stage parquet via a scratch dir, then move under data/.
-    # Partitioned: helper __ibp_* columns carry the computed tuple so
-    # partitionBy drops ONLY them — table columns all stay in the
-    # data files
     commit = uuid.uuid4().hex[:12]
-    stage = os.path.join(table, f"_stage_{commit}")
-    if spec_tuples:
-        helpers = {
-            f"__ibp_{name}": iceberg_transform_col(
-                transform, src, src_types[src]
-            )
-            for name, transform, src in spec_tuples
-        }
-        (
-            df.withColumns(helpers)
-            .repartition(*[F.col(h) for h in helpers])
-            .write.mode("overwrite")
-            .partitionBy(*helpers)
-            .parquet(stage)
-        )
-    else:
-        df.write.mode("overwrite").parquet(stage)
-    data_files: list[dict] = []
-    for root, _dirs, files in sorted(os.walk(stage)):
-        pvals = None
-        if spec_tuples:
-            pieces = dict(
-                p.split("=", 1)
-                for p in os.path.relpath(root, stage).split(os.sep)
-                if "=" in p
-            )
-            if len(pieces) != len(spec_tuples):
-                if any(f.endswith(".parquet") for f in files):
-                    raise ValueError(
-                        f"staged file outside the partition layout: {root}"
-                    )
-                continue
-            pvals = {
-                name: _parse_partition_dir_value(
-                    pieces[f"__ibp_{name}"], part_avro_types[name]
-                )
-                for name, _t, _s in spec_tuples
-            }
-        for fname in sorted(files):
-            if not fname.endswith(".parquet"):
-                continue
-            dest = os.path.join(
-                data_dir, f"{commit}-{len(data_files):05d}-{fname}"
-            )
-            os.replace(os.path.join(root, fname), dest)
-            import pyarrow.parquet as papq
-
-            lb, ub = _file_bounds(dest, ids_by_name, src_types)
-            dfile = {
-                "content": 0,  # data
-                "file_path": os.path.abspath(dest),
-                "file_format": "PARQUET",
-                "record_count": papq.ParquetFile(dest).metadata.num_rows,
-                "file_size_in_bytes": os.path.getsize(dest),
-                "equality_ids": None,
-                # footer-derived min/max per field id (numeric/
-                # temporal only — see _file_bounds) so planners can
-                # data-skip without opening the file
-                "lower_bounds": lb,
-                "upper_bounds": ub,
-            }
-            if pvals is not None:
-                dfile["partition"] = pvals
-            data_files.append(
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": None,
-                    # null → inherit the snapshot's sequence number
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": dfile,
-                }
-            )
-    import shutil
-
-    shutil.rmtree(stage, ignore_errors=True)
+    data_files = _stage_table_data(
+        spark,
+        table,
+        df,
+        spec_tuples,
+        src_types,
+        ids_by_name,
+        part_avro_types,
+        commit,
+    )
 
     snapshot_id = version + 1  # deterministic, monotone
     seq = snapshot_id  # v2 sequence number, assigned per commit
     manifest_path = os.path.join(md, f"manifest-{commit}.avro")
-    if spec_tuples:
-        import copy
-
-        mschema = copy.deepcopy(_MANIFEST_SCHEMA)
-        dfields = next(
-            f for f in mschema["fields"] if f["name"] == "data_file"
-        )["type"]["fields"]
-        dfields.append(
-            {
-                "name": "partition",
-                "type": {
-                    "type": "record",
-                    "name": "r102",
-                    "fields": [
-                        {
-                            "name": name,
-                            "type": ["null", part_avro_types[name]],
-                        }
-                        for name, _t, _s in spec_tuples
-                    ],
-                },
-            }
-        )
-        write_avro_file(manifest_path, mschema, data_files)
-    else:
-        write_avro_file(manifest_path, _MANIFEST_SCHEMA, data_files)
-
-    # per-field partition summaries so planners can skip this whole
-    # manifest from the list record alone
-    partitions_summary = None
-    if spec_tuples and data_files:
-        partitions_summary = []
-        for name, transform, src in spec_tuples:
-            vals = [
-                (e["data_file"].get("partition") or {}).get(name)
-                for e in data_files
-            ]
-            nonnull = [v for v in vals if v is not None]
-            bt = _partition_bound_type(transform, src_types[src])
-            partitions_summary.append(
-                {
-                    "contains_null": any(v is None for v in vals),
-                    "contains_nan": None,
-                    "lower_bound": (
-                        _encode_bound(min(nonnull), bt)
-                        if nonnull
-                        else None
-                    ),
-                    "upper_bound": (
-                        _encode_bound(max(nonnull), bt)
-                        if nonnull
-                        else None
-                    ),
-                }
-            )
+    write_avro_file(
+        manifest_path,
+        _data_manifest_schema(spec_tuples, part_avro_types),
+        data_files,
+    )
+    partitions_summary = _partition_summaries(
+        spec_tuples, src_types, data_files
+    )
 
     prior_records = _prior_manifest_records(table, meta)
     list_records = prior_records + [
@@ -1772,6 +1837,283 @@ def write_iceberg_equality_deletes(
         ):
             staged.append((path, n, eq_ids))
     return _commit_delete_snapshot(table, meta, staged, commit, 2, None)
+
+
+def rewrite_iceberg_deletes(
+    spark: SparkSession, table: str
+) -> tuple[int, int]:
+    """Delete-file COMPACTION — the `rewrite_position_deletes` /
+    `rewrite_data_files`-style maintenance the MoR read path implies
+    (without it a long-lived table accumulates delete files forever):
+    rewrite the data files the current snapshot's position/equality
+    deletes touch WITH the deletes applied, drop every delete manifest
+    from the new snapshot, and keep untouched data files as EXISTING
+    entries (their original sequence numbers made explicit — the
+    spec's rule for rewritten manifests, since inheritance only covers
+    ADDED entries). Old snapshots keep their manifest lists untouched
+    and stay time-travelable. Returns (new snapshot id, number of data
+    files rewritten); a table with no delete files is a no-op
+    returning the current snapshot.
+
+    Scale shape: the affected-file set comes from a distributed scan
+    of the delete files joined against the live-file list (the
+    collect is file-bounded, same O(manifests) driver budget as every
+    commit here); the rewrite itself is one distributed scan +
+    anti-join per _apply_row_deletes and a distributed staged write.
+    Equality deletes gate on sequence number only (a data file older
+    than any equality delete is rewritten even if no row matches —
+    conservative; a bounds-based refinement could skip some).
+
+    Reference anchor: Iceberg's RewriteDataFiles/RewritePositionDelete
+    maintenance actions (public spec + docs); the reference engine
+    (JobScraper) has no table maintenance at all."""
+    meta = iceberg_metadata(table)
+    md = _metadata_dir(table)
+    data, deletes, eq_deletes = _snapshot_files(table)
+    if not deletes and not eq_deletes:
+        return meta["current-snapshot-id"], 0
+
+    # --- the affected data-file set -------------------------------
+    affected_paths: set[str] = set()
+    if deletes:
+        live = spark.createDataFrame(
+            [(r["path"], r["seq"]) for r in data],
+            "orig string, seq long",
+        ).select(
+            "orig", "seq", _norm_uri(F.col("orig")).alias("__nfp")
+        )
+        del_parts = [
+            spark.read.schema("file_path string, pos long")
+            .parquet(r["path"])
+            .select(
+                _norm_uri(F.col("file_path")).alias("__dfp"),
+                F.lit(r["seq"]).alias("__dseq"),
+            )
+            for r in deletes
+        ]
+        del_df = del_parts[0]
+        for p in del_parts[1:]:
+            del_df = del_df.unionByName(p)
+        affected_paths = {
+            r.orig
+            for r in del_df.join(
+                F.broadcast(live), F.col("__dfp") == F.col("__nfp")
+            )
+            .where(F.col("__dseq") >= F.col("seq"))
+            .select("orig")
+            .distinct()
+            .collect()
+        }
+    if eq_deletes:
+        max_eq = max(r["seq"] for r in eq_deletes)
+        affected_paths |= {
+            r["path"] for r in data if r["seq"] < max_eq
+        }
+    affected = [r for r in data if r["path"] in affected_paths]
+
+    # --- rewrite the affected files with deletes applied ----------
+    commit = uuid.uuid4().hex[:12]
+    new_entries: list[dict] = []
+    spec_id = meta.get("default-spec-id", 0)
+    names_by_id = _schema_field_names_by_id(meta)
+    src_types = {
+        f["name"]: f["type"] for f in _current_schema(meta)["fields"]
+    }
+    spec_tuples = [
+        (f["name"], f["transform"], names_by_id[f["source-id"]])
+        for f in _partition_spec_fields(meta, spec_id)
+    ]
+    part_avro_types = {
+        name: _spec_avro_type(transform, src_types[src])
+        for name, transform, src in spec_tuples
+    }
+    ids_by_name = {name: fid for fid, name in names_by_id.items()}
+    if affected:
+        compacted = _apply_row_deletes(
+            spark, meta, _spark_ddl(meta), affected, deletes, eq_deletes
+        )
+        new_entries = _stage_table_data(
+            spark,
+            table,
+            compacted,
+            spec_tuples,
+            src_types,
+            ids_by_name,
+            part_avro_types,
+            commit,
+        )
+
+    # --- rewrite the manifest inventory ---------------------------
+    version = _metadata_version(md)
+    snapshot_id = version + 1
+    seq = snapshot_id
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, prior = read_avro_records(
+        _resolve_path(table, snap["manifest-list"])
+    )
+    list_records: list[dict] = []
+    rewritten = 0
+    for i, m in enumerate(prior):
+        if (m.get("content") or 0) == 1:
+            continue  # delete manifests: dropped — that's the point
+        mschema, entries = read_avro_records(
+            _resolve_path(table, m["manifest_path"])
+        )
+        live_entries = [
+            e for e in entries if e["status"] != _STATUS_DELETED
+        ]
+        touched = [
+            e
+            for e in live_entries
+            if _resolve_path(table, e["data_file"]["file_path"])
+            in affected_paths
+        ]
+        if not touched:
+            # untouched manifest: re-reference as-is
+            list_records.append(
+                {
+                    **{
+                        k: m.get(k)
+                        for k in (
+                            "manifest_path",
+                            "manifest_length",
+                            "partitions",
+                        )
+                    },
+                    "partition_spec_id": m.get("partition_spec_id", 0),
+                    "content": 0,
+                    "sequence_number": m.get("sequence_number", 0),
+                    "min_sequence_number": m.get(
+                        "min_sequence_number", 0
+                    ),
+                    "added_snapshot_id": m.get("added_snapshot_id")
+                    or 0,
+                    "added_files_count": m.get("added_files_count", 0),
+                    "existing_files_count": m.get(
+                        "existing_files_count", 0
+                    ),
+                    "deleted_files_count": m.get(
+                        "deleted_files_count", 0
+                    ),
+                    "added_rows_count": m.get("added_rows_count", 0),
+                    "existing_rows_count": m.get(
+                        "existing_rows_count", 0
+                    ),
+                    "deleted_rows_count": m.get("deleted_rows_count", 0),
+                }
+            )
+            continue
+        # rewritten manifest: replaced entries flip to DELETED, kept
+        # ones to EXISTING — both with inheritance resolved to
+        # explicit sequence numbers (the original manifest's seq)
+        out_entries = []
+        kept = dropped = 0
+        kept_rows = dropped_rows = 0
+        min_seq = None
+        for e in live_entries:
+            e_seq = e.get("sequence_number")
+            if e_seq is None:
+                e_seq = m.get("sequence_number", 0)
+            e_snap = e.get("snapshot_id")
+            if e_snap is None:
+                e_snap = m.get("added_snapshot_id") or 0
+            replaced = (
+                _resolve_path(table, e["data_file"]["file_path"])
+                in affected_paths
+            )
+            n = e["data_file"].get("record_count", 0)
+            if replaced:
+                dropped += 1
+                dropped_rows += n
+                status = _STATUS_DELETED
+                e_snap = snapshot_id  # deleted BY this snapshot
+            else:
+                kept += 1
+                kept_rows += n
+                status = 0  # EXISTING
+                min_seq = (
+                    e_seq if min_seq is None else min(min_seq, e_seq)
+                )
+            out_entries.append(
+                {
+                    **e,
+                    "status": status,
+                    "snapshot_id": e_snap,
+                    "sequence_number": e_seq,
+                    "file_sequence_number": e.get(
+                        "file_sequence_number"
+                    )
+                    or e_seq,
+                }
+            )
+        rewritten += dropped
+        if not kept and not dropped:
+            continue
+        new_mpath = os.path.join(
+            md, f"manifest-{commit}-rw{i:03d}.avro"
+        )
+        write_avro_file(new_mpath, mschema, out_entries)
+        list_records.append(
+            {
+                "manifest_path": os.path.abspath(new_mpath),
+                "manifest_length": os.path.getsize(new_mpath),
+                "partition_spec_id": m.get("partition_spec_id", 0),
+                "partitions": m.get("partitions"),
+                "content": 0,
+                "sequence_number": m.get("sequence_number", 0),
+                "min_sequence_number": (
+                    min_seq
+                    if min_seq is not None
+                    else m.get("min_sequence_number", 0)
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": kept,
+                "deleted_files_count": dropped,
+                "added_rows_count": 0,
+                "existing_rows_count": kept_rows,
+                "deleted_rows_count": dropped_rows,
+            }
+        )
+    if new_entries:
+        new_mpath = os.path.join(md, f"manifest-{commit}.avro")
+        write_avro_file(
+            new_mpath,
+            _data_manifest_schema(spec_tuples, part_avro_types),
+            new_entries,
+        )
+        list_records.append(
+            {
+                "manifest_path": os.path.abspath(new_mpath),
+                "manifest_length": os.path.getsize(new_mpath),
+                "partition_spec_id": spec_id,
+                "partitions": _partition_summaries(
+                    spec_tuples, src_types, new_entries
+                ),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(new_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in new_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
+    write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
+    _publish_metadata(
+        md, meta, version, snapshot_id, seq, list_path, "replace"
+    )
+    return snapshot_id, len(affected)
 
 
 def _publish_metadata(

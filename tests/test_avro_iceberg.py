@@ -1546,3 +1546,117 @@ def test_iceberg_field_id_add_column_evolution(spark, tmp_path):
     rows = {r.k: r.extra for r in
             read_iceberg(spark, t, resolve="field-id").collect()}
     assert rows[0] is None and rows[5] == 105 and rows[6] == 106
+
+
+def test_rewrite_deletes_compacts_partitioned_table(spark, tmp_path):
+    """r18 delete-file compaction on a PARTITIONED table: rewritten
+    files land under the table's default spec with partition tuples
+    in the new manifest (pruning still works), untouched files ride
+    EXISTING entries with their original sequence numbers, every
+    delete manifest is gone, and the old snapshot time-travels."""
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        iceberg_metadata,
+        rewrite_iceberg_deletes,
+        write_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "rwpart")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_iceberg(
+        spark, t, df, partition_spec=[("p", "identity", "p")]
+    )
+    files = sorted(
+        f.replace("file:", "")
+        for f in read_iceberg(spark, t).inputFiles()
+    )
+    scan = spark.read.parquet(*files).withColumns({
+        "fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ),
+        "pos": F.col("_metadata.row_index"),
+    })
+    write_iceberg_deletes(
+        spark, t,
+        scan.where(F.col("k") % 5 == 0).select(
+            F.col("fp").alias("file_path"), "pos"
+        ),
+    )
+    pre = sorted(
+        (r.k, r.p, r.v) for r in read_iceberg(spark, t).collect()
+    )
+    snap_pre = iceberg_metadata(t)["current-snapshot-id"]
+    sid, n = rewrite_iceberg_deletes(spark, t)
+    assert n > 0
+    post = sorted(
+        (r.k, r.p, r.v) for r in read_iceberg(spark, t).collect()
+    )
+    assert post == pre
+    assert all(k % 5 != 0 for k, _p, _v in post)
+    _d, pos_after, eq_after = _snapshot_files(t)
+    assert pos_after == [] and eq_after == []
+    # partition pruning still plans only the p=2 file(s)
+    pruned = read_iceberg(spark, t, partition_filters={"p": 2})
+    assert sorted(r.k for r in pruned.collect()) == [
+        k for k in range(40) if k % 4 == 2 and k % 5 != 0
+    ]
+    # the pre-compaction snapshot still reads identically
+    old = sorted(
+        (r.k, r.p, r.v)
+        for r in read_iceberg(spark, t, snapshot_id=snap_pre).collect()
+    )
+    assert old == pre
+    assert sid != snap_pre
+
+
+def test_rewrite_deletes_keeps_untouched_files_existing(
+    spark, tmp_path
+):
+    """Compaction must not rewrite files the deletes cannot touch: a
+    post-delete append's files keep their ORIGINAL paths (EXISTING
+    re-reference, no churn), and only pre-delete files are replaced."""
+    from jobminer_spark.sources.avro import read_avro_records
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        rewrite_iceberg_deletes,
+        write_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "rwkeep")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1),
+    )
+    files_v1 = set(iceberg_live_files(t))
+    scan = spark.read.parquet(*files_v1).withColumns({
+        "fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ),
+        "pos": F.col("_metadata.row_index"),
+    })
+    write_iceberg_deletes(
+        spark, t,
+        scan.where(F.col("k") < 3).select(
+            F.col("fp").alias("file_path"), "pos"
+        ),
+    )
+    write_iceberg(
+        spark, t,
+        spark.range(10, 20).select(F.col("id").alias("k")).coalesce(1),
+    )
+    files_v3 = set(iceberg_live_files(t))
+    untouched = files_v3 - files_v1
+    _sid, n = rewrite_iceberg_deletes(spark, t)
+    assert n == len(files_v1)
+    files_after = set(iceberg_live_files(t))
+    # the post-delete append's files survive at their original paths
+    assert untouched <= files_after
+    # every pre-delete (position-targeted) file is replaced
+    assert not (files_v1 & files_after)
+    assert sorted(
+        r.k for r in read_iceberg(spark, t).collect()
+    ) == list(range(3, 20))
