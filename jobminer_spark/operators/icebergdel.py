@@ -389,7 +389,60 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
         F.count(F.lit(1)), F.sum("val_q")
     ).collect()[0]
 
+    # sorted-write table (r18): CREATE with a sort order, a second
+    # append inheriting it — per-file clustering + metadata/manifest
+    # stamping verified here (file-bounded footer reads)
+    import pyarrow.parquet as _papq2
+
+    from jobminer_spark.sources.avro import (
+        read_avro_records as _rar_so,
+    )
+
+    so_table = os.path.join(work, "sorted")
+    write_iceberg(
+        spark,
+        so_table,
+        rows.filter(F.col("event_id") % 2 == 0),
+        sort_order=[("val_q", "asc")],
+    )
+    write_iceberg(
+        spark, so_table, rows.filter(F.col("event_id") % 2 == 1)
+    )
+    so_meta = iceberg_metadata(so_table)
+    so_recorded = int(
+        so_meta.get("default-sort-order-id") == 1
+        and any(
+            o["order-id"] == 1
+            and o["fields"]
+            and o["fields"][0].get("direction") == "asc"
+            for o in so_meta.get("sort-orders", [])
+        )
+    )
+    so_files_sorted = 1
+    for p in iceberg_live_files(so_table):
+        vals = _papq2.read_table(p, columns=["val_q"])[
+            "val_q"
+        ].to_pylist()
+        if vals != sorted(vals):
+            so_files_sorted = 0
+    so_snap = next(
+        s
+        for s in so_meta["snapshots"]
+        if s["snapshot-id"] == so_meta["current-snapshot-id"]
+    )
+    _s, so_manifests = _rar_so(so_snap["manifest-list"])
+    so_stamped = 1
+    for m in so_manifests:
+        _s, so_entries = _rar_so(m["manifest_path"])
+        for e in so_entries:
+            if e["data_file"].get("sort_order_id") != 1:
+                so_stamped = 0
+
     _SCENARIO_CACHE[cache_key] = {
+        "sorted": so_table,
+        "so_recorded": so_recorded,
+        "so_files_sorted": so_files_sorted,
+        "so_stamped": so_stamped,
         "rwdel": rw_table,
         "rw_parity": int(tuple(pre) == tuple(post)),
         "rw_deletes_after": len(rw_pos_after) + len(rw_eq_after),
@@ -779,4 +832,41 @@ def iceberg_rewrite_deletes_audit(
         f"CAST({s['rw_parity']} AS BIGINT) AS scan_parity",
         f"CAST({s['rw_travel_ok']} AS BIGINT) AS old_snapshot_ok",
         f"CAST({s['rw_files_rewritten']} AS BIGINT) AS files_rewritten",
+    )
+
+
+@query(
+    "iceberg_sort_order_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           CAST(1 AS BIGINT) AS order_recorded,
+           CAST(1 AS BIGINT) AS files_sorted,
+           CAST(1 AS BIGINT) AS entries_stamped
+    """,
+)
+def iceberg_sort_order_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write-side SORT ORDERS (r18, VERDICT r17 item 6): a table
+    created with sort_order=[(val_q, asc)] and a second append that
+    INHERITS it. Pinned: the metadata records order-id 1 as the
+    default (order_recorded), every data file across both snapshots
+    is internally sorted on val_q (files_sorted — per-file
+    verification, which a global-orderBy-then-split or a forgotten
+    partitionBy re-sort would fail), manifest entries stamp
+    sort_order_id=1 (entries_stamped), and the full corpus
+    round-trips (count/checksum recomputed by the oracle)."""
+    s = _scenario(spark, sf_dir)
+    agg = read_iceberg(spark, s["sorted"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    return agg.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['so_recorded']} AS BIGINT) AS order_recorded",
+        f"CAST({s['so_files_sorted']} AS BIGINT) AS files_sorted",
+        f"CAST({s['so_stamped']} AS BIGINT) AS entries_stamped",
     )

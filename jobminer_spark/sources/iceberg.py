@@ -142,6 +142,11 @@ _MANIFEST_SCHEMA = {
                     {"name": "file_size_in_bytes", "type": "long"},
                     {"name": "equality_ids",
                      "type": ["null", {"type": "array", "items": "int"}]},
+                    # the spec's field 140: the sort order the file's
+                    # rows are clustered by (null/0 = unsorted); the
+                    # Avro encoder writes null for records missing
+                    # the key, so delete manifests stay byte-valid
+                    {"name": "sort_order_id", "type": ["null", "int"]},
                     # the spec's bounds maps (fields 125-128): logical
                     # map<int, binary> as array<record{key, value}>,
                     # record names per the spec's k/v convention
@@ -1248,6 +1253,54 @@ def _parse_partition_dir_value(raw: str, avro_type: str):
     return unquote(raw)
 
 
+def _sort_exprs(sort_cols: list[tuple[str, str]]):
+    """Per-file sort expressions for a table sort order — Iceberg's
+    default null ordering (nulls-first under asc, nulls-last under
+    desc)."""
+    out = []
+    for c, d in sort_cols:
+        if d == "asc":
+            out.append(F.col(c).asc_nulls_first())
+        elif d == "desc":
+            out.append(F.col(c).desc_nulls_last())
+        else:
+            raise ValueError(f"sort direction must be asc/desc: {d!r}")
+    return out
+
+
+def _default_sort_order(
+    meta: dict, names_by_id: dict[int, str]
+) -> tuple[list[tuple[str, str]], int]:
+    """The table's default sort order as (column, direction) pairs
+    plus its order id (([], 0) for unsorted tables). Only identity
+    sort transforms are writable; anything else refuses loudly
+    rather than silently writing unsorted files stamped with the
+    order id."""
+    so_id = meta.get("default-sort-order-id", 0)
+    order = next(
+        (
+            o
+            for o in meta.get("sort-orders", [])
+            if o["order-id"] == so_id
+        ),
+        None,
+    )
+    if not order or not order.get("fields"):
+        return [], 0
+    cols: list[tuple[str, str]] = []
+    for f in order["fields"]:
+        if f.get("transform", "identity") != "identity":
+            raise ValueError(
+                "unsupported sort transform "
+                f"{f.get('transform')!r} in sort order {so_id} — "
+                "this writer sorts identity columns only"
+            )
+        cols.append(
+            (names_by_id[f["source-id"]], f.get("direction", "asc"))
+        )
+    return cols, so_id
+
+
 def _stage_table_data(
     spark: SparkSession,
     table: str,
@@ -1257,6 +1310,8 @@ def _stage_table_data(
     ids_by_name: dict[str, int],
     part_avro_types: dict[str, str],
     commit: str,
+    sort_cols: list[tuple[str, str]] | None = None,
+    sort_order_id: int = 0,
 ) -> list[dict]:
     """Stage ``df`` as table data files and return their ADDED
     manifest entries — the write core write_iceberg and
@@ -1293,15 +1348,29 @@ def _stage_table_data(
             )
             for name, transform, src in spec_tuples
         }
-        (
-            df.withColumns(helpers)
-            .repartition(*[F.col(h) for h in helpers])
-            .write.mode("overwrite")
-            .partitionBy(*helpers)
-            .parquet(stage)
+        staged_df = df.withColumns(helpers).repartition(
+            *[F.col(h) for h in helpers]
         )
+        if sort_cols:
+            # the table sort order clusters WITHIN each file — a
+            # partition-local sort, never a global range exchange.
+            # The helper columns LEAD the sort so the dynamic-
+            # partition writer's required ordering (partition cols
+            # prefix) is already satisfied and it adds no re-sort of
+            # its own (which would destroy the k-order)
+            staged_df = staged_df.sortWithinPartitions(
+                *[F.col(h) for h in helpers], *_sort_exprs(sort_cols)
+            )
+        staged_df.write.mode("overwrite").partitionBy(
+            *helpers
+        ).parquet(stage)
     else:
-        df.write.mode("overwrite").parquet(stage)
+        staged_df = df
+        if sort_cols:
+            staged_df = staged_df.sortWithinPartitions(
+                *_sort_exprs(sort_cols)
+            )
+        staged_df.write.mode("overwrite").parquet(stage)
     data_files: list[dict] = []
     for root, _dirs, files in sorted(os.walk(stage)):
         pvals = None
@@ -1342,6 +1411,11 @@ def _stage_table_data(
                 "record_count": n_rows,
                 "file_size_in_bytes": os.path.getsize(dest),
                 "equality_ids": None,
+                # the order the file's rows are clustered by (spec
+                # field 140); null on unsorted tables
+                "sort_order_id": (
+                    sort_order_id if sort_cols else None
+                ),
                 # footer-derived min/max per field id (numeric/
                 # temporal only — see _file_bounds) so planners can
                 # data-skip without opening the file
@@ -1435,6 +1509,7 @@ def write_iceberg(
     df: DataFrame,
     mode: str = "append",
     partition_spec: list[tuple[str, str, str]] | None = None,
+    sort_order: list[tuple[str, str]] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot (create on first write);
     returns the new snapshot id. Each commit writes its parquet data
@@ -1460,8 +1535,17 @@ def write_iceberg(
     Spark task per partition tuple (repartition on the computed tuple
     + partitionBy over HELPER columns, so data files keep EVERY table
     column — the spec's model, unlike hive), and manifest entries
-    carry the partition record the read-side pruner consumes. Still
-    append-only; sort orders would extend the same chain."""
+    carry the partition record the read-side pruner consumes.
+
+    ``sort_order`` (r18): (column, asc|desc) pairs — recorded in the
+    metadata's sort-orders on CREATE (order-id 1, identity transform,
+    the spec's default null ordering) and honored on EVERY write:
+    rows sort WITHIN each staged file (sortWithinPartitions — a
+    partition-local sort, never a global range exchange) and manifest
+    entries stamp sort_order_id (spec field 140). Appends inherit the
+    table's default order (a conflicting explicit one is an error),
+    and rewrite_iceberg_deletes restores the clustering on
+    compaction. Still append-only."""
     if mode != "append":
         raise ValueError("iceberg writer supports append only")
     md = _metadata_dir(table)
@@ -1496,9 +1580,26 @@ def write_iceberg(
             )
         spec_tuples = existing
         spec_id = meta.get("default-spec-id", 0)
+        sort_cols, so_id = _default_sort_order(meta, names_by_id)
+        if sort_order is not None and [
+            tuple(x) for x in sort_order
+        ] != sort_cols:
+            raise ValueError(
+                f"append sort order {sort_order!r} != the table's "
+                f"default order {sort_cols!r}"
+            )
     else:
         spec_tuples = [tuple(x) for x in (partition_spec or [])]
         spec_id = 0
+        sort_cols = [tuple(x) for x in (sort_order or [])]
+        so_id = 1 if sort_cols else 0
+        for c, d in sort_cols:
+            if d not in ("asc", "desc"):
+                raise ValueError(
+                    f"sort direction must be asc/desc: {d!r}"
+                )
+            if c not in [f.name for f in df.schema.fields]:
+                raise ValueError(f"sort column {c!r} not in schema")
         ddl_inv = {v: k for k, v in _ICEBERG_TO_SPARK.items()}
         src_types = {}
         for f in df.schema.fields:
@@ -1530,6 +1631,8 @@ def write_iceberg(
         ids_by_name,
         part_avro_types,
         commit,
+        sort_cols=sort_cols,
+        sort_order_id=so_id,
     )
 
     snapshot_id = version + 1  # deterministic, monotone
@@ -1607,8 +1710,32 @@ def write_iceberg(
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "default-spec-id": 0,
             "last-partition-id": 999 + len(spec_fields),
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}]
+            + (
+                [
+                    {
+                        "order-id": 1,
+                        "fields": [
+                            {
+                                "transform": "identity",
+                                "source-id": ids_by_name[c],
+                                "direction": d,
+                                # the spec's defaults: nulls sort
+                                # first ascending, last descending
+                                "null-order": (
+                                    "nulls-first"
+                                    if d == "asc"
+                                    else "nulls-last"
+                                ),
+                            }
+                            for c, d in sort_cols
+                        ],
+                    }
+                ]
+                if sort_cols
+                else []
+            ),
+            "default-sort-order-id": so_id,
             "properties": {},
             "snapshots": [],
         }
@@ -1932,6 +2059,8 @@ def rewrite_iceberg_deletes(
         compacted = _apply_row_deletes(
             spark, meta, _spark_ddl(meta), affected, deletes, eq_deletes
         )
+        # compaction restores the table's sort clustering
+        sort_cols, so_id = _default_sort_order(meta, names_by_id)
         new_entries = _stage_table_data(
             spark,
             table,
@@ -1941,6 +2070,8 @@ def rewrite_iceberg_deletes(
             ids_by_name,
             part_avro_types,
             commit,
+            sort_cols=sort_cols,
+            sort_order_id=so_id,
         )
 
     # --- rewrite the manifest inventory ---------------------------

@@ -1660,3 +1660,117 @@ def test_rewrite_deletes_keeps_untouched_files_existing(
     assert sorted(
         r.k for r in read_iceberg(spark, t).collect()
     ) == list(range(3, 20))
+
+
+def test_iceberg_sort_order_write_and_inherit(spark, tmp_path):
+    """r18 write-side sort orders: CREATE with sort_order records
+    order-id 1 (identity transform, spec default null ordering) as the
+    table default, every staged file is internally sorted (checked
+    row-by-row per file), manifest entries stamp sort_order_id=1, and
+    a plain append INHERITS the order while a conflicting explicit
+    one refuses."""
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.avro import read_avro_records
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        iceberg_metadata,
+    )
+
+    t = str(tmp_path / "sorted")
+    df = spark.range(0, 64).select(
+        (F.col("id") * 37 % 64).alias("k"),
+        (F.col("id") % 4).alias("p"),
+        F.col("id").alias("v"),
+    ).repartition(5)
+    write_iceberg(
+        spark, t, df,
+        partition_spec=[("p", "identity", "p")],
+        sort_order=[("k", "asc")],
+    )
+    meta = iceberg_metadata(t)
+    assert meta["default-sort-order-id"] == 1
+    (order,) = [
+        o for o in meta["sort-orders"] if o["order-id"] == 1
+    ]
+    assert order["fields"] == [{
+        "transform": "identity", "source-id": 1,
+        "direction": "asc", "null-order": "nulls-first",
+    }]
+    # a second append inherits the order without restating it
+    write_iceberg(
+        spark, t,
+        spark.range(64, 96).select(
+            (F.col("id") * 37 % 64).alias("k"),
+            (F.col("id") % 4).alias("p"),
+            F.col("id").alias("v"),
+        ),
+    )
+    # conflicting explicit order: loud
+    with pytest.raises(ValueError, match="sort order"):
+        write_iceberg(
+            spark, t,
+            df.limit(1),
+            sort_order=[("v", "desc")],
+        )
+    # every data file is internally sorted on k
+    for p in iceberg_live_files(t):
+        ks = papq.read_table(p, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks), p
+    # manifest entries carry sort_order_id = 1
+    snap = meta_now = iceberg_metadata(t)
+    snap_rec = next(
+        s for s in meta_now["snapshots"]
+        if s["snapshot-id"] == meta_now["current-snapshot-id"]
+    )
+    _, manifests = read_avro_records(snap_rec["manifest-list"])
+    seen = []
+    for m in manifests:
+        _, entries = read_avro_records(m["manifest_path"])
+        seen.extend(
+            e["data_file"].get("sort_order_id") for e in entries
+        )
+    assert seen and all(s == 1 for s in seen)
+    # the read round-trips the full corpus
+    assert read_iceberg(spark, t).count() == 96
+
+
+def test_rewrite_deletes_restores_sort_clustering(spark, tmp_path):
+    """Compaction on a sorted table re-sorts the rewritten files and
+    stamps their entries with the table's sort order id."""
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        rewrite_iceberg_deletes,
+        write_iceberg_deletes,
+    )
+    import pyarrow.parquet as papq
+
+    t = str(tmp_path / "sortedrw")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 50).select(
+            (F.col("id") * 29 % 50).alias("k"), F.col("id").alias("v")
+        ).coalesce(1),
+        sort_order=[("k", "asc")],
+    )
+    files = iceberg_live_files(t)
+    scan = spark.read.parquet(*files).withColumns({
+        "fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ),
+        "pos": F.col("_metadata.row_index"),
+    })
+    write_iceberg_deletes(
+        spark, t,
+        scan.where(F.col("k") % 7 == 0).select(
+            F.col("fp").alias("file_path"), "pos"
+        ),
+    )
+    _sid, n = rewrite_iceberg_deletes(spark, t)
+    assert n == len(files)
+    for p in iceberg_live_files(t):
+        ks = papq.read_table(p, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks), p
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == [
+        k for k in range(50) if k % 7 != 0
+    ]

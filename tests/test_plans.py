@@ -789,3 +789,25 @@ def test_heavy_hitters_sketch_exchange_reused_at_runtime(spark):
     assert "ReusedExchange" in final
     # exactly two corpus scans in the executed tree
     assert final.count("Scan parquet") == 2
+
+
+def test_iceberg_sorted_write_plans_local_sort_no_range_exchange(spark):
+    """The sorted-write staging shape (r18 sort orders): helper-led
+    sortWithinPartitions plans a NON-GLOBAL Sort (global=false) with
+    no rangepartitioning exchange — a global orderBy would serialize
+    the whole write through one range shuffle at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.sources.iceberg import _sort_exprs
+
+    df = (
+        spark.range(0, 100)
+        .select((F.col("id") % 4).alias("p"), F.col("id").alias("k"))
+        .repartition(F.col("p"))
+        .sortWithinPartitions(F.col("p"), *_sort_exprs([("k", "asc")]))
+    )
+    plan = physical_plan(df)
+    # Sort node args end "..., false, 0" = global=false (local sort)
+    assert "ASC NULLS FIRST], false, 0" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(p" in plan  # the layout repartition
