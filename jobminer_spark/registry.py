@@ -342,6 +342,33 @@ ORACLES: dict[str, str] = {}
 #     mapped-table writes, manifest summaries, field-id resolution)
 #     ride the ALREADY-WINDOWED delta/iceberg audit rows, which the
 #     driver attests against the final r17 tree.
+#   round 18 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below, regenerated from scripts/attestation_histogram.py over
+#     CORRECTNESS_r01..r17, amended from the r17-written plan per the
+#     standing modified-module rule): slots 1-4 the never-attested
+#     queries — the two r17-new obligations (heavy_hitters_two_pass,
+#     now attesting the r18 DISTRIBUTED candidate merge per VERDICT
+#     r17 item 2, and iceberg_stats_skipping_audit) plus the two
+#     r18-new audits (iceberg_rewrite_deletes_audit,
+#     iceberg_sort_order_audit) fronted with their module siblings;
+#     slots 5-26 the AMEND the standing rule requires —
+#     sources/delta.py, sources/iceberg.py and operators/icebergdel.py
+#     are r18-modified (ADVICE r17 fixes, identity overwrite,
+#     delete-file compaction, sort orders), so all 22 queries they
+#     back re-attest (avro_roundtrip_audit stands: avro.py untouched;
+#     lakehouse.py untouched); slots 27-50 the first 24 of the 36
+#     r12-debt queries in registration order (ann_pq_trained_recall
+#     through python_stream_datasource_parity).
+#     SLIPS to r19 (displaced by the 22 amend slots): the last 12
+#     r12-debt queries — stream_dyngap_session_parity,
+#     cdc_apply_snapshot, cdc_apply_counts,
+#     stream_cdc_lakehouse_parity, packed_sequence_manifest,
+#     sequence_packing_stats, leakage_safe_split_counts,
+#     split_leakage_audit, token_budget_waterfill,
+#     variant_extraction_stats, cohort_daily_retention,
+#     attribution_removal_effects — then the oldest r13 rows (44 of
+#     them, token_count_stats first). AMEND at r19 rotation time for
+#     any module modified after this rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -512,24 +539,30 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # slots 1-3: plain-file round-trip audits (operators/
-    # fileformats.py) — r16-new, never driver-attested
-    "orc_roundtrip_audit",
-    "csv_roundtrip_audit",
-    "jsonl_roundtrip_audit",
-    # slots 4-7: Delta maintenance + read-optimization audits
-    # (operators/deltamaint.py, operators/deltascan.py) — r16-new,
-    # never driver-attested
-    "delta_partitioned_optimize_audit",
-    "delta_vacuum_audit",
-    "delta_stats_skipping_audit",
-    "delta_changes_incremental_audit",
-    # slots 8-14: the Delta reader-v3/merge-on-read audits
-    # (operators/deltadv.py) — r16-new, never driver-attested; the
-    # backing sources/delta.py carries this round's executor-side DV
-    # decode + ADVICE r16 fixes, and delta_column_mapping_read_audit
-    # gained its id-mode leg this round, so these rows attest the
-    # newest code in the repo
+    # --- round 18 window (regenerated from
+    # scripts/attestation_histogram.py over CORRECTNESS_r01..r17 —
+    # committed as ATTESTATION_HISTOGRAM_r18.txt — amended from the
+    # r17-written plan per the standing modified-module rule) ---
+    #
+    # slots 1-4: the NEVER-driver-attested queries. Slots 1-2 are the
+    # two r17-new past-window obligations VERDICT r17 item 1 names
+    # (heavy_hitters_two_pass attests the r18 DISTRIBUTED candidate
+    # merge — broadcast semi-join, no INSET — per item 2); slots 3-4
+    # are r18-new (delete-file compaction, write-side sort orders),
+    # fronted with their module siblings rather than waiting for r19
+    "heavy_hitters_two_pass",
+    "iceberg_stats_skipping_audit",
+    "iceberg_rewrite_deletes_audit",
+    "iceberg_sort_order_audit",
+    # slots 5-26: AMEND — sources/delta.py (ADVICE r17 fixes: id-mode
+    # ignoreMissing pin, identity persist, legacy-CDC inline
+    # partitions, mapped-append nullability; identity OVERWRITE),
+    # sources/iceberg.py (float partition values, staging/manifest
+    # refactor, sort orders, compaction) and operators/icebergdel.py
+    # are r18-MODIFIED, so every query they back whose r17 row
+    # attested pre-fix code re-attests here (avro.py untouched:
+    # avro_roundtrip_audit stands on its r16 row; lakehouse.py has
+    # its own commit machinery and is untouched)
     "delta_deletion_vector_read_audit",
     "delta_column_mapping_read_audit",
     "delta_multipart_checkpoint_audit",
@@ -537,56 +570,55 @@ _WINDOW_FRONT: list[str] = [
     "delta_merge_on_read_update_audit",
     "delta_restore_audit",
     "delta_change_feed_audit",
-    # slots 15-17: Iceberg row-level-delete/expiration audits
-    # (operators/icebergdel.py) — r16-new, never driver-attested; the
-    # equality audit carries the r17 multi-spec + null-row fixture
-    "iceberg_position_delete_audit",
-    "iceberg_expire_snapshots_audit",
-    "iceberg_equality_delete_audit",
-    # slot 18: r17-NEW partition-transform read audit — fronted with
-    # its module's never-attested siblings
-    "iceberg_partition_transform_audit",
-    # slots 19-25: AMEND — sources/delta.py and sources/iceberg.py
-    # are r17-modified, so these r16-attested rows re-attest the
-    # post-fix readers/writers (avro.py untouched: avro_roundtrip
-    # stands on its r16 row)
+    "delta_partitioned_optimize_audit",
+    "delta_vacuum_audit",
+    "delta_stats_skipping_audit",
+    "delta_changes_incremental_audit",
     "delta_log_read_audit",
     "delta_partitioned_read_audit",
     "delta_checkpoint_replay_audit",
     "delta_optimize_compaction_audit",
-    "iceberg_metadata_read_audit",
     "stream_delta_sink_exactly_once",
     "lakehouse_delta_export_parity",
-    # slots 26-37: the 12 r11-debt stragglers slipped from the r16
-    # window (named in the r16 plan comment above)
-    "kmeans_lloyd_clusters",
-    "revenue_trend_slope_per_segment",
-    "doc_surprisal_bits",
-    "mmr_diverse_topk",
-    "time_weighted_avg_value",
-    "sql_text_pricing_summary",
-    "sql_text_window_running_revenue",
-    "sql_text_join_agg_subquery",
-    "cusum_changepoint_alarms",
-    "purchase_touch_attribution",
-    "value_histogram_equi_width",
-    "hot_key_skew_report",
-    # slots 38-50: the first 13 of the 49 last-green-r12 queries in
-    # registration order; the remaining 36 slip to r18 — see the
-    # rotation-plan comment above
-    "stream_batch_parity",
-    "stream_session_parity",
-    "stream_sink_parity",
-    "stream_stateful_parity",
-    "kmeans_lloyd_audit",
-    "q4_order_priority_checking",
-    "q10_returned_item_reporting",
-    "q12_priority_class_buckets",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q22_global_avg_scalar_subquery",
-    "variance_stats_by_event_type",
+    "iceberg_metadata_read_audit",
+    "iceberg_position_delete_audit",
+    "iceberg_expire_snapshots_audit",
+    "iceberg_equality_delete_audit",
+    "iceberg_partition_transform_audit",
+    # slots 27-50: the first 24 of the 36 last-green-r12 queries in
+    # registration order (VERDICT r17 item 1's debt list); the
+    # remaining 12 (stream_dyngap_session_parity, cdc_apply_snapshot,
+    # cdc_apply_counts, stream_cdc_lakehouse_parity,
+    # packed_sequence_manifest, sequence_packing_stats,
+    # leakage_safe_split_counts, split_leakage_audit,
+    # token_budget_waterfill, variant_extraction_stats,
+    # cohort_daily_retention, attribution_removal_effects) slip to
+    # r19, displaced by the 22 amend slots. AMEND at r19 rotation
+    # time for any module modified after this rotation.
+    "ann_pq_trained_recall",
+    "stream_admission_parity",
+    "range_band_join_event_values",
+    "tumbling_window_hourly",
+    "sliding_window_1h_30m",
+    "session_window_5m_gap",
+    "json_props_extraction",
+    "event_type_stats",
+    "first_write_wins_dedup",
+    "dict_first_match_resolution",
+    "skill_token_classification",
+    "multiword_containment_join",
+    "variant_normalization",
+    "skills_per_doc_grouped",
+    "skill_category_share",
+    "embedding_label_centroid_norms",
+    "ann_ivf_trained_topk",
+    "ann_ivf_trained_recall",
+    "salted_aggregation_equivalence",
+    "salted_join_equivalence",
+    "stream_funnel_parity",
+    "stream_dedup_parity",
+    "stream_static_join_parity",
+    "python_stream_datasource_parity",
 ]
 
 

@@ -2502,6 +2502,11 @@ def test_identity_assignment_pins_partitioning(spark, tmp_path):
     )
 
     t = str(tmp_path / "ident_det")
+    # other suites may legitimately hold caches in the shared
+    # session — assert NET-zero growth, not an empty registry
+    cached_before = (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    )
     write_delta(spark, t, _df(spark, 0, 1).select(
         F.lit(1).cast("long").alias("rid"), "k", "v", "tag"
     ))
@@ -2521,8 +2526,12 @@ def test_identity_assignment_pins_partitioning(spark, tmp_path):
         if f["name"] == "rid"
     )
     assert int(md["delta.identity.highWaterMark"]) == max(rids)
-    # nothing left cached once the commit returned
-    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # the identity pass left nothing NEW cached once the commit
+    # returned
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        == cached_before
+    )
 
 
 def test_type_widening_reads_narrow_files(spark, tmp_path):
