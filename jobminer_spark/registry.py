@@ -354,7 +354,8 @@ ORACLES: dict[str, str] = {}
 #     slots 5-26 the AMEND the standing rule requires —
 #     sources/delta.py, sources/iceberg.py and operators/icebergdel.py
 #     are r18-modified (ADVICE r17 fixes, identity overwrite,
-#     delete-file compaction, sort orders), so all 22 queries they
+#     mapped-table data-only overwrite, delete-file compaction, sort
+#     orders), so all 22 queries they
 #     back re-attest (avro_roundtrip_audit stands: avro.py untouched;
 #     lakehouse.py untouched); slots 27-50 the first 24 of the 36
 #     r12-debt queries in registration order (ann_pq_trained_recall
@@ -558,7 +559,8 @@ _WINDOW_FRONT: list[str] = [
     # ignoreMissing pin, identity persist, legacy-CDC inline
     # partitions, mapped-append nullability; identity OVERWRITE),
     # sources/iceberg.py (float partition values, staging/manifest
-    # refactor, sort orders, compaction) and operators/icebergdel.py
+    # refactor, sort orders, compaction), mapped-table data-only
+    # OVERWRITE, and operators/icebergdel.py
     # are r18-MODIFIED, so every query they back whose r17 row
     # attested pre-fix code re-attests here (avro.py untouched:
     # avro_roundtrip_audit stands on its r16 row; lakehouse.py has

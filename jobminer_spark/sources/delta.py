@@ -1370,21 +1370,6 @@ def _enforce_constraints(
         )
 
 
-def _check_not_mapped(meta: dict) -> None:
-    """Overwrite is the one write this engine still refuses on
-    column-mapped tables: replacing the schema would mean assigning
-    fresh physical names/ids, which belongs to the engine that owns
-    the mapping. Appends, OPTIMIZE and merge-on-read mutations stage
-    under PHYSICAL names via _to_physical (r17) and are allowed."""
-    conf = (meta or {}).get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") not in ("", "none"):
-        raise ValueError(
-            "refusing to write: overwriting a column-mapped table "
-            "would re-assign its physical naming — append/OPTIMIZE/"
-            "delete/update are the supported writes here"
-        )
-
-
 def _to_physical(
     spark: SparkSession,
     df: DataFrame,
@@ -1474,7 +1459,6 @@ def write_delta(
         identity_table = False
         try:
             if current >= 0 and mode == "overwrite":
-                _check_not_mapped(prev_meta)
                 ow_batch = df
                 identity_table = any(
                     _identity_md(f.get("metadata") or {})
@@ -1510,6 +1494,49 @@ def write_delta(
                             f"{prev_meta['schemaString']}"
                         )
                     stage_df = ow_batch
+                if _mapping_mode(prev_meta) in ("name", "id"):
+                    # data-only overwrite of a column-mapped table
+                    # (r18; previously refused): the mapped schema and
+                    # its physical naming are PRESERVED — assigning
+                    # fresh physical names/ids belongs to the engine
+                    # that owns the mapping, so a schema- or
+                    # layout-changing overwrite still refuses via the
+                    # checks below; a shape-identical batch stages
+                    # under physical names and replaces the data
+                    if part_cols != prev_meta.get(
+                        "partitionColumns", []
+                    ):
+                        raise ValueError(
+                            "overwrite of a column-mapped table must "
+                            f"keep its partitioning {prev_meta.get('partitionColumns', [])}"
+                            f"; got {part_cols} (re-laying out the "
+                            "table would re-key its physically-named "
+                            "partitionValues)"
+                        )
+                    prev_f = json.loads(prev_meta["schemaString"])[
+                        "fields"
+                    ]
+                    df_f = json.loads(_schema_string(ow_batch))["fields"]
+                    if len(prev_f) != len(df_f) or not all(
+                        p["name"] == d["name"]
+                        and p["type"] == d["type"]
+                        and (
+                            p.get("nullable", True)
+                            or not d.get("nullable", True)
+                        )
+                        for p, d in zip(prev_f, df_f)
+                    ):
+                        raise ValueError(
+                            "overwrite of a column-mapped table must "
+                            "keep the declared logical schema "
+                            "(evolving it would re-assign the "
+                            "physical naming); got "
+                            f"{_schema_string(ow_batch)} vs "
+                            f"{prev_meta['schemaString']}"
+                        )
+                    phys = _physical_map(prev_meta)
+                    stage_df = _to_physical(spark, ow_batch, prev_meta)
+                    stage_parts = [phys[c] for c in part_cols]
                 # a plain overwrite REPLACES the schema (its field
                 # metadata and generated columns with it); the
                 # configuration — and the CHECK constraints living in
@@ -1665,6 +1692,12 @@ def write_delta(
                             "partitionColumns": part_cols,
                         }}
                     )
+            elif _mapping_mode(prev_meta) in ("name", "id"):
+                # mapped data-only overwrite: schema (with its mapping
+                # metadata) and layout were pinned equal above — no
+                # metaData republish, which would otherwise strip the
+                # physical names/ids
+                pass
             elif prev_meta.get(
                 "partitionColumns", []
             ) != part_cols or json.loads(

@@ -664,22 +664,18 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
 
 def test_column_mapping_writes(spark, tmp_path):
     """r17: mapped tables accept APPEND (staged under physical names,
-    logical-shape schema check) and merge-on-read DELETE; OVERWRITE
-    stays refused — replacing the schema would re-assign the physical
-    naming."""
+    logical-shape schema check) and merge-on-read DELETE; r18 adds
+    data-only OVERWRITE (schema and physical naming preserved) while
+    a schema-evolving overwrite stays refused."""
     import pyarrow.parquet as pq
 
     from jobminer_spark.sources.delta import delete_delta
 
     t = str(tmp_path / "cmap_w")
     _craft_mapped_table(spark, t)
+    # schema-EVOLVING overwrite: still loud (would re-assign mapping)
     with pytest.raises(ValueError, match="column-mapped"):
-        write_delta(
-            spark,
-            t,
-            spark.range(9, 11).select(F.col("id").alias("k")),
-            mode="overwrite",
-        )
+        write_delta(spark, t, _df(spark, 0, 2), mode="overwrite")
     # logical-shape mismatch: loud
     with pytest.raises(ValueError, match="logical schema"):
         write_delta(spark, t, _df(spark, 0, 2))
@@ -2577,3 +2573,51 @@ def test_type_widening_reads_narrow_files(spark, tmp_path):
         (r.k, r.x, str(r.m)) for r in read_delta(spark, t).collect()
     )
     assert got == [(1, 1.5, "12.3400"), (2, 2.5, "56.7800")]
+
+
+def test_column_mapping_overwrite_data_only(spark, tmp_path):
+    """r18: data-only OVERWRITE of a column-mapped table — the batch
+    matches the declared logical shape, the data is replaced, the
+    mapped schemaString (physical names, ids) survives UNTOUCHED in
+    the log, and the new files carry physical column names. A
+    layout-changing overwrite refuses."""
+    import pyarrow.parquet as pq
+
+    from jobminer_spark.sources.delta import (
+        _replay,
+        delta_latest_version,
+    )
+
+    t = str(tmp_path / "cmap_ow")
+    _craft_mapped_table(spark, t)
+    before = _replay(t, delta_latest_version(t))[1]["schemaString"]
+    write_delta(
+        spark, t,
+        spark.range(9, 12).select(F.col("id").alias("k")),
+        mode="overwrite",
+    )
+    df = read_delta(spark, t)
+    assert sorted(r.k for r in df.collect()) == [9, 10, 11]
+    # the mapped schema (with physical names/ids) is preserved
+    after = _replay(t, delta_latest_version(t))[1]["schemaString"]
+    assert json.loads(after) == json.loads(before)
+    # the replacement files carry the PHYSICAL column name
+    for f in df.inputFiles():
+        assert pq.read_schema(f.replace("file:", "")).names == [
+            "col-9f2"
+        ]
+    # and the table remains appendable/readable afterwards
+    write_delta(
+        spark, t, spark.range(20, 22).select(F.col("id").alias("k"))
+    )
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+        9, 10, 11, 20, 21,
+    ]
+    # layout change refuses
+    with pytest.raises(ValueError, match="partitioning"):
+        write_delta(
+            spark, t,
+            spark.range(0, 2).select(F.col("id").alias("k")),
+            mode="overwrite",
+            partition_by=["k"],
+        )
