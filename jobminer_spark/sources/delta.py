@@ -47,9 +47,11 @@ UUID-named `<v>.checkpoint.<uuid>.{parquet,json}` files with
 checkpointMetadata self-validation and parquet sidecars under
 `_delta_log/_sidecars/`, every named sidecar required). typeWidening reads narrow-typed
 files exactly under the declared wide schema (native scan widening,
-decimal rescale included). Reads REJECT loudly anything beyond that
-subset (unknown readerFeatures such as variantType, reader versions
-above 3) — the protocol's mandated behavior for unknown features. WRITES: append/overwrite/OPTIMIZE/
+decimal rescale included). variantType columns read and write
+natively through Spark 4's VariantType (r18). Reads REJECT loudly
+anything beyond that subset (unknown readerFeatures such as
+collations, reader versions above 3) — the protocol's mandated
+behavior for unknown features. WRITES: append/overwrite/OPTIMIZE/
 VACUUM, plus MERGE-ON-READ DELETE (`delete_delta` — predicate deletes
 written as deletion vectors, bitmaps built in executors, the first DV
 commit upgrading the table to reader 3/writer 7 with the feature
@@ -110,6 +112,10 @@ _DELTA_TO_SPARK = {
     "timestamp": "timestamp",
     "timestamp_ntz": "timestamp_ntz",
     "binary": "binary",
+    # r18: Spark 4's VariantType round-trips natively through the
+    # parquet scan/write (binary metadata+value encoding, the
+    # variantType reader feature's physical layout)
+    "variant": "variant",
 }
 
 # Reader version 3 gates support per-FEATURE; this is the subset the
@@ -126,6 +132,11 @@ _SUPPORTED_READER_FEATURES = {
     # narrow-typed files, incl. the decimal-rescale corner
     "typeWidening",
     "typeWidening-preview",
+    # r18: variant columns read natively through Spark 4's
+    # VariantType (schemaString type "variant" → DDL "variant";
+    # parse/extract surface attested by the variantops queries)
+    "variantType",
+    "variantType-preview",
 }
 
 
@@ -1058,6 +1069,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # type-change metadata is vacuous for this writer
     "typeWidening",
     "typeWidening-preview",
+    # r18: variant columns stage natively via Spark's parquet writer
+    "variantType",
+    "variantType-preview",
 }
 # legacy writer versions imply feature sets (the protocol's table)
 _LEGACY_WRITER_FEATURES = {
@@ -1652,15 +1666,38 @@ def write_delta(
                 .lower()
                 == "true"
             )
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 1,
-                        # CDF requires writer version 4 per the protocol
-                        "minWriterVersion": 4 if cdf_on else 2,
-                    }
-                }
+            has_variant = any(
+                f.dataType.simpleString() == "variant"
+                for f in df.schema.fields
             )
+            if has_variant:
+                # variant columns demand the table-features protocol:
+                # reader 3 + writer 7 with variantType listed (plus
+                # CDF's feature when enabled at creation)
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["variantType"],
+                            "writerFeatures": sorted(
+                                {"variantType"}
+                                | ({"changeDataFeed"} if cdf_on else set())
+                            ),
+                        }
+                    }
+                )
+            else:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            # CDF requires writer version 4 per the
+                            # protocol
+                            "minWriterVersion": 4 if cdf_on else 2,
+                        }
+                    }
+                )
             actions.append(
                 {
                     "metaData": {

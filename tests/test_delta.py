@@ -446,16 +446,17 @@ _META = {
 
 def test_rejection_matrix_unknown_reader_features(spark, tmp_path):
     """Reader v3 gates per feature: anything outside the implemented
-    set must fail loudly BY NAME — variantType here, which this
-    reader has no code to consume."""
+    set must fail loudly BY NAME — collations-preview here, which
+    this reader has no code to consume (variantType graduated to the
+    supported set in r18)."""
     t = str(tmp_path / "unkfeat")
     _craft_log(t, {0: [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["variantType"],
-                      "writerFeatures": ["variantType"]}},
+                      "readerFeatures": ["collations-preview"],
+                      "writerFeatures": ["collations-preview"]}},
         {"metaData": _META},
     ]})
-    with pytest.raises(ValueError, match="variantType"):
+    with pytest.raises(ValueError, match="collations-preview"):
         read_delta(spark, t)
 
 
@@ -2621,3 +2622,56 @@ def test_column_mapping_overwrite_data_only(spark, tmp_path):
             mode="overwrite",
             partition_by=["k"],
         )
+
+
+def test_delta_variant_column_roundtrip(spark, tmp_path):
+    """r18: the variantType feature graduates from the rejection
+    matrix — a table CREATED with a Spark VariantType column publishes
+    reader 3/writer 7 with variantType listed, appends stage the
+    binary encoding natively, reads resolve typed paths, and a
+    FOREIGN-crafted variantType table (feature splice) reads instead
+    of refusing."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delta_latest_version,
+    )
+
+    t = str(tmp_path / "variant")
+    doc = F.parse_json(F.concat(
+        F.lit('{"a": '), F.col("id").cast("string"),
+        F.lit(', "m": {"b": '), (F.col("id") * 2).cast("string"),
+        F.lit("}}"),
+    ))
+    write_delta(
+        spark, t,
+        spark.range(0, 10).select(F.col("id").alias("k"), doc.alias("v")),
+    )
+    _a, _r, meta, _t2, proto = _replay_full(t, delta_latest_version(t))
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+    assert any(
+        f["type"] == "variant"
+        for f in json.loads(meta["schemaString"])["fields"]
+    )
+    # append composes; typed extraction reads the binary encoding
+    write_delta(
+        spark, t,
+        spark.range(10, 15).select(F.col("id").alias("k"), doc.alias("v")),
+    )
+    got = read_delta(spark, t).select(
+        "k",
+        F.try_variant_get(F.col("v"), "$.a", "long").alias("a"),
+        F.try_variant_get(F.col("v"), "$.m.b", "long").alias("b"),
+    )
+    assert sorted((r.k, r.a, r.b) for r in got.collect()) == [
+        (i, i, 2 * i) for i in range(15)
+    ]
+    # overwrite keeps working on the feature-bearing table
+    write_delta(
+        spark, t,
+        spark.range(0, 3).select(F.col("id").alias("k"), doc.alias("v")),
+        mode="overwrite",
+    )
+    assert read_delta(spark, t).count() == 3
