@@ -389,6 +389,164 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
         F.count(F.lit(1)), F.sum("val_q")
     ).collect()[0]
 
+    # format-v3 DELETION-VECTOR table (r18): a foreign-shaped v3
+    # table — two single-file appends, then a spliced delete snapshot
+    # carrying a Puffin DV for the even file (removing its
+    # event_id%10==0 rows) AND a parquet position-delete file naming
+    # BOTH files' event_id%9==1 rows; the spec's supersede rule must
+    # ignore the parquet rows for the DV-covered file. Construction
+    # is fixture-bounded driver work (the roaring blob serializes
+    # from materialized positions); the READ under audit decodes in
+    # executors.
+    from jobminer_spark.sources.avro import (
+        write_avro_file as _waf_v3,
+    )
+    from jobminer_spark.sources.avro import (
+        read_avro_records as _rar_v3,
+    )
+    from jobminer_spark.sources.iceberg import (
+        _MANIFEST_LIST_SCHEMA,
+    )
+    from jobminer_spark.sources.puffin import (
+        serialize_dv_blob,
+        write_puffin,
+    )
+
+    v3_table = os.path.join(work, "v3dv")
+    write_iceberg(
+        spark, v3_table,
+        rows.filter(F.col("event_id") % 2 == 0).coalesce(1),
+    )
+    write_iceberg(
+        spark, v3_table,
+        rows.filter(F.col("event_id") % 2 == 1).coalesce(1),
+    )
+    v3_files = iceberg_live_files(v3_table)
+    pos_scan = {
+        p: [
+            (int(r.pos), int(r.event_id))
+            for r in spark.read.parquet(p)
+            .select(
+                F.col("_metadata.row_index").alias("pos"), "event_id"
+            )
+            .collect()
+        ]
+        for p in v3_files
+    }
+    f_even = next(
+        p for p, rows_ in pos_scan.items()
+        if all(e % 2 == 0 for _pos, e in rows_)
+    )
+    (f_odd,) = [p for p in v3_files if p != f_even]
+    dv_positions = [
+        pos for pos, e in pos_scan[f_even] if e % 10 == 0
+    ]
+    puffin_path = os.path.join(v3_table, "data", "dv-0001.puffin")
+    (prec,) = write_puffin(puffin_path, [{
+        "type": "deletion-vector-v1",
+        "payload": serialize_dv_blob(dv_positions),
+        "snapshot_id": 3, "sequence_number": 3,
+        "properties": {"referenced-data-file": f_even,
+                       "cardinality": str(len(dv_positions))},
+    }])
+    import pyarrow as _pa3
+    import pyarrow.parquet as _papq3
+
+    pd_rows = [
+        (p, pos)
+        for p in (f_even, f_odd)
+        for pos, e in pos_scan[p]
+        if e % 9 == 1
+    ]
+    pd_path = os.path.join(v3_table, "data", "posdel-0001.parquet")
+    _papq3.write_table(
+        _pa3.table({
+            "file_path": _pa3.array([p for p, _ in pd_rows]),
+            "pos": _pa3.array(
+                [pos for _, pos in pd_rows], _pa3.int64()
+            ),
+        }),
+        pd_path,
+    )
+    v3_entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"]},
+                    {"name": "content_offset",
+                     "type": ["null", "long"]},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"]},
+                ],
+            }},
+        ],
+    }
+    v3_md = os.path.join(v3_table, "metadata")
+    dm = os.path.join(v3_md, "manifest-v3dv.avro")
+    _waf_v3(dm, v3_entry_schema, [
+        {"status": 1, "snapshot_id": None, "sequence_number": None,
+         "file_sequence_number": None,
+         "data_file": {
+             "content": 1, "file_path": os.path.abspath(puffin_path),
+             "file_format": "PUFFIN",
+             "record_count": len(dv_positions),
+             "file_size_in_bytes": os.path.getsize(puffin_path),
+             "referenced_data_file": f_even,
+             "content_offset": prec["offset"],
+             "content_size_in_bytes": prec["length"]}},
+        {"status": 1, "snapshot_id": None, "sequence_number": None,
+         "file_sequence_number": None,
+         "data_file": {
+             "content": 1, "file_path": os.path.abspath(pd_path),
+             "file_format": "PARQUET", "record_count": len(pd_rows),
+             "file_size_in_bytes": os.path.getsize(pd_path),
+             "referenced_data_file": None, "content_offset": None,
+             "content_size_in_bytes": None}},
+    ])
+    v3_meta = iceberg_metadata(v3_table)
+    v3_cur = next(
+        s for s in v3_meta["snapshots"]
+        if s["snapshot-id"] == v3_meta["current-snapshot-id"]
+    )
+    _s3, v3_records = _rar_v3(v3_cur["manifest-list"])
+    v3_records.append({
+        "manifest_path": os.path.abspath(dm),
+        "manifest_length": os.path.getsize(dm),
+        "partition_spec_id": 0, "content": 1, "sequence_number": 3,
+        "min_sequence_number": 3, "added_snapshot_id": 3,
+        "added_files_count": 2, "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": len(dv_positions) + len(pd_rows),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    })
+    v3_list = os.path.join(v3_md, "snap-3-v3dv.avro")
+    _waf_v3(v3_list, _MANIFEST_LIST_SCHEMA, v3_records)
+    v3_meta["format-version"] = 3
+    v3_meta["next-row-id"] = 1000  # v3 row lineage (read-ignored)
+    v3_meta["last-sequence-number"] = 3
+    v3_meta["snapshots"].append({
+        "snapshot-id": 3, "sequence-number": 3, "timestamp-ms": 0,
+        "manifest-list": os.path.abspath(v3_list),
+        "summary": {"operation": "delete"},
+    })
+    v3_meta["current-snapshot-id"] = 3
+    with open(os.path.join(v3_md, "v9.metadata.json"), "w") as f:
+        _json.dump(v3_meta, f)
+    with open(os.path.join(v3_md, "version-hint.text"), "w") as f:
+        f.write("9")
+
     # sorted-write table (r18): CREATE with a sort order, a second
     # append inheriting it — per-file clustering + metadata/manifest
     # stamping verified here (file-bounded footer reads)
@@ -439,6 +597,7 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
                 so_stamped = 0
 
     _SCENARIO_CACHE[cache_key] = {
+        "v3dv": v3_table,
         "sorted": so_table,
         "so_recorded": so_recorded,
         "so_files_sorted": so_files_sorted,
@@ -869,4 +1028,45 @@ def iceberg_sort_order_audit(
         f"CAST({s['so_recorded']} AS BIGINT) AS order_recorded",
         f"CAST({s['so_files_sorted']} AS BIGINT) AS files_sorted",
         f"CAST({s['so_stamped']} AS BIGINT) AS entries_stamped",
+    )
+
+
+@query(
+    "iceberg_v3_dv_read_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE (event_id % 2 = 0 AND event_id % 10 <> 0)
+                OR (event_id % 2 = 1 AND event_id % 9 <> 1))
+             AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE (event_id % 2 = 0 AND event_id % 10 <> 0)
+                OR (event_id % 2 = 1 AND event_id % 9 <> 1))
+             AS ck,
+           CAST(3 AS BIGINT) AS format_version
+    """,
+)
+def iceberg_v3_dv_read_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Format v3 DELETION VECTORS (r18): a foreign-shaped v3 table
+    whose delete snapshot carries a Puffin roaring DV for the even
+    file (event_id%10==0 rows) plus a parquet position-delete file
+    naming BOTH files' event_id%9==1 rows. The read must decode the
+    Puffin blob (executor-side), apply it to exactly its referenced
+    file, apply the parquet deletes to the OTHER file, and — the
+    spec's supersede rule — IGNORE the parquet rows targeting the
+    DV-covered file (event_id%9==1 evens SURVIVE; %9==1 is odd-only
+    mod 18, so both branches carry live rows). The oracle recomputes
+    survivors from raw events by the same predicates; format_version
+    pins that the table really reads as v3."""
+    from jobminer_spark.sources.iceberg import iceberg_metadata
+
+    s = _scenario(spark, sf_dir)
+    fv = iceberg_metadata(s["v3dv"]).get("format-version")
+    return read_iceberg(spark, s["v3dv"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    ).selectExpr(
+        "n_rows", "ck", f"CAST({fv} AS BIGINT) AS format_version"
     )

@@ -247,6 +247,12 @@ def _snapshot_files(
     numbers inherit from the manifest-list record when null (the
     spec's inheritance rule)."""
     meta = iceberg_metadata(table)
+    fv = meta.get("format-version", 1)
+    if fv > 3:
+        raise ValueError(
+            f"unsupported Iceberg format-version {fv} (this reader "
+            "implements versions 1-3)"
+        )
     snaps = meta.get("snapshots", [])
     if not snaps:
         return [], [], []
@@ -301,7 +307,35 @@ def _snapshot_files(
             if content == 0:
                 data.append(rec)
             elif content == 1:
-                deletes.append(rec)
+                if (df_.get("file_format") or "").upper() == "PUFFIN":
+                    # format v3 DELETION VECTOR: a blob inside a
+                    # Puffin file, scoped to ONE data file
+                    if fv < 3:
+                        raise ValueError(
+                            "Puffin deletion vector "
+                            f"{df_['file_path']} in a format-version "
+                            f"{fv} table — DVs require v3; refusing "
+                            "the spec violation"
+                        )
+                    ref = df_.get("referenced_data_file")
+                    off = df_.get("content_offset")
+                    size = df_.get("content_size_in_bytes")
+                    if not ref or off is None or size is None:
+                        raise ValueError(
+                            "deletion-vector entry "
+                            f"{df_['file_path']} is missing "
+                            "referenced_data_file/content_offset/"
+                            "content_size_in_bytes — cannot apply it, "
+                            "and ignoring it would resurrect deleted "
+                            "rows"
+                        )
+                    rec["puffin"] = True
+                    rec["referenced_file"] = _resolve_path(table, ref)
+                    rec["content_offset"] = int(off)
+                    rec["content_size"] = int(size)
+                    deletes.append(rec)
+                else:
+                    deletes.append(rec)
             elif content == 2:
                 ids = df_.get("equality_ids")
                 if not ids:
@@ -1051,10 +1085,12 @@ def _apply_row_deletes(
         "__ib_live_fp string, __ib_data_seq long",
     )
     if deletes:
+        dv_recs = [r for r in deletes if r.get("puffin")]
+        pq_recs = [r for r in deletes if not r.get("puffin")]
         # position-delete rows: distributed scan of the delete files,
         # each stamped with its file's sequence number
         del_parts = []
-        for r in deletes:
+        for r in pq_recs:
             del_parts.append(
                 spark.read.schema("file_path string, pos long")
                 .parquet(r["path"])
@@ -1064,6 +1100,81 @@ def _apply_row_deletes(
                     F.lit(r["seq"]).alias("__ib_del_seq"),
                 )
             )
+        if dv_recs:
+            # format-v3 deletion vectors: the roaring blobs decode IN
+            # EXECUTORS (one Arrow row per descriptor, each task
+            # reading its own Puffin byte range — same shape as the
+            # Delta DV decode), so the driver never materializes a
+            # position list
+            desc = spark.createDataFrame(
+                [
+                    (
+                        r["path"],
+                        r["content_offset"],
+                        r["content_size"],
+                        r["referenced_file"],
+                        r["seq"],
+                    )
+                    for r in dv_recs
+                ],
+                "puffin string, off long, size long, ref string,"
+                " seq long",
+            )
+
+            def _decode_dvs(iterator):
+                import pandas as pd
+
+                from jobminer_spark.sources.puffin import (
+                    deserialize_dv_blob,
+                    read_puffin_blob,
+                )
+
+                for pdf in iterator:
+                    for row in pdf.itertuples(index=False):
+                        positions = deserialize_dv_blob(
+                            read_puffin_blob(
+                                row.puffin, row.off, row.size
+                            )
+                        )
+                        yield pd.DataFrame(
+                            {
+                                "__ib_fp": row.ref,
+                                "__ib_pos": pd.Series(
+                                    positions, dtype="int64"
+                                ),
+                                "__ib_del_seq": row.seq,
+                            }
+                        )
+
+            dv_df = (
+                desc.repartition(max(len(dv_recs) // 4, 1))
+                .mapInPandas(
+                    _decode_dvs,
+                    "__ib_fp string, __ib_pos long, __ib_del_seq long",
+                )
+                .select(
+                    _norm_uri(F.col("__ib_fp")).alias("__ib_fp"),
+                    "__ib_pos",
+                    "__ib_del_seq",
+                )
+            )
+            if del_parts:
+                # the v3 supersede rule: a data file covered by a DV
+                # must IGNORE position-delete files targeting it (the
+                # DV replaced them); refs are file-bounded, broadcast
+                refs = spark.createDataFrame(
+                    [(r["referenced_file"],) for r in dv_recs],
+                    "__ib_ref string",
+                ).select(_norm_uri(F.col("__ib_ref")).alias("__ib_ref"))
+                del_parts = [
+                    p.join(
+                        F.broadcast(refs),
+                        p["__ib_fp"] == F.col("__ib_ref"),
+                        "left_anti",
+                    )
+                    for p in del_parts
+                ]
+            del_parts.append(dv_df)
         del_df = del_parts[0]
         for p in del_parts[1:]:
             del_df = del_df.unionByName(p)
@@ -2002,7 +2113,15 @@ def rewrite_iceberg_deletes(
 
     # --- the affected data-file set -------------------------------
     affected_paths: set[str] = set()
-    if deletes:
+    pq_del_recs = [r for r in deletes if not r.get("puffin")]
+    # format-v3 DVs NAME their target file in the manifest entry — no
+    # scan needed to find the affected set
+    dv_refs = {
+        r["referenced_file"] for r in deletes if r.get("puffin")
+    }
+    if dv_refs:
+        affected_paths |= {r["path"] for r in data if r["path"] in dv_refs}
+    if pq_del_recs:
         live = spark.createDataFrame(
             [(r["path"], r["seq"]) for r in data],
             "orig string, seq long",
@@ -2016,12 +2135,12 @@ def rewrite_iceberg_deletes(
                 _norm_uri(F.col("file_path")).alias("__dfp"),
                 F.lit(r["seq"]).alias("__dseq"),
             )
-            for r in deletes
+            for r in pq_del_recs
         ]
         del_df = del_parts[0]
         for p in del_parts[1:]:
             del_df = del_df.unionByName(p)
-        affected_paths = {
+        affected_paths |= {
             r.orig
             for r in del_df.join(
                 F.broadcast(live), F.col("__dfp") == F.col("__nfp")
@@ -2269,7 +2388,9 @@ def _publish_metadata(
     new_version = version + 1
     meta = dict(meta)
     meta["current-snapshot-id"] = snapshot_id
-    meta["format-version"] = 2
+    # v1 tables upgrade to 2; a v3 table must NOT be downgraded (its
+    # row-lineage metadata and DV history are v3-only)
+    meta["format-version"] = max(2, meta.get("format-version", 1))
     meta["last-sequence-number"] = seq
     if "schemas" not in meta and "schema" in meta:
         meta["schemas"] = [{**meta.pop("schema"), "schema-id": 0}]

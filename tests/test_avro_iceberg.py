@@ -1774,3 +1774,225 @@ def test_rewrite_deletes_restores_sort_clustering(spark, tmp_path):
     assert sorted(r.k for r in read_iceberg(spark, t).collect()) == [
         k for k in range(50) if k % 7 != 0
     ]
+
+
+def _v3_dv_schema():
+    """Foreign-shaped manifest-entry schema carrying the v3 DV fields
+    (referenced_data_file, content_offset, content_size_in_bytes)."""
+    return {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"]},
+                    {"name": "content_offset",
+                     "type": ["null", "long"]},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"]},
+                ],
+            }},
+        ],
+    }
+
+
+def _splice_v3_dv(spark, t, fmt_version=3, with_parquet_deletes=True):
+    """Upgrade a two-file table to format v3 and splice a delete
+    snapshot carrying a Puffin DV for file 1 (positions {0, 2}) plus,
+    optionally, a parquet position-delete file naming BOTH files (the
+    file-1 row must be superseded by the DV)."""
+    from jobminer_spark.sources.avro import (
+        read_avro_records as _rar,
+        write_avro_file as _waf,
+    )
+    from jobminer_spark.sources.iceberg import (
+        _MANIFEST_LIST_SCHEMA,
+        iceberg_live_files,
+        iceberg_metadata,
+    )
+    from jobminer_spark.sources.puffin import (
+        serialize_dv_blob,
+        write_puffin,
+    )
+
+    import pyarrow.parquet as _papq3
+
+    md = os.path.join(t, "metadata")
+    # path sort order is random (commit hex): pin f1 = the file that
+    # holds k=0
+    files = iceberg_live_files(t)
+    f1 = next(
+        p
+        for p in files
+        if 0 in _papq3.read_table(p, columns=["k"])["k"].to_pylist()
+    )
+    (f2,) = [p for p in files if p != f1]
+    blob = serialize_dv_blob([0, 2])
+    puffin_path = os.path.join(t, "data", "dv-0001.puffin")
+    (rec,) = write_puffin(puffin_path, [{
+        "type": "deletion-vector-v1", "payload": blob,
+        "snapshot_id": 3, "sequence_number": 3,
+        "properties": {"referenced-data-file": f1, "cardinality": "2"},
+    }])
+    entries = [{
+        "status": 1, "snapshot_id": None, "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 1, "file_path": os.path.abspath(puffin_path),
+            "file_format": "PUFFIN", "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(puffin_path),
+            "referenced_data_file": f1,
+            "content_offset": rec["offset"],
+            "content_size_in_bytes": rec["length"],
+        },
+    }]
+    if with_parquet_deletes:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        pd_path = os.path.join(t, "data", "posdel-0001.parquet")
+        papq.write_table(
+            pa.table({
+                "file_path": pa.array([f1, f2]),
+                "pos": pa.array([1, 1], pa.int64()),
+            }),
+            pd_path,
+        )
+        entries.append({
+            "status": 1, "snapshot_id": None, "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 1, "file_path": os.path.abspath(pd_path),
+                "file_format": "PARQUET", "record_count": 2,
+                "file_size_in_bytes": os.path.getsize(pd_path),
+                "referenced_data_file": None,
+                "content_offset": None,
+                "content_size_in_bytes": None,
+            },
+        })
+    dm = os.path.join(md, "manifest-v3dv.avro")
+    _waf(dm, _v3_dv_schema(), entries)
+    meta = iceberg_metadata(t)
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, records = _rar(cur["manifest-list"])
+    records.append({
+        "manifest_path": os.path.abspath(dm),
+        "manifest_length": os.path.getsize(dm),
+        "partition_spec_id": 0, "content": 1, "sequence_number": 3,
+        "min_sequence_number": 3, "added_snapshot_id": 3,
+        "added_files_count": len(entries), "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 4,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    })
+    new_list = os.path.join(md, "snap-3-v3dv.avro")
+    _waf(new_list, _MANIFEST_LIST_SCHEMA, records)
+    meta["format-version"] = fmt_version
+    meta["next-row-id"] = 100  # v3 row-lineage bookkeeping (ignored)
+    meta["last-sequence-number"] = 3
+    meta["snapshots"].append({
+        "snapshot-id": 3, "sequence-number": 3, "timestamp-ms": 0,
+        "manifest-list": os.path.abspath(new_list),
+        "summary": {"operation": "delete"},
+    })
+    meta["current-snapshot-id"] = 3
+    with open(os.path.join(md, "v9.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("9")
+    return f1, f2
+
+
+def test_iceberg_v3_deletion_vector_read(spark, tmp_path):
+    """Format v3 (r18): a foreign-shaped table carrying a Puffin
+    deletion vector reads correctly — the DV's roaring positions
+    vanish from its referenced file, a position-delete PARQUET row
+    naming the SAME file is superseded (the spec's rule: a DV
+    replaces prior position deletes for its file) while its row for
+    the OTHER file still applies, and v3 metadata fields
+    (next-row-id) pass through harmlessly."""
+    t = str(tmp_path / "v3dv")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 5).select(F.col("id").alias("k")).coalesce(1),
+    )
+    write_iceberg(
+        spark, t,
+        spark.range(5, 10).select(F.col("id").alias("k")).coalesce(1),
+    )
+    f1, f2 = _splice_v3_dv(spark, t)
+    got = sorted(r.k for r in read_iceberg(spark, t).collect())
+    # f1 rows 0,2 dead via DV (its pos-1 parquet row superseded);
+    # f2 row 1 (k=6) dead via the parquet position delete
+    assert got == [1, 3, 4, 5, 7, 8, 9]
+
+
+def test_iceberg_v3_dv_compaction_and_version_gates(spark, tmp_path):
+    """rewrite_iceberg_deletes applies v3 DVs (the affected file
+    comes straight from the manifest entry, no scan), drops the
+    Puffin + parquet delete files from the new snapshot, and KEEPS
+    format-version 3; a DV in a v2 table and format-version 4 both
+    refuse loudly."""
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        iceberg_metadata,
+        rewrite_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "v3rw")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 5).select(F.col("id").alias("k")).coalesce(1),
+    )
+    write_iceberg(
+        spark, t,
+        spark.range(5, 10).select(F.col("id").alias("k")).coalesce(1),
+    )
+    _splice_v3_dv(spark, t)
+    pre = sorted(r.k for r in read_iceberg(spark, t).collect())
+    _sid, n = rewrite_iceberg_deletes(spark, t)
+    assert n == 2  # both files affected (DV + parquet delete)
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == pre
+    _d, dl, eq = _snapshot_files(t)
+    assert dl == [] and eq == []
+    assert iceberg_metadata(t)["format-version"] == 3
+
+    # DV in a v2 table: spec violation, loud
+    t2 = str(tmp_path / "v2dv")
+    write_iceberg(
+        spark, t2,
+        spark.range(0, 5).select(F.col("id").alias("k")).coalesce(1),
+    )
+    write_iceberg(
+        spark, t2,
+        spark.range(5, 10).select(F.col("id").alias("k")).coalesce(1),
+    )
+    _splice_v3_dv(spark, t2, fmt_version=2, with_parquet_deletes=False)
+    with pytest.raises(ValueError, match="format-version 2"):
+        read_iceberg(spark, t2).collect()
+
+    # format-version 4: unknown, loud
+    t3 = str(tmp_path / "v4")
+    write_iceberg(
+        spark, t3,
+        spark.range(0, 3).select(F.col("id").alias("k")),
+    )
+    md3 = os.path.join(t3, "metadata")
+    meta3 = json.load(open(os.path.join(md3, "v1.metadata.json")))
+    meta3["format-version"] = 4
+    with open(os.path.join(md3, "v2.metadata.json"), "w") as f:
+        json.dump(meta3, f)
+    with open(os.path.join(md3, "version-hint.text"), "w") as f:
+        f.write("2")
+    with pytest.raises(ValueError, match="format-version 4"):
+        read_iceberg(spark, t3).collect()
