@@ -1070,3 +1070,88 @@ def iceberg_v3_dv_read_audit(
     ).selectExpr(
         "n_rows", "ck", f"CAST({fv} AS BIGINT) AS format_version"
     )
+
+
+@query(
+    "iceberg_v3_dv_write_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 11 <> 0 AND event_id % 13 <> 0)
+             AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 11 <> 0 AND event_id % 13 <> 0)
+             AS ck,
+           CAST(3 AS BIGINT) AS format_version,
+           CAST(1 AS BIGINT) AS single_dv_per_file
+    """,
+)
+def iceberg_v3_dv_write_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The v3 DV WRITER end to end (r18): two appends, a first DV
+    commit deleting event_id%11==0 rows (upgrading the table to
+    format-version 3 — pinned), then a SECOND DV commit deleting
+    %13==0 rows from the same files — the writer must UNION each
+    file's prior DV into the new blob and rewrite the prior delete
+    manifest so the snapshot keeps AT MOST ONE DV per data file
+    (single_dv_per_file pins the invariant). The oracle recomputes
+    survivors from raw events; a missed union resurrects %11 rows, a
+    leaked superseded entry flips the pin."""
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        iceberg_metadata,
+        write_iceberg_dvs,
+    )
+
+    import os as _os
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "dvwrite",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icedvw_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "dvw")
+        write_iceberg(spark, t, rows.filter(F.col("event_id") % 2 == 0))
+        write_iceberg(spark, t, rows.filter(F.col("event_id") % 2 == 1))
+
+        def _scan():
+            return spark.read.parquet(*iceberg_live_files(t)).select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                "event_id",
+            )
+
+        write_iceberg_dvs(
+            spark, t,
+            _scan().where(F.col("event_id") % 11 == 0).select(
+                "file_path", "pos"
+            ),
+        )
+        write_iceberg_dvs(
+            spark, t,
+            _scan().where(F.col("event_id") % 13 == 0).select(
+                "file_path", "pos"
+            ),
+        )
+        _d, dels, _eq = _snapshot_files(t)
+        refs = [
+            r["referenced_file"] for r in dels if r.get("puffin")
+        ]
+        _SCENARIO_CACHE[cache_key] = {
+            "table": t,
+            "fv": iceberg_metadata(t).get("format-version"),
+            "single": int(bool(refs) and len(refs) == len(set(refs))),
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    return read_iceberg(spark, s["table"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    ).selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['fv']} AS BIGINT) AS format_version",
+        f"CAST({s['single']} AS BIGINT) AS single_dv_per_file",
+    )

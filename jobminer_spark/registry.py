@@ -370,10 +370,11 @@ ORACLES: dict[str, str] = {}
 #     attribution_removal_effects — then the oldest r13 rows (44 of
 #     them, token_count_stats first). r19 must ALSO front the r18-new
 #     past-window queries delta_variant_roundtrip_audit (variantops.py
-#     — the variantType feature graduation) and iceberg_v3_dv_read_audit
-#     (icebergdel.py — format-v3 Puffin deletion vectors), both
-#     registered after the rotation. AMEND at r19 rotation time for
-#     any module modified after this rotation.
+#     — the variantType feature graduation), iceberg_v3_dv_read_audit
+#     and iceberg_v3_dv_write_audit (icebergdel.py — format-v3 Puffin
+#     deletion vectors, read and write), all registered after the
+#     rotation. AMEND at r19 rotation time for any module modified
+#     after this rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

@@ -2077,6 +2077,342 @@ def write_iceberg_equality_deletes(
     return _commit_delete_snapshot(table, meta, staged, commit, 2, None)
 
 
+def _dv_manifest_schema() -> dict:
+    """_MANIFEST_SCHEMA extended with the format-v3 deletion-vector
+    fields (referenced_data_file 143, content_offset 144,
+    content_size_in_bytes 145)."""
+    import copy
+
+    mschema = copy.deepcopy(_MANIFEST_SCHEMA)
+    dfields = next(
+        f for f in mschema["fields"] if f["name"] == "data_file"
+    )["type"]["fields"]
+    dfields.extend(
+        [
+            {"name": "referenced_data_file",
+             "type": ["null", "string"]},
+            {"name": "content_offset", "type": ["null", "long"]},
+            {"name": "content_size_in_bytes",
+             "type": ["null", "long"]},
+        ]
+    )
+    return mschema
+
+
+def write_iceberg_dvs(
+    spark: SparkSession, table: str, deletes: DataFrame
+) -> int:
+    """Commit a format-v3 DELETION-VECTOR snapshot. ``deletes`` is a
+    (file_path string, pos long) relation naming data rows to delete.
+
+    Spec semantics (Iceberg v3): each touched data file gets exactly
+    ONE deletion vector — a roaring bitmap blob in a Puffin file,
+    referenced from a content=1 manifest entry by
+    referenced_data_file + content_offset/content_size_in_bytes. An
+    added DV REPLACES every prior delete for its file, so this writer
+    folds in (a) the file's existing DV and (b) any prior parquet
+    position-delete rows targeting it, then REWRITES prior delete
+    manifests to drop the superseded DV entries (the at-most-one-DV
+    invariant; superseded parquet entries stay — the read-side
+    supersede rule ignores them for DV-covered files, matching
+    foreign tables upgraded from v2). A v2 table upgrades to
+    format-version 3 on the first DV commit (next-row-id row-lineage
+    bookkeeping starts at 0; pre-upgrade files carry no lineage, the
+    spec's upgrade shape).
+
+    Scale shape (the Delta delete_delta pattern): positions group per
+    file and each touched file's blob serializes IN EXECUTORS — one
+    applyInPandas task per file writing its own Puffin sidecar — so
+    the driver collects O(touched files) descriptors, never
+    positions. One shuffle (the per-file grouping)."""
+    meta = iceberg_metadata(table)
+    if not meta.get("snapshots"):
+        raise ValueError("cannot commit deletes to an empty table")
+    md = _metadata_dir(table)
+    data_dir = os.path.join(table, "data")
+    data, old_deletes, _eq = _snapshot_files(table)
+    commit = uuid.uuid4().hex[:12]
+
+    live = spark.createDataFrame(
+        [(r["path"],) for r in data], "orig string"
+    ).select("orig", _norm_uri(F.col("orig")).alias("__nfp"))
+    matched = (
+        deletes.select(
+            _norm_uri(F.col("file_path").cast("string")).alias(
+                "__nfp"
+            ),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .join(F.broadcast(live), "__nfp")
+        .select("orig", "pos")
+    )
+    touched = {
+        r.orig for r in matched.select("orig").distinct().collect()
+    }
+    if not touched:
+        raise ValueError(
+            "empty delete relation (no position names a live data "
+            "file) — nothing to commit"
+        )
+    # fold in prior parquet position-delete rows for touched files:
+    # the new DV must carry EVERY delete for its file
+    pq_old = [r for r in old_deletes if not r.get("puffin")]
+    if pq_old:
+        prior_parts = [
+            spark.read.schema("file_path string, pos long")
+            .parquet(r["path"])
+            .select(
+                _norm_uri(F.col("file_path")).alias("__nfp"),
+                F.col("pos").alias("pos"),
+            )
+            for r in pq_old
+        ]
+        prior = prior_parts[0]
+        for p in prior_parts[1:]:
+            prior = prior.unionByName(p)
+        touched_df = spark.createDataFrame(
+            [(t,) for t in sorted(touched)], "orig string"
+        ).select("orig", _norm_uri(F.col("orig")).alias("__nfp"))
+        matched = matched.unionByName(
+            prior.join(F.broadcast(touched_df), "__nfp").select(
+                "orig", "pos"
+            )
+        )
+    # existing DV descriptors for touched files (file-bounded dict,
+    # closed over by the executor task — decoded there, not here)
+    old_dv = {
+        r["referenced_file"]: (
+            r["path"],
+            r["content_offset"],
+            r["content_size"],
+        )
+        for r in old_deletes
+        if r.get("puffin") and r["referenced_file"] in touched
+    }
+    table_abs = os.path.abspath(table)
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    snapshot_seq = _metadata_version(md) + 1
+
+    def _build_dv(pdf):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import hashlib
+        import os as _os
+
+        import pandas as pd
+
+        from jobminer_spark.sources.puffin import (
+            deserialize_dv_blob,
+            read_puffin_blob,
+            serialize_dv_blob,
+            write_puffin,
+        )
+
+        ref = pdf["orig"].iloc[0]
+        positions = set(int(p) for p in pdf["pos"])
+        old = old_dv.get(ref)
+        if old is not None:
+            positions |= set(
+                deserialize_dv_blob(read_puffin_blob(*old))
+            )
+        name = hashlib.md5(ref.encode()).hexdigest()[:12]
+        ppath = _os.path.join(
+            table_abs, "data", f"dv-{commit}-{name}.puffin"
+        )
+        (rec,) = write_puffin(
+            ppath,
+            [
+                {
+                    "type": "deletion-vector-v1",
+                    "payload": serialize_dv_blob(sorted(positions)),
+                    "snapshot_id": snapshot_seq,
+                    "sequence_number": snapshot_seq,
+                    "properties": {
+                        "referenced-data-file": ref,
+                        "cardinality": str(len(positions)),
+                    },
+                }
+            ],
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "ref": ref,
+                    "puffin": _os.path.abspath(ppath),
+                    "off": int(rec["offset"]),
+                    "size": int(rec["length"]),
+                    "card": len(positions),
+                }
+            ]
+        )
+
+    descriptors = (
+        matched.groupBy("orig")
+        .applyInPandas(
+            _build_dv,
+            "ref string, puffin string, off long, size long,"
+            " card long",
+        )
+        .collect()
+    )
+
+    version = _metadata_version(md)
+    snapshot_id = version + 1
+    seq = snapshot_id
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 1,
+                "file_path": d.puffin,
+                "file_format": "PUFFIN",
+                "record_count": int(d.card),
+                "file_size_in_bytes": os.path.getsize(d.puffin),
+                "equality_ids": None,
+                "referenced_data_file": d.ref,
+                "content_offset": int(d.off),
+                "content_size_in_bytes": int(d.size),
+            },
+        }
+        for d in sorted(descriptors, key=lambda d: d.ref)
+    ]
+    manifest_path = os.path.join(md, f"manifest-{commit}.avro")
+    write_avro_file(manifest_path, _dv_manifest_schema(), entries)
+
+    # manifest inventory: prior DELETE manifests drop superseded DV
+    # entries (at most one DV per data file); everything else
+    # re-references as-is
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, prior_records = read_avro_records(
+        _resolve_path(table, snap["manifest-list"])
+    )
+    list_records: list[dict] = []
+    for i, m in enumerate(prior_records):
+        norm = {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "content": m.get("content", 0),
+            "sequence_number": m.get("sequence_number", 0),
+            "min_sequence_number": m.get("min_sequence_number", 0),
+            "added_snapshot_id": m.get("added_snapshot_id") or 0,
+            "added_files_count": m.get("added_files_count", 0),
+            "existing_files_count": m.get("existing_files_count", 0),
+            "deleted_files_count": m.get("deleted_files_count", 0),
+            "added_rows_count": m.get("added_rows_count", 0),
+            "existing_rows_count": m.get("existing_rows_count", 0),
+            "deleted_rows_count": m.get("deleted_rows_count", 0),
+            "partitions": m.get("partitions"),
+        }
+        if (m.get("content") or 0) != 1:
+            list_records.append(norm)
+            continue
+        mschema, mentries = read_avro_records(
+            _resolve_path(table, m["manifest_path"])
+        )
+        superseded = [
+            e
+            for e in mentries
+            if e["status"] != _STATUS_DELETED
+            and (e["data_file"].get("file_format") or "").upper()
+            == "PUFFIN"
+            and _resolve_path(
+                table, e["data_file"].get("referenced_data_file") or ""
+            )
+            in touched
+        ]
+        if not superseded:
+            list_records.append(norm)
+            continue
+        kept_entries = []
+        kept = dropped = 0
+        for e in mentries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            e_seq = e.get("sequence_number")
+            if e_seq is None:
+                e_seq = m.get("sequence_number", 0)
+            e_snap = e.get("snapshot_id")
+            if e_snap is None:
+                e_snap = m.get("added_snapshot_id") or 0
+            if e in superseded:
+                status = _STATUS_DELETED
+                e_snap = snapshot_id
+                dropped += 1
+            else:
+                status = 0
+                kept += 1
+            kept_entries.append(
+                {
+                    **e,
+                    "status": status,
+                    "snapshot_id": e_snap,
+                    "sequence_number": e_seq,
+                    "file_sequence_number": e.get(
+                        "file_sequence_number"
+                    )
+                    or e_seq,
+                }
+            )
+        new_mpath = os.path.join(
+            md, f"manifest-{commit}-dv{i:03d}.avro"
+        )
+        write_avro_file(new_mpath, mschema, kept_entries)
+        list_records.append(
+            {
+                **norm,
+                "manifest_path": os.path.abspath(new_mpath),
+                "manifest_length": os.path.getsize(new_mpath),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": kept,
+                "deleted_files_count": dropped,
+            }
+        )
+    list_records.append(
+        {
+            "manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    )
+    list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
+    write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
+    # the first DV commit upgrades the table to format v3 (DVs are
+    # v3-only); row-lineage bookkeeping starts at 0 — pre-upgrade
+    # files carry no lineage, the spec's upgrade shape
+    meta = dict(meta)
+    if meta.get("format-version", 1) < 3:
+        meta["format-version"] = 3
+        meta.setdefault("next-row-id", 0)
+    return _publish_metadata(
+        md, meta, version, snapshot_id, seq, list_path, "delete"
+    )
+
+
 def rewrite_iceberg_deletes(
     spark: SparkSession, table: str
 ) -> tuple[int, int]:

@@ -1996,3 +1996,115 @@ def test_iceberg_v3_dv_compaction_and_version_gates(spark, tmp_path):
         f.write("2")
     with pytest.raises(ValueError, match="format-version 4"):
         read_iceberg(spark, t3).collect()
+
+
+def test_write_iceberg_dvs_union_and_single_dv_invariant(
+    spark, tmp_path
+):
+    """r18 v3 DV WRITER: the first DV commit upgrades the table to
+    format-version 3 and deletes its positions; a second DV commit on
+    the same file UNIONS the prior DV (nothing resurrects) and the
+    snapshot inventory keeps AT MOST ONE DV per data file (the
+    superseded entry leaves via manifest rewrite). Compaction then
+    applies and drops everything, keeping v3."""
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        iceberg_live_files,
+        iceberg_metadata,
+        rewrite_iceberg_deletes,
+        write_iceberg_dvs,
+    )
+
+    t = str(tmp_path / "dvw")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1),
+    )
+    write_iceberg(
+        spark, t,
+        spark.range(10, 20).select(F.col("id").alias("k")).coalesce(1),
+    )
+
+    def _scan():
+        return spark.read.parquet(*iceberg_live_files(t)).select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "k",
+        )
+
+    write_iceberg_dvs(
+        spark, t,
+        _scan().where(F.col("k").isin(0, 3, 12)).select(
+            "file_path", "pos"
+        ),
+    )
+    assert iceberg_metadata(t)["format-version"] == 3
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == [
+        k for k in range(20) if k not in (0, 3, 12)
+    ]
+    # second commit: union on file 1, at most one DV per file
+    write_iceberg_dvs(
+        spark, t,
+        _scan().where(F.col("k").isin(5, 15)).select(
+            "file_path", "pos"
+        ),
+    )
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == [
+        k for k in range(20) if k not in (0, 3, 5, 12, 15)
+    ]
+    _d, dels, _eq = _snapshot_files(t)
+    dv_recs = [r for r in dels if r.get("puffin")]
+    refs = [r["referenced_file"] for r in dv_recs]
+    assert len(refs) == len(set(refs)) == 2  # one DV per data file
+    # the DVs carry the UNIONED cardinalities
+    assert sorted(r["record_count"] for r in dv_recs) == [2, 3]
+    # compaction applies + drops them, keeping v3
+    pre = sorted(r.k for r in read_iceberg(spark, t).collect())
+    _sid, n = rewrite_iceberg_deletes(spark, t)
+    assert n == 2
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == pre
+    _d2, dels2, _eq2 = _snapshot_files(t)
+    assert dels2 == []
+    assert iceberg_metadata(t)["format-version"] == 3
+
+
+def test_write_iceberg_dvs_folds_prior_parquet_deletes(
+    spark, tmp_path
+):
+    """A DV must carry EVERY delete for its file: prior parquet
+    position-delete rows targeting the touched file fold into the new
+    blob (the read-side supersede rule then ignores the parquet rows
+    for that file — without the fold, their deletes would
+    resurrect)."""
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        write_iceberg_deletes,
+        write_iceberg_dvs,
+    )
+
+    t = str(tmp_path / "dvfold")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1),
+    )
+
+    def _scan():
+        return spark.read.parquet(*iceberg_live_files(t)).select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "k",
+        )
+
+    write_iceberg_deletes(
+        spark, t,
+        _scan().where(F.col("k") == 1).select("file_path", "pos"),
+    )
+    write_iceberg_dvs(
+        spark, t,
+        _scan().where(F.col("k") == 2).select("file_path", "pos"),
+    )
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == [
+        0, 3, 4, 5, 6, 7, 8, 9,
+    ]
