@@ -1155,3 +1155,76 @@ def iceberg_v3_dv_write_audit(
         f"CAST({s['fv']} AS BIGINT) AS format_version",
         f"CAST({s['single']} AS BIGINT) AS single_dv_per_file",
     )
+
+
+@query(
+    "iceberg_merge_upsert_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT event_id FROM rows
+               WHERE event_id % 3 < 2 AND event_id % 5 <> 0
+              UNION ALL
+              SELECT event_id FROM rows WHERE event_id % 5 = 0))
+             AS n_rows,
+           (SELECT CAST(SUM(v) AS BIGINT) FROM (
+              SELECT val_q AS v FROM rows
+               WHERE event_id % 3 < 2 AND event_id % 5 <> 0
+              UNION ALL
+              SELECT val_q + 7 AS v FROM rows WHERE event_id % 5 = 0))
+             AS ck,
+           CAST(3 AS BIGINT) AS n_snapshots
+    """,
+)
+def iceberg_merge_upsert_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE-on-read upsert (r18, merge_iceberg): a base snapshot of
+    the event_id%3<2 rows, then one MERGE whose source is every
+    %5==0 row with val_q+7 — matched base rows must be REPLACED
+    (their old val_q gone), unmatched source rows (%3==2, %5==0)
+    INSERTED, untouched base rows intact. n_snapshots=3 pins the
+    delete+append pair riding the single MERGE call. The oracle
+    recomputes the post-merge corpus from raw events — a delete that
+    leaked into the append (sequence-rule bug) or a missed
+    replacement both shift ck."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import (
+        iceberg_snapshots,
+        merge_iceberg,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "merge",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icemrg_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "merge")
+        write_iceberg(
+            spark, t, rows.filter(F.col("event_id") % 3 < 2)
+        )
+        merge_iceberg(
+            spark,
+            t,
+            rows.filter(F.col("event_id") % 5 == 0).select(
+                "event_id",
+                (F.col("val_q") + 7).alias("val_q"),
+            ),
+            ["event_id"],
+        )
+        _SCENARIO_CACHE[cache_key] = {
+            "table": t,
+            "n_snaps": len(iceberg_snapshots(t)),
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    return read_iceberg(spark, s["table"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    ).selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['n_snaps']} AS BIGINT) AS n_snapshots",
+    )

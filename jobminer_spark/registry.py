@@ -369,12 +369,13 @@ ORACLES: dict[str, str] = {}
 #     variant_extraction_stats, cohort_daily_retention,
 #     attribution_removal_effects — then the oldest r13 rows (44 of
 #     them, token_count_stats first). r19 must ALSO front the r18-new
-#     past-window queries delta_variant_roundtrip_audit (variantops.py
-#     — the variantType feature graduation), iceberg_v3_dv_read_audit
-#     and iceberg_v3_dv_write_audit (icebergdel.py — format-v3 Puffin
-#     deletion vectors, read and write), all registered after the
-#     rotation. AMEND at r19 rotation time for any module modified
-#     after this rotation.
+#     past-window queries (all registered after the rotation):
+#     delta_variant_roundtrip_audit (variantops.py — the variantType
+#     feature graduation), iceberg_v3_dv_read_audit +
+#     iceberg_v3_dv_write_audit (icebergdel.py — format-v3 Puffin
+#     deletion vectors, read and write) and iceberg_merge_upsert_audit
+#     (icebergdel.py — the merge-on-read upsert pair). AMEND at r19
+#     rotation time for any module modified after this rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

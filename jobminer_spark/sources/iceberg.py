@@ -2077,6 +2077,56 @@ def write_iceberg_equality_deletes(
     return _commit_delete_snapshot(table, meta, staged, commit, 2, None)
 
 
+def merge_iceberg(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+) -> tuple[int, int]:
+    """MERGE (upsert) into an Iceberg table — the standard
+    merge-on-read write pattern real engines emit: one EQUALITY-DELETE
+    snapshot on the key columns of the source rows (removing every
+    current row a source row replaces, null-safely), then one APPEND
+    snapshot of the full source. The append's higher sequence number
+    keeps the new rows outside the delete's reach (the spec's strict
+    sequence rule), so the pair is an exact upsert: matched rows are
+    replaced, unmatched source rows insert, untouched target rows
+    survive. Returns (delete_snapshot_id, append_snapshot_id).
+
+    Scale shape: the delete relation is just the source's key
+    projection (written distributed, no corpus scan at commit time —
+    the match happens lazily at READ time via the equality anti-join,
+    which is what merge-on-read means); the append is an ordinary
+    distributed write. Compact later with rewrite_iceberg_deletes
+    when the accumulated delete files warrant it.
+
+    Reference anchor: Iceberg's MERGE INTO with
+    write.merge.mode=merge-on-read (public docs/spec); the reference
+    engine's closest analog is its dup-key-skip upsert
+    (JobScraper/scraper.py INSERT-or-skip), which operators/dedupe.py
+    covers batch-side."""
+    meta = iceberg_metadata(table)
+    if not meta.get("snapshots"):
+        raise ValueError(
+            "cannot MERGE into an empty table — write the first "
+            "snapshot with write_iceberg"
+        )
+    schema_cols = [f["name"] for f in _current_schema(meta)["fields"]]
+    missing = [k for k in keys if k not in schema_cols]
+    if missing:
+        raise ValueError(f"merge keys {missing} are not table columns")
+    if sorted(source.columns) != sorted(schema_cols):
+        raise ValueError(
+            f"merge source schema {sorted(source.columns)} != table "
+            f"columns {sorted(schema_cols)}"
+        )
+    del_snap = write_iceberg_equality_deletes(
+        spark, table, source.select(*keys)
+    )
+    app_snap = write_iceberg(spark, table, source.select(*schema_cols))
+    return del_snap, app_snap
+
+
 def _dv_manifest_schema() -> dict:
     """_MANIFEST_SCHEMA extended with the format-v3 deletion-vector
     fields (referenced_data_file 143, content_offset 144,

@@ -2108,3 +2108,41 @@ def test_write_iceberg_dvs_folds_prior_parquet_deletes(
     assert sorted(r.k for r in read_iceberg(spark, t).collect()) == [
         0, 3, 4, 5, 6, 7, 8, 9,
     ]
+
+
+def test_merge_iceberg_upsert_semantics(spark, tmp_path):
+    """merge_iceberg: matched rows replaced, unmatched source rows
+    inserted, untouched target rows survive; the delete half cannot
+    touch the append half (sequence rule); repeated MERGE of the same
+    source is idempotent; bad keys/schema refuse."""
+    from jobminer_spark.sources.iceberg import merge_iceberg
+
+    t = str(tmp_path / "merge")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    src = spark.createDataFrame(
+        [(2, 999), (5, 555), (11, 111)], "k long, v long"
+    )
+    merge_iceberg(spark, t, src, ["k"])
+    expect = {
+        **{k: k * 10 for k in range(8)},
+        2: 999, 5: 555, 11: 111,
+    }
+    got = {r.k: r.v for r in read_iceberg(spark, t).collect()}
+    assert got == expect
+    # idempotent re-merge
+    merge_iceberg(spark, t, src, ["k"])
+    got = {r.k: r.v for r in read_iceberg(spark, t).collect()}
+    assert got == expect
+    with pytest.raises(ValueError, match="not table columns"):
+        merge_iceberg(spark, t, src, ["nope"])
+    with pytest.raises(ValueError, match="source schema"):
+        merge_iceberg(
+            spark, t,
+            spark.range(1).select(F.col("id").alias("k")),
+            ["k"],
+        )
