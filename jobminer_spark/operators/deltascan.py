@@ -111,7 +111,45 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     write_delta(spark, chg, rows.filter(F.col("user_id") % 5 == 4))
     _adds, n_rearranged = delta_changes_adds(chg, -1)
 
+    # Z-ORDERED table (r18): four INTERLEAVED commits — every file
+    # spans the full (a, b) space, so a 2-D range predicate prunes
+    # NOTHING — then OPTIMIZE zorder_by=["a", "b"] re-clusters into 16
+    # z-range files whose per-file min/max are tight on BOTH columns
+    z_table = os.path.join(work, "zorder")
+    # a 16x16 (a, b) space derived from event_id alone: fully swept
+    # at EVERY fixture scale (sf0.001's id range is too short for a
+    # 64-wide second dimension, and user_id is too skewed)
+    zrows = rows.select(
+        (F.col("event_id") % 16).alias("a"),
+        ((F.col("event_id") / 16).cast("long") % 16).alias("b"),
+        "val_q",
+        "event_id",
+    )
+    for i in range(4):
+        write_delta(
+            spark, z_table,
+            zrows.filter(F.col("event_id") % 4 == i).repartition(1),
+        )
+    z_filters = {"a": (0, 3), "b": (0, 3)}
+    pre_total = len(read_delta(spark, z_table).inputFiles())
+    pre_pruned = len(
+        read_delta(spark, z_table, stats_filters=z_filters).inputFiles()
+    )
+    optimize_delta(spark, z_table, target_files=16, zorder_by=["a", "b"])
+    z_total = len(read_delta(spark, z_table).inputFiles())
+    z_pruned = len(
+        read_delta(spark, z_table, stats_filters=z_filters).inputFiles()
+    )
+
     result = {
+        "zorder": z_table,
+        "z_filters": z_filters,
+        # interleaved layout: the 2-D predicate prunes nothing
+        "z_pre_prune_none": int(pre_pruned == pre_total == 4),
+        # post-zorder: strictly fewer files, and at most a quarter —
+        # the predicate covers 1/16 of the (a, b) space
+        "z_improved": int(z_pruned < z_total),
+        "z_quarter": int(z_pruned * 4 <= z_total),
         "skip": skip,
         "w": w,
         "n_files_total": n_files_total,
@@ -215,4 +253,53 @@ def delta_changes_incremental_audit(
             f"CAST({s['n_rearranged']} AS BIGINT) AS n_rearranged_skipped",
             f"CAST({s['n_versions']} AS BIGINT) AS n_versions",
         )
+    )
+
+
+@query(
+    "delta_zorder_optimize_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 16 BETWEEN 0 AND 3
+               AND CAST(FLOOR(event_id / 16) AS BIGINT) % 16
+                   BETWEEN 0 AND 3) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 16 BETWEEN 0 AND 3
+               AND CAST(FLOOR(event_id / 16) AS BIGINT) % 16
+                   BETWEEN 0 AND 3) AS ck,
+           CAST(1 AS BIGINT) AS pre_prune_none,
+           CAST(1 AS BIGINT) AS prune_improved,
+           CAST(1 AS BIGINT) AS prune_quarter
+    """,
+)
+def delta_zorder_optimize_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE Z-ORDER (r18): four interleaved commits where a 2-D
+    range predicate on (a, b) prunes NOTHING (pre_prune_none pins the
+    adversarial layout), re-clustered by Morton-interleaved z-values
+    into 16 range files — the same stats-filtered read must then plan
+    strictly fewer files (prune_improved) and at most a quarter of
+    them (prune_quarter — the predicate covers 1/16 of the space),
+    while the rows it returns match the oracle's recomputation from
+    raw events exactly (a z-shuffle that lost or duplicated rows, or
+    a prune that dropped a matching file, goes red on values)."""
+    s = _scenario(spark, sf_dir)
+    got = (
+        read_delta(spark, s["zorder"], stats_filters=s["z_filters"])
+        .where(
+            F.col("a").between(0, 3) & F.col("b").between(0, 3)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val_q").cast("long").alias("ck"),
+        )
+    )
+    return got.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['z_pre_prune_none']} AS BIGINT) AS pre_prune_none",
+        f"CAST({s['z_improved']} AS BIGINT) AS prune_improved",
+        f"CAST({s['z_quarter']} AS BIGINT) AS prune_quarter",
     )

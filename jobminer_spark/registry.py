@@ -373,9 +373,11 @@ ORACLES: dict[str, str] = {}
 #     delta_variant_roundtrip_audit (variantops.py — the variantType
 #     feature graduation), iceberg_v3_dv_read_audit +
 #     iceberg_v3_dv_write_audit (icebergdel.py — format-v3 Puffin
-#     deletion vectors, read and write) and iceberg_merge_upsert_audit
-#     (icebergdel.py — the merge-on-read upsert pair). AMEND at r19
-#     rotation time for any module modified after this rotation.
+#     deletion vectors, read and write), iceberg_merge_upsert_audit
+#     (icebergdel.py — the merge-on-read upsert pair) and
+#     delta_zorder_optimize_audit (deltascan.py — OPTIMIZE Z-ORDER).
+#     AMEND at r19 rotation time for any module modified after this
+#     rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

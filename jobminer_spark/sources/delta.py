@@ -2235,11 +2235,30 @@ def write_checkpoint_v2(
     return path
 
 
+def _zorder_expr(bucket_cols: list, bits: int = 8):
+    """Morton (Z-order) interleave of per-column bucket ids — pure
+    JVM Column arithmetic (shift/and/or), no UDF: bit b of column c
+    lands at position b*ncols + c, so rows close in EVERY dimension
+    get close z-values and range-partitioning on z co-locates them
+    into the same files (tight per-file min/max on all dimensions =
+    multi-column data skipping)."""
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, col in enumerate(bucket_cols):
+            bit = F.shiftright(col, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("long"), b * n + ci)
+            )
+    return z
+
+
 def optimize_delta(
     spark: SparkSession,
     table: str,
     target_files: int = 8,
     checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+    zorder_by: list[str] | None = None,
 ) -> tuple[int, int, int]:
     """Compact the current snapshot's data files into at most
     ``target_files`` larger ones PER PARTITION in ONE atomic commit —
@@ -2254,7 +2273,20 @@ def optimize_delta(
     Time travel to pre-OPTIMIZE versions still resolves the old files
     (they are removed from the ACTIVE set, not from disk —
     ``vacuum_delta`` owns physical deletion, exactly like
-    lakehouse.vacuum)."""
+    lakehouse.vacuum).
+
+    ``zorder_by`` (r18): NUMERIC data columns to Z-ORDER cluster by —
+    every group rewrites (clustering changes layout even at/under the
+    file target): per column, an equi-width 256-bucket id over the
+    table's [min, max] (one extra scan for the bounds; equi-width
+    keeps the bucketing pure JVM width_bucket — a quantile variant
+    would sample boundaries first, same plan shape), Morton-interleaved
+    into a z-value, then ``repartitionByRange`` + local sort on z so
+    each output file holds a tight z-range — tight min/max stats on
+    ALL the named columns at once, which is what makes
+    multi-predicate ``stats_filters`` reads prune (the point of
+    Z-ORDER over a plain sort). The range shuffle per group is the
+    inherent cost of re-clustering; dataChange stays false."""
     latest = delta_latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
@@ -2297,6 +2329,53 @@ def optimize_delta(
             )
             for f in schema["fields"]
         }
+        z_phys: list[str] = []
+        z_bounds: dict[str, tuple] = {}
+        if zorder_by:
+            types = {f["name"]: f["type"] for f in data_fields}
+            numeric = {
+                "long", "integer", "short", "byte", "double", "float",
+            }
+            for c in zorder_by:
+                if c not in types:
+                    raise ValueError(
+                        f"zorder column {c!r} is not a data column "
+                        f"(data columns: {sorted(types)})"
+                    )
+                if types[c] not in numeric:
+                    raise ValueError(
+                        f"zorder column {c!r} has type {types[c]!r} — "
+                        "this writer Z-orders numeric columns only"
+                    )
+                z_phys.append(phys[c])
+            # one scan for the per-column [min, max] the equi-width
+            # bucketing spans (driver receives 2 scalars per column)
+            if adds:
+                row = (
+                    spark.read.schema(data_ddl)
+                    .parquet(
+                        *[os.path.join(table, p) for p in adds]
+                    )
+                    .agg(
+                        *[
+                            F.min(F.col(c).cast("double")).alias(
+                                f"__mn{i}"
+                            )
+                            for i, c in enumerate(z_phys)
+                        ],
+                        *[
+                            F.max(F.col(c).cast("double")).alias(
+                                f"__mx{i}"
+                            )
+                            for i, c in enumerate(z_phys)
+                        ],
+                    )
+                    .collect()[0]
+                )
+                z_bounds = {
+                    c: (row[f"__mn{i}"], row[f"__mx{i}"])
+                    for i, c in enumerate(z_phys)
+                }
         by_part: dict[tuple, list[dict]] = {}
         for a in adds.values():
             key = tuple(
@@ -2313,7 +2392,13 @@ def optimize_delta(
         ):
             group = by_part[key]
             group_has_dvs = any(_has_dv(a) for a in group)
-            if len(group) <= target_files and not group_has_dvs:
+            # Z-ORDER rewrites every group (re-clustering changes the
+            # layout even at/under the file target)
+            if (
+                not zorder_by
+                and len(group) <= target_files
+                and not group_has_dvs
+            ):
                 n_untouched += len(group)
                 continue
             paths = [os.path.join(table, a["path"]) for a in group]
@@ -2323,9 +2408,40 @@ def optimize_delta(
             # the LOGICAL row set is unchanged — the protocol's
             # "purge" shape
             dv_df, n_dv = _dv_relation(spark, table, group)
-            compacted = _scan_minus_dvs(
-                spark, paths, data_ddl, dv_df, n_dv
-            ).repartition(target_files)
+            scan = _scan_minus_dvs(spark, paths, data_ddl, dv_df, n_dv)
+            if zorder_by:
+                buckets = []
+                for c in z_phys:
+                    mn, mx = z_bounds.get(c, (None, None))
+                    if mn is None or mx is None or mn == mx:
+                        buckets.append(F.lit(0))
+                        continue
+                    wb = F.width_bucket(
+                        F.col(c).cast("double"),
+                        F.lit(float(mn)),
+                        F.lit(float(mx)),
+                        F.lit(256),
+                    )
+                    # width_bucket yields 1..n in range, 0/n+1 out of
+                    # range (the max value lands at n+1): clamp to the
+                    # 8-bit id; NULLs cluster at the low end
+                    buckets.append(
+                        F.coalesce(
+                            F.least(
+                                F.greatest(wb - 1, F.lit(0)),
+                                F.lit(255),
+                            ),
+                            F.lit(0),
+                        ).cast("long")
+                    )
+                compacted = (
+                    scan.withColumn("__jm_z", _zorder_expr(buckets))
+                    .repartitionByRange(target_files, F.col("__jm_z"))
+                    .sortWithinPartitions("__jm_z")
+                    .drop("__jm_z")
+                )
+            else:
+                compacted = scan.repartition(target_files)
             if _mapping_mode(meta) == "id":
                 # restaged files must carry the field ids their
                 # siblings resolve by

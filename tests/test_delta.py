@@ -2675,3 +2675,51 @@ def test_delta_variant_column_roundtrip(spark, tmp_path):
         mode="overwrite",
     )
     assert read_delta(spark, t).count() == 3
+
+
+def test_optimize_zorder_clusters_and_guards(spark, tmp_path):
+    """r18 OPTIMIZE Z-ORDER: interleaved files re-cluster so a 2-D
+    stats prune plans a small subset, the logical row set is
+    unchanged (dataChange=false semantics), time travel still sees
+    the pre-OPTIMIZE layout, and non-numeric/unknown zorder columns
+    refuse loudly."""
+    from jobminer_spark.sources.delta import (
+        delta_latest_version,
+        optimize_delta,
+    )
+
+    t = str(tmp_path / "zopt")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 16).alias("a"),
+        ((F.col("id") / 16).cast("long") % 16).alias("b"),
+        F.col("id").alias("payload"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+    )
+    for i in range(4):
+        write_delta(
+            spark, t,
+            df.filter(F.col("id") % 4 == i).repartition(1),
+        )
+    pre_version = delta_latest_version(t)
+    flt = {"a": (0, 3), "b": (0, 3)}
+    assert len(read_delta(spark, t, stats_filters=flt).inputFiles()) == 4
+    v, nb, na = optimize_delta(spark, t, target_files=16,
+                               zorder_by=["a", "b"])
+    assert (nb, na) == (4, 16)
+    post = read_delta(spark, t)
+    assert post.count() == 4096
+    assert post.agg(F.sum("payload")).collect()[0][0] == sum(range(4096))
+    pruned = read_delta(spark, t, stats_filters=flt)
+    assert len(pruned.inputFiles()) <= 4  # 1/16 of space, 16 files
+    assert sorted(
+        r.payload
+        for r in pruned.where(
+            F.col("a").between(0, 3) & F.col("b").between(0, 3)
+        ).collect()
+    ) == [i for i in range(4096) if i % 16 < 4 and (i // 16) % 16 < 4]
+    # time travel to the pre-OPTIMIZE version sees the old layout
+    assert read_delta(spark, t, version=pre_version).count() == 4096
+    with pytest.raises(ValueError, match="numeric"):
+        optimize_delta(spark, t, zorder_by=["s"])
+    with pytest.raises(ValueError, match="not a data column"):
+        optimize_delta(spark, t, zorder_by=["nope"])
