@@ -1228,3 +1228,65 @@ def iceberg_merge_upsert_audit(
         "ck",
         f"CAST({s['n_snaps']} AS BIGINT) AS n_snapshots",
     )
+
+
+@query(
+    "iceberg_metadata_tables_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM (
+              SELECT COUNT(*) AS cnt FROM rows WHERE event_id % 3 = 0
+              UNION ALL
+              SELECT COUNT(*) FROM rows WHERE event_id % 3 = 1
+              UNION ALL
+              SELECT COUNT(*) FROM rows WHERE event_id % 3 = 2))
+             AS data_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 3 < 2 AND event_id % 11 = 0)
+             AS delete_rows,
+           CAST(4 AS BIGINT) AS n_snapshots,
+           CAST(1 AS BIGINT) AS n_delete_manifests,
+           CAST(1 AS BIGINT) AS counts_consistent
+    """,
+)
+def iceberg_metadata_tables_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The inspection-table surface (r18, read_iceberg_meta): over
+    the position-delete scenario table (two appends, a delete
+    snapshot, a post-delete append), $files must account for every
+    written data row (record counts are WRITE-time facts — deletes
+    don't shrink them) and every delete row, $snapshots must list the
+    four commits, $manifests exactly one delete manifest, and the
+    manifest stats counts must agree with the $files inventory
+    (counts_consistent). All row facts recomputed by the oracle from
+    raw events."""
+    from jobminer_spark.sources.iceberg import read_iceberg_meta
+
+    s = _scenario(spark, sf_dir)
+    files = read_iceberg_meta(spark, s["table"], "files")
+    sums = {
+        r.content: (r.n, r.rc)
+        for r in files.groupBy("content")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("record_count").alias("rc"),
+        )
+        .collect()
+    }
+    data_rows = int(sums.get(0, (0, 0))[1] or 0)
+    delete_rows = int(sums.get(1, (0, 0))[1] or 0)
+    n_snaps = read_iceberg_meta(spark, s["table"], "snapshots").count()
+    manifests = read_iceberg_meta(spark, s["table"], "manifests")
+    n_del_manifests = manifests.where(F.col("content") == 1).count()
+    # the manifest-list stats must agree with the per-file inventory
+    m_added = (
+        manifests.agg(F.sum("added_rows_count")).collect()[0][0] or 0
+    )
+    consistent = int(int(m_added) == data_rows + delete_rows)
+    return spark.createDataFrame(
+        [(data_rows, delete_rows, int(n_snaps), int(n_del_manifests),
+          consistent)],
+        "data_rows long, delete_rows long, n_snapshots long,"
+        " n_delete_manifests long, counts_consistent long",
+    )

@@ -2077,6 +2077,119 @@ def write_iceberg_equality_deletes(
     return _commit_delete_snapshot(table, meta, staged, commit, 2, None)
 
 
+def read_iceberg_meta(
+    spark: SparkSession, table: str, kind: str = "snapshots"
+) -> DataFrame:
+    """Inspection (metadata) tables — the ``table$snapshots`` /
+    ``$manifests`` / ``$files`` surface real engines expose for
+    debugging and maintenance planning, returned as ordinary
+    DataFrames. Built from the driver-side metadata the engine
+    already holds per commit (O(snapshots + manifests + file
+    entries) — the same budget every read here pays; file entries
+    are manifest METADATA rows, never data rows).
+
+    * ``snapshots``: id, sequence number, timestamp, operation,
+      manifest-list path — the time-travel map.
+    * ``manifests``: the CURRENT snapshot's manifest-list records
+      (path, content, sequence numbers, the six stats counts) — what
+      a planner prunes on.
+    * ``files``: the current snapshot's live file inventory —
+      content (0=data, 1=position deletes/DVs, 2=equality deletes),
+      path, format, sequence number, record count, partition tuple as
+      a JSON string."""
+    meta = iceberg_metadata(table)
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s.get("sequence-number", 0)),
+                int(s.get("timestamp-ms", 0)),
+                (s.get("summary") or {}).get("operation"),
+                s["manifest-list"],
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, sequence_number long, timestamp_ms"
+            " long, operation string, manifest_list string",
+        )
+    if kind == "manifests":
+        snaps = meta.get("snapshots", [])
+        if not snaps:
+            return spark.createDataFrame(
+                [],
+                "path string, length long, partition_spec_id int,"
+                " content int, sequence_number long,"
+                " min_sequence_number long, added_snapshot_id long,"
+                " added_files_count int, existing_files_count int,"
+                " deleted_files_count int, added_rows_count long,"
+                " existing_rows_count long, deleted_rows_count long",
+            )
+        cur = next(
+            s
+            for s in snaps
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, records = read_avro_records(
+            _resolve_path(table, cur["manifest-list"])
+        )
+        rows = [
+            (
+                m["manifest_path"],
+                int(m.get("manifest_length", 0)),
+                int(m.get("partition_spec_id", 0)),
+                int(m.get("content") or 0),
+                int(m.get("sequence_number", 0)),
+                int(m.get("min_sequence_number", 0)),
+                int(m.get("added_snapshot_id") or 0),
+                int(m.get("added_files_count", 0)),
+                int(m.get("existing_files_count", 0)),
+                int(m.get("deleted_files_count", 0)),
+                int(m.get("added_rows_count", 0)),
+                int(m.get("existing_rows_count", 0)),
+                int(m.get("deleted_rows_count", 0)),
+            )
+            for m in records
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int,"
+            " content int, sequence_number long, min_sequence_number"
+            " long, added_snapshot_id long, added_files_count int,"
+            " existing_files_count int, deleted_files_count int,"
+            " added_rows_count long, existing_rows_count long,"
+            " deleted_rows_count long",
+        )
+    if kind == "files":
+        data, deletes, eq_deletes = _snapshot_files(table)
+        rows = []
+        for content, group in ((0, data), (1, deletes), (2, eq_deletes)):
+            for r in group:
+                rows.append(
+                    (
+                        content,
+                        r["path"],
+                        "PUFFIN" if r.get("puffin") else "PARQUET",
+                        int(r["seq"]),
+                        int(r.get("record_count", 0)),
+                        int(r.get("spec_id", 0)),
+                        json.dumps(r.get("partition") or {},
+                                   sort_keys=True),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string,"
+            " sequence_number long, record_count long, spec_id int,"
+            " partition string",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} "
+        "(snapshots | manifests | files)"
+    )
+
+
 def merge_iceberg(
     spark: SparkSession,
     table: str,
