@@ -104,6 +104,14 @@ HEADLINE = [
     # splittable quoted-CSV parse).
     "orc_roundtrip_audit",
     "csv_roundtrip_audit",
+    # r18 additions: the round's flagship maintenance ops. Scenarios
+    # are memoized per session (deliberate): pass 1 pays the table
+    # builds + the rewrite/OPTIMIZE themselves, so min-of-passes
+    # tracks the post-maintenance READ paths — the DV-free compacted
+    # scan and the 2-D stats-pruned z-ordered scan, the per-batch
+    # production numbers worth watching round-over-round.
+    "iceberg_rewrite_deletes_audit",
+    "delta_zorder_optimize_audit",
 ]
 
 
