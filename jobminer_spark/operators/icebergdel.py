@@ -1290,3 +1290,82 @@ def iceberg_metadata_tables_audit(
         "data_rows long, delete_rows long, n_snapshots long,"
         " n_delete_manifests long, counts_consistent long",
     )
+
+
+@query(
+    "iceberg_rewrite_data_files_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 17 <> 0) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 17 <> 0) AS ck,
+           CAST(6 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_at_target,
+           CAST(1 AS BIGINT) AS deletes_kept
+    """,
+)
+def iceberg_rewrite_data_files_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-file BINPACK (r18, rewrite_iceberg_data_files): six
+    single-file appends plus a position-delete snapshot (%17 rows)
+    compact to at most two files with the pending deletes APPLIED to
+    the rewritten files — while the delete manifest survives
+    (deletes_kept; it must keep gating any file the binpack skips).
+    The oracle recomputes the survivors; files_before/at_target pin
+    the compaction actually happened."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        rewrite_iceberg_data_files,
+        write_iceberg_deletes,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "binpack",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icebp_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "binpack")
+        for i in range(6):
+            write_iceberg(
+                spark, t,
+                rows.filter(F.col("event_id") % 6 == i).coalesce(1),
+            )
+        n_before = len(iceberg_live_files(t))
+        scan = spark.read.parquet(*iceberg_live_files(t)).select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "event_id",
+        )
+        write_iceberg_deletes(
+            spark, t,
+            scan.where(F.col("event_id") % 17 == 0).select(
+                "file_path", "pos"
+            ),
+        )
+        _sid, _n = rewrite_iceberg_data_files(spark, t, target_files=2)
+        _d, dl, _eq = _snapshot_files(t)
+        _SCENARIO_CACHE[cache_key] = {
+            "table": t,
+            "files_before": n_before,
+            "at_target": int(len(iceberg_live_files(t)) <= 2),
+            "deletes_kept": int(bool(dl)),
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    return read_iceberg(spark, s["table"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    ).selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['files_before']} AS BIGINT) AS files_before",
+        f"CAST({s['at_target']} AS BIGINT) AS files_at_target",
+        f"CAST({s['deletes_kept']} AS BIGINT) AS deletes_kept",
+    )

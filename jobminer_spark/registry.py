@@ -375,10 +375,12 @@ ORACLES: dict[str, str] = {}
 #     iceberg_v3_dv_write_audit (icebergdel.py — format-v3 Puffin
 #     deletion vectors, read and write), iceberg_merge_upsert_audit
 #     (icebergdel.py — the merge-on-read upsert pair),
-#     delta_zorder_optimize_audit (deltascan.py — OPTIMIZE Z-ORDER)
-#     and iceberg_metadata_tables_audit (icebergdel.py — the
-#     $snapshots/$manifests/$files inspection surface). AMEND at r19
-#     rotation time for any module modified after this rotation.
+#     delta_zorder_optimize_audit (deltascan.py — OPTIMIZE Z-ORDER),
+#     iceberg_metadata_tables_audit (icebergdel.py — the
+#     $snapshots/$manifests/$files inspection surface) and
+#     iceberg_rewrite_data_files_audit (icebergdel.py — small-file
+#     binpack with surviving deletes). AMEND at r19 rotation time for
+#     any module modified after this rotation.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence

@@ -2576,6 +2576,265 @@ def write_iceberg_dvs(
     )
 
 
+
+def rewrite_iceberg_data_files(
+    spark: SparkSession, table: str, target_files: int = 8
+) -> tuple[int, int]:
+    """Small-file COMPACTION (binpack) — the third leg of the
+    maintenance trio (with expire_iceberg_snapshots and
+    rewrite_iceberg_deletes): per partition tuple, a group holding
+    MORE than ``target_files`` live data files rewrites into at most
+    ``target_files`` larger ones; groups at or under the target are
+    untouched (no churn). Any position/equality deletes or DVs
+    touching a rewritten file are APPLIED during the rewrite — the
+    rewritten files take the new snapshot's sequence number, which is
+    exactly why surviving delete files can't re-apply to them (the
+    strict sequence gate) while still gating the untouched files they
+    were committed against; delete manifests are therefore KEPT.
+    Returns (new snapshot id, files rewritten); a no-op returns the
+    current snapshot and 0 without committing.
+
+    Scale shape: one distributed rewrite pass (the shared
+    _apply_row_deletes scan + the staged write) over only the
+    oversized groups' files; manifest surgery is O(manifests)
+    driver-side like every commit here."""
+    meta = iceberg_metadata(table)
+    md = _metadata_dir(table)
+    data, deletes, eq_deletes = _snapshot_files(table)
+    if not data:
+        return meta.get("current-snapshot-id"), 0
+    by_part: dict[tuple, list[dict]] = {}
+    for r in data:
+        key = tuple(sorted((r.get("partition") or {}).items()))
+        by_part.setdefault(key, []).append(r)
+    affected = [
+        r
+        for group in by_part.values()
+        if len(group) > target_files
+        for r in group
+    ]
+    if not affected:
+        return meta.get("current-snapshot-id"), 0
+    affected_paths = {r["path"] for r in affected}
+
+    commit = uuid.uuid4().hex[:12]
+    names_by_id = _schema_field_names_by_id(meta)
+    spec_id = meta.get("default-spec-id", 0)
+    src_types = {
+        f["name"]: f["type"] for f in _current_schema(meta)["fields"]
+    }
+    spec_tuples = [
+        (f["name"], f["transform"], names_by_id[f["source-id"]])
+        for f in _partition_spec_fields(meta, spec_id)
+    ]
+    part_avro_types = {
+        name: _spec_avro_type(transform, src_types[src])
+        for name, transform, src in spec_tuples
+    }
+    ids_by_name = {name: fid for fid, name in names_by_id.items()}
+    # deletes touching the affected files are applied here; the
+    # partitioned staging repartitions per tuple, then target_files
+    # caps the per-group output via coalesce on the unpartitioned
+    # path / Spark's per-directory task layout on the partitioned one
+    compacted = _apply_row_deletes(
+        spark, meta, _spark_ddl(meta), affected, deletes, eq_deletes
+    )
+    if not spec_tuples:
+        compacted = compacted.coalesce(max(int(target_files), 1))
+    sort_cols, so_id = _default_sort_order(meta, names_by_id)
+    new_entries = _stage_table_data(
+        spark,
+        table,
+        compacted,
+        spec_tuples,
+        src_types,
+        ids_by_name,
+        part_avro_types,
+        commit,
+        sort_cols=sort_cols,
+        sort_order_id=so_id,
+    )
+
+    version = _metadata_version(md)
+    snapshot_id = version + 1
+    seq = snapshot_id
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, prior = read_avro_records(
+        _resolve_path(table, snap["manifest-list"])
+    )
+    # delete manifests survive: they still gate the untouched files
+    list_records, rewritten = _replacement_manifest_records(
+        table, md, prior, affected_paths, snapshot_id, commit,
+        drop_delete_manifests=False,
+    )
+    if new_entries:
+        new_mpath = os.path.join(md, f"manifest-{commit}.avro")
+        write_avro_file(
+            new_mpath,
+            _data_manifest_schema(spec_tuples, part_avro_types),
+            new_entries,
+        )
+        list_records.append(
+            {
+                "manifest_path": os.path.abspath(new_mpath),
+                "manifest_length": os.path.getsize(new_mpath),
+                "partition_spec_id": spec_id,
+                "partitions": _partition_summaries(
+                    spec_tuples, src_types, new_entries
+                ),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(new_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in new_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
+    write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
+    _publish_metadata(
+        md, meta, version, snapshot_id, seq, list_path, "replace"
+    )
+    return snapshot_id, rewritten
+
+
+def _replacement_manifest_records(
+    table: str,
+    md: str,
+    prior: list[dict],
+    affected_paths: set[str],
+    snapshot_id: int,
+    commit: str,
+    drop_delete_manifests: bool,
+) -> tuple[list[dict], int]:
+    """Manifest surgery shared by the two rewrite maintenance ops:
+    re-reference untouched manifests as-is, rewrite any DATA manifest
+    whose live entries include replaced files (replaced -> DELETED by
+    this snapshot, kept -> EXISTING, inheritance resolved to explicit
+    sequence numbers), and either drop delete manifests
+    (delete-file compaction) or re-reference them (data-file binpack,
+    where surviving deletes still gate untouched files). Returns
+    (manifest-list records, number of replaced entries)."""
+    list_records: list[dict] = []
+    rewritten = 0
+    for i, m in enumerate(prior):
+        norm = {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partitions": m.get("partitions"),
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "content": m.get("content") or 0,
+            "sequence_number": m.get("sequence_number", 0),
+            "min_sequence_number": m.get("min_sequence_number", 0),
+            "added_snapshot_id": m.get("added_snapshot_id") or 0,
+            "added_files_count": m.get("added_files_count", 0),
+            "existing_files_count": m.get("existing_files_count", 0),
+            "deleted_files_count": m.get("deleted_files_count", 0),
+            "added_rows_count": m.get("added_rows_count", 0),
+            "existing_rows_count": m.get("existing_rows_count", 0),
+            "deleted_rows_count": m.get("deleted_rows_count", 0),
+        }
+        if (m.get("content") or 0) == 1:
+            if not drop_delete_manifests:
+                list_records.append(norm)
+            continue
+        mschema, entries = read_avro_records(
+            _resolve_path(table, m["manifest_path"])
+        )
+        live_entries = [
+            e for e in entries if e["status"] != _STATUS_DELETED
+        ]
+        touched = [
+            e
+            for e in live_entries
+            if _resolve_path(table, e["data_file"]["file_path"])
+            in affected_paths
+        ]
+        if not touched:
+            list_records.append(norm)
+            continue
+        # rewritten manifest: replaced entries flip to DELETED, kept
+        # ones to EXISTING — both with inheritance resolved to
+        # explicit sequence numbers (the original manifest's seq)
+        out_entries = []
+        kept = dropped = 0
+        kept_rows = dropped_rows = 0
+        min_seq = None
+        for e in live_entries:
+            e_seq = e.get("sequence_number")
+            if e_seq is None:
+                e_seq = m.get("sequence_number", 0)
+            e_snap = e.get("snapshot_id")
+            if e_snap is None:
+                e_snap = m.get("added_snapshot_id") or 0
+            replaced = (
+                _resolve_path(table, e["data_file"]["file_path"])
+                in affected_paths
+            )
+            n = e["data_file"].get("record_count", 0)
+            if replaced:
+                dropped += 1
+                dropped_rows += n
+                status = _STATUS_DELETED
+                e_snap = snapshot_id  # deleted BY this snapshot
+            else:
+                kept += 1
+                kept_rows += n
+                status = 0  # EXISTING
+                min_seq = (
+                    e_seq if min_seq is None else min(min_seq, e_seq)
+                )
+            out_entries.append(
+                {
+                    **e,
+                    "status": status,
+                    "snapshot_id": e_snap,
+                    "sequence_number": e_seq,
+                    "file_sequence_number": e.get(
+                        "file_sequence_number"
+                    )
+                    or e_seq,
+                }
+            )
+        rewritten += dropped
+        if not kept and not dropped:
+            continue
+        new_mpath = os.path.join(
+            md, f"manifest-{commit}-rw{i:03d}.avro"
+        )
+        write_avro_file(new_mpath, mschema, out_entries)
+        list_records.append(
+            {
+                **norm,
+                "manifest_path": os.path.abspath(new_mpath),
+                "manifest_length": os.path.getsize(new_mpath),
+                "min_sequence_number": (
+                    min_seq
+                    if min_seq is not None
+                    else m.get("min_sequence_number", 0)
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": kept,
+                "deleted_files_count": dropped,
+                "added_rows_count": 0,
+                "existing_rows_count": kept_rows,
+                "deleted_rows_count": dropped_rows,
+            }
+        )
+    return list_records, rewritten
+
+
 def rewrite_iceberg_deletes(
     spark: SparkSession, table: str
 ) -> tuple[int, int]:
@@ -2704,130 +2963,13 @@ def rewrite_iceberg_deletes(
     _, prior = read_avro_records(
         _resolve_path(table, snap["manifest-list"])
     )
-    list_records: list[dict] = []
-    rewritten = 0
-    for i, m in enumerate(prior):
-        if (m.get("content") or 0) == 1:
-            continue  # delete manifests: dropped — that's the point
-        mschema, entries = read_avro_records(
-            _resolve_path(table, m["manifest_path"])
-        )
-        live_entries = [
-            e for e in entries if e["status"] != _STATUS_DELETED
-        ]
-        touched = [
-            e
-            for e in live_entries
-            if _resolve_path(table, e["data_file"]["file_path"])
-            in affected_paths
-        ]
-        if not touched:
-            # untouched manifest: re-reference as-is
-            list_records.append(
-                {
-                    **{
-                        k: m.get(k)
-                        for k in (
-                            "manifest_path",
-                            "manifest_length",
-                            "partitions",
-                        )
-                    },
-                    "partition_spec_id": m.get("partition_spec_id", 0),
-                    "content": 0,
-                    "sequence_number": m.get("sequence_number", 0),
-                    "min_sequence_number": m.get(
-                        "min_sequence_number", 0
-                    ),
-                    "added_snapshot_id": m.get("added_snapshot_id")
-                    or 0,
-                    "added_files_count": m.get("added_files_count", 0),
-                    "existing_files_count": m.get(
-                        "existing_files_count", 0
-                    ),
-                    "deleted_files_count": m.get(
-                        "deleted_files_count", 0
-                    ),
-                    "added_rows_count": m.get("added_rows_count", 0),
-                    "existing_rows_count": m.get(
-                        "existing_rows_count", 0
-                    ),
-                    "deleted_rows_count": m.get("deleted_rows_count", 0),
-                }
-            )
-            continue
-        # rewritten manifest: replaced entries flip to DELETED, kept
-        # ones to EXISTING — both with inheritance resolved to
-        # explicit sequence numbers (the original manifest's seq)
-        out_entries = []
-        kept = dropped = 0
-        kept_rows = dropped_rows = 0
-        min_seq = None
-        for e in live_entries:
-            e_seq = e.get("sequence_number")
-            if e_seq is None:
-                e_seq = m.get("sequence_number", 0)
-            e_snap = e.get("snapshot_id")
-            if e_snap is None:
-                e_snap = m.get("added_snapshot_id") or 0
-            replaced = (
-                _resolve_path(table, e["data_file"]["file_path"])
-                in affected_paths
-            )
-            n = e["data_file"].get("record_count", 0)
-            if replaced:
-                dropped += 1
-                dropped_rows += n
-                status = _STATUS_DELETED
-                e_snap = snapshot_id  # deleted BY this snapshot
-            else:
-                kept += 1
-                kept_rows += n
-                status = 0  # EXISTING
-                min_seq = (
-                    e_seq if min_seq is None else min(min_seq, e_seq)
-                )
-            out_entries.append(
-                {
-                    **e,
-                    "status": status,
-                    "snapshot_id": e_snap,
-                    "sequence_number": e_seq,
-                    "file_sequence_number": e.get(
-                        "file_sequence_number"
-                    )
-                    or e_seq,
-                }
-            )
-        rewritten += dropped
-        if not kept and not dropped:
-            continue
-        new_mpath = os.path.join(
-            md, f"manifest-{commit}-rw{i:03d}.avro"
-        )
-        write_avro_file(new_mpath, mschema, out_entries)
-        list_records.append(
-            {
-                "manifest_path": os.path.abspath(new_mpath),
-                "manifest_length": os.path.getsize(new_mpath),
-                "partition_spec_id": m.get("partition_spec_id", 0),
-                "partitions": m.get("partitions"),
-                "content": 0,
-                "sequence_number": m.get("sequence_number", 0),
-                "min_sequence_number": (
-                    min_seq
-                    if min_seq is not None
-                    else m.get("min_sequence_number", 0)
-                ),
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": 0,
-                "existing_files_count": kept,
-                "deleted_files_count": dropped,
-                "added_rows_count": 0,
-                "existing_rows_count": kept_rows,
-                "deleted_rows_count": dropped_rows,
-            }
-        )
+    # delete manifests are DROPPED from the new inventory — that's
+    # the point of this op; data manifests go through the shared
+    # surgery
+    list_records, rewritten = _replacement_manifest_records(
+        table, md, prior, affected_paths, snapshot_id, commit,
+        drop_delete_manifests=True,
+    )
     if new_entries:
         new_mpath = os.path.join(md, f"manifest-{commit}.avro")
         write_avro_file(

@@ -2146,3 +2146,178 @@ def test_merge_iceberg_upsert_semantics(spark, tmp_path):
             spark.range(1).select(F.col("id").alias("k")),
             ["k"],
         )
+
+
+def test_rewrite_deletes_on_transform_partitioned_table(
+    spark, tmp_path
+):
+    """Compaction re-stages under the table's TRANSFORM spec (bucket
+    here): rewritten files land with recomputed partition tuples and
+    pruning still works afterwards."""
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        iceberg_live_files,
+        rewrite_iceberg_deletes,
+        write_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "rwbucket")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_iceberg(
+        spark, t, df, partition_spec=[("kb", "bucket[4]", "k")]
+    )
+    files = iceberg_live_files(t)
+    scan = spark.read.parquet(*files).withColumns({
+        "fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ),
+        "pos": F.col("_metadata.row_index"),
+    })
+    write_iceberg_deletes(
+        spark, t,
+        scan.where(F.col("k") % 10 == 0).select(
+            F.col("fp").alias("file_path"), "pos"
+        ),
+    )
+    pre = sorted((r.k, r.v) for r in read_iceberg(spark, t).collect())
+    _sid, n = rewrite_iceberg_deletes(spark, t)
+    assert n > 0
+    assert sorted(
+        (r.k, r.v) for r in read_iceberg(spark, t).collect()
+    ) == pre
+    assert all(k % 10 != 0 for k, _v in pre)
+    _d, dl, eq = _snapshot_files(t)
+    assert dl == [] and eq == []
+    # bucket pruning still plans a strict subset post-compaction
+    pruned = read_iceberg(spark, t, partition_filters={"k": 7})
+    assert 0 < len(pruned.inputFiles()) < len(
+        read_iceberg(spark, t).inputFiles()
+    )
+    assert sorted(r.k for r in pruned.where("k = 7").collect()) == [7]
+
+
+def test_merge_then_compact_roundtrip(spark, tmp_path):
+    """The documented pairing: MERGE accumulates equality-delete
+    files, compaction folds them away — post-compaction scan
+    identical, zero delete files, still mergeable."""
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        merge_iceberg,
+        rewrite_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "mergecompact")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 12).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ),
+    )
+    merge_iceberg(
+        spark, t,
+        spark.createDataFrame([(3, 33), (20, 200)], "k long, v long"),
+        ["k"],
+    )
+    pre = sorted((r.k, r.v) for r in read_iceberg(spark, t).collect())
+    _sid, n = rewrite_iceberg_deletes(spark, t)
+    assert n > 0
+    assert sorted(
+        (r.k, r.v) for r in read_iceberg(spark, t).collect()
+    ) == pre
+    _d, dl, eq = _snapshot_files(t)
+    assert dl == [] and eq == []
+    # the compacted table keeps accepting MERGEs
+    merge_iceberg(
+        spark, t,
+        spark.createDataFrame([(0, -1)], "k long, v long"),
+        ["k"],
+    )
+    got = {r.k: r.v for r in read_iceberg(spark, t).collect()}
+    assert got[0] == -1 and got[3] == 33 and got[20] == 200
+
+
+def test_rewrite_data_files_binpack(spark, tmp_path):
+    """Small-file compaction (r18): an 8-small-file group binpacks to
+    2 while an at-target partition is untouched (no churn); pending
+    deletes APPLY to the rewritten files and KEEP gating the
+    untouched ones; old snapshots time-travel."""
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        iceberg_live_files,
+        iceberg_metadata,
+        rewrite_iceberg_data_files,
+        write_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "binpack")
+    # partition p=0 gets 8 tiny files, p=1 exactly 2
+    for i in range(8):
+        write_iceberg(
+            spark, t,
+            spark.range(i * 10, i * 10 + 10).select(
+                F.lit(0).alias("p"), F.col("id").alias("k")
+            ).coalesce(1),
+            partition_spec=[("p", "identity", "p")] if i == 0 else None,
+        )
+    for i in range(2):
+        write_iceberg(
+            spark, t,
+            spark.range(100 + i * 5, 105 + i * 5).select(
+                F.lit(1).alias("p"), F.col("id").alias("k")
+            ).coalesce(1),
+        )
+    files_p1 = {
+        f for f in iceberg_live_files(t) if "/p=1/" in f or True
+    }
+    # a position delete spanning BOTH partitions
+    scan = spark.read.parquet(*iceberg_live_files(t)).withColumns({
+        "fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ),
+        "pos": F.col("_metadata.row_index"),
+    })
+    write_iceberg_deletes(
+        spark, t,
+        scan.where(F.col("k").isin(0, 101)).select(
+            F.col("fp").alias("file_path"), "pos"
+        ),
+    )
+    pre = sorted((r.p, r.k) for r in read_iceberg(spark, t).collect())
+    snap_pre = iceberg_metadata(t)["current-snapshot-id"]
+    before = iceberg_live_files(t)
+    sid, n = rewrite_iceberg_data_files(spark, t, target_files=2)
+    assert n == 8  # only the oversized p=0 group rewrites
+    after = iceberg_live_files(t)
+    assert sorted(
+        (r.p, r.k) for r in read_iceberg(spark, t).collect()
+    ) == pre
+    # p=0: 8 -> at most 2 files; p=1 untouched (same paths)
+    p1_before = {f for f in before if _p_of(spark, f) == 1}
+    p1_after = {f for f in after if _p_of(spark, f) == 1}
+    assert p1_before == p1_after
+    assert len(after) <= len(p1_after) + 2
+    # delete files survive (they still gate p=1's untouched files)
+    _d, dl, _eq = _snapshot_files(t)
+    assert dl  # the delete manifest is KEPT
+    # the deleted rows stay deleted on both rewritten and kept files
+    ks = {r.k for r in read_iceberg(spark, t).collect()}
+    assert 0 not in ks and 101 not in ks
+    # time travel intact
+    assert sorted(
+        (r.p, r.k)
+        for r in read_iceberg(spark, t, snapshot_id=snap_pre).collect()
+    ) == pre
+    # no-op on an already-packed table: no new snapshot
+    sid2, n2 = rewrite_iceberg_data_files(spark, t, target_files=2)
+    assert (sid2, n2) == (sid, 0)
+
+
+def _p_of(spark, path):
+    import pyarrow.parquet as papq
+
+    vals = papq.read_table(
+        path.replace("file:", ""), columns=["p"]
+    )["p"].to_pylist()
+    return vals[0]

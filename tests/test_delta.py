@@ -2723,3 +2723,41 @@ def test_optimize_zorder_clusters_and_guards(spark, tmp_path):
         optimize_delta(spark, t, zorder_by=["s"])
     with pytest.raises(ValueError, match="not a data column"):
         optimize_delta(spark, t, zorder_by=["nope"])
+
+
+def test_optimize_zorder_partitioned_per_group(spark, tmp_path):
+    """Z-ORDER on a PARTITIONED table clusters WITHIN each partition
+    (partition columns stay the layout; z applies to data columns
+    inside each directory) and partition pruning composes with the
+    2-D stats prune."""
+    from jobminer_spark.sources.delta import optimize_delta
+
+    t = str(tmp_path / "zpart")
+    df = spark.range(0, 2048).select(
+        (F.col("id") % 2).alias("p"),
+        (F.col("id") % 16).alias("a"),
+        ((F.col("id") / 16).cast("long") % 16).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    for i in range(4):
+        write_delta(
+            spark, t,
+            df.filter(F.col("id") % 4 == i).repartition(1),
+            partition_by=["p"],
+        )
+    v, nb, na = optimize_delta(
+        spark, t, target_files=4, zorder_by=["a", "b"]
+    )
+    assert na == 8  # 4 z-files per partition value
+    post = read_delta(spark, t)
+    assert post.count() == 2048
+    assert post.agg(F.sum("payload")).collect()[0][0] == sum(range(2048))
+    flt = {"a": (0, 3), "b": (0, 3)}
+    pruned = read_delta(spark, t, stats_filters=flt)
+    assert len(pruned.inputFiles()) < 8
+    rows = pruned.where(
+        F.col("a").between(0, 3) & F.col("b").between(0, 3)
+    )
+    assert sorted(r.payload for r in rows.collect()) == [
+        i for i in range(2048) if i % 16 < 4 and (i // 16) % 16 < 4
+    ]
