@@ -1478,17 +1478,29 @@ def write_delta(
                     _identity_md(f.get("metadata") or {})
                     for f in json.loads(prev_meta["schemaString"])["fields"]
                 )
+                mapped_ow = _mapping_mode(prev_meta) in ("name", "id")
                 if identity_table:
-                    # delta-spark semantics: overwrite keeps the identity
-                    # high watermark MONOTONE — an omitted identity column
-                    # continues enumerating PAST the committed watermark
-                    # (never resets to start), an explicit one advances it
-                    # past the batch max; the identity field metadata
-                    # survives (the schema is NOT replaced), so the batch
-                    # must keep the declared shape
+                    # delta-spark semantics: overwrite keeps the
+                    # identity high watermark MONOTONE — an omitted
+                    # identity column continues enumerating PAST the
+                    # committed watermark (never resets to start), an
+                    # explicit one advances it past the batch max; the
+                    # identity field metadata survives (the schema is
+                    # NOT replaced), so the batch must keep the
+                    # declared shape
                     ow_batch, id_meta_action, id_cached = (
                         _apply_identity_columns(spark, df, prev_meta)
                     )
+                ow_gen_checks: list[tuple[str, str]] = []
+                if identity_table or mapped_ow:
+                    # when the schema is PRESERVED its generation
+                    # expressions survive too — compute omitted
+                    # generated columns / validate provided ones,
+                    # exactly like an append (r18 review)
+                    ow_batch, ow_gen_checks = _apply_generated_columns(
+                        ow_batch, prev_meta
+                    )
+                if identity_table:
                     prev_f = json.loads(prev_meta["schemaString"])["fields"]
                     df_f = json.loads(_schema_string(ow_batch))["fields"]
                     if len(prev_f) != len(df_f) or not all(
@@ -1508,7 +1520,7 @@ def write_delta(
                             f"{prev_meta['schemaString']}"
                         )
                     stage_df = ow_batch
-                if _mapping_mode(prev_meta) in ("name", "id"):
+                if mapped_ow:
                     # data-only overwrite of a column-mapped table
                     # (r18; previously refused): the mapped schema and
                     # its physical naming are PRESERVED — assigning
@@ -1564,6 +1576,7 @@ def write_delta(
                         or {},
                         "schemaString": _schema_string(ow_batch),
                     },
+                    extra=ow_gen_checks,
                 )
             if current >= 0 and mode == "append":
                 # identity first (generated expressions/constraints may

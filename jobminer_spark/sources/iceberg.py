@@ -2318,15 +2318,21 @@ def write_iceberg_dvs(
             "file) — nothing to commit"
         )
     # fold in prior parquet position-delete rows for touched files:
-    # the new DV must carry EVERY delete for its file
+    # the new DV must carry EVERY delete for its file. The fold keeps
+    # the sequence gate (delete seq >= the data file's) — a prior
+    # delete that did NOT apply at read time (pathological path
+    # reuse) must not start applying just because it rode into a
+    # newer DV
     pq_old = [r for r in old_deletes if not r.get("puffin")]
     if pq_old:
+        data_seq = {r["path"]: r["seq"] for r in data}
         prior_parts = [
             spark.read.schema("file_path string, pos long")
             .parquet(r["path"])
             .select(
                 _norm_uri(F.col("file_path")).alias("__nfp"),
                 F.col("pos").alias("pos"),
+                F.lit(int(r["seq"])).alias("__dseq"),
             )
             for r in pq_old
         ]
@@ -2334,12 +2340,15 @@ def write_iceberg_dvs(
         for p in prior_parts[1:]:
             prior = prior.unionByName(p)
         touched_df = spark.createDataFrame(
-            [(t,) for t in sorted(touched)], "orig string"
-        ).select("orig", _norm_uri(F.col("orig")).alias("__nfp"))
+            [(t, int(data_seq[t])) for t in sorted(touched)],
+            "orig string, __fseq long",
+        ).select(
+            "orig", "__fseq", _norm_uri(F.col("orig")).alias("__nfp")
+        )
         matched = matched.unionByName(
-            prior.join(F.broadcast(touched_df), "__nfp").select(
-                "orig", "pos"
-            )
+            prior.join(F.broadcast(touched_df), "__nfp")
+            .where(F.col("__dseq") >= F.col("__fseq"))
+            .select("orig", "pos")
         )
     # existing DV descriptors for touched files (file-bounded dict,
     # closed over by the executor task — decoded there, not here)

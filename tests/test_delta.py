@@ -2761,3 +2761,60 @@ def test_optimize_zorder_partitioned_per_group(spark, tmp_path):
     assert sorted(r.payload for r in rows.collect()) == [
         i for i in range(2048) if i % 16 < 4 and (i // 16) % 16 < 4
     ]
+
+
+def test_identity_overwrite_computes_generated_columns(
+    spark, tmp_path
+):
+    """r18 review: when an overwrite PRESERVES the schema (identity
+    table), its generation expressions survive too — an omitted
+    generated column is computed, a contradicting one rejected, like
+    any append."""
+    t = str(tmp_path / "ident_gen_ow")
+    write_delta(spark, t, _df(spark, 0, 1).select(
+        F.lit(1).cast("long").alias("rid"), "k", "v", "tag"
+    ))
+    md_id = {
+        "delta.identity.start": 100,
+        "delta.identity.step": 10,
+        "delta.identity.allowExplicitInsert": "false",
+    }
+    with open(_commit_file(t, 1), "w") as f:
+        f.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "rid", "type": "long", "nullable": True,
+                 "metadata": md_id},
+                {"name": "k", "type": "long", "nullable": False,
+                 "metadata": {}},
+                {"name": "v", "type": "long", "nullable": False,
+                 "metadata": {"delta.generationExpression": "k * 2"}},
+                {"name": "tag", "type": "string", "nullable": False,
+                 "metadata": {}},
+            ]}),
+            "partitionColumns": [], "createdTime": 0,
+            "configuration": {},
+        }}) + "\n")
+    # overwrite omitting BOTH rid (identity) and v (generated)
+    write_delta(
+        spark, t,
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("ow").alias("tag")
+        ),
+        mode="overwrite",
+    )
+    rows = {r.k: (r.rid, r.v) for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == [5, 6, 7]
+    assert sorted(rid for rid, _v in rows.values()) == [100, 110, 120]
+    assert all(v == k * 2 for k, (_r, v) in rows.items())
+    # a contradicting generated value still refuses on overwrite
+    with pytest.raises(ValueError, match="generated:v"):
+        write_delta(
+            spark, t,
+            spark.range(9, 10).select(
+                F.col("id").alias("k"),
+                F.lit(1).cast("long").alias("v"),
+                F.lit("bad").alias("tag"),
+            ),
+            mode="overwrite",
+        )
