@@ -141,7 +141,53 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
         read_delta(spark, z_table, stats_filters=z_filters).inputFiles()
     )
 
+    # MIXED-TYPE Z-ORDER table (r19): the SAME 16x16 grid, but
+    # dimension 1 is a DATE (16 distinct days, unix_date proxy) and
+    # dimension 2 a STRING key prefix (equi-depth sampled boundaries)
+    # — the common real clustering keys the numeric-only refusal made
+    # the r18 audit unrepresentative of (VERDICT r18 item 2)
+    zm_table = os.path.join(work, "zmix")
+    zmrows = rows.select(
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")),
+            (F.col("event_id") % 16).cast("int"),
+        ).alias("d"),
+        F.concat(
+            F.format_string(
+                "k%02d",
+                ((F.col("event_id") / 16).cast("long") % 16).cast("int"),
+            ),
+            F.lit("-"),
+            F.col("event_id").cast("string"),
+        ).alias("s"),
+        "val_q",
+        "event_id",
+    )
+    for i in range(4):
+        write_delta(
+            spark, zm_table,
+            zmrows.filter(F.col("event_id") % 4 == i).repartition(1),
+        )
+    zm_filters = {
+        "d": ("2024-01-01", "2024-01-04"),
+        "s": (None, "k03z"),
+    }
+    zm_pre_total = len(read_delta(spark, zm_table).inputFiles())
+    zm_pre_pruned = len(
+        read_delta(spark, zm_table, stats_filters=zm_filters).inputFiles()
+    )
+    optimize_delta(spark, zm_table, target_files=16, zorder_by=["d", "s"])
+    zm_total = len(read_delta(spark, zm_table).inputFiles())
+    zm_pruned = len(
+        read_delta(spark, zm_table, stats_filters=zm_filters).inputFiles()
+    )
+
     result = {
+        "zmix": zm_table,
+        "zm_filters": zm_filters,
+        "zm_pre_prune_none": int(zm_pre_pruned == zm_pre_total == 4),
+        "zm_improved": int(zm_pruned < zm_total),
+        "zm_quarter": int(zm_pruned * 4 <= zm_total),
         "zorder": z_table,
         "z_filters": z_filters,
         # interleaved layout: the 2-D predicate prunes nothing
@@ -302,4 +348,57 @@ def delta_zorder_optimize_audit(
         f"CAST({s['z_pre_prune_none']} AS BIGINT) AS pre_prune_none",
         f"CAST({s['z_improved']} AS BIGINT) AS prune_improved",
         f"CAST({s['z_quarter']} AS BIGINT) AS prune_quarter",
+    )
+
+
+@query(
+    "delta_zorder_mixed_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 16 BETWEEN 0 AND 3
+               AND CAST(FLOOR(event_id / 16) AS BIGINT) % 16
+                   BETWEEN 0 AND 3) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 16 BETWEEN 0 AND 3
+               AND CAST(FLOOR(event_id / 16) AS BIGINT) % 16
+                   BETWEEN 0 AND 3) AS ck,
+           CAST(1 AS BIGINT) AS pre_prune_none,
+           CAST(1 AS BIGINT) AS prune_improved,
+           CAST(1 AS BIGINT) AS prune_quarter
+    """,
+)
+def delta_zorder_mixed_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE Z-ORDER past numeric-only (r19, VERDICT r18 item 2):
+    the same 16x16 interleaved grid as delta_zorder_optimize_audit,
+    but clustered on a DATE column (16 days; monotone unix_date
+    proxy) and a STRING key prefix (equi-depth sampled quantile
+    boundaries, counted JVM-side — no UDF). Pre-OPTIMIZE the 2-D
+    stats filter prunes NOTHING (pre_prune_none); post-OPTIMIZE it
+    plans strictly fewer files (prune_improved) and at most a
+    quarter (prune_quarter — the predicate covers 1/16 of the
+    space), and the rows under the pruned plan match the oracle's
+    recomputation from raw events exactly (a boundary-sampling bug,
+    a proxy that broke monotonicity, or string stats that over-prune
+    all go red on values)."""
+    s = _scenario(spark, sf_dir)
+    got = (
+        read_delta(spark, s["zmix"], stats_filters=s["zm_filters"])
+        .where(
+            F.col("d").between("2024-01-01", "2024-01-04")
+            & (F.substring("s", 1, 3) <= "k03")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val_q").cast("long").alias("ck"),
+        )
+    )
+    return got.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['zm_pre_prune_none']} AS BIGINT) AS pre_prune_none",
+        f"CAST({s['zm_improved']} AS BIGINT) AS prune_improved",
+        f"CAST({s['zm_quarter']} AS BIGINT) AS prune_quarter",
     )

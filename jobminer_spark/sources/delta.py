@@ -1083,6 +1083,68 @@ _LEGACY_WRITER_FEATURES = {
 }
 
 
+def _type_has_variant(dt) -> bool:
+    """True when a Spark DataType contains VariantType ANYWHERE in its
+    tree — top-level, struct field, array element, or map key/value.
+    The protocol gates variantType on use anywhere in the schema, so a
+    top-level-only scan lets `array<variant>` / nested-struct variants
+    publish a schema foreign readers are not gated on (ADVICE r18)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return any(_type_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _type_has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _type_has_variant(dt.keyType) or _type_has_variant(
+            dt.valueType
+        )
+    return dt.simpleString() == "variant"
+
+
+def _feature_upgrade_protocol(
+    protocol: dict | None,
+    reader_feats: set[str],
+    writer_feats: set[str],
+) -> dict | None:
+    """Protocol action upgrading ``protocol`` to the table-features
+    form (reader 3 / writer 7) with ``reader_feats``/``writer_feats``
+    added; None when every requested feature is already listed. Per
+    the protocol's upgrade rule, EVERY feature the prior legacy
+    versions implied becomes explicit alongside the new ones — at
+    writer 7 only listed features are enabled, so dropping e.g.
+    changeDataFeed from a v4 table would make
+    delta.enableChangeDataFeed inert for conforming engines (same
+    discipline as the deletionVectors upgrade in delete_delta)."""
+    p = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rf = set(p.get("readerFeatures") or [])
+    wf = set(p.get("writerFeatures") or [])
+    if (
+        p.get("minReaderVersion", 1) >= 3
+        and reader_feats <= rf
+        and p.get("minWriterVersion", 2) >= 7
+        and writer_feats <= wf
+    ):
+        return None
+    prior_w = p.get("minWriterVersion", 2)
+    if prior_w < 7:
+        for lv, fs in _LEGACY_WRITER_FEATURES.items():
+            if prior_w >= lv:
+                wf |= fs
+    if p.get("minReaderVersion", 1) == 2:
+        # legacy reader 2 implies columnMapping; reader 3 tables must
+        # list it
+        rf |= {"columnMapping"}
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rf | reader_feats),
+            "writerFeatures": sorted(wf | writer_feats),
+        }
+    }
+
+
 def _check_writer_supported(
     protocol: dict, meta: dict, operation: str
 ) -> None:
@@ -1679,12 +1741,10 @@ def write_delta(
                 .lower()
                 == "true"
             )
-            has_variant = any(
-                f.dataType.simpleString() == "variant"
-                for f in df.schema.fields
-            )
+            has_variant = _type_has_variant(df.schema)
             if has_variant:
-                # variant columns demand the table-features protocol:
+                # variant columns — anywhere in the type tree, nested
+                # included — demand the table-features protocol:
                 # reader 3 + writer 7 with variantType listed (plus
                 # CDF's feature when enabled at creation)
                 actions.append(
@@ -1726,6 +1786,19 @@ def write_delta(
         elif mode == "overwrite":
             # prev state replayed (and constraints enforced) before
             # staging, at the loop top
+            if _type_has_variant(df.schema):
+                # an overwrite that introduces variant to an existing
+                # table (or touches one a foreign writer left ungated)
+                # must upgrade the protocol in the SAME commit the
+                # schema lands — republishing a variant schemaString
+                # under reader 1 violates the spec: foreign readers
+                # are not gated on a feature the schema uses
+                # (ADVICE r18)
+                up = _feature_upgrade_protocol(
+                    prev_proto, {"variantType"}, {"variantType"}
+                )
+                if up is not None:
+                    actions.append(up)
             if identity_table:
                 # the schema (with its identity metadata) is
                 # preserved; only the layout may change — fold it
@@ -1904,10 +1977,16 @@ _STATS_FILES_CAP = 64
 
 def _footer_stats_json(path: str) -> str | None:
     """delta-spark's per-file statistics JSON (numRecords, minValues/
-    maxValues/nullCount) from the parquet footer — INTEGER leaf columns
-    only: the parquet spec lets writers truncate binary (string) stats,
-    and a truncated max would make data skipping silently drop a file
-    that holds matching rows (the lakehouse footer-stats rule)."""
+    maxValues/nullCount) from the parquet footer — integer, string,
+    and date leaf columns. Strings are safe as PRUNING BOUNDS even
+    when the writer truncated them: the parquet spec's truncation
+    rule keeps a truncated min a prefix (still <= the actual min) and
+    increments a truncated max's last byte (still >= the actual max),
+    so `min > hi` / `max < lo` stay conservative — the unsafe use
+    would be treating them as exact values, which data skipping never
+    does (r19, widened from integer-only for non-numeric Z-ORDER).
+    Dates encode ISO-8601, delta-spark's stats encoding, which also
+    compares correctly as strings."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 
@@ -1916,14 +1995,26 @@ def _footer_stats_json(path: str) -> str | None:
         schema = md.schema.to_arrow_schema()
     except OSError:
         return None
-    mins: dict[str, int] = {}
-    maxs: dict[str, int] = {}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
     nulls: dict[str, int] = {}
+
+    def _enc(v):
+        import datetime
+
+        return v.isoformat() if isinstance(v, datetime.date) else v
+
     for i in range(md.num_columns):
         name = md.schema.column(i).path
         arrow_idx = schema.get_field_index(name)
-        if arrow_idx < 0 or not pa.types.is_integer(
-            schema.field(arrow_idx).type
+        if arrow_idx < 0:
+            continue
+        atype = schema.field(arrow_idx).type
+        if not (
+            pa.types.is_integer(atype)
+            or pa.types.is_string(atype)
+            or pa.types.is_large_string(atype)
+            or pa.types.is_date(atype)
         ):
             continue
         col_mins, col_maxs, col_nulls = [], [], 0
@@ -1933,8 +2024,8 @@ def _footer_stats_json(path: str) -> str | None:
             if st is None or not st.has_min_max:
                 ok = False
                 break
-            col_mins.append(st.min)
-            col_maxs.append(st.max)
+            col_mins.append(_enc(st.min))
+            col_maxs.append(_enc(st.max))
             col_nulls += st.null_count or 0
         if ok and col_mins:
             mins[name] = min(col_mins)
@@ -2248,6 +2339,42 @@ def write_checkpoint_v2(
     return path
 
 
+def _z_numeric_proxy(col_name: str, delta_type: str):
+    """A monotone double proxy for a Z-ORDER column: dates count days
+    (unix_date), timestamps count microseconds (unix_micros; NTZ via
+    a cast that is layout-only — a constant tz offset cannot change
+    the ordering), everything numeric/boolean/decimal casts straight
+    to double. Monotonicity is all bucketing needs; the proxy never
+    lands in the data."""
+    c = F.col(col_name)
+    if delta_type == "date":
+        return F.unix_date(c).cast("double")
+    if delta_type in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    return c.cast("double")
+
+
+def _z_str_bucket(col_name: str, bnds: list[str]):
+    """Equi-depth bucket id for a STRING Z-ORDER column: the count of
+    sampled boundaries <= value, folded JVM-side over a <=255-element
+    array literal (F.aggregate — no UDF, stays in codegen). NULLs
+    land in bucket 0 (each WHEN yields 0 on a NULL compare)."""
+    if not bnds:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(b) for b in bnds])
+    return F.coalesce(
+        F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(F.col(col_name) >= b, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
 def _zorder_expr(bucket_cols: list, bits: int = 8):
     """Morton (Z-order) interleave of per-column bucket ids — pure
     JVM Column arithmetic (shift/and/or), no UDF: bit b of column c
@@ -2288,12 +2415,18 @@ def optimize_delta(
     ``vacuum_delta`` owns physical deletion, exactly like
     lakehouse.vacuum).
 
-    ``zorder_by`` (r18): NUMERIC data columns to Z-ORDER cluster by —
-    every group rewrites (clustering changes layout even at/under the
-    file target): per column, an equi-width 256-bucket id over the
-    table's [min, max] (one extra scan for the bounds; equi-width
-    keeps the bucketing pure JVM width_bucket — a quantile variant
-    would sample boundaries first, same plan shape), Morton-interleaved
+    ``zorder_by`` (r18, widened past numeric-only in r19): data
+    columns to Z-ORDER cluster by — every group rewrites (clustering
+    changes layout even at/under the file target). Per column, an
+    orderable 8-bit bucket id: numerics/decimals/booleans get an
+    equi-width 256-bucket id over the table's [min, max] (one extra
+    scan for the bounds, pure JVM width_bucket), dates/timestamps
+    ride the same path through a monotone day/epoch proxy
+    (_z_numeric_proxy), and strings get an EQUI-DEPTH id — ≤255
+    quantile boundaries from a bounded uniform sample (distributed
+    top-N on rand; the driver sees ≤64Ki values, never the data),
+    counted against the value JVM-side (_z_str_bucket, F.aggregate
+    over an array literal — still no UDF). The ids Morton-interleave
     into a z-value, then ``repartitionByRange`` + local sort on z so
     each output file holds a tight z-range — tight min/max stats on
     ALL the named columns at once, which is what makes
@@ -2343,11 +2476,15 @@ def optimize_delta(
             for f in schema["fields"]
         }
         z_phys: list[str] = []
+        z_kind: dict[str, str] = {}
+        z_type: dict[str, str] = {}
         z_bounds: dict[str, tuple] = {}
+        z_bnds_str: dict[str, list[str]] = {}
         if zorder_by:
             types = {f["name"]: f["type"] for f in data_fields}
             numeric = {
                 "long", "integer", "short", "byte", "double", "float",
+                "boolean", "date", "timestamp", "timestamp_ntz",
             }
             for c in zorder_by:
                 if c not in types:
@@ -2355,40 +2492,75 @@ def optimize_delta(
                         f"zorder column {c!r} is not a data column "
                         f"(data columns: {sorted(types)})"
                     )
-                if types[c] not in numeric:
+                t = types[c]
+                if t == "string":
+                    z_kind[phys[c]] = "str"
+                elif t in numeric or t.startswith("decimal"):
+                    z_kind[phys[c]] = "num"
+                else:
                     raise ValueError(
-                        f"zorder column {c!r} has type {types[c]!r} — "
-                        "this writer Z-orders numeric columns only"
+                        f"zorder column {c!r} has type {t!r} — "
+                        "Z-ORDER supports numeric/decimal/boolean/"
+                        "date/timestamp/string columns"
                     )
+                z_type[phys[c]] = t
                 z_phys.append(phys[c])
-            # one scan for the per-column [min, max] the equi-width
-            # bucketing spans (driver receives 2 scalars per column)
             if adds:
-                row = (
-                    spark.read.schema(data_ddl)
-                    .parquet(
-                        *[os.path.join(table, p) for p in adds]
-                    )
-                    .agg(
-                        *[
-                            F.min(F.col(c).cast("double")).alias(
-                                f"__mn{i}"
-                            )
-                            for i, c in enumerate(z_phys)
-                        ],
-                        *[
-                            F.max(F.col(c).cast("double")).alias(
-                                f"__mx{i}"
-                            )
-                            for i, c in enumerate(z_phys)
-                        ],
-                    )
-                    .collect()[0]
+                base = spark.read.schema(data_ddl).parquet(
+                    *[os.path.join(table, p) for p in adds]
                 )
-                z_bounds = {
-                    c: (row[f"__mn{i}"], row[f"__mx{i}"])
-                    for i, c in enumerate(z_phys)
-                }
+                num_phys = [
+                    c for c in z_phys if z_kind[c] == "num"
+                ]
+                # one scan for the per-column [min, max] the equi-width
+                # bucketing spans (driver receives 2 scalars per
+                # column); dates/timestamps ride the same path via a
+                # monotone numeric proxy (unix_date / unix_micros)
+                if num_phys:
+                    row = base.agg(
+                        *[
+                            F.min(
+                                _z_numeric_proxy(c, z_type[c])
+                            ).alias(f"__mn{i}")
+                            for i, c in enumerate(num_phys)
+                        ],
+                        *[
+                            F.max(
+                                _z_numeric_proxy(c, z_type[c])
+                            ).alias(f"__mx{i}")
+                            for i, c in enumerate(num_phys)
+                        ],
+                    ).collect()[0]
+                    z_bounds = {
+                        c: (row[f"__mn{i}"], row[f"__mx{i}"])
+                        for i, c in enumerate(num_phys)
+                    }
+                # strings: EQUI-DEPTH boundaries from a bounded
+                # uniform sample (distributed top-N on rand — the
+                # RangePartitioner's own sampling shape; the driver
+                # receives ≤64Ki values per column, never the data).
+                # Equi-width is meaningless for strings; equi-depth
+                # also absorbs hot common prefixes
+                for c in (x for x in z_phys if z_kind[x] == "str"):
+                    vals = sorted(
+                        r[0]
+                        for r in base.select(F.col(c))
+                        .where(F.col(c).isNotNull())
+                        .orderBy(F.rand(42))
+                        .limit(65536)
+                        .collect()
+                    )
+                    if not vals:
+                        z_bnds_str[c] = []
+                        continue
+                    n = len(vals)
+                    bnds = sorted(
+                        {
+                            vals[min(i * n // 256, n - 1)]
+                            for i in range(1, 256)
+                        }
+                    )
+                    z_bnds_str[c] = bnds
         by_part: dict[tuple, list[dict]] = {}
         for a in adds.values():
             key = tuple(
@@ -2425,12 +2597,17 @@ def optimize_delta(
             if zorder_by:
                 buckets = []
                 for c in z_phys:
+                    if z_kind[c] == "str":
+                        buckets.append(
+                            _z_str_bucket(c, z_bnds_str.get(c, []))
+                        )
+                        continue
                     mn, mx = z_bounds.get(c, (None, None))
                     if mn is None or mx is None or mn == mx:
                         buckets.append(F.lit(0))
                         continue
                     wb = F.width_bucket(
-                        F.col(c).cast("double"),
+                        _z_numeric_proxy(c, z_type[c]),
                         F.lit(float(mn)),
                         F.lit(float(mx)),
                         F.lit(256),

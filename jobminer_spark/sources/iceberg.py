@@ -1384,9 +1384,11 @@ def _default_sort_order(
 ) -> tuple[list[tuple[str, str]], int]:
     """The table's default sort order as (column, direction) pairs
     plus its order id (([], 0) for unsorted tables). Only identity
-    sort transforms are writable; anything else refuses loudly
-    rather than silently writing unsorted files stamped with the
-    order id."""
+    sort transforms are writable; the spec treats sort order as
+    ADVISORY, so a default order using bucket/truncate/etc. falls
+    back to unsorted files with sort_order_id omitted (a legal
+    write) instead of refusing appends/compactions outright on a
+    foreign table (ADVICE r18)."""
     so_id = meta.get("default-sort-order-id", 0)
     order = next(
         (
@@ -1401,11 +1403,17 @@ def _default_sort_order(
     cols: list[tuple[str, str]] = []
     for f in order["fields"]:
         if f.get("transform", "identity") != "identity":
-            raise ValueError(
-                "unsupported sort transform "
-                f"{f.get('transform')!r} in sort order {so_id} — "
-                "this writer sorts identity columns only"
+            import warnings
+
+            warnings.warn(
+                "sort order "
+                f"{so_id} uses transform {f.get('transform')!r}; this "
+                "writer sorts identity columns only — writing "
+                "UNSORTED files with sort_order_id omitted (sort "
+                "order is advisory per the Iceberg spec)",
+                stacklevel=2,
             )
+            return [], 0
         cols.append(
             (names_by_id[f["source-id"]], f.get("direction", "asc"))
         )
@@ -2233,6 +2241,26 @@ def merge_iceberg(
             f"merge source schema {sorted(source.columns)} != table "
             f"columns {sorted(schema_cols)}"
         )
+    # engine MERGE semantics error when multiple source rows share a
+    # key (each would "match" the same target row); two dup-key rows
+    # here would both land AFTER the single equality delete, silently
+    # producing duplicate table rows — validate loudly instead
+    # (ADVICE r18). One key-projected groupBy shuffle, same scale
+    # shape as the delete relation itself.
+    dups = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(3)
+        .collect()
+    )
+    if dups:
+        raise ValueError(
+            "merge source is not key-unique on "
+            f"{keys} — e.g. {[tuple(r[k] for k in keys) for r in dups]}"
+            " appear more than once; deduplicate the source first "
+            "(engine MERGE errors on multiple matches)"
+        )
     del_snap = write_iceberg_equality_deletes(
         spark, table, source.select(*keys)
     )
@@ -2599,7 +2627,11 @@ def rewrite_iceberg_data_files(
     rewritten files take the new snapshot's sequence number, which is
     exactly why surviving delete files can't re-apply to them (the
     strict sequence gate) while still gating the untouched files they
-    were committed against; delete manifests are therefore KEPT.
+    were committed against; delete manifests are therefore KEPT —
+    but entries whose EVERY target was just replaced retire as
+    DELETED (ADVICE r18: dangling deletes are harmless at read time
+    yet accumulate across compactions, inflating $files and later
+    manifest surgery).
     Returns (new snapshot id, files rewritten); a no-op returns the
     current snapshot and 0 without committing.
 
@@ -2675,7 +2707,8 @@ def rewrite_iceberg_data_files(
     _, prior = read_avro_records(
         _resolve_path(table, snap["manifest-list"])
     )
-    # delete manifests survive: they still gate the untouched files
+    # delete manifests survive (they still gate the untouched files),
+    # minus entries whose every target was just replaced
     list_records, rewritten = _replacement_manifest_records(
         table, md, prior, affected_paths, snapshot_id, commit,
         drop_delete_manifests=False,
@@ -2754,8 +2787,14 @@ def _replacement_manifest_records(
             "deleted_rows_count": m.get("deleted_rows_count", 0),
         }
         if (m.get("content") or 0) == 1:
-            if not drop_delete_manifests:
-                list_records.append(norm)
+            if drop_delete_manifests:
+                continue
+            list_records.append(
+                _prune_dangling_delete_entries(
+                    table, md, norm, affected_paths, snapshot_id,
+                    f"{commit}-dd{i:03d}",
+                )
+            )
             continue
         mschema, entries = read_avro_records(
             _resolve_path(table, m["manifest_path"])
@@ -2842,6 +2881,117 @@ def _replacement_manifest_records(
             }
         )
     return list_records, rewritten
+
+
+def _prune_dangling_delete_entries(
+    table: str,
+    md: str,
+    norm: dict,
+    affected_paths: set[str],
+    snapshot_id: int,
+    tag: str,
+) -> dict:
+    """Rewrite one DELETE manifest for the binpack path, flipping to
+    DELETED any live entry whose every target data file was just
+    replaced (ADVICE r18): a DV or position-delete file aimed only at
+    replaced files is dead weight — harmless at read time (rewritten
+    files take a newer sequence number, the strict gate skips the
+    delete) but it accumulates across compactions, inflating $files
+    and every later commit's manifest surgery. Mirrors
+    write_iceberg_dvs's superseded-DV surgery.
+
+    Targets resolve from referenced_data_file when stamped (DVs
+    always, single-file position deletes usually); an unstamped
+    position-delete parquet is probed for its distinct file_path set
+    (driver-side, O(delete files) — maintenance-op bounded).
+    Equality deletes target by VALUE, not path — always kept.
+    Returns the manifest-list record to reference (the rewritten
+    manifest keeps its DELETED rows so snapshot diffing still sees
+    which snapshot retired them), or the record unchanged when
+    nothing dangles."""
+    mschema, mentries = read_avro_records(
+        _resolve_path(table, norm["manifest_path"])
+    )
+
+    def _dangling(e: dict) -> bool:
+        dfl = e["data_file"]
+        if (dfl.get("content") or 0) == 2:
+            return False
+        ref = dfl.get("referenced_data_file")
+        if ref:
+            return _resolve_path(table, ref) in affected_paths
+        if (dfl.get("file_format") or "").upper() != "PARQUET":
+            return False
+        try:
+            import pyarrow.parquet as papq
+
+            targets = set(
+                papq.read_table(
+                    _resolve_path(table, dfl["file_path"]),
+                    columns=["file_path"],
+                )["file_path"].to_pylist()
+            )
+        except Exception:
+            return False  # unreadable → keep (safe default)
+        return bool(targets) and all(
+            _resolve_path(table, t) in affected_paths for t in targets
+        )
+
+    live = [e for e in mentries if e["status"] != _STATUS_DELETED]
+    dang = [e for e in live if _dangling(e)]
+    if not dang:
+        return norm
+    out_entries = []
+    kept = dropped = 0
+    kept_rows = dropped_rows = 0
+    min_seq = None
+    for e in live:
+        e_seq = e.get("sequence_number")
+        if e_seq is None:
+            e_seq = norm.get("sequence_number", 0)
+        e_snap = e.get("snapshot_id")
+        if e_snap is None:
+            e_snap = norm.get("added_snapshot_id") or 0
+        n = e["data_file"].get("record_count", 0)
+        if e in dang:
+            status = _STATUS_DELETED
+            e_snap = snapshot_id
+            dropped += 1
+            dropped_rows += n
+        else:
+            status = 0  # EXISTING
+            kept += 1
+            kept_rows += n
+            min_seq = e_seq if min_seq is None else min(min_seq, e_seq)
+        out_entries.append(
+            {
+                **e,
+                "status": status,
+                "snapshot_id": e_snap,
+                "sequence_number": e_seq,
+                "file_sequence_number": e.get("file_sequence_number")
+                or e_seq,
+            }
+        )
+    new_mpath = os.path.join(md, f"manifest-{tag}.avro")
+    write_avro_file(new_mpath, mschema, out_entries)
+    return {
+        **norm,
+        "manifest_path": os.path.abspath(new_mpath),
+        "manifest_length": os.path.getsize(new_mpath),
+        "min_sequence_number": (
+            min_seq
+            if min_seq is not None
+            else norm.get("min_sequence_number", 0)
+        ),
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 0,
+        "existing_files_count": kept,
+        "deleted_files_count": dropped,
+        "added_rows_count": 0,
+        "existing_rows_count": kept_rows,
+        "deleted_rows_count": dropped_rows,
+    }
 
 
 def rewrite_iceberg_deletes(

@@ -1776,6 +1776,69 @@ def test_rewrite_deletes_restores_sort_clustering(spark, tmp_path):
     ]
 
 
+def test_iceberg_unsupported_sort_transform_falls_back_unsorted(
+    spark, tmp_path
+):
+    """ADVICE r18: sort order is ADVISORY per the spec — a foreign
+    table whose default sort order uses bucket/truncate must still
+    accept appends (and compactions), writing unsorted files with
+    sort_order_id omitted, instead of refusing the whole write."""
+    import warnings
+
+    from jobminer_spark.sources.avro import read_avro_records
+    from jobminer_spark.sources.iceberg import iceberg_metadata
+
+    t = str(tmp_path / "foreignsort")
+    write_iceberg(
+        spark, t, spark.range(0, 5).select(F.col("id").alias("k"))
+    )
+    # splice a bucket-transform default sort order, as a foreign
+    # engine would publish it
+    md = os.path.join(t, "metadata")
+    with open(os.path.join(md, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(md, f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    meta["sort-orders"] = meta.get("sort-orders", []) + [{
+        "order-id": 7,
+        "fields": [{
+            "transform": "bucket[4]", "source-id": 1,
+            "direction": "asc", "null-order": "nulls-first",
+        }],
+    }]
+    meta["default-sort-order-id"] = 7
+    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        write_iceberg(
+            spark, t, spark.range(5, 9).select(F.col("id").alias("k"))
+        )
+    assert any("advisory" in str(x.message) for x in w)
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == list(
+        range(9)
+    )
+    # the appended entries stamp NO sort_order_id (legal unclustered
+    # write), and the advisory order id survives in table metadata
+    meta2 = iceberg_metadata(t)
+    assert meta2["default-sort-order-id"] == 7
+    snap = [
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    ][0]
+    _, lists = read_avro_records(snap["manifest-list"])
+    new_entries = []
+    for m in lists:
+        _, entries = read_avro_records(m["manifest_path"])
+        for e in entries:
+            if e["status"] == 1:  # ADDED in this snapshot's manifests
+                new_entries.append(e)
+    assert new_entries
+    assert all(
+        e["data_file"].get("sort_order_id") is None for e in new_entries
+    )
+
+
 def _v3_dv_schema():
     """Foreign-shaped manifest-entry schema carrying the v3 DV fields
     (referenced_data_file, content_offset, content_size_in_bytes)."""
@@ -2146,6 +2209,20 @@ def test_merge_iceberg_upsert_semantics(spark, tmp_path):
             spark.range(1).select(F.col("id").alias("k")),
             ["k"],
         )
+    # ADVICE r18: a dup-key source refuses loudly (engine MERGE
+    # errors on multiple matches; silently both rows would append
+    # after the single equality delete → duplicate table rows) and
+    # leaves the table untouched (no partial commit)
+    before = {r.k: r.v for r in read_iceberg(spark, t).collect()}
+    with pytest.raises(ValueError, match="not key-unique"):
+        merge_iceberg(
+            spark, t,
+            spark.createDataFrame(
+                [(3, 1), (3, 2), (7, 7)], "k long, v long"
+            ),
+            ["k"],
+        )
+    assert {r.k: r.v for r in read_iceberg(spark, t).collect()} == before
 
 
 def test_rewrite_deletes_on_transform_partitioned_table(
@@ -2321,3 +2398,115 @@ def _p_of(spark, path):
         path.replace("file:", ""), columns=["p"]
     )["p"].to_pylist()
     return vals[0]
+
+
+def _binpack_fixture(spark, t):
+    """p=0 gets 8 tiny files (oversized → rewrites at target 2),
+    p=1 exactly 2 (untouched)."""
+    for i in range(8):
+        write_iceberg(
+            spark, t,
+            spark.range(i * 10, i * 10 + 10).select(
+                F.lit(0).alias("p"), F.col("id").alias("k")
+            ).coalesce(1),
+            partition_spec=[("p", "identity", "p")] if i == 0 else None,
+        )
+    for i in range(2):
+        write_iceberg(
+            spark, t,
+            spark.range(100 + i * 5, 105 + i * 5).select(
+                F.lit(1).alias("p"), F.col("id").alias("k")
+            ).coalesce(1),
+        )
+
+
+def _pos_delete_for(spark, t, ks):
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        write_iceberg_deletes,
+    )
+
+    scan = spark.read.parquet(*iceberg_live_files(t)).withColumns({
+        "fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ),
+        "pos": F.col("_metadata.row_index"),
+    })
+    write_iceberg_deletes(
+        spark, t,
+        scan.where(F.col("k").isin(*ks)).select(
+            F.col("fp").alias("file_path"), "pos"
+        ),
+    )
+
+
+def test_rewrite_data_files_prunes_dangling_deletes(spark, tmp_path):
+    """ADVICE r18: binpack retires delete entries whose EVERY target
+    was just replaced (position-delete parquet aimed only at rewritten
+    p=0 files) while keeping ones that still gate untouched files
+    (p=1's). Dangling entries are read-harmless but accumulate across
+    compactions, inflating $files and later manifest surgery."""
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        rewrite_iceberg_data_files,
+    )
+
+    t = str(tmp_path / "binpackprune")
+    _binpack_fixture(spark, t)
+    _pos_delete_for(spark, t, [5])    # targets a p=0 file only
+    _pos_delete_for(spark, t, [101])  # targets a p=1 file only
+    _d, dl, _eq = _snapshot_files(t)
+    assert len(dl) == 2
+    sid, n = rewrite_iceberg_data_files(spark, t, target_files=2)
+    assert n == 8
+    _d, dl, _eq = _snapshot_files(t)
+    # the p=0-only delete dangles (its target was rewritten with the
+    # delete applied) and retires; the p=1 one survives and gates
+    assert len(dl) == 1
+    import pyarrow.parquet as papq
+
+    targets = set(
+        papq.read_table(dl[0]["path"], columns=["file_path"])[
+            "file_path"
+        ].to_pylist()
+    )
+    # the survivor targets p=1 data (the untouched group) only
+    assert targets and all(_p_of(spark, x) == 1 for x in targets)
+    ks = {r.k for r in read_iceberg(spark, t).collect()}
+    assert 5 not in ks and 101 not in ks
+    assert ks == (set(range(80)) | set(range(100, 110))) - {5, 101}
+
+
+def test_rewrite_data_files_prunes_dangling_dvs(spark, tmp_path):
+    """ADVICE r18, DV leg: a format-v3 deletion vector whose
+    referenced_data_file was just replaced retires during binpack —
+    mirroring write_iceberg_dvs's superseded-DV surgery."""
+    from jobminer_spark.sources.iceberg import (
+        _snapshot_files,
+        iceberg_live_files,
+        rewrite_iceberg_data_files,
+        write_iceberg_dvs,
+    )
+
+    t = str(tmp_path / "binpackdv")
+    _binpack_fixture(spark, t)
+    scan = spark.read.parquet(*iceberg_live_files(t)).withColumns({
+        "fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ),
+        "pos": F.col("_metadata.row_index"),
+    })
+    write_iceberg_dvs(
+        spark, t,
+        scan.where(F.col("k") == 7).select(
+            F.col("fp").alias("file_path"), "pos"
+        ),
+    )
+    _d, dl, _eq = _snapshot_files(t)
+    assert len(dl) == 1 and dl[0].get("puffin")
+    sid, n = rewrite_iceberg_data_files(spark, t, target_files=2)
+    assert n == 8
+    _d, dl, _eq = _snapshot_files(t)
+    assert dl == []  # the DV's referenced file was replaced → retired
+    ks = {r.k for r in read_iceberg(spark, t).collect()}
+    assert 7 not in ks and len(ks) == 89

@@ -1355,9 +1355,12 @@ def test_optimize_checkpoints_on_interval_multiple(spark, tmp_path):
 
 
 def test_stats_written_and_data_skipping_prunes_files(spark, tmp_path):
-    """Adds carry delta-spark's stats JSON for integer columns; a
-    stats_filters range read plans ONLY the files whose [min,max] can
-    intersect — and stats survive checkpoint compaction."""
+    """Adds carry delta-spark's stats JSON for integer AND string
+    columns (r19: strings are safe as pruning BOUNDS — the parquet
+    truncation rule keeps a truncated min a prefix and increments a
+    truncated max, both still conservative); a stats_filters range
+    read plans ONLY the files whose [min,max] can intersect — and
+    stats survive checkpoint compaction."""
     from jobminer_spark.sources.delta import _write_checkpoint
 
     t = str(tmp_path / "skip")
@@ -1370,7 +1373,12 @@ def test_stats_written_and_data_skipping_prunes_files(spark, tmp_path):
     st = json.loads(next(a["add"]["stats"] for a in v0 if "add" in a))
     assert st["numRecords"] == 10
     assert st["minValues"]["k"] == 0 and st["maxValues"]["k"] == 9
-    assert "tag" not in st["minValues"]  # string stats not trusted
+    # string stats are written and usable as bounds
+    assert st["minValues"]["tag"] == "a" and st["maxValues"]["tag"] == "a"
+    assert len(
+        read_delta(spark, t, stats_filters={"tag": ("b", None)})
+        .inputFiles()
+    ) == 0
     pruned = read_delta(spark, t, stats_filters={"k": (12, 17)})
     assert len(pruned.inputFiles()) == 1
     assert sorted(
@@ -2677,6 +2685,93 @@ def test_delta_variant_column_roundtrip(spark, tmp_path):
     assert read_delta(spark, t).count() == 3
 
 
+def test_delta_variant_protocol_upgrade_on_overwrite(spark, tmp_path):
+    """ADVICE r18: overwriting an existing reader-1 table with a batch
+    containing a variant column must upgrade the protocol to reader 3/
+    writer 7 with variantType IN THE SAME COMMIT (plus every feature
+    the prior legacy versions implied) — republishing a variant
+    schemaString under reader 1 leaves foreign readers ungated."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delta_latest_version,
+    )
+
+    t = str(tmp_path / "vup")
+    write_delta(
+        spark, t,
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ),
+    )
+    _a, _r, _m, _t2, proto = _replay_full(t, delta_latest_version(t))
+    assert proto["minReaderVersion"] == 1
+    doc = F.parse_json(
+        F.concat(F.lit('{"a": '), F.col("id").cast("string"), F.lit("}"))
+    )
+    write_delta(
+        spark, t,
+        spark.range(0, 4).select(F.col("id").alias("k"), doc.alias("v")),
+        mode="overwrite",
+    )
+    _a, _r, meta, _t2, proto = _replay_full(t, delta_latest_version(t))
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "variantType" in proto["readerFeatures"]
+    # legacy writer 2's implied features stay explicit post-upgrade
+    assert {"appendOnly", "invariants", "variantType"} <= set(
+        proto["writerFeatures"]
+    )
+    assert any(
+        f["type"] == "variant"
+        for f in json.loads(meta["schemaString"])["fields"]
+    )
+    got = read_delta(spark, t).select(
+        "k", F.try_variant_get(F.col("v"), "$.a", "long").alias("a")
+    )
+    assert sorted((r.k, r.a) for r in got.collect()) == [
+        (i, i) for i in range(4)
+    ]
+    # idempotent: a second variant overwrite emits NO new protocol
+    write_delta(
+        spark, t,
+        spark.range(0, 2).select(F.col("id").alias("k"), doc.alias("v")),
+        mode="overwrite",
+    )
+    v = delta_latest_version(t)
+    with open(os.path.join(t, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    assert not any("protocol" in a for a in acts)
+
+
+def test_delta_nested_variant_creation_gates_protocol(spark, tmp_path):
+    """ADVICE r18: a creation whose variant sits NESTED (array element
+    / struct field) must gate the protocol exactly like a top-level
+    one — the type-tree walk, not a top-level scan."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delta_latest_version,
+    )
+
+    doc = F.parse_json(
+        F.concat(F.lit('{"a": '), F.col("id").cast("string"), F.lit("}"))
+    )
+    for name, col in [
+        ("arr", F.array(doc)),
+        ("strct", F.struct(doc.alias("inner"))),
+    ]:
+        t = str(tmp_path / f"nested_{name}")
+        write_delta(
+            spark, t,
+            spark.range(0, 3).select(
+                F.col("id").alias("k"), col.alias("v")
+            ),
+        )
+        _a, _r, _m, _t2, proto = _replay_full(t, delta_latest_version(t))
+        assert proto["minReaderVersion"] == 3, name
+        assert "variantType" in proto["readerFeatures"], name
+        assert read_delta(spark, t).count() == 3
+
+
 def test_optimize_zorder_clusters_and_guards(spark, tmp_path):
     """r18 OPTIMIZE Z-ORDER: interleaved files re-cluster so a 2-D
     stats prune plans a small subset, the logical row set is
@@ -2719,10 +2814,78 @@ def test_optimize_zorder_clusters_and_guards(spark, tmp_path):
     ) == [i for i in range(4096) if i % 16 < 4 and (i // 16) % 16 < 4]
     # time travel to the pre-OPTIMIZE version sees the old layout
     assert read_delta(spark, t, version=pre_version).count() == 4096
-    with pytest.raises(ValueError, match="numeric"):
-        optimize_delta(spark, t, zorder_by=["s"])
     with pytest.raises(ValueError, match="not a data column"):
         optimize_delta(spark, t, zorder_by=["nope"])
+
+
+def test_optimize_zorder_mixed_types(spark, tmp_path):
+    """r19 (VERDICT r18 item 2): Z-ORDER past numeric-only — a
+    (date, string) zorder fixture prunes MULTIPLICATIVELY on both
+    dimensions (each alone prunes ~1/4, together ~1/16), the string
+    leg via equi-depth sampled boundaries and the date leg via the
+    unix_date proxy; truly un-orderable types still refuse."""
+    from jobminer_spark.sources.delta import optimize_delta
+
+    t = str(tmp_path / "zmix")
+    # 16 dates × 16 key prefixes, interleaved so pre-OPTIMIZE files
+    # have wide min/max on both dims
+    df = spark.range(0, 4096).select(
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")), (F.col("id") % 16).cast("int")
+        ).alias("d"),
+        F.concat(
+            F.format_string("k%02d", (F.col("id") / 16).cast("int") % 16),
+            F.lit("-"),
+            F.col("id").cast("string"),
+        ).alias("s"),
+        F.col("id").alias("payload"),
+    )
+    for i in range(4):
+        write_delta(
+            spark, t, df.filter(F.col("id") % 4 == i).repartition(1)
+        )
+    v, nb, na = optimize_delta(
+        spark, t, target_files=16, zorder_by=["d", "s"]
+    )
+    assert (nb, na) == (4, 16)
+    post = read_delta(spark, t)
+    assert post.count() == 4096
+    assert post.agg(F.sum("payload")).collect()[0][0] == sum(range(4096))
+    full = len(post.inputFiles())
+    d_flt = {"d": ("2024-01-01", "2024-01-04")}
+    s_flt = {"s": ("k00", "k03z")}
+    n_d = len(read_delta(spark, t, stats_filters=d_flt).inputFiles())
+    n_s = len(read_delta(spark, t, stats_filters=s_flt).inputFiles())
+    n_both = len(
+        read_delta(spark, t, stats_filters={**d_flt, **s_flt}).inputFiles()
+    )
+    # each single-dim prune keeps a strict subset; the 2-D prune is
+    # multiplicative (≤ 1/4 of either single-dim plan on this grid)
+    assert n_d < full and n_s < full
+    assert n_both <= max(1, min(n_d, n_s) // 2)
+    # values correct under the pruned plan
+    got = sorted(
+        r.payload
+        for r in read_delta(spark, t, stats_filters={**d_flt, **s_flt})
+        .where(
+            F.col("d").between("2024-01-01", "2024-01-04")
+            & (F.substring("s", 1, 3) <= "k03")
+        )
+        .collect()
+    )
+    assert got == [
+        i for i in range(4096) if i % 16 < 4 and (i // 16) % 16 < 4
+    ]
+    # un-orderable types still refuse loudly
+    t2 = str(tmp_path / "zarr")
+    write_delta(
+        spark, t2,
+        spark.range(8).select(
+            F.array(F.col("id")).alias("arr"), F.col("id").alias("k")
+        ),
+    )
+    with pytest.raises(ValueError, match="supports numeric"):
+        optimize_delta(spark, t2, zorder_by=["arr"])
 
 
 def test_optimize_zorder_partitioned_per_group(spark, tmp_path):
