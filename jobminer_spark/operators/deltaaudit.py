@@ -94,7 +94,54 @@ def _scenario(spark: SparkSession, sf_dir: str) -> dict:
     for b in range(12):
         write_delta(spark, ckpt, rows.filter(F.col("user_id") % 12 == b))
 
-    result = {"main": main, "part": part, "ckpt": ckpt}
+    # r19 (VERDICT r18 item 3): inCommitTimestamp + domainMetadata —
+    # three ICT appends (thirds of the corpus), then a domain
+    # set/overwrite/remove history; timestamp time travel must
+    # resolve by the IN-LOG commit timestamps and the domain replay
+    # must keep latest-per-domain with tombstone suppression
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delta_commit_timestamps,
+        delta_domain_metadata,
+        set_delta_domain_metadata,
+    )
+
+    ict = os.path.join(work, "ict")
+    for m in range(3):
+        write_delta(
+            spark, ict, rows.filter(F.col("event_id") % 3 == m),
+            configuration={"delta.enableInCommitTimestamps": "true"},
+        )
+    set_delta_domain_metadata(ict, "ownership", '{"team": "data"}')
+    set_delta_domain_metadata(ict, "ownership", '{"team": "ml"}')
+    set_delta_domain_metadata(ict, "retention", '{"days": 30}')
+    set_delta_domain_metadata(ict, "retention", removed=True)
+    stamps = delta_commit_timestamps(ict)
+    icts = [ts for _v, ts in stamps]
+    proto = _replay_full(ict, delta_latest_version(ict))[4]
+    wf = set(proto.get("writerFeatures") or [])
+
+    result = {
+        "main": main,
+        "part": part,
+        "ckpt": ckpt,
+        "ict": ict,
+        "ict_ts_v0": icts[0],
+        # every commit carries a distinct, increasing in-log timestamp
+        "ict_monotone": int(
+            icts == sorted(icts) and len(set(icts)) == len(icts) == 7
+        ),
+        # writer-only features: writer 7 lists both, reader stays 1
+        "ict_protocol_ok": int(
+            proto.get("minReaderVersion") == 1
+            and proto.get("minWriterVersion") == 7
+            and {"inCommitTimestamp", "domainMetadata"} <= wf
+        ),
+        # latest-per-domain with the removed tombstone suppressed
+        "ict_domains_ok": int(
+            delta_domain_metadata(ict) == {"ownership": '{"team": "ml"}'}
+        ),
+    }
     _SCENARIO_CACHE[cache_key] = result
     return result
 
@@ -290,4 +337,52 @@ def delta_optimize_compaction_audit(
         " AS layout_rearranged",
         f"CAST({int(old_files == s['n_before'])} AS BIGINT)"
         " AS travel_sees_old_layout",
+    )
+
+
+@query(
+    "delta_ict_domain_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 0) AS n_v0,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 0) AS ck_v0,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_latest,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck_latest,
+           CAST(1 AS BIGINT) AS ict_monotone,
+           CAST(1 AS BIGINT) AS ict_protocol_ok,
+           CAST(1 AS BIGINT) AS domains_ok
+    """,
+)
+def delta_ict_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inCommitTimestamp + domainMetadata (r19, VERDICT r18 item 3):
+    three appends to an ICT-enabled table each prepend commitInfo
+    with a monotone in-log timestamp, and timestampAsOf at the FIRST
+    commit's in-log value must resolve to version 0 — exactly the
+    first third of the corpus, recomputed by the oracle (a reader
+    that resolves by file mtime instead lands on the wrong version
+    and goes red on n_v0/ck_v0). The protocol lists both as
+    writer-only features (reader version stays 1), and the domain
+    set → overwrite → second-domain → remove history replays to
+    latest-per-domain with the tombstone suppressed (flags pinned in
+    the scenario; reference: the Delta table-features spec — the two
+    features recent delta-spark enables by default)."""
+    s = _scenario(spark, sf_dir)
+    v0 = read_delta(spark, s["ict"], timestamp=s["ict_ts_v0"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_v0"),
+        F.sum("val_q").cast("long").alias("ck_v0"),
+    )
+    latest = read_delta(spark, s["ict"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_latest"),
+        F.sum("val_q").cast("long").alias("ck_latest"),
+    )
+    return v0.crossJoin(F.broadcast(latest)).selectExpr(
+        "n_v0",
+        "ck_v0",
+        "n_latest",
+        "ck_latest",
+        f"CAST({s['ict_monotone']} AS BIGINT) AS ict_monotone",
+        f"CAST({s['ict_protocol_ok']} AS BIGINT) AS ict_protocol_ok",
+        f"CAST({s['ict_domains_ok']} AS BIGINT) AS domains_ok",
     )

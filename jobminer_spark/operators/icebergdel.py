@@ -1302,19 +1302,22 @@ def iceberg_metadata_tables_audit(
              WHERE event_id % 17 <> 0) AS ck,
            CAST(6 AS BIGINT) AS files_before,
            CAST(1 AS BIGINT) AS files_at_target,
-           CAST(1 AS BIGINT) AS deletes_kept
+           CAST(1 AS BIGINT) AS deletes_pruned
     """,
 )
 def iceberg_rewrite_data_files_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Small-file BINPACK (r18, rewrite_iceberg_data_files): six
-    single-file appends plus a position-delete snapshot (%17 rows)
-    compact to at most two files with the pending deletes APPLIED to
-    the rewritten files — while the delete manifest survives
-    (deletes_kept; it must keep gating any file the binpack skips).
-    The oracle recomputes the survivors; files_before/at_target pin
-    the compaction actually happened."""
+    """Small-file BINPACK (r18, rewrite_iceberg_data_files; r19
+    ADVICE fix attested here): six single-file appends plus a
+    position-delete snapshot (%17 rows) compact to at most two files
+    with the pending deletes APPLIED to the rewritten files — and
+    since this fixture's delete file targets ONLY rewritten files, it
+    is DANGLING afterwards and must retire (deletes_pruned; dangling
+    entries are read-harmless but accumulate across compactions —
+    deletes whose targets survive are covered by the pruning test's
+    p=1 leg). The oracle recomputes the survivors;
+    files_before/at_target pin the compaction actually happened."""
     import os as _os
 
     from jobminer_spark.sources.iceberg import (
@@ -1356,7 +1359,7 @@ def iceberg_rewrite_data_files_audit(
             "table": t,
             "files_before": n_before,
             "at_target": int(len(iceberg_live_files(t)) <= 2),
-            "deletes_kept": int(bool(dl)),
+            "deletes_pruned": int(not dl),
         }
     s = _SCENARIO_CACHE[cache_key]
     return read_iceberg(spark, s["table"]).agg(
@@ -1367,5 +1370,83 @@ def iceberg_rewrite_data_files_audit(
         "ck",
         f"CAST({s['files_before']} AS BIGINT) AS files_before",
         f"CAST({s['at_target']} AS BIGINT) AS files_at_target",
-        f"CAST({s['deletes_kept']} AS BIGINT) AS deletes_kept",
+        f"CAST({s['deletes_pruned']} AS BIGINT) AS deletes_pruned",
+    )
+
+
+@query(
+    "iceberg_v3_default_values_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           (SELECT CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 5
+                                 ELSE event_id % 9 END) AS BIGINT)
+              FROM rows) AS ck_grade,
+           CAST(3 AS BIGINT) AS format_version,
+           CAST(1 AS BIGINT) AS field_id_parity
+    """,
+)
+def iceberg_v3_default_values_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Format-v3 DEFAULT COLUMN VALUES (r19, VERDICT r18 item 5): the
+    even half of the corpus lands BEFORE `grade` exists; ADD COLUMN
+    with default 5 is a metadata-only commit bumping the table to
+    format v3; the odd half appends WITH real grades (event_id % 9).
+    The read must serve the initial-default for pre-addition files
+    and the stored values for the rest — ck_grade recomputed by the
+    oracle goes red if defaults leak onto new files, nulls leak onto
+    old ones, or the metadata-only commit loses a snapshot. The
+    field-id resolution path must scan the identical relation
+    (field_id_parity, pinned in the fixture — the pruned per-group
+    schema is what keeps an absent field id from erroring under
+    ignoreMissing=false)."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import (
+        add_iceberg_column,
+        iceberg_metadata,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "v3defaults",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icedf_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "v3defaults")
+        write_iceberg(
+            spark, t, rows.filter(F.col("event_id") % 2 == 0)
+        )
+        add_iceberg_column(t, "grade", "long", default=5)
+        write_iceberg(
+            spark, t,
+            rows.filter(F.col("event_id") % 2 == 1).withColumn(
+                "grade", (F.col("event_id") % 9).cast("long")
+            ),
+        )
+        by_name = read_iceberg(spark, t)
+        by_fid = read_iceberg(spark, t, resolve="field-id")
+        parity = int(
+            by_name.exceptAll(by_fid).isEmpty()
+            and by_fid.exceptAll(by_name).isEmpty()
+        )
+        _SCENARIO_CACHE[cache_key] = {
+            "table": t,
+            "fv": iceberg_metadata(t)["format-version"],
+            "parity": parity,
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    return read_iceberg(spark, s["table"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+        F.sum("grade").cast("long").alias("ck_grade"),
+    ).selectExpr(
+        "n_rows",
+        "ck",
+        "ck_grade",
+        f"CAST({s['fv']} AS BIGINT) AS format_version",
+        f"CAST({s['parity']} AS BIGINT) AS field_id_parity",
     )

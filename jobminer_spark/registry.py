@@ -381,6 +381,23 @@ ORACLES: dict[str, str] = {}
 #     iceberg_rewrite_data_files_audit (icebergdel.py — small-file
 #     binpack with surviving deletes). AMEND at r19 rotation time for
 #     any module modified after this rotation.
+#   round 19 window (THIS round — the explicit 50-name _WINDOW_FRONT
+#     below, regenerated from scripts/attestation_histogram.py over
+#     CORRECTNESS_r01..r18, amended from the r18-written plan per the
+#     standing modified-module rule): slots 1-10 the ten
+#     never-attested queries (the seven r18-new obligations above in
+#     VERDICT r18 item 1's order, then the three r19-new audits —
+#     mixed-type Z-ORDER, inCommitTimestamp+domainMetadata, v3
+#     default column values — fronted with their module siblings);
+#     slots 11-35 the AMEND the standing rule requires (delta.py,
+#     iceberg.py, deltascan.py, deltaaudit.py, icebergdel.py are all
+#     r19-modified → the 17 delta rows + 8 iceberg rows re-attest);
+#     slots 36-47 the 12 r12-debt stragglers (closing the r12 debt);
+#     slots 48-50 the oldest r13 rows (token_count_stats first).
+#     SLIPS to r20 (displaced by the amends): the remaining 41
+#     last-green-r13 rows — the r20 plan is pinned in the
+#     _WINDOW_FRONT comment at slots 48-50 below per VERDICT r18
+#     item 6.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -551,31 +568,44 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # --- round 18 window (regenerated from
-    # scripts/attestation_histogram.py over CORRECTNESS_r01..r17 —
-    # committed as ATTESTATION_HISTOGRAM_r18.txt — amended from the
-    # r17-written plan per the standing modified-module rule) ---
+    # --- round 19 window (regenerated from
+    # scripts/attestation_histogram.py over CORRECTNESS_r01..r18 —
+    # committed as ATTESTATION_HISTOGRAM_r19.txt — the r18-written
+    # plan amended per the standing modified-module rule) ---
     #
-    # slots 1-4: the NEVER-driver-attested queries. Slots 1-2 are the
-    # two r17-new past-window obligations VERDICT r17 item 1 names
-    # (heavy_hitters_two_pass attests the r18 DISTRIBUTED candidate
-    # merge — broadcast semi-join, no INSET — per item 2); slots 3-4
-    # are r18-new (delete-file compaction, write-side sort orders),
-    # fronted with their module siblings rather than waiting for r19
-    "heavy_hitters_two_pass",
-    "iceberg_stats_skipping_audit",
-    "iceberg_rewrite_deletes_audit",
-    "iceberg_sort_order_audit",
-    # slots 5-26: AMEND — sources/delta.py (ADVICE r17 fixes: id-mode
-    # ignoreMissing pin, identity persist, legacy-CDC inline
-    # partitions, mapped-append nullability; identity OVERWRITE),
-    # sources/iceberg.py (float partition values, staging/manifest
-    # refactor, sort orders, compaction), mapped-table data-only
-    # OVERWRITE, and operators/icebergdel.py
-    # are r18-MODIFIED, so every query they back whose r17 row
-    # attested pre-fix code re-attests here (avro.py untouched:
-    # avro_roundtrip_audit stands on its r16 row; lakehouse.py has
-    # its own commit machinery and is untouched)
+    # slots 1-10: the NEVER-driver-attested queries. Slots 1-7 are
+    # the seven r18-new past-window obligations VERDICT r18 item 1
+    # names, in its order; slots 8-10 are r19-new, fronted with
+    # their module siblings rather than waiting for r20
+    # (delta_zorder_mixed_audit — Z-ORDER past numeric-only, VERDICT
+    # item 2; delta_ict_domain_audit — inCommitTimestamp +
+    # domainMetadata, item 3; iceberg_v3_default_values_audit — v3
+    # default column values, item 5)
+    "delta_variant_roundtrip_audit",
+    "delta_zorder_optimize_audit",
+    "iceberg_v3_dv_read_audit",
+    "iceberg_v3_dv_write_audit",
+    "iceberg_merge_upsert_audit",
+    "iceberg_metadata_tables_audit",
+    "iceberg_rewrite_data_files_audit",
+    "delta_zorder_mixed_audit",
+    "delta_ict_domain_audit",
+    "iceberg_v3_default_values_audit",
+    # slots 11-35: AMEND — sources/delta.py (ADVICE r18 variantType
+    # protocol walk + overwrite upgrade; non-numeric Z-ORDER;
+    # string/date footer stats; inCommitTimestamp + domainMetadata:
+    # replay, checkpoints, timestamp time travel, _publish_commit),
+    # sources/iceberg.py (ADVICE r18 sort-order fallback, dangling-
+    # delete pruning, merge dup-key validation; v3 default column
+    # values + add_iceberg_column + presence-aware _data_scan) and
+    # operators/{deltascan,deltaaudit,icebergdel}.py are
+    # r19-MODIFIED, so every query they back whose r18 row attested
+    # pre-fix code re-attests: the 17 delta rows, then the 8 iceberg
+    # rows (incl. the three attested in r18's slots 2-4). avro.py,
+    # lakehouse.py, heavyhit.py untouched — avro_roundtrip_audit,
+    # heavy_hitters_two_pass stand on their r16/r18 rows
+    # (lakehouse_delta_export_parity and stream_delta_sink_exactly_
+    # once re-attest because their DELTA leg rides delta.py)
     "delta_deletion_vector_read_audit",
     "delta_column_mapping_read_audit",
     "delta_multipart_checkpoint_audit",
@@ -598,40 +628,37 @@ _WINDOW_FRONT: list[str] = [
     "iceberg_expire_snapshots_audit",
     "iceberg_equality_delete_audit",
     "iceberg_partition_transform_audit",
-    # slots 27-50: the first 24 of the 36 last-green-r12 queries in
-    # registration order (VERDICT r17 item 1's debt list); the
-    # remaining 12 (stream_dyngap_session_parity, cdc_apply_snapshot,
-    # cdc_apply_counts, stream_cdc_lakehouse_parity,
-    # packed_sequence_manifest, sequence_packing_stats,
-    # leakage_safe_split_counts, split_leakage_audit,
-    # token_budget_waterfill, variant_extraction_stats,
-    # cohort_daily_retention, attribution_removal_effects) slip to
-    # r19, displaced by the 22 amend slots. AMEND at r19 rotation
-    # time for any module modified after this rotation.
-    "ann_pq_trained_recall",
-    "stream_admission_parity",
-    "range_band_join_event_values",
-    "tumbling_window_hourly",
-    "sliding_window_1h_30m",
-    "session_window_5m_gap",
-    "json_props_extraction",
-    "event_type_stats",
-    "first_write_wins_dedup",
-    "dict_first_match_resolution",
-    "skill_token_classification",
-    "multiword_containment_join",
-    "variant_normalization",
-    "skills_per_doc_grouped",
-    "skill_category_share",
-    "embedding_label_centroid_norms",
-    "ann_ivf_trained_topk",
-    "ann_ivf_trained_recall",
-    "salted_aggregation_equivalence",
-    "salted_join_equivalence",
-    "stream_funnel_parity",
-    "stream_dedup_parity",
-    "stream_static_join_parity",
-    "python_stream_datasource_parity",
+    "iceberg_stats_skipping_audit",
+    "iceberg_rewrite_deletes_audit",
+    "iceberg_sort_order_audit",
+    # slots 36-47: the 12 last-green-r12 stragglers VERDICT r18
+    # item 1 names, in registration order — the r12 debt closes
+    # this round
+    "stream_dyngap_session_parity",
+    "cdc_apply_snapshot",
+    "cdc_apply_counts",
+    "stream_cdc_lakehouse_parity",
+    "packed_sequence_manifest",
+    "sequence_packing_stats",
+    "leakage_safe_split_counts",
+    "split_leakage_audit",
+    "token_budget_waterfill",
+    "variant_extraction_stats",
+    "cohort_daily_retention",
+    "attribution_removal_effects",
+    # slots 48-50: the oldest r13 rows (token_count_stats first, per
+    # the histogram's registration order). The remaining 41 r13 rows
+    # SLIP to r20, displaced by the 25 amend slots — the r20 plan
+    # (VERDICT r18 item 6) pins them: front ALL 41 remaining
+    # last-green-r13 rows (doc_fingerprints through
+    # multimodal_resize_stub in ATTESTATION_HISTOGRAM_r19.txt order)
+    # plus any r19/r20-new never-attested queries, filling the tail
+    # from the last-green-r14 head (embedding_norm_outliers first);
+    # AMEND at r20 rotation time for any module modified after this
+    # rotation.
+    "token_count_stats",
+    "lang_id_heuristic",
+    "text_quality_score",
 ]
 
 

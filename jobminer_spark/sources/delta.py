@@ -217,15 +217,32 @@ def _replay(
     return adds, meta, txns
 
 
-def _replay_full(
-    table: str, version: int
-) -> tuple[dict[str, dict], dict[str, dict], dict, dict[str, int], dict]:
+class _ReplayState(tuple):
+    """_replay_full's result: unpacks as the historical 5-tuple
+    (adds, removes, meta, txns, protocol) so the many existing call
+    sites stay untouched, while ``.domains`` carries the
+    domainMetadata state (r19: domain → latest action, tombstones
+    included) for the callers that need it."""
+
+    domains: dict[str, dict]
+
+    def __new__(cls, adds, removes, meta, txns, protocol, domains):
+        self = super().__new__(
+            cls, (adds, removes, meta, txns, protocol)
+        )
+        self.domains = domains
+        return self
+
+
+def _replay_full(table: str, version: int) -> "_ReplayState":
     """`_replay` plus the remove TOMBSTONES still standing at
     ``version`` (path → remove action). The protocol keeps removes in
     checkpoints until their retention window lapses — vacuum/CDC
     bookkeeping an external reader consuming our checkpoint expects —
     so reconciliation tracks them: an add cancels a same-path
-    tombstone (file re-added), a remove re-raises it."""
+    tombstone (file re-added), a remove re-raises it. domainMetadata
+    actions replay latest-per-domain (r19 — previously ignored) and
+    ride checkpoints, per the feature spec."""
     import pyarrow.parquet as papq
 
     start = 0
@@ -233,6 +250,7 @@ def _replay_full(
     removes: dict[str, dict] = {}
     meta: dict = {}
     txns: dict[str, int] = {}
+    domains: dict[str, dict] = {}
     protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
     # checkpoint hint, then directory fallback (the hint file is
     # advisory per the protocol — a missing/stale one must not break)
@@ -331,6 +349,9 @@ def _replay_full(
             protocol = pr
         if row.get("txn"):
             txns[row["txn"]["appId"]] = row["txn"]["version"]
+        if row.get("domainMetadata"):
+            dm = dict(row["domainMetadata"])
+            domains[dm["domain"]] = dm
         if row.get("checkpointMetadata"):
             cm = dict(row["checkpointMetadata"])
             if int(cm.get("version", ckpt_version)) != ckpt_version:
@@ -392,11 +413,17 @@ def _replay_full(
                 removes[action["remove"]["path"]] = action["remove"]
             elif "txn" in action:
                 txns[action["txn"]["appId"]] = action["txn"]["version"]
-            # unknown single-key actions (cdc, commitInfo,
-            # domainMetadata, ...) are IGNORED per the protocol —
-            # reader version 1 only mandates the keys above
+            elif "domainMetadata" in action:
+                # latest-per-domain wins; removed=True tombstones stay
+                # tracked (they must suppress the domain and survive
+                # until a checkpoint drops them, per the feature spec)
+                dm = action["domainMetadata"]
+                domains[dm["domain"]] = dm
+            # unknown single-key actions (cdc, commitInfo, ...) are
+            # IGNORED per the protocol — reader version 1 only
+            # mandates the keys above
     _check_metadata(meta)
-    return adds, removes, meta, txns, protocol
+    return _ReplayState(adds, removes, meta, txns, protocol, domains)
 
 
 def _maps_to_dicts(obj: dict, key: str) -> None:
@@ -451,10 +478,19 @@ def read_delta(
     version: int | None = None,
     partition_filters: dict[str, str | None] | None = None,
     stats_filters: dict[str, tuple] | None = None,
+    timestamp: int | str | None = None,
 ) -> DataFrame:
     """The table's snapshot at ``version`` (latest when None) as a
     DataFrame — time travel included, exactly like `spark.read
     .format("delta").option("versionAsOf", v)` in delta-spark.
+
+    ``timestamp`` (r19) is `timestampAsOf`: epoch millis or an
+    ISO-8601 string, resolved to the last version whose commit
+    timestamp is <= it — by the commitInfo ``inCommitTimestamp`` when
+    the table records one (the inCommitTimestamp feature's rule:
+    mtime lies after a log copy/restore), file mtime otherwise, both
+    under delta-spark's monotonicity adjustment. Mutually exclusive
+    with ``version``.
 
     ``partition_filters`` ({column: value}, equality only) prunes at
     the LOG level — non-matching files never enter the plan at all,
@@ -472,6 +508,12 @@ def read_delta(
     latest = delta_latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "version and timestamp are mutually exclusive"
+            )
+        version = delta_version_at_timestamp(table, timestamp)
     v = latest if version is None else version
     if v > latest or v < 0:
         raise ValueError(f"version {v} out of range [0, {latest}]")
@@ -507,6 +549,133 @@ def read_delta(
             if _stats_may_match(a, stats_phys)
         }
     return _adds_to_df(spark, table, list(adds.values()), meta)
+
+
+def _ts_millis(timestamp: int | str) -> int:
+    """Epoch millis from an int (passed through) or an ISO-8601
+    string (naive = UTC, matching the registry's pinned session
+    zone)."""
+    if isinstance(timestamp, str):
+        import datetime
+
+        dt = datetime.datetime.fromisoformat(timestamp)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return int(dt.timestamp() * 1000)
+    return int(timestamp)
+
+
+def delta_commit_timestamps(table: str) -> list[tuple[int, int]]:
+    """(version, effective commit timestamp ms) for every commit whose
+    JSON still exists — the inCommitTimestamp from commitInfo when
+    recorded (the ICT feature's rule: the in-log value survives log
+    copies and restores where file mtime lies), file mtime otherwise,
+    both run through delta-spark's monotonicity adjustment
+    (max(raw, prev + 1)) so a backwards clock step can never make
+    timestamp resolution non-deterministic."""
+    latest = delta_latest_version(table)
+    out: list[tuple[int, int]] = []
+    prev = -1
+    for v in range(latest + 1):
+        p = _commit_file(table, v)
+        if not os.path.exists(p):
+            continue  # cleaned up pre-checkpoint commit
+        ict = _commit_ict(table, v)
+        raw = (
+            ict
+            if ict is not None
+            else int(os.path.getmtime(p) * 1000)
+        )
+        ts = max(raw, prev + 1)
+        prev = ts
+        out.append((v, ts))
+    return out
+
+
+def delta_version_at_timestamp(table: str, timestamp: int | str) -> int:
+    """The last version whose commit timestamp is <= ``timestamp`` —
+    delta-spark's timestampAsOf resolution, erroring on a timestamp
+    before the earliest reconstructable commit or after the latest
+    (exactly its TimestampEarlierThanCommitRetention /
+    TemporallyUnstableInput errors)."""
+    ts = _ts_millis(timestamp)
+    stamps = delta_commit_timestamps(table)
+    if not stamps:
+        raise FileNotFoundError(
+            f"not a Delta table (no _delta_log): {table}"
+        )
+    if ts < stamps[0][1]:
+        raise ValueError(
+            f"timestamp {ts} is before the earliest available "
+            f"commit ({stamps[0][1]}, version {stamps[0][0]})"
+        )
+    if ts > stamps[-1][1]:
+        raise ValueError(
+            f"timestamp {ts} is after the latest commit "
+            f"({stamps[-1][1]}, version {stamps[-1][0]}) — read the "
+            "latest version instead of guessing the future"
+        )
+    return max(v for v, t in stamps if t <= ts)
+
+
+def delta_domain_metadata(
+    table: str, version: int | None = None
+) -> dict[str, str]:
+    """The table's LIVE domain metadata at ``version`` (latest when
+    None): domain → configuration string. Removed-domain tombstones
+    are suppressed, per the domainMetadata feature spec."""
+    latest = delta_latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(
+            f"not a Delta table (no _delta_log): {table}"
+        )
+    v = latest if version is None else version
+    snap = _replay_full(table, v)
+    return {
+        d: a.get("configuration")
+        for d, a in sorted(snap.domains.items())
+        if not a.get("removed")
+    }
+
+
+def set_delta_domain_metadata(
+    table: str,
+    domain: str,
+    configuration: str = "{}",
+    removed: bool = False,
+) -> int:
+    """Commit a domainMetadata action (set or remove one domain) —
+    the feature's writer surface. Upgrades the protocol to writer 7
+    with domainMetadata listed when the table does not carry it yet
+    (a WRITER-ONLY feature: the reader version stays put). Returns
+    the new version."""
+    while True:
+        current = delta_latest_version(table)
+        if current < 0:
+            raise FileNotFoundError(
+                f"not a Delta table (no _delta_log): {table}"
+            )
+        snap = _replay_full(table, current)
+        _a, _r, meta, _t, proto = snap
+        _check_writer_supported(proto, meta, "setDomainMetadata")
+        actions: list[dict] = []
+        up = _feature_upgrade_protocol(proto, set(), {"domainMetadata"})
+        if up is not None:
+            actions.append(up)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": configuration,
+                    "removed": bool(removed),
+                }
+            }
+        )
+        try:
+            _publish_commit(table, current + 1, actions, meta=meta)
+        except FileExistsError:
+            continue  # lost the race; re-replay and retry
+        return current + 1
 
 
 def _stats_may_match(add: dict, stats_filters: dict[str, tuple]) -> bool:
@@ -1072,6 +1241,13 @@ _SUPPORTED_WRITER_FEATURES = {
     # r18: variant columns stage natively via Spark's parquet writer
     "variantType",
     "variantType-preview",
+    # r19: domain metadata replays latest-per-domain, rides
+    # checkpoints, and is settable (set_delta_domain_metadata)
+    "domainMetadata",
+    # r19: when delta.enableInCommitTimestamps is on, every commit
+    # prepends commitInfo with a MONOTONE inCommitTimestamp and
+    # timestamp time travel resolves by it instead of file mtime
+    "inCommitTimestamp",
 }
 # legacy writer versions imply feature sets (the protocol's table)
 _LEGACY_WRITER_FEATURES = {
@@ -1119,30 +1295,35 @@ def _feature_upgrade_protocol(
     p = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     rf = set(p.get("readerFeatures") or [])
     wf = set(p.get("writerFeatures") or [])
-    if (
-        p.get("minReaderVersion", 1) >= 3
-        and reader_feats <= rf
-        and p.get("minWriterVersion", 2) >= 7
-        and writer_feats <= wf
-    ):
+    prior_r = p.get("minReaderVersion", 1)
+    reader_ok = not reader_feats or (prior_r >= 3 and reader_feats <= rf)
+    writer_ok = (
+        p.get("minWriterVersion", 2) >= 7 and writer_feats <= wf
+    )
+    if reader_ok and writer_ok:
         return None
     prior_w = p.get("minWriterVersion", 2)
     if prior_w < 7:
         for lv, fs in _LEGACY_WRITER_FEATURES.items():
             if prior_w >= lv:
                 wf |= fs
-    if p.get("minReaderVersion", 1) == 2:
-        # legacy reader 2 implies columnMapping; reader 3 tables must
-        # list it
-        rf |= {"columnMapping"}
-    return {
-        "protocol": {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": sorted(rf | reader_feats),
-            "writerFeatures": sorted(wf | writer_feats),
-        }
+    out: dict = {
+        # a WRITER-ONLY feature set (reader_feats empty) keeps the
+        # reader version where it was — bumping to 3 would force
+        # every reader to speak table features for no reason
+        "minReaderVersion": 3 if reader_feats else prior_r,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf | writer_feats),
     }
+    if reader_feats:
+        if prior_r == 2:
+            # legacy reader 2 implies columnMapping; reader 3 tables
+            # must list it
+            rf |= {"columnMapping"}
+        out["readerFeatures"] = sorted(rf | reader_feats)
+    elif prior_r >= 3:
+        out["readerFeatures"] = sorted(rf)
+    return {"protocol": out}
 
 
 def _check_writer_supported(
@@ -1742,11 +1923,18 @@ def write_delta(
                 == "true"
             )
             has_variant = _type_has_variant(df.schema)
+            ict_on = (
+                str(
+                    conf0.get("delta.enableInCommitTimestamps", "false")
+                ).lower()
+                == "true"
+            )
             if has_variant:
                 # variant columns — anywhere in the type tree, nested
                 # included — demand the table-features protocol:
                 # reader 3 + writer 7 with variantType listed (plus
-                # CDF's feature when enabled at creation)
+                # CDF's feature when enabled at creation, and
+                # inCommitTimestamp when the property asks for it)
                 actions.append(
                     {
                         "protocol": {
@@ -1755,6 +1943,26 @@ def write_delta(
                             "readerFeatures": ["variantType"],
                             "writerFeatures": sorted(
                                 {"variantType"}
+                                | ({"changeDataFeed"} if cdf_on else set())
+                                | (
+                                    {"inCommitTimestamp"}
+                                    if ict_on
+                                    else set()
+                                )
+                            ),
+                        }
+                    }
+                )
+            elif ict_on:
+                # inCommitTimestamp is a WRITER-ONLY table feature:
+                # writer 7 lists it, the reader version stays 1
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 7,
+                            "writerFeatures": sorted(
+                                {"inCommitTimestamp"}
                                 | ({"changeDataFeed"} if cdf_on else set())
                             ),
                         }
@@ -1874,7 +2082,9 @@ def write_delta(
                 {"txn": {"appId": txn[0], "version": int(txn[1])}}
             )
         try:
-            _publish_commit(table, new_version, actions)
+            _publish_commit(
+                table, new_version, actions, meta=prev_meta
+            )
         except FileExistsError:
             for a in staged:  # lost the race: unstage and retry
                 try:
@@ -2044,9 +2254,59 @@ def _footer_stats_json(path: str) -> str | None:
     )
 
 
-def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
+def _ict_enabled(meta: dict | None) -> bool:
+    conf = (meta or {}).get("configuration") or {}
+    return (
+        str(conf.get("delta.enableInCommitTimestamps", "false")).lower()
+        == "true"
+    )
+
+
+def _commit_ict(table: str, version: int) -> int | None:
+    """The inCommitTimestamp recorded in commit ``version``'s
+    commitInfo, or None (commit cleaned up / feature off there)."""
+    path = _commit_file(table, version)
+    if version < 0 or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                ts = a["commitInfo"].get("inCommitTimestamp")
+                return int(ts) if ts is not None else None
+    return None
+
+
+def _publish_commit(
+    table: str, version: int, actions: list[dict], meta: dict | None = None
+) -> None:
     """Atomic publish: exclusive-create of `<version>.json` — two
-    racing writers cannot both win the same version."""
+    racing writers cannot both win the same version.
+
+    When ``meta`` (the table's metaData AS OF this commit) enables
+    inCommitTimestamps, a commitInfo action with a MONOTONE
+    inCommitTimestamp is prepended as the FIRST action, per the
+    feature spec — max(wall clock, previous commit's + 1), so a
+    clock step backwards can never reorder timestamp time travel."""
+    eff_meta = next(
+        (a["metaData"] for a in actions if "metaData" in a), meta
+    )
+    if _ict_enabled(eff_meta) and not any(
+        "commitInfo" in a for a in actions
+    ):
+        prev = _commit_ict(table, version - 1)
+        ict = max(int(time.time() * 1000), (prev or 0) + 1)
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": ict,
+                    "inCommitTimestamp": ict,
+                }
+            },
+            *actions,
+        ]
     payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
     fd = os.open(
         _commit_file(table, version),
@@ -2073,7 +2333,8 @@ def _checkpoint_rows_schema(table: str, version: int):
     import pyarrow as pa
     import pyarrow.parquet as papq  # noqa: F401 (callers write)
 
-    adds, removes, meta, txns, protocol = _replay_full(table, version)
+    snap = _replay_full(table, version)
+    adds, removes, meta, txns, protocol = snap
     cutoff_ms = int(time.time() * 1000) - _TOMBSTONE_RETENTION_MS
     live_removes = [
         # project to the checkpoint struct (external commits may carry
@@ -2091,7 +2352,7 @@ def _checkpoint_rows_schema(table: str, version: int):
     ]
     none_row = {
         "add": None, "remove": None, "metaData": None, "protocol": None,
-        "txn": None,
+        "txn": None, "domainMetadata": None,
     }
     rows: list[dict] = [
         {**none_row, "metaData": meta or None, "protocol": protocol},
@@ -2105,6 +2366,21 @@ def _checkpoint_rows_schema(table: str, version: int):
     rows.extend(
         {**none_row, "txn": {"appId": a, "version": v}}
         for a, v in sorted(txns.items())
+    )
+    # live domain metadata survives checkpointing (the feature spec
+    # requires it); removed-domain TOMBSTONES drop here — exactly
+    # where their suppression job ends (r19)
+    rows.extend(
+        {
+            **none_row,
+            "domainMetadata": {
+                "domain": d["domain"],
+                "configuration": d.get("configuration"),
+                "removed": False,
+            },
+        }
+        for d in sorted(snap.domains.values(), key=lambda d: d["domain"])
+        if not d.get("removed")
     )
     # Explicit schema matching the protocol's checkpoint shape:
     # partitionValues/options/configuration are MAP<string,string>
@@ -2215,6 +2491,16 @@ def _checkpoint_rows_schema(table: str, version: int):
                     ]
                 ),
             ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        pa.field("domain", pa.string()),
+                        pa.field("configuration", pa.string()),
+                        pa.field("removed", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
     return rows, schema
@@ -2281,7 +2567,7 @@ def write_checkpoint_v2(
     ar_schema = pa.schema([schema.field("add"), schema.field("remove")])
     blank = {
         "add": None, "remove": None, "metaData": None,
-        "protocol": None, "txn": None,
+        "protocol": None, "txn": None, "domainMetadata": None,
         "checkpointMetadata": None, "sidecar": None,
     }
     main_rows = [{**blank, **r} for r in meta_rows]
@@ -2675,7 +2961,9 @@ def optimize_delta(
         staged = staged_all  # the race-retry loop unstages these
         n_after = n_untouched + len(staged_all)
         try:
-            _publish_commit(table, current + 1, actions)
+            _publish_commit(
+                table, current + 1, actions, meta=meta
+            )
         except FileExistsError:
             for a in staged:  # lost the race: unstage and retry
                 try:
@@ -3111,7 +3399,9 @@ def _mor_mutation(
         actions.extend(cdc_actions)
         new_version = current + 1
         try:
-            _publish_commit(table, new_version, actions)
+            _publish_commit(
+                table, new_version, actions, meta=meta
+            )
         except FileExistsError:
             # lost the race: positions were computed against a stale
             # snapshot — unstage the DV files + replacement files +
@@ -3581,7 +3871,9 @@ def restore_delta(
             return current, 0, 0  # already identical
         new_version = current + 1
         try:
-            _publish_commit(table, new_version, actions)
+            _publish_commit(
+                table, new_version, actions, meta=cur_meta
+            )
         except FileExistsError:
             continue  # pure metadata: nothing staged to unstage
         if (

@@ -875,6 +875,20 @@ def _typed_lit(v, ib_type: str):
     return F.lit(v).cast(_ICEBERG_TO_SPARK[ib_type])
 
 
+def _default_lit(v, ib_type: str):
+    """Typed Column for a v3 ``initial-default``/``write-default``
+    value in the spec's JSON single-value serialization (dates and
+    timestamps arrive as ISO strings there, unlike the int encodings
+    partition tuples use — _typed_lit covers the int forms)."""
+    if isinstance(v, str) and ib_type == "date":
+        return F.lit(v).cast("date")
+    if isinstance(v, str) and ib_type == "timestamp":
+        return F.lit(v).cast("timestamp_ntz")
+    if isinstance(v, str) and ib_type == "timestamptz":
+        return F.lit(v).cast("timestamp")
+    return _typed_lit(v, ib_type)
+
+
 def _data_scan(
     spark: SparkSession,
     meta: dict,
@@ -889,10 +903,24 @@ def _data_scan(
     partitions — and the typed literal coalesces over the scanned
     column, a no-op for files that carry it. Scan keys
     (__ib_file/__ib_row) attach per scan relation because `_metadata`
-    only resolves directly on it."""
+    only resolves directly on it.
+
+    v3 ``initial-default`` fields (r19): a data file that PREDATES a
+    defaulted column (the field absent from its footer, checked by
+    field id then name) scans WITHOUT it and gets the typed default
+    literal — never coalesce, which would wrongly rewrite genuine
+    NULLs in files that do carry the column. The footer probe is
+    O(files) driver-side metadata reads but runs ONLY when the
+    current schema carries a default (the common no-defaults schema
+    pays nothing); the pruned per-group schema also keeps field-id
+    reads working (requesting an absent id would otherwise error
+    under ignoreMissing=false)."""
     schema_fields = _current_schema(meta)["fields"]
     types = {f["name"]: f["type"] for f in schema_fields}
     names_by_id = {f["id"]: f["name"] for f in schema_fields}
+    dflt_fields = [
+        f for f in schema_fields if f.get("initial-default") is not None
+    ]
     groups: dict[tuple, list[str]] = {}
     for rec in data:
         part = rec.get("partition") or {}
@@ -906,13 +934,35 @@ def _data_scan(
                 src = names_by_id.get(f.get("source-id"))
                 if src is not None:
                     ident.append((src, part[f["name"]]))
-        groups.setdefault(tuple(ident), []).append(rec["path"])
+        present: frozenset[str] = frozenset(
+            f["name"] for f in dflt_fields
+        )
+        if dflt_fields:
+            present = _file_field_presence(rec["path"], dflt_fields)
+        groups.setdefault((tuple(ident), present), []).append(
+            rec["path"]
+        )
     parts = []
-    for ident, paths in sorted(
+    for (ident, present), paths in sorted(
         groups.items(),
-        key=lambda kv: [(s, v is None, str(v)) for s, v in kv[0]],
+        key=lambda kv: (
+            [(s, v is None, str(v)) for s, v in kv[0][0]],
+            sorted(kv[0][1]),
+        ),
     ):
-        df = spark.read.schema(ddl).parquet(*paths)
+        absent = [f for f in dflt_fields if f["name"] not in present]
+        read_schema = ddl
+        if absent:
+            from pyspark.sql.types import StructType
+
+            full = (
+                StructType.fromDDL(ddl) if isinstance(ddl, str) else ddl
+            )
+            gone = {f["name"] for f in absent}
+            read_schema = StructType(
+                [sf for sf in full.fields if sf.name not in gone]
+            )
+        df = spark.read.schema(read_schema).parquet(*paths)
         if with_keys:
             df = df.withColumns(
                 {
@@ -920,6 +970,15 @@ def _data_scan(
                     "__ib_row": F.col("_metadata.row_index"),
                 }
             )
+        for f in absent:
+            df = df.withColumn(
+                f["name"], _default_lit(f["initial-default"], f["type"])
+            )
+        if absent:
+            # canonical column order so unionByName sees one shape
+            order = [f["name"] for f in schema_fields]
+            extra = [c for c in df.columns if c not in order]
+            df = df.select(*order, *extra)
         for src, val in ident:
             df = df.withColumn(
                 src, F.coalesce(F.col(src), _typed_lit(val, types[src]))
@@ -929,6 +988,34 @@ def _data_scan(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _file_field_presence(
+    path: str, fields: list[dict]
+) -> frozenset[str]:
+    """Which of ``fields`` (current-schema field dicts) a parquet
+    data file actually CARRIES — matched by parquet field id when the
+    file stamps them (the spec's resolution rule), by name otherwise.
+    The initial-default read path needs this: absent means the file
+    predates the column and scans the default."""
+    import pyarrow.parquet as papq
+
+    try:
+        sch = papq.read_schema(path)
+    except OSError:
+        return frozenset(f["name"] for f in fields)  # scan decides
+    ids_in_file = set()
+    for fld in sch:
+        md = fld.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        if fid is not None:
+            ids_in_file.add(int(fid))
+    names = set(sch.names)
+    return frozenset(
+        f["name"]
+        for f in fields
+        if f["id"] in ids_in_file or f["name"] in names
+    )
 
 
 def _spark_ddl(meta: dict) -> str:
@@ -1707,6 +1794,18 @@ def write_iceberg(
                 f"append sort order {sort_order!r} != the table's "
                 f"default order {sort_cols!r}"
             )
+        # v3 write-defaults (r19): an append may omit a defaulted
+        # column — the engine fills it AT WRITE TIME, per the spec
+        # (initial-default only covers files that predate the column)
+        for f in _current_schema(meta)["fields"]:
+            if (
+                f["name"] not in df.columns
+                and f.get("write-default") is not None
+            ):
+                df = df.withColumn(
+                    f["name"],
+                    _default_lit(f["write-default"], f["type"]),
+                )
     else:
         spec_tuples = [tuple(x) for x in (partition_spec or [])]
         spec_id = 0
@@ -1861,6 +1960,75 @@ def write_iceberg(
     return _publish_metadata(
         md, meta, version, snapshot_id, seq, list_path, "append"
     )
+
+
+def add_iceberg_column(
+    table: str,
+    name: str,
+    ice_type: str,
+    default=None,
+    doc: str | None = None,
+) -> int:
+    """SCHEMA EVOLUTION: add an optional column, optionally with a v3
+    ``initial-default``/``write-default`` (the spec's JSON single-
+    value serialization — pass dates/timestamps as ISO strings). A
+    metadata-only commit: a NEW schema (fresh schema-id, fresh field
+    id past last-column-id) joins the schemas list and becomes
+    current; no snapshot is written, exactly Iceberg's ADD COLUMN.
+    A default bumps format-version to 3 (defaults are v3-only — a v2
+    reader must not see a schema it would silently NULL). Files
+    predating the column read the initial-default (see _data_scan);
+    appends omitting it fill the write-default. Returns the new
+    metadata version."""
+    meta = iceberg_metadata(table)
+    md = _metadata_dir(table)
+    cur = _current_schema(meta)
+    if name in {f["name"] for f in cur["fields"]}:
+        raise ValueError(f"column {name!r} already exists")
+    if ice_type not in _ICEBERG_TO_SPARK:
+        raise ValueError(f"unsupported Iceberg column type: {ice_type!r}")
+    last_id = meta.get(
+        "last-column-id", max(f["id"] for f in cur["fields"])
+    )
+    field: dict = {
+        "id": last_id + 1,
+        "name": name,
+        "required": False,
+        "type": ice_type,
+    }
+    if doc is not None:
+        field["doc"] = doc
+    if default is not None:
+        field["initial-default"] = default
+        field["write-default"] = default
+    meta = dict(meta)
+    if "schemas" not in meta and "schema" in meta:
+        meta["schemas"] = [{**meta.pop("schema"), "schema-id": 0}]
+        meta["current-schema-id"] = 0
+    new_sid = max(s["schema-id"] for s in meta["schemas"]) + 1
+    meta["schemas"] = meta["schemas"] + [
+        {
+            "type": "struct",
+            "schema-id": new_sid,
+            "fields": list(cur["fields"]) + [field],
+        }
+    ]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = last_id + 1
+    if default is not None and meta.get("format-version", 1) < 3:
+        meta["format-version"] = 3
+        meta.setdefault("next-row-id", 0)
+    version = _metadata_version(md)
+    new_version = version + 1
+    fd = os.open(
+        os.path.join(md, f"v{new_version}.metadata.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return new_version
 
 
 def _prior_manifest_records(table: str, meta: dict | None) -> list[dict]:

@@ -2510,3 +2510,72 @@ def test_rewrite_data_files_prunes_dangling_dvs(spark, tmp_path):
     assert dl == []  # the DV's referenced file was replaced → retired
     ks = {r.k for r in read_iceberg(spark, t).collect()}
     assert 7 not in ks and len(ks) == 89
+
+
+def test_iceberg_add_column_with_default(spark, tmp_path):
+    """r19 (VERDICT r18 item 5): v3 default column values — ADD
+    COLUMN with a default is a metadata-only commit (new schema id,
+    format v3); files PREDATING the column read the initial-default,
+    appends omitting it fill the write-default at write time, files
+    carrying genuine NULLs keep them (no blanket coalesce), and the
+    field-id resolution path scans the same result."""
+    from jobminer_spark.sources.iceberg import (
+        add_iceberg_column,
+        iceberg_metadata,
+    )
+
+    t = str(tmp_path / "adddef")
+    write_iceberg(
+        spark, t, spark.range(0, 5).select(F.col("id").alias("k"))
+    )
+    add_iceberg_column(t, "score", "long", default=7)
+    add_iceberg_column(t, "tag", "string", default="x")
+    add_iceberg_column(t, "d", "date", default="2024-01-01")
+    meta = iceberg_metadata(t)
+    assert meta["format-version"] == 3
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    fld = next(f for f in cur["fields"] if f["name"] == "score")
+    assert fld["initial-default"] == 7 and fld["write-default"] == 7
+    # pre-existing files read the initial-defaults
+    got = {
+        (r.k, r.score, r.tag, str(r.d))
+        for r in read_iceberg(spark, t).collect()
+    }
+    assert got == {(i, 7, "x", "2024-01-01") for i in range(5)}
+    # an append WITH values keeps them; one with explicit NULL keeps
+    # NULL (initial-default must not rewrite genuine nulls)
+    write_iceberg(
+        spark, t,
+        spark.createDataFrame(
+            [(10, 99, "y", None), (11, None, None, None)],
+            "k long, score long, tag string, d date",
+        ),
+    )
+    # an append OMITTING the columns gets the write-defaults
+    write_iceberg(
+        spark, t, spark.range(20, 22).select(F.col("id").alias("k"))
+    )
+    expect = (
+        {(i, 7, "x", "2024-01-01") for i in range(5)}
+        | {(10, 99, "y", "None"), (11, None, None, "None")}
+        | {(i, 7, "x", "2024-01-01") for i in (20, 21)}
+    )
+    got = {
+        (r.k, r.score, r.tag, str(r.d))
+        for r in read_iceberg(spark, t).collect()
+    }
+    assert got == expect
+    # field-id resolution sees the identical table
+    got_fid = {
+        (r.k, r.score, r.tag, str(r.d))
+        for r in read_iceberg(spark, t, resolve="field-id").collect()
+    }
+    assert got_fid == expect
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        add_iceberg_column(t, "score", "long")
+    with pytest.raises(ValueError, match="unsupported Iceberg"):
+        add_iceberg_column(t, "zz", "wibble")

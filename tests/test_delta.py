@@ -2981,3 +2981,170 @@ def test_identity_overwrite_computes_generated_columns(
             ),
             mode="overwrite",
         )
+
+
+def test_in_commit_timestamps_write_and_time_travel(spark, tmp_path):
+    """r19 inCommitTimestamp (VERDICT r18 item 3): a table created
+    with delta.enableInCommitTimestamps=true publishes writer 7 with
+    the feature listed (reader stays 1 — writer-only feature), every
+    commit prepends commitInfo with a MONOTONE inCommitTimestamp, and
+    timestampAsOf resolves by those in-log values."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delta_commit_timestamps,
+        delta_version_at_timestamp,
+    )
+
+    t = str(tmp_path / "ict")
+    for lo, hi in [(0, 4), (4, 7), (7, 9)]:
+        write_delta(
+            spark, t, _df(spark, lo, hi),
+            configuration={"delta.enableInCommitTimestamps": "true"},
+        )
+    _a, _r, meta, _t2, proto = _replay_full(t, delta_latest_version(t))
+    assert proto["minReaderVersion"] == 1
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    # commitInfo is the FIRST action of every commit, ICT monotone
+    icts = []
+    for v in range(3):
+        with open(_commit_file(t, v)) as f:
+            acts = [json.loads(line) for line in f if line.strip()]
+        assert "commitInfo" in acts[0]
+        icts.append(acts[0]["commitInfo"]["inCommitTimestamp"])
+    assert icts == sorted(icts) and len(set(icts)) == 3
+    assert [v for v, _ts in delta_commit_timestamps(t)] == [0, 1, 2]
+    # timestampAsOf: exact hit, between-commits floor, errors outside
+    assert delta_version_at_timestamp(t, icts[1]) == 1
+    assert read_delta(spark, t, timestamp=icts[1]).count() == 7
+    if icts[2] - icts[1] > 1:
+        assert delta_version_at_timestamp(t, icts[2] - 1) == 1
+    with pytest.raises(ValueError, match="before the earliest"):
+        delta_version_at_timestamp(t, icts[0] - 1)
+    with pytest.raises(ValueError, match="after the latest"):
+        delta_version_at_timestamp(t, icts[2] + 10_000)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_delta(spark, t, version=1, timestamp=icts[1])
+
+
+def test_in_commit_timestamps_foreign_table_and_mtime_fallback(
+    spark, tmp_path
+):
+    """A FOREIGN-shaped ICT table (in-log timestamps far from file
+    mtimes) must time-travel by the in-log values — mtime lies after
+    a log copy — and appends to it are accepted now that the writer
+    feature is supported, continuing the monotone sequence. A plain
+    table without the feature still resolves by (adjusted) mtime."""
+    import time as _time
+
+    from jobminer_spark.sources.delta import delta_version_at_timestamp
+
+    t = str(tmp_path / "fict")
+    write_delta(spark, t, _df(spark, 0, 4))  # v0, plain
+    with open(_commit_file(t, 0)) as f:
+        v0 = [json.loads(line) for line in f if line.strip()]
+    os.unlink(_commit_file(t, 0))
+    # re-craft v0/v1 as a foreign ICT table: timestamps 1000 and 2000
+    # (decades from the files' real mtimes)
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    meta = {
+        **meta,
+        "configuration": {"delta.enableInCommitTimestamps": "true"},
+    }
+    adds = [a for a in v0 if "add" in a]
+    _craft_log(t, {
+        0: [
+            {"commitInfo": {"inCommitTimestamp": 1000,
+                            "timestamp": 1000}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["inCommitTimestamp"]}},
+            {"metaData": meta},
+            *adds,
+        ],
+        1: [
+            {"commitInfo": {"inCommitTimestamp": 2000,
+                            "timestamp": 2000}},
+        ],
+    })
+    assert read_delta(spark, t, timestamp=1500).count() == 4
+    assert delta_version_at_timestamp(t, 2000) == 1
+    # append accepted; its ICT continues past the foreign values
+    write_delta(spark, t, _df(spark, 4, 6))
+    with open(_commit_file(t, 2)) as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    assert "commitInfo" in acts[0]
+    assert acts[0]["commitInfo"]["inCommitTimestamp"] > 2000
+    assert read_delta(spark, t).count() == 6
+    # mtime fallback on a plain table: now resolves to the latest
+    t2 = str(tmp_path / "plain")
+    write_delta(spark, t2, _df(spark, 0, 3))
+    _time.sleep(0.05)
+    write_delta(spark, t2, _df(spark, 3, 5))
+    now_ms = int(_time.time() * 1000) + 1000
+    # a timestamp after the last mtime errors (delta-spark semantics)
+    with pytest.raises(ValueError, match="after the latest"):
+        delta_version_at_timestamp(t2, now_ms)
+    v0_ts = os.path.getmtime(_commit_file(t2, 0)) * 1000
+    assert delta_version_at_timestamp(t2, int(v0_ts) + 1) in (0, 1)
+
+
+def test_domain_metadata_set_replay_and_checkpoint(spark, tmp_path):
+    """r19 domainMetadata (VERDICT r18 item 3): set/overwrite/remove
+    a domain, latest-per-domain replay, writer-only protocol upgrade
+    (reader version untouched), and checkpoint persistence — live
+    domains survive log compaction, removed tombstones drop."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        _write_checkpoint,
+        delta_domain_metadata,
+        set_delta_domain_metadata,
+    )
+
+    t = str(tmp_path / "dom")
+    write_delta(spark, t, _df(spark, 0, 4))  # v0: plain writer-2 table
+    v = set_delta_domain_metadata(t, "ownership", '{"team": "data"}')
+    assert v == 1
+    _a, _r, _m, _t2, proto = _replay_full(t, delta_latest_version(t))
+    assert proto["minWriterVersion"] == 7
+    assert proto["minReaderVersion"] == 1  # writer-only upgrade
+    assert "domainMetadata" in proto["writerFeatures"]
+    # legacy writer-2 implied features stay listed post-upgrade
+    assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+    assert delta_domain_metadata(t) == {
+        "ownership": '{"team": "data"}'
+    }
+    # latest-per-domain; a second domain coexists
+    set_delta_domain_metadata(t, "ownership", '{"team": "ml"}')
+    set_delta_domain_metadata(t, "retention", '{"days": 30}')
+    assert delta_domain_metadata(t) == {
+        "ownership": '{"team": "ml"}',
+        "retention": '{"days": 30}',
+    }
+    # time travel sees the old domain state
+    assert delta_domain_metadata(t, version=1) == {
+        "ownership": '{"team": "data"}'
+    }
+    # removal tombstones suppress the domain
+    set_delta_domain_metadata(t, "retention", removed=True)
+    assert delta_domain_metadata(t) == {"ownership": '{"team": "ml"}'}
+    # appends pass domains through untouched
+    write_delta(spark, t, _df(spark, 4, 6))
+    assert delta_domain_metadata(t) == {"ownership": '{"team": "ml"}'}
+    # checkpoint: live domains survive log compaction, tombstone drops
+    latest = delta_latest_version(t)
+    _write_checkpoint(t, latest)
+    for vv in range(latest + 1):
+        os.rename(_commit_file(t, vv), _commit_file(t, vv) + ".bak")
+    with open(_commit_file(t, latest + 1), "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "NOOP"}}) + "\n")
+    try:
+        assert delta_domain_metadata(t) == {
+            "ownership": '{"team": "ml"}'
+        }
+        snap = _replay_full(t, latest + 1)
+        assert "retention" not in snap.domains  # tombstone dropped
+        assert read_delta(spark, t).count() == 6
+    finally:
+        os.unlink(_commit_file(t, latest + 1))
+        for vv in range(latest + 1):
+            os.rename(_commit_file(t, vv) + ".bak", _commit_file(t, vv))
