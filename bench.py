@@ -112,6 +112,15 @@ HEADLINE = [
     # production numbers worth watching round-over-round.
     "iceberg_rewrite_deletes_audit",
     "delta_zorder_optimize_audit",
+    # r19 additions: the round's flagship features. Scenarios memoized
+    # per session (deliberate, the r18 convention): pass 1 pays the
+    # clustered-table build + the plain OPTIMIZE that picks the
+    # delta.clustering registry up, and the row-tracking table build;
+    # min-of-passes then tracks the production READ paths — the 2-D
+    # stats-pruned clustered scan, and the derived-row-id read (the
+    # broadcast (path → baseRowId) join + position arithmetic).
+    "delta_liquid_clustering_audit",
+    "delta_row_tracking_audit",
 ]
 
 

@@ -386,3 +386,64 @@ def delta_ict_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({s['ict_protocol_ok']} AS BIGINT) AS ict_protocol_ok",
         f"CAST({s['ict_domains_ok']} AS BIGINT) AS domains_ok",
     )
+
+
+@query(
+    "delta_row_tracking_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_ids,
+           (SELECT CAST(COUNT(*) - 1 AS BIGINT) FROM rows)
+             AS max_row_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 1) AS n_v1,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 1) AS ck_v1
+    """,
+)
+def delta_row_tracking_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW TRACKING (r19): three appends to a
+    delta.enableRowTracking table — thirds of the corpus by
+    event_id%3 — must reserve DISJOINT contiguous baseRowId ranges
+    whose union is exactly [0, n): n_ids counts DISTINCT derived row
+    ids (a double-assigned range collapses it), max_row_id pins the
+    high watermark to n-1 (a gap inflates it), and the v1 slice —
+    every row whose _row_commit_version is 1 — must be exactly the
+    second batch, count and checksum recomputed by the oracle from
+    raw events (provenance mapped to the wrong commit goes red).
+    Reference: the Delta protocol's Row Tracking section (fresh
+    row-id derivation baseRowId + position)."""
+    import os as _os
+
+    from jobminer_spark.sources.delta import read_delta_row_ids
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "rowtrack",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_rt_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "rt")
+        for m in range(3):
+            write_delta(
+                spark, t, rows.filter(F.col("event_id") % 3 == m),
+                configuration={"delta.enableRowTracking": "true"},
+            )
+        _SCENARIO_CACHE[cache_key] = {"rt": t}
+    t = _SCENARIO_CACHE[cache_key]["rt"]
+    got = read_delta_row_ids(spark, t)
+    return got.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("_row_id").cast("long").alias("n_ids"),
+        F.max("_row_id").cast("long").alias("max_row_id"),
+        F.count(
+            F.when(F.col("_row_commit_version") == 1, 1)
+        ).cast("long").alias("n_v1"),
+        F.sum(
+            F.when(F.col("_row_commit_version") == 1, F.col("val_q"))
+        ).cast("long").alias("ck_v1"),
+    )

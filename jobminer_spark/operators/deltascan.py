@@ -402,3 +402,108 @@ def delta_zorder_mixed_audit(
         f"CAST({s['zm_improved']} AS BIGINT) AS prune_improved",
         f"CAST({s['zm_quarter']} AS BIGINT) AS prune_quarter",
     )
+
+
+@query(
+    "delta_liquid_clustering_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 16 BETWEEN 0 AND 3
+               AND CAST(FLOOR(event_id / 16) AS BIGINT) % 16
+                   BETWEEN 0 AND 3) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 16 BETWEEN 0 AND 3
+               AND CAST(FLOOR(event_id / 16) AS BIGINT) % 16
+                   BETWEEN 0 AND 3) AS ck,
+           CAST(1 AS BIGINT) AS registry_ok,
+           CAST(1 AS BIGINT) AS prune_improved,
+           CAST(1 AS BIGINT) AS prune_quarter
+    """,
+)
+def delta_liquid_clustering_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIQUID CLUSTERING interop (r19): CREATE ... CLUSTER BY (a, b)
+    lands the column registry in the delta.clustering domain
+    (registry_ok pins the exact domainMetadata configuration plus the
+    writer-only clustering+domainMetadata protocol), four interleaved
+    appends stay unclustered, and a PLAIN optimize_delta — no
+    zorder_by — must pick the domain's columns up: the 2-D stats
+    filter then plans strictly fewer files (prune_improved) and at
+    most a quarter (prune_quarter), with the rows under the pruned
+    plan matching the oracle's recomputation exactly. Reference:
+    delta-spark's clustered-table OPTIMIZE + the Delta protocol's
+    Clustered Table / Domain Metadata sections."""
+    import json as _json
+
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delta_domain_metadata,
+        delta_latest_version,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "liquid",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_liq_", fp)
+        rows = _rows(spark, sf_dir)
+        zrows = rows.select(
+            (F.col("event_id") % 16).alias("a"),
+            ((F.col("event_id") / 16).cast("long") % 16).alias("b"),
+            "val_q",
+            "event_id",
+        )
+        t = os.path.join(work, "liquid")
+        for i in range(4):
+            write_delta(
+                spark, t,
+                zrows.filter(F.col("event_id") % 4 == i).repartition(1),
+                cluster_by=["a", "b"] if i == 0 else None,
+            )
+        flt = {"a": (0, 3), "b": (0, 3)}
+        pre = len(
+            read_delta(spark, t, stats_filters=flt).inputFiles()
+        )
+        pre_total = len(read_delta(spark, t).inputFiles())
+        optimize_delta(spark, t, target_files=16)  # NO zorder_by
+        total = len(read_delta(spark, t).inputFiles())
+        pruned = len(
+            read_delta(spark, t, stats_filters=flt).inputFiles()
+        )
+        proto = _replay_full(t, delta_latest_version(t))[4]
+        registry_ok = int(
+            _json.loads(
+                delta_domain_metadata(t).get("delta.clustering", "{}")
+            )
+            == {"clusteringColumns": [["a"], ["b"]]}
+            and proto.get("minReaderVersion") == 1
+            and {"clustering", "domainMetadata"}
+            <= set(proto.get("writerFeatures") or [])
+            and pre == pre_total == 4
+        )
+        _SCENARIO_CACHE[cache_key] = {
+            "table": t,
+            "flt": flt,
+            "registry_ok": registry_ok,
+            "improved": int(pruned < total),
+            "quarter": int(pruned * 4 <= total),
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    got = (
+        read_delta(spark, s["table"], stats_filters=s["flt"])
+        .where(F.col("a").between(0, 3) & F.col("b").between(0, 3))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val_q").cast("long").alias("ck"),
+        )
+    )
+    return got.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['registry_ok']} AS BIGINT) AS registry_ok",
+        f"CAST({s['improved']} AS BIGINT) AS prune_improved",
+        f"CAST({s['quarter']} AS BIGINT) AS prune_quarter",
+    )

@@ -384,20 +384,20 @@ ORACLES: dict[str, str] = {}
 #   round 19 window (THIS round — the explicit 50-name _WINDOW_FRONT
 #     below, regenerated from scripts/attestation_histogram.py over
 #     CORRECTNESS_r01..r18, amended from the r18-written plan per the
-#     standing modified-module rule): slots 1-10 the ten
+#     standing modified-module rule): slots 1-12 the twelve
 #     never-attested queries (the seven r18-new obligations above in
-#     VERDICT r18 item 1's order, then the three r19-new audits —
+#     VERDICT r18 item 1's order, then the five r19-new audits —
 #     mixed-type Z-ORDER, inCommitTimestamp+domainMetadata, v3
-#     default column values — fronted with their module siblings);
-#     slots 11-35 the AMEND the standing rule requires (delta.py,
-#     iceberg.py, deltascan.py, deltaaudit.py, icebergdel.py are all
-#     r19-modified → the 17 delta rows + 8 iceberg rows re-attest);
-#     slots 36-47 the 12 r12-debt stragglers (closing the r12 debt);
-#     slots 48-50 the oldest r13 rows (token_count_stats first).
-#     SLIPS to r20 (displaced by the amends): the remaining 41
-#     last-green-r13 rows — the r20 plan is pinned in the
-#     _WINDOW_FRONT comment at slots 48-50 below per VERDICT r18
-#     item 6.
+#     default column values, liquid clustering, row tracking —
+#     fronted with their module siblings); slots 13-37 the AMEND the
+#     standing rule requires (delta.py, iceberg.py, deltascan.py,
+#     deltaaudit.py, icebergdel.py are all r19-modified → the 17
+#     delta rows + 8 iceberg rows re-attest); slots 38-49 the 12
+#     r12-debt stragglers (closing the r12 debt); slot 50 the oldest
+#     r13 row (token_count_stats). SLIPS to r20 (displaced by the
+#     amends): the remaining 43 last-green-r13 rows — the r20 plan
+#     is pinned in the _WINDOW_FRONT comment at slot 50 below per
+#     VERDICT r18 item 6.
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -591,7 +591,14 @@ _WINDOW_FRONT: list[str] = [
     "delta_zorder_mixed_audit",
     "delta_ict_domain_audit",
     "iceberg_v3_default_values_audit",
-    # slots 11-35: AMEND — sources/delta.py (ADVICE r18 variantType
+    # slots 11-12: also r19-new — liquid clustering (CLUSTER BY
+    # registry in the delta.clustering domain + plain-OPTIMIZE
+    # pickup) and row tracking (baseRowId assignment + high-watermark
+    # domain + fresh-row-id reads), displacing text_quality_score and
+    # lang_id_heuristic from slots 49-50 into the r20 tail
+    "delta_liquid_clustering_audit",
+    "delta_row_tracking_audit",
+    # slots 13-37: AMEND — sources/delta.py (ADVICE r18 variantType
     # protocol walk + overwrite upgrade; non-numeric Z-ORDER;
     # string/date footer stats; inCommitTimestamp + domainMetadata:
     # replay, checkpoints, timestamp time travel, _publish_commit),
@@ -631,7 +638,7 @@ _WINDOW_FRONT: list[str] = [
     "iceberg_stats_skipping_audit",
     "iceberg_rewrite_deletes_audit",
     "iceberg_sort_order_audit",
-    # slots 36-47: the 12 last-green-r12 stragglers VERDICT r18
+    # slots 38-49: the 12 last-green-r12 stragglers VERDICT r18
     # item 1 names, in registration order — the r12 debt closes
     # this round
     "stream_dyngap_session_parity",
@@ -646,19 +653,18 @@ _WINDOW_FRONT: list[str] = [
     "variant_extraction_stats",
     "cohort_daily_retention",
     "attribution_removal_effects",
-    # slots 48-50: the oldest r13 rows (token_count_stats first, per
-    # the histogram's registration order). The remaining 41 r13 rows
-    # SLIP to r20, displaced by the 25 amend slots — the r20 plan
-    # (VERDICT r18 item 6) pins them: front ALL 41 remaining
-    # last-green-r13 rows (doc_fingerprints through
-    # multimodal_resize_stub in ATTESTATION_HISTOGRAM_r19.txt order)
-    # plus any r19/r20-new never-attested queries, filling the tail
-    # from the last-green-r14 head (embedding_norm_outliers first);
-    # AMEND at r20 rotation time for any module modified after this
-    # rotation.
+    # slot 50: the oldest r13 row (token_count_stats, first in the
+    # histogram's registration order). The remaining 43 r13 rows SLIP
+    # to r20, displaced by the 25 amend slots and the two
+    # feature-audit fronts — the r20 plan (VERDICT r18 item 6) pins
+    # them: front ALL 43 remaining last-green-r13 rows
+    # (lang_id_heuristic first, then text_quality_score,
+    # doc_fingerprints through multimodal_resize_stub in
+    # ATTESTATION_HISTOGRAM_r19.txt order) plus any r20-new
+    # never-attested queries, filling the tail from the
+    # last-green-r14 head (embedding_norm_outliers first); AMEND at
+    # r20 rotation time for any module modified after this rotation.
     "token_count_stats",
-    "lang_id_heuristic",
-    "text_quality_score",
 ]
 
 

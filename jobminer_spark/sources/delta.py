@@ -638,6 +638,55 @@ def delta_domain_metadata(
     }
 
 
+def read_delta_row_ids(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot with the row-tracking feature's FRESH row ids
+    surfaced: ``_row_id`` = the file's baseRowId + the row's physical
+    position, ``_row_commit_version`` = the file's
+    defaultRowCommitVersion — the spec's derivation for tables
+    without materialized row-id columns (this writer never rewrites
+    rows on row-tracking tables, so the fresh values ARE the stable
+    ones). Refuses a table whose adds carry no baseRowId."""
+    latest = delta_latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(
+            f"not a Delta table (no _delta_log): {table}"
+        )
+    v = latest if version is None else version
+    adds, _rm, meta, _tx, _proto = _replay_full(table, v)
+    missing = [
+        p for p, a in adds.items() if a.get("baseRowId") is None
+    ]
+    if missing:
+        raise ValueError(
+            "row tracking not assigned for "
+            f"{len(missing)} file(s) (e.g. {sorted(missing)[:2]}) — "
+            "enable delta.enableRowTracking and write through this "
+            "writer, or read without row ids"
+        )
+    df = _adds_to_df(
+        spark, table, list(adds.values()), meta, include_position=True
+    )
+    ids = spark.createDataFrame(
+        [
+            (
+                _file_key(os.path.join(table, p)),
+                int(a["baseRowId"]),
+                int(a.get("defaultRowCommitVersion") or 0),
+            )
+            for p, a in sorted(adds.items())
+        ],
+        "__jm_file string, __jm_base long, __jm_dcv long",
+    )
+    return (
+        df.join(F.broadcast(ids), "__jm_file")
+        .withColumn("_row_id", F.col("__jm_base") + F.col("__jm_pos"))
+        .withColumn("_row_commit_version", F.col("__jm_dcv"))
+        .drop("__jm_file", "__jm_pos", "__jm_base", "__jm_dcv")
+    )
+
+
 def set_delta_domain_metadata(
     table: str,
     domain: str,
@@ -1248,6 +1297,20 @@ _SUPPORTED_WRITER_FEATURES = {
     # prepends commitInfo with a MONOTONE inCommitTimestamp and
     # timestamp time travel resolves by it instead of file mtime
     "inCommitTimestamp",
+    # r19: liquid clustering — clustering columns live in the
+    # delta.clustering domain; appends are legal unclustered
+    # (clustering is EVENTUAL) and optimize_delta realizes it by
+    # Z-ordering on the domain's columns
+    "clustering",
+    # r19: row tracking — append/overwrite assign fresh baseRowId
+    # ranges and advance the delta.rowTracking high watermark in the
+    # same commit; ops that would need MATERIALIZED row ids to keep
+    # them stable (optimize/delete/update/restore) refuse while the
+    # table property delta.enableRowTracking is on — enforce-or-
+    # refuse, never silently corrupt (the feature listed but the
+    # property off is the spec's "suspended" state: plain writes are
+    # legal and unstamped)
+    "rowTracking",
 }
 # legacy writer versions imply feature sets (the protocol's table)
 _LEGACY_WRITER_FEATURES = {
@@ -1360,6 +1423,21 @@ def _check_writer_supported(
         raise ValueError(
             f"refusing to {operation}: delta.appendOnly=true (the "
             "appendOnly feature forbids deletes/overwrites)"
+        )
+    if (
+        str(conf.get("delta.enableRowTracking", "false")).lower()
+        == "true"
+        and operation not in ("append", "overwrite", "setDomainMetadata")
+    ):
+        # append/overwrite assign FRESH ids (new rows). Everything
+        # that rewrites EXISTING rows would need their ids
+        # materialized into the new files to stay stable — not
+        # implemented, so refuse rather than silently breaking the
+        # row-id contract conforming readers rely on
+        raise ValueError(
+            f"refusing to {operation}: delta.enableRowTracking=true "
+            "and this writer cannot materialize stable row ids "
+            "through a rewrite (append/overwrite are supported)"
         )
     # CHECK constraints and legacy invariants are ENFORCED on the
     # batch (r17, _enforce_constraints) rather than refused; generated
@@ -1678,6 +1756,7 @@ def write_delta(
     checkpoint_interval: int = _CHECKPOINT_INTERVAL,
     txn: tuple[str, int] | None = None,
     configuration: dict[str, str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table``; returns the new
     version. ``overwrite`` removes every previously-active file in the
@@ -1689,9 +1768,23 @@ def write_delta(
     ``configuration`` seeds the table properties at CREATION time only
     (e.g. ``delta.enableChangeDataFeed``: "true" — the flag that makes
     delete_delta/update_delta commits also publish `_change_data`
-    files for the change-feed reader)."""
+    files for the change-feed reader).
+
+    ``cluster_by`` (r19, CREATION only) declares a LIQUID-CLUSTERED
+    table, delta-spark's CLUSTER BY: the clustering columns land in
+    the ``delta.clustering`` domainMetadata (the public interop
+    format) and the protocol lists the clustering + domainMetadata
+    writer features. Appends stay unclustered — clustering is
+    EVENTUAL, realized by optimize_delta, which picks the domain's
+    columns up automatically (no zorder_by needed). Mutually
+    exclusive with ``partition_by``, as in delta-spark."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
+    if cluster_by and partition_by:
+        raise ValueError(
+            "cluster_by and partition_by are mutually exclusive "
+            "(delta-spark's CLUSTER BY rule)"
+        )
     part_cols = list(partition_by or [])
     os.makedirs(_log_path(table), exist_ok=True)
 
@@ -1701,15 +1794,21 @@ def write_delta(
         stage_df, stage_parts = df, part_cols
         prev_adds = None
         prev_meta = None
+        if current >= 0 and cluster_by:
+            raise ValueError(
+                "cluster_by applies at CREATION only — the table's "
+                "clustering columns live in its delta.clustering "
+                "domain; appends inherit them (optimize_delta "
+                "realizes the clustering)"
+            )
         if current >= 0:
             # Validate BEFORE staging: an append must match the
             # table's declared schema and partitioning exactly — a
             # mismatched append would land files the reader then
             # misreads (all-NULL columns, NULL partition values).
             # delta-spark rejects both; so do we, loudly (review r15).
-            prev_adds, _rm, prev_meta, _ptxns, prev_proto = (
-                _replay_full(table, current)
-            )
+            prev_snap = _replay_full(table, current)
+            prev_adds, _rm, prev_meta, _ptxns, prev_proto = prev_snap
             _check_writer_supported(prev_proto, prev_meta, mode)
         id_meta_action = None
         id_cached: list[DataFrame] = []
@@ -1929,12 +2028,28 @@ def write_delta(
                 ).lower()
                 == "true"
             )
+            extra_wf: set[str] = set()
+            if ict_on:
+                extra_wf |= {"inCommitTimestamp"}
+            if cluster_by:
+                # liquid clustering: the clustering feature plus the
+                # domainMetadata feature its column registry lives in
+                extra_wf |= {"clustering", "domainMetadata"}
+            if (
+                str(
+                    conf0.get("delta.enableRowTracking", "false")
+                ).lower()
+                == "true"
+            ):
+                # row tracking: ids ride add actions, the high
+                # watermark rides the delta.rowTracking domain
+                extra_wf |= {"rowTracking", "domainMetadata"}
             if has_variant:
                 # variant columns — anywhere in the type tree, nested
                 # included — demand the table-features protocol:
                 # reader 3 + writer 7 with variantType listed (plus
-                # CDF's feature when enabled at creation, and
-                # inCommitTimestamp when the property asks for it)
+                # CDF's feature when enabled at creation, and any
+                # writer-only features the creation options imply)
                 actions.append(
                     {
                         "protocol": {
@@ -1944,25 +2059,22 @@ def write_delta(
                             "writerFeatures": sorted(
                                 {"variantType"}
                                 | ({"changeDataFeed"} if cdf_on else set())
-                                | (
-                                    {"inCommitTimestamp"}
-                                    if ict_on
-                                    else set()
-                                )
+                                | extra_wf
                             ),
                         }
                     }
                 )
-            elif ict_on:
-                # inCommitTimestamp is a WRITER-ONLY table feature:
-                # writer 7 lists it, the reader version stays 1
+            elif extra_wf:
+                # inCommitTimestamp / clustering / domainMetadata are
+                # WRITER-ONLY table features: writer 7 lists them, the
+                # reader version stays 1
                 actions.append(
                     {
                         "protocol": {
                             "minReaderVersion": 1,
                             "minWriterVersion": 7,
                             "writerFeatures": sorted(
-                                {"inCommitTimestamp"}
+                                extra_wf
                                 | ({"changeDataFeed"} if cdf_on else set())
                             ),
                         }
@@ -1991,6 +2103,32 @@ def write_delta(
                     }
                 }
             )
+            if cluster_by:
+                bad = [c for c in cluster_by if c not in df.columns]
+                if bad:
+                    raise ValueError(
+                        f"cluster_by columns {bad} are not in the "
+                        f"schema (columns: {df.columns})"
+                    )
+                # the interop format delta-spark reads/writes: the
+                # delta.clustering domain holds the column registry
+                # as a list of column PATHS (single-element paths for
+                # top-level columns)
+                actions.append(
+                    {
+                        "domainMetadata": {
+                            "domain": "delta.clustering",
+                            "configuration": json.dumps(
+                                {
+                                    "clusteringColumns": [
+                                        [c] for c in cluster_by
+                                    ]
+                                }
+                            ),
+                            "removed": False,
+                        }
+                    }
+                )
         elif mode == "overwrite":
             # prev state replayed (and constraints enforced) before
             # staging, at the loop top
@@ -2071,6 +2209,60 @@ def write_delta(
             # commit as the rows it covers (losing it would hand the
             # next writer duplicate values)
             actions.append({"metaData": id_meta_action})
+        rt_conf = (
+            (prev_meta or {}).get("configuration")
+            if current >= 0
+            else dict(configuration or {})
+        ) or {}
+        if (
+            str(rt_conf.get("delta.enableRowTracking", "false")).lower()
+            == "true"
+            and staged
+        ):
+            # ROW TRACKING (r19): each add reserves a fresh contiguous
+            # baseRowId range sized by its row count (fresh ids for
+            # new rows — the spec's append/overwrite rule) and the
+            # delta.rowTracking high watermark advances in the SAME
+            # commit; defaultRowCommitVersion lets readers derive
+            # per-row commit provenance without materialized columns
+            import pyarrow.parquet as papq
+
+            hwm = -1
+            if current >= 0:
+                dm = prev_snap.domains.get("delta.rowTracking")
+                if dm and not dm.get("removed"):
+                    hwm = int(
+                        json.loads(dm.get("configuration") or "{}").get(
+                            "rowIdHighWaterMark", -1
+                        )
+                    )
+            base = hwm + 1
+            for a in staged:
+                st = a.get("stats")
+                n = None
+                if st:
+                    try:
+                        n = json.loads(st).get("numRecords")
+                    except ValueError:
+                        n = None
+                if n is None:
+                    n = papq.ParquetFile(
+                        os.path.join(table, a["path"])
+                    ).metadata.num_rows
+                a["baseRowId"] = base
+                a["defaultRowCommitVersion"] = new_version
+                base += int(n)
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": base - 1}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
         actions.extend({"add": a} for a in staged)
         if txn is not None:
             # the protocol's application transaction watermark: a
@@ -2402,6 +2594,13 @@ def _checkpoint_rows_schema(table: str, version: int):
                         # data skipping must keep working when the
                         # original commit JSON is gone
                         pa.field("stats", pa.string()),
+                        # row-tracking id assignment rides through
+                        # too — losing a baseRowId would re-key every
+                        # row in the file after log compaction
+                        pa.field("baseRowId", pa.int64()),
+                        pa.field(
+                            "defaultRowCommitVersion", pa.int64()
+                        ),
                         # deletion-vector descriptors RIDE THROUGH too
                         # — dropping one would resurrect deleted rows
                         # on the next checkpoint-based replay
@@ -2718,14 +2917,41 @@ def optimize_delta(
     ALL the named columns at once, which is what makes
     multi-predicate ``stats_filters`` reads prune (the point of
     Z-ORDER over a plain sort). The range shuffle per group is the
-    inherent cost of re-clustering; dataChange stays false."""
+    inherent cost of re-clustering; dataChange stays false.
+
+    LIQUID-CLUSTERED tables (r19): when ``zorder_by`` is omitted and
+    the table carries a ``delta.clustering`` domain, its registered
+    columns cluster automatically — delta-spark's OPTIMIZE behavior
+    on CLUSTER BY tables."""
     latest = delta_latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
     while True:
         current = delta_latest_version(table)
-        adds, _rm, meta, _txns, proto = _replay_full(table, current)
+        snap = _replay_full(table, current)
+        adds, _rm, meta, _txns, proto = snap
         _check_writer_supported(proto, meta, "optimize")
+        if zorder_by is None:
+            # LIQUID CLUSTERING (r19): a clustered table's OPTIMIZE
+            # clusters by the delta.clustering domain's columns —
+            # delta-spark's behavior, no explicit zorder_by needed
+            dm = snap.domains.get("delta.clustering")
+            if dm and not dm.get("removed"):
+                cfg = json.loads(dm.get("configuration") or "{}")
+                paths = cfg.get("clusteringColumns") or []
+                cols = []
+                for p in paths:
+                    if isinstance(p, list):
+                        if len(p) != 1:
+                            raise ValueError(
+                                "clustering column path "
+                                f"{p!r} is nested — this writer "
+                                "clusters top-level columns only"
+                            )
+                        cols.append(p[0])
+                    else:
+                        cols.append(p)
+                zorder_by = cols or None
         part_cols = meta.get("partitionColumns", [])
         n_before = len(adds)
         schema = json.loads(meta["schemaString"])

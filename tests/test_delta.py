@@ -3148,3 +3148,178 @@ def test_domain_metadata_set_replay_and_checkpoint(spark, tmp_path):
         os.unlink(_commit_file(t, latest + 1))
         for vv in range(latest + 1):
             os.rename(_commit_file(t, vv) + ".bak", _commit_file(t, vv))
+
+
+def test_liquid_clustering_create_and_optimize(spark, tmp_path):
+    """r19 liquid clustering interop: CREATE ... CLUSTER BY lands the
+    column registry in the delta.clustering domain with the
+    clustering+domainMetadata writer features (reader stays 1);
+    appends stay unclustered (clustering is EVENTUAL); a plain
+    optimize_delta — no zorder_by — picks the domain's columns up and
+    the 2-D stats prune goes multiplicative; guards hold."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delta_domain_metadata,
+        optimize_delta,
+    )
+
+    t = str(tmp_path / "liquid")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 16).alias("a"),
+        ((F.col("id") / 16).cast("long") % 16).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    for i in range(4):
+        write_delta(
+            spark, t,
+            df.filter(F.col("id") % 4 == i).repartition(1),
+            cluster_by=["a", "b"] if i == 0 else None,
+        )
+    _a, _r, _m, _t2, proto = _replay_full(t, delta_latest_version(t))
+    assert proto["minReaderVersion"] == 1
+    assert proto["minWriterVersion"] == 7
+    assert {"clustering", "domainMetadata"} <= set(
+        proto["writerFeatures"]
+    )
+    assert json.loads(
+        delta_domain_metadata(t)["delta.clustering"]
+    ) == {"clusteringColumns": [["a"], ["b"]]}
+    flt = {"a": (0, 3), "b": (0, 3)}
+    assert len(read_delta(spark, t, stats_filters=flt).inputFiles()) == 4
+    v, nb, na = optimize_delta(spark, t, target_files=16)
+    assert (nb, na) == (4, 16)
+    post = read_delta(spark, t)
+    assert post.count() == 4096
+    assert post.agg(F.sum("payload")).collect()[0][0] == sum(range(4096))
+    pruned = read_delta(spark, t, stats_filters=flt)
+    assert len(pruned.inputFiles()) <= 4
+    assert sorted(
+        r.payload
+        for r in pruned.where(
+            F.col("a").between(0, 3) & F.col("b").between(0, 3)
+        ).collect()
+    ) == [i for i in range(4096) if i % 16 < 4 and (i // 16) % 16 < 4]
+    # guards: cluster_by is creation-only and excludes partition_by
+    with pytest.raises(ValueError, match="CREATION only"):
+        write_delta(spark, t, df.limit(1), cluster_by=["a"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_delta(
+            spark, str(tmp_path / "x"), df.limit(1),
+            cluster_by=["a"], partition_by=["b"],
+        )
+    with pytest.raises(ValueError, match="not in the"):
+        write_delta(
+            spark, str(tmp_path / "y"), df.limit(1), cluster_by=["zz"]
+        )
+
+
+def test_liquid_clustering_foreign_table_writable(spark, tmp_path):
+    """A FOREIGN clustered table (writer 7 with clustering +
+    domainMetadata, the delta.clustering domain in its log) accepts
+    appends now — clustering is advisory for writers — and its
+    nested-path registry refuses OPTIMIZE loudly instead of
+    clustering the wrong column."""
+    from jobminer_spark.sources.delta import optimize_delta
+
+    t = str(tmp_path / "fliquid")
+    write_delta(spark, t, _df(spark, 0, 4))
+    with open(_commit_file(t, 0)) as f:
+        v0 = [json.loads(line) for line in f if line.strip()]
+    os.unlink(_commit_file(t, 0))
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    adds = [a for a in v0 if "add" in a]
+    _craft_log(t, {0: [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["clustering",
+                                         "domainMetadata"]}},
+        {"metaData": meta},
+        {"domainMetadata": {"domain": "delta.clustering",
+                            "configuration": json.dumps(
+                                {"clusteringColumns": [["k"]]}
+                            ),
+                            "removed": False}},
+        *adds,
+    ]})
+    write_delta(spark, t, _df(spark, 4, 6))  # accepted
+    assert read_delta(spark, t).count() == 6
+    # plain OPTIMIZE clusters by the domain's column k
+    optimize_delta(spark, t, target_files=2)
+    assert read_delta(spark, t).count() == 6
+    pruned = read_delta(spark, t, stats_filters={"k": (0, 1)})
+    assert len(pruned.inputFiles()) < len(
+        read_delta(spark, t).inputFiles()
+    ) or len(read_delta(spark, t).inputFiles()) == 1
+    # nested clustering path refuses rather than mis-clustering
+    with open(_commit_file(t, delta_latest_version(t) + 1), "w") as f:
+        f.write(json.dumps({"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [["s", "inner"]]}
+            ),
+            "removed": False,
+        }}) + "\n")
+    with pytest.raises(ValueError, match="nested"):
+        optimize_delta(spark, t, target_files=2)
+
+
+def test_row_tracking_assignment_and_read(spark, tmp_path):
+    """r19 rowTracking: a table created with
+    delta.enableRowTracking=true lists rowTracking+domainMetadata
+    (writer 7, reader 1), every add reserves a contiguous baseRowId
+    range, the delta.rowTracking high watermark advances per commit,
+    read_delta_row_ids derives unique stable ids, checkpoints carry
+    the assignment, and rewriting ops refuse (enforce-or-refuse)."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        _write_checkpoint,
+        delta_domain_metadata,
+        optimize_delta,
+        read_delta_row_ids,
+    )
+
+    t = str(tmp_path / "rt")
+    for lo, hi in [(0, 4), (4, 10), (10, 13)]:
+        write_delta(
+            spark, t, _df(spark, lo, hi),
+            configuration={"delta.enableRowTracking": "true"},
+        )
+    _a, _r, _m, _t2, proto = _replay_full(t, delta_latest_version(t))
+    assert proto["minReaderVersion"] == 1
+    assert {"rowTracking", "domainMetadata"} <= set(
+        proto["writerFeatures"]
+    )
+    assert json.loads(
+        delta_domain_metadata(t)["delta.rowTracking"]
+    ) == {"rowIdHighWaterMark": 12}
+    got = read_delta_row_ids(spark, t)
+    rows = got.select("k", "_row_id", "_row_commit_version").collect()
+    ids = sorted(r._row_id for r in rows)
+    assert ids == list(range(13))  # unique, contiguous from 0
+    # per-commit provenance: the v1 rows carry commit version 1
+    assert {r._row_commit_version for r in rows if 4 <= r.k < 10} == {1}
+    # checkpoint: the assignment survives log compaction
+    _write_checkpoint(t, delta_latest_version(t))
+    for vv in range(3):
+        os.rename(_commit_file(t, vv), _commit_file(t, vv) + ".bak")
+    with open(_commit_file(t, 3), "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "NOOP"}}) + "\n")
+    try:
+        assert sorted(
+            r._row_id for r in read_delta_row_ids(spark, t).collect()
+        ) == list(range(13))
+    finally:
+        os.unlink(_commit_file(t, 3))
+        for vv in range(3):
+            os.rename(_commit_file(t, vv) + ".bak", _commit_file(t, vv))
+    # rewriting ops refuse while the property is on
+    with pytest.raises(ValueError, match="row ids"):
+        optimize_delta(spark, t, target_files=1)
+    # overwrite assigns FRESH ids past the watermark
+    write_delta(spark, t, _df(spark, 0, 2), mode="overwrite")
+    got2 = read_delta_row_ids(spark, t)
+    assert sorted(r._row_id for r in got2.collect()) == [13, 14]
+    # a plain table (no row tracking) refuses the row-id read
+    t2 = str(tmp_path / "plain")
+    write_delta(spark, t2, _df(spark, 0, 2))
+    with pytest.raises(ValueError, match="row tracking not assigned"):
+        read_delta_row_ids(spark, t2)
