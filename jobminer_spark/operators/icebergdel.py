@@ -1450,3 +1450,68 @@ def iceberg_v3_default_values_audit(
         f"CAST({s['fv']} AS BIGINT) AS format_version",
         f"CAST({s['parity']} AS BIGINT) AS field_id_parity",
     )
+
+
+@query(
+    "iceberg_v3_row_lineage_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_ids,
+           (SELECT CAST(COUNT(*) - 1 AS BIGINT) FROM rows)
+             AS max_row_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 1) AS n_s2,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 3 = 1) AS ck_s2
+    """,
+)
+def iceberg_v3_row_lineage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Format-v3 ROW LINEAGE (r19): three appends to a
+    row_lineage=True table — thirds of the corpus by event_id%3 —
+    reserve DISJOINT contiguous first_row_id ranges whose union is
+    exactly [0, n): n_ids counts DISTINCT derived _row_id values (a
+    double-assigned range collapses it), max_row_id pins next-row-id
+    to n (a gap inflates it), and the slice whose
+    _last_updated_sequence_number is 2 must be exactly the SECOND
+    batch — count and checksum recomputed by the oracle from raw
+    events (lineage mapped to the wrong snapshot goes red). The
+    Iceberg twin of delta_row_tracking_audit; reference: the Iceberg
+    v3 spec's Row Lineage section (first_row_id field 142,
+    snapshot first-row-id, table next-row-id)."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import read_iceberg_row_ids
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "rowlineage",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icerl_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "lineage")
+        for m in range(3):
+            write_iceberg(
+                spark, t, rows.filter(F.col("event_id") % 3 == m),
+                row_lineage=(m == 0),
+            )
+        _SCENARIO_CACHE[cache_key] = {"lineage": t}
+    t = _SCENARIO_CACHE[cache_key]["lineage"]
+    got = read_iceberg_row_ids(spark, t)
+    return got.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("_row_id").cast("long").alias("n_ids"),
+        F.max("_row_id").cast("long").alias("max_row_id"),
+        F.count(
+            F.when(F.col("_last_updated_sequence_number") == 2, 1)
+        ).cast("long").alias("n_s2"),
+        F.sum(
+            F.when(
+                F.col("_last_updated_sequence_number") == 2,
+                F.col("val_q"),
+            )
+        ).cast("long").alias("ck_s2"),
+    )

@@ -164,6 +164,10 @@ _MANIFEST_SCHEMA = {
                              {"name": "key", "type": "int"},
                              {"name": "value", "type": "bytes"},
                          ]}}]},
+                    # the spec's field 142 (format v3 row lineage):
+                    # the first _row_id assigned to the file's rows;
+                    # null on pre-lineage files and delete manifests
+                    {"name": "first_row_id", "type": ["null", "long"]},
                 ],
             },
         },
@@ -297,6 +301,9 @@ def _snapshot_files(
                 "spec_id": m.get("partition_spec_id", 0),
                 "lower_bounds": df_.get("lower_bounds"),
                 "upper_bounds": df_.get("upper_bounds"),
+                # v3 row lineage: the file's assigned row-id range
+                # start (None on pre-lineage files)
+                "first_row_id": df_.get("first_row_id"),
             }
             # content is a nullable union in many writers' schemas: an
             # explicit Avro null must fall back to the manifest-list
@@ -1146,6 +1153,61 @@ def read_iceberg(
     )
 
 
+def read_iceberg_row_ids(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The snapshot with format-v3 ROW LINEAGE surfaced: ``_row_id``
+    = the file's first_row_id + the row's position and
+    ``_last_updated_sequence_number`` = the file's data sequence
+    number — the spec's derivation for files without materialized
+    lineage columns. Refuses when any live data file carries no
+    first_row_id (a pre-lineage file: the spec says its ids are
+    inherited null → engine-assigned at read; this reader refuses
+    rather than inventing unstable ids)."""
+    meta = iceberg_metadata(table)
+    ddl = _spark_ddl(meta)
+    data, deletes, eq_deletes = _snapshot_files(table, snapshot_id)
+    if not data:
+        return spark.createDataFrame(
+            [],
+            ddl + ", _row_id long, _last_updated_sequence_number long",
+        )
+    missing = [
+        r["path"] for r in data if r.get("first_row_id") is None
+    ]
+    if missing:
+        raise ValueError(
+            f"row lineage not assigned for {len(missing)} file(s) "
+            f"(e.g. {sorted(missing)[:2]}) — a format-v3 table "
+            "written through this writer assigns first_row_id on "
+            "every data file; read without row ids instead"
+        )
+    # the position-keyed scan the delete paths already use, with the
+    # row-level deletes applied (lineage reflects LIVE rows only);
+    # the keys stay attached so the (path → first_row_id, seq)
+    # broadcast can derive the lineage columns, then drop
+    df = _apply_row_deletes(
+        spark, meta, ddl, data, deletes, eq_deletes, keep_keys=True
+    )
+    lineage = spark.createDataFrame(
+        [
+            (r["path"], int(r["first_row_id"]), int(r["seq"]))
+            for r in sorted(data, key=lambda r: r["path"])
+        ],
+        "__ib_file string, __ib_first long, __ib_seq long",
+    )
+    return (
+        df.join(F.broadcast(lineage), "__ib_file")
+        .withColumn(
+            "_row_id", F.col("__ib_first") + F.col("__ib_row")
+        )
+        .withColumn(
+            "_last_updated_sequence_number", F.col("__ib_seq")
+        )
+        .drop("__ib_file", "__ib_row", "__ib_first", "__ib_seq")
+    )
+
+
 def _apply_row_deletes(
     spark: SparkSession,
     meta: dict,
@@ -1153,16 +1215,21 @@ def _apply_row_deletes(
     data: list[dict],
     deletes: list[dict],
     eq_deletes: list[dict],
+    keep_keys: bool = False,
 ) -> DataFrame:
     """Scan ``data`` and anti-join away the rows the position/equality
     delete files remove, under the spec's sequence rules — the shared
     read core of read_iceberg and rewrite_iceberg_deletes (the latter
-    feeds only the AFFECTED file subset)."""
-    need_keys = bool(deletes or eq_deletes)
+    feeds only the AFFECTED file subset). ``keep_keys`` retains the
+    __ib_file/__ib_row scan keys in the result — the row-lineage
+    reader derives _row_id from them (r19)."""
+    need_keys = bool(deletes or eq_deletes) or keep_keys
     df = _data_scan(spark, meta, read_schema, data, need_keys)
-    if not need_keys:
+    if not (deletes or eq_deletes):
         return df
     logical_cols = [c for c in df.columns if not c.startswith("__ib_")]
+    if keep_keys:
+        logical_cols += ["__ib_file", "__ib_row"]
     # every delete kind needs per-row file identity; equality deletes
     # additionally need the row's data sequence number — both already
     # attached per scan relation by _data_scan
@@ -1644,6 +1711,31 @@ def _stage_table_data(
     return data_files
 
 
+def _assign_row_lineage(
+    meta: dict | None, entries: list[dict]
+) -> tuple[int | None, int | None]:
+    """Format-v3 ROW LINEAGE assignment (spec field 142 +
+    next-row-id): every ADDED data file in a v3 table reserves a
+    contiguous row-id range — data_file.first_row_id = the running
+    next-row-id, advanced by record_count — so readers derive
+    _row_id = first_row_id + position without materialized columns.
+    Returns (snapshot first-row-id, new next-row-id), or (None, None)
+    on pre-v3 tables (no stamping: v2 readers ignore unknown fields
+    but the assignment is a v3 contract). Rewritten (compacted) files
+    get FRESH ranges — id stability through rewrites would need
+    materialized _row_id columns, which this writer does not produce
+    (documented limitation; same shape as Delta row tracking's
+    refuse-on-rewrite, except Iceberg's spec allows re-assignment)."""
+    if not meta or meta.get("format-version", 1) < 3:
+        return None, None
+    base = int(meta.get("next-row-id", 0) or 0)
+    first = base
+    for e in entries:
+        e["data_file"]["first_row_id"] = base
+        base += int(e["data_file"].get("record_count", 0))
+    return first, base
+
+
 def _data_manifest_schema(
     spec_tuples: list[tuple[str, str, str]],
     part_avro_types: dict[str, str],
@@ -1716,6 +1808,7 @@ def write_iceberg(
     mode: str = "append",
     partition_spec: list[tuple[str, str, str]] | None = None,
     sort_order: list[tuple[str, str]] | None = None,
+    row_lineage: bool = False,
 ) -> int:
     """Append ``df`` as a new snapshot (create on first write);
     returns the new snapshot id. Each commit writes its parquet data
@@ -1853,6 +1946,14 @@ def write_iceberg(
         sort_order_id=so_id,
     )
 
+    # v3 ROW LINEAGE: an existing v3 table stamps automatically; a
+    # CREATE with row_lineage=True starts the table at v3 with
+    # next-row-id 0 so the first snapshot's files get ranges too
+    lineage_meta = meta
+    if meta is None and row_lineage:
+        lineage_meta = {"format-version": 3, "next-row-id": 0}
+    first_rid, next_rid = _assign_row_lineage(lineage_meta, data_files)
+
     snapshot_id = version + 1  # deterministic, monotone
     seq = snapshot_id  # v2 sequence number, assigned per commit
     manifest_path = os.path.join(md, f"manifest-{commit}.avro")
@@ -1957,8 +2058,17 @@ def write_iceberg(
             "properties": {},
             "snapshots": [],
         }
+        if row_lineage:
+            meta["format-version"] = 3
+    if next_rid is not None:
+        meta = {**meta, "next-row-id": next_rid}
     return _publish_metadata(
-        md, meta, version, snapshot_id, seq, list_path, "append"
+        md, meta, version, snapshot_id, seq, list_path, "append",
+        snapshot_extra=(
+            {"first-row-id": first_rid}
+            if first_rid is not None
+            else None
+        ),
     )
 
 
@@ -2864,6 +2974,11 @@ def rewrite_iceberg_data_files(
         sort_order_id=so_id,
     )
 
+    # v3 lineage: rewritten files take FRESH row-id ranges (see
+    # _assign_row_lineage — stability through rewrites would need
+    # materialized _row_id columns)
+    first_rid, next_rid = _assign_row_lineage(meta, new_entries)
+
     version = _metadata_version(md)
     snapshot_id = version + 1
     seq = snapshot_id
@@ -2912,8 +3027,15 @@ def rewrite_iceberg_data_files(
         )
     list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
     write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
+    if next_rid is not None:
+        meta = {**meta, "next-row-id": next_rid}
     _publish_metadata(
-        md, meta, version, snapshot_id, seq, list_path, "replace"
+        md, meta, version, snapshot_id, seq, list_path, "replace",
+        snapshot_extra=(
+            {"first-row-id": first_rid}
+            if first_rid is not None and new_entries
+            else None
+        ),
     )
     return snapshot_id, rewritten
 
@@ -3278,6 +3400,9 @@ def rewrite_iceberg_deletes(
             sort_order_id=so_id,
         )
 
+    # v3 lineage: rewritten files take FRESH row-id ranges
+    first_rid, next_rid = _assign_row_lineage(meta, new_entries)
+
     # --- rewrite the manifest inventory ---------------------------
     version = _metadata_version(md)
     snapshot_id = version + 1
@@ -3328,8 +3453,15 @@ def rewrite_iceberg_deletes(
         )
     list_path = os.path.join(md, f"snap-{snapshot_id}-{commit}.avro")
     write_avro_file(list_path, _MANIFEST_LIST_SCHEMA, list_records)
+    if next_rid is not None:
+        meta = {**meta, "next-row-id": next_rid}
     _publish_metadata(
-        md, meta, version, snapshot_id, seq, list_path, "replace"
+        md, meta, version, snapshot_id, seq, list_path, "replace",
+        snapshot_extra=(
+            {"first-row-id": first_rid}
+            if first_rid is not None and new_entries
+            else None
+        ),
     )
     return snapshot_id, len(affected)
 
@@ -3342,6 +3474,7 @@ def _publish_metadata(
     seq: int,
     list_path: str,
     operation: str,
+    snapshot_extra: dict | None = None,
 ) -> int:
     """Publish the vN+1 metadata JSON + version hint for a new
     snapshot — the shared commit tail of every Iceberg write here.
@@ -3379,6 +3512,8 @@ def _publish_metadata(
             "timestamp-ms": 0,
             "manifest-list": os.path.abspath(list_path),
             "summary": {"operation": operation},
+            # v3 row lineage stamps the snapshot's first-row-id here
+            **(snapshot_extra or {}),
         }
     ]
     # exclusive-create publish, like every other commit in this repo

@@ -2579,3 +2579,85 @@ def test_iceberg_add_column_with_default(spark, tmp_path):
         add_iceberg_column(t, "score", "long")
     with pytest.raises(ValueError, match="unsupported Iceberg"):
         add_iceberg_column(t, "zz", "wibble")
+
+
+def test_iceberg_v3_row_lineage(spark, tmp_path):
+    """r19 v3 ROW LINEAGE: a table created with row_lineage=True
+    starts at format v3 with next-row-id bookkeeping; every data file
+    reserves a contiguous first_row_id range; snapshots stamp
+    first-row-id; read_iceberg_row_ids derives unique contiguous ids
+    and per-file _last_updated_sequence_number; deletes shrink the
+    id set without re-keying survivors; compaction re-keys with
+    FRESH ranges past the watermark (documented — no materialized
+    lineage columns); plain v2 tables refuse the row-id read."""
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        iceberg_metadata,
+        read_iceberg_row_ids,
+        rewrite_iceberg_data_files,
+        write_iceberg_deletes,
+    )
+
+    t = str(tmp_path / "lineage")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 6).select(F.col("id").alias("k")).coalesce(1),
+        row_lineage=True,
+    )
+    write_iceberg(
+        spark, t,
+        spark.range(6, 10).select(F.col("id").alias("k")).coalesce(1),
+    )
+    meta = iceberg_metadata(t)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 10
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    assert [s["first-row-id"] for s in snaps] == [0, 6]
+    got = read_iceberg_row_ids(spark, t)
+    rows = got.collect()
+    assert sorted(r._row_id for r in rows) == list(range(10))
+    # the second snapshot's rows carry its sequence number
+    assert {
+        r._last_updated_sequence_number for r in rows if r.k >= 6
+    } == {2}
+    # a position delete removes ids without re-keying survivors
+    scan = spark.read.parquet(*iceberg_live_files(t)).withColumns({
+        "fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ),
+        "pos": F.col("_metadata.row_index"),
+    })
+    write_iceberg_deletes(
+        spark, t,
+        scan.where(F.col("k") == 3).select(
+            F.col("fp").alias("file_path"), "pos"
+        ),
+    )
+    survivors = {
+        r.k: r._row_id for r in read_iceberg_row_ids(spark, t).collect()
+    }
+    assert 3 not in survivors and len(survivors) == 9
+    assert survivors[0] == 0 and survivors[9] == 9
+    # compaction assigns FRESH ranges past the watermark
+    for lo in (10, 12, 14):  # oversize the group so binpack fires
+        write_iceberg(
+            spark, t,
+            spark.range(lo, lo + 2).select(
+                F.col("id").alias("k")
+            ).coalesce(1),
+        )
+    _sid, n = rewrite_iceberg_data_files(spark, t, target_files=2)
+    assert n > 0
+    meta2 = iceberg_metadata(t)
+    got2 = read_iceberg_row_ids(spark, t)
+    ids2 = [r._row_id for r in got2.collect()]
+    assert len(ids2) == len(set(ids2)) == 15
+    assert min(ids2) >= 16  # fresh post-compaction ranges
+    assert meta2["next-row-id"] == 16 + 15
+    # a plain v2 table refuses the row-id read
+    t2 = str(tmp_path / "plain2")
+    write_iceberg(
+        spark, t2, spark.range(0, 3).select(F.col("id").alias("k"))
+    )
+    with pytest.raises(ValueError, match="row lineage not assigned"):
+        read_iceberg_row_ids(spark, t2)
