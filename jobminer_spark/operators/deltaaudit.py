@@ -447,3 +447,97 @@ def delta_row_tracking_audit(
             F.when(F.col("_row_commit_version") == 1, F.col("val_q"))
         ).cast("long").alias("ck_v1"),
     )
+
+
+@query(
+    "delta_schema_evolution_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           (SELECT CAST(SUM(val_q * 2) AS BIGINT) FROM rows
+             WHERE event_id % 2 = 1) AS ck_extra,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 2 = 0) AS n_backfill,
+           CAST(1 AS BIGINT) AS mapped_ok
+    """,
+)
+def delta_schema_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION on a SELF-CREATED column-mapped table (r19):
+    CREATE with delta.columnMapping.mode=name (fields get stable ids
+    + col-<uuid> physical names — previously only foreign-created
+    mapped tables were writable), append the even half, then a
+    merge_schema append of the odd half carrying a NEW column
+    (val_q*2) — the widened metaData rides the same commit with a
+    fresh id + physical name and maxColumnId advanced (mapped_ok pins
+    all of it). The read must serve the new column's values for the
+    evolved rows and NULL backfill for the pre-evolution files —
+    counts and checksums recomputed by the oracle from raw events
+    (an evolution that re-keyed the physical naming, dropped rows, or
+    backfilled wrongly goes red)."""
+    import os as _os
+
+    from jobminer_spark.sources.delta import _replay_full
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "evolve",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_dse_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "evolve")
+        write_delta(
+            spark, t, rows.filter(F.col("event_id") % 2 == 0),
+            configuration={"delta.columnMapping.mode": "name"},
+        )
+        write_delta(
+            spark, t,
+            rows.filter(F.col("event_id") % 2 == 1).withColumn(
+                "extra", (F.col("val_q") * 2).cast("long")
+            ),
+            merge_schema=True,
+        )
+        import json as _json
+
+        _a, _r, meta, _t2, proto = _replay_full(
+            t, delta_latest_version(t)
+        )
+        flds = _json.loads(meta["schemaString"])["fields"]
+        conf = meta["configuration"]
+        mapped_ok = int(
+            proto.get("minReaderVersion") == 2
+            and [f["name"] for f in flds][-1] == "extra"
+            and flds[-1]["metadata"]["delta.columnMapping.id"] == 5
+            and flds[-1]["metadata"][
+                "delta.columnMapping.physicalName"
+            ].startswith("col-")
+            and conf["delta.columnMapping.maxColumnId"] == "5"
+            and all(
+                f["metadata"][
+                    "delta.columnMapping.physicalName"
+                ].startswith("col-")
+                for f in flds
+            )
+        )
+        _SCENARIO_CACHE[cache_key] = {
+            "evolve": t, "mapped_ok": mapped_ok,
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    got = read_delta(spark, s["evolve"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+        F.sum("extra").cast("long").alias("ck_extra"),
+        F.count(F.when(F.col("extra").isNull(), 1))
+        .cast("long")
+        .alias("n_backfill"),
+    )
+    return got.selectExpr(
+        "n_rows",
+        "ck",
+        "ck_extra",
+        "n_backfill",
+        f"CAST({s['mapped_ok']} AS BIGINT) AS mapped_ok",
+    )

@@ -1515,3 +1515,90 @@ def iceberg_v3_row_lineage_audit(
             )
         ).cast("long").alias("ck_s2"),
     )
+
+
+@query(
+    "iceberg_schema_evolution_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           CAST(2 AS BIGINT) AS renamed_field_id,
+           CAST(2 AS BIGINT) AS n_columns,
+           CAST(1 AS BIGINT) AS name_read_nulls_old
+    """,
+)
+def iceberg_schema_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION (r19): the even half lands under
+    (event_id, val_q, junk); RENAME val_q→quantum keeps field id 2
+    (renamed_field_id pins it) and DROP junk stops projecting it
+    (n_columns); the odd half appends under the NEW name. The
+    field-id read must serve EVERY row's value through the rename —
+    n/ck recomputed by the oracle from raw events (an id remap or a
+    projection that resurrects the dropped column goes red) — while
+    a NAME read of the same table NULLs the pre-rename files' renamed
+    column (name_read_nulls_old pins the documented asymmetry: the
+    spec's reason field ids exist)."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import (
+        drop_iceberg_column,
+        iceberg_metadata,
+        rename_iceberg_column,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "evolve",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icevo_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "evolve")
+        write_iceberg(
+            spark, t,
+            rows.filter(F.col("event_id") % 2 == 0).withColumn(
+                "junk", F.lit("x")
+            ),
+        )
+        n_even = rows.filter(F.col("event_id") % 2 == 0).count()
+        rename_iceberg_column(t, "val_q", "quantum")
+        drop_iceberg_column(t, "junk")
+        write_iceberg(
+            spark, t,
+            rows.filter(F.col("event_id") % 2 == 1).select(
+                "event_id", F.col("val_q").alias("quantum")
+            ),
+        )
+        meta = iceberg_metadata(t)
+        cur = next(
+            s for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        fid = next(
+            f["id"] for f in cur["fields"] if f["name"] == "quantum"
+        )
+        # the documented asymmetry: a NAME read NULLs the renamed
+        # column exactly on the pre-rename files
+        by_name = read_iceberg(spark, t)
+        n_null = by_name.where(F.col("quantum").isNull()).count()
+        _SCENARIO_CACHE[cache_key] = {
+            "evolve": t,
+            "fid": fid,
+            "ncols": len(cur["fields"]),
+            "nulls_old": int(n_null == n_even),
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    got = read_iceberg(spark, s["evolve"], resolve="field-id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("quantum").cast("long").alias("ck"),
+    )
+    return got.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['fid']} AS BIGINT) AS renamed_field_id",
+        f"CAST({s['ncols']} AS BIGINT) AS n_columns",
+        f"CAST({s['nulls_old']} AS BIGINT) AS name_read_nulls_old",
+    )

@@ -660,10 +660,11 @@ _WINDOW_FRONT: list[str] = [
     # them: front ALL 43 remaining last-green-r13 rows
     # (lang_id_heuristic first, then text_quality_score,
     # doc_fingerprints through multimodal_resize_stub in
-    # ATTESTATION_HISTOGRAM_r19.txt order) plus the late-r19
-    # iceberg_v3_row_lineage_audit (registered past this window by
-    # design) and any r20-new never-attested queries, filling the
-    # tail from the
+    # ATTESTATION_HISTOGRAM_r19.txt order) plus the late-r19 queries
+    # registered past this window by design
+    # (iceberg_v3_row_lineage_audit, delta_schema_evolution_audit,
+    # iceberg_schema_evolution_audit) and any r20-new never-attested
+    # queries, filling the tail from the
     # last-green-r14 head (embedding_norm_outliers first); AMEND at
     # r20 rotation time for any module modified after this rotation.
     "token_count_stats",

@@ -1757,6 +1757,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     configuration: dict[str, str] | None = None,
     cluster_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table``; returns the new
     version. ``overwrite`` removes every previously-active file in the
@@ -1769,6 +1770,13 @@ def write_delta(
     (e.g. ``delta.enableChangeDataFeed``: "true" — the flag that makes
     delete_delta/update_delta commits also publish `_change_data`
     files for the change-feed reader).
+
+    ``merge_schema`` (r19, delta-spark's mergeSchema) lets an append
+    carry NEW columns: they join the schema as nullable fields (old
+    files read NULL for them) and the widened metaData rides the
+    same commit; mapped tables assign fresh ids + physical names.
+    Every existing column must still be present — evolution adds,
+    never drops.
 
     ``cluster_by`` (r19, CREATION only) declares a LIQUID-CLUSTERED
     table, delta-spark's CLUSTER BY: the clustering columns land in
@@ -1811,6 +1819,7 @@ def write_delta(
             prev_adds, _rm, prev_meta, _ptxns, prev_proto = prev_snap
             _check_writer_supported(prev_proto, prev_meta, mode)
         id_meta_action = None
+        evolved_meta_action = None
         id_cached: list[DataFrame] = []
         identity_table = False
         try:
@@ -1921,6 +1930,73 @@ def write_delta(
                     extra=ow_gen_checks,
                 )
             if current >= 0 and mode == "append":
+                if merge_schema:
+                    # SCHEMA EVOLUTION on append (r19 — delta-spark's
+                    # mergeSchema): batch columns beyond the table's
+                    # join the schema as NULLABLE fields (old files
+                    # read NULL for them by name) and the widened
+                    # metaData rides the SAME commit as the rows;
+                    # mapped tables assign the new fields fresh ids +
+                    # physical names and advance maxColumnId. Every
+                    # EXISTING table column must still be present —
+                    # evolution adds, it never drops
+                    prev_fields = json.loads(
+                        prev_meta["schemaString"]
+                    )["fields"]
+                    prev_names = [f["name"] for f in prev_fields]
+                    new_cols = [
+                        c for c in df.columns if c not in prev_names
+                    ]
+                    miss = [
+                        n for n in prev_names if n not in df.columns
+                    ]
+                    if miss:
+                        raise ValueError(
+                            "merge_schema append still requires every "
+                            f"existing table column; missing {miss}"
+                        )
+                    if new_cols:
+                        df = df.select(*prev_names, *new_cols)
+                        batch_fields = json.loads(_schema_string(df))[
+                            "fields"
+                        ]
+                        conf2 = dict(
+                            prev_meta.get("configuration") or {}
+                        )
+                        mm = _mapping_mode(prev_meta)
+                        next_id = int(
+                            conf2.get(
+                                "delta.columnMapping.maxColumnId", "0"
+                            )
+                            or 0
+                        )
+                        add_fields = []
+                        for bf in batch_fields[len(prev_names):]:
+                            nf = {**bf, "nullable": True}
+                            if mm in ("name", "id"):
+                                next_id += 1
+                                nf["metadata"] = {
+                                    "delta.columnMapping.id": next_id,
+                                    "delta.columnMapping."
+                                    "physicalName":
+                                        f"col-{uuid.uuid4().hex[:8]}",
+                                }
+                            add_fields.append(nf)
+                        if mm in ("name", "id"):
+                            conf2[
+                                "delta.columnMapping.maxColumnId"
+                            ] = str(next_id)
+                        prev_meta = {
+                            **prev_meta,
+                            "schemaString": json.dumps(
+                                {
+                                    "type": "struct",
+                                    "fields": prev_fields + add_fields,
+                                }
+                            ),
+                            "configuration": conf2,
+                        }
+                        evolved_meta_action = prev_meta
                 # identity first (generated expressions/constraints may
                 # reference it), then generated columns: computed when
                 # omitted, validated (with the constraint pass) when
@@ -2002,6 +2078,56 @@ def write_delta(
                         "schemaString": _schema_string(df),
                     },
                 )
+            create_map_schema = None
+            if current < 0:
+                # CREATE with column mapping (r19; previously only
+                # foreign-created mapped tables were writable): assign
+                # each field a stable id and a col-<uuid> physical
+                # name, record maxColumnId, and stage under the
+                # physical naming — the reader resolves logically from
+                # the schema-string metadata like any mapped table
+                cm_mode = (
+                    dict(configuration or {}).get(
+                        "delta.columnMapping.mode"
+                    )
+                    or "none"
+                )
+                if cm_mode in ("name", "id"):
+                    fields = []
+                    for i, f in enumerate(df.schema.fields):
+                        fields.append(
+                            {
+                                "name": f.name,
+                                "type": _SPARK_TO_DELTA.get(
+                                    f.dataType.simpleString(),
+                                    f.dataType.simpleString(),
+                                ),
+                                "nullable": f.nullable,
+                                "metadata": {
+                                    "delta.columnMapping.id": i + 1,
+                                    "delta.columnMapping.physicalName":
+                                        f"col-{uuid.uuid4().hex[:8]}",
+                                },
+                            }
+                        )
+                    create_map_schema = json.dumps(
+                        {"type": "struct", "fields": fields}
+                    )
+                    map_meta = {
+                        "schemaString": create_map_schema,
+                        "configuration": {
+                            "delta.columnMapping.mode": cm_mode
+                        },
+                    }
+                    phys = _physical_map(map_meta)
+                    stage_df = _to_physical(spark, df, map_meta)
+                    stage_parts = [phys[c] for c in part_cols]
+                elif cm_mode not in ("none", ""):
+                    raise ValueError(
+                        f"unsupported columnMapping mode {cm_mode!r} "
+                        "(this writer creates 'name' and 'id' mode "
+                        "tables)"
+                    )
             staged = _stage_data_files(spark, table, stage_df, stage_parts)
         except BaseException:
             # failed validation/staging must not leak the
@@ -2021,6 +2147,11 @@ def write_delta(
                 .lower()
                 == "true"
             )
+            mapped_create = create_map_schema is not None
+            if mapped_create:
+                conf0["delta.columnMapping.maxColumnId"] = str(
+                    len(df.schema.fields)
+                )
             has_variant = _type_has_variant(df.schema)
             ict_on = (
                 str(
@@ -2044,20 +2175,24 @@ def write_delta(
                 # row tracking: ids ride add actions, the high
                 # watermark rides the delta.rowTracking domain
                 extra_wf |= {"rowTracking", "domainMetadata"}
-            if has_variant:
-                # variant columns — anywhere in the type tree, nested
-                # included — demand the table-features protocol:
-                # reader 3 + writer 7 with variantType listed (plus
-                # CDF's feature when enabled at creation, and any
-                # writer-only features the creation options imply)
+            if has_variant or (mapped_create and extra_wf):
+                # the full table-features protocol: variant demands
+                # reader 3 outright; column mapping combined with any
+                # writer-only feature needs the features form too
+                # (legacy reader 2 cannot coexist with writer 7's
+                # feature list cleanly)
+                rf = (
+                    ({"variantType"} if has_variant else set())
+                    | ({"columnMapping"} if mapped_create else set())
+                )
                 actions.append(
                     {
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            "readerFeatures": ["variantType"],
+                            "readerFeatures": sorted(rf),
                             "writerFeatures": sorted(
-                                {"variantType"}
+                                rf
                                 | ({"changeDataFeed"} if cdf_on else set())
                                 | extra_wf
                             ),
@@ -2080,6 +2215,18 @@ def write_delta(
                         }
                     }
                 )
+            elif mapped_create:
+                # column mapping alone: the legacy form delta-spark
+                # emits (reader 2 implies columnMapping; writer 5
+                # subsumes writer 4, so CDF rides it too)
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 2,
+                            "minWriterVersion": 5,
+                        }
+                    }
+                )
             else:
                 actions.append(
                     {
@@ -2096,7 +2243,9 @@ def write_delta(
                     "metaData": {
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": _schema_string(df),
+                        "schemaString": (
+                            create_map_schema or _schema_string(df)
+                        ),
                         "partitionColumns": part_cols,
                         "configuration": conf0,
                         "createdTime": 0,
@@ -2207,8 +2356,12 @@ def write_delta(
         if id_meta_action is not None:
             # the advanced identity high watermark rides the SAME
             # commit as the rows it covers (losing it would hand the
-            # next writer duplicate values)
+            # next writer duplicate values); an evolved schema is
+            # already folded in (identity stamping saw the widened
+            # prev_meta)
             actions.append({"metaData": id_meta_action})
+        elif evolved_meta_action is not None:
+            actions.append({"metaData": evolved_meta_action})
         rt_conf = (
             (prev_meta or {}).get("configuration")
             if current >= 0

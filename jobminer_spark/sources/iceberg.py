@@ -2141,6 +2141,99 @@ def add_iceberg_column(
     return new_version
 
 
+def _evolve_schema(table: str, mutate) -> int:
+    """Shared metadata-only schema-evolution commit: ``mutate``
+    receives the current field list and returns the new one; a fresh
+    schema joins the schemas list and becomes current. No snapshot —
+    exactly Iceberg's ALTER TABLE shape."""
+    meta = iceberg_metadata(table)
+    md = _metadata_dir(table)
+    cur = _current_schema(meta)
+    new_fields = mutate(list(cur["fields"]), meta)
+    meta = dict(meta)
+    if "schemas" not in meta and "schema" in meta:
+        meta["schemas"] = [{**meta.pop("schema"), "schema-id": 0}]
+        meta["current-schema-id"] = 0
+    new_sid = max(s["schema-id"] for s in meta["schemas"]) + 1
+    meta["schemas"] = meta["schemas"] + [
+        {"type": "struct", "schema-id": new_sid, "fields": new_fields}
+    ]
+    meta["current-schema-id"] = new_sid
+    version = _metadata_version(md)
+    new_version = version + 1
+    fd = os.open(
+        os.path.join(md, f"v{new_version}.metadata.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return new_version
+
+
+def rename_iceberg_column(table: str, old: str, new: str) -> int:
+    """SCHEMA EVOLUTION: rename a column, KEEPING its field id — the
+    spec's rename shape, which is exactly why field ids exist:
+    `read_iceberg(resolve="field-id")` still resolves pre-rename
+    files correctly (pinned by the rename-evolution test), while
+    name resolution of those files returns NULL for the renamed
+    column (their footers carry the old name) — prefer field-id
+    reads after a rename. Partition specs and sort orders reference
+    source-id, so they survive untouched."""
+
+    def mutate(fields, meta):
+        names = {f["name"] for f in fields}
+        if old not in names:
+            raise ValueError(f"no column {old!r} to rename")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        return [
+            {**f, "name": new} if f["name"] == old else f
+            for f in fields
+        ]
+
+    return _evolve_schema(table, mutate)
+
+
+def drop_iceberg_column(table: str, name: str) -> int:
+    """SCHEMA EVOLUTION: drop a column (metadata-only — old data
+    files keep the bytes, the schema simply stops projecting them;
+    the field id is never reused because last-column-id only grows).
+    Refuses dropping a column an ACTIVE partition spec or sort order
+    sources — the spec forbids it, and the manifest partition tuples
+    would orphan."""
+
+    def mutate(fields, meta):
+        target = next(
+            (f for f in fields if f["name"] == name), None
+        )
+        if target is None:
+            raise ValueError(f"no column {name!r} to drop")
+        fid = target["id"]
+        for spec in meta.get("partition-specs", []):
+            if any(
+                pf.get("source-id") == fid for pf in spec["fields"]
+            ):
+                raise ValueError(
+                    f"column {name!r} sources partition spec "
+                    f"{spec['spec-id']} — cannot drop it"
+                )
+        for order in meta.get("sort-orders", []):
+            if any(
+                sf.get("source-id") == fid for sf in order["fields"]
+            ):
+                raise ValueError(
+                    f"column {name!r} sources sort order "
+                    f"{order['order-id']} — cannot drop it"
+                )
+        if len(fields) == 1:
+            raise ValueError("cannot drop the only column")
+        return [f for f in fields if f["name"] != name]
+
+    return _evolve_schema(table, mutate)
+
+
 def _prior_manifest_records(table: str, meta: dict | None) -> list[dict]:
     """The current snapshot's manifest-list records, normalized for
     re-reference in a new list: re-referenced manifests keep their own

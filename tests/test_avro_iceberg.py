@@ -2661,3 +2661,84 @@ def test_iceberg_v3_row_lineage(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="row lineage not assigned"):
         read_iceberg_row_ids(spark, t2)
+
+
+def test_iceberg_rename_and_drop_column(spark, tmp_path):
+    """r19 schema evolution: RENAME keeps the field id (field-id
+    reads resolve pre-rename files; name reads NULL them — the spec's
+    reason ids exist), DROP stops projecting the column without
+    touching data files, and dropping a partition-spec / sort-order
+    source refuses."""
+    from jobminer_spark.sources.iceberg import (
+        drop_iceberg_column,
+        iceberg_metadata,
+        rename_iceberg_column,
+    )
+
+    t = str(tmp_path / "evolve")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 4).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("x").alias("junk"),
+        ),
+    )
+    rename_iceberg_column(t, "v", "val")
+    meta = iceberg_metadata(t)
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    f_val = next(f for f in cur["fields"] if f["name"] == "val")
+    assert f_val["id"] == 2  # id preserved through the rename
+    # field-id reads resolve the pre-rename files exactly
+    got = {
+        (r.k, r.val)
+        for r in read_iceberg(spark, t, resolve="field-id").collect()
+    }
+    assert got == {(i, i * 10) for i in range(4)}
+    # an append under the new name composes
+    write_iceberg(
+        spark, t,
+        spark.range(4, 6).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("val"),
+            F.lit("y").alias("junk"),
+        ),
+    )
+    got = {
+        (r.k, r.val)
+        for r in read_iceberg(spark, t, resolve="field-id").collect()
+    }
+    assert got == {(i, i * 10) for i in range(6)}
+    # drop: the column disappears from projection; data intact
+    drop_iceberg_column(t, "junk")
+    df = read_iceberg(spark, t, resolve="field-id")
+    assert df.columns == ["k", "val"]
+    assert df.count() == 6
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        rename_iceberg_column(t, "k", "val")
+    with pytest.raises(ValueError, match="no column"):
+        drop_iceberg_column(t, "nope")
+    t2 = str(tmp_path / "evolvepart")
+    write_iceberg(
+        spark, t2,
+        spark.range(0, 4).select(
+            (F.col("id") % 2).alias("p"), F.col("id").alias("k")
+        ),
+        partition_spec=[("p", "identity", "p")],
+    )
+    with pytest.raises(ValueError, match="sources partition spec"):
+        drop_iceberg_column(t2, "p")
+    t3 = str(tmp_path / "evolvesort")
+    write_iceberg(
+        spark, t3,
+        spark.range(0, 4).select(
+            F.col("id").alias("k"), F.col("id").alias("s")
+        ),
+        sort_order=[("s", "asc")],
+    )
+    with pytest.raises(ValueError, match="sources sort order"):
+        drop_iceberg_column(t3, "s")

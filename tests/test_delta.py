@@ -3323,3 +3323,120 @@ def test_row_tracking_assignment_and_read(spark, tmp_path):
     write_delta(spark, t2, _df(spark, 0, 2))
     with pytest.raises(ValueError, match="row tracking not assigned"):
         read_delta_row_ids(spark, t2)
+
+
+def test_create_column_mapped_table(spark, tmp_path):
+    """r19: CREATE with delta.columnMapping.mode (previously only
+    foreign-created mapped tables were writable) — fields get stable
+    ids + col-<uuid> physical names, maxColumnId lands in the config,
+    the protocol gates readers (legacy reader 2/writer 5), data files
+    carry ONLY physical names, and the whole existing mapped-table
+    surface (append, partition pruning, OPTIMIZE, delete) works on
+    the self-created table."""
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delete_delta,
+        optimize_delta,
+    )
+
+    for mode in ("name", "id"):
+        t = str(tmp_path / f"cmap_{mode}")
+        write_delta(
+            spark, t, _df(spark, 0, 6),
+            partition_by=["tag"],
+            configuration={"delta.columnMapping.mode": mode},
+        )
+        adds, _r, meta, _t2, proto = _replay_full(
+            t, delta_latest_version(t)
+        )
+        assert (proto["minReaderVersion"], proto["minWriterVersion"]) \
+            == (2, 5)
+        conf = meta["configuration"]
+        assert conf["delta.columnMapping.mode"] == mode
+        assert conf["delta.columnMapping.maxColumnId"] == "3"
+        fields = json.loads(meta["schemaString"])["fields"]
+        phys = {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in fields
+        }
+        assert all(p.startswith("col-") for p in phys.values())
+        assert [
+            f["metadata"]["delta.columnMapping.id"] for f in fields
+        ] == [1, 2, 3]
+        # data files hold ONLY physical names; partitionValues keyed
+        # physically
+        some = next(iter(adds.values()))
+        assert set(some["partitionValues"]) == {phys["tag"]}
+        fpath = os.path.join(t, some["path"])
+        names = set(papq.read_schema(fpath).names)
+        assert names == {phys["k"], phys["v"]}
+        # logical read, append, prune, OPTIMIZE, MoR delete all work
+        assert sorted(r.k for r in read_delta(spark, t).collect()) \
+            == list(range(6))
+        write_delta(spark, t, _df(spark, 6, 9), partition_by=["tag"])
+        assert read_delta(spark, t).count() == 9
+        assert read_delta(
+            spark, t, partition_filters={"tag": "a"}
+        ).count() == 9
+        optimize_delta(spark, t, target_files=1)
+        delete_delta(spark, t, F.col("k") == 0)
+        assert sorted(r.k for r in read_delta(spark, t).collect()) \
+            == list(range(1, 9))
+
+
+def test_merge_schema_append_evolution(spark, tmp_path):
+    """r19 mergeSchema: an append carrying a NEW column widens the
+    schema in the same commit (nullable; old files read NULL for it),
+    works on column-mapped tables (fresh id + physical name,
+    maxColumnId advanced), keeps the stricter-nullability rule on
+    existing columns, and refuses a batch that DROPS a column."""
+    from jobminer_spark.sources.delta import _replay_full
+
+    t = str(tmp_path / "msch")
+    write_delta(spark, t, _df(spark, 0, 4))
+    write_delta(
+        spark, t,
+        _df(spark, 4, 7).withColumn("extra", F.col("k") * 100),
+        merge_schema=True,
+    )
+    _a, _r, meta, _t2, _p = _replay_full(t, delta_latest_version(t))
+    fields = json.loads(meta["schemaString"])["fields"]
+    assert [f["name"] for f in fields] == ["k", "v", "tag", "extra"]
+    assert fields[-1]["nullable"] is True
+    got = {r.k: r.extra for r in read_delta(spark, t).collect()}
+    assert got == {**{i: None for i in range(4)},
+                   **{i: i * 100 for i in range(4, 7)}}
+    # a further plain append must now carry the evolved schema
+    with pytest.raises(ValueError, match="append schema differs"):
+        write_delta(spark, t, _df(spark, 7, 8))
+    # dropping a column refuses even with merge_schema
+    with pytest.raises(ValueError, match="missing"):
+        write_delta(
+            spark, t,
+            spark.range(1).select(F.col("id").alias("k")),
+            merge_schema=True,
+        )
+    # column-mapped evolution: fresh id + physical name
+    t2 = str(tmp_path / "msch_map")
+    write_delta(
+        spark, t2, _df(spark, 0, 3),
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    write_delta(
+        spark, t2,
+        _df(spark, 3, 5).withColumn("score", F.col("k") + 1),
+        merge_schema=True,
+    )
+    _a, _r, meta2, _t3, _p2 = _replay_full(t2, delta_latest_version(t2))
+    assert meta2["configuration"]["delta.columnMapping.maxColumnId"] \
+        == "4"
+    f_new = json.loads(meta2["schemaString"])["fields"][-1]
+    assert f_new["name"] == "score"
+    assert f_new["metadata"]["delta.columnMapping.id"] == 4
+    assert f_new["metadata"][
+        "delta.columnMapping.physicalName"
+    ].startswith("col-")
+    got2 = {r.k: r.score for r in read_delta(spark, t2).collect()}
+    assert got2 == {0: None, 1: None, 2: None, 3: 4, 4: 5}
