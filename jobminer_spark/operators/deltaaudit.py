@@ -541,3 +541,88 @@ def delta_schema_evolution_audit(
         "n_backfill",
         f"CAST({s['mapped_ok']} AS BIGINT) AS mapped_ok",
     )
+
+
+@query(
+    "delta_uniform_iceberg_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_type = 'purchase') AS n_pruned,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_type = 'purchase') AS ck_pruned,
+           CAST(1 AS BIGINT) AS parity_ok
+    """,
+)
+def delta_uniform_iceberg_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta UniForm (r19): Iceberg metadata exported over a
+    PARTITIONED Delta table's own parquet files — the ICEBERG read of
+    the Delta table must serve every row (n/ck recomputed by the
+    oracle from raw events), its identity-spec partition pruning must
+    return exactly the purchase slice (the partition columns are
+    ABSENT from the data files, Delta-style, restored from manifest
+    tuples), and parity_ok pins a full exceptAll round-trip between
+    the two readers plus the UniForm provenance properties.
+    Reference: Delta's universalFormat (UniForm) public docs — shared
+    data files, converted Iceberg metadata."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import (
+        iceberg_metadata,
+        read_iceberg,
+    )
+    from jobminer_spark.sources.uniform import (
+        write_uniform_iceberg_metadata,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "uniform",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_uni_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "uni")
+        write_delta(
+            spark, t,
+            rows.filter(F.col("event_id") % 2 == 0),
+            partition_by=["event_type"],
+        )
+        write_delta(
+            spark, t,
+            rows.filter(F.col("event_id") % 2 == 1),
+            partition_by=["event_type"],
+        )
+        write_uniform_iceberg_metadata(t)
+        d = read_delta(spark, t)
+        i = read_iceberg(spark, t)
+        props = iceberg_metadata(t)["properties"]
+        parity = int(
+            i.exceptAll(d).isEmpty()
+            and d.exceptAll(i).isEmpty()
+            and props.get("delta.universalFormat.source") == "delta"
+            and props.get("delta.universalFormat.deltaVersion") == "1"
+        )
+        _SCENARIO_CACHE[cache_key] = {"uni": t, "parity": parity}
+    s = _SCENARIO_CACHE[cache_key]
+    full = read_iceberg(spark, s["uni"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    pruned = read_iceberg(
+        spark, s["uni"], partition_filters={"event_type": "purchase"}
+    ).where(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pruned"),
+        F.sum("val_q").cast("long").alias("ck_pruned"),
+    )
+    return full.crossJoin(F.broadcast(pruned)).selectExpr(
+        "n_rows",
+        "ck",
+        "n_pruned",
+        "ck_pruned",
+        f"CAST({s['parity']} AS BIGINT) AS parity_ok",
+    )

@@ -3440,3 +3440,62 @@ def test_merge_schema_append_evolution(spark, tmp_path):
     ].startswith("col-")
     got2 = {r.k: r.score for r in read_delta(spark, t2).collect()}
     assert got2 == {0: None, 1: None, 2: None, 3: 4, 4: 5}
+
+
+def test_uniform_iceberg_export(spark, tmp_path):
+    """r19 Delta UniForm: Iceberg metadata published over the Delta
+    table's own parquet files — read_iceberg serves the same rows as
+    read_delta with zero data movement; a partitioned table exports
+    an identity spec whose partition columns (absent from the data
+    files, as in Delta) are restored from manifest tuples; re-export
+    after a Delta commit refreshes the view; DV-carrying and
+    column-mapped tables refuse."""
+    from jobminer_spark.sources.delta import delete_delta
+    from jobminer_spark.sources.iceberg import (
+        iceberg_metadata,
+        read_iceberg,
+    )
+    from jobminer_spark.sources.uniform import (
+        write_uniform_iceberg_metadata,
+    )
+
+    t = str(tmp_path / "uni")
+    write_delta(spark, t, _df(spark, 0, 6), partition_by=["tag"])
+    write_delta(
+        spark, t, _df(spark, 6, 9, tag="b"), partition_by=["tag"]
+    )
+    write_uniform_iceberg_metadata(t)
+    meta = iceberg_metadata(t)
+    assert meta["properties"]["delta.universalFormat.source"] == "delta"
+    got_i = sorted(
+        (r.k, r.v, r.tag) for r in read_iceberg(spark, t).collect()
+    )
+    got_d = sorted(
+        (r.k, r.v, r.tag) for r in read_delta(spark, t).collect()
+    )
+    assert got_i == got_d and len(got_i) == 9
+    # identity-spec partition pruning works on the exported view
+    pruned = read_iceberg(spark, t, partition_filters={"tag": "b"})
+    assert sorted(r.k for r in pruned.collect()) == [6, 7, 8]
+    # refresh after a Delta append picks the new state up
+    write_delta(
+        spark, t, _df(spark, 9, 11, tag="c"), partition_by=["tag"]
+    )
+    write_uniform_iceberg_metadata(t)
+    assert read_iceberg(spark, t).count() == 11
+    assert iceberg_metadata(t)["properties"][
+        "delta.universalFormat.deltaVersion"
+    ] == "2"
+    # DV refusal: a merge-on-read delete leaves a DV the Iceberg
+    # reader cannot apply
+    delete_delta(spark, t, F.col("k") == 0)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        write_uniform_iceberg_metadata(t)
+    # column-mapped refusal
+    t2 = str(tmp_path / "unimap")
+    write_delta(
+        spark, t2, _df(spark, 0, 3),
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(ValueError, match="column-mapped"):
+        write_uniform_iceberg_metadata(t2)
