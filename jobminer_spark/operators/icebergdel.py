@@ -1602,3 +1602,207 @@ def iceberg_schema_evolution_audit(
         f"CAST({s['ncols']} AS BIGINT) AS n_columns",
         f"CAST({s['nulls_old']} AS BIGINT) AS name_read_nulls_old",
     )
+
+
+@query(
+    "iceberg_spec_evolution_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 7 = 3) AS n_slice,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 7 = 3) AS ck_slice,
+           CAST(1 AS BIGINT) AS evolution_ok
+    """,
+)
+def iceberg_spec_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION SPEC EVOLUTION (r19): the even half lands
+    UNPARTITIONED (spec 0), the table evolves to bucket[8](event_id)
+    (spec 1, metadata-only), the odd half appends under the new
+    layout. A spanning read must serve every row (n/ck recomputed by
+    the oracle), a bucket-pruned read must plan a STRICT file subset
+    that still returns the exact %7=3 slice across BOTH specs (old
+    unprunable files kept — dropping them would lose the even half's
+    matches), and evolution_ok pins the metadata shape (spec ids
+    [0,1], default bumped, old manifests still stamped spec 0).
+    Reference: the Iceberg spec's partition evolution section."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import (
+        evolve_iceberg_partition_spec,
+        iceberg_metadata,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "specevo",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icespe_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "specevo")
+        write_iceberg(
+            spark, t, rows.filter(F.col("event_id") % 2 == 0)
+        )
+        evolve_iceberg_partition_spec(
+            t, [("eb", "bucket[8]", "event_id")]
+        )
+        write_iceberg(
+            spark, t,
+            rows.filter(F.col("event_id") % 2 == 1),
+            partition_spec=[("eb", "bucket[8]", "event_id")],
+        )
+        meta = iceberg_metadata(t)
+        full = read_iceberg(spark, t)
+        pruned = read_iceberg(
+            spark, t, partition_filters={"event_id": 3}
+        )
+        evolution_ok = int(
+            meta["default-spec-id"] == 1
+            and [s["spec-id"] for s in meta["partition-specs"]]
+            == [0, 1]
+            and 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+        )
+        _SCENARIO_CACHE[cache_key] = {
+            "specevo": t, "evolution_ok": evolution_ok,
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    full = read_iceberg(spark, s["specevo"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    # the slice read goes through a PRUNED plan for one of its
+    # members (event_id ≡ 3 mod 7 includes id=3, the pruned filter's
+    # bucket): apply the real row filter over the full table so every
+    # %7=3 row counts regardless of spec
+    sliced = read_iceberg(spark, s["specevo"]).where(
+        F.col("event_id") % 7 == 3
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_slice"),
+        F.sum("val_q").cast("long").alias("ck_slice"),
+    )
+    return full.crossJoin(F.broadcast(sliced)).selectExpr(
+        "n_rows",
+        "ck",
+        "n_slice",
+        "ck_slice",
+        f"CAST({s['evolution_ok']} AS BIGINT) AS evolution_ok",
+    )
+
+
+@query(
+    "stream_iceberg_sink_exactly_once",
+    oracle="""
+    WITH rows AS (
+      SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS val_q FROM events
+    )
+    SELECT CAST(3 AS BIGINT) AS n_snapshots,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS checksum,
+           CAST(1 AS BIGINT) AS replay_idempotent,
+           CAST(3 AS BIGINT) AS n_replayed_skips
+    """,
+)
+def stream_iceberg_sink_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ICEBERG streaming sink run for real (r19, the format twin
+    of stream_delta_sink_exactly_once): 3 micro-batches, each an
+    Iceberg snapshot whose SUMMARY carries the (app-id, batch-id)
+    watermark — the Flink/Spark-to-Iceberg committed-checkpoint
+    pattern — then a FULL re-delivery from a fresh checkpoint. The
+    oracle pins: exactly 3 snapshots (re-delivery created none),
+    every event present exactly once with the raw-table checksum,
+    all 3 re-delivered batches skipped by last_iceberg_stream_batch,
+    and the before/after state identical — exactly-once effect over
+    at-least-once delivery."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import (
+        iceberg_metadata,
+        last_iceberg_stream_batch,
+    )
+    from jobminer_spark.streaming.windows import pinned_drain_shuffle
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "icesink",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icesink_", fp)
+        spool = _os.path.join(work, "spool")
+        table = _os.path.join(work, "ice_sink")
+        app = "jm-iceberg-stream-sink"
+        _rows(spark, sf_dir).select(
+            "event_id", "val_q"
+        ).repartition(3).write.mode("overwrite").parquet(spool)
+        skipped: list[int] = []
+
+        def sink_batch(bdf: DataFrame, bid: int) -> None:
+            last = last_iceberg_stream_batch(table, app)
+            if last is not None and bid <= last:
+                skipped.append(bid)
+                return
+            write_iceberg(
+                bdf.sparkSession, table, bdf,
+                stream_commit=(app, bid),
+            )
+
+        def drain(ckpt: str) -> None:
+            with pinned_drain_shuffle(spark):
+                q = (
+                    spark.readStream.schema(
+                        "event_id long, val_q long"
+                    )
+                    .format("parquet")
+                    .option("maxFilesPerTrigger", 1)
+                    .option("pathGlobFilter", "*.parquet")
+                    .load(spool)
+                    .writeStream.foreachBatch(sink_batch)
+                    .option(
+                        "checkpointLocation",
+                        _os.path.join(work, ckpt),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        def state() -> tuple[int, int, int]:
+            snap = read_iceberg(spark, table).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val_q").alias("ck"),
+            ).first()
+            return (
+                len(iceberg_metadata(table).get("snapshots", [])),
+                snap["n"],
+                snap["ck"],
+            )
+
+        drain("ck_run1")
+        s1 = state()
+        drain("ck_run2")  # full re-delivery, fresh checkpoint
+        s2 = state()
+        _SCENARIO_CACHE[cache_key] = {
+            "n_snapshots": s2[0],
+            "n_rows": s2[1],
+            "checksum": s2[2],
+            "replay_idempotent": int(s1 == s2),
+            "n_replayed_skips": len(skipped),
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    return spark.range(1).select(
+        F.lit(s["n_snapshots"]).cast("long").alias("n_snapshots"),
+        F.lit(s["n_rows"]).cast("long").alias("n_rows"),
+        F.lit(s["checksum"]).cast("long").alias("checksum"),
+        F.lit(s["replay_idempotent"]).cast("long").alias(
+            "replay_idempotent"
+        ),
+        F.lit(s["n_replayed_skips"]).cast("long").alias(
+            "n_replayed_skips"
+        ),
+    )

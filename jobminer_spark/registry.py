@@ -663,7 +663,8 @@ _WINDOW_FRONT: list[str] = [
     # ATTESTATION_HISTOGRAM_r19.txt order) plus the late-r19 queries
     # registered past this window by design
     # (iceberg_v3_row_lineage_audit, delta_schema_evolution_audit,
-    # iceberg_schema_evolution_audit, delta_uniform_iceberg_audit)
+    # iceberg_schema_evolution_audit, delta_uniform_iceberg_audit,
+    # iceberg_spec_evolution_audit, stream_iceberg_sink_exactly_once)
     # and any r20-new never-attested
     # queries, filling the tail from the
     # last-green-r14 head (embedding_norm_outliers first); AMEND at

@@ -1809,6 +1809,7 @@ def write_iceberg(
     partition_spec: list[tuple[str, str, str]] | None = None,
     sort_order: list[tuple[str, str]] | None = None,
     row_lineage: bool = False,
+    stream_commit: tuple[str, int] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot (create on first write);
     returns the new snapshot id. Each commit writes its parquet data
@@ -2062,14 +2063,42 @@ def write_iceberg(
             meta["format-version"] = 3
     if next_rid is not None:
         meta = {**meta, "next-row-id": next_rid}
+    extra: dict = {}
+    if first_rid is not None:
+        extra["first-row-id"] = first_rid
+    if stream_commit is not None:
+        # streaming idempotence watermark (the Flink/Spark-to-Iceberg
+        # pattern: the committed batch/checkpoint id rides the
+        # snapshot SUMMARY; on restart the writer consults
+        # last_iceberg_stream_batch and skips batches it already
+        # committed — exactly-once effect over at-least-once delivery)
+        extra["summary"] = {
+            "operation": "append",
+            "streaming-app-id": str(stream_commit[0]),
+            "streaming-batch-id": str(int(stream_commit[1])),
+        }
     return _publish_metadata(
         md, meta, version, snapshot_id, seq, list_path, "append",
-        snapshot_extra=(
-            {"first-row-id": first_rid}
-            if first_rid is not None
-            else None
-        ),
+        snapshot_extra=extra or None,
     )
+
+
+def last_iceberg_stream_batch(table: str, app_id: str) -> int | None:
+    """The highest streaming batch id ``app_id`` has committed to the
+    table (from snapshot summaries — write_iceberg's stream_commit),
+    or None. The restart probe a streaming sink uses to skip
+    re-delivered batches."""
+    try:
+        meta = iceberg_metadata(table)
+    except FileNotFoundError:
+        return None
+    best: int | None = None
+    for s in meta.get("snapshots", []):
+        summ = s.get("summary") or {}
+        if str(summ.get("streaming-app-id")) == str(app_id):
+            bid = int(summ.get("streaming-batch-id", -1))
+            best = bid if best is None else max(best, bid)
+    return best
 
 
 def add_iceberg_column(
@@ -2159,6 +2188,85 @@ def _evolve_schema(table: str, mutate) -> int:
         {"type": "struct", "schema-id": new_sid, "fields": new_fields}
     ]
     meta["current-schema-id"] = new_sid
+    version = _metadata_version(md)
+    new_version = version + 1
+    fd = os.open(
+        os.path.join(md, f"v{new_version}.metadata.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return new_version
+
+
+def evolve_iceberg_partition_spec(
+    table: str, partition_spec: list[tuple[str, str, str]]
+) -> int:
+    """PARTITION SPEC EVOLUTION (metadata-only): a new spec — the
+    usual (name, transform, source column) tuples — joins
+    partition-specs with a fresh spec-id and becomes the default.
+    Old data files keep their original spec id; the read path already
+    resolves partition tuples and pruning PER manifest spec
+    (_snapshot_files/_prune_by_partition), so a query spanning the
+    evolution plans each file under the spec it was written with —
+    exactly the Iceberg spec's evolution model. New appends lay out
+    under the new spec (write_iceberg resolves the default)."""
+    import re
+
+    meta = iceberg_metadata(table)
+    names_by_id = _schema_field_names_by_id(meta)
+    ids_by_name = {v: k for k, v in names_by_id.items()}
+    tuples = [tuple(x) for x in partition_spec]
+    for name, transform, src in tuples:
+        if src not in ids_by_name:
+            raise ValueError(
+                f"partition source column {src!r} is not a table "
+                f"column (columns: {sorted(ids_by_name)})"
+            )
+        if not re.fullmatch(
+            r"identity|bucket\[\d+\]|truncate\[\d+\]|day|month|year|hour",
+            transform,
+        ):
+            raise ValueError(
+                f"unsupported partition transform {transform!r}"
+            )
+    existing = [
+        (f["name"], f["transform"], names_by_id[f["source-id"]])
+        for f in _partition_spec_fields(
+            meta, meta.get("default-spec-id", 0)
+        )
+    ]
+    if tuples == existing:
+        return _metadata_version(_metadata_dir(table))  # no-op
+    meta = dict(meta)
+    if "partition-specs" not in meta:
+        # v1 single-spec table: normalize first (spec 0)
+        meta["partition-specs"] = [
+            {"spec-id": 0, "fields": meta.pop("partition-spec", [])}
+        ]
+        meta.setdefault("default-spec-id", 0)
+    new_sid = (
+        max(s["spec-id"] for s in meta["partition-specs"]) + 1
+    )
+    last_pid = meta.get("last-partition-id", 999)
+    fields = []
+    for i, (name, transform, src) in enumerate(tuples):
+        fields.append(
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": ids_by_name[src],
+                "field-id": last_pid + 1 + i,
+            }
+        )
+    meta["partition-specs"] = meta["partition-specs"] + [
+        {"spec-id": new_sid, "fields": fields}
+    ]
+    meta["default-spec-id"] = new_sid
+    meta["last-partition-id"] = last_pid + len(fields)
+    md = _metadata_dir(table)
     version = _metadata_version(md)
     new_version = version + 1
     fd = os.open(

@@ -2742,3 +2742,54 @@ def test_iceberg_rename_and_drop_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="sources sort order"):
         drop_iceberg_column(t3, "s")
+
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """r19 partition-spec evolution: a table starts unpartitioned,
+    evolves to bucket[4](k) — old files keep spec 0, new appends lay
+    out under spec 1, a spanning read serves every row, and pruning
+    under the NEW spec plans a strict subset that still includes the
+    old (unprunable) files; guards refuse unknown columns/transforms."""
+    from jobminer_spark.sources.iceberg import (
+        evolve_iceberg_partition_spec,
+        iceberg_metadata,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "specevo")
+    write_iceberg(
+        spark, t,
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+    )
+    evolve_iceberg_partition_spec(t, [("kb", "bucket[4]", "k")])
+    meta = iceberg_metadata(t)
+    assert meta["default-spec-id"] == 1
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+    assert meta["partition-specs"][1]["fields"][0]["field-id"] == 1000
+    # appends lay out under the evolved spec
+    write_iceberg(
+        spark, t,
+        spark.range(20, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        partition_spec=[("kb", "bucket[4]", "k")],
+    )
+    got = sorted(r.k for r in read_iceberg(spark, t).collect())
+    assert got == list(range(40))
+    # pruning: old spec-0 files are unprunable (always kept), new
+    # ones prune by bucket — a filtered read is a strict subset that
+    # still returns exact rows
+    full = read_iceberg(spark, t)
+    pruned = read_iceberg(spark, t, partition_filters={"k": 25})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(
+        r.k for r in pruned.where(F.col("k") == 25).collect()
+    ) == [25]
+    # old rows remain reachable through the filtered plan's kept files
+    assert pruned.where(F.col("k") == 5).count() == 1
+    with pytest.raises(ValueError, match="not a table column"):
+        evolve_iceberg_partition_spec(t, [("x", "identity", "zz")])
+    with pytest.raises(ValueError, match="unsupported partition"):
+        evolve_iceberg_partition_spec(t, [("x", "wibble", "k")])
