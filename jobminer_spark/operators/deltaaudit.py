@@ -626,3 +626,91 @@ def delta_uniform_iceberg_audit(
         "ck_pruned",
         f"CAST({s['parity']} AS BIGINT) AS parity_ok",
     )
+
+
+@query(
+    "delta_symlink_manifest_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)
+              FROM rows) AS n_manifests,
+           CAST(1 AS BIGINT) AS inventory_ok
+    """,
+)
+def delta_symlink_manifest_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATE symlink_format_manifest (r19): a partitioned Delta
+    table writes one manifest per hive-style partition dir, each
+    listing absolute file: URIs — the external-engine layout
+    (Presto/Trino SymlinkTextInputFormat). The audit reads the data
+    THROUGH the manifests only (no log): the listed files' rows must
+    be the whole corpus (n/ck recomputed by the oracle — a manifest
+    listing a removed file, or missing a live one, goes red on
+    values), the manifest count must equal the live partition count,
+    and inventory_ok pins listed-URIs == the log's live adds
+    exactly."""
+    import os as _os
+
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        generate_symlink_manifest,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "symlink",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_syml_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "symlink")
+        # two commits + an overwrite so the manifest must track the
+        # LIVE set, not everything ever written
+        write_delta(
+            spark, t,
+            rows.filter(F.col("event_id") % 2 == 0),
+            partition_by=["event_type"],
+        )
+        write_delta(
+            spark, t,
+            rows.filter(F.col("event_id") % 2 == 1),
+            partition_by=["event_type"],
+        )
+        write_delta(
+            spark, t, rows, mode="overwrite",
+            partition_by=["event_type"],
+        )
+        paths = generate_symlink_manifest(t)
+        listed: list[str] = []
+        for p in paths:
+            with open(p) as f:
+                listed.extend(
+                    x.strip().replace("file://", "")
+                    for x in f
+                    if x.strip()
+                )
+        adds, _r, _m, _t2, _p = _replay_full(
+            t, delta_latest_version(t)
+        )
+        live = {
+            _os.path.abspath(_os.path.join(t, rel)) for rel in adds
+        }
+        _SCENARIO_CACHE[cache_key] = {
+            "listed": sorted(listed),
+            "n_manifests": len(paths),
+            "inventory_ok": int(set(listed) == live),
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    got = spark.read.parquet(*s["listed"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    return got.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['n_manifests']} AS BIGINT) AS n_manifests",
+        f"CAST({s['inventory_ok']} AS BIGINT) AS inventory_ok",
+    )

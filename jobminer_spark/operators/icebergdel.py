@@ -1806,3 +1806,80 @@ def stream_iceberg_sink_exactly_once(
             "n_replayed_skips"
         ),
     )
+
+
+@query(
+    "iceberg_refs_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 2 = 0) AS n_tag,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 2 = 0) AS ck_tag,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_main,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck_main,
+           CAST(1 AS BIGINT) AS refs_ok
+    """,
+)
+def iceberg_refs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg REFS (r19): the even half lands and gets TAGGED, the
+    odd half appends, snapshots expire to keep_last=1 — the tag must
+    PIN its snapshot through the expiration (the spec's ref
+    retention) so read_iceberg(ref=...) still serves exactly the
+    even half (n/ck recomputed by the oracle; an expiration that
+    collected the tagged snapshot's files goes red on values, not
+    just flags), while main follows the current snapshot and serves
+    everything. refs_ok pins the refs map shape (main auto-managed,
+    the tag pointing at the pre-append snapshot, exactly one
+    snapshot expired)."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        iceberg_metadata,
+        set_iceberg_ref,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "refs",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icerefs_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "refs")
+        write_iceberg(
+            spark, t, rows.filter(F.col("event_id") % 2 == 0)
+        )
+        s1 = iceberg_metadata(t)["current-snapshot-id"]
+        set_iceberg_ref(t, "v1.0")
+        write_iceberg(
+            spark, t, rows.filter(F.col("event_id") % 2 == 1)
+        )
+        write_iceberg(spark, t, rows.limit(0))  # expirable middle
+        _dead, n_exp = expire_iceberg_snapshots(t, keep_last=1)
+        meta = iceberg_metadata(t)
+        refs_ok = int(
+            meta["refs"]["v1.0"]
+            == {"snapshot-id": s1, "type": "tag"}
+            and meta["refs"]["main"]["snapshot-id"]
+            == meta["current-snapshot-id"]
+            and n_exp == 1
+        )
+        _SCENARIO_CACHE[cache_key] = {"refs": t, "refs_ok": refs_ok}
+    s = _SCENARIO_CACHE[cache_key]
+    tag = read_iceberg(spark, s["refs"], ref="v1.0").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tag"),
+        F.sum("val_q").cast("long").alias("ck_tag"),
+    )
+    main = read_iceberg(spark, s["refs"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_main"),
+        F.sum("val_q").cast("long").alias("ck_main"),
+    )
+    return tag.crossJoin(F.broadcast(main)).selectExpr(
+        "n_tag",
+        "ck_tag",
+        "n_main",
+        "ck_main",
+        f"CAST({s['refs_ok']} AS BIGINT) AS refs_ok",
+    )

@@ -664,7 +664,8 @@ _WINDOW_FRONT: list[str] = [
     # registered past this window by design
     # (iceberg_v3_row_lineage_audit, delta_schema_evolution_audit,
     # iceberg_schema_evolution_audit, delta_uniform_iceberg_audit,
-    # iceberg_spec_evolution_audit, stream_iceberg_sink_exactly_once)
+    # iceberg_spec_evolution_audit, stream_iceberg_sink_exactly_once,
+    # iceberg_refs_audit, delta_symlink_manifest_audit)
     # and any r20-new never-attested
     # queries, filling the tail from the
     # last-green-r14 head (embedding_norm_outliers first); AMEND at

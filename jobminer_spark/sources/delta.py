@@ -687,6 +687,68 @@ def read_delta_row_ids(
     )
 
 
+def generate_symlink_manifest(table: str) -> list[str]:
+    """delta-spark's ``GENERATE symlink_format_manifest``: write
+    `_symlink_format_manifest/<partition dirs>/manifest` text files —
+    one absolute ``file:`` URI per live data file — the layout
+    Presto/Trino/Athena's SymlinkTextInputFormat external tables
+    consume. Partitioned tables get one manifest per partition dir
+    (hive-style names from the log's partitionValues; the engines
+    derive the partition column from the DIRECTORY, which is why the
+    data files may omit it). Regenerates from scratch each call
+    (stale manifests after new commits are the documented
+    delta-spark trade — re-run after writes). DV-carrying tables
+    refuse (external readers would resurrect deleted rows), as do
+    column-mapped tables (physical names would leak into engines
+    that resolve by name). Returns the manifest paths written."""
+    import shutil
+    from urllib.parse import quote
+
+    latest = delta_latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(
+            f"not a Delta table (no _delta_log): {table}"
+        )
+    adds, _rm, meta, _tx, _proto = _replay_full(table, latest)
+    if _mapping_mode(meta) != "none":
+        raise ValueError(
+            "symlink manifest generation on a column-mapped table is "
+            "not supported (physical names would leak)"
+        )
+    dv = [p for p, a in adds.items() if _has_dv(a)]
+    if dv:
+        raise ValueError(
+            f"symlink manifest generation refused: {len(dv)} file(s) "
+            "carry deletion vectors external readers cannot apply — "
+            "OPTIMIZE first to materialize them"
+        )
+    part_cols = meta.get("partitionColumns", [])
+    root = os.path.join(table, "_symlink_format_manifest")
+    shutil.rmtree(root, ignore_errors=True)
+    groups: dict[str, list[str]] = {}
+    for rel in sorted(adds):
+        a = adds[rel]
+        pv = a.get("partitionValues") or {}
+        pieces = [
+            f"{c}={quote(str(pv[c]), safe='')}"
+            if pv.get(c) is not None
+            else f"{c}=__HIVE_DEFAULT_PARTITION__"
+            for c in part_cols
+        ]
+        d = os.path.join(root, *pieces) if pieces else root
+        groups.setdefault(d, []).append(
+            "file://" + os.path.abspath(os.path.join(table, rel))
+        )
+    written = []
+    for d, uris in sorted(groups.items()):
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "manifest")
+        with open(path, "w") as f:
+            f.write("\n".join(uris) + "\n")
+        written.append(path)
+    return written
+
+
 def set_delta_domain_metadata(
     table: str,
     domain: str,

@@ -1100,6 +1100,7 @@ def read_iceberg(
     partition_filters: dict | None = None,
     stats_filters: dict | None = None,
     resolve: str = "name",
+    ref: str | None = None,
 ) -> DataFrame:
     """The table at ``snapshot_id`` (current when None) — the same
     surface as `spark.read.format("iceberg").option("snapshot-id", …)`
@@ -1132,6 +1133,10 @@ def read_iceberg(
     the row filter."""
     if resolve not in ("name", "field-id"):
         raise ValueError(f"unsupported resolve mode {resolve!r}")
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id and ref are mutually exclusive")
+        snapshot_id = resolve_iceberg_ref(table, ref)
     meta = iceberg_metadata(table)
     ddl = _spark_ddl(meta)
     data, deletes, eq_deletes = _snapshot_files(
@@ -2081,6 +2086,93 @@ def write_iceberg(
         md, meta, version, snapshot_id, seq, list_path, "append",
         snapshot_extra=extra or None,
     )
+
+
+def set_iceberg_ref(
+    table: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> int:
+    """Create or move a named REF — a ``tag`` (immutable bookmark) or
+    ``branch`` head — pointing at ``snapshot_id`` (current when
+    None), the spec's refs map. Ref-pinned snapshots SURVIVE
+    expire_iceberg_snapshots regardless of recency (the retention
+    point of tags). ``main`` is writer-managed (it follows the
+    current snapshot on every commit) and refuses manual moves.
+    Metadata-only; returns the new metadata version."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref type must be tag/branch: {ref_type!r}")
+    if name == "main":
+        raise ValueError(
+            "the main branch is writer-managed — it follows the "
+            "current snapshot on every commit"
+        )
+    meta = iceberg_metadata(table)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    sid = (
+        meta.get("current-snapshot-id")
+        if snapshot_id is None
+        else snapshot_id
+    )
+    if sid not in snaps:
+        raise ValueError(f"unknown snapshot-id {sid}")
+    meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta["refs"] = refs
+    md = _metadata_dir(table)
+    version = _metadata_version(md)
+    new_version = version + 1
+    fd = os.open(
+        os.path.join(md, f"v{new_version}.metadata.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return new_version
+
+
+def drop_iceberg_ref(table: str, name: str) -> int:
+    """Remove a tag/branch (its snapshot becomes expirable again).
+    ``main`` refuses — dropping the writer-managed branch would
+    orphan the current snapshot's bookkeeping."""
+    if name == "main":
+        raise ValueError("cannot drop the main branch")
+    meta = iceberg_metadata(table)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"no ref {name!r}")
+    del refs[name]
+    meta = dict(meta)
+    meta["refs"] = refs
+    md = _metadata_dir(table)
+    version = _metadata_version(md)
+    new_version = version + 1
+    fd = os.open(
+        os.path.join(md, f"v{new_version}.metadata.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return new_version
+
+
+def resolve_iceberg_ref(table: str, ref: str) -> int:
+    """The snapshot id a named ref points at (time travel by tag/
+    branch: ``read_iceberg(table, snapshot_id=resolve_iceberg_ref(
+    table, "v1.0"))``)."""
+    meta = iceberg_metadata(table)
+    r = (meta.get("refs") or {}).get(ref)
+    if r is None:
+        raise ValueError(
+            f"no ref {ref!r} (refs: {sorted(meta.get('refs') or {})})"
+        )
+    return int(r["snapshot-id"])
 
 
 def last_iceberg_stream_batch(table: str, app_id: str) -> int | None:
@@ -3717,6 +3809,11 @@ def _publish_metadata(
             **(snapshot_extra or {}),
         }
     ]
+    # the main BRANCH follows the current snapshot (the spec's rule);
+    # tags/other branches stay where they point
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
     # exclusive-create publish, like every other commit in this repo
     fd = os.open(
         os.path.join(md, f"v{new_version}.metadata.json"),
@@ -3757,12 +3854,23 @@ def expire_iceberg_snapshots(
     by_recency = sorted(
         snaps, key=lambda s: (s.get("sequence-number", 0), s["snapshot-id"])
     )
-    retained = by_recency[-keep_last:]
+    # refs PIN snapshots (r19): a tagged/branched snapshot survives
+    # expiration regardless of recency, per the spec's ref retention
+    pinned = {
+        r.get("snapshot-id") for r in (meta.get("refs") or {}).values()
+    }
+    retained = [
+        s for s in by_recency[:-keep_last]
+        if s["snapshot-id"] in pinned
+    ] + by_recency[-keep_last:]
     if all(s["snapshot-id"] != current_id for s in retained):
         raise ValueError(
             "keep_last window would expire the CURRENT snapshot"
         )
-    expired = by_recency[:-keep_last]
+    expired = [
+        s for s in by_recency[:-keep_last]
+        if s["snapshot-id"] not in pinned
+    ]
 
     def _referenced(snapshot: dict) -> tuple[set[str], set[str]]:
         """(manifest paths, data/delete file paths) of one snapshot."""

@@ -2793,3 +2793,62 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
         evolve_iceberg_partition_spec(t, [("x", "identity", "zz")])
     with pytest.raises(ValueError, match="unsupported partition"):
         evolve_iceberg_partition_spec(t, [("x", "wibble", "k")])
+
+
+def test_iceberg_refs_tags_and_branches(spark, tmp_path):
+    """r19 refs: main follows the current snapshot on every commit, a
+    tag pins an old snapshot — surviving expire_iceberg_snapshots
+    regardless of recency and readable via read_iceberg(ref=...) —
+    and ref management guards hold (main is writer-managed, unknown
+    snapshot/ref refuse, dropped tags become expirable)."""
+    from jobminer_spark.sources.iceberg import (
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        iceberg_metadata,
+        resolve_iceberg_ref,
+        set_iceberg_ref,
+    )
+
+    t = str(tmp_path / "refs")
+    write_iceberg(
+        spark, t, spark.range(0, 4).select(F.col("id").alias("k"))
+    )
+    s1 = iceberg_metadata(t)["current-snapshot-id"]
+    set_iceberg_ref(t, "v1.0")  # tag the current snapshot
+    for lo in (4, 8):
+        write_iceberg(
+            spark, t,
+            spark.range(lo, lo + 4).select(F.col("id").alias("k")),
+        )
+    meta = iceberg_metadata(t)
+    assert meta["refs"]["main"] == {
+        "snapshot-id": meta["current-snapshot-id"], "type": "branch",
+    }
+    assert resolve_iceberg_ref(t, "v1.0") == s1
+    assert sorted(
+        r.k for r in read_iceberg(spark, t, ref="v1.0").collect()
+    ) == list(range(4))
+    # expiration keeps the tagged snapshot alive
+    _dead, n_exp = expire_iceberg_snapshots(t, keep_last=1)
+    assert n_exp == 1  # only the UNtagged middle snapshot expired
+    assert sorted(
+        r.k for r in read_iceberg(spark, t, ref="v1.0").collect()
+    ) == list(range(4))
+    assert read_iceberg(spark, t).count() == 12
+    # guards
+    with pytest.raises(ValueError, match="writer-managed"):
+        set_iceberg_ref(t, "main")
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        set_iceberg_ref(t, "x", snapshot_id=999999)
+    with pytest.raises(ValueError, match="no ref"):
+        resolve_iceberg_ref(t, "nope")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_iceberg(spark, t, snapshot_id=s1, ref="v1.0")
+    with pytest.raises(ValueError, match="cannot drop the main"):
+        drop_iceberg_ref(t, "main")
+    # dropping the tag makes its snapshot expirable again
+    drop_iceberg_ref(t, "v1.0")
+    _dead, n_exp = expire_iceberg_snapshots(t, keep_last=1)
+    assert n_exp == 1
+    with pytest.raises(ValueError, match="no ref"):
+        resolve_iceberg_ref(t, "v1.0")

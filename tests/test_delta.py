@@ -3499,3 +3499,63 @@ def test_uniform_iceberg_export(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="column-mapped"):
         write_uniform_iceberg_metadata(t2)
+
+
+def test_generate_symlink_manifest(spark, tmp_path):
+    """r19 GENERATE symlink_format_manifest: per-partition manifest
+    text files listing absolute file: URIs of exactly the live data
+    files — the Presto/Trino external-table layout; regeneration
+    reflects overwrites; DV-carrying and mapped tables refuse."""
+    from jobminer_spark.sources.delta import (
+        _replay_full,
+        delete_delta,
+        generate_symlink_manifest,
+    )
+
+    t = str(tmp_path / "symlink")
+    write_delta(spark, t, _df(spark, 0, 4), partition_by=["tag"])
+    write_delta(
+        spark, t, _df(spark, 4, 7, tag="b"), partition_by=["tag"]
+    )
+    paths = generate_symlink_manifest(t)
+    assert all(p.endswith("/manifest") for p in paths)
+    dirs = {os.path.basename(os.path.dirname(p)) for p in paths}
+    assert dirs == {"tag=a", "tag=b"}
+    adds, _r, _m, _t2, _p = _replay_full(t, delta_latest_version(t))
+    listed = set()
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                assert line.startswith("file:///")
+                listed.add(line.strip().replace("file://", ""))
+    assert listed == {
+        os.path.abspath(os.path.join(t, rel)) for rel in adds
+    }
+    # the listed files ARE readable parquet holding every row
+    # (partition column comes from the directory, hive-style)
+    n = spark.read.parquet(*sorted(listed)).count()
+    assert n == 7
+    # regeneration after an overwrite replaces the manifests
+    write_delta(
+        spark, t, _df(spark, 0, 2), mode="overwrite",
+        partition_by=["tag"],
+    )
+    paths2 = generate_symlink_manifest(t)
+    assert {os.path.basename(os.path.dirname(p)) for p in paths2} == {
+        "tag=a"
+    }
+    with open(paths2[0]) as f:
+        assert len([x for x in f if x.strip()]) == len(
+            _replay_full(t, delta_latest_version(t))[0]
+        )
+    # refusals: DVs and column mapping
+    delete_delta(spark, t, F.col("k") == 0)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        generate_symlink_manifest(t)
+    t2 = str(tmp_path / "symmap")
+    write_delta(
+        spark, t2, _df(spark, 0, 3),
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(ValueError, match="column-mapped"):
+        generate_symlink_manifest(t2)
