@@ -714,3 +714,77 @@ def delta_symlink_manifest_audit(
         f"CAST({s['n_manifests']} AS BIGINT) AS n_manifests",
         f"CAST({s['inventory_ok']} AS BIGINT) AS inventory_ok",
     )
+
+
+@query(
+    "iceberg_delta_export_parity",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck,
+           CAST(1 AS BIGINT) AS parity_ok,
+           CAST(1 AS BIGINT) AS zero_copy_ok
+    """,
+)
+def iceberg_delta_export_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REVERSE UniForm export (r19): a Delta log published over
+    an Iceberg table's own parquet files — the DELTA read of the
+    Iceberg table must serve every row (n/ck recomputed by the
+    oracle from raw events), parity_ok pins a full exceptAll
+    round-trip between the two readers, and zero_copy_ok pins that
+    every Delta add references a file INSIDE the Iceberg table's
+    data dir (no byte was copied). Completes the interop triangle
+    with delta_uniform_iceberg_audit and
+    lakehouse_delta_export_parity."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import read_iceberg, write_iceberg
+    from jobminer_spark.sources.uniform import export_iceberg_to_delta
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "revuni",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_revuni_", fp)
+        rows = _rows(spark, sf_dir)
+        ice = _os.path.join(work, "ice")
+        dl = _os.path.join(work, "dl")
+        write_iceberg(
+            spark, ice, rows.filter(F.col("event_id") % 2 == 0)
+        )
+        write_iceberg(
+            spark, ice, rows.filter(F.col("event_id") % 2 == 1)
+        )
+        export_iceberg_to_delta(ice, dl)
+        d = read_delta(spark, dl)
+        i = read_iceberg(spark, ice)
+        parity = int(
+            d.exceptAll(i).isEmpty() and i.exceptAll(d).isEmpty()
+        )
+        data_dir = _os.path.abspath(_os.path.join(ice, "data"))
+        from jobminer_spark.sources.delta import _replay_full
+
+        adds, _r, _m, _t2, _p = _replay_full(
+            dl, delta_latest_version(dl)
+        )
+        zero_copy = int(
+            bool(adds)
+            and all(p.startswith(data_dir + "/") for p in adds)
+        )
+        _SCENARIO_CACHE[cache_key] = {
+            "dl": dl, "parity": parity, "zero_copy": zero_copy,
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    got = read_delta(spark, s["dl"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+    )
+    return got.selectExpr(
+        "n_rows",
+        "ck",
+        f"CAST({s['parity']} AS BIGINT) AS parity_ok",
+        f"CAST({s['zero_copy']} AS BIGINT) AS zero_copy_ok",
+    )

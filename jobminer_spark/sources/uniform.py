@@ -37,8 +37,8 @@ from jobminer_spark.sources.avro import write_avro_file
 from jobminer_spark.sources.delta import (
     _has_dv,
     _mapping_mode,
+    _publish_commit,
     _replay_full,
-    _type_has_variant,
     delta_latest_version,
 )
 from jobminer_spark.sources.iceberg import (
@@ -266,3 +266,132 @@ def write_uniform_iceberg_metadata(table: str) -> int:
     return _publish_metadata(
         md, ice_meta, version, snapshot_id, seq, list_path, "append"
     )
+
+
+# Iceberg type → Delta schema-string type (the reverse direction)
+_ICEBERG_TO_DELTA = {v: k for k, v in _DELTA_TO_ICEBERG.items()}
+_ICEBERG_TO_DELTA.update({"int": "integer"})  # short/byte collapse
+
+
+def export_iceberg_to_delta(ice_table: str, delta_table: str) -> int:
+    """The REVERSE export: publish a Delta log over an Iceberg
+    table's CURRENT snapshot, referencing the same parquet files by
+    absolute path — zero data movement, the mirror of
+    write_uniform_iceberg_metadata (and of the repo's zero-copy
+    lakehouse→Delta export). The Delta view is UNPARTITIONED — an
+    Iceberg data file carries every table column, so the files read
+    correctly without partition reconstruction; bucket/truncate
+    layouts have no Delta partitioning equivalent anyway. Refuses
+    what a Delta reader could not consume correctly: live
+    position/equality deletes or DVs (compact first with
+    rewrite_iceberg_deletes), and data files that OMIT an identity
+    partition source column (v1 Hive-migrated shape — their values
+    live only in manifest tuples a Delta reader never sees; probed
+    per file, O(files) footer metadata). Each call publishes the next
+    Delta version as a full overwrite of the prior export. Returns
+    the Delta version."""
+    import time
+
+    import pyarrow.parquet as papq
+
+    from jobminer_spark.sources.iceberg import (
+        _current_schema,
+        _snapshot_files,
+        iceberg_metadata,
+    )
+
+    meta = iceberg_metadata(ice_table)
+    data, deletes, eq_deletes = _snapshot_files(ice_table)
+    if deletes or eq_deletes:
+        raise ValueError(
+            "Iceberg→Delta export refused: the snapshot carries "
+            f"{len(deletes)} position/DV and {len(eq_deletes)} "
+            "equality delete file(s) a Delta reader cannot apply — "
+            "rewrite_iceberg_deletes first"
+        )
+    cur = _current_schema(meta)
+    fields = []
+    col_names = []
+    for f in cur["fields"]:
+        t = f["type"]
+        if not isinstance(t, str) or t not in _ICEBERG_TO_DELTA:
+            raise ValueError(
+                f"Iceberg→Delta export refused: column {f['name']!r} "
+                f"has Iceberg type {t!r} with no Delta equivalent"
+            )
+        fields.append(
+            {
+                "name": f["name"],
+                "type": _ICEBERG_TO_DELTA[t],
+                "nullable": not f.get("required", False),
+                "metadata": {},
+            }
+        )
+        col_names.append(f["name"])
+    adds = []
+    for r in sorted(data, key=lambda r: r["path"]):
+        sch = papq.read_schema(r["path"])
+        missing = [c for c in col_names if c not in set(sch.names)]
+        if missing:
+            raise ValueError(
+                "Iceberg→Delta export refused: data file "
+                f"{r['path']} omits column(s) {missing} (their "
+                "values live only in manifest partition tuples a "
+                "Delta reader never sees)"
+            )
+        adds.append(
+            {
+                "path": os.path.abspath(r["path"]),
+                "partitionValues": {},
+                "size": os.path.getsize(r["path"]),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        )
+    current = delta_latest_version(delta_table)
+    os.makedirs(
+        os.path.join(delta_table, "_delta_log"), exist_ok=True
+    )
+    actions: list[dict] = []
+    prev_adds: dict = {}
+    if current < 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+    else:
+        prev_adds, _rm, _m, _tx, _proto = _replay_full(
+            delta_table, current
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.universalFormat.source": "iceberg",
+                    "delta.universalFormat.icebergSnapshot": str(
+                        meta.get("current-snapshot-id")
+                    ),
+                },
+                "createdTime": 0,
+            }
+        }
+    )
+    now_ms = int(time.time() * 1000)
+    actions.extend(
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(prev_adds)
+    )
+    actions.extend({"add": a} for a in adds)
+    _publish_commit(delta_table, current + 1, actions)
+    return current + 1

@@ -3559,3 +3559,59 @@ def test_generate_symlink_manifest(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="column-mapped"):
         generate_symlink_manifest(t2)
+
+
+def test_export_iceberg_to_delta(spark, tmp_path):
+    """r19 reverse export: a Delta log published over an Iceberg
+    table's files — same rows through read_delta with zero copy;
+    refresh after an Iceberg append; refusal on live delete files
+    until compaction."""
+    from jobminer_spark.sources.iceberg import (
+        iceberg_live_files,
+        rewrite_iceberg_deletes,
+        write_iceberg,
+        write_iceberg_deletes,
+    )
+    from jobminer_spark.sources.uniform import export_iceberg_to_delta
+
+    ice = str(tmp_path / "ice")
+    dl = str(tmp_path / "dl")
+    write_iceberg(
+        spark, ice,
+        spark.range(0, 6).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+    )
+    assert export_iceberg_to_delta(ice, dl) == 0
+    got = sorted((r.k, r.v) for r in read_delta(spark, dl).collect())
+    assert got == [(i, 2 * i) for i in range(6)]
+    # refresh after an append: the next Delta version replaces
+    write_iceberg(
+        spark, ice,
+        spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+    )
+    assert export_iceberg_to_delta(ice, dl) == 1
+    assert read_delta(spark, dl).count() == 9
+    assert read_delta(spark, dl, version=0).count() == 6
+    # live deletes refuse; compaction clears the way
+    scan = spark.read.parquet(*iceberg_live_files(ice)).withColumns({
+        "fp": F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ),
+        "pos": F.col("_metadata.row_index"),
+    })
+    write_iceberg_deletes(
+        spark, ice,
+        scan.where(F.col("k") == 0).select(
+            F.col("fp").alias("file_path"), "pos"
+        ),
+    )
+    with pytest.raises(ValueError, match="delete file"):
+        export_iceberg_to_delta(ice, dl)
+    rewrite_iceberg_deletes(spark, ice)
+    assert export_iceberg_to_delta(ice, dl) == 2
+    assert sorted(r.k for r in read_delta(spark, dl).collect()) == list(
+        range(1, 9)
+    )
