@@ -340,6 +340,128 @@ def delta_optimize_compaction_audit(
     )
 
 
+_CLONE_CACHE: dict[tuple[str, str, str], dict] = {}
+
+
+def _clone_scenario(spark: SparkSession, sf_dir: str) -> dict:
+    """SHALLOW CLONE lifecycle (r19): a partitioned two-commit source,
+    a zero-copy clone, then divergence on BOTH sides — a DV delete +
+    an append on the clone, an append on the source — so the audit can
+    pin that the two tables share bytes but not state."""
+    from jobminer_spark.sources.delta import clone_delta, delete_delta
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
+    if cache_key in _CLONE_CACHE:
+        return _CLONE_CACHE[cache_key]
+    work = scenario_workdir(spark, sf_dir, "jm_dclone_", fp)
+    rows = _rows(spark, sf_dir)
+    src = os.path.join(work, "src")
+    dst = os.path.join(work, "dst")
+    write_delta(
+        spark, src, rows.filter(F.col("event_id") % 2 == 0),
+        partition_by=["event_type"],
+    )
+    write_delta(
+        spark, src, rows.filter(F.col("event_id") % 2 == 1),
+        partition_by=["event_type"],
+    )
+    n_files, total_bytes = clone_delta(src, dst)
+    # zero-copy pinned at clone time: no data file lives under the
+    # clone, and every referenced byte is accounted for
+    copied = [
+        f
+        for root, _d, fs in os.walk(dst)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in root
+    ]
+    zero_copy_ok = int(
+        copied == [] and n_files > 0 and total_bytes > 0
+    )
+    # divergence: the clone deletes clicks (DVs over EXTERNAL files,
+    # payloads in the clone dir) and appends a slice; the source
+    # appends a DIFFERENT slice — neither sees the other's change
+    delete_delta(spark, dst, "event_type = 'click'")
+    write_delta(
+        spark, dst,
+        rows.filter(
+            (F.col("event_id") % 2 == 0) & (F.col("user_id") % 9 == 0)
+        ),
+        partition_by=["event_type"],
+    )
+    write_delta(
+        spark, src, rows.filter(F.col("user_id") % 11 == 0),
+        partition_by=["event_type"],
+    )
+    result = {"src": src, "dst": dst, "zero_copy_ok": zero_copy_ok}
+    _CLONE_CACHE[cache_key] = result
+    return result
+
+
+@query(
+    "delta_shallow_clone_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT CAST(1 AS BIGINT) AS zero_copy_ok,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_clone_v0,
+           (SELECT CAST(COUNT(*) + SUM(CASE WHEN user_id % 11 = 0
+                        THEN 1 ELSE 0 END) AS BIGINT)
+              FROM rows) AS n_src,
+           (SELECT CAST(SUM(val_q) + SUM(CASE WHEN user_id % 11 = 0
+                        THEN val_q ELSE 0 END) AS BIGINT)
+              FROM rows) AS ck_src,
+           (SELECT CAST(SUM(CASE WHEN event_type <> 'click'
+                        THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN event_id % 2 = 0 AND user_id % 9 = 0
+                        THEN 1 ELSE 0 END) AS BIGINT)
+              FROM rows) AS n_clone,
+           (SELECT CAST(SUM(CASE WHEN event_type <> 'click'
+                        THEN val_q ELSE 0 END)
+                 + SUM(CASE WHEN event_id % 2 = 0 AND user_id % 9 = 0
+                        THEN val_q ELSE 0 END) AS BIGINT)
+              FROM rows) AS ck_clone
+    """,
+)
+def delta_shallow_clone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (r19): ``clone_delta`` publishes a new Delta
+    table whose commit 0 references the source snapshot's files by
+    absolute file: URI — zero bytes copied (``zero_copy_ok`` walks the
+    clone for data files). The clone's version 0 is the full corpus;
+    afterwards the two tables DIVERGE — the clone DV-deletes clicks
+    (payloads written in the clone's own directory over the source's
+    files) and appends one slice, the source appends a different
+    slice — and every count/checksum of both is recomputed by the
+    oracle from raw events. A clone that shares state instead of
+    bytes, loses partitionValues through the URI indirection, or
+    resolves the absolute adds wrongly goes red here.
+    Ref: reference has no lakehouse layer; the operator mirrors
+    delta-spark's CREATE TABLE ... SHALLOW CLONE."""
+    s = _clone_scenario(spark, sf_dir)
+    v0 = read_delta(spark, s["dst"], version=0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clone_v0")
+    )
+    src_now = read_delta(spark, s["src"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("val_q").cast("long").alias("ck_src"),
+    )
+    clone_now = read_delta(spark, s["dst"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clone"),
+        F.sum("val_q").cast("long").alias("ck_clone"),
+    )
+    return (
+        v0.crossJoin(F.broadcast(src_now))
+        .crossJoin(F.broadcast(clone_now))
+        .selectExpr(
+            f"CAST({s['zero_copy_ok']} AS BIGINT) AS zero_copy_ok",
+            "n_clone_v0",
+            "n_src",
+            "ck_src",
+            "n_clone",
+            "ck_clone",
+        )
+    )
+
+
 @query(
     "delta_ict_domain_audit",
     oracle=f"""

@@ -87,7 +87,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -671,7 +673,7 @@ def read_delta_row_ids(
     ids = spark.createDataFrame(
         [
             (
-                _file_key(os.path.join(table, p)),
+                _file_key(_add_abs_path(table, p)),
                 int(a["baseRowId"]),
                 int(a.get("defaultRowCommitVersion") or 0),
             )
@@ -737,7 +739,7 @@ def generate_symlink_manifest(table: str) -> list[str]:
         ]
         d = os.path.join(root, *pieces) if pieces else root
         groups.setdefault(d, []).append(
-            "file://" + os.path.abspath(os.path.join(table, rel))
+            "file://" + os.path.abspath(_add_abs_path(table, rel))
         )
     written = []
     for d, uris in sorted(groups.items()):
@@ -892,7 +894,7 @@ def _dv_file_path(table: str, dv: dict) -> str:
     st = dv.get("storageType")
     p = dv["pathOrInlineDv"]
     if st == "p":
-        return p if os.path.isabs(p) else os.path.join(table, p)
+        return _add_abs_path(table, p)
     if st == "u":
         prefix, enc = p[:-20], p[-20:]
         u = uuid.UUID(bytes=z85_decode(enc))
@@ -1041,7 +1043,7 @@ def _dv_relation(
     total = 0
     for a in adds:
         if _has_dv(a):
-            fp = _file_key(os.path.join(table, a["path"]))
+            fp = _file_key(_add_abs_path(table, a["path"]))
             descs.append((fp, a["deletionVector"], None))
             total += int(a["deletionVector"].get("cardinality") or 0)
     if not descs:
@@ -1056,6 +1058,37 @@ def _file_key(path: str) -> str:
     to the same form via _decoded_path_col, so paths with URI-special
     characters key identically on both sides."""
     return os.path.abspath(path).replace(os.sep, "/")
+
+
+# add/remove action `path` fields come in two protocol shapes
+# (PROTOCOL.md "Add File and Remove File"): a percent-encoded path
+# RELATIVE to the table root — the common case — or an ABSOLUTE
+# percent-encoded URI, which is what SHALLOW CLONE commits write so
+# the clone references the source table's files without copying a
+# byte. Scheme'd URIs are detected by this pattern (a relative path
+# can't start `<scheme>:` — Delta paths never contain ':' before '/').
+_ABS_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _add_abs_path(table: str, p: str) -> str:
+    """Absolute filesystem path of an add/remove action's ``path``.
+    Absolute URIs (``file:``-scheme only — no remote filesystems in
+    this runtime) and bare absolute paths are percent-DECODED per the
+    protocol; relative paths join the table root verbatim, matching
+    this writer's own non-encoded file names (decoding a foreign
+    relative name here would corrupt a literal ``%`` — delta-spark
+    only forces decoding on the absolute form)."""
+    if _ABS_URI_RE.match(p):
+        parsed = urllib.parse.urlparse(p)
+        if parsed.scheme != "file":
+            raise ValueError(
+                f"unsupported filesystem scheme in add path: {p!r} "
+                "(only file: URIs are readable in this runtime)"
+            )
+        return urllib.parse.unquote(parsed.path)
+    if os.path.isabs(p):
+        return urllib.parse.unquote(p)
+    return os.path.join(table, p)
 
 
 def _decoded_path_col(col):
@@ -1173,7 +1206,7 @@ def _adds_to_df(
     logical_order = [f["name"] for f in schema["fields"]]
     extra = ["__jm_file", "__jm_pos"] if include_position else []
     if not part_cols:
-        paths = [os.path.join(table, a["path"]) for a in adds]
+        paths = [_add_abs_path(table, a["path"]) for a in adds]
         return _scan(paths).select(
             *[F.col(phys[c]).alias(c) for c in logical_order], *extra
         )
@@ -1187,7 +1220,7 @@ def _adds_to_df(
         key = tuple(
             a.get("partitionValues", {}).get(phys[c]) for c in part_cols
         )
-        by_part.setdefault(key, []).append(os.path.join(table, a["path"]))
+        by_part.setdefault(key, []).append(_add_abs_path(table, a["path"]))
     types = {f["name"]: f["type"] for f in schema["fields"]}
     parts = []
     # None-safe group order: external tables correctly store JSON null
@@ -3234,7 +3267,7 @@ def optimize_delta(
                 z_phys.append(phys[c])
             if adds:
                 base = spark.read.schema(data_ddl).parquet(
-                    *[os.path.join(table, p) for p in adds]
+                    *[_add_abs_path(table, p) for p in adds]
                 )
                 num_phys = [
                     c for c in z_phys if z_kind[c] == "num"
@@ -3313,7 +3346,7 @@ def optimize_delta(
             ):
                 n_untouched += len(group)
                 continue
-            paths = [os.path.join(table, a["path"]) for a in group]
+            paths = [_add_abs_path(table, a["path"]) for a in group]
             # DV-carrying groups MATERIALIZE their deletes: the scan
             # drops DV-marked rows, the rewritten files carry no
             # descriptors, and dataChange=false stays correct because
@@ -3626,7 +3659,7 @@ def _mor_mutation(
         )
         part_cols = meta.get("partitionColumns", [])
         rel_by_uri = {
-            _file_key(os.path.join(table, p)): p for p in adds
+            _file_key(_add_abs_path(table, p)): p for p in adds
         }
         # one consumer for deletes, up to three more for updates
         # (replacement staging + CDC pre/post images): persist the
@@ -3932,13 +3965,13 @@ def delta_change_feed(
 
         def _existing(paths: list[str], what: str) -> list[str]:
             for p in paths:
-                if not os.path.exists(os.path.join(table, p)):
+                if not os.path.exists(_add_abs_path(table, p)):
                     raise ValueError(
                         f"change feed needs commit {v}'s {what} file "
                         f"{p} but it was vacuumed — the change rows "
                         "are gone (read a snapshot instead)"
                     )
-            return [os.path.join(table, p) for p in paths]
+            return [_add_abs_path(table, p) for p in paths]
 
         cdcs = [a["cdc"] for a in actions if "cdc" in a]
         if cdcs:
@@ -4095,7 +4128,7 @@ def delta_change_feed(
                 old = removes_by_path.pop(a["path"])
                 mor_descs.append(
                     (
-                        _file_key(os.path.join(table, a["path"])),
+                        _file_key(_add_abs_path(table, a["path"])),
                         a["deletionVector"],
                         old.get("deletionVector")
                         if _has_dv(old)
@@ -4240,7 +4273,7 @@ def restore_delta(
     # every byte the restored snapshot needs must still exist
     for rel, a in sorted(target_adds.items()):
         missing = []
-        if not os.path.exists(os.path.join(table, rel)):
+        if not os.path.exists(_add_abs_path(table, rel)):
             missing.append(rel)
         if _has_dv(a) and a["deletionVector"].get("storageType") in (
             "u",
@@ -4323,6 +4356,89 @@ def restore_delta(
         ):
             _write_checkpoint_auto(table, new_version)
         return new_version, n_readded, n_removed
+
+
+def clone_delta(
+    src: str, dst: str, version: int | None = None
+) -> tuple[int, int]:
+    """SHALLOW CLONE: create a NEW Delta table at ``dst`` whose
+    commit 0 references the source snapshot's data files by ABSOLUTE
+    ``file:`` URI — zero bytes copied, delta-spark's
+    ``CREATE TABLE ... SHALLOW CLONE src [VERSION AS OF v]``.
+
+    The clone is a real, independent table: appends/deletes/OPTIMIZE
+    on it never touch the source (a delete_delta writes deletion
+    vectors in the CLONE's directory over the source's files; OPTIMIZE
+    materializes external files into local ones), vacuum_delta walks
+    only the clone's own directory so external files are structurally
+    out of its reach, and time travel to the clone's version 0 is the
+    cloned snapshot forever. The stated shallow-clone trade rides
+    along: vacuuming the SOURCE deletes bytes the clone still
+    references, failing its scans loudly afterwards.
+
+    What copies: schemaString, partitionColumns, configuration (so
+    column mapping, CDF, constraints, ICT keep working), the full
+    protocol (reader/writer versions + feature lists), every live
+    add's partitionValues / size / stats / baseRowId, DV descriptors
+    (relative ``u``/``p`` forms re-anchored as absolute ``p`` paths
+    into the source), and domainMetadata (rowTracking watermark,
+    clustering registry). What does not: history (the clone starts at
+    version 0), remove tombstones, and streaming txn appIds — each
+    per delta-spark's CLONE semantics. A fresh table id is assigned;
+    ICT-enabled sources get a fresh monotone inCommitTimestamp on the
+    clone's commit 0 via _publish_commit's standing rule.
+
+    Returns (n_files_referenced, total_bytes_referenced).
+
+    Scale shape: pure metadata — one replay of the source plus one
+    commit JSON at the clone; O(live files) driver descriptors, the
+    same bound every commit already carries, and no data movement.
+    """
+    latest = delta_latest_version(src)
+    if latest < 0:
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {src}")
+    v = latest if version is None else version
+    if v > latest or v < 0:
+        raise ValueError(f"version {v} out of range [0, {latest}]")
+    if delta_latest_version(dst) >= 0:
+        raise FileExistsError(f"clone target is already a Delta table: {dst}")
+    snap = _replay_full(src, v)
+    adds, _removes, meta, _txns, protocol = snap
+    new_meta = dict(meta)
+    new_meta["id"] = str(uuid.uuid4())
+    new_meta["createdTime"] = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": dict(protocol)},
+        {"metaData": new_meta},
+    ]
+    for dm in sorted(snap.domains.values(), key=lambda d: d["domain"]):
+        actions.append({"domainMetadata": dict(dm)})
+    total_bytes = 0
+    for rel in sorted(adds):
+        a = dict(adds[rel])
+        abs_path = os.path.abspath(_add_abs_path(src, a["path"]))
+        if not os.path.exists(abs_path):
+            raise ValueError(
+                f"cannot clone version {v}: {a['path']} was vacuumed — "
+                "the snapshot's data is gone"
+            )
+        a["path"] = "file://" + urllib.parse.quote(abs_path)
+        a["dataChange"] = True
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            # re-anchor the payload file: "u" resolves relative to the
+            # SOURCE table dir, which the clone is not — the absolute
+            # "p" form carries the same offset/size/cardinality
+            a["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.abspath(_dv_file_path(src, dv)),
+            }
+        total_bytes += int(a.get("size") or 0)
+        actions.append({"add": a})
+    os.makedirs(_log_path(dst), exist_ok=True)
+    _publish_commit(dst, 0, actions, meta=new_meta)
+    return len(adds), total_bytes
 
 
 def vacuum_delta(

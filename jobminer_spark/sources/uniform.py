@@ -35,6 +35,7 @@ import uuid
 
 from jobminer_spark.sources.avro import write_avro_file
 from jobminer_spark.sources.delta import (
+    _add_abs_path,
     _has_dv,
     _mapping_mode,
     _publish_commit,
@@ -159,7 +160,10 @@ def write_uniform_iceberg_metadata(table: str) -> int:
     entries = []
     for rel in sorted(adds):
         a = adds[rel]
-        fpath = os.path.abspath(os.path.join(table, rel))
+        # _add_abs_path: a shallow-cloned Delta table's adds are
+        # absolute file: URIs — the Iceberg export references the same
+        # bytes either way (zero-copy is zero-copy twice removed)
+        fpath = os.path.abspath(_add_abs_path(table, rel))
         n = None
         st = a.get("stats")
         if st:

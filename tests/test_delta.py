@@ -3615,3 +3615,218 @@ def test_export_iceberg_to_delta(spark, tmp_path):
     assert sorted(r.k for r in read_delta(spark, dl).collect()) == list(
         range(1, 9)
     )
+
+
+# ---------------------------------------------------------------- clone
+
+
+def test_clone_shallow_zero_copy_parity(spark, tmp_path):
+    """SHALLOW CLONE: commit 0 references the source's files by
+    absolute file: URI — parity without a single copied byte."""
+    from jobminer_spark.sources.delta import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(
+        spark, src,
+        _df(spark, 0, 40).withColumn("p", (F.col("k") % 3).cast("string")),
+        partition_by=["p"],
+    )
+    write_delta(
+        spark, src,
+        _df(spark, 40, 60).withColumn("p", F.lit("9")),
+        partition_by=["p"],
+    )
+    n, total = clone_delta(src, dst)
+    assert n > 0 and total > 0
+    a = {(r["k"], r["v"], r["p"]) for r in read_delta(spark, src).collect()}
+    b = {(r["k"], r["v"], r["p"]) for r in read_delta(spark, dst).collect()}
+    assert a == b and len(a) == 60
+    # zero copy: no data files under the clone
+    copied = [
+        f
+        for root, _d, fs in os.walk(dst)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in root
+    ]
+    assert copied == []
+    # every add in commit 0 is an absolute percent-encoded file: URI
+    with open(_commit_file(dst, 0)) as f:
+        adds = [
+            json.loads(x)["add"] for x in f if x.strip() and "add" in x
+        ]
+    assert adds and all(a_["path"].startswith("file:///") for a_ in adds)
+
+
+def test_clone_independence_both_directions(spark, tmp_path):
+    from jobminer_spark.sources.delta import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(spark, src, _df(spark, 0, 10))
+    clone_delta(src, dst)
+    write_delta(spark, dst, _df(spark, 100, 105))  # clone-only append
+    write_delta(spark, src, _df(spark, 200, 220))  # source-only append
+    assert read_delta(spark, dst).count() == 15
+    assert read_delta(spark, src).count() == 30
+    # clone v0 is the cloned snapshot forever
+    assert read_delta(spark, dst, version=0).count() == 10
+
+
+def test_clone_delete_writes_dvs_in_clone_dir(spark, tmp_path):
+    """delete_delta on a clone masks SOURCE files with DVs stored in
+    the CLONE's directory — the source never changes."""
+    from jobminer_spark.sources.delta import clone_delta, delete_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(spark, src, _df(spark, 0, 30))
+    clone_delta(src, dst)
+    ver, n_del = delete_delta(spark, dst, "k < 10")
+    assert (ver, n_del) == (1, 10)
+    assert read_delta(spark, dst).count() == 20
+    assert read_delta(spark, src).count() == 30
+    bins = [
+        f
+        for root, _d, fs in os.walk(dst)
+        for f in fs
+        if f.endswith(".bin")
+    ]
+    assert bins, "the DV payload must live under the clone"
+    src_bins = [
+        f
+        for root, _d, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".bin")
+    ]
+    assert src_bins == []
+
+
+def test_clone_of_dv_carrying_source(spark, tmp_path):
+    """A source whose snapshot carries deletion vectors clones with
+    the descriptors re-anchored as absolute 'p' paths into the
+    source — the deleted rows stay deleted in the clone."""
+    from jobminer_spark.sources.delta import clone_delta, delete_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(spark, src, _df(spark, 0, 30))
+    delete_delta(spark, src, "k >= 25")
+    clone_delta(src, dst)
+    assert sorted(r["k"] for r in read_delta(spark, dst).collect()) == list(
+        range(25)
+    )
+    with open(_commit_file(dst, 0)) as f:
+        dvs = [
+            json.loads(x)["add"].get("deletionVector")
+            for x in f
+            if x.strip() and '"add"' in x
+        ]
+    carried = [d for d in dvs if d]
+    assert carried and all(
+        d["storageType"] == "p" and os.path.isabs(d["pathOrInlineDv"])
+        for d in carried
+    )
+
+
+def test_clone_vacuum_never_reaches_source(spark, tmp_path):
+    from jobminer_spark.sources.delta import (
+        clone_delta,
+        optimize_delta,
+        vacuum_delta,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    for lo in range(0, 40, 10):
+        write_delta(spark, src, _df(spark, lo, lo + 10))
+    clone_delta(src, dst)
+    deleted, kept = vacuum_delta(dst, retention_ms=0)
+    assert deleted == [] and kept == 0
+    # OPTIMIZE materializes the external files into local ones, the
+    # removes tombstone the absolute URIs — vacuum still cannot touch
+    # the source's bytes (they are outside the clone's directory walk)
+    optimize_delta(spark, dst)
+    vacuum_delta(dst, retention_ms=0)
+    assert read_delta(spark, src).count() == 40
+    assert read_delta(spark, dst).count() == 40
+
+
+def test_clone_version_as_of_and_refusals(spark, tmp_path):
+    from jobminer_spark.sources.delta import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(spark, src, _df(spark, 0, 10))
+    write_delta(spark, src, _df(spark, 10, 30))
+    clone_delta(src, dst, version=0)
+    assert read_delta(spark, dst).count() == 10
+    with pytest.raises(FileExistsError):
+        clone_delta(src, dst)
+    with pytest.raises(ValueError, match="out of range"):
+        clone_delta(src, str(tmp_path / "d2"), version=7)
+    with pytest.raises(FileNotFoundError):
+        clone_delta(str(tmp_path / "nope"), str(tmp_path / "d3"))
+
+
+def test_clone_ict_source_gets_fresh_monotone_ict(spark, tmp_path):
+    from jobminer_spark.sources.delta import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(
+        spark, src, _df(spark, 0, 10),
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    clone_delta(src, dst)
+    with open(_commit_file(dst, 0)) as f:
+        infos = [
+            json.loads(x)["commitInfo"]
+            for x in f
+            if x.strip() and x.startswith('{"commitInfo"')
+        ]
+    assert infos and infos[0].get("inCommitTimestamp") is not None
+
+
+def test_clone_row_tracking_ids_preserved(spark, tmp_path):
+    """baseRowId assignments and the rowTracking watermark domain ride
+    the clone — stable row ids agree across the two tables."""
+    from jobminer_spark.sources.delta import clone_delta, read_delta_row_ids
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(
+        spark, src, _df(spark, 0, 20),
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    write_delta(spark, src, _df(spark, 20, 35))
+    clone_delta(src, dst)
+    a = {(r["k"], r["_row_id"]) for r in read_delta_row_ids(spark, src).collect()}
+    b = {(r["k"], r["_row_id"]) for r in read_delta_row_ids(spark, dst).collect()}
+    assert a == b and len(a) == 35
+    # the watermark domain carried over: a fresh append to the clone
+    # continues numbering past the source's high watermark
+    write_delta(spark, dst, _df(spark, 100, 110))
+    ids = {
+        r["_row_id"] for r in read_delta_row_ids(spark, dst).collect()
+    }
+    assert len(ids) == 45  # no collisions
+
+
+def test_clone_column_mapped_source(spark, tmp_path):
+    from jobminer_spark.sources.delta import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(
+        spark, src, _df(spark, 0, 25),
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    clone_delta(src, dst)
+    got = sorted(r["k"] for r in read_delta(spark, dst).collect())
+    assert got == list(range(25))
+
+
+def test_clone_breaks_loudly_after_source_vacuum(spark, tmp_path):
+    """The shallow-clone trade, stated: vacuuming the SOURCE deletes
+    bytes the clone still references — its scans fail afterwards."""
+    from jobminer_spark.sources.delta import clone_delta, vacuum_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(spark, src, _df(spark, 0, 10))
+    clone_delta(src, dst)
+    write_delta(spark, src, _df(spark, 50, 55), mode="overwrite")
+    vacuum_delta(src, retention_ms=0)
+    with pytest.raises(Exception):
+        read_delta(spark, dst).count()
