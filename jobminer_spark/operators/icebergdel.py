@@ -28,6 +28,8 @@ stays O(manifests) driver-side.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -659,6 +661,109 @@ def iceberg_position_delete_audit(
     n_deleted = total - read_iceberg(spark, s["table"]).count()
     return surv.selectExpr(
         "n_rows", "ck", f"CAST({n_deleted} AS BIGINT) AS n_deleted"
+    )
+
+
+_RB_CACHE: dict[tuple[str, str, str], dict] = {}
+
+
+def _rollback_scenario(spark: SparkSession, sf_dir: str) -> dict:
+    """Rollback + orphan-file lifecycle (late r19): a two-append
+    table, two PLANTED orphans (the residue shape of a crashed
+    writer — one data file, one manifest avro, neither referenced by
+    any snapshot), a rollback to the first snapshot, a branched
+    append, then orphan removal — with the age gate probed before
+    the real sweep."""
+    from jobminer_spark.sources.iceberg import (
+        iceberg_snapshots,
+        remove_iceberg_orphan_files,
+        rollback_iceberg,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
+    if cache_key in _RB_CACHE:
+        return _RB_CACHE[cache_key]
+    work = scenario_workdir(spark, sf_dir, "jm_icerb_", fp)
+    rows = _rows(spark, sf_dir)
+    rb = os.path.join(work, "rb")
+    write_iceberg(spark, rb, rows.filter(F.col("event_id") % 2 == 0))
+    write_iceberg(spark, rb, rows.filter(F.col("event_id") % 2 == 1))
+    snaps = iceberg_snapshots(rb)
+    s1, s2 = snaps[0]["snapshot-id"], snaps[1]["snapshot-id"]
+    planted = ["data/zz-orphan-00000.parquet",
+               "metadata/manifest-zz-orphan.avro"]
+    for rel in planted:
+        with open(os.path.join(rb, rel), "wb") as f:
+            f.write(b"crashed-writer-residue")
+    # age gate first: under the default 3-day retention the fresh
+    # plants are protected, exactly like an in-flight commit's files
+    d0, kept0 = remove_iceberg_orphan_files(rb, dry_run=True)
+    age_gate_ok = int(d0 == [] and kept0 >= 2)
+    rollback_iceberg(rb, s1)
+    write_iceberg(spark, rb, rows.filter(F.col("event_id") % 10 == 1))
+    deleted, _kept = remove_iceberg_orphan_files(rb, older_than_ms=0)
+    # exactly the plants die: snapshot s2 left the CURRENT lineage in
+    # the rollback but stays in the snapshot list, so its files are
+    # still reachable — an orphan sweep that treats "not in current
+    # snapshot" as orphaned would delete them and break time travel
+    orphans_exact = int(sorted(deleted) == sorted(planted))
+    result = {
+        "rb": rb,
+        "s2": s2,
+        "age_gate_ok": age_gate_ok,
+        "orphans_exact": orphans_exact,
+    }
+    _RB_CACHE[cache_key] = result
+    return result
+
+
+@query(
+    "iceberg_rollback_orphan_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN event_id % 10 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) FROM rows) AS n_current,
+           (SELECT CAST(SUM(CASE WHEN event_id % 2 = 0 THEN val_q ELSE 0 END)
+                 + SUM(CASE WHEN event_id % 10 = 1 THEN val_q ELSE 0 END)
+                   AS BIGINT) FROM rows) AS ck_current,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_head,
+           CAST(1 AS BIGINT) AS orphans_exact,
+           CAST(1 AS BIGINT) AS age_gate_ok
+    """,
+)
+def iceberg_rollback_orphan_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """rollback_to_snapshot + remove_orphan_files (late r19), the two
+    maintenance procedures expire_snapshots does not cover. After a
+    rollback to snapshot 1 and a branched append, the current read is
+    first-half + the branch slice while time travel to the
+    pre-rollback head still sees the full corpus (rollback moves the
+    pointer, never rewrites history). The orphan sweep must delete
+    EXACTLY the two planted crashed-writer files: the rolled-past
+    snapshot's files are still reachable through the snapshot list,
+    and the age gate (probed under the default 3-day retention before
+    the real sweep) protects fresh files the way both engines do.
+    Counts/checksums recomputed by the oracle from raw events."""
+    s = _rollback_scenario(spark, sf_dir)
+    cur = read_iceberg(spark, s["rb"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_current"),
+        F.sum("val_q").cast("long").alias("ck_current"),
+    )
+    head = read_iceberg(spark, s["rb"], snapshot_id=s["s2"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_head")
+    )
+    return (
+        cur.crossJoin(F.broadcast(head))
+        .selectExpr(
+            "n_current",
+            "ck_current",
+            "n_head",
+            f"CAST({s['orphans_exact']} AS BIGINT) AS orphans_exact",
+            f"CAST({s['age_gate_ok']} AS BIGINT) AS age_gate_ok",
+        )
     )
 
 

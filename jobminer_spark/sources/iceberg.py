@@ -71,6 +71,7 @@ import datetime
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3927,3 +3928,118 @@ def expire_iceberg_snapshots(
             except FileNotFoundError:
                 pass
     return sorted(dead), len(expired)
+
+
+def rollback_iceberg(table: str, snapshot_id: int) -> int:
+    """ROLLBACK to an earlier snapshot — Iceberg's
+    ``rollback_to_snapshot`` procedure, the format twin of
+    ``restore_delta``: a metadata-only commit that moves
+    ``current-snapshot-id`` (and the ``main`` branch ref) back to a
+    snapshot still present in the snapshot list. No new snapshot is
+    created — that is the spec'd procedure shape — so history is
+    preserved and rolling "forward" again to the pre-rollback head is
+    the same call with the later id. Subsequent writes branch from
+    the restored state with a fresh, still-monotone sequence number
+    (``last-sequence-number`` is table-level and never rewinds).
+    Returns the new metadata version.
+
+    Scale shape: pure metadata — one JSON read + one exclusive-create
+    publish; no manifest walk, no data reads."""
+    meta = iceberg_metadata(table)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"unknown snapshot-id {snapshot_id} (expired or never "
+            f"existed; known: {sorted(snaps)})"
+        )
+    md = _metadata_dir(table)
+    version = _metadata_version(md)
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    refs = dict(new_meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    new_meta["refs"] = refs
+    new_version = version + 1
+    fd = os.open(
+        os.path.join(md, f"v{new_version}.metadata.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return new_version
+
+
+# Spark's remove_orphan_files default: protect anything newer than
+# three days — the grace window for in-flight writers whose commit
+# has not published yet (their staged data files look orphaned).
+_ORPHAN_RETENTION_MS = 3 * 24 * 3600 * 1000
+
+
+def remove_iceberg_orphan_files(
+    table: str,
+    older_than_ms: int = _ORPHAN_RETENTION_MS,
+    dry_run: bool = False,
+) -> tuple[list[str], int]:
+    """Remove ORPHAN files — Iceberg's other maintenance half
+    (``remove_orphan_files``), complementing snapshot expiration:
+    expiration deletes files its EXPIRED snapshots referenced, while
+    this walks the table location for files NO snapshot references at
+    all — the residue of crashed writers that staged data/delete/
+    puffin files or manifests but never published their metadata
+    version. The reachable set is every file referenced by ANY
+    snapshot in the current metadata (manifest lists, manifests,
+    data/delete/DV files); ``vN.metadata.json`` + ``version-hint``
+    are structurally never candidates. Files younger than
+    ``older_than_ms`` are kept — Spark's 3-day default — so an
+    IN-FLIGHT commit's staged files survive the sweep (the same grace
+    both engines ship). Returns (deleted paths, n_kept_recent).
+
+    Scale shape: metadata-bounded — one manifest walk over the
+    snapshot list plus a directory listing; no data reads. A cluster
+    deployment parallelizes the listing over object-store prefixes;
+    the reachable-set construction is unchanged."""
+    meta = iceberg_metadata(table)
+    md = _metadata_dir(table)
+    referenced: set[str] = set()
+    for snap in meta.get("snapshots", []):
+        lst = _resolve_path(table, snap["manifest-list"])
+        referenced.add(os.path.abspath(lst))
+        _, records = read_avro_records(lst)
+        for m in records:
+            mp = _resolve_path(table, m["manifest_path"])
+            referenced.add(os.path.abspath(mp))
+            _, entries = read_avro_records(mp)
+            for e in entries:
+                referenced.add(
+                    os.path.abspath(
+                        _resolve_path(
+                            table, e["data_file"]["file_path"]
+                        )
+                    )
+                )
+    cutoff = time.time() * 1000 - older_than_ms
+    deleted: list[str] = []
+    kept_recent = 0
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for fname in files:
+            full = os.path.abspath(os.path.join(root, fname))
+            if os.path.dirname(full) == os.path.abspath(md) and not (
+                fname.endswith(".avro")
+            ):
+                # metadata versions, version-hint, statistics sidecars
+                # that ride the JSON — never orphan candidates
+                continue
+            if fname.startswith("."):
+                continue
+            if full in referenced:
+                continue
+            if os.stat(full).st_mtime * 1000 > cutoff:
+                kept_recent += 1
+                continue
+            if not dry_run:
+                os.unlink(full)
+            deleted.append(os.path.relpath(full, table))
+    return sorted(deleted), kept_recent

@@ -2852,3 +2852,123 @@ def test_iceberg_refs_tags_and_branches(spark, tmp_path):
     assert n_exp == 1
     with pytest.raises(ValueError, match="no ref"):
         resolve_iceberg_ref(t, "v1.0")
+
+
+# ------------------------------------------- rollback + orphan files
+
+
+def test_rollback_moves_pointer_keeps_history(spark, tmp_path):
+    from jobminer_spark.sources.iceberg import (
+        iceberg_metadata,
+        rollback_iceberg,
+    )
+
+    t = str(tmp_path / "rb")
+    s1 = write_iceberg(spark, t, _kv(spark, 0, 50))
+    s2 = write_iceberg(spark, t, _kv(spark, 50, 80))
+    rollback_iceberg(t, s1)
+    meta = iceberg_metadata(t)
+    assert meta["current-snapshot-id"] == s1
+    assert meta["refs"]["main"]["snapshot-id"] == s1
+    assert read_iceberg(spark, t).count() == 50
+    # history preserved: the rolled-past head is still time-travelable
+    assert read_iceberg(spark, t, snapshot_id=s2).count() == 80
+    # rolling forward again is the same call with the later id
+    rollback_iceberg(t, s2)
+    assert read_iceberg(spark, t).count() == 80
+
+
+def test_rollback_branch_append_and_monotone_sequences(spark, tmp_path):
+    from jobminer_spark.sources.iceberg import (
+        iceberg_snapshots,
+        rollback_iceberg,
+    )
+
+    t = str(tmp_path / "rb2")
+    s1 = write_iceberg(spark, t, _kv(spark, 0, 50))
+    write_iceberg(spark, t, _kv(spark, 50, 80))
+    rollback_iceberg(t, s1)
+    write_iceberg(spark, t, _kv(spark, 100, 110))
+    assert read_iceberg(spark, t).count() == 60
+    seqs = [s["sequence-number"] for s in iceberg_snapshots(t)]
+    # table-level sequence numbers never rewind through a rollback
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_rollback_unknown_snapshot_raises(spark, tmp_path):
+    from jobminer_spark.sources.iceberg import rollback_iceberg
+
+    t = str(tmp_path / "rb3")
+    write_iceberg(spark, t, _kv(spark, 0, 10))
+    with pytest.raises(ValueError, match="unknown snapshot-id"):
+        rollback_iceberg(t, 999999)
+
+
+def test_orphan_removal_exact_and_age_gated(spark, tmp_path):
+    from jobminer_spark.sources.iceberg import (
+        remove_iceberg_orphan_files,
+    )
+
+    t = str(tmp_path / "orph")
+    write_iceberg(spark, t, _kv(spark, 0, 50))
+    write_iceberg(spark, t, _kv(spark, 50, 80))
+    planted = [
+        os.path.join(t, "data", "zz-crashed-writer.parquet"),
+        os.path.join(t, "metadata", "manifest-zz-crashed.avro"),
+    ]
+    for p in planted:
+        with open(p, "wb") as f:
+            f.write(b"junk")
+    # default 3-day retention protects the fresh plants
+    deleted, kept = remove_iceberg_orphan_files(t)
+    assert deleted == [] and kept == 2
+    # dry run reports without deleting
+    deleted, _ = remove_iceberg_orphan_files(t, older_than_ms=0, dry_run=True)
+    assert sorted(deleted) == sorted(
+        os.path.relpath(p, t) for p in planted
+    )
+    assert all(os.path.exists(p) for p in planted)
+    # the real sweep removes EXACTLY the plants
+    deleted, _ = remove_iceberg_orphan_files(t, older_than_ms=0)
+    assert sorted(deleted) == sorted(
+        os.path.relpath(p, t) for p in planted
+    )
+    assert not any(os.path.exists(p) for p in planted)
+    assert read_iceberg(spark, t).count() == 80
+
+
+def test_orphan_removal_spares_rolled_past_snapshot_files(
+    spark, tmp_path
+):
+    """Rollback leaves the later snapshot in the list — its files are
+    reachable, NOT orphans; a sweep keyed on the current snapshot
+    alone would break time travel."""
+    from jobminer_spark.sources.iceberg import (
+        remove_iceberg_orphan_files,
+        rollback_iceberg,
+    )
+
+    t = str(tmp_path / "orph2")
+    s1 = write_iceberg(spark, t, _kv(spark, 0, 50))
+    s2 = write_iceberg(spark, t, _kv(spark, 50, 80))
+    rollback_iceberg(t, s1)
+    deleted, _ = remove_iceberg_orphan_files(t, older_than_ms=0)
+    assert deleted == []
+    assert read_iceberg(spark, t, snapshot_id=s2).count() == 80
+
+
+def test_orphan_removal_never_touches_metadata_versions(spark, tmp_path):
+    from jobminer_spark.sources.iceberg import (
+        remove_iceberg_orphan_files,
+    )
+
+    t = str(tmp_path / "orph3")
+    write_iceberg(spark, t, _kv(spark, 0, 20))
+    write_iceberg(spark, t, _kv(spark, 20, 40))
+    md = os.path.join(t, "metadata")
+    before = {f for f in os.listdir(md) if f.endswith(".metadata.json")}
+    assert len(before) >= 2  # historical versions present
+    remove_iceberg_orphan_files(t, older_than_ms=0)
+    after = {f for f in os.listdir(md) if f.endswith(".metadata.json")}
+    assert after == before
+    assert os.path.exists(os.path.join(md, "version-hint.text"))
