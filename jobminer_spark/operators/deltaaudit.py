@@ -398,6 +398,84 @@ def _clone_scenario(spark: SparkSession, sf_dir: str) -> dict:
     return result
 
 
+_CONVERT_CACHE: dict[tuple[str, str, str], dict] = {}
+
+
+def _convert_scenario(spark: SparkSession, sf_dir: str) -> dict:
+    """CONVERT TO DELTA lifecycle (late r19): events written as a
+    plain Hive-partitioned parquet directory by Spark's own writer,
+    converted in place, then mutated through the Delta surface — a DV
+    delete — so the audit pins that conversion produced a REAL table,
+    not just a readable listing."""
+    from jobminer_spark.sources.delta import (
+        convert_to_delta,
+        delete_delta,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, fp)
+    if cache_key in _CONVERT_CACHE:
+        return _CONVERT_CACHE[cache_key]
+    work = scenario_workdir(spark, sf_dir, "jm_dconv_", fp)
+    rows = _rows(spark, sf_dir)
+    conv = os.path.join(work, "conv")
+    rows.write.partitionBy("event_type").parquet(conv)
+    n_files, total_bytes = convert_to_delta(
+        spark, conv, partition_schema="event_type string"
+    )
+    converted_ok = int(n_files > 0 and total_bytes > 0)
+    delete_delta(spark, conv, "event_type = 'error'")
+    result = {"conv": conv, "converted_ok": converted_ok}
+    _CONVERT_CACHE[cache_key] = result
+    return result
+
+
+@query(
+    "delta_convert_parquet_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT CAST(1 AS BIGINT) AS converted_ok,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_type <> 'error') AS n_rows,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_type <> 'error') AS ck,
+           (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)
+              FROM rows WHERE event_type <> 'error') AS n_parts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_v0
+    """,
+)
+def delta_convert_parquet_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA (late r19): a Spark-written Hive-partitioned
+    parquet directory becomes a Delta table IN PLACE — commit 0 lists
+    the existing files with partitionValues parsed from the k=v path
+    segments, no data moved. The audit reads the converted table
+    AFTER a DV delete of one partition: per-partition restoration,
+    the delete riding the converted files, and time travel to the
+    conversion snapshot (the full original corpus) are each pinned
+    against the oracle's recomputation from raw events. A conversion
+    that mislays partitionValues, misses files, or produces a table
+    the mutation surface cannot operate on goes red here."""
+    s = _convert_scenario(spark, sf_dir)
+    now = read_delta(spark, s["conv"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+        F.countDistinct("event_type").cast("long").alias("n_parts"),
+    )
+    v0 = read_delta(spark, s["conv"], version=0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_v0")
+    )
+    return (
+        now.crossJoin(F.broadcast(v0))
+        .selectExpr(
+            f"CAST({s['converted_ok']} AS BIGINT) AS converted_ok",
+            "n_rows",
+            "ck",
+            "n_parts",
+            "n_v0",
+        )
+    )
+
+
 @query(
     "delta_shallow_clone_audit",
     oracle=f"""

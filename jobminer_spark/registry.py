@@ -667,7 +667,7 @@ _WINDOW_FRONT: list[str] = [
     # iceberg_spec_evolution_audit, stream_iceberg_sink_exactly_once,
     # iceberg_refs_audit, delta_symlink_manifest_audit,
     # iceberg_delta_export_parity, delta_shallow_clone_audit,
-    # iceberg_rollback_orphan_audit)
+    # iceberg_rollback_orphan_audit, delta_convert_parquet_audit)
     # and any r20-new never-attested
     # queries, filling the tail from the
     # last-green-r14 head (embedding_norm_outliers first); AMEND at

@@ -4520,3 +4520,143 @@ def vacuum_delta(
                 os.unlink(full)
             deleted.append(rel)
     return sorted(deleted), kept
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    table: str,
+    partition_schema: str | None = None,
+) -> tuple[int, int]:
+    """CONVERT TO DELTA: publish a Delta log over an EXISTING plain
+    parquet directory in place — delta-spark's
+    ``CONVERT TO DELTA parquet.`path` [PARTITIONED BY (...)]``. No
+    data file moves or rewrites: commit 0 lists every parquet file as
+    an add with its real size, per-file footer stats (up to the same
+    _STATS_FILES_CAP every commit obeys), and — for Hive-layout
+    directories — partitionValues parsed from the ``k=v`` path
+    segments (percent-escapes decoded, ``__HIVE_DEFAULT_PARTITION__``
+    restored as protocol JSON null). ``partition_schema`` is the
+    DDL-typed partition column list ("event_type string, d date") and
+    is REQUIRED for partitioned layouts, exactly like delta-spark —
+    partition types are not reliably inferrable from path strings.
+    The data schema is Spark's own parquet inference over the file
+    listing (so type widening across files resolves the way a plain
+    read would), with the partition columns appended as nullable
+    fields. Returns (n_files, total_bytes).
+
+    After conversion the directory IS a Delta table: appends, DV
+    deletes, OPTIMIZE, time travel to the converted snapshot — the
+    whole surface applies.
+
+    Scale shape: one directory listing + one footer read per
+    stats-capped file, no data reads or movement; the commit is
+    O(files) driver descriptors like every commit here."""
+    from urllib.parse import unquote
+
+    log = _log_path(table)
+    if delta_latest_version(table) >= 0:
+        raise FileExistsError(f"already a Delta table: {table}")
+    part_fields: list[tuple[str, str]] = []
+    if partition_schema:
+        for chunk in partition_schema.split(","):
+            name, _, typ = chunk.strip().partition(" ")
+            if not name or not typ.strip():
+                raise ValueError(
+                    f"partition_schema entry {chunk!r} is not "
+                    "'name type'"
+                )
+            part_fields.append((name, typ.strip()))
+    part_names = [n for n, _t in part_fields]
+    rels: list[str] = []
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for fname in sorted(files):
+            if fname.startswith((".", "_")) or not fname.endswith(
+                ".parquet"
+            ):
+                continue
+            rels.append(
+                os.path.relpath(
+                    os.path.join(root, fname), table
+                ).replace(os.sep, "/")
+            )
+    if not rels:
+        raise FileNotFoundError(f"no parquet files under {table}")
+    adds: list[dict] = []
+    total_bytes = 0
+    for rel in sorted(rels):
+        pv: dict[str, str | None] = {}
+        segs = rel.split("/")[:-1]
+        hive = {
+            k: unquote(v)
+            for k, _, v in (s.partition("=") for s in segs)
+            if _
+        }
+        if part_names:
+            missing = [n for n in part_names if n not in hive]
+            if missing:
+                raise ValueError(
+                    f"{rel} lacks partition dir(s) {missing} — the "
+                    "layout does not match partition_schema"
+                )
+            pv = {
+                n: (
+                    None
+                    if hive[n] == "__HIVE_DEFAULT_PARTITION__"
+                    else hive[n]
+                )
+                for n in part_names
+            }
+        elif hive:
+            raise ValueError(
+                f"{rel} sits under Hive partition dirs "
+                f"{sorted(hive)} but no partition_schema was given — "
+                "converting would silently drop the partition columns"
+            )
+        full = os.path.join(table, rel)
+        st = os.stat(full)
+        a = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+            "dataChange": True,
+        }
+        total_bytes += st.st_size
+        adds.append(a)
+    if len(adds) <= _STATS_FILES_CAP:
+        for a in adds:
+            stats = _footer_stats_json(os.path.join(table, a["path"]))
+            if stats is not None:
+                a["stats"] = stats
+    data_df = spark.read.parquet(
+        *[os.path.join(table, r) for r in sorted(rels)]
+    )
+    clash = [n for n in part_names if n in data_df.columns]
+    if clash:
+        raise ValueError(
+            f"partition column(s) {clash} also live INSIDE the data "
+            "files — the Hive layout this converter supports keeps "
+            "them in the path only"
+        )
+    schema = json.loads(_schema_string(data_df))
+    for n, t in part_fields:
+        schema["fields"].append(
+            {"name": n, "type": t, "nullable": True, "metadata": {}}
+        )
+    meta = {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(schema),
+        "partitionColumns": part_names,
+        "configuration": {},
+        "createdTime": int(time.time() * 1000),
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+        *({"add": a} for a in adds),
+    ]
+    os.makedirs(log, exist_ok=True)
+    _publish_commit(table, 0, actions, meta=meta)
+    return len(adds), total_bytes

@@ -3830,3 +3830,114 @@ def test_clone_breaks_loudly_after_source_vacuum(spark, tmp_path):
     vacuum_delta(src, retention_ms=0)
     with pytest.raises(Exception):
         read_delta(spark, dst).count()
+
+
+# -------------------------------------------------- convert to delta
+
+
+def test_convert_plain_parquet_dir(spark, tmp_path):
+    from jobminer_spark.sources.delta import convert_to_delta
+
+    p = str(tmp_path / "plain")
+    _df(spark, 0, 60).write.parquet(p)
+    n, total = convert_to_delta(spark, p)
+    assert n > 0 and total > 0
+    assert delta_latest_version(p) == 0
+    assert sorted(r["k"] for r in read_delta(spark, p).collect()) == list(
+        range(60)
+    )
+    # commit 0 carries real sizes + footer stats
+    with open(_commit_file(p, 0)) as f:
+        adds = [
+            json.loads(x)["add"] for x in f if x.strip() and '"add"' in x
+        ]
+    assert all(a["size"] > 0 for a in adds)
+    assert any("stats" in a for a in adds)
+
+
+def test_convert_hive_partitioned_dir(spark, tmp_path):
+    from jobminer_spark.sources.delta import convert_to_delta
+
+    p = str(tmp_path / "hive")
+    df = _df(spark, 0, 80).withColumn(
+        "part", (F.col("k") % 4).cast("string")
+    )
+    df.write.partitionBy("part").parquet(p)
+    convert_to_delta(spark, p, partition_schema="part string")
+    got = (
+        read_delta(spark, p)
+        .groupBy("part")
+        .count()
+        .orderBy("part")
+        .collect()
+    )
+    assert [(r["part"], r["count"]) for r in got] == [
+        ("0", 20), ("1", 20), ("2", 20), ("3", 20),
+    ]
+
+
+def test_convert_then_full_surface(spark, tmp_path):
+    """After conversion the directory IS a Delta table: DV deletes,
+    appends of table-shaped frames, time travel."""
+    from jobminer_spark.sources.delta import (
+        convert_to_delta,
+        delete_delta,
+    )
+
+    p = str(tmp_path / "surf")
+    df = _df(spark, 0, 50).withColumn(
+        "part", (F.col("k") % 2).cast("string")
+    )
+    df.write.partitionBy("part").parquet(p)
+    convert_to_delta(spark, p, partition_schema="part string")
+    delete_delta(spark, p, "part = '0'")
+    assert read_delta(spark, p).count() == 25
+    readd = read_delta(spark, p).filter(F.col("k") < 10)
+    write_delta(spark, p, readd, partition_by=["part"])
+    assert read_delta(spark, p).count() == 30
+    assert read_delta(spark, p, version=0).count() == 50
+
+
+def test_convert_refusals(spark, tmp_path):
+    from jobminer_spark.sources.delta import convert_to_delta
+
+    # partitioned layout without partition_schema: loud refusal
+    p = str(tmp_path / "h2")
+    _df(spark, 0, 20).withColumn(
+        "part", (F.col("k") % 2).cast("string")
+    ).write.partitionBy("part").parquet(p)
+    with pytest.raises(ValueError, match="no partition_schema"):
+        convert_to_delta(spark, p)
+    # double conversion
+    q = str(tmp_path / "p2")
+    _df(spark, 0, 10).write.parquet(q)
+    convert_to_delta(spark, q)
+    with pytest.raises(FileExistsError):
+        convert_to_delta(spark, q)
+    # empty directory
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        convert_to_delta(spark, empty)
+    # schema naming a partition column the files also carry
+    r = str(tmp_path / "clash")
+    _df(spark, 0, 10).write.parquet(r + "/tag=x")
+    with pytest.raises(ValueError, match="INSIDE the data files"):
+        convert_to_delta(spark, r, partition_schema="tag string")
+
+
+def test_convert_null_partition_sentinel(spark, tmp_path):
+    from jobminer_spark.sources.delta import convert_to_delta
+
+    p = str(tmp_path / "nulls")
+    df = _df(spark, 0, 30).withColumn(
+        "part",
+        F.when(F.col("k") % 3 == 0, None).otherwise(
+            (F.col("k") % 3).cast("string")
+        ),
+    )
+    df.write.partitionBy("part").parquet(p)
+    convert_to_delta(spark, p, partition_schema="part string")
+    got = read_delta(spark, p)
+    assert got.count() == 30
+    assert got.filter(F.col("part").isNull()).count() == 10
