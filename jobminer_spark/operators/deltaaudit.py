@@ -965,14 +965,25 @@ def iceberg_delta_export_parity(
             d.exceptAll(i).isEmpty() and i.exceptAll(d).isEmpty()
         )
         data_dir = _os.path.abspath(_os.path.join(ice, "data"))
-        from jobminer_spark.sources.delta import _replay_full
+        from jobminer_spark.sources.delta import (
+            _add_abs_path,
+            _replay_full,
+        )
 
         adds, _r, _m, _t2, _p = _replay_full(
             dl, delta_latest_version(dl)
         )
+        # resolve each add path the way the READER does (the export
+        # emits quoted file: URIs, ADVICE r19) before testing that it
+        # lands inside the Iceberg data dir
         zero_copy = int(
             bool(adds)
-            and all(p.startswith(data_dir + "/") for p in adds)
+            and all(
+                _os.path.abspath(
+                    _add_abs_path(dl, p)
+                ).startswith(data_dir + "/")
+                for p in adds
+            )
         )
         _SCENARIO_CACHE[cache_key] = {
             "dl": dl, "parity": parity, "zero_copy": zero_copy,

@@ -1888,6 +1888,17 @@ def write_delta(
             "cluster_by and partition_by are mutually exclusive "
             "(delta-spark's CLUSTER BY rule)"
         )
+    if cluster_by:
+        # validate BEFORE any staging: the late (commit-phase) check
+        # ran after _stage_data_files had moved files to final
+        # locations and outside the unstage guard, so an invalid
+        # cluster_by leaked orphaned data files (ADVICE r19)
+        bad = [c for c in cluster_by if c not in df.columns]
+        if bad:
+            raise ValueError(
+                f"cluster_by columns {bad} are not in the "
+                f"schema (columns: {df.columns})"
+            )
     part_cols = list(partition_by or [])
     os.makedirs(_log_path(table), exist_ok=True)
 
@@ -2348,12 +2359,7 @@ def write_delta(
                 }
             )
             if cluster_by:
-                bad = [c for c in cluster_by if c not in df.columns]
-                if bad:
-                    raise ValueError(
-                        f"cluster_by columns {bad} are not in the "
-                        f"schema (columns: {df.columns})"
-                    )
+                # (columns validated up front, before staging)
                 # the interop format delta-spark reads/writes: the
                 # delta.clustering domain holds the column registry
                 # as a list of column PATHS (single-element paths for
@@ -4493,10 +4499,26 @@ def vacuum_delta(
             )
     deleted: list[str] = []
     kept = 0
+    # UniForm guard: a Delta table carrying published Iceberg metadata
+    # (write_uniform_iceberg_metadata) has an Iceberg `metadata/` dir
+    # inside the table location. No Delta snapshot references those
+    # manifests/metadata JSONs, so the walk below would silently
+    # delete them once aged — destroying the Iceberg view of the
+    # shared table. Detect the Iceberg layout (version-hint or a
+    # vN.metadata.json) and exclude the directory from candidacy.
+    _ice_md = os.path.join(table, "metadata")
+    _skip_iceberg_md = os.path.isdir(_ice_md) and (
+        os.path.exists(os.path.join(_ice_md, "version-hint.text"))
+        or any(
+            f.endswith(".metadata.json") for f in os.listdir(_ice_md)
+        )
+    )
     for root, dirs, files in os.walk(table):
         dirs[:] = [
             d for d in dirs if not d.startswith((".", "_"))
         ]
+        if _skip_iceberg_md and root == table and "metadata" in dirs:
+            dirs.remove("metadata")
         for fname in files:
             if fname.startswith((".", "_")):
                 continue

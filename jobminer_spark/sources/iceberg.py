@@ -1959,6 +1959,23 @@ def write_iceberg(
     lineage_meta = meta
     if meta is None and row_lineage:
         lineage_meta = {"format-version": 3, "next-row-id": 0}
+    elif (
+        meta is not None
+        and row_lineage
+        and meta.get("format-version", 1) < 3
+    ):
+        # row_lineage=True on an existing pre-v3 table performs the
+        # v3 upgrade IN THE SAME COMMIT (format-version 3 +
+        # next-row-id, the same shape the first-DV commit applies) —
+        # silently ignoring the flag would leave the caller believing
+        # lineage is on while read_iceberg_row_ids refuses the table
+        # (ADVICE r19). Pre-upgrade files carry no lineage, per spec.
+        meta = {
+            **meta,
+            "format-version": 3,
+            "next-row-id": int(meta.get("next-row-id", 0) or 0),
+        }
+        lineage_meta = meta
     first_rid, next_rid = _assign_row_lineage(lineage_meta, data_files)
 
     snapshot_id = version + 1  # deterministic, monotone
@@ -4023,7 +4040,13 @@ def remove_iceberg_orphan_files(
     deleted: list[str] = []
     kept_recent = 0
     for root, dirs, files in os.walk(table):
-        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        # skip hidden AND underscore-prefixed directories — the same
+        # filter vacuum_delta applies. On a UniForm table (Iceberg
+        # metadata/ published inside a Delta table dir) the walk would
+        # otherwise treat `_delta_log/` commit JSONs/checkpoints and
+        # `_symlink_format_manifest/` as orphan candidates and destroy
+        # the Delta transaction log of the shared table.
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for fname in files:
             full = os.path.abspath(os.path.join(root, fname))
             if os.path.dirname(full) == os.path.abspath(md) and not (

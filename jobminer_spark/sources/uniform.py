@@ -31,6 +31,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import urllib.parse
 import uuid
 
 from jobminer_spark.sources.avro import write_avro_file
@@ -345,7 +346,13 @@ def export_iceberg_to_delta(ice_table: str, delta_table: str) -> int:
             )
         adds.append(
             {
-                "path": os.path.abspath(r["path"]),
+                # quoted file: URI, exactly as clone_delta emits — a
+                # bare absolute path is percent-DECODED by the
+                # reader's _add_abs_path per the protocol, so a table
+                # path containing a literal % would resolve to the
+                # wrong file at scan time (ADVICE r19)
+                "path": "file://"
+                + urllib.parse.quote(os.path.abspath(r["path"])),
                 "partitionValues": {},
                 "size": os.path.getsize(r["path"]),
                 "modificationTime": 0,

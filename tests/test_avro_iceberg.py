@@ -2972,3 +2972,66 @@ def test_orphan_removal_never_touches_metadata_versions(spark, tmp_path):
     after = {f for f in os.listdir(md) if f.endswith(".metadata.json")}
     assert after == before
     assert os.path.exists(os.path.join(md, "version-hint.text"))
+
+
+def test_orphan_removal_spares_uniform_delta_log(spark, tmp_path):
+    """ADVICE r19 (high): on a UniForm table — Iceberg metadata/
+    published INSIDE a Delta table dir — the orphan sweep must never
+    treat `_delta_log/` commit JSONs (or `_symlink_format_manifest/`)
+    as orphan candidates: no Iceberg snapshot references them, but
+    deleting them destroys the Delta transaction log of the SHARED
+    table. Underscore-prefixed directories are excluded from the
+    walk, mirroring vacuum_delta."""
+    from jobminer_spark.sources.delta import (
+        generate_symlink_manifest,
+        read_delta,
+        write_delta,
+    )
+    from jobminer_spark.sources.iceberg import (
+        remove_iceberg_orphan_files,
+    )
+    from jobminer_spark.sources.uniform import (
+        write_uniform_iceberg_metadata,
+    )
+
+    t = str(tmp_path / "uniorph")
+    write_delta(spark, t, _kv(spark, 0, 20))
+    write_delta(spark, t, _kv(spark, 20, 30))
+    write_uniform_iceberg_metadata(t)
+    generate_symlink_manifest(t)
+    log_before = sorted(os.listdir(os.path.join(t, "_delta_log")))
+    sym_before = os.path.exists(
+        os.path.join(t, "_symlink_format_manifest")
+    )
+    assert log_before and sym_before
+    # the aggressive sweep the audit itself uses — nothing Delta-side
+    # may be touched
+    deleted, _ = remove_iceberg_orphan_files(t, older_than_ms=0)
+    assert not any(d.startswith("_") for d in deleted)
+    assert sorted(os.listdir(os.path.join(t, "_delta_log"))) == log_before
+    assert os.path.exists(os.path.join(t, "_symlink_format_manifest"))
+    assert read_delta(spark, t).count() == 30
+    assert read_iceberg(spark, t).count() == 30
+
+
+def test_row_lineage_upgrade_existing_pre_v3_table(spark, tmp_path):
+    """ADVICE r19 (low): row_lineage=True on an EXISTING pre-v3 table
+    must not be silently ignored — the append performs the v3 upgrade
+    in the same commit (format-version 3 + next-row-id, the first-DV
+    commit's shape) and the appended files get lineage ranges."""
+    from jobminer_spark.sources.iceberg import iceberg_metadata
+
+    t = str(tmp_path / "rlup")
+    write_iceberg(spark, t, _kv(spark, 0, 10))
+    meta = iceberg_metadata(t)
+    assert meta.get("format-version", 1) < 3
+    write_iceberg(spark, t, _kv(spark, 10, 25), row_lineage=True)
+    meta = iceberg_metadata(t)
+    assert meta["format-version"] == 3
+    # the 15 appended rows reserved [0, 15) of the row-id space
+    assert int(meta["next-row-id"]) == 15
+    snaps = meta["snapshots"]
+    assert snaps[-1].get("first-row-id") == 0
+    # pre-upgrade snapshot carries no lineage, per the spec's upgrade
+    assert "first-row-id" not in snaps[0]
+    assert read_iceberg(spark, t).count() == 25

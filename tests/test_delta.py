@@ -3941,3 +3941,68 @@ def test_convert_null_partition_sentinel(spark, tmp_path):
     got = read_delta(spark, p)
     assert got.count() == 30
     assert got.filter(F.col("part").isNull()).count() == 10
+
+
+def test_vacuum_spares_uniform_iceberg_metadata(spark, tmp_path):
+    """ADVICE r19 (medium): vacuum on a UniForm table (Iceberg
+    metadata/ published inside the Delta table dir) must not delete
+    the Iceberg manifests / metadata JSONs / version-hint — no Delta
+    snapshot references them, but they ARE the Iceberg view of the
+    shared table."""
+    from jobminer_spark.sources.delta import vacuum_delta
+    from jobminer_spark.sources.iceberg import read_iceberg
+    from jobminer_spark.sources.uniform import (
+        write_uniform_iceberg_metadata,
+    )
+
+    t = str(tmp_path / "univac")
+    write_delta(spark, t, _df(spark, 0, 6))
+    # an overwrite leaves aged tombstoned files for vacuum to reclaim
+    write_delta(spark, t, _df(spark, 0, 8), mode="overwrite")
+    write_uniform_iceberg_metadata(t)
+    md = os.path.join(t, "metadata")
+    md_before = sorted(os.listdir(md))
+    deleted, _ = vacuum_delta(t, retention_ms=0)
+    # the overwrite's tombstoned files went; the Iceberg dir did not
+    assert deleted, "vacuum should reclaim the overwritten files"
+    assert not any(d.startswith("metadata/") for d in deleted)
+    assert sorted(os.listdir(md)) == md_before
+    assert read_iceberg(spark, t).count() == 8
+    assert read_delta(spark, t).count() == 8
+
+
+def test_export_iceberg_to_delta_percent_path(spark, tmp_path):
+    """ADVICE r19 (low): the reverse export emits QUOTED file: URIs
+    (like clone_delta) so a table path containing a literal % — which
+    the reader's _add_abs_path percent-decodes in bare absolute
+    paths — still resolves to the right files at scan time."""
+    from jobminer_spark.sources.iceberg import write_iceberg
+    from jobminer_spark.sources.uniform import export_iceberg_to_delta
+
+    ice = str(tmp_path / "ice %20dir")
+    dl = str(tmp_path / "dl")
+    write_iceberg(
+        spark, ice,
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+    )
+    assert export_iceberg_to_delta(ice, dl) == 0
+    got = sorted((r.k, r.v) for r in read_delta(spark, dl).collect())
+    assert got == [(i, 2 * i) for i in range(5)]
+
+
+def test_cluster_by_invalid_column_leaves_no_files(spark, tmp_path):
+    """ADVICE r19 (low): an invalid cluster_by column refuses BEFORE
+    any staging — previously the check ran post-staging and leaked
+    orphaned data files into the new table dir."""
+    t = str(tmp_path / "clbad")
+    with pytest.raises(ValueError, match="cluster_by columns"):
+        write_delta(spark, t, _df(spark, 0, 5), cluster_by=["nope"])
+    leaked = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(t)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert leaked == []
