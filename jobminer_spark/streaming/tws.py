@@ -29,6 +29,9 @@ carries a protobuf-gated parity test that activates on any cluster
 with the dependency, and the applyInPandasWithState twin
 (stateful.running_user_totals + audits.stream_stateful_parity) keeps
 the arbitrary-stateful surface driver-attested meanwhile.
+Re-probed each round per VERDICT; latest (r20, 2026-08-17):
+``import google.protobuf`` / ``import grpc`` both still raise
+ModuleNotFoundError — the gate stands.
 """
 
 from __future__ import annotations

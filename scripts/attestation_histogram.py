@@ -70,6 +70,31 @@ def main() -> None:
         hist.setdefault(key, []).append(n)
 
     print(f"registered queries: {len(names)}")
+
+    # debt metric (VERDICT r19 item 2): the rotation invariant —
+    # "no query's last driver green older than ~6 rounds" — checked
+    # mechanically at rotation time instead of by hand-reading the
+    # histogram. `current` = the latest round with a CORRECTNESS
+    # artifact; age = current - last_green (NEVER counts as infinite).
+    current = max(green.values(), default=0)
+    ages = {
+        n: (current - green[n]) if n in green else None for n in names
+    }
+    never = [n for n, a in ages.items() if a is None]
+    aged = {n: a for n, a in ages.items() if a is not None}
+    max_age = max(aged.values(), default=0)
+    over5 = sorted(n for n, a in aged.items() if a > 5)
+    print(
+        f"DEBT: current=r{current} max_age={max_age} "
+        f"never_attested={len(never)} over_5_rounds={len(over5)}"
+    )
+    if never or over5:
+        print(
+            "DEBT DETAIL: invariant 'no last green older than 6 "
+            "rounds' "
+            + ("VIOLATED" if (never or max_age > 6) else "at risk")
+        )
+
     for key in sorted(hist, key=lambda k: (-1 if k == "NEVER" else k)):
         qs = hist[key]
         print(f"\nlast green r{key} ({len(qs)}):")
