@@ -780,3 +780,208 @@ def delta_change_feed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val_q").cast("long").alias("ck"),
         )
     )
+
+
+@query(
+    "delta_constraints_identity_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val_q) AS BIGINT) AS ck,
+           CAST(2 * SUM(val_q) AS BIGINT) AS ck_gen,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(100 AS BIGINT) AS min_rid,
+           CAST(100 + 10 * (COUNT(*) - 1) AS BIGINT) AS max_rid,
+           CAST(1 AS BIGINT) AS wm_ok,
+           CAST(1 AS BIGINT) AS refused_ok,
+           CAST(1 AS BIGINT) AS genbad_ok
+    FROM rows
+    """,
+)
+def delta_constraints_identity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK constraints + generated columns + identity columns
+    ENFORCED on append (r20, VERDICT r19 items 4/5 — the three
+    writer features delta-spark tables most commonly carry): a
+    FOREIGN-authored writer-7 table declares all three —
+    `delta.constraints.nonneg` (event_id >= 0), a generated column
+    ``val2x`` = val_q * 2, and a GENERATED ALWAYS identity column
+    ``rid`` (start 100, step 10) — and OUR writer appends the two
+    halves of the corpus omitting both computed columns. The read
+    back must show: every row present (n_rows/ck recomputed by the
+    oracle from raw events), the generation expression materialized
+    for every row (ck_gen = 2*ck), and gap-free identity assignment
+    continuing ACROSS commits (n_ids distinct rids, min 100, max
+    100+10*(n-1)); wm_ok pins the republished
+    delta.identity.highWaterMark to that same max, refused_ok pins
+    that a constraint-violating batch (event_id = -5) was rejected
+    by constraint name WITHOUT committing, and genbad_ok that a
+    batch contradicting the generation expression was rejected too.
+    Reference: Delta protocol Column Invariants / CHECK Constraints /
+    Generated Columns / Identity Columns sections; the reference
+    system's DDL-prep + dedup'd insert path (pracuj_scraper.py
+    create/insert) never evaluates table-side constraints — this is
+    the lakehouse-native upgrade of that write path."""
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "constid",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_cid_", fp)
+        rows = _rows(spark, sf_dir)
+        t = os.path.join(work, "constid")
+        # the foreign table: schema + features only, zero data files
+        _publish_commit0(
+            t,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": [
+                            "checkConstraints",
+                            "generatedColumns",
+                            "identityColumns",
+                        ],
+                    }
+                },
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {
+                            "provider": "parquet", "options": {},
+                        },
+                        "schemaString": json.dumps({
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "rid",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta.identity.start": 100,
+                                        "delta.identity.step": 10,
+                                        "delta.identity."
+                                        "allowExplicitInsert": "false",
+                                    },
+                                },
+                                {
+                                    "name": "event_id",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {},
+                                },
+                                {
+                                    "name": "event_type",
+                                    "type": "string",
+                                    "nullable": True,
+                                    "metadata": {},
+                                },
+                                {
+                                    "name": "val_q",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {},
+                                },
+                                {
+                                    "name": "val2x",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta."
+                                        "generationExpression":
+                                            "val_q * 2",
+                                    },
+                                },
+                            ],
+                        }),
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.constraints.nonneg":
+                                "event_id >= 0",
+                        },
+                        "createdTime": 0,
+                    }
+                },
+            ],
+        )
+        # our writer appends the halves, omitting rid AND val2x
+        write_delta(
+            spark, t, rows.filter(F.col("event_id") % 2 == 0)
+        )
+        write_delta(
+            spark, t, rows.filter(F.col("event_id") % 2 == 1)
+        )
+        v_good = delta_latest_version(t)
+        # constraint violation refuses by name, commits nothing
+        refused = 0
+        try:
+            write_delta(
+                spark, t,
+                rows.limit(1).select(
+                    F.lit(-5).cast("long").alias("event_id"),
+                    "event_type",
+                    "val_q",
+                ),
+            )
+        except ValueError as e:
+            refused = int(
+                "nonneg" in str(e)
+                and delta_latest_version(t) == v_good
+            )
+        # contradicting generated value refuses by name too
+        genbad = 0
+        try:
+            write_delta(
+                spark, t,
+                rows.limit(1).select(
+                    "event_id",
+                    "event_type",
+                    "val_q",
+                    F.lit(7).cast("long").alias("val2x"),
+                ),
+            )
+        except ValueError as e:
+            genbad = int(
+                "generated:val2x" in str(e)
+                and delta_latest_version(t) == v_good
+            )
+        # the republished high watermark equals the max assigned rid
+        from jobminer_spark.sources.delta import _replay_full
+
+        _a, _r, meta, _t2, _p = _replay_full(t, delta_latest_version(t))
+        md = next(
+            f["metadata"]
+            for f in json.loads(meta["schemaString"])["fields"]
+            if f["name"] == "rid"
+        )
+        n = rows.count()
+        wm_ok = int(
+            int(md["delta.identity.highWaterMark"])
+            == 100 + 10 * (n - 1)
+        )
+        _SCENARIO_CACHE[cache_key] = {
+            "t": t, "wm_ok": wm_ok, "refused": refused,
+            "genbad": genbad,
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    got = read_delta(spark, s["t"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val_q").cast("long").alias("ck"),
+        F.sum("val2x").cast("long").alias("ck_gen"),
+        F.countDistinct("rid").cast("long").alias("n_ids"),
+        F.min("rid").cast("long").alias("min_rid"),
+        F.max("rid").cast("long").alias("max_rid"),
+    )
+    return got.selectExpr(
+        "n_rows",
+        "ck",
+        "ck_gen",
+        "n_ids",
+        "min_rid",
+        "max_rid",
+        f"CAST({s['wm_ok']} AS BIGINT) AS wm_ok",
+        f"CAST({s['refused']} AS BIGINT) AS refused_ok",
+        f"CAST({s['genbad']} AS BIGINT) AS genbad_ok",
+    )

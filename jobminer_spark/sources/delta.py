@@ -1359,11 +1359,15 @@ def _schema_string(df: DataFrame) -> str:
 
 
 # Writer-side feature support. "Supported" means enforce-or-refuse:
-# features whose semantics this writer enforces directly (appendOnly,
-# deletionVectors, changeDataFeed, timestampNtz), plus features it
-# supports by REFUSING any table that actually uses them (invariants,
-# constraints, generated/identity columns — writing without evaluating
-# them would corrupt the table for conforming engines). Anything else
+# features whose semantics this writer enforces directly — appendOnly,
+# deletionVectors, changeDataFeed, timestampNtz, and (since r17/r18)
+# invariants + checkConstraints (evaluated on every batch before it
+# commits, _enforce_constraints), generatedColumns (populated when
+# absent, validated when supplied, _apply_generated_columns) and
+# identityColumns (assigned past the delta.identity high watermark,
+# republished in the same commit, _apply_identity_columns). Features
+# whose semantics a given OPERATION cannot honor refuse at that
+# operation (e.g. rowTracking through a rewrite). Anything else
 # listed rejects by name, per the protocol's writer rule.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
