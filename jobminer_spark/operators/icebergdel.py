@@ -1988,3 +1988,138 @@ def iceberg_refs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ck_main",
         f"CAST({s['refs_ok']} AS BIGINT) AS refs_ok",
     )
+
+
+@query(
+    "iceberg_wap_branch_audit",
+    oracle=f"""
+    WITH {_ROWS_CTE}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows
+             WHERE event_id % 2 = 0) AS n_staged_main,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows
+             WHERE event_id % 2 = 0) AS ck_staged_main,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows) AS n_branch,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows) AS ck_branch,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rows)
+             AS n_published,
+           (SELECT CAST(SUM(val_q) AS BIGINT) FROM rows)
+             AS ck_published,
+           CAST(1 AS BIGINT) AS isolated_ok,
+           CAST(1 AS BIGINT) AS ff_guard_ok
+    """,
+)
+def iceberg_wap_branch_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH via branch writes (r20, VERDICT r19
+    item 6): the even half lands on main, an ``audit`` branch is cut,
+    and the odd half commits ONTO THE BRANCH in two quarters (%4==1
+    then %4==3 — the second branch commit must build on the FIRST
+    branch head, not on main). While staged, main must still serve
+    exactly the even half (n/ck_staged_main recomputed by the oracle
+    — a branch write that leaked into current-snapshot-id goes red
+    here) and the branch read the whole corpus (n/ck_branch). Then
+    fast_forward_iceberg publishes main to the branch head and the
+    plain read serves everything (n/ck_published). isolated_ok pins
+    the ref bookkeeping (main unchanged by both staged commits,
+    parent chain recorded); ff_guard_ok pins that a DIVERGED
+    fast-forward refuses (a second branch cut before an extra main
+    commit cannot publish over it). Reference: the Iceberg spec's
+    refs/branching section; Spark's spark.wap.branch +
+    fast_forward procedure."""
+    import os as _os
+
+    from jobminer_spark.sources.iceberg import (
+        fast_forward_iceberg,
+        iceberg_metadata,
+        resolve_iceberg_ref,
+        set_iceberg_ref,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    cache_key = (
+        spark.sparkContext.applicationId, sf_dir, fp, "wap",
+    )
+    if cache_key not in _SCENARIO_CACHE:
+        work = scenario_workdir(spark, sf_dir, "jm_icewap_", fp)
+        rows = _rows(spark, sf_dir)
+        t = _os.path.join(work, "wap")
+        write_iceberg(
+            spark, t, rows.filter(F.col("event_id") % 2 == 0)
+        )
+        main_before = iceberg_metadata(t)["current-snapshot-id"]
+        set_iceberg_ref(t, "audit", ref_type="branch")
+        write_iceberg(
+            spark, t, rows.filter(F.col("event_id") % 4 == 1),
+            branch="audit",
+        )
+        write_iceberg(
+            spark, t, rows.filter(F.col("event_id") % 4 == 3),
+            branch="audit",
+        )
+        # audit half: main untouched, branch complete
+        staged_main = read_iceberg(spark, t).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val_q").cast("long").alias("ck"),
+        ).collect()[0]
+        branch_head = resolve_iceberg_ref(t, "audit")
+        meta = iceberg_metadata(t)
+        parents = {
+            s["snapshot-id"]: s.get("parent-snapshot-id")
+            for s in meta.get("snapshots", [])
+        }
+        isolated = int(
+            meta["current-snapshot-id"] == main_before
+            and resolve_iceberg_ref(t, "main") == main_before
+            and parents.get(branch_head) is not None
+            and parents.get(parents[branch_head]) == main_before
+        )
+        # guard: a diverged publish refuses — cut a second branch,
+        # advance main past it, then try to fast-forward main to it
+        set_iceberg_ref(t, "stale", ref_type="branch")
+        write_iceberg(spark, t, rows.limit(0))  # main moves
+        ff_guard = 0
+        try:
+            fast_forward_iceberg(t, "main", "stale")
+        except ValueError as e:
+            ff_guard = int("not a fast-forward" in str(e))
+        # publish: main CAN still fast-forward to the branch? No —
+        # main moved, so audit also diverged; the real publish is
+        # re-staging. Rebuild the clean WAP table for the publish leg.
+        t2 = _os.path.join(work, "wap2")
+        write_iceberg(
+            spark, t2, rows.filter(F.col("event_id") % 2 == 0)
+        )
+        set_iceberg_ref(t2, "audit", ref_type="branch")
+        write_iceberg(
+            spark, t2, rows.filter(F.col("event_id") % 2 == 1),
+            branch="audit",
+        )
+        fast_forward_iceberg(t2, "main", "audit")
+        _SCENARIO_CACHE[cache_key] = {
+            "t": t,
+            "t2": t2,
+            "staged_n": int(staged_main["n"]),
+            "staged_ck": int(staged_main["ck"]),
+            "isolated": isolated,
+            "ff_guard": ff_guard,
+        }
+    s = _SCENARIO_CACHE[cache_key]
+    branch = read_iceberg(spark, s["t"], ref="audit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_branch"),
+        F.sum("val_q").cast("long").alias("ck_branch"),
+    )
+    published = read_iceberg(spark, s["t2"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_published"),
+        F.sum("val_q").cast("long").alias("ck_published"),
+    )
+    return branch.crossJoin(F.broadcast(published)).selectExpr(
+        f"CAST({s['staged_n']} AS BIGINT) AS n_staged_main",
+        f"CAST({s['staged_ck']} AS BIGINT) AS ck_staged_main",
+        "n_branch",
+        "ck_branch",
+        "n_published",
+        "ck_published",
+        f"CAST({s['isolated']} AS BIGINT) AS isolated_ok",
+        f"CAST({s['ff_guard']} AS BIGINT) AS ff_guard_ok",
+    )

@@ -1816,6 +1816,7 @@ def write_iceberg(
     sort_order: list[tuple[str, str]] | None = None,
     row_lineage: bool = False,
     stream_commit: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot (create on first write);
     returns the new snapshot id. Each commit writes its parquet data
@@ -1851,7 +1852,17 @@ def write_iceberg(
     entries stamp sort_order_id (spec field 140). Appends inherit the
     table's default order (a conflicting explicit one is an error),
     and rewrite_iceberg_deletes restores the clustering on
-    compaction. Still append-only."""
+    compaction. Still append-only.
+
+    ``branch`` (r20): commit ONTO a named branch ref — the snapshot's
+    base (prior manifests, parentage) is the BRANCH HEAD, and only
+    that ref advances; ``main`` / current-snapshot-id stay put, so
+    readers of the table see nothing until the branch is published
+    (fast_forward_iceberg) — the spec's write-audit-publish loop.
+    The branch must exist (set_iceberg_ref(..., ref_type="branch"));
+    refusing to invent one keeps ref creation an explicit, audited
+    act, like Spark's `ALTER TABLE ... CREATE BRANCH` +
+    `spark.wap.branch`."""
     if mode != "append":
         raise ValueError("iceberg writer supports append only")
     md = _metadata_dir(table)
@@ -1863,6 +1874,23 @@ def write_iceberg(
         version = _metadata_version(md)
     except FileNotFoundError:
         meta, version = None, 0
+
+    base_sid: int | None = None  # branch head the commit builds on
+    if branch is not None and branch != "main":
+        if meta is None:
+            raise ValueError(
+                "branch write on a nonexistent table — create the "
+                "table (and the branch) first"
+            )
+        r = (meta.get("refs") or {}).get(branch)
+        if r is None or r.get("type") != "branch":
+            raise ValueError(
+                f"no branch {branch!r} — create it with "
+                "set_iceberg_ref(..., ref_type='branch')"
+            )
+        base_sid = int(r["snapshot-id"])
+    elif branch == "main":
+        branch = None  # main IS the default target
 
     # resolve the partition spec + source column types
     if meta is not None:
@@ -1990,7 +2018,9 @@ def write_iceberg(
         spec_tuples, src_types, data_files
     )
 
-    prior_records = _prior_manifest_records(table, meta)
+    prior_records = _prior_manifest_records(
+        table, meta, base_snapshot_id=base_sid
+    )
     list_records = prior_records + [
         {
             "manifest_path": os.path.abspath(manifest_path),
@@ -2103,6 +2133,8 @@ def write_iceberg(
     return _publish_metadata(
         md, meta, version, snapshot_id, seq, list_path, "append",
         snapshot_extra=extra or None,
+        branch=branch,
+        parent_snapshot_id=base_sid,
     )
 
 
@@ -2178,6 +2210,77 @@ def drop_iceberg_ref(table: str, name: str) -> int:
     with open(os.path.join(md, "version-hint.text"), "w") as f:
         f.write(str(new_version))
     return new_version
+
+
+def fast_forward_iceberg(
+    table: str, target: str, source: str
+) -> int:
+    """FAST-FORWARD ``target`` (a branch, usually ``main``) to the
+    head of ``source`` — the publish half of the write-audit-publish
+    loop (Spark's `ALTER TABLE ... EXECUTE fast_forward`): stage
+    commits on a branch (write_iceberg(..., branch=...)), audit them
+    by reading the branch head, then atomically publish by moving
+    main. Refuses when the move is NOT a fast-forward — the target's
+    current head must be an ancestor of the source head along the
+    recorded parent-snapshot-id chain — because silently discarding
+    the target's own commits would be a reset, not a publish.
+    Metadata-only; advancing ``main`` also moves
+    current-snapshot-id, so plain reads see the published rows.
+    Returns the snapshot id ``target`` now points at."""
+    meta = iceberg_metadata(table)
+    refs = dict(meta.get("refs") or {})
+    src = refs.get(source)
+    if src is None:
+        raise ValueError(f"no ref {source!r}")
+    head = int(src["snapshot-id"])
+    tgt = refs.get(target)
+    if target != "main" and (tgt is None or tgt.get("type") != "branch"):
+        raise ValueError(f"target {target!r} is not a branch")
+    tgt_head = (
+        int(tgt["snapshot-id"])
+        if tgt is not None
+        else meta.get("current-snapshot-id")
+    )
+    # ancestry walk along parent-snapshot-id from the source head
+    parents = {
+        s["snapshot-id"]: s.get("parent-snapshot-id")
+        for s in meta.get("snapshots", [])
+    }
+    if head not in parents:
+        raise ValueError(f"unknown snapshot-id {head}")
+    cur: int | None = head
+    seen: set[int] = set()
+    is_ancestor = tgt_head is None
+    while cur is not None and cur not in seen:
+        if cur == tgt_head:
+            is_ancestor = True
+            break
+        seen.add(cur)
+        cur = parents.get(cur)
+    if not is_ancestor:
+        raise ValueError(
+            f"not a fast-forward: {target!r} head {tgt_head} is not "
+            f"an ancestor of {source!r} head {head} — the branches "
+            "have diverged (rebase/cherry-pick the source, or "
+            "rollback the target first)"
+        )
+    meta = dict(meta)
+    refs[target] = {"snapshot-id": head, "type": "branch"}
+    meta["refs"] = refs
+    if target == "main":
+        meta["current-snapshot-id"] = head
+    md = _metadata_dir(table)
+    version = _metadata_version(md)
+    new_version = version + 1
+    fd = os.open(
+        os.path.join(md, f"v{new_version}.metadata.json"),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return head
 
 
 def resolve_iceberg_ref(table: str, ref: str) -> int:
@@ -2452,19 +2555,31 @@ def drop_iceberg_column(table: str, name: str) -> int:
     return _evolve_schema(table, mutate)
 
 
-def _prior_manifest_records(table: str, meta: dict | None) -> list[dict]:
-    """The current snapshot's manifest-list records, normalized for
+def _prior_manifest_records(
+    table: str,
+    meta: dict | None,
+    base_snapshot_id: int | None = None,
+) -> list[dict]:
+    """The base snapshot's manifest-list records, normalized for
     re-reference in a new list: re-referenced manifests keep their own
     sequence numbers/stats; records from a pre-v2 table (older writer)
     get conservative defaults so the upgraded list stays
     self-consistent (pre-upgrade manifests carry data sequence number
-    0, the spec's assignment for pre-v2 history)."""
+    0, the spec's assignment for pre-v2 history). The base is the
+    CURRENT snapshot unless ``base_snapshot_id`` names another (a
+    branch head — r20 branch writes build on their branch, not on
+    main)."""
     prior_manifests: list[dict] = []
     if meta is not None and meta.get("snapshots"):
+        base = (
+            meta["current-snapshot-id"]
+            if base_snapshot_id is None
+            else base_snapshot_id
+        )
         current = next(
             s
             for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
+            if s["snapshot-id"] == base
         )
         _, prior_manifests = read_avro_records(
             _resolve_path(table, current["manifest-list"])
@@ -3786,6 +3901,8 @@ def _publish_metadata(
     list_path: str,
     operation: str,
     snapshot_extra: dict | None = None,
+    branch: str | None = None,
+    parent_snapshot_id: int | None = None,
 ) -> int:
     """Publish the vN+1 metadata JSON + version hint for a new
     snapshot — the shared commit tail of every Iceberg write here.
@@ -3796,10 +3913,23 @@ def _publish_metadata(
     set — schemas list, partition-specs/default-spec-id, sort-orders/
     default-sort-order-id — and retire the v1-only partition-spec
     key; pre-upgrade snapshots get sequence number 0, the spec's
-    assignment for pre-v2 history (review r16)."""
+    assignment for pre-v2 history (review r16).
+
+    ``branch`` (r20): when set, the commit advances ONLY that ref —
+    current-snapshot-id and ``main`` stay put (the WAP loop's
+    staging half). Every snapshot records ``parent-snapshot-id``
+    (the base it was committed onto — ``parent_snapshot_id`` for
+    branch writes, else the prior current snapshot) so fast-forward
+    publishing can check real ancestry."""
     new_version = version + 1
     meta = dict(meta)
-    meta["current-snapshot-id"] = snapshot_id
+    parent = (
+        parent_snapshot_id
+        if parent_snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if branch is None:
+        meta["current-snapshot-id"] = snapshot_id
     # v1 tables upgrade to 2; a v3 table must NOT be downgraded (its
     # row-lineage metadata and DV history are v3-only)
     meta["format-version"] = max(2, meta.get("format-version", 1))
@@ -3823,14 +3953,22 @@ def _publish_metadata(
             "timestamp-ms": 0,
             "manifest-list": os.path.abspath(list_path),
             "summary": {"operation": operation},
+            **(
+                {"parent-snapshot-id": int(parent)}
+                if parent is not None
+                else {}
+            ),
             # v3 row lineage stamps the snapshot's first-row-id here
             **(snapshot_extra or {}),
         }
     ]
-    # the main BRANCH follows the current snapshot (the spec's rule);
-    # tags/other branches stay where they point
+    # the targeted BRANCH follows the new snapshot: main (the spec's
+    # current-snapshot rule) unless a branch write names another;
+    # tags/untargeted branches stay where they point
     refs = dict(meta.get("refs") or {})
-    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    refs[branch or "main"] = {
+        "snapshot-id": snapshot_id, "type": "branch",
+    }
     meta["refs"] = refs
     # exclusive-create publish, like every other commit in this repo
     fd = os.open(

@@ -3035,3 +3035,84 @@ def test_row_lineage_upgrade_existing_pre_v3_table(spark, tmp_path):
     # pre-upgrade snapshot carries no lineage, per the spec's upgrade
     assert "first-row-id" not in snaps[0]
     assert read_iceberg(spark, t).count() == 25
+
+
+def test_branch_write_and_fast_forward_wap(spark, tmp_path):
+    """r20 branch writes (VERDICT r19 item 6): the write-audit-
+    publish loop — a commit onto a named branch builds on the BRANCH
+    head and advances only that ref (main and plain reads see
+    nothing), the branch read serves the staged rows, and
+    fast_forward_iceberg publishes by moving main (and
+    current-snapshot-id) to the branch head."""
+    from jobminer_spark.sources.iceberg import (
+        fast_forward_iceberg,
+        iceberg_metadata,
+        resolve_iceberg_ref,
+        set_iceberg_ref,
+    )
+
+    t = str(tmp_path / "wap")
+    write_iceberg(spark, t, _kv(spark, 0, 10))
+    main_before = iceberg_metadata(t)["current-snapshot-id"]
+    set_iceberg_ref(t, "audit", ref_type="branch")
+    # two staged commits on the branch — the second builds on the
+    # first (branch head base), not on main
+    write_iceberg(spark, t, _kv(spark, 10, 15), branch="audit")
+    write_iceberg(spark, t, _kv(spark, 15, 20), branch="audit")
+    meta = iceberg_metadata(t)
+    assert meta["current-snapshot-id"] == main_before
+    assert resolve_iceberg_ref(t, "main") == main_before
+    assert read_iceberg(spark, t).count() == 10  # plain read: main
+    assert sorted(
+        r.k for r in read_iceberg(spark, t, ref="audit").collect()
+    ) == list(range(20))
+    # publish: fast-forward main to the audited branch head
+    head = resolve_iceberg_ref(t, "audit")
+    assert fast_forward_iceberg(t, "main", "audit") == head
+    meta = iceberg_metadata(t)
+    assert meta["current-snapshot-id"] == head
+    assert sorted(r.k for r in read_iceberg(spark, t).collect()) == (
+        list(range(20))
+    )
+    # parentage was recorded along the branch
+    parents = {
+        s["snapshot-id"]: s.get("parent-snapshot-id")
+        for s in meta["snapshots"]
+    }
+    assert parents[head] is not None
+
+
+def test_branch_write_guards_and_divergence_refusal(spark, tmp_path):
+    """Branch-write guards: unknown branch refuses (refs are created
+    explicitly), a tag is not a writable branch, and fast-forward
+    refuses a DIVERGED target (main advanced past the branch point)
+    instead of silently discarding its commits."""
+    from jobminer_spark.sources.iceberg import (
+        fast_forward_iceberg,
+        set_iceberg_ref,
+    )
+
+    t = str(tmp_path / "wapg")
+    write_iceberg(spark, t, _kv(spark, 0, 5))
+    with pytest.raises(ValueError, match="no branch"):
+        write_iceberg(spark, t, _kv(spark, 5, 6), branch="nope")
+    set_iceberg_ref(t, "pin", ref_type="tag")
+    with pytest.raises(ValueError, match="no branch"):
+        write_iceberg(spark, t, _kv(spark, 5, 6), branch="pin")
+    # diverge: branch from here, then commit to BOTH main and branch
+    set_iceberg_ref(t, "side", ref_type="branch")
+    write_iceberg(spark, t, _kv(spark, 5, 8), branch="side")
+    write_iceberg(spark, t, _kv(spark, 8, 10))  # main moves too
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        fast_forward_iceberg(t, "main", "side")
+    # the other direction IS a fast-forward... no: side lacks main's
+    # new commit, so it diverged symmetrically
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        fast_forward_iceberg(t, "side", "main")
+    # a branch that only trails main fast-forwards cleanly
+    set_iceberg_ref(t, "trail", ref_type="branch")
+    write_iceberg(spark, t, _kv(spark, 10, 12))
+    # main holds 0-5 and 8-12 (the 5-8 commit lives only on "side")
+    assert read_iceberg(spark, t, ref="trail").count() == 7
+    fast_forward_iceberg(t, "trail", "main")
+    assert read_iceberg(spark, t, ref="trail").count() == 9
