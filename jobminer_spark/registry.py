@@ -398,6 +398,15 @@ ORACLES: dict[str, str] = {}
 #     amends): the remaining 43 last-green-r13 rows — the r20 plan
 #     is pinned in the _WINDOW_FRONT comment at slot 50 below per
 #     VERDICT r18 item 6.
+#   round 20 window (THIS round — see the _WINDOW_FRONT comments):
+#     slots 1-12 the twelve never-attested r19-late lakehouse
+#     queries (VERDICT r19 item 1's order), slots 13-14 the two
+#     r20-new feature audits (constraint/identity enforcement, WAP
+#     branch writes), slots 15-50 the first 36 of the 43
+#     last-green-r13 rows; the 7-row r13 tail and the r19-attested
+#     rows of r20-modified modules rely on the committed four-leg
+#     DRIVERSIM_r20 sweep (amend accommodation documented at the
+#     list's tail).
 #   invariant: local parity (tests/test_oracle_parity.py) and
 #     scripts/driver_sim.py cover ALL queries every round regardless of
 #     window position; the committed DRIVERSIM_r{N}.txt is the evidence
@@ -568,111 +577,95 @@ _OPERATOR_MODULES = [
 # reorder, or new registration can shift what the driver attests.
 # Queries beyond these 50 follow in _OPERATOR_MODULES order.
 _WINDOW_FRONT: list[str] = [
-    # --- round 19 window (regenerated from
-    # scripts/attestation_histogram.py over CORRECTNESS_r01..r18 —
-    # committed as ATTESTATION_HISTOGRAM_r19.txt — the r18-written
-    # plan amended per the standing modified-module rule) ---
+    # --- round 20 window (regenerated from
+    # scripts/attestation_histogram.py over CORRECTNESS_r01..r19 —
+    # committed as ATTESTATION_HISTOGRAM_r20.txt — implementing the
+    # r19-pinned plan at the old slot-50 comment and VERDICT r19
+    # item 1, amended for the two r20-new feature audits VERDICT r19
+    # items 4/5/6 require attested) ---
     #
-    # slots 1-10: the NEVER-driver-attested queries. Slots 1-7 are
-    # the seven r18-new past-window obligations VERDICT r18 item 1
-    # names, in its order; slots 8-10 are r19-new, fronted with
-    # their module siblings rather than waiting for r20
-    # (delta_zorder_mixed_audit — Z-ORDER past numeric-only, VERDICT
-    # item 2; delta_ict_domain_audit — inCommitTimestamp +
-    # domainMetadata, item 3; iceberg_v3_default_values_audit — v3
-    # default column values, item 5)
-    "delta_variant_roundtrip_audit",
-    "delta_zorder_optimize_audit",
-    "iceberg_v3_dv_read_audit",
-    "iceberg_v3_dv_write_audit",
-    "iceberg_merge_upsert_audit",
-    "iceberg_metadata_tables_audit",
-    "iceberg_rewrite_data_files_audit",
-    "delta_zorder_mixed_audit",
-    "delta_ict_domain_audit",
-    "iceberg_v3_default_values_audit",
-    # slots 11-12: also r19-new — liquid clustering (CLUSTER BY
-    # registry in the delta.clustering domain + plain-OPTIMIZE
-    # pickup) and row tracking (baseRowId assignment + high-watermark
-    # domain + fresh-row-id reads), displacing text_quality_score and
-    # lang_id_heuristic from slots 49-50 into the r20 tail
-    "delta_liquid_clustering_audit",
-    "delta_row_tracking_audit",
-    # slots 13-37: AMEND — sources/delta.py (ADVICE r18 variantType
-    # protocol walk + overwrite upgrade; non-numeric Z-ORDER;
-    # string/date footer stats; inCommitTimestamp + domainMetadata:
-    # replay, checkpoints, timestamp time travel, _publish_commit),
-    # sources/iceberg.py (ADVICE r18 sort-order fallback, dangling-
-    # delete pruning, merge dup-key validation; v3 default column
-    # values + add_iceberg_column + presence-aware _data_scan) and
-    # operators/{deltascan,deltaaudit,icebergdel}.py are
-    # r19-MODIFIED, so every query they back whose r18 row attested
-    # pre-fix code re-attests: the 17 delta rows, then the 8 iceberg
-    # rows (incl. the three attested in r18's slots 2-4). avro.py,
-    # lakehouse.py, heavyhit.py untouched — avro_roundtrip_audit,
-    # heavy_hitters_two_pass stand on their r16/r18 rows
-    # (lakehouse_delta_export_parity and stream_delta_sink_exactly_
-    # once re-attest because their DELTA leg rides delta.py)
-    "delta_deletion_vector_read_audit",
-    "delta_column_mapping_read_audit",
-    "delta_multipart_checkpoint_audit",
-    "delta_merge_on_read_delete_audit",
-    "delta_merge_on_read_update_audit",
-    "delta_restore_audit",
-    "delta_change_feed_audit",
-    "delta_partitioned_optimize_audit",
-    "delta_vacuum_audit",
-    "delta_stats_skipping_audit",
-    "delta_changes_incremental_audit",
-    "delta_log_read_audit",
-    "delta_partitioned_read_audit",
-    "delta_checkpoint_replay_audit",
-    "delta_optimize_compaction_audit",
-    "stream_delta_sink_exactly_once",
-    "lakehouse_delta_export_parity",
-    "iceberg_metadata_read_audit",
-    "iceberg_position_delete_audit",
-    "iceberg_expire_snapshots_audit",
-    "iceberg_equality_delete_audit",
-    "iceberg_partition_transform_audit",
-    "iceberg_stats_skipping_audit",
-    "iceberg_rewrite_deletes_audit",
-    "iceberg_sort_order_audit",
-    # slots 38-49: the 12 last-green-r12 stragglers VERDICT r18
-    # item 1 names, in registration order — the r12 debt closes
-    # this round
-    "stream_dyngap_session_parity",
-    "cdc_apply_snapshot",
-    "cdc_apply_counts",
-    "stream_cdc_lakehouse_parity",
-    "packed_sequence_manifest",
-    "sequence_packing_stats",
-    "leakage_safe_split_counts",
-    "split_leakage_audit",
-    "token_budget_waterfill",
-    "variant_extraction_stats",
-    "cohort_daily_retention",
-    "attribution_removal_effects",
-    # slot 50: the oldest r13 row (token_count_stats, first in the
-    # histogram's registration order). The remaining 43 r13 rows SLIP
-    # to r20, displaced by the 25 amend slots and the two
-    # feature-audit fronts — the r20 plan (VERDICT r18 item 6) pins
-    # them: front ALL 43 remaining last-green-r13 rows
-    # (lang_id_heuristic first, then text_quality_score,
-    # doc_fingerprints through multimodal_resize_stub in
-    # ATTESTATION_HISTOGRAM_r19.txt order) plus the late-r19 queries
-    # registered past this window by design
-    # (iceberg_v3_row_lineage_audit, delta_schema_evolution_audit,
-    # iceberg_schema_evolution_audit, delta_uniform_iceberg_audit,
-    # iceberg_spec_evolution_audit, stream_iceberg_sink_exactly_once,
-    # iceberg_refs_audit, delta_symlink_manifest_audit,
-    # iceberg_delta_export_parity, delta_shallow_clone_audit,
-    # iceberg_rollback_orphan_audit, delta_convert_parquet_audit)
-    # and any r20-new never-attested
-    # queries, filling the tail from the
-    # last-green-r14 head (embedding_norm_outliers first); AMEND at
-    # r20 rotation time for any module modified after this rotation.
-    "token_count_stats",
+    # slots 1-12: the 12 NEVER-driver-attested r19-late queries, in
+    # ATTESTATION_HISTOGRAM order (VERDICT r19 item 1 names them) —
+    # all ride sources/delta.py / sources/iceberg.py / uniform.py,
+    # all r20-MODIFIED (ADVICE fixes + branch writes), so fronting
+    # them doubles as the amend obligation for the heaviest-changed
+    # modules
+    "delta_convert_parquet_audit",
+    "delta_shallow_clone_audit",
+    "delta_schema_evolution_audit",
+    "delta_uniform_iceberg_audit",
+    "delta_symlink_manifest_audit",
+    "iceberg_delta_export_parity",
+    "iceberg_rollback_orphan_audit",
+    "iceberg_v3_row_lineage_audit",
+    "iceberg_schema_evolution_audit",
+    "iceberg_spec_evolution_audit",
+    "stream_iceberg_sink_exactly_once",
+    "iceberg_refs_audit",
+    # slots 13-14: the two r20-new feature audits (VERDICT r19
+    # items 4/5 — constraint/generated/identity enforcement — and
+    # item 6 — branch writes + fast-forward WAP); their Done
+    # criteria say "attested", so they take window slots over two
+    # more r13 rows
+    "delta_constraints_identity_audit",
+    "iceberg_wap_branch_audit",
+    # slots 15-50: the FIRST 36 of the 43 last-green-r13 rows, in
+    # ATTESTATION_HISTOGRAM_r19.txt order per the pinned plan
+    # (lang_id_heuristic first). ARITHMETIC NOTE: item 1 asked for
+    # 12+43=55 keys in a 50-slot window — 5 cannot fit, and the two
+    # feature audits displace 2 more. The 7 that slip (the tail of
+    # the r13 list: except_lapsed_customers,
+    # distinct_counts_per_status, interval_join_clicks_before_
+    # purchase, and the four multimodal_* rows) stay covered by the
+    # committed four-leg DRIVERSIM_r20 strict sweep at the final
+    # tree, per the standing invariant below.
+    "lang_id_heuristic",
+    "text_quality_score",
+    "doc_fingerprints",
+    "salary_parse_differential",
+    "job_id_url_extraction",
+    "years_of_experience_extraction",
+    "truncate_to_ddl_widths",
+    "tfidf_top_similar_pairs",
+    "grouping_sets_order_matrix",
+    "median_order_value_explicit",
+    "date_part_breakdown",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit_by_nation_year",
+    "q11_important_part_values",
+    "q13_customer_order_histogram",
+    "q15_top_supplier_revenue",
+    "q16_supplier_count_by_part_attrs",
+    "q17_small_quantity_revenue",
+    "q2_cheapest_part_per_type",
+    "q20_suppliers_of_excess_red_parts",
+    "q21_waiting_suppliers",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "semi_join_customers_with_open_orders",
+    "anti_join_customers_without_orders",
+    "topk_customers_per_nation",
+    "running_revenue_per_customer",
+    "surrogate_key_assignment",
+    "rollup_orders_status_priority",
+    "cube_lineitem_flags",
+    "pivot_quantity_by_linestatus",
+    "union_multi_source",
+    "intersect_repeat_customers",
+    # AMEND ACCOMMODATION (r20): sources/{delta,iceberg,uniform}.py,
+    # operators/{deltaaudit,deltadv,icebergdel}.py are r20-modified;
+    # the r19-attested rows they back that are NOT in this window
+    # (the 25 delta/iceberg amend rows of r19's slots 13-37) rely on
+    # the committed DRIVERSIM_r20 four-leg sweep at the final tree as
+    # their evidence — the window's 50 slots are consumed by the
+    # higher-priority debt above (VERDICT r19 items 1 and 2 cap new
+    # registrations and pin the burn order). Post-r20 plan: front the
+    # 7 slipped r13 rows, then the last-green-r14 head
+    # (embedding_norm_outliers first), then re-attest the r20-
+    # modified module rows.
 ]
 
 
