@@ -121,6 +121,14 @@ HEADLINE = [
     # broadcast (path → baseRowId) join + position arithmetic).
     "delta_liquid_clustering_audit",
     "delta_row_tracking_audit",
+    # r20 additions: the round's flagship features, same memoization
+    # convention: pass 1 pays the foreign constrained/identity table
+    # build + the WAP branch/publish cycle; min-of-passes then tracks
+    # the production READ paths — the enforced-table scan (identity +
+    # generated columns materialized) and the published-main scan
+    # after fast-forward.
+    "delta_constraints_identity_audit",
+    "iceberg_wap_branch_audit",
 ]
 
 
