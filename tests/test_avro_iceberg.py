@@ -3116,3 +3116,40 @@ def test_branch_write_guards_and_divergence_refusal(spark, tmp_path):
     assert read_iceberg(spark, t, ref="trail").count() == 7
     fast_forward_iceberg(t, "trail", "main")
     assert read_iceberg(spark, t, ref="trail").count() == 9
+
+
+def test_branch_write_composes_with_stream_commit(spark, tmp_path):
+    """The exactly-once sink can target a WAP branch: stream_commit
+    and branch are independent write_iceberg parameters — staged
+    micro-batches advance only the branch while their (app, batch)
+    watermarks are still visible to last_iceberg_stream_batch
+    (snapshot summaries are table-global), so a restarted sink skips
+    re-delivered batches BEFORE publish; fast-forward then exposes
+    the rows to plain readers."""
+    from jobminer_spark.sources.iceberg import (
+        fast_forward_iceberg,
+        iceberg_metadata,
+        last_iceberg_stream_batch,
+        set_iceberg_ref,
+    )
+
+    t = str(tmp_path / "wapstream")
+    write_iceberg(spark, t, _kv(spark, 0, 5))
+    main_before = iceberg_metadata(t)["current-snapshot-id"]
+    set_iceberg_ref(t, "staging", ref_type="branch")
+    app = "sink-app"
+    write_iceberg(
+        spark, t, _kv(spark, 5, 8),
+        branch="staging", stream_commit=(app, 0),
+    )
+    write_iceberg(
+        spark, t, _kv(spark, 8, 10),
+        branch="staging", stream_commit=(app, 1),
+    )
+    # watermark visible pre-publish; main untouched
+    assert last_iceberg_stream_batch(t, app) == 1
+    assert iceberg_metadata(t)["current-snapshot-id"] == main_before
+    assert read_iceberg(spark, t).count() == 5
+    fast_forward_iceberg(t, "main", "staging")
+    assert read_iceberg(spark, t).count() == 10
+    assert last_iceberg_stream_batch(t, app) == 1
