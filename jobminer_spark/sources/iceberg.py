@@ -4174,6 +4174,33 @@ def remove_iceberg_orphan_files(
                         )
                     )
                 )
+    # UniForm cross-format reachability (r20): on a dual-format table
+    # (a `_delta_log` lives in the same dir) the Delta snapshot may be
+    # AHEAD of the last Iceberg export — files Delta added since are
+    # live data the Iceberg view simply hasn't published yet, not
+    # crashed-writer residue. Fold the Delta current snapshot's adds
+    # (and DV payloads) into the reachable set so an aggressive sweep
+    # (older_than_ms=0) can never eat the other format's live files.
+    if os.path.isdir(os.path.join(table, "_delta_log")):
+        from jobminer_spark.sources.delta import (
+            _add_abs_path,
+            _dv_file_path,
+            _replay_full,
+            delta_latest_version,
+        )
+
+        dv = delta_latest_version(table)
+        if dv >= 0:
+            adds, _r, _m, _t, _p = _replay_full(table, dv)
+            for a in adds.values():
+                referenced.add(
+                    os.path.abspath(_add_abs_path(table, a["path"]))
+                )
+                d = a.get("deletionVector")
+                if d and d.get("storageType") in ("u", "p"):
+                    referenced.add(
+                        os.path.abspath(_dv_file_path(table, d))
+                    )
     cutoff = time.time() * 1000 - older_than_ms
     deleted: list[str] = []
     kept_recent = 0

@@ -3153,3 +3153,43 @@ def test_branch_write_composes_with_stream_commit(spark, tmp_path):
     fast_forward_iceberg(t, "main", "staging")
     assert read_iceberg(spark, t).count() == 10
     assert last_iceberg_stream_batch(t, app) == 1
+
+
+def test_orphan_removal_spares_stale_uniform_delta_adds(
+    spark, tmp_path
+):
+    """r20 follow-through on the UniForm guard: when the Delta side
+    of a dual-format table has committed PAST the last Iceberg export
+    (stale Iceberg view), the newer Delta data files are live data
+    the Iceberg metadata simply hasn't published yet — an aggressive
+    orphan sweep must fold the Delta current snapshot into the
+    reachable set, not delete the other format's live files."""
+    from jobminer_spark.sources.delta import read_delta, write_delta
+    from jobminer_spark.sources.iceberg import (
+        remove_iceberg_orphan_files,
+    )
+    from jobminer_spark.sources.uniform import (
+        write_uniform_iceberg_metadata,
+    )
+
+    t = str(tmp_path / "unistale")
+    write_delta(spark, t, _kv(spark, 0, 10))
+    write_uniform_iceberg_metadata(t)
+    # Delta commits past the export — the Iceberg view is now stale
+    write_delta(spark, t, _kv(spark, 10, 25))
+    deleted, _ = remove_iceberg_orphan_files(t, older_than_ms=0)
+    assert deleted == []
+    assert read_delta(spark, t).count() == 25
+    # the stale Iceberg view still serves its snapshot
+    assert read_iceberg(spark, t).count() == 10
+    # refresh and re-sweep: only the SUPERSEDED export's manifests
+    # are collectable (each export replaces the snapshot view) —
+    # never data files
+    write_uniform_iceberg_metadata(t)
+    deleted, _ = remove_iceberg_orphan_files(t, older_than_ms=0)
+    assert all(
+        d.startswith("metadata/") and d.endswith(".avro")
+        for d in deleted
+    )
+    assert read_iceberg(spark, t).count() == 25
+    assert read_delta(spark, t).count() == 25
