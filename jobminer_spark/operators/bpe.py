@@ -95,7 +95,12 @@ def bpe_train(
     Each round's argmax is a single row pulled to the driver (the
     merge decision is inherently global); the type table itself never
     leaves the executors."""
-    seqs = _initial_seqs(types).localCheckpoint(eager=True)
+    # LAZY checkpoints: each round's argmax .first() is the
+    # materializing action for the round's replaced sequence table —
+    # one fused job per round instead of two (the hierarchy-doubling
+    # job-fold), and the LAST round's replace (whose output bpe_train
+    # never reads) is never computed at all.
+    seqs = _initial_seqs(types).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     for k in range(1, n_rounds + 1):
         top = (
@@ -114,7 +119,7 @@ def bpe_train(
                 F.lit(f" {top['l']}  {top['r']} "),
                 F.lit(f" {top['l']}{top['r']} "),
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -212,7 +217,7 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE_ROUNDS merges — the number a tokenizer-budget decision reads.
     The oracle replays training AND encoding."""
     docs = load_table(spark, sf_dir, "documents")
-    types = _word_types(docs).localCheckpoint(eager=True)
+    types = _word_types(docs).localCheckpoint(eager=False)
     merges = bpe_train(types)
     encoded = bpe_apply(_initial_seqs(types), merges)
     toks = F.split(F.trim(F.col("s")), "  ")

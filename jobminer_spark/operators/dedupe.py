@@ -331,32 +331,59 @@ def _jaccard_pair_counts(
     pair sharing ≥1 surviving shingle. Built on shingle_doc_lists:
     candidate pairs are generated IN-ROW from each shingle's sorted
     doc list (C(df,2) structs, bounded by the df cap) instead of a
-    shingle self-join — one full-data shuffle for the index, then only
-    pair-sized and doc-sized aggregates. Identical semantics to the
-    join-based path (same capped shingle set, same counts); measured
-    ~2× faster end-to-end at sf0.1.
+    shingle self-join. ONE corpus-scale pass: each index row emits its
+    pair structs AND one (doc, NULL) size marker per posting, so a
+    single explode + aggregation yields both the per-pair shared-
+    shingle counts (doc_b non-NULL) and the per-doc surviving-shingle
+    totals (doc_b NULL). The r13–r19 shape aggregated the two in
+    separate branches and recomputed the whole index per branch
+    (measured then as cheaper than a checkpoint barrier); folding both
+    into one aggregation removes the second corpus pipeline outright —
+    strictly less work than either side of that old trade. The fused
+    aggregate is pair+doc-sized (≪ corpus) and is lazily
+    localCheckpointed so the three downstream reads (inter + both size
+    joins) don't re-run the corpus pass. Identical output to the
+    join-based path (same capped shingle set, same counts).
 
-    The index feeds two branches (pair generation and per-doc sizes),
-    and Spark recomputes it per branch — measured at sf0.1 that
-    recompute BEATS cutting the plan with localCheckpoint (3.04 s vs
-    3.31 s min-of-3: the barrier serializes the branches and
-    round-trips disk, while the redundant compute hides in
-    otherwise-idle cores). On a saturated production cluster the
-    trade flips: persist the index (per-doc-sized, far smaller than
-    the corpus scan) or stage it to a table before fanning out."""
+    No broadcast hint on the size joins: sizes has one row PER
+    DOCUMENT, so forcing a broadcast is an OOM at corpus scale. AQE
+    picks — broadcast when the measured size is small, doc-id-keyed
+    shuffle when it isn't."""
     idx = shingle_doc_lists(docs, n, max_df)
-    sizes = (
-        idx.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    ds = F.col("ds")
+    elem_t = None
+    for f in idx.schema.fields:
+        if f.name == "ds":
+            elem_t = f.dataType.elementType
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
-    inter = pair_counts_from_doclists(idx)
+    size_structs = F.transform(
+        ds,
+        lambda x: F.struct(
+            x.alias("doc_a"), F.lit(None).cast(elem_t).alias("doc_b")
+        ),
+    )
+    agg = (
+        idx.select(F.explode(F.concat(pair_structs, size_structs)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    inter = agg.filter(F.col("doc_b").isNotNull()).select(
+        "doc_a", "doc_b", F.col("cnt").alias("n_inter")
+    )
+    sizes = agg.filter(F.col("doc_b").isNull()).select(
+        F.col("doc_a").alias("doc_id"), F.col("cnt").alias("n_sh")
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
-    # No broadcast hint: `sizes` has one row PER DOCUMENT, so forcing
-    # a broadcast is an OOM at corpus scale. Let AQE pick — it
-    # broadcasts when the measured size is small and shuffles on the
-    # post-aggregation doc-id keys when it isn't.
     return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
@@ -538,12 +565,14 @@ def minhash_candidate_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     rows; full signatures rejoin ONLY for surviving candidate pairs,
     so signature width never rides through the big shuffle. The
     signature table feeds three branches (banding + both rejoin
-    sides) and is recomputed per branch — measured at sf0.1 a
-    localCheckpoint cut is a wash (3.29 s vs 3.35 s min-of-3: barrier
-    + disk round-trip ≈ redundant compute on idle cores), so the plan
-    stays barrier-free. On a saturated cluster persist the signature
-    table (constant width per doc) before fanning out."""
-    sig = minhash_signatures(docs, n)
+    sides) and is LAZILY localCheckpointed so each branch reads the
+    persisted doc-sized table instead of re-running the corpus
+    shingle pipeline (r13–r19 recomputed it per branch after an EAGER
+    checkpoint measured as a wash — the eager barrier serialized the
+    job; the lazy cut materializes inside the first consuming job and
+    costs no extra action, the r20 loop-fold discipline). On a
+    cluster the same persist is what you'd stage before fanning out."""
+    sig = minhash_signatures(docs, n).localCheckpoint(eager=False)
     rows_per_band = _MH_K // _MH_BANDS
     # band key: md5-15 of the comma-joined component values — an 8-byte
     # long through the self-join shuffle (not the 40+-char raw concat),
@@ -1066,7 +1095,13 @@ def connected_components_propagation(
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint: the init label-sum below is the
+        # materializing action for BOTH this frame and the labels
+        # frame built on it — one fused job instead of three (bidir
+        # checkpoint, labels checkpoint, sum aggregate), the same
+        # job-fold as the hierarchy doubling loop. Lineage is cut
+        # identically (every partition persists during that action).
+        .localCheckpoint(eager=False)
     )
     # Init with min(self, neighbors): the same aggregation that would
     # otherwise be round 1, so cliques (the overwhelmingly common
@@ -1074,7 +1109,7 @@ def connected_components_propagation(
     # iterates for longer paths.
     labels = bidir.groupBy(F.col("src").alias("doc_id")).agg(
         F.min(F.least(F.col("src"), F.col("dst"))).alias("component")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # Convergence via the label-sum invariant: a round only ever
     # LOWERS labels (per-node min over neighbors), so the decimal sum
@@ -1116,7 +1151,8 @@ def connected_components_propagation(
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            # lazy: the label-sum convergence aggregate materializes it
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(new_labels)
         labels = new_labels

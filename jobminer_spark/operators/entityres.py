@@ -219,8 +219,15 @@ def er_blocked_match_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One best match per dirty record: min edit distance, ties broken
     by lowest candidate key (a dirty name one edit from several
     entities — e.g. a perturbed trailing digit — resolves
-    deterministically)."""
-    _, _, _, resolved = _resolution(spark, sf_dir)
+    deterministically).
+
+    checkpoint=False: this query consumes the funnel exactly once, so
+    the lineage cuts that er_funnel_audit's five branches need would
+    only cost here — and the cut between the row_number window and the
+    rk=1 filter blocks InferWindowGroupLimit (the rank-filter → top-1
+    per-group rewrite), forcing a full window materialization. The
+    un-cut plan lets Catalyst optimize across the whole funnel."""
+    _, _, _, resolved = _resolution(spark, sf_dir, checkpoint=False)
     return resolved.filter(F.col("rk") == 1).select(
         "dirty_id", "matched_key", "dist"
     )

@@ -51,11 +51,11 @@ def pagerank_integer(edges: DataFrame, rounds: int = PR_ROUNDS) -> DataFrame:
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = bidir.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # O(E) static frame each round's rank join lands on
-    adj = bidir.join(deg, "src").localCheckpoint(eager=True)
+    adj = bidir.join(deg, "src").localCheckpoint(eager=False)
     n = deg.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "doc_id long, pr_q long")
@@ -72,7 +72,7 @@ def pagerank_integer(edges: DataFrame, rounds: int = PR_ROUNDS) -> DataFrame:
         ranks = (
             msgs.groupBy(F.col("dst").alias("doc_id"))
             .agg((F.lit(tele) + F.sum("msg")).cast("long").alias("r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("doc_id", F.col("r").alias("pr_q"))
 

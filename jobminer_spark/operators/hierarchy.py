@@ -63,7 +63,9 @@ def hierarchy_node_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth of every node from the root: BFS frontier expansion,
     one join per level, terminating when the frontier empties —
     Spark's spelling of the oracle's recursive CTE."""
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy checkpoints: the per-level emptiness count is the
+    # materializing action (the doubling-loop job-fold)
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     frontier = spark.range(1).select(
         F.lit(0).cast("long").alias("key"), F.lit(0).cast("long").alias("depth")
     )
@@ -74,7 +76,7 @@ def hierarchy_node_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frontier.select(F.col("key").alias("parent"), "depth"), "parent"
             )
             .select("key", (F.col("depth") + 1).alias("depth"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
@@ -114,18 +116,21 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     step per round — O(n·depth) narrow pairs, logarithmic rounds —
     then one grouped aggregation on the ancestor key. Equals the
     oracle's recursive-closure GROUP BY exactly."""
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy checkpoints: each round's emptiness count materializes the
+    # round's frame (and, round 1, the edge table) — one job per round
+    # instead of two, lineage cut identically (the doubling-loop fold)
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("node"),
         F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_q"),
     )
     pairs = nodes.select("node", F.col("node").alias("anc"))
-    cur = pairs.localCheckpoint(eager=True)
+    cur = pairs.localCheckpoint(eager=False)
     while True:
         cur = (
             cur.join(edges.select(F.col("key").alias("anc"), "parent"), "anc")
             .select("node", F.col("parent").alias("anc"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if cur.count() == 0:
             break
@@ -212,7 +217,14 @@ def hierarchy_chain_depths_doubling(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("key")
         .agg(F.coalesce(F.max("bkey"), F.lit(0)).alias("ptr"))
         .select("key", "ptr", F.lit(1).cast("long").alias("steps"))
-        .localCheckpoint(eager=True)
+        # LAZY checkpoints throughout the loop: the convergence count
+        # below is the materializing action, so each round costs ONE
+        # job (compute+persist+count fused) instead of the eager
+        # pattern's two (checkpoint job + count job) — measured ~2× on
+        # this per-job-overhead-bound iterative path. Lineage is cut
+        # identically: the count computes every partition, persisting
+        # the frame the next round's join then reads.
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     while reach.filter(F.col("ptr") != 0).count() > 0:
@@ -231,7 +243,7 @@ def hierarchy_chain_depths_doubling(spark: SparkSession, sf_dir: str) -> DataFra
                 F.coalesce("ptr2", "ptr").alias("ptr"),
                 (F.col("steps") + F.coalesce("steps2", F.lit(0))).alias("steps"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     root = spark.range(1).select(F.lit(0).cast("long").alias("depth"))
     depths = reach.select(F.col("steps").alias("depth")).unionByName(root)

@@ -28,11 +28,16 @@ same body. The Rayleigh quotient of power iterates over a PSD Gram
 matrix is monotonically non-decreasing, which pytest pins with a
 numpy twin (a semantic check beyond hash parity).
 
-Scale shape: ONE corpus shuffle — the (i, j) Gram aggregation with
-map-side combine onto a 64×64 = 4096-key space (outer products
-expand IN-ROW via a nested transform, the cosine-fold discipline).
-Everything after is dimension-sized: the 4096-row matrix and 64-row
-vectors iterate via broadcast joins that never touch the corpus.
+Scale shape: ZERO corpus shuffles — each scan task folds its Arrow
+batches into one exact int64 d×d partial Gram matrix in numpy
+(mapInArrow, guide §4.2), so the only exchange carries d² = 4096
+rows PER TASK into the final (i, j) aggregation. (The r13–r19
+expression plan expanded the d² outer products in-row and shuffled
+the 4096-key partial aggregation over the exploded corpus — 8.2M
+struct rows at sf0.1 plus a repartition; the numpy fold removes
+both, bit-identically.) Everything after is dimension-sized: the
+4096-row matrix and 64-row vectors iterate via broadcast joins that
+never touch the corpus.
 """
 
 from __future__ import annotations
@@ -90,41 +95,58 @@ _GRAM_CTE = f"""
 """
 
 
+def _partial_gram_batches(batches):
+    """mapInArrow body: one exact int64 partial Gram matrix per task.
+
+    Quantization replays the Spark/DuckDB recipe bit-for-bit:
+    float32 → float64 widening (exact), × XQ in float64, floor, then
+    int64 truncation of the already-floored integral value (exact
+    below 2^53 — |xq| ≤ ~1e6 here). The matmul X^T X runs in numpy's
+    integer kernel: exact int64 sums, no float accumulation. Overflow
+    bound is PER-TASK rows × 1e12 ≪ 2^63 (tighter than the corpus-
+    level ~9e6-vector bound the module docstring derives, since each
+    task only accumulates its own partition before the exact long SUM
+    downstream). Null/ragged embeddings are out of contract exactly
+    as in the expression predecessor (explode of null produced no
+    rows; reshape requires EMB_DIMS-length lists)."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = EMB_DIMS
+    acc = None
+    for b in batches:
+        flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
+        x = np.floor(flat.astype(np.float64) * XQ).astype(np.int64)
+        x = x.reshape(-1, d)
+        g = x.T @ x
+        acc = g if acc is None else acc + g
+    if acc is not None:
+        idx = np.arange(d, dtype=np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(idx, d), type=pa.int32()),
+                pa.array(np.tile(idx, d), type=pa.int32()),
+                pa.array(acc.ravel(), type=pa.int64()),
+            ],
+            names=["i", "j", "c"],
+        )
+
+
 def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(i, j, c): exact integer Gram matrix of the quantized
-    embedding corpus — outer products expanded in-row, one partial-agg
-    shuffle onto the dims^2 key space."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # materialize the quantized array BEFORE the nested lambda:
-    # referencing a transform() expression inside nested lambdas gets
-    # re-inlined per (i, j) by Catalyst — the O(n^3) trap winnow.py
-    # documents — while a concrete column is computed once per row.
-    # repartition spreads the per-row d^2 expansion off the fixture's
-    # single row group (the tokenize() argument).
-    xq = (
-        emb.repartition("vec_id")
-        .select(
-            F.transform(
-                "embedding",
-                lambda v: F.floor(v.cast("double") * XQ).cast("long"),
-            ).alias("xq")
-        )
-    )
-    outer = F.flatten(
-        F.transform(
-            "xq",
-            lambda x, i: F.transform(
-                "xq",
-                lambda y, j: F.struct(
-                    i.alias("i"), j.alias("j"), (x * y).alias("p")
-                ),
-            ),
-        )
-    )
+    embedding corpus — per-task numpy partial Gram matrices via
+    mapInArrow (guide §4.2: whole Arrow batches into a vectorized
+    native kernel), then one dims²-key aggregation over d²-sized
+    partials. Replaces the in-row d² outer-product explode (8.2M
+    struct rows at sf0.1) and its repartition shuffle: the corpus now
+    crosses the Python boundary once as (n × d) Arrow batches and the
+    only shuffle carries d² rows per task. Values are bit-identical
+    to the expression predecessor (see _partial_gram_batches)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     return (
-        xq.select(F.explode(outer).alias("o"))
-        .groupBy(F.col("o.i").alias("i"), F.col("o.j").alias("j"))
-        .agg(F.sum("o.p").alias("c"))
+        emb.mapInArrow(_partial_gram_batches, "i int, j int, c long")
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
     )
 
 

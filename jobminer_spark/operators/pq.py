@@ -195,7 +195,7 @@ def pq_train_codebooks(
     Empty cells vanish from the codebook (same on the oracle side).
     localCheckpoint between rounds cuts lineage like lloyd_centroids."""
     subs = _subvec_frame(emb, m, d_sub)
-    cb = seed_codebook(emb, m, d_sub, k).localCheckpoint(eager=True)
+    cb = seed_codebook(emb, m, d_sub, k).localCheckpoint(eager=False)
     for _ in range(n_updates):
         assign = (
             subs.join(F.broadcast(cb), "s")
@@ -235,7 +235,7 @@ def pq_train_codebooks(
                     "cvec"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cb
 

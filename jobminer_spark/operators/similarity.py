@@ -578,7 +578,7 @@ def lloyd_centroids(emb: DataFrame, k: int = _KM_K, n_updates: int = 1) -> DataF
     cents = (
         emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(n_updates):
         assign = (
@@ -586,7 +586,7 @@ def lloyd_centroids(emb: DataFrame, k: int = _KM_K, n_updates: int = 1) -> DataF
             .filter(F.col("rn") == 1)
             .select("vec_id", "embedding", F.col("cid").alias("cluster"))
         )
-        cents = _update_centroids(assign).localCheckpoint(eager=True)
+        cents = _update_centroids(assign).localCheckpoint(eager=False)
     return cents
 
 
@@ -606,7 +606,7 @@ def lloyd_rounds(emb: DataFrame, k: int = _KM_K, n_rounds: int = 3) -> list[Data
     cents = (
         emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     assigns: list[DataFrame] = []
     for r in range(n_rounds):
@@ -618,7 +618,7 @@ def lloyd_rounds(emb: DataFrame, k: int = _KM_K, n_rounds: int = 3) -> list[Data
         assigns.append(assign)
         if r == n_rounds - 1:
             break  # the last round's centroid update would be dead work
-        cents = _update_centroids(assign).localCheckpoint(eager=True)
+        cents = _update_centroids(assign).localCheckpoint(eager=False)
     return assigns
 
 

@@ -507,11 +507,13 @@ def tfidf_top_similar_pairs(
         .select("token", "dfreq")
     )
     # the weight table feeds three branches (norms + both join sides)
-    # and is recomputed per branch: an interleaved A/B at sf0.1 shows
-    # a localCheckpoint cut is a wash (2.59 s vs 2.62 s min-of-3 —
-    # barrier + disk round-trip ≈ redundant compute on idle cores), so
-    # keep the simpler barrier-free plan. On a saturated cluster the
-    # trade flips: persist w (per-(doc,token)-sized) before fanning out.
+    # and is LAZILY localCheckpointed so each branch reads the
+    # persisted per-(doc,token) table instead of re-running the
+    # tokenize + three-aggregation pipeline (an EAGER cut measured as
+    # a wash in r15 — the lazy cut materializes inside the first
+    # consuming job and adds no barrier action, the r20 loop-fold
+    # discipline). On a cluster this is the stage you'd persist
+    # before fanning out.
     w = (
         tf.join(doclen, "doc_id")
         .join(dfreq, "token")
@@ -523,6 +525,7 @@ def tfidf_top_similar_pairs(
                 * (F.lit(1.0) / F.col("dfreq"))
             ).alias("wt"),
         )
+        .localCheckpoint(eager=False)
     )
     qprod = lambda x, y: F.floor(x * y * F.lit(float(QUANT))).cast("long")
     norms = w.groupBy("doc_id").agg(
