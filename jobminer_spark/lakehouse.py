@@ -488,6 +488,8 @@ def merge_into(
         new_files: list[dict] = []
         n_updates_applied = 0
         n_deletes = 0
+        rewrite_fut = None
+        obs = None
         if affected:
             from pyspark.sql import Observation
 
@@ -525,21 +527,20 @@ def merge_into(
                     for c in table_cols
                 ]
             )
-            new_files = _write_files(spark, table, rewritten, key, "rw")
-            if new_files:
-                got = obs.get  # the write was the materializing action
-                n_updates_applied, n_deletes = got["nu"], got["nd"]
-            else:
-                # The rewrite came out EMPTY, which (affected files
-                # are non-empty by construction) can only mean every
-                # affected row was matched-deleted: nu = 0 by the
-                # clause ordering and nd = the affected files' row
-                # stats — no extra job. obs.get is unusable here
-                # anyway: AQE's empty-relation propagation prunes the
-                # CollectMetrics node from an empty write (Spark
-                # internal assertion on the metrics fetch).
-                n_updates_applied = 0
-                n_deletes = sum(f["n_rows"] for f in affected)
+            # Submitted, not awaited: the insert write below is an
+            # independent job (see its comment); metrics are read from
+            # `obs` after the future resolves. obs.get note (applies
+            # there): an EMPTY rewrite (all affected rows matched-
+            # deleted) prunes the CollectMetrics node via AQE's
+            # empty-relation propagation, so the fallback derives
+            # nu/nd from the affected files' row stats instead.
+            from concurrent.futures import ThreadPoolExecutor
+
+            _pool = ThreadPoolExecutor(max_workers=1)
+            rewrite_fut = _pool.submit(
+                _write_files, spark, table, rewritten, key, "rw"
+            )
+            _pool.shutdown(wait=False)
 
         # Key-existence probe for inserts: a key's bucket is
         # key // KEY_BUCKET (floor semantics on BOTH engines —
@@ -568,8 +569,29 @@ def merge_into(
         # a separate .count() would evaluate the anti-join a second
         # time just to decide whether to write; writing unconditionally
         # (empty-safe) costs the same single evaluation either way.
+        #
+        # The rewrite write above and this insert write are INDEPENDENT
+        # jobs: copy-on-write never mutates the affected files the
+        # anti-join probes, and neither write reads the other's output.
+        # Overlap them on a two-thread pool (guide §2.6: actions are
+        # only sequential because the driver calls them sequentially)
+        # so the insert job back-fills executors the rewrite's write
+        # tail leaves idle — the merge's wall clock becomes
+        # max(rewrite, insert) instead of their sum. The rewrite
+        # branch was already submitted above as `rewrite_fut`.
         insert_files = _write_files(spark, table, inserts, key, "ins")
         n_inserts = sum(f["n_rows"] for f in insert_files)
+        if rewrite_fut is not None:
+            new_files = rewrite_fut.result()
+            if new_files:
+                got = obs.get  # the write was the materializing action
+                n_updates_applied, n_deletes = got["nu"], got["nd"]
+            else:
+                # Empty rewrite ⇒ every affected row was matched-deleted
+                # (see the Observation note above for why obs.get is
+                # unusable on an empty write).
+                n_updates_applied = 0
+                n_deletes = sum(f["n_rows"] for f in affected)
 
         inline, new_shard_refs = _split_files(
             table, carried + new_files + insert_files

@@ -150,6 +150,13 @@ def _resolution(
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     dirty = _derive_dirty(cust)
 
+    # Names ride the candidate distinct deliberately: an r20 A/B of
+    # the "shuffle ids only, re-attach names after" variant (guide
+    # §2.3) measured ~0.3 s SLOWER at sf0.1 — the two extra broadcast
+    # builds + join stages cost more than the ~54 B/row the narrower
+    # distinct saves on ~600k candidate rows. At payload widths where
+    # that trade flips (long names, added columns), split the distinct
+    # to (dirty_id, cand_key) and rejoin the entity tables.
     def grams(df: DataFrame, key: str, name: str) -> DataFrame:
         g = F.explode(
             F.transform(

@@ -241,9 +241,19 @@ def attribution_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_state", "to_state")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # dimension-sized collect (≤ |types|² + |types| rows): the matrix
-    # the iteration runs on — the MMR bounded-collect precedent
-    rows = edges.collect()
+    # dimension-sized collects (≤ |types|² + |types| rows): the matrix
+    # the iteration runs on — the MMR bounded-collect precedent. The
+    # edge aggregation (sessionize + windows) and the raw event-type
+    # scan are INDEPENDENT jobs; overlap them (guide §2.6) so the
+    # cheap distinct back-fills the window job's straggler tail.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        edges_f = _pool.submit(edges.collect)
+        chan_f = _pool.submit(
+            lambda: ev.select("event_type").distinct().collect()
+        )
+        rows, chan_rows = edges_f.result(), chan_f.result()
     c: dict[str, dict[str, int]] = {}
     for r in rows:
         c.setdefault(r["from_state"], {})[r["to_state"]] = r["n"]
@@ -254,7 +264,7 @@ def attribution_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then a provable no-op on both sides
     channels = sorted(
         r["event_type"]
-        for r in ev.select("event_type").distinct().collect()
+        for r in chan_rows
         # drop NULLs like the oracle's `event_type <> 'purchase'` does
         if r["event_type"] is not None and r["event_type"] != "purchase"
     )
