@@ -132,25 +132,13 @@ def word_shingles(
     silently wrong; for adversarial corpora where that bound is real,
     pass ``broadcast_hot=False`` to take the shuffle anti-join
     instead."""
-    w = F.split(F.col("text"), " ")
-    sh = (
-        # single-row-group input would serialize shingle generation
-        docs.repartition("doc_id")
-        .select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - n),
-                    lambda i: F.concat_ws(
-                        " ", *[F.col("w")[i + j] for j in range(n)]
-                    ),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = ngram_rows_arrow(
+        # single-row-group input would serialize shingle generation;
+        # a null text splits to a null array the old size(w) >= n
+        # filter dropped — the explicit filter keeps that contract.
+        docs.repartition("doc_id").filter(F.col("text").isNotNull()),
+        n,
+    ).distinct()
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -288,6 +276,217 @@ def norm_col(vec):
 
 def dot_col(a, b):
     return qdot(a, b).cast("double") / F.lit(float(QUANT))
+
+
+def ngram_rows_arrow(
+    docs, n: int, id_col: str = "doc_id", text_col: str = "text", out: str = "shingle"
+):
+    """(id, word-n-gram) rows — one per POSITION, duplicates kept —
+    via one vectorized Arrow pass instead of the interpreted
+    transform-lambda + JVM explode (higher-order functions get no
+    codegen and dominated the shingle pipelines' wall clock).
+
+    Exactness contract vs the expression path it replaces
+    (``explode(transform(sequence(0, size(w)-n), i -> concat_ws(' ',
+    w[i..i+n-1])))`` over ``w = split(text, ' ')``):
+    ``pa.compute.split_pattern(text, ' ')`` == Spark ``split(text,
+    ' ')`` (literal single-space pattern, trailing/consecutive empties
+    kept in both, Java Pattern.split(limit=-1) semantics), and the
+    n-gram is a plain space-join of n adjacent non-null tokens ==
+    concat_ws. Docs with fewer than n tokens emit nothing (the
+    ``size(w) >= n`` filter upstream becomes max(L-n+1, 0) here).
+    NULL ids/texts must be filtered upstream (checked loudly)."""
+    from pyspark.sql.types import StructField, StructType
+
+    src = docs.select(id_col, text_col)
+    id_field = src.schema.fields[0]
+    out_schema = StructType(
+        [id_field, StructField(out, src.schema.fields[1].dataType, True)]
+    )
+
+    def _gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            texts = batch.column(1)
+            if ids.null_count or texts.null_count:
+                raise ValueError(
+                    "ngram_rows_arrow: null ids/texts must be filtered upstream"
+                )
+            toks = pa.compute.split_pattern(texts, pattern=" ")
+            lens = pa.compute.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = toks.flatten()
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            counts = np.maximum(lens - n + 1, 0)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            rep_starts = np.repeat(starts, counts)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            base = rep_starts + within
+            parts = [flat.take(pa.array(base + j)) for j in range(n)]
+            if n == 1:
+                grams = parts[0]
+            else:
+                grams = pa.compute.binary_join_element_wise(*parts, " ")
+            out_ids = ids.take(
+                pa.array(np.repeat(np.arange(len(lens), dtype=np.int64), counts))
+            )
+            yield pa.RecordBatch.from_arrays([out_ids, grams], names=[id_field.name, out])
+
+    return src.mapInArrow(_gen, out_schema)
+
+
+def posting_pairs_arrow(idx, list_col: str = "ds", with_sizes: bool = True):
+    """(doc_a, doc_b) candidate-pair rows + per-posting size markers
+    (doc_a, NULL) from an inverted index of per-shingle doc-id arrays —
+    the vectorized Arrow twin of the in-row C(df,2) struct transform
+    (interpreted lambdas, no codegen). Pair multiset and marker
+    multiset are identical: for each list, every (ds[i], ds[j]) with
+    i < j plus one (ds[i], NULL) per element, exactly what
+    ``flatten(transform(...slice...))`` + the size-marker transform
+    emit. Requires a bigint element type (callers with non-integer doc
+    ids keep the expression path)."""
+
+    def _gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ds = batch.column(0)
+            vals = ds.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = pa.compute.list_value_length(ds).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            if with_sizes:
+                out_a = [vals]
+                out_b = [np.zeros(len(vals), dtype=np.int64)]
+                null_mask = [np.ones(len(vals), dtype=bool)]
+            else:
+                out_a, out_b, null_mask = [], [], []
+            for L in np.unique(lens):
+                if L < 2:
+                    continue
+                rows = np.nonzero(lens == L)[0]
+                mat = vals[starts[rows][:, None] + np.arange(L)[None, :]]
+                iu, ju = np.triu_indices(int(L), k=1)
+                out_a.append(mat[:, iu].ravel())
+                out_b.append(mat[:, ju].ravel())
+                null_mask.append(np.zeros(rows.size * iu.size, dtype=bool))
+            if not out_a:
+                continue
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            mk = np.concatenate(null_mask)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a), pa.array(b, mask=mk)], names=["doc_a", "doc_b"]
+            )
+
+    return idx.select(list_col).mapInArrow(_gen, "doc_a bigint, doc_b bigint")
+
+
+def pair_cosine_arrow(
+    df, a_col: str, b_col: str, nn_col: str, out: str = "cosine"
+):
+    """Exact Arrow/numpy twin of ``dot_col(a, b) / nn`` for pair-sized
+    frames: every batch's quantized dot products are computed with one
+    vectorized numpy pass instead of the interpreted per-element
+    zip_with/aggregate fold (which gets no codegen), replaying the
+    engine recipe bit-for-bit — float32→float64 widening and (x*y)*1e15
+    are exact/IEEE-identical, np.floor == java.lang.Math.floor on
+    doubles, the int64 segment sums wrap identically to the JVM long
+    fold, and the final long→double cast and two divisions are the same
+    IEEE ops in the same order.
+
+    Contract (checked loudly, not silently diverged from): no null
+    elements inside embeddings; a null array or length-mismatched pair
+    yields a NULL cosine exactly like zip_with's null padding. All
+    columns except ``a_col``/``b_col``/``nn_col`` pass through
+    untouched; select only what you need upstream (the boundary ships
+    every column it sees)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keep = [f for f in df.schema.fields if f.name not in (a_col, b_col, nn_col)]
+    out_schema = StructType(keep + [StructField(out, DoubleType(), True)])
+    quant = float(QUANT)
+
+    def _gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            idx = {name: i for i, name in enumerate(batch.schema.names)}
+            ea = batch.column(idx[a_col])
+            eb = batch.column(idx[b_col])
+            nn = batch.column(idx[nn_col]).to_numpy(zero_copy_only=False)
+            va = ea.flatten()
+            vb = eb.flatten()
+            if va.null_count or vb.null_count:
+                raise ValueError(
+                    "pair_cosine_arrow: null embedding elements are not "
+                    "supported (zip_with parity would need per-element "
+                    "null folding)"
+                )
+            la = pa.compute.list_value_length(ea).to_numpy(zero_copy_only=False)
+            lb = pa.compute.list_value_length(eb).to_numpy(zero_copy_only=False)
+            la = np.nan_to_num(la.astype(np.float64), nan=-1.0).astype(np.int64)
+            lb = np.nan_to_num(lb.astype(np.float64), nan=-2.0).astype(np.int64)
+            ok = la == lb  # null arrays get distinct sentinels => not ok
+            xa = va.to_numpy(zero_copy_only=False).astype(np.float64)
+            xb = vb.to_numpy(zero_copy_only=False).astype(np.float64)
+            if ok.all():
+                prods = np.floor(xa * xb * quant).astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(prods, dtype=np.int64)))
+                ends = np.cumsum(la, dtype=np.int64)
+                starts = np.concatenate(([0], ends[:-1]))
+                dots = csum[ends] - csum[starts]
+            else:
+                # Mismatched / null rows desynchronize the two flat
+                # value streams; per-row fallback for this
+                # (never-in-fixture) batch. ok=False rows yield NULL.
+                dots = np.zeros(n, dtype=np.int64)
+                pos_a = np.concatenate(([0], np.cumsum(np.maximum(la, 0)))).astype(np.int64)
+                pos_b = np.concatenate(([0], np.cumsum(np.maximum(lb, 0)))).astype(np.int64)
+                for i in range(n):
+                    if not ok[i]:
+                        continue
+                    sa = xa[pos_a[i] : pos_a[i + 1]]
+                    sb = xb[pos_b[i] : pos_b[i + 1]]
+                    dots[i] = (
+                        np.floor(sa * sb * quant).astype(np.int64).sum()
+                    )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (dots.astype(np.float64) / quant) / nn
+            cos_arr = pa.array(cos, type=pa.float64(), from_pandas=False)
+            if not ok.all() or batch.column(idx[nn_col]).null_count:
+                nn_valid = pa.compute.is_valid(batch.column(idx[nn_col]))
+                valid = pa.compute.and_(
+                    pa.array(ok), nn_valid
+                )
+                cos_arr = pa.compute.if_else(valid, cos_arr, pa.scalar(None, pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(idx[f.name]) for f in keep] + [cos_arr],
+                names=[f.name for f in keep] + [out],
+            )
+
+    return df.mapInArrow(_gen, out_schema)
 
 
 def sweep_stale_dirs(

@@ -22,6 +22,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from jobminer_spark.operators.common import word_shingles  # noqa: F401 — re-export (tests/trainprep import it from here)
+from jobminer_spark.operators.common import (
+    ngram_rows_arrow as _ngram_rows_arrow,
+    posting_pairs_arrow as _posting_pairs_arrow,
+)
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -273,23 +277,12 @@ def shingle_doc_lists(
     max_df caps assume natural-language df distributions; for
     adversarial corpora use word_shingles(max_df=...) + the join-based
     pair path, which counts df without materializing doc lists."""
-    w = F.split(F.col("text"), " ")
-    raw = (
-        # single-row-group input would serialize shingle generation
-        docs.repartition("doc_id")
-        .select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - n),
-                    lambda i: F.concat_ws(
-                        " ", *[F.col("w")[i + j] for j in range(n)]
-                    ),
-                )
-            ).alias("shingle"),
-        )
+    raw = _ngram_rows_arrow(
+        # single-row-group input would serialize shingle generation;
+        # null texts were dropped by the old size(split(..)) >= n
+        # filter — the explicit filter keeps that contract.
+        docs.repartition("doc_id").filter(F.col("text").isNotNull()),
+        n,
     )
     idx = raw.groupBy("shingle").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")
@@ -306,20 +299,9 @@ def pair_counts_from_doclists(idx: DataFrame) -> DataFrame:
     then one aggregation counts shared shingles per pair — no
     self-join of the posting lists. Shared by the batch dedup path and
     the incremental-admission probe (increment.py)."""
-    ds = F.col("ds")
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        idx.filter(F.size("ds") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _posting_pairs_arrow(idx.filter(F.size("ds") >= 2), "ds", with_sizes=False)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
 
@@ -350,29 +332,13 @@ def _jaccard_pair_counts(
     picks — broadcast when the measured size is small, doc-id-keyed
     shuffle when it isn't."""
     idx = shingle_doc_lists(docs, n, max_df)
-    ds = F.col("ds")
-    elem_t = None
-    for f in idx.schema.fields:
-        if f.name == "ds":
-            elem_t = f.dataType.elementType
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    size_structs = F.transform(
-        ds,
-        lambda x: F.struct(
-            x.alias("doc_a"), F.lit(None).cast(elem_t).alias("doc_b")
-        ),
-    )
+    # Pair structs + size markers via the vectorized Arrow generator
+    # (identical multisets; the interpreted in-row nested-transform
+    # lambdas were the pipeline's hottest stage — guide §4.2). Doc ids
+    # are bigint on every current caller, which the helper requires.
     agg = (
-        idx.select(F.explode(F.concat(pair_structs, size_structs)).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _posting_pairs_arrow(idx, "ds")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
@@ -916,6 +882,7 @@ from jobminer_spark.operators.common import (  # noqa: E402
     VEC_NORMS_CTE as _VEC_NORMS_CTE,
     dot_col as _dot_col,
     norm_col as _norm_col,
+    pair_cosine_arrow as _pair_cosine_arrow,
     qdot as _qdot,
 )
 
@@ -945,18 +912,21 @@ def embedding_sign_pairs(emb: DataFrame, bits: int = 4) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
-    return a.join(
+    paired = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        (
-            _dot_col(F.col("a.embedding"), F.col("b.embedding"))
-            / (F.col("a.nrm") * F.col("b.nrm"))
-        ).alias("cosine"),
+        F.col("a.embedding").alias("_ea"),
+        F.col("b.embedding").alias("_eb"),
+        (F.col("a.nrm") * F.col("b.nrm")).alias("_nn"),
     )
+    # Pair cosines via the vectorized Arrow twin of dot_col — the
+    # interpreted zip_with/aggregate fold dominated this operator's
+    # wall clock (guide §4.2); same quantized recipe, bit-identical.
+    return _pair_cosine_arrow(paired, "_ea", "_eb", "_nn", out="cosine")
 
 
 @query(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from jobminer_spark.operators.common import (
     DUP_FRAC_MAX,
     TOP_FRAC_MAX,
+    ngram_rows_arrow,
     repetition_cte,
 )
 from jobminer_spark.registry import query
@@ -53,24 +54,16 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents shorter than 2 tokens produce no grams and no row (same
     contract as the SQL oracle's inner gram join)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
     # No repartition: the operator is per-document, so parallelism
     # comes from the input splits themselves (plentiful at corpus
     # scale); a keyed shuffle here would be a full-corpus Exchange
     # bolted onto embarrassingly-parallel work, and even on the
     # single-row-group fixture the shuffle costs more than it buys.
-    grams = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - 2),
-                    lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1]),
-                )
-            ).alias("g"),
-        )
+    # Bigram rows come from the vectorized Arrow n-gram pass (same
+    # rows as the old split+transform+explode; docs shorter than 2
+    # tokens and null texts emit nothing, as before).
+    grams = ngram_rows_arrow(
+        docs.filter(F.col("text").isNotNull()), 2, out="g"
     )
     gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     per = gc.groupBy("doc_id").agg(

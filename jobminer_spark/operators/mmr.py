@@ -130,6 +130,10 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_SHORTLIST)
         .select("vec_id", "embedding", "rel")
+        # Three consumers (a, b, rel) would each re-run the corpus
+        # top-k scan; the lazy cut materializes it inside the first
+        # collect and the others read the C-row cached table.
+        .localCheckpoint(eager=False)
     )
     # C² pairwise similarities — bounded, broadcast both sides
     a = shortlist.select(
