@@ -29,6 +29,25 @@ def ts_str(col: Column) -> Column:
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+def spread_scan(df):
+    """Round-robin repartition a DEGENERATE input (fewer splits than
+    the session's cores — the fixture's single-row-group parquet) so
+    heavy downstream per-row work (e.g. wide decimal aggregation)
+    parallelizes. A no-op whenever the input already yields at least
+    one split per core — any real at-scale table — so the exchange
+    exists only where the file LAYOUT, not the data size, bounds
+    parallelism (guide §2.2: partitioning derived from the input, not
+    a constant). Call AFTER scan-level filters so predicate pushdown
+    stays on the scan. Only order-insensitive consumers (exact
+    decimal/integer aggregation) may use this — round-robin changes
+    row order."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # Exact cross-engine cosine recipe: element products are quantized to
 # 1e-15 longs (floor(x*y*1e15) — identical IEEE ops in both engines),
@@ -396,6 +415,97 @@ def posting_pairs_arrow(idx, list_col: str = "ds", with_sizes: bool = True):
             )
 
     return idx.select(list_col).mapInArrow(_gen, "doc_a bigint, doc_b bigint")
+
+
+def shingle_pair_counts_arrow(docs, n: int, max_df: int | None = None):
+    """Partial-counted (doc_a, doc_b, cnt) rows from word n-gram
+    shingles — the fused twin of ``shingle_doc_lists`` +
+    ``posting_pairs_arrow``: doc_b-non-NULL rows sum (per pair) to the
+    shared-surviving-shingle count, doc_b-NULL marker rows sum (per
+    doc) to the surviving-shingle total. ONE hash exchange on the
+    shingle string, then a single Arrow pass per task does the
+    (shingle, doc) dedup, per-shingle grouping, df cap, upper-triangle
+    pair generation (sorted doc ids, i < j) and per-task run-length
+    pre-counting — removing the collect_set ObjectHashAggregate, the
+    sorted-array materialization, and the second Python boundary of
+    the two-step shape (guide §4.2, §2.3). Callers MUST sum ``cnt``,
+    not count rows.
+
+    Equivalence: hash partitioning on shingle colocates every posting
+    of a shingle in one task, so per-task groups ARE the global
+    groups; the pair/marker multisets (weighted by cnt) are identical
+    to the two-step path's. Memory: a task holds its partition's
+    postings plus per-shingle segments — the same order as the
+    ObjectHashAggregate hash map it replaces; partition count scales
+    with the corpus via spark.sql.shuffle.partitions/AQE. Requires
+    bigint doc ids (same contract as posting_pairs_arrow)."""
+    raw = ngram_rows_arrow(
+        docs.repartition("doc_id").filter(F.col("text").isNotNull()), n
+    )
+    rep = raw.repartition("shingle")
+
+    def _gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids_l, sh_l = [], []
+        for b in batches:
+            if b.num_rows:
+                ids_l.append(b.column(0))
+                sh_l.append(b.column(1))
+        if not ids_l:
+            return
+        ids = pa.chunked_array(ids_l).combine_chunks()
+        sh = pa.chunked_array(sh_l).combine_chunks()
+        codes = (
+            pc.dictionary_encode(sh)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, codes))
+        c, d = codes[order], doc[order]
+        keep = np.concatenate(([True], (c[1:] != c[:-1]) | (d[1:] != d[:-1])))
+        c, d = c[keep], d[keep]
+        bnd = np.concatenate(
+            ([0], np.nonzero(c[1:] != c[:-1])[0] + 1, [len(c)])
+        )
+        lens = np.diff(bnd)
+        ok = lens <= max_df if max_df is not None else np.ones(len(lens), bool)
+        surv = np.repeat(ok, lens)
+        md, mc = np.unique(d[surv], return_counts=True)
+        out_a = [md]
+        out_b = [np.zeros(len(md), np.int64)]
+        msk = [np.ones(len(md), bool)]
+        cnts = [mc]
+        starts = bnd[:-1]
+        for L in np.unique(lens[ok & (lens >= 2)]):
+            rows = np.nonzero(ok & (lens == L))[0]
+            mat = d[starts[rows][:, None] + np.arange(L)[None, :]]
+            iu, ju = np.triu_indices(int(L), k=1)
+            pa_, pb_ = mat[:, iu].ravel(), mat[:, ju].ravel()
+            o2 = np.lexsort((pb_, pa_))
+            pa_, pb_ = pa_[o2], pb_[o2]
+            new = np.concatenate(
+                ([True], (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1]))
+            )
+            idxs = np.nonzero(new)[0]
+            cnt = np.diff(np.concatenate((idxs, [len(pa_)])))
+            out_a.append(pa_[idxs])
+            out_b.append(pb_[idxs])
+            msk.append(np.zeros(len(idxs), bool))
+            cnts.append(cnt)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_a)),
+                pa.array(np.concatenate(out_b), mask=np.concatenate(msk)),
+                pa.array(np.concatenate(cnts)),
+            ],
+            names=["doc_a", "doc_b", "cnt"],
+        )
+
+    return rep.mapInArrow(_gen, "doc_a bigint, doc_b bigint, cnt bigint")
 
 
 def pair_cosine_arrow(

@@ -25,6 +25,7 @@ from jobminer_spark.operators.common import word_shingles  # noqa: F401 — re-e
 from jobminer_spark.operators.common import (
     ngram_rows_arrow as _ngram_rows_arrow,
     posting_pairs_arrow as _posting_pairs_arrow,
+    shingle_pair_counts_arrow as _shingle_pair_counts_arrow,
 )
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
@@ -331,15 +332,17 @@ def _jaccard_pair_counts(
     DOCUMENT, so forcing a broadcast is an OOM at corpus scale. AQE
     picks — broadcast when the measured size is small, doc-id-keyed
     shuffle when it isn't."""
-    idx = shingle_doc_lists(docs, n, max_df)
-    # Pair structs + size markers via the vectorized Arrow generator
-    # (identical multisets; the interpreted in-row nested-transform
-    # lambdas were the pipeline's hottest stage — guide §4.2). Doc ids
-    # are bigint on every current caller, which the helper requires.
+    # Pairs + size markers via the FUSED Arrow pass (one shingle-hash
+    # exchange; per-task dedup, grouping, df cap, pair generation and
+    # run-length pre-counting all inside one vectorized generator —
+    # guide §4.2/§2.3; identical weighted multisets to the two-step
+    # index + pair-explode shape, measured 2.24→1.26 s at sf0.1). Doc
+    # ids are bigint on every current caller, which the helper
+    # requires; ``cnt`` is a partial count and must be SUMMED.
     agg = (
-        _posting_pairs_arrow(idx, "ds")
+        _shingle_pair_counts_arrow(docs, n, max_df)
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
         .localCheckpoint(eager=False)
     )
     inter = agg.filter(F.col("doc_b").isNotNull()).select(

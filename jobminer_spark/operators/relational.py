@@ -37,6 +37,7 @@ from jobminer_spark.operators.common import (  # noqa: E402,F401
     dec12_to_double,
     dec12_to_double_sql,
     dsum,
+    spread_scan,
     ts_str,
 )
 
@@ -70,7 +71,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        # spread_scan: the 4-group decimal aggregation is the whole
+        # query; on the fixture's 3-split file it ran 3-wide (the
+        # exchange is a no-op at scale — guide §2.2). Safe here: every
+        # aggregate is exact decimal (order-insensitive).
+        spread_scan(
+            l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),

@@ -178,18 +178,25 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate + HAVING (post-aggregation filter)."""
+    """Aggregate + HAVING (post-aggregation filter).
+
+    The aggregation is pushed BELOW the join (guide §2.3): lineitem is
+    summed per l_orderkey first and the HAVING applied before orders
+    joins in, so the join carries only qualifying aggregates instead
+    of every lineitem row. Equivalent because o_orderkey is unique in
+    orders: the (o_orderkey, o_custkey) groups of the join ARE the
+    l_orderkey groups (custkey is functionally dependent), inner-join
+    drop-through commutes with the per-group sum, and the HAVING
+    predicate depends only on the aggregate. Oracle unchanged."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    qty_dec = F.sum(F.col("l_quantity").cast("decimal(38,6)"))
-    return (
-        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(qty_dec.alias("qty_dec"))
+    qty = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 120)
-        .select(
-            "o_orderkey", "o_custkey", F.col("qty_dec").cast("double").alias("total_qty")
-        )
+    )
+    return qty.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderkey", "o_custkey", F.col("qty_dec").cast("double").alias("total_qty")
     )
 
 
@@ -415,6 +422,9 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation/supplier broadcast; customer⋈orders⋈lineitem shuffle on
     keys. The symmetric nation-pair predicate lands AFTER both
     broadcasts, so Catalyst pushes each half to its dimension scan."""
+    # spread_scan measured here too (r20): no win — the date filter
+    # already cuts the probe-side enough that the extra exchange is a
+    # wash; left on the plain scan.
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
