@@ -196,11 +196,18 @@ def _resolution(
     )
     if checkpoint:
         cands = cands.localCheckpoint(eager=False)
+    # Bounded edit distance (guide §1.2 per-row work): the 3-arg
+    # levenshtein bails out once the distance exceeds MAX_DIST
+    # (O(len·k) band instead of the full O(len²) matrix) and returns
+    # -1 for the >-threshold pairs the old filter dropped anyway; for
+    # every surviving row the banded value IS the exact distance, so
+    # the verified frame is row-identical (A/B: 2.96 → 2.46 s at
+    # sf0.1 on the full funnel).
     verified = cands.select(
         "dirty_id",
         F.col("cand_key").alias("key"),
-        F.levenshtein("dirty_name", "cand_name").alias("dist"),
-    ).filter(F.col("dist") <= MAX_DIST)
+        F.levenshtein("dirty_name", "cand_name", MAX_DIST).alias("dist"),
+    ).filter(F.col("dist") >= 0)
     w = W.partitionBy("dirty_id").orderBy("dist", "key")
     resolved = verified.select(
         "dirty_id",

@@ -144,19 +144,25 @@ def _distributed_prefix(
     summed quantity is insensitive to intra-tie order, as a prefix
     sum evaluated at tie boundaries is).
 
-    The tagged frame is MATERIALIZED once (eager localCheckpoint,
-    same per-round discipline as hierarchy.py) before the two
-    consuming branches below: both the partition-local window and the
+    The tagged frame is localCheckpointed before the two consuming
+    branches below: both the partition-local window and the
     per-partition totals must see IDENTICAL range boundaries, and
     range-partitioner boundaries are sampled from an upstream whose
     intra-partition order need not be deterministic. Without the
     checkpoint that identity holds only while Spark happens to reuse
     the exchange; a future replan (AQE) could evaluate the branches
     under independently-sampled boundaries and silently skew the
-    offsets (ADVICE r13)."""
+    offsets (ADVICE r13). LAZY since r20 (the loop-fold discipline):
+    the cut still pins both branches to ONE shared RDD whose
+    partitions materialize exactly once — concurrent first readers
+    serialize on the block-manager's per-block get-or-compute lock —
+    so the boundary-identity guarantee is unchanged while the
+    stand-alone materialization job (one per _distributed_ranks call;
+    rfm_segment_census_scaled makes three) folds into the first
+    consuming action."""
     part = df.repartitionByRange(*order_cols)
     tagged = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False
     )
     w_local = (
         W.partitionBy("_pid")
