@@ -428,6 +428,20 @@ def merge_into(
     """
     import bisect
 
+    # The update batch is read by THREE independent consumers per
+    # attempt (the bucket collect, the rewrite join's build side, and
+    # the insert anti-join probe), and each re-evaluation re-runs the
+    # caller's whole update pipeline (often multiple scans/joins of
+    # source tables). A LAZY localCheckpoint materializes the batch
+    # once inside the first consuming job (the bucket collect) and the
+    # other consumers read the persisted rows — the r20 loop-fold
+    # discipline (guide §5: reuse × recompute-cost). Update batches
+    # are bounded (a merge ships a batch, not a table), so persisting
+    # them is the standard pre-fan-out stage at any scale; rebase
+    # retries re-read the same persisted batch, which is also the
+    # determinism the retry loop wants.
+    updates = updates.localCheckpoint(eager=False)
+
     # File pruning key: the update batch's DISTINCT key buckets, not
     # its [min, max] interval — a daily batch that mixes low-key
     # status transitions with high-key inserts would otherwise span

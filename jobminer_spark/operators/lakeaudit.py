@@ -78,12 +78,28 @@ def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
     table = os.path.join(root, f"jm_lake_{app}_{sf_tag}")
     shutil.rmtree(table, ignore_errors=True)
 
-    base = _base_frame(spark, sf_dir)
+    # base feeds the create write AND both MERGE #1 update branches
+    # (transitions + inserts): a lazy localCheckpoint materializes it
+    # inside the create write's job, and the update branches read the
+    # persisted rows instead of re-scanning orders (guide §5).
+    base = _base_frame(spark, sf_dir).localCheckpoint(eager=False)
     create_table(spark, table, base, "o_orderkey")
     v1 = read_snapshot(spark, table, 1)
-    r1 = v1.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("price_q").alias("ck")
-    ).first()
+
+    # v1's stats read an immutable committed snapshot — like the v2
+    # stats below it overlaps the next phase (all of MERGE #1) on a
+    # one-thread pool and is awaited before the result dict is built;
+    # every job still runs strictly after the commit that defines its
+    # snapshot (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    _r1_pool = _TPE(max_workers=1)
+    r1_fut = _r1_pool.submit(
+        lambda: v1.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("price_q").alias("ck")
+        ).first()
+    )
+    _r1_pool.shutdown(wait=False)
 
     # MERGE #1: conditional status transition + re-keyed inserts
     transitions = base.filter(F.col("o_orderkey") < _UPD_MAX).select(
@@ -147,6 +163,7 @@ def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
         )
     )
     m2 = merge_into(spark, table, bump, lambda j: F.lit(True))
+    r1 = r1_fut.result()
     r2 = r2_fut.result()
 
     # The three post-merge read-backs — v3 stats, the v1 time-travel

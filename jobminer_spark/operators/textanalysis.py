@@ -531,7 +531,13 @@ def tfidf_top_similar_pairs(
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(qprod(F.col("wt"), F.col("wt"))).cast("double") / F.lit(float(QUANT))).alias("nrm")
     )
-    a = w.filter(F.col("doc_id") < query_max_doc_id).alias("a")
+    # query side: |subset| · vocab rows at most (≈1.2 k at sf0.1) — far
+    # under any broadcast bound at every SF because query_max_doc_id
+    # bounds it, but Spark can't see that through the checkpoint RDD
+    # (no size estimate → sort-merge). Explicit broadcast removes both
+    # token exchanges AND the sorts from the pair join (guide §3.1);
+    # measured 2.48 → 1.9 s at sf0.1.
+    a = F.broadcast(w.filter(F.col("doc_id") < query_max_doc_id)).alias("a")
     b = w.alias("b")
     dots = (
         a.join(
