@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from jobminer_spark.operators.common import spread_scan as _spread_scan
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -147,7 +148,16 @@ def _resolution(
     ``checkpoint=False`` keeps the full lineage visible — the plan
     tests assert on the un-truncated build (a localCheckpoint hides
     the joins it cuts from the physical plan)."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # spread_scan: the gram distinct used to repartition the index as
+    # a side effect; with the per-row dedup below there is no exchange
+    # left before the explode + index join, so a degenerate (fewer
+    # splits than cores) customer scan would serialize the whole
+    # funnel. Safe here: every consumer is order-insensitive (cands is
+    # distinct'd, row_number orders by the per-group-unique
+    # (dist, key)). No-op on any real at-scale table.
+    cust = _spread_scan(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
     dirty = _derive_dirty(cust)
 
     # Names ride the candidate distinct deliberately: an r20 A/B of
@@ -158,15 +168,25 @@ def _resolution(
     # that trade flips (long names, added columns), split the distinct
     # to (dirty_id, cand_key) and rejoin the entity tables.
     def grams(df: DataFrame, key: str, name: str) -> DataFrame:
+        # Global DISTINCT(key, name, gram) ≡ per-row array_distinct:
+        # both inputs carry each key on exactly ONE row (c_custkey is
+        # the PK; dirty derives one row per customer), so duplicate
+        # grams can only come from repeats WITHIN a single name. The
+        # per-row dedup needs no exchange at all — this removes both
+        # gram-index shuffles (~240 k wide rows each at sf0.1) from
+        # the funnel (guide §2.4: a distinct on data that is already
+        # unique across rows).
         g = F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(name) - 2),
-                lambda i: F.col(name).substr(i, F.lit(3)),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(name) - 2),
+                    lambda i: F.col(name).substr(i, F.lit(3)),
+                )
             )
         ).alias("gram")
         return df.select(
             F.col(key).alias("key"), F.col(name).alias("name"), g
-        ).distinct()
+        )
 
     cg = grams(cust, "c_custkey", "c_name")
     dg = grams(dirty, "true_key", "dirty_name")
@@ -174,9 +194,12 @@ def _resolution(
     # aggregates the funnel five independent times, and without a
     # lineage cut each branch would replay the gram-index join +
     # levenshtein verification from scratch.
+    # (gram, key) is already distinct after the per-row dedup above,
+    # so COUNT == COUNT(DISTINCT key) — the plain count skips the
+    # distinct-aggregate's extra dedup exchange.
     kept = (
         cg.groupBy("gram")
-        .agg(F.countDistinct("key").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= GRAM_MAX_DF)
         .select("gram")
     )
