@@ -236,8 +236,13 @@ def hierarchy_chain_depths_doubling(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("ptr").alias("ptr2"),
             F.col("steps").alias("steps2"),
         )
+        # hop is reach-sized and reach is bounded by the design
+        # constant _CHAIN_CAP (1024 rows at ANY SF) — broadcast it so
+        # each round is a map-side join over the persisted frame
+        # instead of two shuffle exchanges (guide §3.1; the per-round
+        # fixed cost is what bounds this log-depth loop).
         reach = (
-            reach.join(hop, "ptr", "left")
+            reach.join(F.broadcast(hop), "ptr", "left")
             .select(
                 "key",
                 F.coalesce("ptr2", "ptr").alias("ptr"),
