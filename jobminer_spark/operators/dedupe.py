@@ -1151,11 +1151,13 @@ def connected_components_propagation(
     # changed. One bounded aggregate per round instead of the
     # join+filter+count diff (one fewer shuffle per round on the hot
     # iterative path).
-    def _label_sum(df: DataFrame):
-        row = df.agg(
+    def _sum_df(df: DataFrame) -> DataFrame:
+        return df.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
             F.count(F.lit(1)).alias("n"),
-        ).first()
+        )
+
+    def _check(s, n):
         # A NULL sum over a NON-empty frame can only mean decimal(38,0)
         # overflow under non-ANSI arithmetic: two NULL rounds would
         # compare None == None and declare convergence spuriously —
@@ -1165,30 +1167,55 @@ def connected_components_propagation(
         # corpus; raise rather than guess. An EMPTY frame (no edges at
         # all) sums to an honest 0 — the label keyset is fixed across
         # rounds, so 0 == 0 correctly reports the trivial fixpoint.
-        if row["s"] is None:
-            if row["n"] == 0:
+        if s is None:
+            if n == 0:
                 return 0
             raise ArithmeticError(
                 "label-sum convergence check overflowed decimal(38,0); "
                 "use connected_components_star for this graph"
             )
-        return row["s"]
+        return s
 
-    prev_sum = _label_sum(labels)
-    n_rounds = 0
-    converged = False
-    for _ in range(max_rounds):  # >= graph diameter; fixture converges in ~2
+    def _round(cur: DataFrame) -> DataFrame:
         prop = bidir.join(
-            labels, bidir.src == labels.doc_id
+            cur, bidir.src == cur.doc_id
         ).select(F.col("dst").alias("doc_id"), "component")
-        new_labels = (
-            labels.unionByName(prop)
+        return (
+            cur.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
             # lazy: the label-sum convergence aggregate materializes it
             .localCheckpoint(eager=False)
         )
-        new_sum = _label_sum(new_labels)
+
+    # Fused first action (r20): the init label-sum and round 1's
+    # label-sum ride ONE driver action — a 1×1 crossJoin of the two
+    # bounded aggregates — so the loop costs one job per round instead
+    # of an extra stand-alone init job. Both lazy checkpoints (labels,
+    # round 1's frame) materialize inside this same job in dependency
+    # order, exactly as they would across two actions; round counting
+    # is unchanged (round 1 always ran — only its sum's retrieval is
+    # fused).
+    new_labels = _round(labels)
+    row = (
+        _sum_df(labels)
+        .crossJoin(
+            _sum_df(new_labels).select(
+                F.col("s").alias("s1"), F.col("n").alias("n1")
+            )
+        )
+        .first()
+    )
+    prev_sum = _check(row["s"], row["n"])
+    new_sum = _check(row["s1"], row["n1"])
+    labels = new_labels
+    n_rounds = 1
+    converged = new_sum == prev_sum
+    prev_sum = new_sum
+    while not converged and n_rounds < max_rounds:
+        new_labels = _round(labels)
+        r = _sum_df(new_labels).first()
+        new_sum = _check(r["s"], r["n"])
         labels = new_labels
         n_rounds += 1
         if new_sum == prev_sum:
