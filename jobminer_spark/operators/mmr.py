@@ -190,6 +190,18 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best = (key, vid, score)
         picks.append((rnd, best[1], best[2]))
         selected.append(best[1])
-    return spark.createDataFrame(
-        picks, "pick_no long, vec_id long, score double"
+    # JVM-only VALUES relation (a list createDataFrame plans a
+    # Python-RDD scan, so collecting the K-row result pays a Python
+    # worker round-trip every run). repr(float) is the shortest
+    # round-trip decimal and Double.parseDouble rounds to nearest, so
+    # CAST('<repr>' AS DOUBLE) reproduces the exact IEEE bits the
+    # driver loop computed.
+    vals = ", ".join(
+        f"({rnd}, {vid}, CAST('{score!r}' AS DOUBLE))"
+        for rnd, vid, score in picks
+    )
+    return spark.sql(
+        "SELECT CAST(pick_no AS BIGINT) AS pick_no, "
+        "CAST(vec_id AS BIGINT) AS vec_id, score "
+        f"FROM VALUES {vals} AS t(pick_no, vec_id, score)"
     )

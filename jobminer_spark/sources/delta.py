@@ -670,16 +670,24 @@ def read_delta_row_ids(
     df = _adds_to_df(
         spark, table, list(adds.values()), meta, include_position=True
     )
-    ids = spark.createDataFrame(
-        [
-            (
-                _file_key(_add_abs_path(table, p)),
-                int(a["baseRowId"]),
-                int(a.get("defaultRowCommitVersion") or 0),
-            )
-            for p, a in sorted(adds.items())
-        ],
-        "__jm_file string, __jm_base long, __jm_dcv long",
+    # JVM-only VALUES relation (a list createDataFrame plans a
+    # Python-RDD scan — the broadcast build below would spawn Python
+    # workers on every read; measured ~0.7 s/read on a warm pool)
+    def _esc(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    vals = ", ".join(
+        "({}, {}, {})".format(
+            _esc(_file_key(_add_abs_path(table, p))),
+            int(a["baseRowId"]),
+            int(a.get("defaultRowCommitVersion") or 0),
+        )
+        for p, a in sorted(adds.items())
+    )
+    ids = spark.sql(
+        "SELECT __jm_file, CAST(__jm_base AS BIGINT) AS __jm_base, "
+        "CAST(__jm_dcv AS BIGINT) AS __jm_dcv "
+        f"FROM VALUES {vals} AS t(__jm_file, __jm_base, __jm_dcv)"
     )
     return (
         df.join(F.broadcast(ids), "__jm_file")
