@@ -358,6 +358,21 @@ def _write_files(
     ]
 
 
+def _snapshot_reader(spark: SparkSession, m: dict):
+    """DataFrameReader for a manifest's data files. When the manifest
+    recorded the table schema (every table created since the schema
+    field landed), pass it explicitly so the scan skips the driver-
+    side parquet-footer inference pass every ``spark.read.parquet``
+    otherwise pays (guide §6 — measured ~70 ms per frame build on the
+    merge hot path, several builds per merge scenario)."""
+    sj = m.get("schema")
+    if sj:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(json.loads(sj)))
+    return spark.read
+
+
 def create_table(
     spark: SparkSession, table: str, df: DataFrame, key_col: str
 ) -> int:
@@ -370,6 +385,7 @@ def create_table(
         "parent": None,
         "key_col": key_col,
         "columns": df.columns,
+        "schema": df.schema.json(),
         "files": inline,
     }
     if shard_refs:
@@ -388,7 +404,7 @@ def read_snapshot(
     v = latest_version(table) if version is None else version
     m = _read_manifest(table, v)
     paths = [f["path"] for f in _manifest_files(m)]
-    return spark.read.parquet(*paths)
+    return _snapshot_reader(spark, m).parquet(*paths)
 
 
 def merge_into(
@@ -507,7 +523,9 @@ def merge_into(
         if affected:
             from pyspark.sql import Observation
 
-            old = spark.read.parquet(*[f["path"] for f in affected])
+            old = _snapshot_reader(spark, m).parquet(
+                *[f["path"] for f in affected]
+            )
             if table_cols is None:
                 table_cols = old.columns
             j = old.join(u, old[key] == u["__uk"], "left")
@@ -571,10 +589,10 @@ def merge_into(
             else updates
         )
         if affected:
-            snapshot_keys = spark.read.parquet(
-                *[f["path"] for f in affected]
-            ).select(key)
-            inserts = cand.join(snapshot_keys, key, "left_anti")
+            # `old` already reads exactly the affected files — reuse
+            # its relation instead of building a second reader over
+            # the same paths (one frame build per merge saved).
+            inserts = cand.join(old.select(key), key, "left_anti")
         else:
             inserts = cand  # no existing file can contain these keys
         if table_cols is not None:
@@ -617,6 +635,8 @@ def merge_into(
             "columns": table_cols,
             "files": inline,
         }
+        if m.get("schema"):
+            manifest["schema"] = m["schema"]
         if carried_refs or new_shard_refs:
             manifest["file_shards"] = carried_refs + new_shard_refs
         try:

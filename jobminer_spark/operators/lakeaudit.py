@@ -149,9 +149,13 @@ def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
     except CommitConflict:
         n_conflicts = 1
 
-    # MERGE #2: unconditional price bump on [512, 1024)
+    # MERGE #2: unconditional price bump on [512, 1024). The latest
+    # snapshot here IS v2 (merge #1 committed it; the conflicting
+    # commit above must fail), so reuse the already-built v2 frame
+    # instead of paying a second read_snapshot frame build — same
+    # immutable manifest, same file list.
     bump = (
-        read_snapshot(spark, table)
+        v2
         .filter(
             (F.col("o_orderkey") >= _BUMP_LO) & (F.col("o_orderkey") < _BUMP_HI)
         )
@@ -172,14 +176,23 @@ def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
     # both merges, exactly as before). Overlap them on a small thread
     # pool (guide §2.6) so the scenario's read-back tail costs
     # max(job) instead of the sum of three sequential jobs.
+    # One frame build per snapshot for the read-back tail: v3 feeds
+    # both the stats agg and the change feed, and the post-merge v1
+    # re-read feeds both the time-travel audit and the feed's old
+    # side. Both frames are resolved HERE — strictly after both
+    # merges — from their immutable manifests, so sharing them
+    # changes no value, only the number of driver-side frame builds.
+    v3_df = read_snapshot(spark, table, 3)
+    v1_df = read_snapshot(spark, table, 1)
+
     def _r3():
-        return read_snapshot(spark, table, 3).agg(
+        return v3_df.agg(
             F.count(F.lit(1)).alias("n"), F.sum("price_q").alias("ck")
         ).first()
 
     def _tt():
         # time travel: v1 re-read AFTER both merges must be byte-stable
-        return read_snapshot(spark, table, 1).agg(
+        return v1_df.agg(
             F.count(F.lit(1)).alias("n"), F.sum("price_q").alias("ck")
         ).first()
 
@@ -188,12 +201,12 @@ def _run_scenario(spark: SparkSession, sf_dir: str) -> dict:
         # vacuum audit deletes v1, so the diff must come from the
         # scenario run, not a later read). Bounded: changed +
         # inserted rows only.
-        old = read_snapshot(spark, table, 1).select(
+        old = v1_df.select(
             "o_orderkey",
             F.col("o_orderstatus").alias("old_status"),
             F.col("price_q").alias("old_price_q"),
         )
-        new = read_snapshot(spark, table, 3).select(
+        new = v3_df.select(
             "o_orderkey",
             F.col("o_orderstatus").alias("new_status"),
             F.col("price_q").alias("new_price_q"),
