@@ -124,13 +124,23 @@ def ks_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     — every number a BIGINT the oracle recomputes with its own
     window."""
     sides = _sides(spark, sf_dir).filter(F.col("has_v"))
-    counts = sides.groupBy("vq").agg(
-        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("c1"),
-        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("c2"),
+    counts = (
+        sides.groupBy("vq")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+        # counts is evaluated THREE times downstream — the range
+        # exchange's sampling pass, the real shuffle, and the totals
+        # aggregate — and every evaluation re-scans events. The lazy
+        # cut materializes the bucket-sized frame once inside the
+        # first of those jobs (guide §5); buckets are grid-bounded at
+        # any SF.
+        .localCheckpoint(eager=False)
     )
     ecdf = _distributed_prefix(
         counts, [F.col("vq").asc()], {"c1": "cum1", "c2": "cum2"}
