@@ -209,14 +209,19 @@ def attribution_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.row_number().over(wsess).alias("rn"),
     )
-    cut = numbered.groupBy("user_id", "sid").agg(
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("rn"))
-        ).alias("prn")
-    )
-    kept = numbered.join(cut, ["user_id", "sid"]).filter(
-        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
-    )
+    # prn as a WINDOW aggregate over the same (user_id, sid)
+    # partitioning instead of a groupBy + self-join: the old shape
+    # planned the whole sessionize+window chain TWICE (once per join
+    # side); the window min rides the sort the row_number already
+    # established — same per-session value, zero extra subtree
+    # (guide §2.4: operations keyed the same way share one exchange).
+    wfull = W.partitionBy("user_id", "sid")
+    kept = numbered.withColumn(
+        "prn",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).over(
+            wfull
+        ),
+    ).filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
     wk = W.partitionBy("user_id", "sid").orderBy("rn")
     stepped = kept.select(
         "user_id",
@@ -225,19 +230,30 @@ def attribution_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.lead("event_type").over(wk).alias("nxt"),
     )
-    starts = stepped.filter(F.col("rn") == 1).select(
-        F.lit("START").alias("from_state"),
-        F.col("event_type").alias("to_state"),
-    )
-    steps = stepped.select(
-        F.col("event_type").alias("from_state"),
+    # START edges and step edges in ONE pass over stepped (the old
+    # starts/steps union planned the window chain twice): a session's
+    # first row additionally emits its START edge via explode — the
+    # same multiset, then the same bounded groupBy.
+    to_state = (
         F.when(F.col("event_type") == "purchase", "CONV")
         .when(F.col("nxt").isNull(), "DROP")
         .otherwise(F.col("nxt"))
-        .alias("to_state"),
+    )
+    step_pair = F.struct(
+        F.col("event_type").alias("from_state"), to_state.alias("to_state")
+    )
+    start_pair = F.struct(
+        F.lit("START").alias("from_state"),
+        F.col("event_type").alias("to_state"),
     )
     edges = (
-        starts.unionByName(steps)
+        stepped.select(
+            F.explode(
+                F.when(F.col("rn") == 1, F.array(start_pair, step_pair))
+                .otherwise(F.array(step_pair))
+            ).alias("e")
+        )
+        .select("e.from_state", "e.to_state")
         .groupBy("from_state", "to_state")
         .agg(F.count(F.lit(1)).alias("n"))
     )
