@@ -16,11 +16,14 @@ Both are exact integer-count ratios (same IEEE division in both
 engines — no float accumulation), so the whole filter is
 oracle-checkable row by row.
 
-Scale shape: 2-grams are generated in-row from the token array (no
-explode-then-self-join), the count is one shuffle on (doc_id, gram)
-with map-side combine, and the per-doc rollup shuffles only (doc_id)
-keyed count rows — no cross-document work anywhere, so the operator
-is embarrassingly parallel over the corpus.
+Scale shape: the whole profile is per-document work, so it runs as
+ONE vectorized Arrow pass with ZERO shuffles (r20; guide §2.4/§4.2):
+every 2-gram of a document lives inside that document's row, so the
+per-(doc, gram) counts and the per-doc rollup are computed in numpy
+inside the scan tasks — the old (doc_id, gram) exchange of the full
+gram stream (corpus-sized string rows) and the second (doc_id)
+aggregation are gone. No cross-document work anywhere, so the
+operator is embarrassingly parallel over the corpus.
 """
 
 from __future__ import annotations
@@ -31,11 +34,96 @@ from pyspark.sql import functions as F
 from jobminer_spark.operators.common import (
     DUP_FRAC_MAX,
     TOP_FRAC_MAX,
-    ngram_rows_arrow,
     repetition_cte,
 )
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
+
+
+def _rep_stats_arrow(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, dup_gram_frac, top_gram_frac) per document in
+    ONE vectorized Arrow pass — every 2-gram of a document sits inside
+    its own row, so the per-(doc, gram) counts and the per-doc rollup
+    never need a shuffle (guide §2.4); the numpy kernel replaces the
+    old Arrow gram emission + (doc_id, g) ObjectHashAggregate +
+    (doc_id) rollup bit-identically:
+
+    * tokenization: ``pa.compute.split_pattern(text, ' ')`` == Spark
+      ``split(text, ' ')`` (see ngram_rows_arrow) — empties kept,
+      exactly like the gram stream this replaces;
+    * gram identity: tokens cannot contain the separator, so 2-gram
+      string equality == token-pair equality — counting dictionary-
+      code pairs counts exactly the old concat-ws gram strings;
+    * arithmetic: per-doc sums/max are exact int64; the two fractions
+      are single float64 divisions of exactly-converted int64 counts
+      (< 2^53), the same IEEE op the JVM expression performed.
+
+    Docs with fewer than 2 tokens emit nothing (same contract as the
+    inner gram join in the oracle); NULL texts must be filtered
+    upstream."""
+
+    def _gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            toks = pa.compute.split_pattern(batch.column(1), pattern=" ")
+            lens = (
+                pa.compute.list_value_length(toks)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            n = np.maximum(lens - 1, 0)
+            if not n.any():
+                continue
+            dic = pa.compute.dictionary_encode(toks.flatten())
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nd = np.int64(len(dic.dictionary))
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            total = int(n.sum())
+            rep_starts = np.repeat(starts, n)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(n) - n, n
+            )
+            base = rep_starts + within
+            key = codes[base] * nd + codes[base + 1]
+            doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n)
+            order = np.lexsort((key, doc_idx))
+            dk = doc_idx[order]
+            kk = key[order]
+            grp = np.concatenate(
+                ([True], (dk[1:] != dk[:-1]) | (kk[1:] != kk[:-1]))
+            )
+            gstarts = np.nonzero(grp)[0]
+            cnts = np.diff(np.concatenate((gstarts, [len(dk)])))
+            gd = dk[gstarts]
+            dchange = np.concatenate(([True], gd[1:] != gd[:-1]))
+            dstarts = np.nonzero(dchange)[0]
+            docs_u = gd[dstarts]
+            n_grams = np.add.reduceat(cnts, dstarts)
+            dup = np.add.reduceat(np.where(cnts > 1, cnts, 0), dstarts)
+            top = np.maximum.reduceat(cnts, dstarts)
+            ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            denom = n_grams.astype(np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_np[docs_u]),
+                    pa.array(n_grams.astype(np.int64)),
+                    pa.array(dup.astype(np.float64) / denom),
+                    pa.array(top.astype(np.float64) / denom),
+                ],
+                names=["doc_id", "n_grams", "dup_gram_frac", "top_gram_frac"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        _gen,
+        "doc_id bigint, n_grams bigint, dup_gram_frac double, "
+        "top_gram_frac double",
+    )
 
 
 @query(
@@ -59,21 +147,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale); a keyed shuffle here would be a full-corpus Exchange
     # bolted onto embarrassingly-parallel work, and even on the
     # single-row-group fixture the shuffle costs more than it buys.
-    # Bigram rows come from the vectorized Arrow n-gram pass (same
-    # rows as the old split+transform+explode; docs shorter than 2
-    # tokens and null texts emit nothing, as before).
-    grams = ngram_rows_arrow(
-        docs.filter(F.col("text").isNotNull()), 2, out="g"
-    )
-    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    per = gc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_grams"),
-        (
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
-            / F.sum("c")
-        ).alias("dup_gram_frac"),
-        (F.max("c").cast("double") / F.sum("c")).alias("top_gram_frac"),
-    )
+    # The whole profile comes from ONE fused Arrow pass (r20): the
+    # per-(doc, gram) counts and the per-doc rollup are in-row work,
+    # so the old gram emission + two shuffle aggregations are gone
+    # (see _rep_stats_arrow for the bit-exactness contract).
+    per = _rep_stats_arrow(docs.filter(F.col("text").isNotNull()))
     flagged = (
         (F.col("dup_gram_frac") > DUP_FRAC_MAX)
         | (F.col("top_gram_frac") > TOP_FRAC_MAX)

@@ -59,31 +59,130 @@ def _query_terms_rows() -> list[tuple[int, str]]:
     return [(qid, t) for qid, text in BM25_QUERIES for t in text.split(" ")]
 
 
-def _bm25_agg(docs: DataFrame, qterms: DataFrame) -> DataFrame:
+def _bm25_tf_arrow(docs: DataFrame, vocab: list[str]) -> DataFrame:
+    """(doc_id, token, tf, dl) — per-row query-vocabulary term counts
+    in ONE vectorized Arrow pass (guide §4.2), replacing the old
+    tokenize → explode → broadcast-semi-join → (doc_id, token) shuffle
+    aggregation: tf is computable within each document row, so no
+    corpus rows need to shuffle at all (guide §2.4). Each task also
+    emits one token-NULL partial-stats row (tf = its doc count, dl =
+    its summed document length) so the corpus stats aggregate reads a
+    handful of partials instead of re-tokenizing the corpus.
+
+    Exactness contract vs the expression path it replaces:
+    ``pa.compute.split_pattern(text, ' ')`` == Spark
+    ``split(text, ' ')`` (literal pattern, Java Pattern.split(limit=-1)
+    semantics — consecutive/trailing empties kept; see
+    ngram_rows_arrow); dl = len(split) including empty tokens; NULL
+    texts are dropped exactly as the old ``size(w) >= 1`` filter did
+    (size(split) >= 1 always holds for non-null text)."""
+    src = docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    vocab_sorted = sorted(set(vocab))
+
+    def _gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import
+
+        varr = pa.array(vocab_sorted, type=pa.string())
+        nv = len(vocab_sorted)
+        n_docs = 0
+        sum_dl = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            if ids.null_count:
+                raise ValueError("_bm25_tf_arrow: null doc_id")
+            texts = batch.column(1)
+            toks = pa.compute.split_pattern(texts, pattern=" ")
+            lens = (
+                pa.compute.list_value_length(toks)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            n_docs += batch.num_rows
+            sum_dl += int(lens.sum())
+            vi = pa.compute.index_in(toks.flatten(), value_set=varr)
+            vnp = vi.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = vnp >= 0
+            if not sel.any():
+                continue
+            doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+            keys = doc_idx[sel] * nv + vnp[sel]
+            uk, cnts = np.unique(keys, return_counts=True)
+            d = uk // nv
+            ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_np[d]),
+                    varr.take(pa.array(uk % nv)),
+                    pa.array(cnts.astype(np.int64)),
+                    pa.array(lens[d]),
+                ],
+                names=["doc_id", "token", "tf", "dl"],
+            )
+        if n_docs:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([None], type=pa.int64()),
+                    pa.array([None], type=pa.string()),
+                    pa.array([n_docs], type=pa.int64()),
+                    pa.array([sum_dl], type=pa.int64()),
+                ],
+                names=["doc_id", "token", "tf", "dl"],
+            )
+
+    return src.mapInArrow(_gen, "doc_id bigint, token string, tf bigint, dl bigint")
+
+
+def _bm25_agg(
+    docs: DataFrame,
+    qterms: DataFrame,
+    qterm_rows: list[tuple[int, str]] | None = None,
+) -> DataFrame:
     """(query_id, doc_id, qscore, n_terms, tot_tf): one aggregate
     feeding every ranker — the quantized BM25 score plus the
     term-coverage stats the RRF fusion's second ranker uses.
     ``docs`` has (doc_id, text); ``qterms`` has (query_id, term) and
-    must be broadcast-sized (it is the query panel, not data)."""
-    words = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= 1)
-        .select("doc_id", "w", F.size("w").cast("long").alias("dl"))
-    )
-    stats = words.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        F.count(F.lit(1)).cast("double").alias("nd"),
-    )
-    vocab = qterms.select(F.col("term").alias("token")).distinct()
-    tok = words.select(
-        "doc_id", "dl", F.explode("w").alias("token")
-    ).join(F.broadcast(vocab), "token")
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"),
-        # constant within the (doc_id) group — carried to avoid a
-        # second corpus join for document length
-        F.first("dl").alias("dl"),
-    )
+    must be broadcast-sized (it is the query panel, not data).
+    When the caller can supply the panel as plain rows
+    (``qterm_rows``), tf/dl/stats come from the fused single-pass
+    Arrow path (_bm25_tf_arrow) — identical multiset, one corpus
+    tokenize instead of two and zero corpus-row shuffles; otherwise
+    (arbitrary DataFrame panels, e.g. the property tests) the
+    original expression path runs."""
+    if qterm_rows is not None:
+        base = _bm25_tf_arrow(
+            docs, [t for _, t in qterm_rows]
+        ).localCheckpoint(eager=False)
+        # partial-stats rows: tf = task doc count, dl = task Σdl —
+        # exact int64 sums, then the identical IEEE division.
+        stats = base.filter(F.col("token").isNull()).agg(
+            (F.sum("dl").cast("double") / F.sum("tf")).alias("avgdl"),
+            F.sum("tf").cast("double").alias("nd"),
+        )
+        tf = base.filter(F.col("token").isNotNull())
+    else:
+        words = (
+            docs.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 1)
+            .select("doc_id", "w", F.size("w").cast("long").alias("dl"))
+        )
+        stats = words.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            F.count(F.lit(1)).cast("double").alias("nd"),
+        )
+        vocab = qterms.select(F.col("term").alias("token")).distinct()
+        tok = words.select(
+            "doc_id", "dl", F.explode("w").alias("token")
+        ).join(F.broadcast(vocab), "token")
+        tf = tok.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            # constant within the (doc_id) group — carried to avoid a
+            # second corpus join for document length
+            F.first("dl").alias("dl"),
+        )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("dfd"))
     tf_d = F.col("tf").cast("double")
     dl_d = F.col("dl").cast("double")
@@ -122,10 +221,11 @@ def bm25_topk(
     docs: DataFrame,
     qterms: DataFrame,
     k: int = BM25_TOP_K,
+    qterm_rows: list[tuple[int, str]] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rnk): top-k BM25 documents per
     query."""
-    scored = _bm25_agg(docs, qterms)
+    scored = _bm25_agg(docs, qterms, qterm_rows)
     w = W.partitionBy("query_id").orderBy(F.col("qscore").desc(), "doc_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -151,6 +251,7 @@ def rrf_fusion_topk(
     docs: DataFrame,
     qterms: DataFrame,
     k: int = BM25_TOP_K,
+    qterm_rows: list[tuple[int, str]] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, rrf, rank_bm25, rank_cover, rnk): hybrid
     retrieval by reciprocal-rank fusion of TWO full rankings over the
@@ -165,7 +266,7 @@ def rrf_fusion_topk(
     division and the sum a fixed two-term expression — rational
     arithmetic throughout, so the fused ordering is bit-identical
     cross-engine (the reason RRF needs no quantization step)."""
-    scored = _bm25_agg(docs, qterms)
+    scored = _bm25_agg(docs, qterms, qterm_rows)
     wa = W.partitionBy("query_id").orderBy(F.col("qscore").desc(), "doc_id")
     wb = W.partitionBy("query_id").orderBy(
         F.col("n_terms").desc(), F.col("tot_tf").desc(), "doc_id"
@@ -288,7 +389,7 @@ def bm25_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift in the scoring pipeline turns this driver row red."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     qterms = values_df(spark, _query_terms_rows(), ["query_id", "term"])
-    return bm25_topk(docs, qterms)
+    return bm25_topk(docs, qterms, qterm_rows=_query_terms_rows())
 
 
 @query("rrf_fusion_topk_per_query", oracle=_rrf_oracle())
@@ -300,4 +401,4 @@ def rrf_fusion_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion arithmetic turns this driver row red."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     qterms = values_df(spark, _query_terms_rows(), ["query_id", "term"])
-    return rrf_fusion_topk(docs, qterms)
+    return rrf_fusion_topk(docs, qterms, qterm_rows=_query_terms_rows())

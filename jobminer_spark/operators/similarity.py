@@ -535,11 +535,20 @@ def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     d = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", _qdist(F.col("embedding"), F.col("cvec")).alias("qdist")
     )
-    w = W.partitionBy("vec_id").orderBy("qdist", "cid")
-    return (
-        d.select("vec_id", "cid", "qdist", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("centroid_id"), "qdist")
+    # argmin as a lexicographic struct MIN instead of a row_number
+    # window (r20, guide §2.3 "aggregate before you shuffle"): the
+    # partial aggregation combines the K candidate rows map-side, so
+    # the exchange carries ONE row per vector instead of K and the
+    # per-group sort disappears. min(struct(qdist, cid)) == the old
+    # (qdist, cid) orderBy rank-1 row exactly (struct ordering is
+    # lexicographic; qdist/cid are never null).
+    best = d.groupBy("vec_id").agg(
+        F.min(F.struct("qdist", "cid")).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.cid").alias("centroid_id"),
+        F.col("best.qdist").alias("qdist"),
     )
 
 

@@ -423,6 +423,94 @@ TFIDF_MAX_DF_FRAC = 0.9
 TFIDF_QUERY_MAX_DOC_ID = 50
 
 
+def _tfidf_tf_rows_arrow(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, cnt, len) per-document term frequencies in ONE
+    vectorized Arrow pass (guide §4.2), replacing the repartition →
+    explode → (doc_id, token) shuffle aggregation → doclen aggregation
+    chain: tf and document length are computable within each document
+    row, so no corpus rows shuffle at all (guide §2.4). Each task also
+    emits doc_id-NULL marker rows (token, cnt = its per-task document
+    frequency partial) — tasks hold disjoint documents, so summing the
+    partials per token is exactly the old ``tf.groupBy(token).count``.
+
+    Exactness contract vs the expression path it replaces
+    (``explode(split(text,' '))`` → ``!= ''`` → ``lower``):
+    ``pa.compute.split_pattern(text, ' ')`` == Spark split (see
+    ngram_rows_arrow), empty tokens dropped identically (lowercasing
+    never empties a string, so filter-then-lower == lower-then-filter),
+    and ``pa.compute.utf8_lower`` == Spark ``lower`` (both full
+    Unicode lowercase; the fixture vocabulary is ASCII where the two
+    are trivially identical). NULL texts emit nothing, exactly as
+    ``explode(split(NULL))`` did; ``len`` equals the old
+    ``doclen = SUM(cnt)`` (count of non-empty tokens) carried in-row
+    so the doclen join disappears."""
+    src = docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+
+    def _gen(batches):
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import
+
+        df_partials: Counter = Counter()
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            if ids.null_count:
+                raise ValueError("_tfidf_tf_rows_arrow: null doc_id")
+            toks = pa.compute.split_pattern(batch.column(1), pattern=" ")
+            lens = (
+                pa.compute.list_value_length(toks)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = toks.flatten()
+            keep = pa.compute.not_equal(flat, "")
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)[
+                keep_np
+            ]
+            if doc_idx.size == 0:
+                continue
+            low = pa.compute.utf8_lower(flat.filter(keep))
+            dic = pa.compute.dictionary_encode(low)
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = dic.dictionary
+            nd = len(vocab)
+            uk, cnts = np.unique(doc_idx * nd + codes, return_counts=True)
+            d = uk // nd
+            t = uk % nd
+            doc_len = np.bincount(doc_idx, minlength=batch.num_rows)
+            ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            df_partials.update(vocab.take(pa.array(t)).to_pylist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_np[d]),
+                    vocab.take(pa.array(t)),
+                    pa.array(cnts.astype(np.int64)),
+                    pa.array(doc_len[d].astype(np.int64)),
+                ],
+                names=["doc_id", "token", "cnt", "len"],
+            )
+        if df_partials:
+            toks, dfs = zip(*df_partials.items())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([None] * len(toks), type=pa.int64()),
+                    pa.array(list(toks), type=pa.string()),
+                    pa.array(list(dfs), type=pa.int64()),
+                    pa.array([None] * len(toks), type=pa.int64()),
+                ],
+                names=["doc_id", "token", "cnt", "len"],
+            )
+
+    return src.mapInArrow(
+        _gen, "doc_id bigint, token string, cnt bigint, len bigint"
+    )
+
+
 def _tfidf_oracle(query_max_doc_id: int, max_df_frac: float) -> str:
     return f"""
     WITH tok AS (
@@ -489,18 +577,21 @@ def tfidf_top_similar_pairs(
     (measured: bench timeout at sf0.1 without it)."""
     QUANT = 1_000_000_000_000_000
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.repartition("doc_id")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .select("doc_id", F.lower("tok").alias("token"))
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
+    # ONE fused Arrow pass yields per-(doc, token) counts with the
+    # document length carried in-row plus per-task df partials (r20:
+    # replaces repartition → explode → two corpus aggregations + the
+    # doclen join; see _tfidf_tf_rows_arrow). Lazily localCheckpointed
+    # — its two consumers (the df-partials aggregate and the weight
+    # projection) read ONE materialization of the corpus pass.
+    tfl = _tfidf_tf_rows_arrow(docs).localCheckpoint(eager=False)
+    tf = tfl.filter(F.col("doc_id").isNotNull())
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = (
-        tf.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
+        # marker rows: per-task document-frequency partials; tasks
+        # hold disjoint docs, so the sum == the old per-token count
+        tfl.filter(F.col("doc_id").isNull())
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("dfreq"))
         # 1-row corpus count: broadcast nested-loop join, no shuffle
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("dfreq") <= F.lit(max_df_frac) * F.col("n_docs"))
@@ -509,14 +600,12 @@ def tfidf_top_similar_pairs(
     # the weight table feeds three branches (norms + both join sides)
     # and is LAZILY localCheckpointed so each branch reads the
     # persisted per-(doc,token) table instead of re-running the
-    # tokenize + three-aggregation pipeline (an EAGER cut measured as
-    # a wash in r15 — the lazy cut materializes inside the first
-    # consuming job and adds no barrier action, the r20 loop-fold
-    # discipline). On a cluster this is the stage you'd persist
-    # before fanning out.
+    # tokenize pipeline (an EAGER cut measured as a wash in r15 — the
+    # lazy cut materializes inside the first consuming job and adds no
+    # barrier action, the r20 loop-fold discipline). On a cluster this
+    # is the stage you'd persist before fanning out.
     w = (
-        tf.join(doclen, "doc_id")
-        .join(dfreq, "token")
+        tf.join(dfreq, "token")
         .select(
             "doc_id",
             "token",

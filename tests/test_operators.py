@@ -928,6 +928,121 @@ def test_bm25_rare_term_and_rank_contract(spark):
     assert set(q2_top) <= dup_docs
 
 
+def test_rep_stats_arrow_matches_shuffle_path(spark):
+    """The fused in-row repetition kernel (r20 optimization) must
+    reproduce the old gram-emission + two-shuffle-aggregation path
+    bit-for-bit on the fixture corpus: same doc set, identical
+    n_grams, and bit-identical IEEE fractions."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.common import ngram_rows_arrow
+    from jobminer_spark.operators.docquality import _rep_stats_arrow
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    grams = ngram_rows_arrow(docs, 2, out="g")
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    old = {
+        r["doc_id"]: r
+        for r in gc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            (
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("c")
+            ).alias("dup_gram_frac"),
+            (F.max("c").cast("double") / F.sum("c")).alias("top_gram_frac"),
+        )
+        .collect()
+    }
+    new = {r["doc_id"]: r for r in _rep_stats_arrow(docs).collect()}
+    assert set(old) == set(new) and len(old) > 0
+    for k, r in old.items():
+        assert (
+            r["n_grams"],
+            r["dup_gram_frac"],
+            r["top_gram_frac"],
+        ) == (
+            new[k]["n_grams"],
+            new[k]["dup_gram_frac"],
+            new[k]["top_gram_frac"],
+        )
+
+
+def test_tfidf_arrow_tf_rows_match_expression_path(spark):
+    """The fused Arrow tf pass (r20 optimization) must reproduce the
+    expression path exactly on the fixture corpus: identical
+    (doc_id, token, cnt) multiset, in-row len == the old doclen
+    aggregate, and the summed df partials == the old per-token count."""
+    from pyspark.sql import functions as F
+
+    from jobminer_spark.operators.textanalysis import _tfidf_tf_rows_arrow
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower("tok").alias("token"))
+    )
+    tf_old = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    len_old = {
+        r["doc_id"]: r["len"]
+        for r in tf_old.groupBy("doc_id").agg(F.sum("cnt").alias("len")).collect()
+    }
+    df_old = {
+        r["token"]: r["dfreq"]
+        for r in tf_old.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .collect()
+    }
+    base = _tfidf_tf_rows_arrow(docs).collect()
+    tf_new = {
+        (r["doc_id"], r["token"]): (r["cnt"], r["len"])
+        for r in base
+        if r["doc_id"] is not None
+    }
+    old = {(r["doc_id"], r["token"]): r["cnt"] for r in tf_old.collect()}
+    assert set(old) == set(tf_new) and len(old) > 0
+    for k, cnt in old.items():
+        assert tf_new[k] == (cnt, len_old[k[0]])
+    df_new: dict = {}
+    for r in base:
+        if r["doc_id"] is None:
+            df_new[r["token"]] = df_new.get(r["token"], 0) + r["cnt"]
+    assert df_new == df_old
+
+
+def test_bm25_arrow_tf_path_matches_expression_path(spark):
+    """The fused single-pass Arrow tf/stats path (r20 optimization)
+    must produce the IDENTICAL scored aggregate as the original
+    tokenize→explode→shuffle expression path on the fixture corpus —
+    same (query_id, doc_id) set, bit-identical qscore/n_terms/tot_tf."""
+    from jobminer_spark.data.skill_dictionary import values_df
+    from jobminer_spark.operators.retrieval import _bm25_agg, _query_terms_rows
+    from jobminer_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    qterms = values_df(spark, _query_terms_rows(), ["query_id", "term"])
+    key = lambda r: (r["query_id"], r["doc_id"])  # noqa: E731
+    old = {key(r): r for r in _bm25_agg(docs, qterms).collect()}
+    new = {key(r): r for r in _bm25_agg(docs, qterms, _query_terms_rows()).collect()}
+    assert set(old) == set(new) and len(old) > 0
+    for k, r in old.items():
+        assert (r["qscore"], r["n_terms"], r["tot_tf"]) == (
+            new[k]["qscore"],
+            new[k]["n_terms"],
+            new[k]["tot_tf"],
+        )
+
+
 def test_cms_never_underestimates(spark):
     """The count-min hard guarantee: est >= exact for EVERY key, and
     the total overcount is bounded by d passes over the stream."""
