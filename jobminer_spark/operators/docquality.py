@@ -35,6 +35,7 @@ from jobminer_spark.operators.common import (
     DUP_FRAC_MAX,
     TOP_FRAC_MAX,
     repetition_cte,
+    spread_scan,
 )
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
@@ -142,16 +143,18 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents shorter than 2 tokens produce no grams and no row (same
     contract as the SQL oracle's inner gram join)."""
     docs = load_table(spark, sf_dir, "documents")
-    # No repartition: the operator is per-document, so parallelism
-    # comes from the input splits themselves (plentiful at corpus
-    # scale); a keyed shuffle here would be a full-corpus Exchange
-    # bolted onto embarrassingly-parallel work, and even on the
-    # single-row-group fixture the shuffle costs more than it buys.
+    # No KEYED shuffle: the operator is per-document, so at corpus
+    # scale parallelism comes from the input splits themselves; the
+    # conditional spread_scan round-robin exists only where the file
+    # layout (fixture single-row-group), not the data size, bounds
+    # parallelism — a no-op on any real at-scale table.
     # The whole profile comes from ONE fused Arrow pass (r20): the
     # per-(doc, gram) counts and the per-doc rollup are in-row work,
     # so the old gram emission + two shuffle aggregations are gone
     # (see _rep_stats_arrow for the bit-exactness contract).
-    per = _rep_stats_arrow(docs.filter(F.col("text").isNotNull()))
+    per = _rep_stats_arrow(
+        spread_scan(docs.filter(F.col("text").isNotNull()))
+    )
     flagged = (
         (F.col("dup_gram_frac") > DUP_FRAC_MAX)
         | (F.col("top_gram_frac") > TOP_FRAC_MAX)

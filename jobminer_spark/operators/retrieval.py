@@ -35,6 +35,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from jobminer_spark.data.skill_dictionary import values_df
+from jobminer_spark.operators.common import spread_scan
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -76,7 +77,13 @@ def _bm25_tf_arrow(docs: DataFrame, vocab: list[str]) -> DataFrame:
     ngram_rows_arrow); dl = len(split) including empty tokens; NULL
     texts are dropped exactly as the old ``size(w) >= 1`` filter did
     (size(split) >= 1 always holds for non-null text)."""
-    src = docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    # spread_scan: the tokenize kernel is the heavy per-row work here,
+    # so a degenerate (fewer-splits-than-cores) input must be spread
+    # before the Python boundary — a no-op on any real at-scale table
+    # (order-insensitive: every consumer aggregates).
+    src = spread_scan(
+        docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    )
     vocab_sorted = sorted(set(vocab))
 
     def _gen(batches):

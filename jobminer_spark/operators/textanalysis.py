@@ -26,6 +26,7 @@ from jobminer_spark.functions.text import (
     salary_max_col,
     salary_min_col,
 )
+from jobminer_spark.operators.common import spread_scan
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -444,7 +445,13 @@ def _tfidf_tf_rows_arrow(docs: DataFrame) -> DataFrame:
     ``explode(split(NULL))`` did; ``len`` equals the old
     ``doclen = SUM(cnt)`` (count of non-empty tokens) carried in-row
     so the doclen join disappears."""
-    src = docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    # spread_scan: tokenize + in-row counting is the heavy per-row
+    # work, so a degenerate (fewer-splits-than-cores) input is spread
+    # before the Python boundary — a no-op on any real at-scale table
+    # (order-insensitive: every consumer aggregates).
+    src = spread_scan(
+        docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    )
 
     def _gen(batches):
         from collections import Counter
