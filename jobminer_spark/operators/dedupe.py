@@ -502,89 +502,33 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     signature), and dropping it keeps the LSH band join's fan-out
     bounded too.
 
-    Fused Arrow pass (r20, guide §4.2): one hash exchange on the
-    shingle colocates each shingle's postings, then a single
-    vectorized generator per task deduplicates (shingle, doc), applies
-    the df cap on the GLOBAL groups (hash partitioning makes per-task
-    groups global), md5-hashes each distinct shingle ONCE
-    (hashlib.md5 hex == Spark md5; int(hex[:15],16) ==
-    conv(substring(md5,1,15),16,10); both mod 2^31-1 on non-negative
-    int64 — bit-identical), applies all K affine transforms in one
-    int64 numpy matmul-shape op (a·h+b < 2^62, overflow-free exactly
-    as in the JVM), and emits per-task PARTIAL per-doc component
-    minima; the final groupBy(doc) min is exact (min is associative).
-    Replaces the collect_set index aggregation + posting explode +
-    32-expression aggregate — byte-identical signatures (asserted at
-    sf0.1), 1.17 → 0.89 s for the signature stage."""
-    raw = _ngram_rows_arrow(
-        docs.repartition("doc_id").filter(F.col("text").isNotNull()), n
-    )
-    rep = raw.repartition("shingle")
-    max_df = SHINGLE_MAX_DF
-    A = [a for a, _ in _MH_PARAMS]
-    B = [b for _, b in _MH_PARAMS]
-    schema = "doc_id bigint, " + ", ".join(
-        f"mh{i} bigint" for i in range(_MH_K)
-    )
-
-    def _gen(batches):
-        import hashlib
-
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        ids_l, sh_l = [], []
-        for b in batches:
-            if b.num_rows:
-                ids_l.append(b.column(0))
-                sh_l.append(b.column(1))
-        if not ids_l:
-            return
-        ids = pa.chunked_array(ids_l).combine_chunks()
-        sh = pa.chunked_array(sh_l).combine_chunks()
-        enc = pc.dictionary_encode(sh)
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = enc.dictionary.to_pylist()
-        doc = ids.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((doc, codes))
-        c, d = codes[order], doc[order]
-        keep = np.concatenate(([True], (c[1:] != c[:-1]) | (d[1:] != d[:-1])))
-        c, d = c[keep], d[keep]
-        bnd = np.concatenate(([0], np.nonzero(c[1:] != c[:-1])[0] + 1, [len(c)]))
-        lens = np.diff(bnd)
-        ok = lens <= max_df
-        surv = np.repeat(ok, lens)
-        c, d = c[surv], d[surv]
-        if not len(c):
-            return
-        h = np.array(
-            [
-                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_P
-                for s in vocab
-            ],
-            dtype=np.int64,
+    Shingles come from the one-shuffle inverted index
+    (shingle_doc_lists subsumes word_shingles' distinct exchange and
+    hot-set anti-join in a single aggregation); one JVM md5 per
+    DISTINCT shingle (index row) lifts to all K components via the
+    affine family. A fully-fused mapInArrow variant (per-task dedup +
+    hashlib md5 + numpy affine mins, byte-identical signatures —
+    scripts/r20_verify_minhash_fused.py) was shipped mid-r20 and then
+    MEASURED OUT under this sandbox's degraded CPU conditions: its
+    per-distinct-shingle Python-level md5 loop (~1M hashlib calls at
+    sf0.1, the one piece numpy cannot vectorize) lost 1.2–2× to the
+    codegen'd JVM md5 across every interleaved A/B leg (JVM 4.3 s vs
+    fused 7.3+ s steady-state at sf0.1), so the JVM expression path
+    is the keeper — unlike the round's other fused kernels, whose
+    inner loops are fully vectorized."""
+    flat = (
+        shingle_doc_lists(docs, n, max_df=SHINGLE_MAX_DF)
+        .select(
+            (_md5_long15(F.col("shingle")) % _MH_P).alias("h31"),
+            "ds",
         )
-        h31 = h[c]
-        a_arr = np.array(A, dtype=np.int64)[:, None]
-        b_arr = np.array(B, dtype=np.int64)[:, None]
-        hv = (a_arr * h31[None, :] + b_arr) % _MH_P
-        o2 = np.argsort(d, kind="stable")
-        d2 = d[o2]
-        hv2 = hv[:, o2]
-        db = np.concatenate(
-            ([0], np.nonzero(d2[1:] != d2[:-1])[0] + 1, [len(d2)])
-        )
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(d2[db[:-1]])]
-            + [pa.array(np.minimum.reduceat(hv2[k], db[:-1])) for k in range(_MH_K)],
-            names=["doc_id"] + [f"mh{i}" for i in range(_MH_K)],
-        )
-
-    part = rep.mapInArrow(_gen, schema)
-    return part.groupBy("doc_id").agg(
-        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(_MH_K)]
+        .select(F.explode("ds").alias("doc_id"), "h31")
     )
+    mins = [
+        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % _MH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    return flat.groupBy("doc_id").agg(*mins)
 
 
 def minhash_candidate_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
