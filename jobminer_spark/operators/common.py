@@ -152,10 +152,14 @@ def word_shingles(
     pass ``broadcast_hot=False`` to take the shuffle anti-join
     instead."""
     sh = ngram_rows_arrow(
-        # single-row-group input would serialize shingle generation;
-        # a null text splits to a null array the old size(w) >= n
-        # filter dropped — the explicit filter keeps that contract.
-        docs.repartition("doc_id").filter(F.col("text").isNotNull()),
+        # spread_scan (r20): a single-row-group input would serialize
+        # shingle generation, and a keyed repartition here is
+        # AQE-coalescible by BYTES — a bad proxy for the Python-side
+        # tokenize cost. Explicit round-robin only when splits <
+        # cores; no-op at scale. A null text splits to a null array
+        # the old size(w) >= n filter dropped — the explicit filter
+        # keeps that contract.
+        spread_scan(docs.filter(F.col("text").isNotNull())),
         n,
     ).distinct()
     if max_df is not None:
@@ -440,9 +444,15 @@ def shingle_pair_counts_arrow(docs, n: int, max_df: int | None = None):
     with the corpus via spark.sql.shuffle.partitions/AQE. Requires
     bigint doc ids (same contract as posting_pairs_arrow)."""
     raw = ngram_rows_arrow(
-        docs.repartition("doc_id").filter(F.col("text").isNotNull()), n
+        spread_scan(docs.filter(F.col("text").isNotNull())), n
     )
-    rep = raw.repartition("shingle")
+    # hash partitioning on shingle is CORRECTNESS here (per-task
+    # groups must be the global groups); the explicit width pins it
+    # against AQE's byte-based coalescing, which under-parallelizes
+    # the Python-side pair kernel (bytes are a bad proxy for its CPU).
+    rep = raw.repartition(
+        raw.sparkSession.sparkContext.defaultParallelism, "shingle"
+    )
 
     def _gen(batches):
         import numpy as np

@@ -279,10 +279,13 @@ def shingle_doc_lists(
     adversarial corpora use word_shingles(max_df=...) + the join-based
     pair path, which counts df without materializing doc lists."""
     raw = _ngram_rows_arrow(
-        # single-row-group input would serialize shingle generation;
-        # null texts were dropped by the old size(split(..)) >= n
-        # filter — the explicit filter keeps that contract.
-        docs.repartition("doc_id").filter(F.col("text").isNotNull()),
+        # spread_scan (r20): single-row-group input would serialize
+        # shingle generation, and a keyed repartition is
+        # AQE-coalescible by bytes — a bad proxy for the tokenize
+        # kernel's CPU. Null texts were dropped by the old
+        # size(split(..)) >= n filter — the explicit filter keeps
+        # that contract.
+        _spread_scan(docs.filter(F.col("text").isNotNull())),
         n,
     )
     idx = raw.groupBy("shingle").agg(
@@ -892,6 +895,7 @@ from jobminer_spark.operators.common import (  # noqa: E402
     norm_col as _norm_col,
     pair_cosine_arrow as _pair_cosine_arrow,
     qdot as _qdot,
+    spread_scan as _spread_scan,
 )
 
 
@@ -912,11 +916,19 @@ def embedding_sign_pairs(emb: DataFrame, bits: int = 4) -> DataFrame:
         ),
         start=F.lit(0),
     )
-    e = emb.select(
-        "vec_id",
-        "embedding",
-        bucket.alias("bucket"),
-        _norm_col(F.col("embedding")).alias("nrm"),
+    # spread_scan on the PROBE side (r20): e is broadcast-sized, so
+    # the bucket self-join broadcasts its build side and the probe —
+    # and therefore the pair generation AND the Arrow cosine kernel —
+    # inherit the scan's split count (ONE task on the single-split
+    # fixture, fully exposed to host-CPU bursts). Round-robin only
+    # when splits < cores; a no-op on any real at-scale table.
+    e = _spread_scan(
+        emb.select(
+            "vec_id",
+            "embedding",
+            bucket.alias("bucket"),
+            _norm_col(F.col("embedding")).alias("nrm"),
+        )
     )
     a = e.alias("a")
     b = e.alias("b")

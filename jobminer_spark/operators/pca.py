@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobminer_spark.operators.common import EMB_DIMS
+from jobminer_spark.operators.common import EMB_DIMS, spread_scan
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -142,7 +142,13 @@ def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses the Python boundary once as (n × d) Arrow batches and the
     only shuffle carries d² rows per task. Values are bit-identical
     to the expression predecessor (see _partial_gram_batches)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # spread_scan: the quantize+matmul kernel otherwise inherits the
+    # fixture's single split (one task, exposed to host-CPU bursts);
+    # round-robin only when splits < cores — no-op at scale, and the
+    # partial-Gram fold is order-insensitive by construction.
+    emb = spread_scan(
+        load_table(spark, sf_dir, "embeddings").select("embedding")
+    )
     return (
         emb.mapInArrow(_partial_gram_batches, "i int, j int, c long")
         .groupBy("i", "j")
