@@ -181,18 +181,23 @@ def test_hyperplane_lsh_signature_in_row(spark):
 
 
 def test_doc_repetition_stats_no_shuffle_before_partial_agg(spark):
-    """The repetition profile is per-document: parallelism must come
-    from the input splits, not a bolted-on keyed repartition (a
-    full-corpus Exchange in front of embarrassingly-parallel work).
-    The first Exchange above the scan must sit AFTER the gram count's
-    map-side partial HashAggregate."""
+    """The repetition profile is per-document work, and since r20 the
+    WHOLE profile (per-(doc, gram) counts + per-doc rollup) is one
+    fused in-row Arrow kernel: the plan must contain the MapInArrow
+    node, no keyed repartition, and no aggregation exchange at all —
+    the only Exchange allowed is the conditional round-robin
+    spread_scan BELOW the kernel (explicit-count, degenerate-input
+    only)."""
     plan = _plan(spark, "doc_repetition_stats")
     assert "REPARTITION_BY_COL" not in plan
+    assert "MapInArrow" in plan
     tree = plan.split("== Physical Plan ==", 1)[1].split("\n\n", 1)[0]
     bottom_up = list(reversed(tree.splitlines()))
-    first_agg = next(i for i, l in enumerate(bottom_up) if "HashAggregate" in l)
-    first_exchange = next(i for i, l in enumerate(bottom_up) if "Exchange" in l)
-    assert first_agg < first_exchange
+    exchanges = [i for i, l in enumerate(bottom_up) if "Exchange" in l]
+    kernel = next(i for i, l in enumerate(bottom_up) if "MapInArrow" in l)
+    assert len(exchanges) <= 1  # only the spread, never an agg shuffle
+    assert all(i < kernel for i in exchanges)  # ...and it sits below
+    assert "HashAggregate" not in tree and "SortAggregate" not in tree
 
 
 def test_word_rarity_no_explicit_repartition(spark):
@@ -678,10 +683,14 @@ def test_baseline_drift_comparison_reads_profile_not_corpus(spark):
     assert "events.parquet" not in plan  # baseline rows never rescanned
     assert "documents.parquet" not in plan
     assert "jm_driftbase_" in plan  # the profile parquet IS the scan
-    # and the direct two-sample twin really does rescan the corpus —
+    # and the direct two-sample twin reaches the corpus through its
+    # in-session bucket-count materialization (the r20 lazy
+    # localCheckpoint shows as Scan ExistingRDD; the events scan sits
+    # upstream of that cut), never through the persisted profile —
     # the contrast that makes the persisted-profile plan the point
     direct = _plan(spark, "ks_drift_event_values")
-    assert "events.parquet" in direct
+    assert "events.parquet" in direct or "Scan ExistingRDD" in direct
+    assert "jm_driftbase_" not in direct
 
 
 def test_baseline_tvd_comparison_reads_profile_not_corpus(spark):
