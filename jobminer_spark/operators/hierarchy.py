@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jobminer_spark.data.skill_dictionary import values_df
 from jobminer_spark.registry import query
 from jobminer_spark.sources import load_table
 
@@ -217,30 +218,45 @@ def hierarchy_chain_depths_doubling(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("key")
         .agg(F.coalesce(F.max("bkey"), F.lit(0)).alias("ptr"))
         .select("key", "ptr", F.lit(1).cast("long").alias("steps"))
-        # LAZY checkpoints throughout the loop: the convergence count
+        # LAZY checkpoints throughout the loop: the per-round collect
         # below is the materializing action, so each round costs ONE
-        # job (compute+persist+count fused) instead of the eager
-        # pattern's two (checkpoint job + count job) — measured ~2× on
-        # this per-job-overhead-bound iterative path. Lineage is cut
-        # identically: the count computes every partition, persisting
+        # job (compute+persist+collect fused). Lineage is cut
+        # identically: the collect computes every partition, persisting
         # the frame the next round's join then reads.
         .localCheckpoint(eager=False)
     )
+    # ONE driver action per round (r20 continuation): reach is bounded
+    # by the design constant _CHAIN_CAP (≤1023 rows at ANY SF), and its
+    # hop side was ALREADY driver-collected every round by the
+    # broadcast build job. Collecting it explicitly instead (the
+    # MMR-shortlist dimension-bounded pattern) makes that single
+    # bounded collect serve THREE roles the loop previously paid two
+    # scheduled jobs for: it materializes the round's lazy checkpoint,
+    # answers the convergence predicate in plain Python, and feeds the
+    # hop side as a pure-JVM VALUES relation (values_df) whose
+    # BroadcastExchange builds from a LocalTableScan on the driver —
+    # no distributed build job at all (guide §3.1/§5; the per-round
+    # fixed cost is what bounds this log-depth loop). The per-round
+    # equi-join over the persisted distributed frame — the pointer-
+    # doubling plan itself — is unchanged.
+    rows = reach.collect()
     rounds = 0
-    while reach.filter(F.col("ptr") != 0).count() > 0:
+    while any(r["ptr"] != 0 for r in rows):
         rounds += 1
         if rounds > 64:  # 2^64 depth bound: unreachable, loop-guard only
             raise RuntimeError("pointer doubling failed to converge")
-        hop = reach.select(
-            F.col("key").alias("ptr"),
-            F.col("ptr").alias("ptr2"),
-            F.col("steps").alias("steps2"),
+        hop = values_df(
+            spark,
+            [(r["key"], r["ptr"], r["steps"]) for r in rows],
+            ["ptr", "ptr2", "steps2"],
+        ).select(
+            # VALUES integer literals land as INT; the loop's columns
+            # are LONG — cast so the join key and arithmetic keep the
+            # exact pre-r20 types (max_depth/sum_depths stay BIGINT).
+            F.col("ptr").cast("long").alias("ptr"),
+            F.col("ptr2").cast("long").alias("ptr2"),
+            F.col("steps2").cast("long").alias("steps2"),
         )
-        # hop is reach-sized and reach is bounded by the design
-        # constant _CHAIN_CAP (1024 rows at ANY SF) — broadcast it so
-        # each round is a map-side join over the persisted frame
-        # instead of two shuffle exchanges (guide §3.1; the per-round
-        # fixed cost is what bounds this log-depth loop).
         reach = (
             reach.join(F.broadcast(hop), "ptr", "left")
             .select(
@@ -250,6 +266,7 @@ def hierarchy_chain_depths_doubling(spark: SparkSession, sf_dir: str) -> DataFra
             )
             .localCheckpoint(eager=False)
         )
+        rows = reach.collect()
     root = spark.range(1).select(F.lit(0).cast("long").alias("depth"))
     depths = reach.select(F.col("steps").alias("depth")).unionByName(root)
     return depths.agg(

@@ -406,6 +406,51 @@ def test_chain_doubling_survives_key_gaps(spark, tmp_path):
     assert dict(zip(cols, orow)) == {c: row[c] for c in cols}
 
 
+def test_chain_doubling_driver_hop_edges(spark, tmp_path):
+    """r20 continuation: the per-round hop side is now fed from the
+    bounded per-round collect as a JVM VALUES relation. Pin the two
+    edges of that loop against the oracle: a single-node chain (the
+    loop never runs — zero VALUES relations built, n_rounds 0) and a
+    depth-2 chain (exactly one VALUES round), both bit-identical to
+    the DuckDB recursion."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    import duckdb
+
+    from jobminer_spark.registry import ORACLES, QUERIES, load_all_operators
+
+    load_all_operators()
+    name = "hierarchy_chain_depths_doubling"
+    for keys, want_rounds, want_depth in [([1], 0, 1), ([1, 5], 1, 2)]:
+        d = tmp_path / f"chain{len(keys)}"
+        d.mkdir()
+        papq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array(keys, pa.int64()),
+                    "c_name": pa.array([f"c{k}" for k in keys], pa.string()),
+                    "c_nationkey": pa.array([0] * len(keys), pa.int64()),
+                    "c_acctbal": pa.array([1.0] * len(keys), pa.float64()),
+                }
+            ),
+            str(d / "customer.parquet"),
+        )
+        (row,) = QUERIES[name](spark, str(d)).collect()
+        assert row["n_rounds"] == want_rounds
+        assert row["max_depth"] == want_depth
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{d}/customer.parquet')"
+        )
+        res = con.execute(ORACLES[name])
+        cols = [c[0] for c in res.description]
+        (orow,) = res.fetchall()
+        assert dict(zip(cols, orow)) == {c: row[c] for c in cols}
+        con.close()
+
+
 def test_heavy_hitters_mg_guarantee_adversarial(spark):
     """The two-pass heavy-hitters path can never MISS a true heavy
     hitter (the Misra-Gries superset guarantee), even when the heavy
